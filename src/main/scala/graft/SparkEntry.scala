@@ -1,13 +1,521 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.sources.{MongoJsonSource, Tables}
+import graft.functions.{Portable, TextFunctions}
+import graft.functions.Portable.{fixedAvg, fixedSum, pround, sqlFixedAvg, sqlFixedSum, sqlPround}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per operator from SURVEY.md §2,
+  * with a DuckDB-equivalent `oracleSql` wherever the semantics are
+  * ANSI-SQL-expressible. Every computed column is aliased identically on
+  * both sides and doubles are rounded to kill float-summation ULP noise.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's daily_summary pipeline end-to-end
+    * (stage → two rollups → summary join). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("b4_agg_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared shapes -------------------------------------------------
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def embD(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).withColumn("embedding", col("embedding").cast("array<double>"))
+
+  private def dailyAgg(e: DataFrame, eventType: String, aggName: String,
+                       isAvg: Boolean): DataFrame = {
+    val base = e.filter(col("event_type") === eventType)
+      .groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+    if (isAvg) base.agg(fixedAvg(col("value"), 4).as(aggName))
+    else base.agg(fixedSum(col("value"), 4).as(aggName))
+  }
+
+  // ---- query inventory (SURVEY.md §2) --------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A. raw→stage normalization
+    "a1_stage_events" -> ((s, d) => Stage.stageEvents(ev(s, d))),
+
+    "a2_mongo_normalize" -> ((s, d) => {
+      val packed = MongoJsonSource.packDocuments(
+        ev(s, d), "user_id", "ts", 4 * 3600, Seq("event_id", "event_type", "value"))
+      MongoJsonSource.normalize(packed, Seq("user_id"))
+    }),
+
+    "a3_stage_users" -> ((s, d) =>
+      Stage.stageUsers(Tables.customer(s, d), ev(s, d))
+        .withColumn("devices", concat_ws(",", col("devices")))),
+
+    // B. periodic aggregation layer
+    "b1_agg_daily" -> ((s, d) =>
+      ev(s, d).groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+        .agg(fixedSum(col("value"), 4).as("value_sum"), count(lit(1)).as("n_events"))),
+
+    "b2_agg_weekly" -> ((s, d) =>
+      ev(s, d).groupBy(col("user_id"),
+          date_format(TimeAgg.weekBucket(col("ts")), "yyyy-MM-dd").as("week"))
+        .agg(fixedAvg(col("value"), 4).as("avg_value"))),
+
+    "b3_agg_monthly" -> ((s, d) =>
+      ev(s, d).groupBy(col("user_id"), TimeAgg.monthKey(col("ts")).as("month"))
+        .agg(fixedSum(col("value"), 4).as("value_sum"), count(lit(1)).as("n_events"))),
+
+    "b4_agg_summary" -> ((s, d) => {
+      val v = dailyAgg(ev(s, d), "view", "avg_view_value", isAvg = true)
+      val c = dailyAgg(ev(s, d), "click", "click_value_sum", isAvg = false)
+      v.join(c, Seq("user_id", "day"), "inner")
+        .select("user_id", "day", "avg_view_value", "click_value_sum")
+    }),
+
+    "b5_agg_hourly_bucket" -> ((s, d) =>
+      ev(s, d).groupBy(col("user_id"),
+          TimeAgg.timeBucket(col("ts"), 4 * 3600).cast("string").as("bucket"))
+        .agg(count(lit(1)).as("n_events"), fixedSum(col("value"), 4).as("value_sum"))),
+
+    // C. analytics layer
+    "c1_balance_group_metrics" -> ((s, d) => {
+      val grp = when(col("c_acctbal") < 0, "negative")
+        .when(col("c_acctbal") < 1000, "low")
+        .when(col("c_acctbal") < 5000, "mid").otherwise("high")
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(grp.as("balance_group"))
+        .agg(fixedAvg(col("o_totalprice"), 4).as("avg_order_price"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    "c2_containment_join" -> ((s, d) => {
+      val fact = ev(s, d)
+        .groupBy(col("event_type"), TimeAgg.dayKey(col("ts")).as("day"))
+        .agg(fixedSum(col("value"), 4).as("tvs"))
+      val dim = ArrayOps.arrayAggDistinct(ev(s, d), Seq("user_id"), "event_type", "devices")
+      ArrayOps.containmentJoin(fact, dim, "event_type", "devices", Seq("user_id"))
+        .groupBy("user_id", "day")
+        .agg(fixedSum(col("tvs"), 4).as("step_count"), count(lit(1)).as("n_device_days"))
+    }),
+
+    "c3_latest_day_filter" -> ((s, d) => {
+      val st = ev(s, d).withColumn("day", TimeAgg.dayKey(col("ts")))
+      Incremental.latestPeriod(st, "day")
+        .groupBy("user_id", "day").agg(fixedSum(col("value"), 4).as("value_sum"))
+    }),
+
+    "c4_incremental_newer_than" -> ((s, d) => {
+      val existing = ev(s, d).filter(TimeAgg.dayKey(col("ts")) <= "20240115")
+      Incremental.newerThan(ev(s, d), existing, "ts")
+        .select("event_id", "user_id", "ts", "value")
+    }),
+
+    "c5_dedup_upsert_latest" -> ((s, d) =>
+      Incremental.upsertLatest(ev(s, d), Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("event_type").as("last_type"))),
+
+    // D. DWH join/agg at scale
+    "d1_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          fixedSum(col("l_quantity"), 4).as("sum_qty"),
+          fixedSum(col("l_extendedprice"), 4).as("sum_base_price"),
+          fixedSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          fixedSum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")), 4).as("sum_charge"),
+          fixedAvg(col("l_quantity"), 4).as("avg_qty"),
+          fixedAvg(col("l_extendedprice"), 4).as("avg_price"),
+          fixedAvg(col("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    "d2_shipping_priority" -> ((s, d) =>
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(fixedSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")),
+
+    "d3_local_supplier_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(fixedSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+    }),
+
+    "d4_topk_per_group" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+    }),
+
+    "d5_sessionize" -> ((s, d) =>
+      Sessionize.summarize(ev(s, d), "user_id", "ts", "event_id", "value", 1800)),
+
+    // E. deduplication
+    "e1_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "doc_id", "text")),
+
+    "e2_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.25, 100)),
+
+    "e3_dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(docs(s, d), "doc_id", "text", 3, 4, 1)),
+
+    "e4_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDup(docs(s, d), "doc_id", "text", 12)),
+
+    "e5_dedup_embedding_cosine" -> ((s, d) =>
+      Dedup.embeddingNearDup(embD(s, d), "vec_id", "embedding", "label", 0.3)),
+
+    // F. similarity search
+    "f1_ann_bruteforce" -> ((s, d) => {
+      val e = embD(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5)
+    }),
+
+    "f2_ann_lsh" -> ((s, d) => {
+      val e = embD(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5, 8)
+    }),
+
+    // G. multimodal plumbing (decode stubbed — no codecs in container)
+    "g1_mm_metadata" -> ((s, d) =>
+      Multimodal.metadata(Multimodal.asMediaTable(docs(s, d), "doc_id", "text"))),
+
+    "g2_mm_featurize" -> ((s, d) =>
+      Multimodal.featurize(Multimodal.asMediaTable(docs(s, d), "doc_id", "text"), 16).toDF()),
+
+    // H. text analysis
+    "h1_text_quality" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.punctCount(col("text")).as("n_punct"),
+        TextFunctions.stopwordCount(col("text")).as("n_stopwords"),
+        TextFunctions.qualityScore(col("text")).as("quality_score"))),
+
+    "h2_token_count" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
+        TextFunctions.bpeishCount(col("text")).as("n_bpeish"))),
+
+    "h3_lang_id" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("pred_lang"))),
+
+    "h4_doc_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text"), 5).as("fingerprint")))
+  )
+
+  // ---- DuckDB oracles -------------------------------------------------
+
+  /** Tokenizer CTE fragment shared by text oracles (mirrors
+    * TextFunctions.tokens 1:1). */
+  private def tokCte(src: String, lower: Boolean): String = {
+    val t = if (lower) "lower(text)" else "text"
+    s"SELECT *, list_filter(string_split_regex(trim($t), '\\s+'), x -> len(x) > 0) AS tok FROM $src"
+  }
+
+  private val shingle3 =
+    """CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
+      |ELSE list_transform(generate_series(1, len(tok) - 2), i -> array_to_string(tok[i:i+2], ' ')) END""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "a1_stage_events" ->
+      """SELECT event_id, user_id, event_type, value, ts,
+        |strftime(ts, '%Y%m%d') AS day, strftime(ts, '%Y%m') AS month,
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+        |FROM events""".stripMargin,
+
+    "a2_mongo_normalize" ->
+      """WITH b AS (
+        |  SELECT user_id, time_bucket(INTERVAL '4 hours', ts) AS created_at,
+        |         ts, event_id, event_type, value FROM events
+        |), p AS (
+        |  SELECT *, md5(concat(user_id, '|', CAST(created_at AS VARCHAR))) AS doc_id,
+        |         row_number() OVER (PARTITION BY user_id, created_at ORDER BY ts, event_id) - 1 AS pos
+        |  FROM b
+        |)
+        |SELECT user_id, doc_id, pos, md5(concat(doc_id, '|', pos)) AS row_id,
+        |       ts, event_id, event_type, value
+        |FROM p""".stripMargin,
+
+    "a3_stage_users" ->
+      """SELECT e.user_id, c.c_name AS name, c.c_acctbal AS acctbal,
+        |       c.c_mktsegment AS mktsegment,
+        |       array_to_string(list_sort(list(DISTINCT e.event_type)), ',') AS devices
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY e.user_id, c.c_name, c.c_acctbal, c.c_mktsegment""".stripMargin,
+
+    "b1_agg_daily" ->
+      s"""SELECT user_id, strftime(ts, '%Y%m%d') AS day,
+         |${sqlFixedSum("value", 4)} AS value_sum, count(*) AS n_events
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "b2_agg_weekly" ->
+      s"""SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         |${sqlFixedAvg("value", 4)} AS avg_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "b3_agg_monthly" ->
+      s"""SELECT user_id, strftime(ts, '%Y%m') AS month,
+         |${sqlFixedSum("value", 4)} AS value_sum, count(*) AS n_events
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "b4_agg_summary" ->
+      s"""WITH v AS (
+         |  SELECT user_id, strftime(ts, '%Y%m%d') AS day, ${sqlFixedAvg("value", 4)} AS avg_view_value
+         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         |c AS (
+         |  SELECT user_id, strftime(ts, '%Y%m%d') AS day, ${sqlFixedSum("value", 4)} AS click_value_sum
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT v.user_id, v.day, v.avg_view_value, c.click_value_sum
+         |FROM v JOIN c ON v.user_id = c.user_id AND v.day = c.day""".stripMargin,
+
+    "b5_agg_hourly_bucket" ->
+      s"""SELECT user_id, CAST(time_bucket(INTERVAL '4 hours', ts) AS VARCHAR) AS bucket,
+         |count(*) AS n_events, ${sqlFixedSum("value", 4)} AS value_sum
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "c1_balance_group_metrics" ->
+      s"""SELECT CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 1000 THEN 'low'
+         |            WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS balance_group,
+         |${sqlFixedAvg("o_totalprice", 4)} AS avg_order_price, count(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1""".stripMargin,
+
+    "c2_containment_join" ->
+      s"""WITH f AS (
+         |  SELECT event_type, strftime(ts, '%Y%m%d') AS day, ${sqlFixedSum("value", 4)} AS tvs
+         |  FROM events GROUP BY 1, 2),
+         |d AS (
+         |  SELECT user_id, list_sort(list(DISTINCT event_type)) AS devices
+         |  FROM events GROUP BY 1)
+         |SELECT d.user_id, f.day, ${sqlFixedSum("f.tvs", 4)} AS step_count,
+         |       count(*) AS n_device_days
+         |FROM f JOIN d ON list_contains(d.devices, f.event_type)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "c3_latest_day_filter" ->
+      s"""WITH s AS (SELECT user_id, value, strftime(ts, '%Y%m%d') AS day FROM events)
+         |SELECT user_id, day, ${sqlFixedSum("value", 4)} AS value_sum FROM s
+         |WHERE day = (SELECT max(day) FROM s) GROUP BY 1, 2""".stripMargin,
+
+    "c4_incremental_newer_than" ->
+      """SELECT event_id, user_id, ts, value FROM events
+        |WHERE ts > (SELECT max(ts) FROM events WHERE strftime(ts, '%Y%m%d') <= '20240115')""".stripMargin,
+
+    "c5_dedup_upsert_latest" ->
+      """SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+
+    "d1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${sqlFixedSum("l_quantity", 4)} AS sum_qty,
+         |${sqlFixedSum("l_extendedprice", 4)} AS sum_base_price,
+         |${sqlFixedSum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+         |${sqlFixedSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)} AS sum_charge,
+         |${sqlFixedAvg("l_quantity", 4)} AS avg_qty,
+         |${sqlFixedAvg("l_extendedprice", 4)} AS avg_price,
+         |${sqlFixedAvg("l_discount", 4)} AS avg_disc,
+         |count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "d2_shipping_priority" ->
+      s"""SELECT l_orderkey, ${sqlFixedSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue, o_orderdate
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "d3_local_supplier_revenue" ->
+      s"""SELECT n_name, ${sqlFixedSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+         |GROUP BY n_name""".stripMargin,
+
+    "d4_topk_per_group" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |QUALIFY rnk <= 3""".stripMargin,
+
+    "d5_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM x
+        |)
+        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events, FIXEDSUM_VALUE AS value_sum
+        |FROM y GROUP BY 1, 2""".stripMargin
+        .replace("FIXEDSUM_VALUE", sqlFixedSum("value", 4)),
+
+    "e1_dedup_exact" ->
+      "SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies FROM documents GROUP BY 1",
+
+    "e2_dedup_ngram_jaccard" ->
+      s"""WITH t AS (${tokCte("documents", lower = true)}),
+         |s AS (SELECT doc_id, $shingle3 AS shs FROM t),
+         |e AS (SELECT DISTINCT doc_id AS doc, unnest(shs) AS sh FROM s),
+         |sized AS (SELECT doc, count(*) AS n_sh FROM e GROUP BY 1),
+         |keep AS (SELECT sh FROM e GROUP BY sh HAVING count(*) <= 100),
+         |ek AS (SELECT e.* FROM e JOIN keep USING (sh)),
+         |shared AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared
+         |  FROM ek a JOIN ek b ON a.sh = b.sh AND a.doc < b.doc GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  ${sqlPround("CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)", 4)} AS jaccard
+         |FROM shared JOIN sized sa ON sa.doc = doc_a JOIN sized sb ON sb.doc = doc_b
+         |WHERE ${sqlPround("CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)", 4)} >= 0.25""".stripMargin,
+
+    "e3_dedup_minhash_lsh" ->
+      s"""WITH t AS (${tokCte("documents", lower = true)}),
+         |s AS (SELECT doc_id, list_distinct($shingle3) AS shs FROM t),
+         |sig AS (SELECT doc_id AS doc,
+         |  list_min(list_transform(shs, x -> md5(concat('0:', x)))) AS mh0,
+         |  list_min(list_transform(shs, x -> md5(concat('1:', x)))) AS mh1,
+         |  list_min(list_transform(shs, x -> md5(concat('2:', x)))) AS mh2,
+         |  list_min(list_transform(shs, x -> md5(concat('3:', x)))) AS mh3
+         |  FROM s),
+         |banded AS (
+         |  SELECT doc, 0 AS band, md5(mh0) AS bucket FROM sig UNION ALL
+         |  SELECT doc, 1 AS band, md5(mh1) AS bucket FROM sig UNION ALL
+         |  SELECT doc, 2 AS band, md5(mh2) AS bucket FROM sig UNION ALL
+         |  SELECT doc, 3 AS band, md5(mh3) AS bucket FROM sig)
+         |SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_bands
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+         |GROUP BY 1, 2""".stripMargin,
+
+    "e5_dedup_embedding_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |         (a, b) -> a + b)) AS nrm,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, label, list_transform(v, x -> x / nrm) AS v FROM e
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  PROUND_DOT AS cosine
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE PROUND_DOT >= 0.3""".stripMargin
+        .replace("PROUND_DOT", sqlPround(
+          "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), (x, y) -> x + y)", 4)),
+
+    "f1_ann_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |         (a, b) -> a + b)) AS nrm,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id % 100 = 0
+        |), s AS (
+        |  SELECT query_id, c.vec_id AS nn_id,
+        |    PROUND_DOT AS cosine
+        |  FROM q JOIN n c ON c.vec_id <> q.query_id
+        |)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank,
+        |  nn_id, cosine
+        |FROM s QUALIFY rank <= 5""".stripMargin
+        .replace("PROUND_DOT", sqlPround(
+          "list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]), (x, y) -> x + y)", 6)),
+
+    "h1_text_quality" ->
+      s"""WITH t AS (${tokCte("documents", lower = false)}),
+         |m AS (
+         |  SELECT doc_id, text, len(tok) AS n_tokens,
+         |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |        x -> len(x) > 0 AND list_contains(${TextFunctions.stopwordsEn.map("'" + _ + "'").mkString("[", ",", "]")}, x))) AS n_stopwords,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_punct, n_stopwords,
+         |  ${sqlPround(
+             """0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+               | + 0.3 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+               | + 0.3 * least(CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0)"""
+               .stripMargin.replace("\n", ""), 4)} AS quality_score
+         |FROM m""".stripMargin,
+
+    "h2_token_count" ->
+      s"""WITH t AS (${tokCte("documents", lower = false)})
+         |SELECT doc_id, len(tok) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish
+         |FROM t""".stripMargin,
+
+    "h3_lang_id" -> {
+      val lists = TextFunctions.profiles.map { case (l, ws) =>
+        l -> ws.map("'" + _ + "'").mkString("[", ",", "]")
+      }.toMap
+      s"""WITH t AS (${tokCte("documents", lower = true)}),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(tok, x -> list_contains(${lists("en")}, x)))::DOUBLE / greatest(len(tok), 1)::DOUBLE AS s_en,
+         |    len(list_filter(tok, x -> list_contains(${lists("de")}, x)))::DOUBLE / greatest(len(tok), 1)::DOUBLE AS s_de,
+         |    len(list_filter(tok, x -> list_contains(${lists("fr")}, x)))::DOUBLE / greatest(len(tok), 1)::DOUBLE AS s_fr,
+         |    len(list_filter(tok, x -> list_contains(${lists("es")}, x)))::DOUBLE / greatest(len(tok), 1)::DOUBLE AS s_es
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) < 0.05 THEN 'und'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS pred_lang
+         |FROM sc""".stripMargin
+    },
+
+    "h4_doc_fingerprint" ->
+      s"""WITH t AS (${tokCte("documents", lower = true)}),
+         |s AS (SELECT doc_id, $shingle3 AS shs FROM t),
+         |f AS (SELECT doc_id, CASE WHEN len(tok) < 5 THEN [array_to_string(tok, ' ')]
+         |  ELSE list_transform(generate_series(1, len(tok) - 4), i -> array_to_string(tok[i:i+4], ' ')) END AS sh5
+         |  FROM t)
+         |SELECT doc_id, list_min(list_transform(sh5, x -> md5(x))) AS fingerprint
+         |FROM f""".stripMargin
+  )
 }

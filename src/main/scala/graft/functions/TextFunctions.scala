@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Text-analysis functions for large-scale training-data pipelines.
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions._`
+  * so the whole path stays inside whole-stage codegen — no UDFs, no
+  * driver round-trips. Deterministic by construction, so results are
+  * reproducible across runs/engines (the DuckDB oracle mirrors each
+  * formula 1:1).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (empty-token free). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word unit count: letter runs, digit runs and single
+    * non-space punctuation as separate units — the common pre-tokenizer
+    * regex family, written without lookarounds so RE2-based engines (the
+    * oracle) produce identical counts. */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", ""))
+
+  /** English-ish stopword list used by quality + language-ID scoring. */
+  val stopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "or", "be")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(lower(text)), t => t.isin(stopwordsEn.map(lit): _*)))
+
+  /** Quality score in [0,1]: blend of length saturation, low punctuation
+    * density and healthy stopword ratio — the standard cheap heuristics
+    * (C4/Gopher-style rules) expressed as one codegen'd expression. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChr = length(text).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(nChr, lit(1.0))
+    val stopRatio = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
+    Portable.pround(lit(0.4) * lenScore
+      + lit(0.3) * (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0)))
+      + lit(0.3) * least(stopRatio * lit(5.0), lit(1.0)), 4)
+  }
+
+  /** Stopword-profile language ID: score = fraction of tokens found in
+    * the language's function-word list; argmax with 'und' fallback.
+    * N-gram-profile heuristic in the Cavnar-Trenkle spirit, restricted
+    * to word-level unigrams so the oracle can mirror it exactly. */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> stopwordsEn,
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "por", "que"))
+
+  def langScore(text: Column, words: Seq[String]): Column = {
+    val tok = tokens(lower(text))
+    size(filter(tok, t => t.isin(words.map(lit): _*))).cast("double") /
+      greatest(size(tok), lit(1)).cast("double")
+  }
+
+  /** Predicted language: highest-scoring profile above `minScore`, ties
+    * broken by profile order (en > de > fr > es), else 'und'. */
+  def langId(text: Column, minScore: Double = 0.05): Column = {
+    val scored = profiles.map { case (l, ws) => (l, langScore(text, ws)) }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
+    }
+    when(best._2 >= lit(minScore), best._1).otherwise(lit("und"))
+  }
+
+  /** Word k-shingles: contiguous k-grams joined by single spaces. */
+  def shingles(text: Column, k: Int): Column = {
+    val tok = tokens(lower(text))
+    when(size(tok) < k, array(concat_ws(" ", tok)))
+      .otherwise(transform(
+        sequence(lit(0), size(tok) - k),
+        i => concat_ws(" ", slice(tok, i + 1, lit(k)))))
+  }
+
+  /** Document fingerprint (winnowing-lite): the minimum md5 over the
+    * document's k-shingles — a deterministic rolling-hash-family
+    * fingerprint that is stable under content reordering-free edits. */
+  def fingerprint(text: Column, k: Int): Column =
+    array_min(transform(shingles(text, k), s => md5(s)))
+}

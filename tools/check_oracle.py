@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: for each query result
+parquet in OUTDIR, run the matching oracle SQL in DuckDB over the same
+testdata tables, sort columns by name + rows by value, and hash-compare.
+
+Usage: check_oracle.py SF_DIR OUTDIR [query ...]
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+fails, passes, skips = [], [], []
+for name in sorted(os.listdir(out_dir)):
+    path = os.path.join(out_dir, name)
+    if not os.path.isdir(path):
+        continue
+    if only and name not in only:
+        continue
+    got = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{path}/*.parquet")],
+                    ignore_index=True)
+    if name not in oracle:
+        skips.append((name, len(got)))
+        continue
+    try:
+        want = con.execute(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    g, w = canon(got), canon(want)
+    if list(g.columns) != list(w.columns):
+        fails.append((name, f"schema mismatch: got {list(g.columns)} want {list(w.columns)}"))
+        continue
+    if len(g) != len(w):
+        fails.append((name, f"row count: got {len(g)} want {len(w)}"))
+        continue
+    if not g.equals(w):
+        diff = (g != w)
+        bad_cols = [c for c in g.columns if diff[c].any()]
+        i = diff.any(axis=1).idxmax()
+        fails.append((name, f"value mismatch cols={bad_cols} first at row {i}: "
+                            f"got {g.iloc[i].to_dict()} want {w.iloc[i].to_dict()}"))
+        continue
+    passes.append((name, len(g)))
+
+for n, r in passes:
+    print(f"PASS {n} ({r} rows)")
+for n, r in skips:
+    print(f"SKIP {n} (rows-only, {r} rows)")
+for n, msg in fails:
+    print(f"FAIL {n}: {msg}")
+print(f"\n{len(passes)} pass, {len(skips)} rows-only, {len(fails)} fail")
+sys.exit(1 if fails else 0)
