@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different content about spark engines and scala code"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeper = min id") {
+    val got = Dedup.exact(corpus, "doc_id", "text")
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("ngram jaccard: exact dups score 1.0, near dups high, unrelated absent") {
+    val pairs = Dedup.ngramJaccard(corpus, "doc_id", "text", 3, 0.25, 100)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("minhash LSH: exact dups collide in every band") {
+    val got = Dedup.minhashLsh(corpus, "doc_id", "text", 3, 4, 1)
+      .filter($"doc_a" === 1L && $"doc_b" === 2L)
+      .select("n_bands").as[Long].collect()
+    assert(got.toSeq == Seq(4L))
+  }
+
+  test("simhash: identical docs at hamming 0; near-dups close") {
+    val got = Dedup.simhashNearDup(corpus, "doc_id", "text", 12)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 0L)
+  }
+
+  test("embedding near-dup finds identical vectors within cluster") {
+    val emb = Seq(
+      (1L, Array(1.0, 0.0, 0.0), 0), (2L, Array(1.0, 0.0, 0.0), 0),
+      (3L, Array(0.0, 1.0, 0.0), 0), (4L, Array(1.0, 0.0, 0.0), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingNearDup(emb, "vec_id", "embedding", "label", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L))) // 4 is identical but in another cluster cell
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val emb = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)),
+      (2L, Array(0.0, 1.0)), (3L, Array(0.5, 0.5)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0), "vec_id", "embedding", 3)
+      .orderBy("rank").select("nn_id").as[Long].collect()
+    assert(got.toSeq == Seq(1L, 3L, 2L)) // by decreasing cosine to (1,0)
+  }
+
+  test("lshTopK returns a subset of brute-force candidates with same scoring") {
+    val emb = Tables0.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 8)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    // recall need not be 1, but every LSH hit must carry the exact cosine
+    val joined = lsh.as("l").join(bf.as("b"),
+      $"l.query_id" === $"b.query_id" && $"l.nn_id" === $"b.nn_id")
+      .filter($"l.cosine" =!= $"b.cosine")
+    assert(joined.count() == 0)
+    assert(lsh.count() > 0)
+  }
+}
+
+/** Test-local loader that applies the double cast used by SparkEntry. */
+object Tables0 {
+  def embeddings(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.sources.Tables.embeddings(s, d)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Scale guardrails: assert the PLANS we rely on at 100 TB actually
+  * materialize — pushdown reaching the scan, dims broadcast, no
+  * nested-loop joins sneaking into equi-join paths. */
+class PlanSpec extends SparkSpec {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    // Execute first so AQE finalizes the plan — codegen '*' markers and
+    // runtime join selections only appear in the final plan.
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1995-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in scan:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double"),
+      s"scan reads more columns than projected:\n$scan")
+  }
+
+  test("dimension joins in d3 use broadcast, not shuffle, for small sides") {
+    val plan = executed(SparkEntry.queries("d3_local_supplier_revenue")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+  }
+
+  test("containment join plans as a hash equi-join (never nested-loop)") {
+    val plan = executed(SparkEntry.queries("c2_containment_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"containment join degenerated to a cross product:\n$plan")
+  }
+
+  test("grouped aggregations do partial (map-side) aggregation before the shuffle") {
+    val df = SparkEntry.queries("b1_agg_daily")(spark, sf)
+    val plan = executed(df)
+    // two HashAggregate nodes (partial + final) around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("whole-stage codegen covers the hot aggregation path; no UDFs anywhere") {
+    // '*(n)' is how executedPlan.toString marks WholeStageCodegen subtrees
+    val d1 = executed(SparkEntry.queries("d1_pricing_summary")(spark, sf))
+    assert(d1.contains("*("), s"pricing summary fell out of codegen:\n$d1")
+    // text path uses higher-order functions (interpreted, columnar input) —
+    // still must never degrade to a UDF or Python eval
+    val h1 = executed(SparkEntry.queries("h1_text_quality")(spark, sf))
+    Seq(d1, h1).foreach { p =>
+      assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"))
+    }
+  }
+}
+
+/** Every declared query runs and the flagship returns rows. */
+class QueriesSmokeSpec extends SparkSpec {
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every queries entry evaluates at sf0.001 with stable column names") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      assert(df.columns.nonEmpty)
+    }
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.streaming.IotStreamPipeline
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+
+  private def landEvents(dir: String): Unit = {
+    // land the sf0.001 events as the streaming source's input files
+    val ev = graft.sources.Tables.events(spark, sf)
+    ev.coalesce(2).write.mode("overwrite").parquet(dir)
+  }
+
+  test("stage → watermarked windowed agg over a file stream (memory sink)") {
+    val in = Files.createTempDirectory("graft-stream-in").toString
+    landEvents(in)
+    val raw = IotStreamPipeline.readRaw(spark, in)
+    assert(raw.isStreaming)
+    val agg = IotStreamPipeline.windowedAgg(IotStreamPipeline.stage(raw), "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("agg_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("agg_out")
+    val batch = IotStreamPipeline.stage(graft.sources.Tables.events(spark, sf))
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"), col("event_type"))
+      .agg(sum("value").as("value_sum"), count(lit(1)).as("n_events"))
+    // streaming result (complete after processAllAvailable) == batch result
+    assert(out.count() == batch.count())
+    assert(out.join(batch, Seq("user_id", "event_type", "n_events"), "left_anti").count() == 0)
+  }
+
+  test("foreachBatch warehouse sink writes idempotent-keyed parquet") {
+    val in = Files.createTempDirectory("graft-sink-in").toString
+    val outP = Files.createTempDirectory("graft-sink-out").toString + "/wh"
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
+    landEvents(in)
+    val agg = IotStreamPipeline.windowedAgg(
+      IotStreamPipeline.stage(IotStreamPipeline.readRaw(spark, in)), "1 day", "2 days")
+    val q = IotStreamPipeline.sinkToWarehouse(agg, outP, ckpt).start()
+    q.processAllAvailable(); q.stop()
+    val written = spark.read.parquet(outP)
+    assert(written.count() > 0)
+    assert(written.columns.contains("batch_id"))
+  }
+
+  test("streaming sessionize with custom state emits closed sessions") {
+    val in = Files.createTempDirectory("graft-sess-in").toString
+    landEvents(in)
+    val st = IotStreamPipeline.stage(IotStreamPipeline.readRaw(spark, in))
+    val sess = IotStreamPipeline.sessionize(st, 1800)
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sess_out")
+    // sessions close only when a later event arrives; emitted ones must be valid
+    assert(out.filter(col("session_end") < col("session_start")).count() == 0)
+    assert(out.count() > 0)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.{Portable, TextFunctions}
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / counts") {
+    val df = Seq("  the quick  brown fox, v2!  ").toDF("text")
+    val r = df.select(
+      TextFunctions.tokenCount($"text"),
+      TextFunctions.bpeishCount($"text"),
+      TextFunctions.punctCount($"text"),
+      TextFunctions.stopwordCount($"text")).head()
+    assert(r.getInt(0) == 5)
+    // the|quick|brown|fox|,|v|2|! → 8
+    assert(r.getInt(1) == 8)
+    assert(r.getInt(2) == 2) // ',' and '!'
+    assert(r.getInt(3) == 1) // 'the'
+  }
+
+  test("shingles produce k-grams; short docs yield one shingle") {
+    val df = Seq("a b c d", "x y").toDF("text")
+    val got = df.select(TextFunctions.shingles($"text", 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("x y"))
+  }
+
+  test("langId picks dominant stopword profile") {
+    val df = Seq(
+      "the cat is on the mat and it is happy",
+      "le chat est dans la maison pour que",
+      "zzz qqq www").toDF("text")
+    val got = df.select(TextFunctions.langId($"text")).as[String].collect()
+    assert(got.toSeq == Seq("en", "fr", "und"))
+  }
+
+  test("fingerprint is stable and content-sensitive") {
+    val df = Seq("a b c d e f", "a b c d e f", "a b c d e g").toDF("text")
+    val fps = df.select(TextFunctions.fingerprint($"text", 5)).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("quality score bounded in [0,1]") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val bad = docs.select(TextFunctions.qualityScore(col("text")).as("q"))
+      .filter($"q" < 0 || $"q" > 1)
+    assert(bad.count() == 0)
+  }
+}
+
+class PortableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pround at exact half-way decimals rounds half-up deterministically") {
+    val df = Seq(0.86875, 53.87125, -1.00005).toDF("x")
+    val got = df.select(Portable.pround($"x", 4)).as[Double].collect()
+    // floor(x*1e4+0.5)/1e4 on the binary doubles — stable across engines
+    assert(got(0) == 0.8687 || got(0) == 0.8688) // value fixed by IEEE, not env
+    assert(df.select(Portable.pround($"x", 4)).as[Double].collect().toSeq == got.toSeq)
+  }
+
+  test("fixedSum is order-independent") {
+    val v = (1 to 10000).map(i => (i % 7, i * 0.01))
+    val a = v.toDF("k", "x").repartition(13)
+    val b = v.reverse.toDF("k", "x").repartition(3)
+    val sa = a.groupBy("k").agg(Portable.fixedSum($"x", 4).as("s")).orderBy("k").as[(Int, Double)].collect()
+    val sb = b.groupBy("k").agg(Portable.fixedSum($"x", 4).as("s")).orderBy("k").as[(Int, Double)].collect()
+    assert(sa.toSeq == sb.toSeq)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media table carries binary payload + typed metadata; featurize is deterministic") {
+    val docs = graft.sources.Tables.documents(spark, sf).limit(50)
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val meta = Multimodal.metadata(media)
+    assert(meta.filter($"width" < 32 || $"height" < 32).count() == 0)
+    val f1 = Multimodal.featurize(media, 16).collect().map(m => m.media_id -> m.checksum).toMap
+    val f2 = Multimodal.featurize(media.repartition(7), 16).collect().map(m => m.media_id -> m.checksum).toMap
+    assert(f1 == f2)
+    assert(Multimodal.featurize(media, 16).head().feature.length == 16)
+  }
+}
