@@ -410,12 +410,13 @@ object SparkEntry {
     "e3_dedup_minhash_lsh" ->
       s"""WITH t AS (${tokCte("documents", lower = true)}),
          |s AS (SELECT doc_id, list_distinct($shingle3) AS shs FROM t),
+         |hs AS (SELECT doc_id, list_transform(shs, x -> md5(x)) AS h FROM s),
          |sig AS (SELECT doc_id AS doc,
-         |  list_min(list_transform(shs, x -> md5(concat('0:', x)))) AS mh0,
-         |  list_min(list_transform(shs, x -> md5(concat('1:', x)))) AS mh1,
-         |  list_min(list_transform(shs, x -> md5(concat('2:', x)))) AS mh2,
-         |  list_min(list_transform(shs, x -> md5(concat('3:', x)))) AS mh3
-         |  FROM s),
+         |  list_min(list_transform(h, x -> x[1:8])) AS mh0,
+         |  list_min(list_transform(h, x -> x[9:16])) AS mh1,
+         |  list_min(list_transform(h, x -> x[17:24])) AS mh2,
+         |  list_min(list_transform(h, x -> x[25:32])) AS mh3
+         |  FROM hs),
          |banded AS (
          |  SELECT doc, 0 AS band, md5(mh0) AS bucket FROM sig UNION ALL
          |  SELECT doc, 1 AS band, md5(mh1) AS bucket FROM sig UNION ALL

@@ -78,14 +78,15 @@ object TextFunctions {
     when(best._2 >= lit(minScore), best._1).otherwise(lit("und"))
   }
 
-  /** Word k-shingles: contiguous k-grams joined by single spaces. */
-  def shingles(text: Column, k: Int): Column = {
-    val tok = tokens(lower(text))
-    when(size(tok) < k, array(concat_ws(" ", tok)))
-      .otherwise(transform(
-        sequence(lit(0), size(tok) - k),
-        i => concat_ws(" ", slice(tok, i + 1, lit(k)))))
-  }
+  /** Distinct word k-shingles: contiguous k-grams of the lowercased
+    * token stream joined by single spaces — a native single-pass
+    * [[graft.functions.expressions.WordShingles]] expression (the
+    * declarative `transform`/`slice` pipeline was interpreted and
+    * O(n²) to dedupe; see that class for the exact semantics). */
+  def shingles(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.WordShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(lower(text)), k))
 
   /** Document fingerprint (winnowing-lite): the minimum md5 over the
     * document's k-shingles — a deterministic rolling-hash-family

@@ -20,25 +20,32 @@ object Dedup {
     docs.groupBy(md5(col(text)).as("content_hash"))
       .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-doc exploded (id, shingle) with distinct shingles, dropping
-    * shingles shared by more than `maxDocFreq` docs. */
-  private def shingleTable(docs: DataFrame, id: String, text: String,
-                           k: Int, maxDocFreq: Int): DataFrame = {
-    val tbl = docs
-      .select(col(id).as("doc"), explode(shingles(col(text), k)).as("sh"))
-      .distinct()
-    val freq = tbl.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-    tbl.join(freq.select("sh"), Seq("sh"), "inner")
-  }
-
   /** N-gram Jaccard near-dup: candidate pairs share >= 1 (non-stop)
-    * shingle; J(a,b) = |A∩B| / (|A|+|B|-|A∩B|) over distinct shingles. */
+    * shingle; J(a,b) = |A∩B| / (|A|+|B|-|A∩B|) over distinct shingles.
+    *
+    * The distinct-shingle array is materialized in ONE projection and
+    * exploded from there — per-doc dedup happens in `array_distinct`
+    * (no extra shuffle) and doc sizes come from the same array, so the
+    * text is tokenized exactly once per doc. */
   def ngramJaccard(docs: DataFrame, id: String, text: String, k: Int,
                    threshold: Double, maxDocFreq: Int = 100): DataFrame = {
-    val sh = shingleTable(docs, id, text, k, maxDocFreq)
-    val sizes = docs.select(col(id).as("doc"),
-      size(array_distinct(shingles(col(text), k))).as("n_sh"))
+    val shs = docs.select(col(id).as("doc"),
+      shingles(col(text), k).as("shs"))
+    // ONE explicit shuffle on the shingle key anchors every consumer:
+    // the stop-shingle filter is a window count over that partitioning
+    // (no second branch), doc sizes are a groupBy on top of it, and both
+    // pair-join sides are the identical subtree — so the (interpreted,
+    // expensive) shingle pipeline is evaluated once and every other use
+    // is a ReusedExchange. Separate groupBy/join branches would each
+    // re-scan and re-shingle the corpus (column pruning makes the
+    // branches differ, defeating sameResult-based reuse).
+    val tbl = shs.select(col("doc"), explode(col("shs")).as("sh"))
+      .repartition(col("sh"))
+    // tbl rows are distinct (doc, sh) by construction → count = |A|
+    val sizes = tbl.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+    val sh = tbl.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxDocFreq).drop("df")
     val a = sh.as("a"); val b = sh.as("b")
     val shared = a.join(b, col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
@@ -55,28 +62,38 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Deterministic MinHash signature component i: the minimum md5 of
-    * (i ':' shingle). md5 hex strings are fixed-width so string-min is a
-    * uniform hash-min — a portable permutation family the oracle can
-    * reproduce bit-for-bit. */
-  private def minhashCol(sh: Column, i: Int): Column =
-    array_min(transform(sh, s => md5(concat_ws(":", lit(i.toString), s))))
-
   /** MinHash+LSH candidate pairs: k-shingles → `numHashes` minhashes →
     * bands of `rowsPerBand` → bucket equi-join on (band idx, band key).
     * Returns distinct candidate pairs with the number of colliding bands
-    * (more bands ⇒ higher estimated similarity). */
+    * (more bands ⇒ higher estimated similarity).
+    *
+    * Hash family: one md5 per (shingle, group-of-4) yields FOUR 32-bit
+    * minhash components (the 8-hex-char slices of the digest) — fixed-
+    * width hex slices are uniform, portable (the oracle reproduces them
+    * bit-for-bit), and cut the dominant md5 cost 4×. Each projection
+    * stage is materialized separately so shingling and hashing run once
+    * per doc, not once per hash index. */
   def minhashLsh(docs: DataFrame, id: String, text: String, k: Int,
                  numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0)
-    val sh = array_distinct(shingles(col(text), k))
-    val sig = docs.select(col(id).as("doc"),
-      array((0 until numHashes).map(i => minhashCol(sh, i)): _*).as("sig"))
+    val numGroups = (numHashes + 3) / 4
+    val shs = docs.select(col(id).as("doc"),
+      shingles(col(text), k).as("shs"))
+    val hashed = shs.select(col("doc") +: (0 until numGroups).map(g =>
+      transform(col("shs"), s =>
+        md5(if (g == 0) s else concat_ws(":", lit(g.toString), s))).as(s"h$g")): _*)
+    val sig = hashed.select(col("doc"), array((0 until numHashes).map { i =>
+      val g = i / 4; val off = (i % 4) * 8
+      array_min(transform(col(s"h$g"), h => substring(h, off + 1, 8)))
+    }: _*).as("sig"))
     val numBands = numHashes / rowsPerBand
+    // bucket-key shuffle anchor: both self-join sides reuse ONE exchange
+    // (and thus one shingle+md5 pass) instead of recomputing per side
     val banded = sig.select(col("doc"), posexplode(
       array((0 until numBands).map(bnd =>
         md5(concat_ws("|", slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)))
       ): _*)).as(Seq("band", "bucket")))
+      .repartition(col("band"), col("bucket"))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
         && col("a.doc") < col("b.doc"))
@@ -85,17 +102,26 @@ object Dedup {
   }
 
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
-    * Bit j of token t = bit j of xxhash64(t); weight = token frequency. */
+    * Bit j of token t = bit j of xxhash64(t); weight = token frequency.
+    *
+    * Implemented as explode → one xxhash64 per token occurrence → 64
+    * codegen'd bit-vote sums with map-side combine — one shuffle keyed
+    * on doc, tokenization and hashing run exactly once per token (the
+    * fold-per-bit formulation re-tokenized the doc 64×). explode_outer
+    * keeps empty docs (signature 0). */
   def simhash(docs: DataFrame, id: String, text: String): DataFrame = {
-    val tok = tokens(lower(col(text)))
-    val sig = (0 until 64).map { j =>
-      // sum over tokens of (+1 if bit j set else -1) > 0  → bit j of sig
-      val votes = aggregate(tok, lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), j).bitwiseAND(lit(1L)) === 1L,
-          lit(1L)).otherwise(lit(-1L)))
-      when(votes > 0, lit(1L).cast("long") * lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    docs.select(col(id).as("doc"), sig.as("simhash"))
+    val tok = docs.select(col(id).as("doc"),
+      explode_outer(tokens(lower(col(text)))).as("t"))
+    val hashed = tok.select(col("doc"),
+      when(col("t").isNotNull, xxhash64(col("t"))).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(col("h").isNull, lit(0L))
+        .when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"v$j"))
+    val agg = hashed.groupBy("doc").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc"), sig.as("simhash"))
   }
 
   /** SimHash near-dup candidates: bucket by the 4 16-bit chunks of the

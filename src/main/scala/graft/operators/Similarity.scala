@@ -46,28 +46,40 @@ object Similarity {
       .select("query_id", "rank", "nn_id", "cosine")
   }
 
-  /** Deterministic pseudo-random hyperplane component d of plane p:
-    * a fixed hash of (p, d) mapped to [-0.5, 0.5). No RNG state — every
-    * executor derives the same planes. */
-  private def planeCoef(p: Int, d: Column): Column =
-    (pmod(xxhash64(lit(p), d), lit(1000000L)).cast("double") / 1000000.0d) - 0.5d
+  /** Deterministic pseudo-random hyperplanes, generated driver-side with
+    * a splitmix64 mix of (plane, dim) — a pure function, so every run
+    * (and every executor) derives identical planes with zero per-row
+    * hashing cost: the coefficients ship as array literals. */
+  private[graft] def planes(numBits: Int, dim: Int): Array[Array[Double]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(numBits, dim)((p, i) =>
+      mix(p.toLong * 1000003L + i).toDouble / Long.MaxValue.toDouble / 2.0)
+  }
 
-  /** Random-hyperplane LSH bucket id over `numBits` planes. */
-  def lshBucket(vec: Column, numBits: Int): Column =
+  /** Random-hyperplane LSH bucket id over `numBits` literal planes. */
+  def lshBucket(vec: Column, numBits: Int, dim: Int): Column =
     (0 until numBits).map { p =>
-      val proj = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, i) => x * planeCoef(p, i)), lit(0.0d), (acc, x) => acc + x)
+      val proj = aggregate(zip_with(vec, typedlit(planes(numBits, dim)(p).toSeq),
+        (x, c) => x * c), lit(0.0d), (acc, x) => acc + x)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** ANN via LSH: score only corpus rows in the query's bucket. Same
-    * output shape as [[bruteForceTopK]]; recall < 1 by design. */
+    * output shape as [[bruteForceTopK]]; recall < 1 by design. The
+    * embedding dimension is probed with a one-row driver lookup (as
+    * Spark ML estimators do) so plane literals can be baked in. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
               k: Int, numBits: Int): DataFrame = {
+    val dim = corpus.select(size(col(vec))).head().getInt(0)
     val c = corpus.select(col(id).as("nn_id"), l2normalize(col(vec)).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), numBits))
+      .withColumn("bucket", lshBucket(col("cv"), numBits, dim))
     val q = queries.select(col(id).as("query_id"), l2normalize(col(vec)).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), numBits))
+      .withColumn("bucket", lshBucket(col("qv"), numBits, dim))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("cosine", graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6))
