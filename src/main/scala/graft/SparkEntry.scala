@@ -77,6 +77,39 @@ object SparkEntry {
           TimeAgg.timeBucket(col("ts"), 4 * 3600).cast("string").as("bucket"))
         .agg(count(lit(1)).as("n_events"), fixedSum(col("value"), 4).as("value_sum"))),
 
+    "b6_gapfill_locf" -> ((s, d) => {
+      val hourly = ev(s, d)
+        .groupBy(col("user_id"), TimeAgg.timeBucket(col("ts"), 3600).as("bucket"))
+        .agg(count(lit(1)).as("n_events"), fixedAvg(col("value"), 4).as("avg_value"))
+      TimeAgg.gapfillLocf(hourly, "user_id", "bucket", 3600,
+          fillZero = Seq("n_events"), locf = Seq("avg_value"))
+        .withColumn("bucket", col("bucket").cast("string"))
+    }),
+
+    "b7_rollup_totals" -> ((s, d) =>
+      ev(s, d).withColumn("month", TimeAgg.monthKey(col("ts")))
+        .rollup(col("user_id"), col("month"))
+        .agg(fixedSum(col("value"), 4).as("value_sum"), count(lit(1)).as("n_events"),
+          grouping(col("user_id")).cast("int").as("grp_user"),
+          grouping(col("month")).cast("int").as("grp_month"))
+        .select(coalesce(col("user_id"), lit(-1L)).as("user_id"),
+          coalesce(col("month"), lit("ALL")).as("month"),
+          col("grp_user"), col("grp_month"), col("value_sum"), col("n_events"))),
+
+    "b8_percentile_summary" -> ((s, d) =>
+      ev(s, d).groupBy(col("event_type")).agg(
+        Portable.pround(expr("percentile(value, 0.5D)"), 4).as("p50"),
+        Portable.pround(expr("percentile(value, 0.95D)"), 4).as("p95"),
+        Portable.pround(expr("percentile(value, 0.99D)"), 4).as("p99"),
+        count(lit(1)).as("n_events"))),
+
+    // HLL sketch — engine-specific bits, so rows-only for the driver;
+    // the spec asserts <5% relative error against exact countDistinct.
+    "b9_approx_distinct" -> ((s, d) =>
+      ev(s, d).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("n_users_approx"),
+          count(lit(1)).as("n_events"))),
+
     // C. analytics layer
     "c1_balance_group_metrics" -> ((s, d) => {
       val grp = when(col("c_acctbal") < 0, "negative")
@@ -177,6 +210,28 @@ object SparkEntry {
     "d5_sessionize" -> ((s, d) =>
       Sessionize.summarize(ev(s, d), "user_id", "ts", "event_id", "value", 1800)),
 
+    "d6_asof_join" -> ((s, d) => {
+      // latest order per (customer, date) so the as-of pick is deterministic
+      val oDedup = Incremental.upsertLatest(Tables.orders(s, d),
+        Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
+      TemporalJoin.asOf(ev(s, d), oDedup,
+          keys = ("user_id", "o_custkey"), times = ("ts", "o_orderdate"),
+          payload = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("last_orderkey"),
+          coalesce(Portable.pround(col("o_totalprice"), 4), lit(0.0)).as("last_totalprice"))
+    }),
+
+    "d7_range_join" -> ((s, d) => {
+      val e = ev(s, d)
+      TemporalJoin.countPriorWithin(
+        e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        e.filter(col("event_type") === "view").select("user_id", "ts"),
+        keys = ("user_id", "user_id"), times = ("ts", "ts"),
+        windowSeconds = 1800, countName = "n_prior_views")
+    }),
+
     // E. deduplication
     "e1_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d), "doc_id", "text")),
 
@@ -229,7 +284,18 @@ object SparkEntry {
 
     "h4_doc_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
-        TextFunctions.fingerprint(col("text"), 5).as("fingerprint")))
+        TextFunctions.fingerprint(col("text"), 5).as("fingerprint"))),
+
+    "h5_text_clean" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.cleanText(col("text")).as("clean_text"),
+        length(TextFunctions.cleanText(col("text"))).as("n_chars"))),
+
+    "h6_pii_scrub" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.scrubPii(col("text")).as("scrubbed"),
+        TextFunctions.emailCount(col("text")).as("n_emails"),
+        TextFunctions.longNumCount(col("text")).as("n_long_numbers")))
   )
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -302,6 +368,36 @@ object SparkEntry {
       s"""SELECT user_id, CAST(time_bucket(INTERVAL '4 hours', ts) AS VARCHAR) AS bucket,
          |count(*) AS n_events, ${sqlFixedSum("value", 4)} AS value_sum
          |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "b6_gapfill_locf" ->
+      s"""WITH r AS (
+         |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         |         count(*) AS n_events, ${sqlFixedAvg("value", 4)} AS avg_value
+         |  FROM events GROUP BY 1, 2),
+         |sp AS (
+         |  SELECT user_id, unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 HOUR)) AS bucket
+         |  FROM r GROUP BY user_id)
+         |SELECT sp.user_id, CAST(sp.bucket AS VARCHAR) AS bucket,
+         |  coalesce(r.n_events, 0) AS n_events,
+         |  last_value(r.avg_value IGNORE NULLS) OVER (
+         |    PARTITION BY sp.user_id ORDER BY sp.bucket ROWS UNBOUNDED PRECEDING) AS avg_value_locf
+         |FROM sp LEFT JOIN r ON r.user_id = sp.user_id AND r.bucket = sp.bucket""".stripMargin,
+
+    "b7_rollup_totals" ->
+      s"""SELECT coalesce(user_id, -1) AS user_id, coalesce(m, 'ALL') AS month,
+         |  CAST(GROUPING(user_id) AS INTEGER) AS grp_user,
+         |  CAST(GROUPING(m) AS INTEGER) AS grp_month,
+         |  ${sqlFixedSum("value", 4)} AS value_sum, count(*) AS n_events
+         |FROM (SELECT user_id, strftime(ts, '%Y%m') AS m, value FROM events)
+         |GROUP BY ROLLUP (user_id, m)""".stripMargin,
+
+    "b8_percentile_summary" ->
+      s"""SELECT event_type,
+         |  ${sqlPround("quantile_cont(value, 0.5)", 4)} AS p50,
+         |  ${sqlPround("quantile_cont(value, 0.95)", 4)} AS p95,
+         |  ${sqlPround("quantile_cont(value, 0.99)", 4)} AS p99,
+         |  count(*) AS n_events
+         |FROM events GROUP BY 1""".stripMargin,
 
     "c1_balance_group_metrics" ->
       s"""SELECT CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 1000 THEN 'low'
@@ -388,6 +484,23 @@ object SparkEntry {
         |       count(*) AS n_events, FIXEDSUM_VALUE AS value_sum
         |FROM y GROUP BY 1, 2""".stripMargin
         .replace("FIXEDSUM_VALUE", sqlFixedSum("value", 4)),
+
+    "d6_asof_join" ->
+      s"""WITH od AS (
+         |  SELECT * FROM orders
+         |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1)
+         |SELECT e.event_id, e.user_id, e.ts,
+         |  coalesce(o.o_orderkey, -1) AS last_orderkey,
+         |  coalesce(${sqlPround("o.o_totalprice", 4)}, 0.0) AS last_totalprice
+         |FROM events e ASOF LEFT JOIN od o
+         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "d7_range_join" ->
+      """SELECT c.event_id, c.user_id, c.ts, count(v.ts) AS n_prior_views
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |  ON v.user_id = c.user_id AND v.ts > c.ts - INTERVAL 30 MINUTE AND v.ts <= c.ts
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "e1_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies FROM documents GROUP BY 1",
@@ -517,6 +630,23 @@ object SparkEntry {
          |  ELSE list_transform(generate_series(1, len(tok) - 4), i -> array_to_string(tok[i:i+4], ' ')) END AS sh5
          |  FROM t)
          |SELECT doc_id, list_min(list_transform(sh5, x -> md5(x))) AS fingerprint
-         |FROM f""".stripMargin
+         |FROM f""".stripMargin,
+
+    "h5_text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text,
+        |  length(trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS n_chars
+        |FROM documents""".stripMargin,
+
+    "h6_pii_scrub" -> {
+      // emailRe holds a literal `\.` — inside a DuckDB '...' literal the
+      // backslash is verbatim, so the regex arrives identical to Spark's
+      val em = TextFunctions.emailRe
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'), '${TextFunctions.longNumRe}', '<NUM>', 'g') AS scrubbed,
+         |  len(regexp_extract_all(text, '$em')) AS n_emails,
+         |  len(regexp_extract_all(text, '${TextFunctions.longNumRe}')) AS n_long_numbers
+         |FROM documents""".stripMargin
+    }
   )
 }

@@ -93,4 +93,24 @@ object TextFunctions {
     * fingerprint that is stable under content reordering-free edits. */
   def fingerprint(text: Column, k: Int): Column =
     array_min(transform(shingles(text, k), s => md5(s)))
+
+  /** C4-style cleanup: strip markup tags, collapse whitespace runs to
+    * one space, trim. Lookaround-free regexes so RE2 engines agree. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "<[^>]*>", " "), "\\s+", " "))
+
+  /** PII scrub patterns (shared with the oracle 1:1). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longNumRe = "[0-9]{7,}"
+
+  /** Redact emails and long digit runs — the cheap deterministic PII
+    * pass every training-data pipeline runs before anything smarter. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), longNumRe, "<NUM>")
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailRe), lit(0)))
+
+  def longNumCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(longNumRe), lit(0)))
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series joins Spark lacks as built-ins, expressed in shapes that
+  * survive 100 TB: no per-row range scans, no cross products.
+  *
+  * The reference's DWH is TimescaleDB (hypertables keyed on time);
+  * as-of and windowed-range lookups are the idiomatic queries of that
+  * world (e.g. joining a metric stream to the latest dimension state —
+  * reference: the dags/dbt_project/models/examples SQL models join
+  * stage tables on day keys).
+  */
+object TemporalJoin {
+
+  /** As-of join: for every left row, carry the payload of the LATEST
+    * right row with `rightTime <= leftTime` and matching key.
+    *
+    * Implemented as a tagged union sorted per key on (time, side):
+    * one shuffle + one sort, payload carried by a running
+    * `last(ignoreNulls)` window — the classic scalable as-of (vs. the
+    * naive per-row range join, which explodes). Right rows sort before
+    * left rows at equal timestamps, so `rightTime == leftTime` matches.
+    *
+    * `right` must be unique per (key, time) — pre-dedupe (e.g.
+    * [[Incremental.upsertLatest]]) for deterministic output.
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: (String, String),
+           times: (String, String), payload: Seq[String]): DataFrame = {
+    val (lk, rk) = keys; val (lt, rt) = times
+    val leftCols = left.columns.toSeq
+    val out = Seq("__k", "__t", "__m") ++ leftCols ++ payload
+    val lTagged = payload.foldLeft(
+      left.withColumn("__k", col(lk)).withColumn("__t", col(lt))
+        .withColumn("__m", lit(1)))((d, c) =>
+      d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    val rTagged = leftCols.foldLeft(
+      right.withColumn("__k", col(rk)).withColumn("__t", col(rt))
+        .withColumn("__m", lit(0)))((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val unioned = lTagged.select(out.map(col): _*)
+      .unionByName(rTagged.select(out.map(col): _*))
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__m"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    payload.foldLeft(unioned)((d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      .filter(col("__m") === 1)
+      .select((leftCols ++ payload).map(col): _*)
+  }
+
+  /** Windowed range join, bucketed: for every left row, count right rows
+    * with matching key and `rightTime ∈ (leftTime - windowSeconds,
+    * leftTime]`.
+    *
+    * Scale shape: both sides bucket time into `windowSeconds`-wide
+    * cells; a range of exactly one window width can only land in the
+    * row's own cell or the previous one, so the left side explodes to
+    * those two candidate cells and the join becomes an EQUI-join on
+    * (key, cell) with the exact range predicate as a post-filter —
+    * linear in matches, never a per-key cross product.
+    */
+  def countPriorWithin(left: DataFrame, right: DataFrame,
+                       keys: (String, String), times: (String, String),
+                       windowSeconds: Long, countName: String): DataFrame = {
+    val (lk, rk) = keys; val (lt, rt) = times
+    val leftCols = left.columns.toSeq
+    val lb = floor(unix_timestamp(col(lt)) / windowSeconds)
+    val l = left.withColumn("__cand", explode(array(lb - 1, lb)))
+    val r = right.select(col(rk).as("__k"), col(rt).as("__rt"),
+      floor(unix_timestamp(col(rt)) / windowSeconds).as("__b"))
+    l.join(r,
+        col(lk) === col("__k") && col("__cand") === col("__b") &&
+          col("__rt") > col(lt) - expr(s"INTERVAL $windowSeconds SECOND") &&
+          col("__rt") <= col(lt),
+        "left_outer")
+      .groupBy(leftCols.map(col): _*)
+      .agg(count(col("__rt")).as(countName))
+  }
+}

@@ -37,4 +37,33 @@ object TimeAgg {
   def rollup(df: DataFrame, entity: Column, period: Column,
              periodName: String, aggs: Seq[Column]): DataFrame =
     df.groupBy(entity, period.as(periodName)).agg(aggs.head, aggs.tail: _*)
+
+  /** TimescaleDB `time_bucket_gapfill` + `locf()` equivalent: given an
+    * already-bucketed rollup, emit one row per (entity, bucket) over each
+    * entity's [min, max] bucket range, zero-filling `fillZero` columns
+    * and carrying the last observation forward for `locf` columns
+    * (emitted as `<col>_locf`).
+    *
+    * Scale shape: the spine is a per-entity `sequence` + `explode` (no
+    * driver-side range), the fill join is a shuffle on (entity, bucket)
+    * that AQE sizes, and LOCF is one running `last(ignoreNulls)` window
+    * per entity — a single sort, no self-join per gap. */
+  def gapfillLocf(rollup: DataFrame, entity: String, bucket: String,
+                  stepSeconds: Long, fillZero: Seq[String],
+                  locf: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spine = rollup.groupBy(col(entity))
+      .agg(min(col(bucket)).as("__lo"), max(col(bucket)).as("__hi"))
+      .select(col(entity), explode(
+        sequence(col("__lo"), col("__hi"),
+          expr(s"INTERVAL $stepSeconds SECOND"))).as(bucket))
+    val joined = spine.join(rollup, Seq(entity, bucket), "left")
+    val zeroed = fillZero.foldLeft(joined)((d, c) =>
+      d.withColumn(c, coalesce(col(c), lit(0L))))
+    val w = Window.partitionBy(entity).orderBy(bucket)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    locf.foldLeft(zeroed)((d, c) =>
+      d.withColumn(s"${c}_locf", last(col(c), ignoreNulls = true).over(w))
+        .drop(c))
+  }
 }

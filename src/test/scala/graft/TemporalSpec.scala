@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.{TemporalJoin, TimeAgg}
+import org.apache.spark.sql.functions._
+
+class TemporalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOf picks the latest right row at-or-before each left time") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),
+      (1L, ts("2024-01-01 12:00:00"), "e2"),
+      (2L, ts("2024-01-01 10:00:00"), "e3"), // key with no right rows
+      (1L, ts("2023-12-01 00:00:00"), "e0")  // before any right row
+    ).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 200L) // equal ts matches
+    ).toDF("k", "t", "pay")
+    val got = TemporalJoin.asOf(left, right, ("k", "k"), ("t", "t"), Seq("pay"))
+      .select("ev", "pay").as[(String, Option[Long])].collect().toMap
+    assert(got == Map("e1" -> Some(100L), "e2" -> Some(200L),
+      "e3" -> None, "e0" -> None))
+  }
+
+  test("countPriorWithin counts right rows in (t-w, t] per key, 0 when none") {
+    val clicks = Seq((1L, ts("2024-01-01 10:00:00"), "c1"),
+      (2L, ts("2024-01-01 10:00:00"), "c2")).toDF("k", "t", "id")
+    val views = Seq(
+      (1L, ts("2024-01-01 09:45:00")), // within 30 min
+      (1L, ts("2024-01-01 10:00:00")), // boundary: included
+      (1L, ts("2024-01-01 09:30:00")), // boundary: excluded (strict >)
+      (1L, ts("2024-01-01 08:00:00"))  // too old
+    ).toDF("k", "t")
+    val got = TemporalJoin.countPriorWithin(clicks, views, ("k", "k"), ("t", "t"),
+        1800, "n").select("id", "n").as[(String, Long)].collect().toMap
+    assert(got == Map("c1" -> 2L, "c2" -> 0L))
+  }
+
+  test("gapfillLocf fills missing buckets with zero counts and carried values") {
+    val rollup = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 2L, 10.0),
+      (1L, ts("2024-01-01 03:00:00"), 1L, 20.0)
+    ).toDF("g", "bucket", "n", "v")
+    val got = TimeAgg.gapfillLocf(rollup, "g", "bucket", 3600,
+        fillZero = Seq("n"), locf = Seq("v"))
+      .orderBy("bucket")
+      .select("n", "v_locf").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 10.0), (0L, 10.0), (0L, 10.0), (1L, 20.0)))
+  }
+
+  test("approx_count_distinct stays within 5% of exact at sf0.001") {
+    val e = graft.sources.Tables.events(spark, sf)
+    val approx = SparkEntry.queries("b9_approx_distinct")(spark, sf)
+      .select("event_type", "n_users_approx").as[(String, Long)].collect().toMap
+    val exact = e.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .select("event_type", "n").as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"$k: ${approx(k)} vs $n")
+    }
+  }
+
+  test("rollup emits per-group, per-entity-subtotal and grand-total rows") {
+    val df = SparkEntry.queries("b7_rollup_totals")(spark, sf)
+    assert(df.filter(col("grp_user") === 1 && col("grp_month") === 1).count() == 1)
+    val total = df.filter(col("grp_user") === 1 && col("grp_month") === 1)
+      .select("n_events").as[Long].head()
+    assert(total == graft.sources.Tables.events(spark, sf).count())
+  }
+
+  test("pii scrub redacts emails and long digit runs") {
+    val df = Seq((1L, "mail me at a.b@test.org or call 12345678 x")).toDF("doc_id", "text")
+    val got = df.select(graft.functions.TextFunctions.scrubPii(col("text"))).as[String].head()
+    assert(got == "mail me at <EMAIL> or call <NUM> x")
+  }
+}
