@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.expressions.{L2Normalize, VectorDot, WordShingles}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for graft's native expressions.
+  *
+  * Cluster deployment: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * makes `word_shingles`, `vector_dot`, `l2_normalize` available to every
+  * SQL user of the session. For an already-built session (tests, REPL),
+  * [[GraftExtensions.register]] installs the same builders directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
+}
+
+object GraftExtensions {
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(i: Int, _) => i
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "word_shingles" -> (args => WordShingles(args(0), intArg(args(1), "word_shingles"))),
+    "vector_dot" -> (args => VectorDot(args(0), args(1))),
+    "l2_normalize" -> (args => L2Normalize(args(0))))
+
+  /** Install the functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, name, builder)
+    }
+}

@@ -247,6 +247,11 @@ object SparkEntry {
     "e5_dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingNearDup(embD(s, d), "vec_id", "embedding", "label", 0.3)),
 
+    "e6_dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(
+        Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.25, 100),
+        "doc_a", "doc_b")),
+
     // F. similarity search
     "f1_ann_bruteforce" -> ((s, d) => {
       val e = embD(s, d)
@@ -255,7 +260,8 @@ object SparkEntry {
 
     "f2_ann_lsh" -> ((s, d) => {
       val e = embD(s, d)
-      Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5, 8)
+      // testdata embeddings are 64-dim; passing it skips the probe job
+      Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5, 8, 64)
     }),
 
     // G. multimodal plumbing (decode stubbed — no codecs in container)
@@ -310,6 +316,23 @@ object SparkEntry {
   private val shingle3 =
     """CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
       |ELSE list_transform(generate_series(1, len(tok) - 2), i -> array_to_string(tok[i:i+2], ' ')) END""".stripMargin
+
+  /** e2's oracle — also embedded as the pair source of e6's
+    * connected-components oracle. */
+  private lazy val e2OracleSql: String =
+    s"""WITH t AS (${tokCte("documents", lower = true)}),
+       |s AS (SELECT doc_id, $shingle3 AS shs FROM t),
+       |e AS (SELECT DISTINCT doc_id AS doc, unnest(shs) AS sh FROM s),
+       |sized AS (SELECT doc, count(*) AS n_sh FROM e GROUP BY 1),
+       |keep AS (SELECT sh FROM e GROUP BY sh HAVING count(*) <= 100),
+       |ek AS (SELECT e.* FROM e JOIN keep USING (sh)),
+       |shared AS (
+       |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared
+       |  FROM ek a JOIN ek b ON a.sh = b.sh AND a.doc < b.doc GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  ${sqlPround("CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)", 4)} AS jaccard
+       |FROM shared JOIN sized sa ON sa.doc = doc_a JOIN sized sb ON sb.doc = doc_b
+       |WHERE ${sqlPround("CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)", 4)} >= 0.25""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -505,20 +528,18 @@ object SparkEntry {
     "e1_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies FROM documents GROUP BY 1",
 
-    "e2_dedup_ngram_jaccard" ->
-      s"""WITH t AS (${tokCte("documents", lower = true)}),
-         |s AS (SELECT doc_id, $shingle3 AS shs FROM t),
-         |e AS (SELECT DISTINCT doc_id AS doc, unnest(shs) AS sh FROM s),
-         |sized AS (SELECT doc, count(*) AS n_sh FROM e GROUP BY 1),
-         |keep AS (SELECT sh FROM e GROUP BY sh HAVING count(*) <= 100),
-         |ek AS (SELECT e.* FROM e JOIN keep USING (sh)),
-         |shared AS (
-         |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared
-         |  FROM ek a JOIN ek b ON a.sh = b.sh AND a.doc < b.doc GROUP BY 1, 2)
-         |SELECT doc_a, doc_b,
-         |  ${sqlPround("CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)", 4)} AS jaccard
-         |FROM shared JOIN sized sa ON sa.doc = doc_a JOIN sized sb ON sb.doc = doc_b
-         |WHERE ${sqlPround("CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)", 4)} >= 0.25""".stripMargin,
+    "e2_dedup_ngram_jaccard" -> e2OracleSql,
+
+    "e6_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($e2OracleSql),
+         |edges AS (
+         |  SELECT doc_a AS x, doc_b AS y FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |cc(id, label) AS (
+         |  SELECT DISTINCT x, x FROM edges
+         |  UNION
+         |  SELECT e.x, c.label FROM edges e JOIN cc c ON c.id = e.y)
+         |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin,
 
     "e3_dedup_minhash_lsh" ->
       s"""WITH t AS (${tokCte("documents", lower = true)}),

@@ -1,0 +1,90 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native vector math over `array<double>` embedding columns.
+  *
+  * The declarative forms (`aggregate(zip_with(a, b, _*_), 0d, _+_)`)
+  * are interpreted — higher-order functions fall out of whole-stage
+  * codegen and allocate per element. These expressions are single
+  * primitive loops, codegen'd via static calls, and keep the EXACT
+  * sequential left-fold accumulation order of the declarative versions
+  * (and of DuckDB's `list_reduce`), so cross-engine results stay
+  * bit-identical before rounding.
+  *
+  * Element nulls are not supported (embedding vectors are dense);
+  * a null element surfaces as the standard toDoubleArray error.
+  */
+object VectorExprs {
+  private[expressions] def checkVec(e: Expression, name: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<double>, got ${other.catalogString}")
+    }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray(); val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0d; var i = 0
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
+  def l2normalize(a: ArrayData): ArrayData = {
+    val x = a.toDoubleArray()
+    var s = 0.0d; var i = 0
+    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    val nrm = math.sqrt(s)
+    val out = new Array[Double](x.length)
+    i = 0
+    while (i < x.length) { out(i) = x(i) / nrm; i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Dot product of two `array<double>` columns (length = min of both,
+  * matching `zip_with` semantics). */
+case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(VectorExprs.checkVec(left, prettyName), VectorExprs.checkVec(right, prettyName))
+      .find(_ != TypeCheckResult.TypeCheckSuccess)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprs.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.VectorExprs.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VectorDot = copy(left = newLeft, right = newRight)
+}
+
+/** `v / ||v||₂` in one pass (norm accumulated in ascending index order,
+  * like the `aggregate` fold it replaces). */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "l2_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkVec(child, prettyName)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorExprs.l2normalize(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.expressions.VectorExprs.l2normalize($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}

@@ -147,6 +147,48 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Dedup cluster assignment: connected components over a near-dup
+    * pair graph via iterative min-label propagation — every doc ends up
+    * labelled with the smallest doc id reachable from it, i.e. the
+    * cluster's canonical keeper.
+    *
+    * Scale shape: each iteration is one symmetric-edge join + grouped
+    * min + label join (all shuffles on the id key); iterations needed =
+    * component diameter, which for dup clusters is tiny. Lineage is cut
+    * per iteration with `localCheckpoint` (the standard iterative-graph
+    * pattern — GraphX/GraphFrames do the same) so plans don't grow
+    * exponentially. Convergence is detected with a `limit(1)` changed-
+    * row probe, not a full count.
+    */
+  def clusters(pairs: DataFrame, a: String, b: String,
+               maxIter: Int = 20): DataFrame = {
+    // materialize the (small) edge list once — every iteration joins it,
+    // and without the cut each join would re-derive the full upstream
+    // pair-generation pipeline
+    val edges = pairs.select(col(a).as("x"), col(b).as("y"))
+      .union(pairs.select(col(b).as("x"), col(a).as("y")))
+      .localCheckpoint()
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "y")
+          .withColumnRenamed("label", "nbr"), Seq("y"))
+        .groupBy(col("x").as("id")).agg(min(col("nbr")).as("nbr"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count() == 0
+      labels = next
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding near-dup: cosine >= threshold within coarse partitions
     * (`clusterCol` plays the IVF cell). Pairs are generated per cluster
     * — an equi-join on the cluster key — never a cross product. */

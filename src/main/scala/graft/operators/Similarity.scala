@@ -17,17 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential left-fold dot product — same accumulation order as the
-    * oracle engine, so results match bit-for-bit before rounding. */
+  /** Sequential left-fold dot product — a native codegen'd
+    * [[graft.functions.expressions.VectorDot]] with the same
+    * accumulation order as the oracle engine, so results match
+    * bit-for-bit before rounding. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.VectorDot(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
-  def l2norm(v: Column): Column = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
 
-  def l2normalize(v: Column): Column = {
-    val n = l2norm(v)
-    transform(v, x => x / n)
-  }
+  def l2normalize(v: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.L2Normalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v)))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
@@ -64,8 +69,7 @@ object Similarity {
   /** Random-hyperplane LSH bucket id over `numBits` literal planes. */
   def lshBucket(vec: Column, numBits: Int, dim: Int): Column =
     (0 until numBits).map { p =>
-      val proj = aggregate(zip_with(vec, typedlit(planes(numBits, dim)(p).toSeq),
-        (x, c) => x * c), lit(0.0d), (acc, x) => acc + x)
+      val proj = dot(vec, typedlit(planes(numBits, dim)(p).toSeq))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -74,8 +78,14 @@ object Similarity {
     * embedding dimension is probed with a one-row driver lookup (as
     * Spark ML estimators do) so plane literals can be baked in. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-              k: Int, numBits: Int): DataFrame = {
-    val dim = corpus.select(size(col(vec))).head().getInt(0)
+              k: Int, numBits: Int): DataFrame =
+    lshTopK(corpus, queries, id, vec, k, numBits,
+      corpus.select(size(col(vec))).head().getInt(0))
+
+  /** As above with the embedding dimension supplied by the caller,
+    * skipping the one-row probe job. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, numBits: Int, dim: Int): DataFrame = {
     val c = corpus.select(col(id).as("nn_id"), l2normalize(col(vec)).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), numBits, dim))
     val q = queries.select(col(id).as("query_id"), l2normalize(col(vec)).as("qv"))

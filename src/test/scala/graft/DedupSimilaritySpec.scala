@@ -40,6 +40,28 @@ class DedupSpec extends SparkSpec {
     assert(got((1L, 2L)) == 0L)
   }
 
+  test("clusters: min-label propagation finds connected components") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (9L, 1L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("graft SQL functions register and evaluate via spark.sql") {
+    GraftExtensions.register(spark)
+    // raw expression: no lowercasing (that's TextFunctions.shingles' job)
+    val sh = spark.sql("SELECT word_shingles('A b c d', 3) AS s")
+      .as[Seq[String]].head()
+    assert(sh == Seq("A b c", "b c d"))
+    val dp = spark.sql("SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(dp == 11.0)
+    val nm = spark.sql("SELECT l2_normalize(array(3.0d, 4.0d)) AS v")
+      .as[Seq[Double]].head()
+    assert(nm == Seq(0.6, 0.8))
+  }
+
   test("embedding near-dup finds identical vectors within cluster") {
     val emb = Seq(
       (1L, Array(1.0, 0.0, 0.0), 0), (2L, Array(1.0, 0.0, 0.0), 0),
