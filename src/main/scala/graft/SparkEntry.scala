@@ -264,6 +264,11 @@ object SparkEntry {
       Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5, 8, 64)
     }),
 
+    "f3_ann_ivf" -> ((s, d) => {
+      val e = embD(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5, 16, 4)
+    }),
+
     // G. multimodal plumbing (decode stubbed — no codecs in container)
     "g1_mm_metadata" -> ((s, d) =>
       Multimodal.metadata(Multimodal.asMediaTable(docs(s, d), "doc_id", "text"))),
@@ -301,7 +306,20 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"),
         TextFunctions.scrubPii(col("text")).as("scrubbed"),
         TextFunctions.emailCount(col("text")).as("n_emails"),
-        TextFunctions.longNumCount(col("text")).as("n_long_numbers")))
+        TextFunctions.longNumCount(col("text")).as("n_long_numbers"))),
+
+    // composite curation pass: exact-dup keepers with language agreement
+    // and a minimum quality score — the full pre-training filter chained
+    // from e1 + h1 + h3 in one plan
+    "h7_curation" -> ((s, d) => {
+      val dd = docs(s, d)
+      val keepers = Dedup.exact(dd, "doc_id", "text").select(col("keeper_id").as("doc_id"))
+      dd.join(keepers, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("quality_score"),
+          TextFunctions.langId(col("text")).as("pred_lang"))
+        .filter(col("quality_score") >= 0.5 && col("pred_lang") === col("lang"))
+    })
   )
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -668,6 +686,43 @@ object SparkEntry {
          |  len(regexp_extract_all(text, '$em')) AS n_emails,
          |  len(regexp_extract_all(text, '${TextFunctions.longNumRe}')) AS n_long_numbers
          |FROM documents""".stripMargin
+    },
+
+    "h7_curation" -> {
+      val stop = TextFunctions.stopwordsEn.map("'" + _ + "'").mkString("[", ",", "]")
+      val lists = TextFunctions.profiles.map { case (l, ws) =>
+        l -> ws.map("'" + _ + "'").mkString("[", ",", "]")
+      }.toMap
+      val quality = sqlPround(
+        """0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+          | + 0.3 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+          | + 0.3 * least(CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0)"""
+          .stripMargin.replace("\n", ""), 4)
+      s"""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |t AS (
+         |  SELECT d.doc_id, d.lang, d.text,
+         |    list_filter(string_split_regex(trim(d.text), '\\s+'), x -> len(x) > 0) AS tok,
+         |    list_filter(string_split_regex(trim(lower(d.text)), '\\s+'), x -> len(x) > 0) AS ltok
+         |  FROM documents d JOIN k USING (doc_id)),
+         |m AS (
+         |  SELECT doc_id, lang, text, len(tok) AS n_tokens,
+         |    len(list_filter(ltok, x -> list_contains($stop, x))) AS n_stopwords,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         |    len(list_filter(ltok, x -> list_contains(${lists("en")}, x)))::DOUBLE / greatest(len(ltok), 1)::DOUBLE AS s_en,
+         |    len(list_filter(ltok, x -> list_contains(${lists("de")}, x)))::DOUBLE / greatest(len(ltok), 1)::DOUBLE AS s_de,
+         |    len(list_filter(ltok, x -> list_contains(${lists("fr")}, x)))::DOUBLE / greatest(len(ltok), 1)::DOUBLE AS s_fr,
+         |    len(list_filter(ltok, x -> list_contains(${lists("es")}, x)))::DOUBLE / greatest(len(ltok), 1)::DOUBLE AS s_es
+         |  FROM t),
+         |scored AS (
+         |  SELECT doc_id, lang, $quality AS quality_score,
+         |    CASE WHEN greatest(s_en, s_de, s_fr, s_es) < 0.05 THEN 'und'
+         |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |         WHEN s_fr >= s_es THEN 'fr'
+         |         ELSE 'es' END AS pred_lang
+         |  FROM m)
+         |SELECT doc_id, lang, quality_score, pred_lang FROM scored
+         |WHERE quality_score >= 0.5 AND pred_lang = lang""".stripMargin
     }
   )
 }

@@ -98,4 +98,37 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "nn_id", "cosine")
   }
+
+  /** IVF-style ANN: the corpus is split into `nCells` Voronoi cells
+    * around centroid vectors; each query probes only its `nProbe`
+    * nearest cells, cutting scored candidates from |corpus| to
+    * (nProbe/nCells)·|corpus|.
+    *
+    * Centroids here are the `nCells` lowest-id corpus vectors —
+    * deterministic seeding; an offline k-means refinement would change
+    * WHICH vectors anchor cells but none of the routing mechanics. They
+    * are collected to the driver and shipped as literals (bounded at
+    * nCells·dim doubles — exactly what Spark ML's KMeansModel does), so
+    * cell assignment is one codegen'd projection with zero joins.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val c = corpus.select(col(id).as("nn_id"), l2normalize(col(vec)).as("cv"))
+    val cents: Array[(Long, Seq[Double])] = c.orderBy("nn_id").limit(nCells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def cellScores(v: Column): Column = sort_array(array(cents.map {
+      case (cid, cv) => struct(dot(v, typedlit(cv)).as("s"), lit(cid).as("cell"))
+    }: _*), asc = false)
+    val assigned = c.withColumn("cell", element_at(cellScores(col("cv")), 1)("cell"))
+    val q = queries.select(col(id).as("query_id"), l2normalize(col(vec)).as("qv"))
+      .withColumn("cell", explode(transform(
+        slice(cellScores(col("qv")), 1, nProbe), x => x("cell"))))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cosine", graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "cosine")
+  }
 }

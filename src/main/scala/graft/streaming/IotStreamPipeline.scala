@@ -65,6 +65,15 @@ object IotStreamPipeline {
           .write.mode("append").parquet(outPath)
       }
 
+  /** dlt-style primary-key dedup on the stream: re-delivered event ids
+    * within the watermark horizon are dropped once state allows eviction
+    * — the streaming analog of the reference extractor's incremental
+    * `unique_key` landing (reference: dags/dlt_sources/mongodb,
+    * primary_key on the collection cursor). */
+  def dedupStream(stage: DataFrame, watermark: String): DataFrame =
+    stage.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class SessionState(start: Long, last: Long, n: Long, valueSum: Double)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         session_end: java.sql.Timestamp, n_events: Long,

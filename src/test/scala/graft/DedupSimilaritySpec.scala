@@ -86,6 +86,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 3L, 2L)) // by decreasing cosine to (1,0)
   }
 
+  test("ivfTopK: every hit carries the exact cosine; full probe = exact top-k") {
+    val emb = Tables0.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 16, 4)
+    val wrong = ivf.as("l").join(bf.as("b"),
+      $"l.query_id" === $"b.query_id" && $"l.nn_id" === $"b.nn_id")
+      .filter($"l.cosine" =!= $"b.cosine").count()
+    assert(wrong == 0 && ivf.count() > 0)
+    // probing every cell degenerates to exact search
+    val full = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 16, 16)
+    assert(full.exceptAll(bf).count() == 0 && bf.exceptAll(full).count() == 0)
+  }
+
+  test("saltedJoin matches the plain join exactly") {
+    val fact = Tables0.embeddings(spark, sf).sparkSession
+      .read.parquet(s"$sf/orders.parquet")
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+    val plain = fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+      .select("o_orderkey", "c_name")
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, "o_custkey", "c_custkey",
+        col("o_orderkey"), 8).select("o_orderkey", "c_name")
+    assert(plain.exceptAll(salted).count() == 0 && salted.exceptAll(plain).count() == 0)
+  }
+
   test("lshTopK returns a subset of brute-force candidates with same scoring") {
     val emb = Tables0.embeddings(spark, sf)
     val q = emb.filter($"vec_id" % 100 === 0)

@@ -44,6 +44,19 @@ class StreamingSpec extends SparkSpec {
     assert(written.columns.contains("batch_id"))
   }
 
+  test("dedupStream drops re-delivered event ids within the watermark") {
+    val in = Files.createTempDirectory("graft-dedup-in").toString
+    // land the same events TWICE — replaying the extract cursor
+    val ev = graft.sources.Tables.events(spark, sf)
+    ev.coalesce(1).write.mode("overwrite").parquet(in)
+    ev.coalesce(1).write.mode("append").parquet(in)
+    val st = IotStreamPipeline.stage(IotStreamPipeline.readRaw(spark, in))
+    val q = IotStreamPipeline.dedupStream(st, "1 hour").writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").count() == ev.count())
+  }
+
   test("streaming sessionize with custom state emits closed sessions") {
     val in = Files.createTempDirectory("graft-sess-in").toString
     landEvents(in)
