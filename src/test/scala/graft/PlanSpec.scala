@@ -45,6 +45,37 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
   }
 
+  test("bucketed tables join with ZERO exchange (co-located fact-fact join)") {
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+      Tables.lineitem(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+      val j = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("qty"))
+      assert(j.count() > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
+  test("hive-partitioned layout prunes partitions at the scan") {
+    import graft.operators.TimeAgg
+    val ev = Tables.events(spark, sf).withColumn("day", TimeAgg.dayKey(col("ts")))
+    val day = ev.agg(org.apache.spark.sql.functions.max("day")).head().getString(0)
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    val df = spark.read.parquet(out).filter(col("day") === day).select("event_id")
+    assert(df.count() > 0)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains(s"(day#") ,
+      s"no partition pruning:\n$scan")
+  }
+
   test("whole-stage codegen covers the hot aggregation path; no UDFs anywhere") {
     // '*(n)' is how executedPlan.toString marks WholeStageCodegen subtrees
     val d1 = executed(SparkEntry.queries("d1_pricing_summary")(spark, sf))
