@@ -13,11 +13,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * [[GraftExtensions.register]] installs the same builders directly.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -210,6 +210,18 @@ object SparkEntry {
     "d5_sessionize" -> ((s, d) =>
       Sessionize.summarize(ev(s, d), "user_id", "ts", "event_id", "value", 1800)),
 
+    // same semantics as d4 but through the custom TopKPerKey plan
+    // (bounded per-key heaps, partial map-side cap, no group sort) —
+    // the driver's hash-compare against d4's oracle proves equivalence
+    "d8_topk_native" -> ((s, d) =>
+      graft.plans.TopKPerKey(
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice")),
+        keys = Seq(col("c_mktsegment")),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3, rankName = "rnk")),
+
     "d6_asof_join" -> ((s, d) => {
       // latest order per (customer, date) so the as-of pick is deterministic
       val oDedup = Incremental.upsertLatest(Tables.orders(s, d),
@@ -506,6 +518,12 @@ object SparkEntry {
          |GROUP BY n_name""".stripMargin,
 
     "d4_topk_per_group" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |QUALIFY rnk <= 3""".stripMargin,
+
+    "d8_topk_native" ->
       """SELECT c_mktsegment, o_orderkey, o_totalprice,
         |row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |FROM orders JOIN customer ON o_custkey = c_custkey

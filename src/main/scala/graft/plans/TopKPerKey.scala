@@ -1,0 +1,158 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Whole-operator top-k-per-key, as custom plan machinery.
+  *
+  * The declarative spelling — `row_number().over(partitionBy(keys)
+  * .orderBy(ord)) <= k` — plans as Exchange → FULL SORT of every
+  * group → Window → Filter. At 100 TB the sort dominates: every row of
+  * every group is shuffled and sorted even though only k survive.
+  *
+  * This operator keeps a bounded heap of k rows per key, applied TWICE
+  * (the aggregation partial/final pattern): a pre-shuffle pass caps
+  * each map partition's contribution at k rows per key, so the exchange
+  * moves at most (#map partitions × k) rows per key instead of the whole
+  * group, and a post-shuffle pass produces the exact result with ranks.
+  * No sort of group bodies ever happens; per-partition memory is
+  * bounded by (keys-in-partition × k) rows, like a partial aggregate.
+  *
+  * Determinism: ranks follow `order`; make it a total order (include a
+  * unique tiebreak column) for stable output — the same requirement
+  * `row_number` has.
+  */
+case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
+                      rankAttr: AttributeReference, child: LogicalPlan)
+    extends UnaryNode {
+  require(k >= 1)
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+object TopKPerKey {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** DataFrame API: top `k` rows per `keys` group in `order`, with a
+    * rank column appended. Drop-in for the window row_number pattern. */
+  def apply(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
+            rankName: String = "rnk"): DataFrame = {
+    val sortOrders = order.map(c => ColumnBridge.catalystExpression(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    val rank = AttributeReference(rankName, IntegerType, nullable = false)()
+    GraftStrategy.ensureRegistered(df.sparkSession)
+    ColumnBridge.ofRows(df.sparkSession,
+      TopKPerKey(keys.map(ColumnBridge.catalystExpression), sortOrders, k, rank,
+        ColumnBridge.logicalPlan(df)))
+  }
+}
+
+/** Plans [[TopKPerKey]] as partial → (shuffle on keys) → final. */
+object GraftStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, rank, child) =>
+      TopKPerKeyFinalExec(keys, order, k, rank,
+        TopKPerKeyPartialExec(keys, order, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+
+  /** Idempotently add the strategy to a built session (the
+    * `spark.sql.extensions` path covers cluster deployment). */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(GraftStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftStrategy
+    }
+}
+
+/** Shared per-partition bounded top-k: key → heap of (at most k) rows,
+  * heap root = currently-worst kept row for O(log k) replacement. */
+private[plans] object BoundedTopK {
+  def run(iter: Iterator[InternalRow], keys: Seq[Expression], order: Seq[SortOrder],
+          k: Int, attrs: Seq[Attribute]): Iterator[(UnsafeRow, java.util.PriorityQueue[InternalRow])] = {
+    val keyProj = UnsafeProjection.create(keys, attrs)
+    val ordering = RowOrdering.create(order, attrs)
+    val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = keyProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[InternalRow](k + 1, ordering.reverse)
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size < k) heap.add(row.copy())
+      else if (ordering.compare(row, heap.peek()) < 0) {
+        heap.poll(); heap.add(row.copy())
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    heaps.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+  }
+}
+
+/** Map-side cap: at most k rows per key leave each input partition.
+  * Emits plain child rows (no rank yet); partitioning is preserved. */
+case class TopKPerKeyPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
+                                 k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (ks, ord, n, attrs) = (keys, order, k, child.output)
+    child.execute().mapPartitions({ iter =>
+      BoundedTopK.run(iter, ks, ord, n, attrs)
+        .flatMap { case (_, heap) =>
+          import scala.jdk.CollectionConverters._
+          heap.iterator().asScala
+        }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
+    copy(child = newChild)
+}
+
+/** Reduce side: exact top-k with ranks; requires co-location by keys
+  * (EnsureRequirements inserts the single exchange). */
+case class TopKPerKeyFinalExec(keys: Seq[Expression], order: Seq[SortOrder],
+                               k: Int, rankAttr: AttributeReference,
+                               child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (keys.isEmpty) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (ks, ord, n, attrs, out, rank) = (keys, order, k, child.output, output, rankAttr)
+    child.execute().mapPartitions({ iter =>
+      val ordering = RowOrdering.create(ord, attrs)
+      val proj = UnsafeProjection.create(out, attrs :+ rank)
+      val joined = new JoinedRow
+      val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      BoundedTopK.run(iter, ks, ord, n, attrs).flatMap { case (_, heap) =>
+        val arr = heap.toArray(new Array[InternalRow](heap.size))
+        java.util.Arrays.sort(arr, ordering)
+        arr.iterator.zipWithIndex.map { case (row, i) =>
+          rankRow.update(0, i + 1)
+          proj(joined(row, rankRow))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyFinalExec =
+    copy(child = newChild)
+}

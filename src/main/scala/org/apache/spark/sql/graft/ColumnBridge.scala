@@ -13,6 +13,25 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column to its catalyst expression. Unlike
+    * [[expression]] (a lazy `ColumnNodeExpression` wrapper), the result
+    * is a plain catalyst tree — pattern-matchable (e.g. on `SortOrder`)
+    * and java-serializable into task closures. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Build a DataFrame from a custom LogicalPlan (runs full analysis). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A DataFrame's analyzed logical plan. */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** Register a function builder on an EXISTING session's registry —
     * the in-session equivalent of `SparkSessionExtensions.injectFunction`
     * (which only applies at session build time via spark.sql.extensions). */

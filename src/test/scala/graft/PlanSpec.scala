@@ -76,6 +76,20 @@ class PlanSpec extends SparkSpec {
       s"no partition pruning:\n$scan")
   }
 
+  test("TopKPerKey matches the window row_number result and plans without Sort/Window") {
+    val window = SparkEntry.queries("d4_topk_per_group")(spark, sf)
+    val native = SparkEntry.queries("d8_topk_native")(spark, sf)
+      .withColumn("rnk", col("rnk").cast("int"))
+    val w = window.select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
+      .withColumn("rnk", col("rnk").cast("int"))
+    assert(native.exceptAll(w).count() == 0 && w.exceptAll(native).count() == 0)
+    val plan = executed(SparkEntry.queries("d8_topk_native")(spark, sf))
+    assert(plan.contains("TopKPerKeyPartial") && plan.contains("TopKPerKeyFinal"),
+      s"custom operator not planned:\n$plan")
+    assert(!plan.contains("Window") && !plan.toLowerCase.contains("sortexec"),
+      s"top-k still sorts/windows:\n$plan")
+  }
+
   test("whole-stage codegen covers the hot aggregation path; no UDFs anywhere") {
     // '*(n)' is how executedPlan.toString marks WholeStageCodegen subtrees
     val d1 = executed(SparkEntry.queries("d1_pricing_summary")(spark, sf))
