@@ -288,6 +288,12 @@ object SparkEntry {
     "g2_mm_featurize" -> ((s, d) =>
       Multimodal.featurize(Multimodal.asMediaTable(docs(s, d), "doc_id", "text"), 16).toDF()),
 
+    "g3_mm_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.asMediaTable(docs(s, d), "doc_id", "text"), 64, 2)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame_payload")).as("n_bytes"))),
+
     // H. text analysis
     "h1_text_quality" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -636,6 +642,15 @@ object SparkEntry {
         |FROM s QUALIFY rank <= 5""".stripMargin
         .replace("PROUND_DOT", sqlPround(
           "list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]), (x, y) -> x + y)", 6)),
+
+    "g3_mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(floor(octet_length(encode(text)) / 64) AS BIGINT) AS nf
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  unnest(generate_series(0, nf - 1, 2)) AS frame_idx,
+        |  64 AS n_bytes
+        |FROM f WHERE nf > 0""".stripMargin,
 
     "h1_text_quality" ->
       s"""WITH t AS (${tokCte("documents", lower = false)}),

@@ -64,6 +64,46 @@ object Multimodal {
       }
   }
 
+  /** ===== STUB ===== deterministic fake resize: a real implementation
+    * decodes, rescales and re-encodes; the fake folds the payload bytes
+    * onto a w×h grid so output size/meta behave like a real resize. */
+  private def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h)
+    var i = 0
+    while (i < payload.length) {
+      out(i % out.length) = (out(i % out.length) + payload(i)).toByte; i += 1
+    }
+    out
+  }
+
+  /** Resize pass: mapPartitions (codec handle init amortized per
+    * partition), payload replaced, metadata struct updated in place. */
+  def resize(media: DataFrame, w: Int, h: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val p = resizeStub(r.payload, w, h)
+        MediaRow(r.media_id, p, MediaMeta(r.meta.mediaType, w, h, p.length.toLong))
+      }
+    }
+  }
+
+  /** Frame sampling: the payload is treated as a sequence of fixed-size
+    * frames and every `everyNth` frame becomes its own child row —
+    * fully declarative (sequence + explode + binary substring), no UDF,
+    * so it stays in codegen and scales like any generate. */
+  def frameSample(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+    val nFrames = floor(length(col("payload")) / frameBytes)
+    media
+      .withColumn("frame_idx", explode(
+        when(nFrames > 0, sequence(lit(0L), nFrames - 1, lit(everyNth.toLong)))
+          .otherwise(array())))
+      .select(col("media_id"), col("frame_idx"),
+        col("payload").substr((col("frame_idx") * frameBytes).cast("int") + 1,
+          lit(frameBytes)).as("frame_payload"))
+  }
+
   /** Metadata extraction as a declarative projection (no decode needed):
     * pushdown-friendly — a query touching only metadata never reads the
     * (huge) payload column thanks to parquet column pruning. */

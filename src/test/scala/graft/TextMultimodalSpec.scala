@@ -86,4 +86,23 @@ class MultimodalSpec extends SparkSpec {
     assert(f1 == f2)
     assert(Multimodal.featurize(media, 16).head().feature.length == 16)
   }
+
+  test("resize replaces payload and metadata with the target geometry") {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "x" * 200), (2L, "y" * 40)).toDF("id", "t"), "id", "t")
+    val got = Multimodal.resize(media, 8, 4).collect().map(r =>
+      r.media_id -> ((r.meta.width, r.meta.height, r.payload.length))).toMap
+    assert(got(1L) == ((8, 4, 32)) && got(2L) == ((8, 4, 32)))
+  }
+
+  test("frameSample emits every nth full frame, none for short payloads") {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "x" * 200), (2L, "y" * 40)).toDF("id", "t"), "id", "t")
+    val got = Multimodal.frameSample(media, 64, 2)
+      .select("media_id", "frame_idx").as[(Long, Long)].collect().toSet
+    // id 1: 200 bytes → 3 full frames → sampled 0, 2 ; id 2: 40 bytes → none
+    assert(got == Set((1L, 0L), (1L, 2L)))
+  }
 }
