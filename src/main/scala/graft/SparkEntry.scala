@@ -26,13 +26,6 @@ object SparkEntry {
   private def embD(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).withColumn("embedding", col("embedding").cast("array<double>"))
 
-  private def dailyAgg(e: DataFrame, eventType: String, aggName: String,
-                       isAvg: Boolean): DataFrame = {
-    val base = e.filter(col("event_type") === eventType)
-      .groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
-    if (isAvg) base.agg(fixedAvg(col("value"), 4).as(aggName))
-    else base.agg(fixedSum(col("value"), 4).as(aggName))
-  }
 
   // ---- query inventory (SURVEY.md §2) --------------------------------
 
@@ -66,9 +59,18 @@ object SparkEntry {
         .agg(fixedSum(col("value"), 4).as("value_sum"), count(lit(1)).as("n_events"))),
 
     "b4_agg_summary" -> ((s, d) => {
-      val v = dailyAgg(ev(s, d), "view", "avg_view_value", isAvg = true)
-      val c = dailyAgg(ev(s, d), "click", "click_value_sum", isAvg = false)
-      v.join(c, Seq("user_id", "day"), "inner")
+      // conditional aggregation: ONE scan + ONE shuffle (the two-agg +
+      // join spelling costs 4 exchanges and 2 scans of the fact table);
+      // null-filtering reproduces the summary join's inner semantics
+      val isView = col("event_type") === "view"
+      val isClick = col("event_type") === "click"
+      ev(s, d).groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+        .agg(
+          (sum(when(isView, Portable.toFixed(col("value"), 4))).cast("double")
+            / lit(10000.0) / count(when(isView, lit(1)))).as("avg_view_value"),
+          (sum(when(isClick, Portable.toFixed(col("value"), 4))).cast("double")
+            / lit(10000.0)).as("click_value_sum"))
+        .filter(col("avg_view_value").isNotNull && col("click_value_sum").isNotNull)
         .select("user_id", "day", "avg_view_value", "click_value_sum")
     }),
 
