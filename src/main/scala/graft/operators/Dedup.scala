@@ -104,25 +104,17 @@ object Dedup {
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
     * Bit j of token t = bit j of xxhash64(t); weight = token frequency.
     *
-    * Implemented as explode → one xxhash64 per token occurrence → 64
-    * codegen'd bit-vote sums with map-side combine — one shuffle keyed
-    * on doc, tokenization and hashing run exactly once per token (the
-    * fold-per-bit formulation re-tokenized the doc 64×). explode_outer
-    * keeps empty docs (signature 0). */
-  def simhash(docs: DataFrame, id: String, text: String): DataFrame = {
-    val tok = docs.select(col(id).as("doc"),
-      explode_outer(tokens(lower(col(text)))).as("t"))
-    val hashed = tok.select(col("doc"),
-      when(col("t").isNotNull, xxhash64(col("t"))).as("h"))
-    val votes = (0 until 64).map(j =>
-      sum(when(col("h").isNull, lit(0L))
-        .when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, lit(1L))
-        .otherwise(lit(-1L))).as(s"v$j"))
-    val agg = hashed.groupBy("doc").agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map(j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    agg.select(col("doc"), sig.as("simhash"))
-  }
+    * One native [[graft.functions.expressions.SimHash64]] expression —
+    * a single codegen'd pass over the document bytes in the projection.
+    * The previous explode → xxhash64 → 64-conditional-sum groupBy
+    * spelling shuffled one row per token occurrence; this shuffles
+    * nothing. */
+  def simhash(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("doc"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.expressions.SimHash64(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            lower(col(text))))).as("simhash"))
 
   /** SimHash near-dup candidates: bucket by the 4 16-bit chunks of the
     * signature (pigeonhole: hamming distance <= 3 guarantees one exact
@@ -168,22 +160,30 @@ object Dedup {
     val edges = pairs.select(col(a).as("x"), col(b).as("y"))
       .union(pairs.select(col(b).as("x"), col(a).as("y")))
       .localCheckpoint()
-    var labels = edges.select(col("x").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // seed label = min(id, min direct neighbor): the edge list is
+    // symmetric so every id appears as x, and pair/star clusters (the
+    // overwhelming dup-graph shape) are already converged at the seed —
+    // one grouped min replaces a whole propagate iteration
+    var labels = edges.groupBy(col("x").as("id"))
+      .agg(min(col("y")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("label"))
+      .localCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val prop = edges.join(labels.withColumnRenamed("id", "y")
-          .withColumnRenamed("label", "nbr"), Seq("y"))
+      val prop = edges.join(labels.select(col("id").as("y"), col("label").as("nbr")),
+          Seq("y"))
         .groupBy(col("x").as("id")).agg(min(col("nbr")).as("nbr"))
+      // labels only ever decrease, so "changed" is just nbr < label —
+      // carried as a flag on the checkpointed result, the convergence
+      // probe is a filter over materialized partitions (no second join)
       val next = labels.join(prop, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          (coalesce(col("nbr"), col("label")) < col("label")).as("changed"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).limit(1).count() == 0
-      labels = next
+      converged = next.filter(col("changed")).limit(1).count() == 0
+      labels = next.drop("changed")
       it += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

@@ -40,6 +40,31 @@ class DedupSpec extends SparkSpec {
     assert(got((1L, 2L)) == 0L)
   }
 
+  test("native simhash64 is bit-identical to the declarative vote pipeline") {
+    val edge = corpus.union(Seq(
+      (10L, ""), (11L, "   \t\n "), (12L, "one"),
+      (13L, "Mixed CASE tokens Mixed case"), (14L, "héllo wörld héllo"))
+      .toDF("doc_id", "text"))
+    // reference formulation: explode occurrences → xxhash64 → 64 bit-vote
+    // sums (exactly what Dedup.simhash computed before the native expr)
+    val tok = edge.select($"doc_id".as("doc"),
+      explode_outer(graft.functions.TextFunctions.tokens(lower($"text"))).as("t"))
+    val hashed = tok.select($"doc",
+      when($"t".isNotNull, xxhash64($"t")).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when($"h".isNull, lit(0L))
+        .when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"v$j"))
+    val agg = hashed.groupBy("doc").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val want = agg.select($"doc", sig.as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val got = Dedup.simhash(edge, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
   test("clusters: min-label propagation finds connected components") {
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (9L, 1L))
       .toDF("doc_a", "doc_b")
