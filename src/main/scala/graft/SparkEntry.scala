@@ -339,7 +339,30 @@ object SparkEntry {
           TextFunctions.qualityScore(col("text")).as("quality_score"),
           TextFunctions.langId(col("text")).as("pred_lang"))
         .filter(col("quality_score") >= 0.5 && col("pred_lang") === col("lang"))
-    })
+    }),
+
+    "h8_contamination" -> ((s, d) => {
+      val dd = docs(s, d)
+      // eval slice = every 20th doc, playing a held-out benchmark set
+      Curation.contamination(dd.filter(col("doc_id") % 20 =!= 0),
+        dd.filter(col("doc_id") % 20 === 0), "doc_id", "text", 3)
+    }),
+
+    "h9_repetition" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.repetitionRatio(col("text"), 3).as("repetition_ratio"))),
+
+    // K. curation sampling
+    "k1_hash_sample" -> ((s, d) =>
+      Curation.hashSample(docs(s, d), col("doc_id"), 37)
+        .select(col("doc_id"), col("lang"),
+          Curation.hashBucket(col("doc_id"), 100).as("bucket"))),
+
+    "k2_quota_sample" -> ((s, d) =>
+      Curation.quotaSample(
+        docs(s, d).select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("quality_score")),
+        Seq("lang"), col("quality_score"), col("doc_id"), 50))
   )
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -758,6 +781,54 @@ object SparkEntry {
          |  FROM m)
          |SELECT doc_id, lang, quality_score, pred_lang FROM scored
          |WHERE quality_score >= 0.5 AND pred_lang = lang""".stripMargin
+    },
+
+    "h8_contamination" ->
+      s"""WITH t AS (${tokCte("documents", lower = true)}),
+         |s AS (SELECT doc_id, list_distinct($shingle3) AS shs FROM t),
+         |e AS (SELECT doc_id AS doc, unnest(shs) AS sh FROM s),
+         |tr AS (SELECT DISTINCT sh AS hit_sh FROM e WHERE doc % 20 != 0),
+         |ev AS (SELECT doc, sh FROM e WHERE doc % 20 = 0)
+         |SELECT ev.doc AS doc_id, count(*) AS n_sh, count(tr.hit_sh) AS n_hit,
+         |  ${sqlPround("CAST(count(tr.hit_sh) AS DOUBLE) / count(*)", 4)} AS contamination
+         |FROM ev LEFT JOIN tr ON ev.sh = tr.hit_sh
+         |GROUP BY 1""".stripMargin,
+
+    "h9_repetition" ->
+      s"""WITH t AS (${tokCte("documents", lower = true)})
+         |SELECT doc_id, ${sqlPround(
+               s"1.0 - CAST(len(list_distinct($shingle3)) AS DOUBLE) / " +
+               "(CASE WHEN len(tok) < 3 THEN 1 ELSE len(tok) - 2 END)", 4)} AS repetition_ratio
+         |FROM t""".stripMargin,
+
+    "k1_hash_sample" ->
+      """SELECT doc_id, lang,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 37""".stripMargin,
+
+    "k2_quota_sample" -> {
+      val stop = TextFunctions.stopwordsEn.map("'" + _ + "'").mkString("[", ",", "]")
+      val quality = sqlPround(
+        """0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+          | + 0.3 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+          | + 0.3 * least(CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0)"""
+          .stripMargin.replace("\n", ""), 4)
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS tok,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0) AS ltok
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, text, len(tok) AS n_tokens,
+         |    len(list_filter(ltok, x -> list_contains($stop, x))) AS n_stopwords,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+         |  FROM t),
+         |scored AS (SELECT doc_id, lang, $quality AS quality_score FROM m),
+         |ranked AS (SELECT *, row_number() OVER (
+         |    PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS rk
+         |  FROM scored)
+         |SELECT doc_id, lang, quality_score FROM ranked WHERE rk <= 50""".stripMargin
     }
   )
 }

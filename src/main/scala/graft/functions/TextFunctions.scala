@@ -88,6 +88,19 @@ object TextFunctions {
       graft.functions.expressions.WordShingles(
         org.apache.spark.sql.graft.ColumnBridge.expression(lower(text)), k))
 
+  /** Within-document repetition: 1 - distinct/total k-grams — the
+    * Gopher-style repetitive-content signal (boilerplate, keyword
+    * stuffing, degenerate generations). Total k-grams of an m-token doc
+    * is m-k+1 (docs shorter than k tokens have exactly one shingle, so
+    * ratio 0); distinct comes from the same single-pass native shingle
+    * expression the dedup family uses. */
+  def repetitionRatio(text: Column, k: Int): Column = {
+    val nTok = tokenCount(text)
+    val total = when(nTok < k, lit(1)).otherwise(nTok - (k - 1))
+    Portable.pround(lit(1.0) -
+      size(shingles(text, k)).cast("double") / total.cast("double"), 4)
+  }
+
   /** Document fingerprint (winnowing-lite): the minimum md5 over the
     * document's k-shingles — a deterministic rolling-hash-family
     * fingerprint that is stable under content reordering-free edits. */

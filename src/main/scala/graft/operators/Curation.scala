@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.functions.TextFunctions.shingles
+import graft.functions.Portable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs after
+  * cleaning/dedup: benchmark-contamination detection, deterministic
+  * sampling, per-stratum quota selection.
+  *
+  * Scale design: contamination is an equi-join on the shingle key (the
+  * eval side is tiny next to the train corpus, but the join key keeps it
+  * linear either way — never a cross product); sampling is a pure
+  * codegen'd filter with NO shuffle and fully deterministic output (the
+  * same row set on every run/cluster — `rand()`-based sampling is not
+  * reproducible across retries, which breaks exactly-once pipelines);
+  * quota selection is one window per stratum.
+  */
+object Curation {
+
+  /** Train/eval contamination check (n-gram overlap): for each eval
+    * document, the fraction of its distinct k-shingles that occur
+    * anywhere in the train corpus. The standard pre-release scan for
+    * benchmark leakage into training data.
+    *
+    * Shape: distinct train shingles (one shuffle, map-side combined) →
+    * left join from exploded eval shingles (shuffle on the shingle) →
+    * per-doc hit ratio. Cost is linear in corpus shingle mass.
+    */
+  def contamination(train: DataFrame, eval: DataFrame, id: String,
+                    text: String, k: Int): DataFrame = {
+    val trainSh = train
+      .select(explode(shingles(col(text), k)).as("sh"))
+      .distinct()
+      .select(col("sh"), col("sh").as("hit_sh"))
+    val evalSh = eval.select(col(id).as("doc_id"),
+      explode(shingles(col(text), k)).as("sh"))
+    evalSh.join(trainSh, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("hit_sh")).as("n_hit"))
+      .withColumn("contamination", Portable.pround(
+        col("n_hit").cast("double") / col("n_sh"), 4))
+  }
+
+  /** Deterministic hash sample: keep rows whose md5-derived bucket (of
+    * `buckets`) falls below `rate`. Reproducible across runs, engines
+    * and retries; sampling rate is exact in expectation and independent
+    * per key. The 15-hex-digit slice is 60 bits — uniform, positive,
+    * and parseable as a 64-bit integer by any engine (the oracle
+    * mirrors it bit-for-bit). */
+  def hashBucket(key: Column, buckets: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long") % buckets
+
+  def hashSample(df: DataFrame, key: Column, rate: Int,
+                 buckets: Int = 100): DataFrame =
+    df.filter(hashBucket(key, buckets) < rate)
+
+  /** Per-stratum quota: the top `n` rows of each stratum by `order`
+    * (desc), ties broken by `tieBreak` (asc) for determinism. The
+    * domain/language re-balancing step of corpus assembly. One window
+    * per stratum — at scale prefer [[graft.plans.TopKPerKey]] when the
+    * quota is small and strata are many. */
+  def quotaSample(df: DataFrame, stratum: Seq[String], order: Column,
+                  tieBreak: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(stratum.map(col): _*)
+      .orderBy(order.desc, tieBreak.asc)
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .drop("rk")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val train = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "spark engines compile queries to distributed plans"))
+    .toDF("doc_id", "text")
+
+  test("contamination: verbatim eval doc scores 1.0, novel doc 0.0") {
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // leaked
+      (101L, "entirely unrelated zebra telescope harmonica wavelength"))
+      .toDF("doc_id", "text")
+    val got = Curation.contamination(train, eval, "doc_id", "text", 3)
+      .select("doc_id", "contamination").as[(Long, Double)].collect().toMap
+    assert(got(100L) == 1.0)
+    assert(got(101L) == 0.0)
+  }
+
+  test("contamination: partial overlap is the shingle hit fraction") {
+    // 5 tokens -> 3 shingles; first 3-shingle matches train doc 1
+    val eval = Seq((200L, "the quick brown elephant trumpet"))
+      .toDF("doc_id", "text")
+    val got = Curation.contamination(train, eval, "doc_id", "text", 3)
+      .as[(String, Long, Long, Double)].collect().head
+    assert(got._2 == 3L && got._3 == 1L && got._4 == 0.3333)
+  }
+
+  test("hash sample is deterministic and close to the nominal rate") {
+    val df = spark.range(10000).toDF("id")
+    val a = Curation.hashSample(df, $"id", 37).as[Long].collect().toSet
+    val b = Curation.hashSample(df, $"id", 37).as[Long].collect().toSet
+    assert(a == b) // reproducible across runs
+    assert(math.abs(a.size - 3700) < 300) // uniform bucket hash
+    // nested property: a lower-rate sample is a subset of a higher-rate
+    // one (bucket < 10 implies bucket < 37) -- what makes staged
+    // down-sampling consistent across pipeline versions
+    val c = Curation.hashSample(df, $"id", 10).as[Long].collect().toSet
+    assert(c.subsetOf(a))
+  }
+
+  test("quota sample keeps exactly n best rows per stratum") {
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.7),
+      ("b", 4L, 0.5), ("b", 5L, 0.6))
+      .toDF("lang", "doc_id", "q")
+    val got = Curation.quotaSample(df, Seq("lang"), $"q", $"doc_id", 2)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 1L), ("a", 2L), ("b", 5L), ("b", 4L)))
+  }
+
+  test("repetition ratio: degenerate repeats score high, prose low") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now buy now buy now"),
+      (2L, "a perfectly normal sentence with no repeated phrases at all"),
+      (3L, "one two"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+      TextFunctions.repetitionRatio($"text", 3).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) > 0.7)
+    assert(got(2L) == 0.0)
+    assert(got(3L) == 0.0) // shorter than k: single shingle, no repetition
+    assert(got(4L) == 0.0)
+  }
+}
