@@ -74,6 +74,26 @@ object IotStreamPipeline {
     stage.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each left event matched with right
+    * events of the same user within `(l.ts, l.ts + maxDelay]` — the
+    * attribution/enrichment join (view → subsequent click). Watermarks
+    * on BOTH sides + the time-range predicate bound the join state
+    * Spark must hold, which is what makes this runnable indefinitely at
+    * scale (an unbounded stream-stream join would accumulate state
+    * forever); state is keyed and partitioned by `user_id`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, watermark: String,
+                   maxDelay: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(
+      s"""l.user_id = r.user_id AND
+         |r.ts > l.ts AND r.ts <= l.ts + interval $maxDelay""".stripMargin))
+      .select(col("l.user_id").as("user_id"),
+        col("l.event_id").as("left_event_id"), col("l.ts").as("left_ts"),
+        col("r.event_id").as("right_event_id"), col("r.ts").as("right_ts"),
+        col("r.value").as("right_value"))
+  }
+
   case class SessionState(start: Long, last: Long, n: Long, valueSum: Double)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         session_end: java.sql.Timestamp, n_events: Long,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 class StreamingSpec extends SparkSpec {
+  import spark.implicits._
 
   private def landEvents(dir: String): Unit = {
     // land the sf0.001 events as the streaming source's input files
@@ -69,5 +70,31 @@ class StreamingSpec extends SparkSpec {
     // sessions close only when a later event arrives; emitted ones must be valid
     assert(out.filter(col("session_end") < col("session_start")).count() == 0)
     assert(out.count() > 0)
+  }
+
+  test("stream-stream interval join matches the batch interval join") {
+    val inV = Files.createTempDirectory("graft-ssj-v").toString
+    val inC = Files.createTempDirectory("graft-ssj-c").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+    ev.filter(col("event_type") === "view").coalesce(1)
+      .write.mode("overwrite").parquet(inV)
+    ev.filter(col("event_type") === "click").coalesce(1)
+      .write.mode("overwrite").parquet(inC)
+    val joined = IotStreamPipeline.intervalJoin(
+      IotStreamPipeline.stage(IotStreamPipeline.readRaw(spark, inV)),
+      IotStreamPipeline.stage(IotStreamPipeline.readRaw(spark, inC)),
+      "1 hour", "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj_out")
+      .select("left_event_id", "right_event_id").as[(Long, Long)].collect().toSet
+    val v = ev.filter(col("event_type") === "view").alias("l")
+    val c = ev.filter(col("event_type") === "click").alias("r")
+    val want = v.join(c, expr(
+        "l.user_id = r.user_id AND r.ts > l.ts AND r.ts <= l.ts + interval 30 minutes"))
+      .select(col("l.event_id"), col("r.event_id")).as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
   }
 }
