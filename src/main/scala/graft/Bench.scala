@@ -7,15 +7,20 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // best-of-2 per query: run 1 warms codegen/file-index caches, run 2
-    // is steady state — the regime a long-lived cluster actually sees
+    // is steady state — the regime a long-lived cluster actually sees.
+    // noop sink, NOT count(): count() lets the optimizer prune every
+    // unconsumed column, so map-only queries would be measured as bare
+    // row counts; noop computes each result column and discards it.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

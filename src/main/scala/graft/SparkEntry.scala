@@ -310,8 +310,11 @@ object SparkEntry {
         TextFunctions.bpeishCount(col("text")).as("n_bpeish"))),
 
     "h3_lang_id" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"), col("lang"),
-        TextFunctions.langId(col("text")).as("pred_lang"))),
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokens(lower(col("text"))).as("ltok"))
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.langIdFromTokens(col("ltok")).as("pred_lang"))),
 
     "h4_doc_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -332,12 +335,18 @@ object SparkEntry {
     // and a minimum quality score — the full pre-training filter chained
     // from e1 + h1 + h3 in one plan
     "h7_curation" -> ((s, d) => {
-      val dd = docs(s, d)
-      val keepers = Dedup.exact(dd, "doc_id", "text").select(col("keeper_id").as("doc_id"))
-      dd.join(keepers, Seq("doc_id"))
+      // keeper = min doc_id per content hash, selected with a window
+      // filter: ONE shuffle of the corpus (the groupBy-keepers + join
+      // spelling shuffles the full rows twice more for the same set)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      docs(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextFunctions.tokens(lower(col("text"))).as("ltok"))
         .select(col("doc_id"), col("lang"),
-          TextFunctions.qualityScore(col("text")).as("quality_score"),
-          TextFunctions.langId(col("text")).as("pred_lang"))
+          TextFunctions.qualityScoreFromTokens(col("text"), col("ltok")).as("quality_score"),
+          TextFunctions.langIdFromTokens(col("ltok")).as("pred_lang"))
         .filter(col("quality_score") >= 0.5 && col("pred_lang") === col("lang"))
     }),
 
@@ -360,8 +369,12 @@ object SparkEntry {
 
     "k2_quota_sample" -> ((s, d) =>
       Curation.quotaSample(
-        docs(s, d).select(col("doc_id"), col("lang"),
-          TextFunctions.qualityScore(col("text")).as("quality_score")),
+        docs(s, d)
+          .select(col("doc_id"), col("lang"), col("text"),
+            TextFunctions.tokens(lower(col("text"))).as("ltok"))
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.qualityScoreFromTokens(col("text"), col("ltok"))
+              .as("quality_score")),
         Seq("lang"), col("quality_score"), col("doc_id"), 50))
   )
 

@@ -62,20 +62,46 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
     "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "por", "que"))
 
-  def langScore(text: Column, words: Seq[String]): Column = {
-    val tok = tokens(lower(text))
-    size(filter(tok, t => t.isin(words.map(lit): _*))).cast("double") /
-      greatest(size(tok), lit(1)).cast("double")
-  }
+  def langScore(text: Column, words: Seq[String]): Column =
+    langScoreFromTokens(tokens(lower(text)), words)
+
+  private def langScoreFromTokens(ltok: Column, words: Seq[String]): Column =
+    size(filter(ltok, t => t.isin(words.map(lit): _*))).cast("double") /
+      greatest(size(ltok), lit(1)).cast("double")
 
   /** Predicted language: highest-scoring profile above `minScore`, ties
     * broken by profile order (en > de > fr > es), else 'und'. */
-  def langId(text: Column, minScore: Double = 0.05): Column = {
-    val scored = profiles.map { case (l, ws) => (l, langScore(text, ws)) }
+  def langId(text: Column, minScore: Double = 0.05): Column =
+    langIdFromTokens(tokens(lower(text)), minScore)
+
+  /** langId over an already-materialized lowercased token array.
+    * Tokenization is an interpreted higher-order pipeline that the
+    * optimizer will NOT common-out across the four profile scores
+    * (CollapseProject keeps multiply-referenced non-cheap aliases in
+    * their own projection) — so callers scoring several signals project
+    * `tokens(lower(text))` ONCE and feed it here: one tokenize pass
+    * instead of one per profile. */
+  def langIdFromTokens(ltok: Column, minScore: Double = 0.05): Column = {
+    val scored = profiles.map { case (l, ws) => (l, langScoreFromTokens(ltok, ws)) }
     val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
       case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
     }
     when(best._2 >= lit(minScore), best._1).otherwise(lit("und"))
+  }
+
+  /** qualityScore over a pre-projected lowercased token array (`lower`
+    * never changes whitespace, so token COUNT from the lowered stream
+    * equals the raw-text token count the formula specifies). */
+  def qualityScoreFromTokens(text: Column, ltok: Column): Column = {
+    val nTok = size(ltok).cast("double")
+    val nChr = length(text).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(nChr, lit(1.0))
+    val nStop = size(filter(ltok, t => t.isin(stopwordsEn.map(lit): _*)))
+    val stopRatio = nStop.cast("double") / greatest(nTok, lit(1.0))
+    Portable.pround(lit(0.4) * lenScore
+      + lit(0.3) * (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0)))
+      + lit(0.3) * least(stopRatio * lit(5.0), lit(1.0)), 4)
   }
 
   /** Distinct word k-shingles: contiguous k-grams of the lowercased
