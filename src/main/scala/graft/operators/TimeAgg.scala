@@ -39,31 +39,48 @@ object TimeAgg {
     df.groupBy(entity, period.as(periodName)).agg(aggs.head, aggs.tail: _*)
 
   /** TimescaleDB `time_bucket_gapfill` + `locf()` equivalent: given an
-    * already-bucketed rollup, emit one row per (entity, bucket) over each
+    * already-bucketed rollup (bucket values aligned to `stepSeconds`
+    * multiples, as `timeBucket` produces — the same precondition
+    * TimescaleDB has), emit one row per (entity, bucket) over each
     * entity's [min, max] bucket range, zero-filling `fillZero` columns
     * and carrying the last observation forward for `locf` columns
     * (emitted as `<col>_locf`).
     *
-    * Scale shape: the spine is a per-entity `sequence` + `explode` (no
-    * driver-side range), the fill join is a shuffle on (entity, bucket)
-    * that AQE sizes, and LOCF is one running `last(ignoreNulls)` window
-    * per entity — a single sort, no self-join per gap. */
+    * Scale shape: each observed row emits itself plus the missing
+    * buckets since the entity's previous observation (`lag` + `sequence`
+    * + `explode`) — no spine branch, no fill join, ONE scan of the
+    * rollup. The gap-generation lag window and the LOCF running
+    * `last(ignoreNulls)` window share the entity partitioning, so the
+    * whole operator adds exactly one exchange (verified in PlanSpec).
+    * Output size is the filled spine either way; this shape just never
+    * materializes a second aggregate of the input to find it. */
   def gapfillLocf(rollup: DataFrame, entity: String, bucket: String,
                   stepSeconds: Long, fillZero: Seq[String],
                   locf: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spine = rollup.groupBy(col(entity))
-      .agg(min(col(bucket)).as("__lo"), max(col(bucket)).as("__hi"))
-      .select(col(entity), explode(
-        sequence(col("__lo"), col("__hi"),
-          expr(s"INTERVAL $stepSeconds SECOND"))).as(bucket))
-    val joined = spine.join(rollup, Seq(entity, bucket), "left")
-    val zeroed = fillZero.foldLeft(joined)((d, c) =>
+    val step = expr(s"INTERVAL $stepSeconds SECOND")
+    val others = rollup.columns.filterNot(c => c == entity || c == bucket).toSeq
+    val wLag = Window.partitionBy(entity).orderBy(bucket)
+    val exploded = rollup
+      .withColumn("__prev", lag(col(bucket), 1).over(wLag))
+      .withColumn("__b", explode(
+        when(col("__prev").isNull, array(col(bucket)))
+          .otherwise(sequence(col("__prev") + step, col(bucket), step))))
+      .withColumn("__obs", col("__b") === col(bucket))
+    // gap rows: every non-key column reverts to null (what the fill
+    // join produced for spine-only rows), then zero-fill / LOCF apply
+    val masked = others.foldLeft(exploded)((d, c) =>
+      d.withColumn(c, when(col("__obs"), col(c))))
+      .drop("__prev", "__obs", bucket)
+      .withColumnRenamed("__b", bucket)
+    val zeroed = fillZero.foldLeft(masked)((d, c) =>
       d.withColumn(c, coalesce(col(c), lit(0L))))
-    val w = Window.partitionBy(entity).orderBy(bucket)
+    val wLocf = Window.partitionBy(entity).orderBy(bucket)
       .rowsBetween(Window.unboundedPreceding, 0)
-    locf.foldLeft(zeroed)((d, c) =>
-      d.withColumn(s"${c}_locf", last(col(c), ignoreNulls = true).over(w))
+    val filled = locf.foldLeft(zeroed)((d, c) =>
+      d.withColumn(s"${c}_locf", last(col(c), ignoreNulls = true).over(wLocf))
         .drop(c))
+    filled.select(col(entity) +: col(bucket) +:
+      others.map(c => if (locf.contains(c)) col(s"${c}_locf") else col(c)): _*)
   }
 }

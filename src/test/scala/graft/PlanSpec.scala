@@ -27,6 +27,26 @@ class PlanSpec extends SparkSpec {
       s"scan reads more columns than projected:\n$scan")
   }
 
+  test("gapfill+locf: one scan, no fill join, two exchanges end-to-end") {
+    val df = SparkEntry.queries("b6_gapfill_locf")(spark, sf)
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count the
+    // final plan only
+    val plan = executed(df).split("== Initial Plan ==").head
+    val exchanges = "(?<!Reused)Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2,
+      s"expected 2 exchanges (the hourly rollup agg + the shared entity "
+        + s"window partitioning), got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"gapfill must not plan a fill join:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"gapfill must scan the input once:\n$plan")
+  }
+
+  test("hash sampling is a pure filter: zero exchanges") {
+    val df = SparkEntry.queries("k1_hash_sample")(spark, sf)
+    val plan = executed(df)
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
   test("dimension joins in d3 use broadcast, not shuffle, for small sides") {
     val plan = executed(SparkEntry.queries("d3_local_supplier_revenue")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
