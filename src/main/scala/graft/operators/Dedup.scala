@@ -31,24 +31,31 @@ object Dedup {
                    threshold: Double, maxDocFreq: Int = 100): DataFrame = {
     val shs = docs.select(col(id).as("doc"),
       shingles(col(text), k).as("shs"))
-    // ONE explicit shuffle on the shingle key anchors every consumer:
-    // the stop-shingle filter is a window count over that partitioning
-    // (no second branch), doc sizes are a groupBy on top of it, and both
-    // pair-join sides are the identical subtree — so the (interpreted,
-    // expensive) shingle pipeline is evaluated once and every other use
-    // is a ReusedExchange. Separate groupBy/join branches would each
-    // re-scan and re-shingle the corpus (column pruning makes the
-    // branches differ, defeating sameResult-based reuse).
+    // ONE explicit shuffle on the shingle key anchors both consumers:
+    // bucket assembly is a hash aggregation over that partitioning and
+    // doc sizes are a groupBy on the ReusedExchange — so the
+    // (interpreted, expensive) shingle pipeline is evaluated once.
+    // Separate branches would each re-scan and re-shingle the corpus
+    // (column pruning makes the branches differ, defeating
+    // sameResult-based exchange reuse).
     val tbl = shs.select(col("doc"), explode(col("shs")).as("sh"))
       .repartition(col("sh"))
     // tbl rows are distinct (doc, sh) by construction → count = |A|
     val sizes = tbl.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-    val sh = tbl.withColumn("df", count(lit(1)).over(w))
-      .filter(col("df") <= maxDocFreq).drop("df")
-    val a = sh.as("a"); val b = sh.as("b")
-    val shared = a.join(b, col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    // candidate pairs via per-shingle doc buckets, NOT a self-join: the
+    // window-count + sort-merge-join spelling sorts the full shingle
+    // table by string key twice; collect_list is a sort-free hash agg
+    // and the pair expansion is declarative array work. Stop-shingle
+    // drop (df > maxDocFreq) becomes a bucket-size filter, which also
+    // bounds the O(m²) expansion per bucket under skew.
+    val shared = tbl.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDocFreq))
+      .select(explode(flatten(
+        transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
       .join(broadcast(sizes.withColumnRenamed("doc", "doc_a")
