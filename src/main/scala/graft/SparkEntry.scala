@@ -350,12 +350,11 @@ object SparkEntry {
         .filter(col("quality_score") >= 0.5 && col("pred_lang") === col("lang"))
     }),
 
-    "h8_contamination" -> ((s, d) => {
-      val dd = docs(s, d)
-      // eval slice = every 20th doc, playing a held-out benchmark set
-      Curation.contamination(dd.filter(col("doc_id") % 20 =!= 0),
-        dd.filter(col("doc_id") % 20 === 0), "doc_id", "text", 3)
-    }),
+    "h8_contamination" -> ((s, d) =>
+      // eval slice = every 20th doc, playing a held-out benchmark set;
+      // split form shingles the corpus once
+      Curation.contaminationSplit(docs(s, d), "doc_id", "text", 3,
+        col("doc_id") % 20 === 0)),
 
     "h9_repetition" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),

@@ -44,6 +44,28 @@ object Curation {
         col("n_hit").cast("double") / col("n_sh"), 4))
   }
 
+  /** Contamination when train and eval live in ONE table split by a
+    * predicate: shingle the corpus ONCE behind an explicit exchange on
+    * the shingle key, then branch — the two-DataFrame form would scan
+    * and re-shingle per side (column pruning defeats sameResult-based
+    * exchange reuse across differing filters). Both the train-distinct
+    * aggregation and the hit join run on the reused partitioning. */
+  def contaminationSplit(docs: DataFrame, id: String, text: String,
+                         k: Int, isEval: Column): DataFrame = {
+    val sh = docs.select(col(id).as("doc_id"), isEval.as("ev"),
+        explode(shingles(col(text), k)).as("sh"))
+      .repartition(col("sh"))
+    val trainSh = sh.filter(!col("ev"))
+      .select(col("sh")).distinct()
+      .select(col("sh"), col("sh").as("hit_sh"))
+    val evalSh = sh.filter(col("ev")).select(col("doc_id"), col("sh"))
+    evalSh.join(trainSh, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("hit_sh")).as("n_hit"))
+      .withColumn("contamination", Portable.pround(
+        col("n_hit").cast("double") / col("n_sh"), 4))
+  }
+
   /** Deterministic hash sample: keep rows whose md5-derived bucket (of
     * `buckets`) falls below `rate`. Reproducible across runs, engines
     * and retries; sampling rate is exact in expectation and independent

@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** All ordered element pairs (a < b by array position) of a sorted
+    * array, as structs {a, b} — the declarative bucket→candidate-pair
+    * expansion shared by the LSH-style dedup variants. */
+  private[operators] def orderedPairs(ds: Column): Column =
+    flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + lit(2), size(ds) - i - lit(1)),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** Exact dedup: group by content hash; keeper = min id. */
   def exact(docs: DataFrame, id: String, text: String): DataFrame =
     docs.groupBy(md5(col(text)).as("content_hash"))
@@ -51,10 +59,7 @@ object Dedup {
     val shared = tbl.groupBy("sh")
       .agg(sort_array(collect_list(col("doc"))).as("ds"))
       .filter(size(col("ds")).between(2, maxDocFreq))
-      .select(explode(flatten(
-        transform(col("ds"), (x, i) =>
-          transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - lit(1)),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(explode(Dedup.orderedPairs(col("ds"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
@@ -94,17 +99,19 @@ object Dedup {
       array_min(transform(col(s"h$g"), h => substring(h, off + 1, 8)))
     }: _*).as("sig"))
     val numBands = numHashes / rowsPerBand
-    // bucket-key shuffle anchor: both self-join sides reuse ONE exchange
-    // (and thus one shingle+md5 pass) instead of recomputing per side
+    // candidate pairs from per-(band, bucket) doc lists — a sort-free
+    // hash agg + declarative pair expansion (same shape as ngramJaccard;
+    // a self-join would sort the banded table twice). One shingle+md5
+    // pass feeds everything.
     val banded = sig.select(col("doc"), posexplode(
       array((0 until numBands).map(bnd =>
         md5(concat_ws("|", slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)))
       ): _*)).as(Seq("band", "bucket")))
-      .repartition(col("band"), col("bucket"))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-        && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(Dedup.orderedPairs(col("ds"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
   }
 
@@ -133,15 +140,15 @@ object Dedup {
       array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
       .as(Seq("chunk", "key")))
-    val a = chunked.as("a"); val b = chunked.as("b")
-    val hamming = {
-      val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
-      bit_count(x)
-    }
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key")
-        && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        hamming.as("hamming"))
+    // per-(chunk, key) buckets → pair expansion (sort_array orders the
+    // structs by doc, so expansion order reproduces a.doc < b.doc);
+    // distinct dedups pairs colliding in several chunks
+    chunked.groupBy(col("chunk"), col("key"))
+      .agg(sort_array(collect_list(struct(col("doc"), col("simhash")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(Dedup.orderedPairs(col("ds"))).as("p"))
+      .select(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
