@@ -253,7 +253,7 @@ object SparkEntry {
       Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.25, 100)),
 
     "e3_dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLsh(docs(s, d), "doc_id", "text", 3, 4, 1)),
+      Dedup.minhashLsh(docs(s, d), "doc_id", "text", 3, 16, 4)),
 
     "e4_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDup(docs(s, d), "doc_id", "text", 12)),
@@ -620,25 +620,31 @@ object SparkEntry {
          |  SELECT e.x, c.label FROM edges e JOIN cc c ON c.id = e.y)
          |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin,
 
-    "e3_dedup_minhash_lsh" ->
+    "e3_dedup_minhash_lsh" -> {
+      // K-M family constants come from the SAME Scala definitions the
+      // Spark operator uses — the arithmetic cannot drift
+      def mh(i: Int): String =
+        s"list_min(list_transform(h, x -> (${Dedup.kmA(i)} * CAST(concat('0x', x[1:7]) AS BIGINT)" +
+          s" + ${Dedup.kmB(i)} * CAST(concat('0x', x[9:15]) AS BIGINT)" +
+          s" + ${Dedup.kmC(i)}) % ${Dedup.KmP}))"
+      val sigCols = (0 until 16).map(i => s"  ${mh(i)} AS mh$i").mkString(",\n")
+      val bands = (0 until 4).map { b =>
+        val cols = (0 until 4).map(j => s"mh${b * 4 + j}").mkString(", ")
+        s"  SELECT doc, $b AS band, md5(array_to_string([$cols], '|')) AS bucket FROM sig"
+      }.mkString(" UNION ALL\n")
       s"""WITH t AS (${tokCte("documents", lower = true)}),
          |s AS (SELECT doc_id, list_distinct($shingle3) AS shs FROM t),
          |hs AS (SELECT doc_id, list_transform(shs, x -> md5(x)) AS h FROM s),
          |sig AS (SELECT doc_id AS doc,
-         |  list_min(list_transform(h, x -> x[1:8])) AS mh0,
-         |  list_min(list_transform(h, x -> x[9:16])) AS mh1,
-         |  list_min(list_transform(h, x -> x[17:24])) AS mh2,
-         |  list_min(list_transform(h, x -> x[25:32])) AS mh3
+         |$sigCols
          |  FROM hs),
          |banded AS (
-         |  SELECT doc, 0 AS band, md5(mh0) AS bucket FROM sig UNION ALL
-         |  SELECT doc, 1 AS band, md5(mh1) AS bucket FROM sig UNION ALL
-         |  SELECT doc, 2 AS band, md5(mh2) AS bucket FROM sig UNION ALL
-         |  SELECT doc, 3 AS band, md5(mh3) AS bucket FROM sig)
+         |$bands)
          |SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_bands
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
-         |GROUP BY 1, 2""".stripMargin,
+         |GROUP BY 1, 2""".stripMargin
+    },
 
     "e5_dedup_embedding_cosine" ->
       """WITH e AS (

@@ -74,30 +74,50 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Kirsch-Mitzenmacher hash family: hash_i(x) = (a_i·h1(x) + b_i·h2(x)
+    * + c_i) mod P, with h1/h2 the two 28-bit halves of ONE md5 per
+    * shingle. Magnitudes are chosen so every intermediate stays under
+    * 2^53 — pure BIGINT arithmetic that any engine (and the DuckDB
+    * oracle) reproduces bit-for-bit, with no overflow wrap to disagree
+    * on. One digest serves any number of hash functions. */
+  val KmP = 2147483647L // 2^31 - 1
+  def kmA(i: Int): Long = 2L * i + 1
+  def kmB(i: Int): Long = 1000003L * i + 12345
+  def kmC(i: Int): Long = 999331L * i + 7
+
   /** MinHash+LSH candidate pairs: k-shingles → `numHashes` minhashes →
-    * bands of `rowsPerBand` → bucket equi-join on (band idx, band key).
-    * Returns distinct candidate pairs with the number of colliding bands
-    * (more bands ⇒ higher estimated similarity).
+    * bands of `rowsPerBand` → per-(band, bucket) doc lists → ordered-
+    * pair expansion. Returns distinct candidate pairs with the number
+    * of colliding bands (more bands ⇒ higher estimated similarity).
     *
-    * Hash family: one md5 per (shingle, group-of-4) yields FOUR 32-bit
-    * minhash components (the 8-hex-char slices of the digest) — fixed-
-    * width hex slices are uniform, portable (the oracle reproduces them
-    * bit-for-bit), and cut the dominant md5 cost 4×. Each projection
-    * stage is materialized separately so shingling and hashing run once
-    * per doc, not once per hash index. */
+    * Cost per shingle is ONE md5 + two hex parses + `numHashes` cheap
+    * codegen'd integer ops (the K-M family above) — NOT one digest per
+    * hash index, so widening the signature from 4 to 64 hashes barely
+    * moves the dominant hashing cost. Each projection stage is
+    * materialized separately so shingling and hashing run once per
+    * doc. */
   def minhashLsh(docs: DataFrame, id: String, text: String, k: Int,
                  numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0)
-    val numGroups = (numHashes + 3) / 4
     val shs = docs.select(col(id).as("doc"),
       shingles(col(text), k).as("shs"))
-    val hashed = shs.select(col("doc") +: (0 until numGroups).map(g =>
-      transform(col("shs"), s =>
-        md5(if (g == 0) s else concat_ws(":", lit(g.toString), s))).as(s"h$g")): _*)
-    val sig = hashed.select(col("doc"), array((0 until numHashes).map { i =>
-      val g = i / 4; val off = (i % 4) * 8
-      array_min(transform(col(s"h$g"), h => substring(h, off + 1, 8)))
-    }: _*).as("sig"))
+    // explode → one codegen'd projection per shingle (md5 is subexpr-
+    // eliminated across the two hex slices) → numHashes running minima
+    // via a map-side-combined groupBy. Everything stays in whole-stage
+    // codegen — the array/HOF spelling pays an interpreted array pass
+    // per hash index — and the signature shuffle is one (doc, numHashes
+    // longs) row per doc per mapper.
+    val hashed = shs.select(col("doc"), explode(col("shs")).as("sh"))
+      .select(col("doc"),
+        conv(substring(md5(col("sh")), 1, 7), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("sh")), 9, 7), 16, 10).cast("long").as("h2"))
+    val minCols = (0 until numHashes).map(i =>
+      min((lit(kmA(i)) * col("h1") + lit(kmB(i)) * col("h2") + lit(kmC(i)))
+        % lit(KmP)).as(s"mh$i"))
+    val sig = hashed.groupBy(col("doc"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc"),
+        array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
     val numBands = numHashes / rowsPerBand
     // candidate pairs from per-(band, bucket) doc lists — a sort-free
     // hash agg + declarative pair expansion (same shape as ngramJaccard;
@@ -105,7 +125,9 @@ object Dedup {
     // pass feeds everything.
     val banded = sig.select(col("doc"), posexplode(
       array((0 until numBands).map(bnd =>
-        md5(concat_ws("|", slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)))
+        md5(concat_ws("|", transform(
+          slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand),
+          x => x.cast("string"))))
       ): _*)).as(Seq("band", "bucket")))
     banded.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc"))).as("ds"))
