@@ -111,11 +111,46 @@ object Similarity {
     * nCells·dim doubles — exactly what Spark ML's KMeansModel does), so
     * cell assignment is one codegen'd projection with zero joins.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-              k: Int, nCells: Int, nProbe: Int): DataFrame = {
+  /** Spherical k-means training for the IVF coarse quantizer: Lloyd
+    * iterations where assignment is a broadcast argmax-dot projection
+    * over the corpus and the update is one grouped per-dimension mean —
+    * only the nCells×dim MODEL is ever collected to the driver (the
+    * MLlib pattern), never data. Empty cells keep their previous
+    * centroid. Returns unit-norm centroids. */
+  def trainCentroids(corpus: DataFrame, id: String, vec: String,
+                     nCells: Int, iters: Int): Array[Seq[Double]] = {
     val c = corpus.select(col(id).as("nn_id"), l2normalize(col(vec)).as("cv"))
-    val cents: Array[(Long, Seq[Double])] = c.orderBy("nn_id").limit(nCells)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    var cents: Array[Seq[Double]] = c.orderBy("nn_id").limit(nCells)
+      .collect().map(_.getSeq[Double](1))
+    for (_ <- 0 until iters) {
+      val best = element_at(sort_array(array(cents.zipWithIndex.map {
+        case (cv, i) => struct(dot(col("cv"), typedlit(cv)).as("s"),
+          lit(i).as("cell"))
+      }: _*), asc = false), 1)("cell")
+      val sums = c.withColumn("cell", best)
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      val byCell = sums.groupBy(_._1)
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCell.get(i) match {
+          case Some(rows) =>
+            val mean = rows.sortBy(_._2).map(r => r._3 / r._4)
+            val nrm = math.sqrt(mean.map(x => x * x).sum)
+            if (nrm == 0.0) old else mean.map(_ / nrm).toSeq
+          case None => old
+        }
+      }
+    }
+    cents
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              k: Int, nCells: Int, nProbe: Int, trainIters: Int = 0): DataFrame = {
+    val c = corpus.select(col(id).as("nn_id"), l2normalize(col(vec)).as("cv"))
+    val cents: Array[(Int, Seq[Double])] =
+      trainCentroids(corpus, id, vec, nCells, trainIters).zipWithIndex
+        .map { case (cv, i) => (i, cv) }
     def cellScores(v: Column): Column = sort_array(array(cents.map {
       case (cid, cv) => struct(dot(v, typedlit(cv)).as("s"), lit(cid).as("cell"))
     }: _*), asc = false)

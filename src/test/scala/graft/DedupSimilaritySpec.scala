@@ -125,6 +125,24 @@ class SimilaritySpec extends SparkSpec {
     assert(full.exceptAll(bf).count() == 0 && bf.exceptAll(full).count() == 0)
   }
 
+  test("ivfTopK with trained centroids: recall >= seeded, full probe still exact") {
+    val emb = Tables0.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "nn_id").intersect(bf.select("query_id", "nn_id"))
+        .count().toDouble / bf.count()
+    val trained = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 16, 4,
+      trainIters = 2)
+    // Lloyd iterations balance the cells; recall at fixed nProbe must
+    // not collapse vs the arbitrary first-n seeds (it typically rises)
+    assert(recall(trained) >= recall(
+      Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 16, 4)) - 0.05)
+    val full = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 16, 16,
+      trainIters = 2)
+    assert(full.exceptAll(bf).count() == 0 && bf.exceptAll(full).count() == 0)
+  }
+
   test("saltedJoin matches the plain join exactly") {
     val fact = Tables0.embeddings(spark, sf).sparkSession
       .read.parquet(s"$sf/orders.parquet")

@@ -41,6 +41,35 @@ class PlanSpec extends SparkSpec {
       s"gapfill must scan the input once:\n$plan")
   }
 
+  test("AQE splits a detected skewed join partition") {
+    import spark.implicits._
+    // one key owns ~all fact rows; thresholds lowered so local-scale
+    // data trips the same OptimizeSkewedJoin path a 100 TB hot key would
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val fact = spark.range(200000)
+        .select((when($"id" % 100 === 0, $"id").otherwise(lit(7L))).as("k"),
+          $"id".as("payload"))
+      val dim = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = fact.join(dim, "k")
+      val plan = executed(joined).split("== Initial Plan ==").head
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to split the hot-key partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("hash sampling is a pure filter: zero exchanges") {
     val df = SparkEntry.queries("k1_hash_sample")(spark, sf)
     val plan = executed(df)
