@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.Portable
+import graft.functions.expressions.{SimHash64, WordShingles}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks for the foundations everything else trusts:
+  * portable numerics must be order-independent (or 100 TB partial
+  * aggregation trees silently drift from any single-node oracle) and
+  * the native expressions must agree with straightforward reference
+  * implementations on arbitrary input, not just curated docs.
+  *
+  * Generators are driven with fixed seeds (no scalatestplus bridge in
+  * the offline cache) — failures are reproducible by construction. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): List[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong))).toList
+
+  private val reasonableDouble: Gen[Double] =
+    Gen.chooseNum(-1e6, 1e6).map(x => math.rint(x * 1e6) / 1e6)
+
+  test("fixedSum is invariant under partitioning (order-independent)") {
+    samples(Gen.listOfN(40, reasonableDouble), 8).foreach { xs =>
+      val df = xs.toDF("x")
+      def total(parts: Int): Double = df.repartition(parts)
+        .agg(Portable.fixedSum($"x", 4).as("s")).as[Double].head()
+      assert(total(1) == total(7)) // exact ==, not approx: that's the point
+    }
+  }
+
+  test("pround == toFixed unscaled, and both match floor(x*10^s+0.5)") {
+    val cases = samples(for {
+      x <- reasonableDouble; s <- Gen.choose(0, 6)
+    } yield (x, s), 30)
+    cases.groupBy(_._2).foreach { case (s, group) =>
+      val p = math.pow(10, s)
+      val got = group.map(_._1).toDF("x").select(
+        Portable.pround($"x", s).as("r"),
+        (Portable.toFixed($"x", s).cast("double") / lit(p)).as("f"),
+        $"x").as[(Double, Double, Double)].collect()
+      got.foreach { case (r, f, x) =>
+        val want = math.floor(x * p + 0.5) / p
+        assert(r == want && f == want, s"x=$x s=$s")
+      }
+    }
+  }
+
+  private val wsChars = Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B')
+  private val word = Gen.choose(1, 8).flatMap(n =>
+    Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+  private val doc: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    ws <- Gen.listOfN(n + 1,
+      Gen.choose(1, 3).flatMap(m => Gen.listOfN(m, wsChars).map(_.mkString)))
+    tokens <- Gen.listOfN(n, word)
+  } yield ws.head + tokens.zip(ws.tail).map { case (t, w) => t + w }.mkString
+
+  private def refTokens(s: String): List[String] =
+    s.split("[ \t\n\f\r\u000B]+").filter(_.nonEmpty).toList
+
+  test("WordShingles agrees with sliding-window reference on arbitrary docs") {
+    val cases = samples(for { s <- doc; k <- Gen.choose(1, 4) } yield (s, k), 60)
+    cases.foreach { case (s, k) =>
+      val toks = refTokens(s)
+      val want =
+        if (toks.size < k) List(toks.mkString(" "))
+        else toks.sliding(k).map(_.mkString(" ")).toList.distinct
+      val got = WordShingles.compute(UTF8String.fromString(s), k)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toList
+      assert(got == want, s"doc=${s.map(_.toInt)} k=$k")
+    }
+  }
+
+  test("SimHash64 agrees with a per-token xxhash64 vote reference") {
+    samples(doc, 40).foreach { s =>
+      val votes = new Array[Int](64)
+      val toks = refTokens(s)
+      // reference bit-votes from Spark's own xxhash64 column function
+      val hashes = if (toks.isEmpty) Nil
+        else toks.toDF("t").select(xxhash64($"t")).as[Long].collect().toList
+      hashes.foreach { h =>
+        (0 until 64).foreach(j =>
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1)
+      }
+      val want = (0 until 64).foldLeft(0L)((acc, j) =>
+        if (votes(j) > 0) acc | (1L << j) else acc)
+      assert(SimHash64.compute(UTF8String.fromString(s)) == want, s.map(_.toInt))
+    }
+  }
+}
