@@ -74,6 +74,16 @@ object IotStreamPipeline {
     stage.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: join the event stream against a slowly-
+    * changing dimension (the reference example joins metrics to the
+    * users dim via devices — reference:
+    * dags/dbt_project/models/examples/daily_user_steps_for_last_month.sql).
+    * The static side is broadcast and RE-RESOLVED per micro-batch, so a
+    * dimension refresh (new parquet snapshot) is picked up without
+    * restarting the query — no stream state involved. */
+  def enrichWithDim(stage: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stage.join(broadcast(dim), Seq(key), "left")
+
   /** Stream-stream interval join: each left event matched with right
     * events of the same user within `(l.ts, l.ts + maxDelay]` — the
     * attribution/enrichment join (view → subsequent click). Watermarks

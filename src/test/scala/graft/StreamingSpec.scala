@@ -72,6 +72,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("stream-static enrichment matches the batch join") {
+    val in = Files.createTempDirectory("graft-enrich-in").toString
+    landEvents(in)
+    val dim = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val enriched = IotStreamPipeline.enrichWithDim(
+      IotStreamPipeline.stage(IotStreamPipeline.readRaw(spark, in)), dim, "user_id")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enrich_out")
+    val want = IotStreamPipeline.stage(graft.sources.Tables.events(spark, sf))
+      .join(dim, Seq("user_id"), "left")
+    assert(got.count() == want.count())
+    assert(got.filter(col("c_mktsegment").isNull).count()
+      == want.filter(col("c_mktsegment").isNull).count())
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val inV = Files.createTempDirectory("graft-ssj-v").toString
     val inC = Files.createTempDirectory("graft-ssj-c").toString
