@@ -335,19 +335,25 @@ object SparkEntry {
     // and a minimum quality score — the full pre-training filter chained
     // from e1 + h1 + h3 in one plan
     "h7_curation" -> ((s, d) => {
-      // keeper = min doc_id per content hash, selected with a window
-      // filter: ONE shuffle of the corpus (the groupBy-keepers + join
-      // spelling shuffles the full rows twice more for the same set)
+      // score FIRST, dedup SECOND: quality/lang-id are map-side work on
+      // the scan, so the one shuffle (keeper = min doc_id per content
+      // hash, via window) carries only (hash, id, lang, two scalars) —
+      // never the text column. Scoring soon-to-drop dupes costs spare
+      // map CPU; shuffling document bodies costs the network.
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        .partitionBy(col("__h")).orderBy(col("doc_id"))
       docs(s, d)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("doc_id"), col("lang"), col("text"),
           TextFunctions.tokens(lower(col("text"))).as("ltok"))
-        .select(col("doc_id"), col("lang"),
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("__h"),
           TextFunctions.qualityScoreFromTokens(col("text"), col("ltok")).as("quality_score"),
           TextFunctions.langIdFromTokens(col("ltok")).as("pred_lang"))
+        // keeper selection must see ALL copies (identical text can carry
+        // different lang labels, and the filter depends on lang) — so
+        // dedup over the scored rows first, filter after
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .filter(col("quality_score") >= 0.5 && col("pred_lang") === col("lang"))
+        .select("doc_id", "lang", "quality_score", "pred_lang")
     }),
 
     "h8_contamination" -> ((s, d) =>
