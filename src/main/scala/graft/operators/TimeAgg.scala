@@ -61,26 +61,35 @@ object TimeAgg {
     val step = expr(s"INTERVAL $stepSeconds SECOND")
     val others = rollup.columns.filterNot(c => c == entity || c == bucket).toSeq
     val wLag = Window.partitionBy(entity).orderBy(bucket)
-    val exploded = rollup
-      .withColumn("__prev", lag(col(bucket), 1).over(wLag))
+    val runFrame = wLag.rowsBetween(Window.unboundedPreceding, 0)
+    // ALL window work happens on rollup-sized rows BEFORE the gap
+    // explode: the running last-non-null per locf column, then its lag
+    // (a gap row's carried value is, by construction, the previous
+    // observed row's running LOCF). Windowing after the explode would
+    // sort the spine-sized output — 10-100x the rows for fine steps.
+    // Both Window operators share one partitioning+ordering → one sort.
+    val withLocf = locf.foldLeft(rollup)((d, c) =>
+      d.withColumn(s"__locf_$c", last(col(c), ignoreNulls = true).over(runFrame)))
+    val pre = locf.foldLeft(
+      withLocf.withColumn("__prev", lag(col(bucket), 1).over(wLag)))(
+      (d, c) => d.withColumn(s"__plocf_$c", lag(col(s"__locf_$c"), 1).over(wLag)))
+    val exploded = pre
       .withColumn("__b", explode(
         when(col("__prev").isNull, array(col(bucket)))
           .otherwise(sequence(col("__prev") + step, col(bucket), step))))
       .withColumn("__obs", col("__b") === col(bucket))
-    // gap rows: every non-key column reverts to null (what the fill
-    // join produced for spine-only rows), then zero-fill / LOCF apply
-    val masked = others.foldLeft(exploded)((d, c) =>
-      d.withColumn(c, when(col("__obs"), col(c))))
-      .drop("__prev", "__obs", bucket)
-      .withColumnRenamed("__b", bucket)
-    val zeroed = fillZero.foldLeft(masked)((d, c) =>
-      d.withColumn(c, coalesce(col(c), lit(0L))))
-    val wLocf = Window.partitionBy(entity).orderBy(bucket)
-      .rowsBetween(Window.unboundedPreceding, 0)
+    // gap rows: fillZero columns revert to null → 0; locf columns pick
+    // the carried value
+    val zeroed = fillZero.foldLeft(exploded)((d, c) =>
+      d.withColumn(c, coalesce(when(col("__obs"), col(c)), lit(0L))))
     val filled = locf.foldLeft(zeroed)((d, c) =>
-      d.withColumn(s"${c}_locf", last(col(c), ignoreNulls = true).over(wLocf))
-        .drop(c))
-    filled.select(col(entity) +: col(bucket) +:
-      others.map(c => if (locf.contains(c)) col(s"${c}_locf") else col(c)): _*)
+      d.withColumn(s"${c}_locf",
+        when(col("__obs"), col(s"__locf_$c")).otherwise(col(s"__plocf_$c"))))
+    filled
+      .drop("__prev" +: bucket +: locf.flatMap(c =>
+        Seq(c, s"__locf_$c", s"__plocf_$c")): _*)
+      .withColumnRenamed("__b", bucket)
+      .select(col(entity) +: col(bucket) +:
+        others.map(c => if (locf.contains(c)) col(s"${c}_locf") else col(c)): _*)
   }
 }
