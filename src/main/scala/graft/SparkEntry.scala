@@ -296,6 +296,13 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx"),
           length(col("frame_payload")).as("n_bytes"))),
 
+    "g4_mm_resize" -> ((s, d) =>
+      Multimodal.resize(
+        Multimodal.asMediaTable(docs(s, d), "doc_id", "text"), 8, 8)
+        .toDF().select(col("media_id"), col("meta.mediaType").as("media_type"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          length(col("payload")).as("n_bytes"))),
+
     // H. text analysis
     "h1_text_quality" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
