@@ -387,7 +387,22 @@ object SparkEntry {
           .select(col("doc_id"), col("lang"),
             TextFunctions.qualityScoreFromTokens(col("text"), col("ltok"))
               .as("quality_score")),
-        Seq("lang"), col("quality_score"), col("doc_id"), 50))
+        Seq("lang"), col("quality_score"), col("doc_id"), 50)),
+
+    // same quota semantics through the custom TopKPerKey physical
+    // operator (bounded per-key heaps, no per-stratum sort) — shares
+    // k2's oracle, proving plan-level equivalence on a second shape
+    "k3_quota_native" -> ((s, d) =>
+      graft.plans.TopKPerKey(
+        docs(s, d)
+          .select(col("doc_id"), col("lang"), col("text"),
+            TextFunctions.tokens(lower(col("text"))).as("ltok"))
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.qualityScoreFromTokens(col("text"), col("ltok"))
+              .as("quality_score")),
+        keys = Seq(col("lang")),
+        order = Seq(col("quality_score").desc, col("doc_id").asc),
+        k = 50).drop("rnk"))
   )
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -838,7 +853,13 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 37""".stripMargin,
 
-    "k2_quota_sample" -> {
+    "k2_quota_sample" -> quotaOracleSql,
+    "k3_quota_native" -> quotaOracleSql
+  )
+
+  /** Shared by k2 (window) and k3 (custom TopKPerKey operator) — one
+    * oracle, two physical strategies. */
+  private lazy val quotaOracleSql: String = {
       val stop = TextFunctions.stopwordsEn.map("'" + _ + "'").mkString("[", ",", "]")
       val quality = sqlPround(
         """0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
@@ -860,6 +881,5 @@ object SparkEntry {
          |    PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS rk
          |  FROM scored)
          |SELECT doc_id, lang, quality_score FROM ranked WHERE rk <= 50""".stripMargin
-    }
-  )
+  }
 }
