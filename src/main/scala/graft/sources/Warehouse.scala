@@ -27,6 +27,44 @@ object Warehouse {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** MERGE-style upsert into a partitioned parquet warehouse (the
+    * `INSERT ... ON CONFLICT` role of the reference's TimescaleDB sink,
+    * reference: dags/dbt_project/models/stage — dbt incremental with
+    * unique_key): rows of `updates` replace existing rows with the same
+    * `key`; everything else is preserved. Only the partitions PRESENT
+    * IN `updates` are read and rewritten — cost scales with the touched
+    * periods, never the table. Latest-wins within and across batches by
+    * `versionCol` (ties to the update side), so replays are idempotent.
+    *
+    * The anti-join/union runs per touched partition via the partition-
+    * pruned read; at 100 TB the read+rewrite is bounded by the hot
+    * partitions an incremental run actually lands in. */
+  def mergeUpsert(updates: DataFrame, path: String, partitionCols: Seq[String],
+                  key: Seq[String], versionCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = updates.sparkSession
+    val existing =
+      try {
+        val full = spark.read.parquet(path)
+        // prune to touched partitions only (broadcast semi-join on the
+        // small distinct partition-key set keeps pruning dynamic)
+        full.join(broadcast(updates.select(partitionCols.map(col): _*).distinct()),
+          partitionCols, "left_semi")
+      } catch { case _: org.apache.spark.sql.AnalysisException =>
+        updates.limit(0) // first load: nothing to merge
+      }
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    val merged = existing.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__src")
+    // localCheckpoint: the merged plan reads the files the write below
+    // replaces — materialize before overwriting them
+    overwritePartitions(merged.localCheckpoint(), path, partitionCols)
+  }
+
   /** Bucketed + sorted warehouse table: co-locates rows by join key so
     * downstream fact-fact joins and grouped aggs on `bucketCols` plan
     * with ZERO exchange (verified in PlanSpec). The one-time write cost

@@ -72,6 +72,31 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("checkpointed query restarts exactly-once: no loss, no dups") {
+    val in = Files.createTempDirectory("graft-restart-in").toString
+    val outP = Files.createTempDirectory("graft-restart-out").toString + "/wh"
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+    val half1 = ev.filter(col("event_id") % 2 === 0)
+    val half2 = ev.filter(col("event_id") % 2 =!= 0)
+    half1.coalesce(1).write.mode("overwrite").parquet(in)
+    def runOnce(): Unit = {
+      val st = IotStreamPipeline.stage(IotStreamPipeline.readRaw(spark, in))
+      val q = st.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outP).start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce() // first run consumes half1, then "crashes" (stop)
+    half2.coalesce(1).write.mode("append").parquet(in) // new arrivals
+    runOnce() // restart from the SAME checkpoint
+    val got = spark.read.parquet(outP)
+    // exactly the full event set: the restart neither re-emits half1
+    // nor misses half2 — the Airflow-retry guarantee, from checkpoints
+    assert(got.count() == ev.count())
+    assert(got.select("event_id").distinct().count() == ev.count())
+  }
+
   test("stream-static enrichment matches the batch join") {
     val in = Files.createTempDirectory("graft-enrich-in").toString
     landEvents(in)
