@@ -110,4 +110,24 @@ class MongoJsonSourceSpec extends SparkSpec {
       .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1)
     assert(bad.count() == 0)
   }
+
+  test("readDocuments round-trips packed docs through JSON files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mongo-json").toString
+    val ev = Tables.events(spark, sf).limit(2000)
+    val packed = MongoJsonSource.packDocuments(
+      ev, "user_id", "ts", 4 * 3600, Seq("event_id", "event_type", "value"))
+    // land as ONE multiline JSON array per file — the mongo-init.js
+    // collection dump format readDocuments is built for (Spark's own
+    // json writer emits JSONL, which is NOT that format)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "collection.json"),
+      packed.toJSON.collect().mkString("[\n", ",\n", "\n]"))
+    val docs = MongoJsonSource.readDocuments(spark, dir, packed.schema)
+    assert(docs.count() == packed.count())
+    // normalized children from the JSON landing match the direct path
+    val a = MongoJsonSource.normalize(docs, Seq("user_id"))
+    val b = MongoJsonSource.normalize(packed, Seq("user_id"))
+    assert(a.select("row_id").exceptAll(b.select("row_id")).count() == 0)
+    assert(b.select("row_id").exceptAll(a.select("row_id")).count() == 0)
+  }
 }
