@@ -16,19 +16,25 @@ object Bench {
     // noop sink, NOT count(): count() lets the optimizer prune every
     // unconsumed column, so map-only queries would be measured as bare
     // row counts; noop computes each result column and discards it.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          // a failing query must not masquerade as a fast success
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
