@@ -146,11 +146,20 @@ object Similarity {
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-              k: Int, nCells: Int, nProbe: Int, trainIters: Int = 0): DataFrame = {
+              k: Int, nCells: Int, nProbe: Int, trainIters: Int = 0): DataFrame =
+    ivfTopKWith(corpus, queries, id, vec, k, nProbe,
+      trainCentroids(corpus, id, vec, nCells, trainIters))
+
+  /** IVF search against a PRE-TRAINED quantizer — the deployment shape:
+    * the model is trained once (offline, [[trainCentroids]]) and reused
+    * across every query batch; per-batch cost is assignment + probe
+    * only. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, id: String,
+                  vec: String, k: Int, nProbe: Int,
+                  centroids: Array[Seq[Double]]): DataFrame = {
     val c = corpus.select(col(id).as("nn_id"), l2normalize(col(vec)).as("cv"))
     val cents: Array[(Int, Seq[Double])] =
-      trainCentroids(corpus, id, vec, nCells, trainIters).zipWithIndex
-        .map { case (cv, i) => (i, cv) }
+      centroids.zipWithIndex.map { case (cv, i) => (i, cv) }
     def cellScores(v: Column): Column = sort_array(array(cents.map {
       case (cid, cv) => struct(dot(v, typedlit(cv)).as("s"), lit(cid).as("cell"))
     }: _*), asc = false)
