@@ -36,7 +36,8 @@ object Dedup {
     * (no extra shuffle) and doc sizes come from the same array, so the
     * text is tokenized exactly once per doc. */
   def ngramJaccard(docs: DataFrame, id: String, text: String, k: Int,
-                   threshold: Double, maxDocFreq: Int = 100): DataFrame = {
+                   threshold: Double, maxDocFreq: Int = 100,
+                   hashShingleKeys: Boolean = false): DataFrame = {
     val shs = docs.select(col(id).as("doc"),
       shingles(col(text), k).as("shs"))
     // ONE explicit shuffle on the shingle key anchors both consumers:
@@ -46,7 +47,19 @@ object Dedup {
     // Separate branches would each re-scan and re-shingle the corpus
     // (column pruning makes the branches differ, defeating
     // sameResult-based exchange reuse).
-    val tbl = shs.select(col("doc"), explode(col("shs")).as("sh"))
+    // `hashShingleKeys` swaps the shuffled key from the shingle string
+    // to its 60-bit md5 slice: 8 bytes per key instead of k words. Set
+    // it when the exchange is network-bound (the 100 TB regime); leave
+    // it off when hashing CPU outweighs shuffle bytes (small corpora,
+    // short shingles). Results are identical either way — a within-doc
+    // key collision (≈n²/2^61 per doc) merges two shingles for BOTH
+    // sizing and sharing, which cancels in the Jaccard ratio's
+    // mirrored arithmetic (spec asserts equality of the two modes).
+    val keyOf: Column => Column =
+      if (hashShingleKeys) s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+      else identity
+    val tbl = shs.select(col("doc"),
+        explode(transform(col("shs"), keyOf)).as("sh"))
       .repartition(col("sh"))
     // tbl rows are distinct (doc, sh) by construction → count = |A|
     val sizes = tbl.groupBy("doc").agg(count(lit(1)).as("n_sh"))
@@ -60,6 +73,9 @@ object Dedup {
       .agg(sort_array(collect_list(col("doc"))).as("ds"))
       .filter(size(col("ds")).between(2, maxDocFreq))
       .select(explode(Dedup.orderedPairs(col("ds"))).as("p"))
+      // strict < also drops the self-pair a within-doc key collision
+      // would produce (the oracle's a.doc < b.doc join does the same)
+      .filter(col("p.a") < col("p.b"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared

@@ -65,6 +65,15 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("hashed shingle keys (100 TB shuffle mode) match string keys exactly") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val a = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.25)
+    val b = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.25,
+      hashShingleKeys = true)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    assert(a.count() > 0)
+  }
+
   test("clusters: min-label propagation finds connected components") {
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (9L, 1L))
       .toDF("doc_a", "doc_b")
