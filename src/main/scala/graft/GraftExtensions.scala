@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{L2Normalize, SimHash64, VectorDot, WordShingles}
+import graft.functions.expressions.{L2Normalize, SimHash64, TextProfile, VectorDot, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -33,7 +33,8 @@ object GraftExtensions {
     "word_shingles" -> (args => WordShingles(args(0), intArg(args(1), "word_shingles"))),
     "vector_dot" -> (args => VectorDot(args(0), args(1))),
     "l2_normalize" -> (args => L2Normalize(args(0))),
-    "simhash64" -> (args => SimHash64(args(0))))
+    "simhash64" -> (args => SimHash64(args(0))),
+    "text_profile" -> (args => TextProfile(args(0))))
 
   /** Install the functions on an existing session. */
   def register(spark: SparkSession): Unit =

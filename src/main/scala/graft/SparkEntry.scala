@@ -305,11 +305,14 @@ object SparkEntry {
 
     // H. text analysis
     "h1_text_quality" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        TextFunctions.punctCount(col("text")).as("n_punct"),
-        TextFunctions.stopwordCount(col("text")).as("n_stopwords"),
-        TextFunctions.qualityScore(col("text")).as("quality_score"))),
+      docs(s, d)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.textProfile(lower(col("text"))).as("p"))
+        .select(col("doc_id"),
+          col("p.n_tokens").as("n_tokens"),
+          col("p.n_punct").as("n_punct"),
+          col("p.n_en").as("n_stopwords"),
+          TextFunctions.qualityScoreFromProfile(col("text"), col("p")).as("quality_score"))),
 
     "h2_token_count" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -319,9 +322,9 @@ object SparkEntry {
     "h3_lang_id" -> ((s, d) =>
       docs(s, d)
         .select(col("doc_id"), col("lang"),
-          TextFunctions.tokens(lower(col("text"))).as("ltok"))
+          TextFunctions.textProfile(lower(col("text"))).as("p"))
         .select(col("doc_id"), col("lang"),
-          TextFunctions.langIdFromTokens(col("ltok")).as("pred_lang"))),
+          TextFunctions.langIdFromProfile(col("p")).as("pred_lang"))),
 
     "h4_doc_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -351,10 +354,10 @@ object SparkEntry {
         .partitionBy(col("__h")).orderBy(col("doc_id"))
       docs(s, d)
         .select(col("doc_id"), col("lang"), col("text"),
-          TextFunctions.tokens(lower(col("text"))).as("ltok"))
+          TextFunctions.textProfile(lower(col("text"))).as("p"))
         .select(col("doc_id"), col("lang"), md5(col("text")).as("__h"),
-          TextFunctions.qualityScoreFromTokens(col("text"), col("ltok")).as("quality_score"),
-          TextFunctions.langIdFromTokens(col("ltok")).as("pred_lang"))
+          TextFunctions.qualityScoreFromProfile(col("text"), col("p")).as("quality_score"),
+          TextFunctions.langIdFromProfile(col("p")).as("pred_lang"))
         // keeper selection must see ALL copies (identical text can carry
         // different lang labels, and the filter depends on lang) — so
         // dedup over the scored rows first, filter after
@@ -383,9 +386,9 @@ object SparkEntry {
       Curation.quotaSample(
         docs(s, d)
           .select(col("doc_id"), col("lang"), col("text"),
-            TextFunctions.tokens(lower(col("text"))).as("ltok"))
+            TextFunctions.textProfile(lower(col("text"))).as("p"))
           .select(col("doc_id"), col("lang"),
-            TextFunctions.qualityScoreFromTokens(col("text"), col("ltok"))
+            TextFunctions.qualityScoreFromProfile(col("text"), col("p"))
               .as("quality_score")),
         Seq("lang"), col("quality_score"), col("doc_id"), 50)),
 
@@ -396,9 +399,9 @@ object SparkEntry {
       graft.plans.TopKPerKey(
         docs(s, d)
           .select(col("doc_id"), col("lang"), col("text"),
-            TextFunctions.tokens(lower(col("text"))).as("ltok"))
+            TextFunctions.textProfile(lower(col("text"))).as("p"))
           .select(col("doc_id"), col("lang"),
-            TextFunctions.qualityScoreFromTokens(col("text"), col("ltok"))
+            TextFunctions.qualityScoreFromProfile(col("text"), col("p"))
               .as("quality_score")),
         keys = Seq(col("lang")),
         order = Seq(col("quality_score").desc, col("doc_id").asc),

@@ -89,6 +89,42 @@ object TextFunctions {
     when(best._2 >= lit(minScore), best._1).otherwise(lit("und"))
   }
 
+  /** All scoring counts in one native single-pass expression
+    * ([[graft.functions.expressions.TextProfile]]); `lowered` must be
+    * the lowercased text. Callers scoring several signals project this
+    * ONCE and derive everything from the struct. */
+  def textProfile(lowered: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.TextProfile(
+        org.apache.spark.sql.graft.ColumnBridge.expression(lowered)))
+
+  /** qualityScore from a [[textProfile]] struct; `text` is the RAW text
+    * (char length must come from the unlowered string — lowercasing can
+    * change codepoint counts in Unicode edge cases). */
+  def qualityScoreFromProfile(text: Column, p: Column): Column = {
+    val nTok = p.getField("n_tokens").cast("double")
+    val nChr = length(text).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val punctRatio = p.getField("n_punct").cast("double") / greatest(nChr, lit(1.0))
+    val stopRatio = p.getField("n_en").cast("double") / greatest(nTok, lit(1.0))
+    Portable.pround(lit(0.4) * lenScore
+      + lit(0.3) * (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0)))
+      + lit(0.3) * least(stopRatio * lit(5.0), lit(1.0)), 4)
+  }
+
+  /** langId from a [[textProfile]] struct — same scoring fold as
+    * [[langId]], zero array traversals. */
+  def langIdFromProfile(p: Column, minScore: Double = 0.05): Column = {
+    val nTok = greatest(p.getField("n_tokens"), lit(1)).cast("double")
+    val scored = profiles.map { case (l, _) =>
+      (l, p.getField(s"n_$l").cast("double") / nTok)
+    }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), greatest(s, bs))
+    }
+    when(best._2 >= lit(minScore), best._1).otherwise(lit("und"))
+  }
+
   /** qualityScore over a pre-projected lowercased token array (`lower`
     * never changes whitespace, so token COUNT from the lowered stream
     * equals the raw-text token count the formula specifies). */

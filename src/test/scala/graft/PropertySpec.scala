@@ -78,6 +78,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TextProfile counts agree with the declarative token pipeline") {
+    import graft.functions.TextFunctions
+    // include profile words so hit counters actually fire
+    val profWord = Gen.oneOf(TextFunctions.profiles.flatMap(_._2))
+    val mixedDoc = for {
+      base <- doc
+      extra <- Gen.listOfN(4, Gen.oneOf(profWord, word, Gen.const("it.")))
+    } yield base + " " + extra.mkString(" ")
+    val docs = samples(mixedDoc, 30)
+    val df = docs.toDF("text")
+    val got = df.select(
+      TextFunctions.textProfile(lower($"text")).as("p"), $"text")
+      .select($"p.n_tokens", $"p.n_punct", $"p.n_en", $"p.n_de", $"p.n_fr",
+        $"p.n_es", $"text")
+      .collect()
+    val profCols = TextFunctions.profiles.map { case (l, ws) =>
+      size(filter(TextFunctions.tokens(lower($"text")),
+        t => t.isin(ws.map(lit): _*))).as(s"c_$l")
+    }
+    val want = df.select(Seq(
+      TextFunctions.tokenCount($"text").as("nt"),
+      TextFunctions.punctCount($"text").as("np"),
+      TextFunctions.stopwordCount($"text").as("ns")) ++ profCols :+ $"text": _*)
+      .collect()
+    got.zip(want).foreach { case (g, w) =>
+      val ctx = g.getString(6)
+      assert(g.getInt(0) == w.getInt(0), s"n_tokens: $ctx")
+      assert(g.getInt(1) == w.getInt(1), s"n_punct: $ctx")
+      assert(g.getInt(2) == w.getInt(2), s"stopwords==n_en: $ctx")
+      (0 until 4).foreach(p =>
+        assert(g.getInt(2 + p) == w.getInt(3 + p), s"profile $p: $ctx"))
+    }
+  }
+
   test("SimHash64 agrees with a per-token xxhash64 vote reference") {
     samples(doc, 40).foreach { s =>
       val votes = new Array[Int](64)
