@@ -130,6 +130,8 @@ case class TopKPerKeyFinalExec(keys: Seq[Expression], order: Seq[SortOrder],
                                k: Int, rankAttr: AttributeReference,
                                child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
   override def requiredChildDistribution: Seq[Distribution] =
     if (keys.isEmpty) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil

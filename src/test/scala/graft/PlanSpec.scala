@@ -41,6 +41,32 @@ class PlanSpec extends SparkSpec {
       s"gapfill must scan the input once:\n$plan")
   }
 
+  test("TopKRewrite turns row_number window filters into TopKPerKey") {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TopKRewrite.ensureRegistered(spark)
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    def q() = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+    val want = q().collect().toSet // flag off: WindowExec path
+    spark.conf.set(graft.plans.TopKRewrite.FlagKey, "true")
+    try {
+      val df = q()
+      val plan = executed(df)
+      assert(plan.contains("TopKPerKeyFinal"),
+        s"expected the rewrite to plan TopKPerKey:\n$plan")
+      // neither WindowExec nor Spark's own sort-based WindowGroupLimit
+      // (which the rewrite subsumes) may remain, and nothing sorts
+      assert(!plan.contains("Window "), s"WindowExec must be gone:\n$plan")
+      assert(!plan.contains("WindowGroupLimit"),
+        s"sort-based group limit must be subsumed:\n$plan")
+      assert(!plan.contains("Sort "), s"no sorts in the top-k path:\n$plan")
+      assert(df.collect().toSet == want) // identical rows AND ranks
+    } finally spark.conf.unset(graft.plans.TopKRewrite.FlagKey)
+  }
+
   test("AQE splits a detected skewed join partition") {
     import spark.implicits._
     // one key owns ~all fact rows; thresholds lowered so local-scale
