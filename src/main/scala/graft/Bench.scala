@@ -9,6 +9,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // run with the full graft surface: SQL functions, the TopKPerKey
+      // strategy, and the row_number->TopKPerKey optimizer rule — every
+      // window-filter query then exercises the custom operator UNDER
+      // the correctness gate
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.graft.rewriteTopK", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // best-of-2 per query: run 1 warms codegen/file-index caches, run 2
