@@ -40,13 +40,6 @@ object Dedup {
                    hashShingleKeys: Boolean = false): DataFrame = {
     val shs = docs.select(col(id).as("doc"),
       shingles(col(text), k).as("shs"))
-    // ONE explicit shuffle on the shingle key anchors both consumers:
-    // bucket assembly is a hash aggregation over that partitioning and
-    // doc sizes are a groupBy on the ReusedExchange — so the
-    // (interpreted, expensive) shingle pipeline is evaluated once.
-    // Separate branches would each re-scan and re-shingle the corpus
-    // (column pruning makes the branches differ, defeating
-    // sameResult-based exchange reuse).
     // `hashShingleKeys` swaps the shuffled key from the shingle string
     // to its 60-bit md5 slice: 8 bytes per key instead of k words. Set
     // it when the exchange is network-bound (the 100 TB regime); leave
@@ -58,31 +51,30 @@ object Dedup {
     val keyOf: Column => Column =
       if (hashShingleKeys) s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")
       else identity
-    val tbl = shs.select(col("doc"),
-        explode(transform(col("shs"), keyOf)).as("sh"))
-      .repartition(col("sh"))
-    // tbl rows are distinct (doc, sh) by construction → count = |A|
-    val sizes = tbl.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    // |A| rides along as 4 bytes per shuffled row, computed map-side
+    // from the same shingle array — the alternative (a separate sizes
+    // aggregation joined back) costs an extra aggregation plus two
+    // broadcast joins, or a second scan+shingle pass of the corpus.
+    // Shingle rows are distinct per doc by construction → size = |A|.
+    val tbl = shs.select(col("doc"), size(col("shs")).as("n_sh"),
+      explode(transform(col("shs"), keyOf)).as("sh"))
     // candidate pairs via per-shingle doc buckets, NOT a self-join: the
     // window-count + sort-merge-join spelling sorts the full shingle
     // table by string key twice; collect_list is a sort-free hash agg
     // and the pair expansion is declarative array work. Stop-shingle
     // drop (df > maxDocFreq) becomes a bucket-size filter, which also
     // bounds the O(m²) expansion per bucket under skew.
-    val shared = tbl.groupBy("sh")
-      .agg(sort_array(collect_list(col("doc"))).as("ds"))
+    tbl.groupBy("sh")
+      .agg(sort_array(collect_list(struct(col("doc"), col("n_sh")))).as("ds"))
       .filter(size(col("ds")).between(2, maxDocFreq))
       .select(explode(Dedup.orderedPairs(col("ds"))).as("p"))
-      // strict < also drops the self-pair a within-doc key collision
-      // would produce (the oracle's a.doc < b.doc join does the same)
+      // strict < (doc leads the struct) also drops the self-pair a
+      // within-doc key collision would produce (the oracle's
+      // a.doc < b.doc join does the same)
       .filter(col("p.a") < col("p.b"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .groupBy(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
+        col("p.a.n_sh").as("n_a"), col("p.b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(broadcast(sizes.withColumnRenamed("doc", "doc_a")
-        .withColumnRenamed("n_sh", "n_a")), Seq("doc_a"))
-      .join(broadcast(sizes.withColumnRenamed("doc", "doc_b")
-        .withColumnRenamed("n_sh", "n_b")), Seq("doc_b"))
       .withColumn("jaccard", graft.functions.Portable.pround(
         col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")), 4))
