@@ -94,6 +94,16 @@ class DedupSpec extends SparkSpec {
     val nm = spark.sql("SELECT l2_normalize(array(3.0d, 4.0d)) AS v")
       .as[Seq[Double]].head()
     assert(nm == Seq(0.6, 0.8))
+    // simhash64: same signature as the operator path for identical text
+    val sig = spark.sql("SELECT simhash64('the quick brown fox') AS s")
+      .as[Long].head()
+    assert(sig == graft.functions.expressions.SimHash64.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("the quick brown fox")))
+    // text_profile: struct of counts, en profile sees the stopwords
+    val tp = spark.sql(
+      "SELECT text_profile('the cat and the hat, ok?') AS p")
+      .select("p.n_tokens", "p.n_punct", "p.n_en").as[(Int, Int, Int)].head()
+    assert(tp == ((6, 2, 3))) // tokens; ',' + '?'; the/and/the
   }
 
   test("embedding near-dup finds identical vectors within cluster") {
