@@ -677,6 +677,27 @@ object SparkEntry {
          |GROUP BY 1, 2""".stripMargin
     },
 
+    "e4_dedup_simhash" -> {
+      // portable 60-bit simhash: per-token hash = first 15 md5 hex
+      // digits as BIGINT (what SimHash60 computes byte-wise); bit j of
+      // the signature = majority vote over token occurrences
+      val bits = (0 until 60).map(j =>
+        s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) > len(hs) THEN ${1L << j} ELSE 0 END)")
+        .grouped(4).map(_.mkString(" + ")).mkString("\n|    + ")
+      s"""WITH t AS (${tokCte("documents", lower = true)}),
+         |hs AS (SELECT doc_id, list_transform(tok,
+         |  x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS hs FROM t),
+         |sig AS (SELECT doc_id AS doc, $bits AS s FROM hs),
+         |chunked AS (
+         |  SELECT doc, s, c.chunk, (s >> (c.chunk * 15)) & 32767 AS key
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS chunk) c)
+         |SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+         |  bit_count(xor(a.s, b.s)) AS hamming
+         |FROM chunked a JOIN chunked b
+         |  ON a.chunk = b.chunk AND a.key = b.key AND a.doc < b.doc
+         |WHERE bit_count(xor(a.s, b.s)) <= 12""".stripMargin
+    },
+
     "e5_dedup_embedding_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, label,

@@ -160,15 +160,30 @@ object Dedup {
           org.apache.spark.sql.graft.ColumnBridge.expression(
             lower(col(text))))).as("simhash"))
 
-  /** SimHash near-dup candidates: bucket by the 4 16-bit chunks of the
-    * signature (pigeonhole: hamming distance <= 3 guarantees one exact
-    * chunk match), verify hamming distance within buckets. */
+  /** 60-bit simhash over the portable md5-slice hash family — same
+    * vote semantics as [[simhash]], but every stage downstream
+    * (signature, chunk bucketing, hamming) is reproducible bit-for-bit
+    * by any engine with md5, so the whole near-dup pipeline is
+    * oracle-verifiable. */
+  def simhashPortable(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("doc"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.expressions.SimHash60(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            lower(col(text))))).as("simhash"))
+
+  /** SimHash near-dup candidates: bucket by the 4 15-bit chunks of the
+    * portable 60-bit signature (pigeonhole: hamming distance <= 3
+    * guarantees one exact chunk match; larger `maxHamming` keeps the
+    * same bucketing as approximate candidate generation), verify
+    * hamming distance within buckets. Built on [[simhashPortable]] so
+    * the full pipeline hash-matches the DuckDB oracle. */
   def simhashNearDup(docs: DataFrame, id: String, text: String,
                      maxHamming: Int): DataFrame = {
-    val sig = simhash(docs, id, text)
+    val sig = simhashPortable(docs, id, text)
     val chunked = sig.select(col("doc"), col("simhash"), posexplode(
       array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL))): _*))
       .as(Seq("chunk", "key")))
     // per-(chunk, key) buckets → pair expansion (sort_array orders the
     // structs by doc, so expansion order reproduces a.doc < b.doc);
