@@ -112,6 +112,9 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("n_users_approx"),
           count(lit(1)).as("n_events"))),
 
+    "b10_distinct_kmv" -> ((s, d) =>
+      Sketches.kmvDistinct(ev(s, d), col("event_id"), 256)),
+
     // C. analytics layer
     "c1_balance_group_metrics" -> ((s, d) => {
       val grp = when(col("c_acctbal") < 0, "negative")
@@ -525,6 +528,17 @@ object SparkEntry {
          |  ${sqlPround("quantile_cont(value, 0.99)", 4)} AS p99,
          |  count(*) AS n_events
          |FROM events GROUP BY 1""".stripMargin,
+
+    "b10_distinct_kmv" ->
+      s"""WITH h AS (SELECT DISTINCT
+         |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events),
+         |b AS (SELECT h FROM h ORDER BY h LIMIT 256)
+         |SELECT count(*) AS k_used, max(h) AS kth_hash,
+         |  ${sqlPround(
+               "CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE) " +
+               "ELSE 255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END", 2)} AS est_distinct
+         |FROM b""".stripMargin,
 
     "c1_balance_group_metrics" ->
       s"""SELECT CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 1000 THEN 'low'

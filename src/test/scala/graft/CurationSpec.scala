@@ -55,6 +55,19 @@ class CurationSpec extends SparkSpec {
     assert(got == Set(("a", 1L), ("a", 2L), ("b", 5L), ("b", 4L)))
   }
 
+  test("KMV distinct estimate lands within the sketch's error bound") {
+    val df = spark.range(50000).select(($"id" % 10000).as("v"))
+    val est = graft.operators.Sketches.kmvDistinct(df, $"v", 256)
+      .select("est_distinct").as[Double].head()
+    // rel std err ~ 1/sqrt(256) = 6.25%; allow 4 sigma
+    assert(math.abs(est - 10000) / 10000 < 0.25, s"est=$est")
+    // below k distinct values the sketch is exact
+    val exact = graft.operators.Sketches.kmvDistinct(
+      spark.range(100).toDF("v"), $"v", 256)
+      .select("est_distinct").as[Double].head()
+    assert(exact == 100.0)
+  }
+
   test("repetition ratio: degenerate repeats score high, prose low") {
     val df = Seq(
       (1L, "buy now buy now buy now buy now buy now buy now"),
