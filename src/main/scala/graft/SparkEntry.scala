@@ -752,6 +752,38 @@ object SparkEntry {
         .replace("PROUND_DOT", sqlPround(
           "list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]), (x, y) -> x + y)", 6)),
 
+    "f2_ann_lsh" -> {
+      // the SAME deterministic hyperplane literals the operator ships to
+      // executors, embedded as SQL arrays (Double.toString round-trips
+      // exactly, so both engines compare the identical doubles to 0)
+      val ps = graft.operators.Similarity.planes(8, 64)
+      def planeArr(p: Int): String = ps(p).map(_.toString).mkString("[", ", ", "]")
+      val bucket = (0 until 8).map(p =>
+        s"(CASE WHEN list_reduce(list_transform(generate_series(1, len(v)), i -> v[i] * ${planeArr(p)}[i]), (x, y) -> x + y) > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString("\n|    + ")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         |         (a, b) -> a + b)) AS nrm,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e
+         |), b AS (
+         |  SELECT vec_id, v, $bucket AS bucket FROM n
+         |), q AS (
+         |  SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 100 = 0
+         |), s AS (
+         |  SELECT query_id, c.vec_id AS nn_id,
+         |    ${sqlPround("list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]), (x, y) -> x + y)", 6)} AS cosine
+         |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+         |)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank,
+         |  nn_id, cosine
+         |FROM s QUALIFY rank <= 5""".stripMargin
+    },
+
     "g3_mm_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, CAST(floor(octet_length(encode(text)) / 64) AS BIGINT) AS nf
