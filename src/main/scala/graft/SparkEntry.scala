@@ -784,6 +784,71 @@ object SparkEntry {
          |FROM s QUALIFY rank <= 5""".stripMargin
     },
 
+    "f3_ann_ivf" -> {
+      // trained IVF, fully mirrored: the fixed-point Lloyd sums make the
+      // k-means deterministic (see Similarity.trainCentroids), so two
+      // unrolled iterations in SQL reproduce bit-identical centroids —
+      // assignment tie-break (dot DESC, cell DESC) and the sequential
+      // fold orders match the Scala/VectorDot arithmetic exactly
+      val dot = "list_reduce(list_transform(generate_series(1, 64), i -> %s[i] * %s[i]), (x, y) -> x + y)"
+      def iter(prev: String, next: String): String =
+        s"""a_$next AS (
+           |  SELECT vec_id, v, cell FROM (
+           |    SELECT n.vec_id, n.v, $prev.cell,
+           |      row_number() OVER (PARTITION BY n.vec_id
+           |        ORDER BY ${dot.format("n.v", s"$prev.cv")} DESC, $prev.cell DESC) AS rk
+           |    FROM n CROSS JOIN $prev) WHERE rk = 1),
+           |s_$next AS (
+           |  SELECT cell, g.i AS pos,
+           |    CAST(SUM(CAST(floor(v[g.i] * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           |      / 1000000000000.0 / COUNT(*) AS m
+           |  FROM a_$next CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+           |  GROUP BY cell, g.i),
+           |m_$next AS (
+           |  SELECT cell, list(m ORDER BY pos) AS ml FROM s_$next GROUP BY cell),
+           |n_$next AS (
+           |  SELECT cell, ml,
+           |    sqrt(list_reduce(list_transform(ml, x -> x * x), (a, b) -> a + b)) AS nrm
+           |  FROM m_$next),
+           |$next AS (
+           |  SELECT $prev.cell,
+           |    CASE WHEN n_$next.cell IS NULL OR n_$next.nrm = 0 THEN $prev.cv
+           |         ELSE list_transform(n_$next.ml, x -> x / n_$next.nrm) END AS cv
+           |  FROM $prev LEFT JOIN n_$next ON $prev.cell = n_$next.cell)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT vec_id,
+         |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         |         (a, b) -> a + b)) AS nrm,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e0),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v AS cv
+         |  FROM n QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+         |${iter("c0", "c1")},
+         |${iter("c1", "c2")},
+         |asn AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT n.vec_id, n.v, c2.cell,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${dot.format("n.v", "c2.cv")} DESC, c2.cell DESC) AS rk
+         |    FROM n CROSS JOIN c2) WHERE rk = 1),
+         |q AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell FROM (
+         |    SELECT n.vec_id, n.v, c2.cell,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${dot.format("n.v", "c2.cv")} DESC, c2.cell DESC) AS rk
+         |    FROM n CROSS JOIN c2 WHERE n.vec_id % 100 = 0) WHERE rk <= 4),
+         |s AS (
+         |  SELECT q.query_id, a.vec_id AS nn_id,
+         |    ${sqlPround("list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * a.v[i]), (x, y) -> x + y)", 6)} AS cosine
+         |  FROM q JOIN asn a ON a.cell = q.cell AND a.vec_id <> q.query_id)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank,
+         |  nn_id, cosine
+         |FROM s QUALIFY rank <= 5""".stripMargin
+    },
+
     "g3_mm_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, CAST(floor(octet_length(encode(text)) / 64) AS BIGINT) AS nf

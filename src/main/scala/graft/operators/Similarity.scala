@@ -116,12 +116,24 @@ object Similarity {
     * over the corpus and the update is one grouped per-dimension mean —
     * only the nCells×dim MODEL is ever collected to the driver (the
     * MLlib pattern), never data. Empty cells keep their previous
-    * centroid. Returns unit-norm centroids. */
+    * centroid. Returns unit-norm centroids.
+    *
+    * DETERMINISTIC by construction: the per-dimension sums are
+    * fixed-point (exact long accumulation, order-independent — a plain
+    * double sum varies in ULPs with Spark's partition order, which can
+    * flip a knife-edge assignment next iteration), and the mean/norm
+    * arithmetic is a fixed sequential fold. Identical input → bit-
+    * identical centroids on every run AND in any engine that mirrors
+    * the formula, which is what lets the full trained-IVF pipeline be
+    * oracle-verified. Scale 10^12 keeps Σ|x|·10^12 < 2^63 for unit-norm
+    * inputs up to ~10^6 rows per (cell, dim); lower it for larger
+    * cells. */
   def trainCentroids(corpus: DataFrame, id: String, vec: String,
                      nCells: Int, iters: Int): Array[Seq[Double]] = {
     val c = corpus.select(col(id).as("nn_id"), l2normalize(col(vec)).as("cv"))
     var cents: Array[Seq[Double]] = c.orderBy("nn_id").limit(nCells)
       .collect().map(_.getSeq[Double](1))
+    val scale = 1e12
     for (_ <- 0 until iters) {
       val best = element_at(sort_array(array(cents.zipWithIndex.map {
         case (cv, i) => struct(dot(col("cv"), typedlit(cv)).as("s"),
@@ -129,14 +141,18 @@ object Similarity {
       }: _*), asc = false), 1)("cell")
       val sums = c.withColumn("cell", best)
         .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(sum("x").as("sx"), count(lit(1)).as("n"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+        .groupBy("cell", "pos")
+        .agg(sum(graft.functions.Portable.toFixed(col("x"), 12)).as("sx"),
+          count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
       val byCell = sums.groupBy(_._1)
       cents = cents.zipWithIndex.map { case (old, i) =>
         byCell.get(i) match {
           case Some(rows) =>
-            val mean = rows.sortBy(_._2).map(r => r._3 / r._4)
-            val nrm = math.sqrt(mean.map(x => x * x).sum)
+            val mean = rows.sortBy(_._2).map(r => r._3.toDouble / scale / r._4)
+            var ss = 0.0
+            mean.foreach(x => ss += x * x) // fixed sequential fold
+            val nrm = math.sqrt(ss)
             if (nrm == 0.0) old else mean.map(_ / nrm).toSeq
           case None => old
         }
