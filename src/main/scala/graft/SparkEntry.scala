@@ -291,7 +291,11 @@ object SparkEntry {
       Multimodal.metadata(Multimodal.asMediaTable(docs(s, d), "doc_id", "text"))),
 
     "g2_mm_featurize" -> ((s, d) =>
-      Multimodal.featurize(Multimodal.asMediaTable(docs(s, d), "doc_id", "text"), 16).toDF()),
+      // feature dims as scalar columns (checksum is ScalaTest-covered;
+      // CRC32 has no oracle counterpart)
+      Multimodal.featurize(Multimodal.asMediaTable(docs(s, d), "doc_id", "text"), 16)
+        .toDF().select(col("media_id") +: (0 until 16).map(j =>
+          pround(col("feature")(j), 4).as(s"f$j")): _*)),
 
     "g3_mm_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
@@ -783,6 +787,42 @@ object SparkEntry {
          |  nn_id, cosine
          |FROM s QUALIFY rank <= 5""".stripMargin
     },
+
+    "g1_mm_metadata" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image/fake' AS media_type,
+        |  CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 512 + 32 AS INTEGER) AS width,
+        |  CAST(CAST(concat('0x', substr(md5(concat(text, '|h')), 1, 15)) AS BIGINT) % 512 + 32 AS INTEGER) AS height,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 512 + 32 AS INTEGER)
+        |    * CAST(CAST(concat('0x', substr(md5(concat(text, '|h')), 1, 15)) AS BIGINT) % 512 + 32 AS INTEGER) AS n_pixels
+        |FROM documents""".stripMargin,
+
+    "g2_mm_featurize" -> {
+      // byte-exact mirror of the stub decode: bytes extracted from the
+      // payload's hex string, integer-summed per slot, scaled once
+      val fcols = (0 until 16).map(j =>
+        s"  ${sqlPround(s"COALESCE(SUM(CASE WHEN j = $j THEN sb END), 0) / 255.0", 4)} AS f$j")
+        .mkString(",\n")
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+         |  FROM documents),
+         |e AS (SELECT doc_id, hx, unnest(generate_series(0, CAST(n AS BIGINT) - 1)) AS i FROM b),
+         |s AS (
+         |  SELECT doc_id, i % 16 AS j,
+         |    SUM(CAST(concat('0x', substr(hx, CAST(2 * i + 1 AS INTEGER), 2)) AS BIGINT)) AS sb
+         |  FROM e GROUP BY 1, 2),
+         |p AS (SELECT doc_id,
+         |$fcols
+         |  FROM s GROUP BY doc_id)
+         |SELECT CAST(d.doc_id AS BIGINT) AS media_id,
+         |  ${(0 until 16).map(j => s"COALESCE(p.f$j, 0.0) AS f$j").mkString(", ")}
+         |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin
+    },
+
+    "g4_mm_resize" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image/fake' AS media_type,
+        |  8 AS width, 8 AS height, 64 AS n_bytes
+        |FROM documents""".stripMargin,
 
     "f3_ann_ivf" -> {
       // trained IVF, fully mirrored: the fixed-point Lloyd sums make the

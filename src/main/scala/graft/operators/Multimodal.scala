@@ -31,18 +31,25 @@ object Multimodal {
       encode(col(payloadSource), "UTF-8").as("payload"),
       struct(
         lit("image/fake").as("mediaType"),
-        (pmod(xxhash64(col(payloadSource)), lit(512L)) + 32L).cast(IntegerType).as("width"),
-        (pmod(xxhash64(col(payloadSource), lit(1)), lit(512L)) + 32L).cast(IntegerType).as("height"),
+        // fake dims from the portable md5 hash (not xxhash64) so the
+        // metadata table is reproducible by the SQL oracle bit-for-bit
+        (Sketches.portableHash(col(payloadSource)) % 512 + 32)
+          .cast(IntegerType).as("width"),
+        (Sketches.portableHash(concat(col(payloadSource), lit("|h"))) % 512 + 32)
+          .cast(IntegerType).as("height"),
         length(col(payloadSource)).cast(LongType).as("nBytes")).as("meta"))
 
   /** ===== STUB ===== deterministic fake decode: real implementation
     * would decode `payload` with a codec; the fake derives a fixed-size
-    * feature from the bytes so the distributed plumbing is testable. */
+    * feature from the bytes so the distributed plumbing is testable.
+    * Accumulation is integer (exact, order-independent), scaled once at
+    * the end — so the feature values are bit-reproducible by the SQL
+    * oracle, not just approximately equal. */
   private def decodeStub(payload: Array[Byte], dim: Int): Array[Double] = {
-    val f = new Array[Double](dim)
+    val sums = new Array[Long](dim)
     var i = 0
-    while (i < payload.length) { f(i % dim) += (payload(i) & 0xFF) / 255.0; i += 1 }
-    f
+    while (i < payload.length) { sums(i % dim) += (payload(i) & 0xFF); i += 1 }
+    sums.map(_ / 255.0)
   }
 
   /** Batched featurization: mapPartitions so any per-batch model/codec
