@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** All ordered element pairs (a < b by array position) of a sorted
-    * array, as structs {a, b} — the declarative bucket→candidate-pair
-    * expansion shared by the LSH-style dedup variants. */
+    * array, as structs {a, b} — one native codegen'd expression (see
+    * [[graft.functions.expressions.OrderedPairs]]; the nested-HOF
+    * spelling was interpreted and allocated a slice per element),
+    * shared by the LSH-style dedup variants. */
   private[operators] def orderedPairs(ds: Column): Column =
-    flatten(transform(ds, (x, i) =>
-      transform(slice(ds, i + lit(2), size(ds) - i - lit(1)),
-        y => struct(x.as("a"), y.as("b")))))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.OrderedPairs(
+        org.apache.spark.sql.graft.ColumnBridge.expression(ds)))
 
   /** Exact dedup: group by content hash; keeper = min id. */
   def exact(docs: DataFrame, id: String, text: String): DataFrame =
