@@ -44,15 +44,19 @@ object Warehouse {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val spark = updates.sparkSession
+    // explicit existence probe — catching AnalysisException here would
+    // also swallow real errors (corrupt footer, schema mismatch) and
+    // silently treat a broken table as a first load
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
-      try {
+      if (!fs.exists(hPath)) updates.limit(0) // first load: nothing to merge
+      else {
         val full = spark.read.parquet(path)
         // prune to touched partitions only (broadcast semi-join on the
         // small distinct partition-key set keeps pruning dynamic)
         full.join(broadcast(updates.select(partitionCols.map(col): _*).distinct()),
           partitionCols, "left_semi")
-      } catch { case _: org.apache.spark.sql.AnalysisException =>
-        updates.limit(0) // first load: nothing to merge
       }
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col(versionCol).desc, col("__src").desc)
