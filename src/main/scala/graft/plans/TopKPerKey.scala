@@ -77,29 +77,72 @@ object GraftStrategy extends SparkStrategy {
 }
 
 /** Shared per-partition bounded top-k: key → heap of (at most k) rows,
-  * heap root = currently-worst kept row for O(log k) replacement. */
+  * heap root = currently-worst kept row for O(log k) replacement.
+  *
+  * `maxKeysInFlight` bounds memory under extreme key cardinality: when
+  * the map exceeds it, all current heaps are FLUSHED downstream and the
+  * map restarts. Flushing is exact, not approximate — a row of the true
+  * partition top-k can only be evicted from a heap by k better rows of
+  * the SAME partition, which would contradict it being in the top-k, so
+  * every true top-k row survives in some flushed heap and the final
+  * pass sees it. The partial stage then degrades gracefully from
+  * "at most k rows per key" toward pass-through instead of OOMing —
+  * the same safety property hash aggregation gets from spilling. */
 private[plans] object BoundedTopK {
+  type Heap = java.util.PriorityQueue[InternalRow]
+
   def run(iter: Iterator[InternalRow], keys: Seq[Expression], order: Seq[SortOrder],
-          k: Int, attrs: Seq[Attribute]): Iterator[(UnsafeRow, java.util.PriorityQueue[InternalRow])] = {
-    val keyProj = UnsafeProjection.create(keys, attrs)
-    val ordering = RowOrdering.create(order, attrs)
-    val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-    while (iter.hasNext) {
-      val row = iter.next()
-      val key = keyProj(row)
-      var heap = heaps.get(key)
-      if (heap == null) {
-        heap = new java.util.PriorityQueue[InternalRow](k + 1, ordering.reverse)
-        heaps.put(key.copy(), heap)
+          k: Int, attrs: Seq[Attribute],
+          maxKeysInFlight: Int = Int.MaxValue): Iterator[(UnsafeRow, Heap)] =
+    new Iterator[(UnsafeRow, Heap)] {
+      private val keyProj = UnsafeProjection.create(keys, attrs)
+      private val ordering = RowOrdering.create(order, attrs)
+      private var current: java.util.Iterator[java.util.Map.Entry[UnsafeRow, Heap]] =
+        java.util.Collections.emptyIterator()
+      private var pending: InternalRow = _ // row that forced the last flush
+
+      private def insert(heaps: java.util.LinkedHashMap[UnsafeRow, Heap],
+                         row: InternalRow, key: UnsafeRow): Unit = {
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new Heap(k + 1, ordering.reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < k) heap.add(row.copy())
+        else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(row.copy())
+        }
       }
-      if (heap.size < k) heap.add(row.copy())
-      else if (ordering.compare(row, heap.peek()) < 0) {
-        heap.poll(); heap.add(row.copy())
+
+      // builds the next batch of heaps; stops early (emitting what it
+      // has) when the in-flight key cap is reached, so memory stays
+      // bounded no matter the partition's key cardinality
+      private def consume(): Unit = {
+        val heaps = new java.util.LinkedHashMap[UnsafeRow, Heap]()
+        if (pending != null) {
+          insert(heaps, pending, keyProj(pending)); pending = null
+        }
+        var flushNow = false
+        while (!flushNow && iter.hasNext) {
+          val row = iter.next()
+          val key = keyProj(row)
+          if (heaps.get(key) == null && heaps.size >= maxKeysInFlight) {
+            pending = row.copy(); flushNow = true
+          } else insert(heaps, row, key)
+        }
+        current = heaps.entrySet().iterator()
+      }
+
+      override def hasNext: Boolean = {
+        while (!current.hasNext && (pending != null || iter.hasNext)) consume()
+        current.hasNext
+      }
+      override def next(): (UnsafeRow, Heap) = {
+        if (!hasNext) throw new NoSuchElementException
+        val e = current.next()
+        (e.getKey, e.getValue)
       }
     }
-    import scala.jdk.CollectionConverters._
-    heaps.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
-  }
 }
 
 /** Map-side cap: at most k rows per key leave each input partition.
@@ -111,8 +154,13 @@ case class TopKPerKeyPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
 
   override protected def doExecute(): RDD[InternalRow] = {
     val (ks, ord, n, attrs) = (keys, order, k, child.output)
+    // memory valve for extreme key cardinality (see BoundedTopK); the
+    // FINAL exec never flushes — it must see every row of a key — so
+    // the cap only loosens the map-side reduction, never correctness
+    val maxKeys = conf.getConfString(
+      "spark.graft.topk.maxKeysInFlight", "1000000").toInt
     child.execute().mapPartitions({ iter =>
-      BoundedTopK.run(iter, ks, ord, n, attrs)
+      BoundedTopK.run(iter, ks, ord, n, attrs, maxKeys)
         .flatMap { case (_, heap) =>
           import scala.jdk.CollectionConverters._
           heap.iterator().asScala

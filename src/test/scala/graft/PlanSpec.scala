@@ -67,6 +67,24 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKRewrite.FlagKey)
   }
 
+  test("TopKPerKey partial flush valve stays exact under a tiny key cap") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag", "l_linestatus")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val base = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val want = base.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 4)
+      .collect().map(_.toSeq).toSet
+    spark.conf.set("spark.graft.topk.maxKeysInFlight", "1") // flush constantly
+    try {
+      val got = graft.plans.TopKPerKey(base,
+        keys = Seq(col("l_returnflag"), col("l_linestatus")),
+        order = Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc),
+        k = 4).collect().map(_.toSeq).toSet
+      assert(got == want)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysInFlight")
+  }
+
   test("AQE splits a detected skewed join partition") {
     import spark.implicits._
     // one key owns ~all fact rows; thresholds lowered so local-scale
