@@ -106,8 +106,14 @@ object Dedup {
     * moves the dominant hashing cost. Each projection stage is
     * materialized separately so shingling and hashing run once per
     * doc. */
+  /** `maxBucket` caps the per-(band, bucket) doc list before the
+    * quadratic pair expansion — buckets past the cap are dropped, the
+    * standard LSH guard against giant near-identical groups (their
+    * members are caught far cheaper by [[exact]] dedup first). Unlimited
+    * by default so results are cap-free unless the caller opts in. */
   def minhashLsh(docs: DataFrame, id: String, text: String, k: Int,
-                 numHashes: Int, rowsPerBand: Int): DataFrame = {
+                 numHashes: Int, rowsPerBand: Int,
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes % rowsPerBand == 0)
     val shs = docs.select(col(id).as("doc"),
       shingles(col(text), k).as("shs"))
@@ -141,7 +147,7 @@ object Dedup {
       ): _*)).as(Seq("band", "bucket")))
     banded.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")).between(2, maxBucket))
       .select(explode(Dedup.orderedPairs(col("ds"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
@@ -181,7 +187,7 @@ object Dedup {
     * hamming distance within buckets. Built on [[simhashPortable]] so
     * the full pipeline hash-matches the DuckDB oracle. */
   def simhashNearDup(docs: DataFrame, id: String, text: String,
-                     maxHamming: Int): DataFrame = {
+                     maxHamming: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
     val sig = simhashPortable(docs, id, text)
     val chunked = sig.select(col("doc"), col("simhash"), posexplode(
       array((0 until 4).map(c =>
@@ -192,7 +198,7 @@ object Dedup {
     // distinct dedups pairs colliding in several chunks
     chunked.groupBy(col("chunk"), col("key"))
       .agg(sort_array(collect_list(struct(col("doc"), col("simhash")))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")).between(2, maxBucket))
       .select(explode(Dedup.orderedPairs(col("ds"))).as("p"))
       .select(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
         bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
