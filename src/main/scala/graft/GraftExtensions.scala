@@ -37,9 +37,13 @@ object GraftExtensions {
     "simhash64" -> (args => SimHash64(args(0))),
     "text_profile" -> (args => TextProfile(args(0))))
 
-  /** Install the functions on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Install the full surface (functions + strategy + optimizer rule)
+    * on an existing session — parity with the `spark.sql.extensions`
+    * path for sessions built before graft was on the classpath. */
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, name, builder)
     }
+    graft.plans.TopKRewrite.ensureRegistered(spark)
+  }
 }

@@ -45,26 +45,27 @@ object Curation {
   }
 
   /** Contamination when train and eval live in ONE table split by a
-    * predicate: shingle the corpus ONCE behind an explicit exchange on
-    * the shingle key, then branch — the two-DataFrame form would scan
-    * and re-shingle per side (column pruning defeats sameResult-based
-    * exchange reuse across differing filters). Both the train-distinct
-    * aggregation and the hit join run on the reused partitioning. */
+    * predicate: a SINGLE linear pipeline, so the corpus is scanned and
+    * shingled exactly once (PlanSpec-asserted) — branching the exploded
+    * table instead lets column pruning specialize each branch below the
+    * exchange, silently defeating sameResult reuse and doubling the
+    * scan. Per shingle, one aggregation records whether ANY train doc
+    * has it and which eval docs need it; re-exploding the (small) eval
+    * side yields the per-doc hit counts. Two shuffles total (shingle
+    * key, then eval doc key), no join. */
   def contaminationSplit(docs: DataFrame, id: String, text: String,
-                         k: Int, isEval: Column): DataFrame = {
-    val sh = docs.select(col(id).as("doc_id"), isEval.as("ev"),
+                         k: Int, isEval: Column): DataFrame =
+    docs.select(col(id).as("doc_id"), isEval.as("ev"),
         explode(shingles(col(text), k)).as("sh"))
-      .repartition(col("sh"))
-    val trainSh = sh.filter(!col("ev"))
-      .select(col("sh")).distinct()
-      .select(col("sh"), col("sh").as("hit_sh"))
-    val evalSh = sh.filter(col("ev")).select(col("doc_id"), col("sh"))
-    evalSh.join(trainSh, Seq("sh"), "left")
+      .groupBy("sh")
+      .agg(max(when(!col("ev"), lit(1)).otherwise(lit(0))).as("in_train"),
+        collect_list(when(col("ev"), col("doc_id"))).as("eval_docs"))
+      .filter(size(col("eval_docs")) > 0)
+      .select(col("in_train"), explode(col("eval_docs")).as("doc_id"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"), count(col("hit_sh")).as("n_hit"))
+      .agg(count(lit(1)).as("n_sh"), sum(col("in_train")).as("n_hit"))
       .withColumn("contamination", Portable.pround(
         col("n_hit").cast("double") / col("n_sh"), 4))
-  }
 
   /** Deterministic hash sample: keep rows whose md5-derived bucket (of
     * `buckets`) falls below `rate`. Reproducible across runs, engines

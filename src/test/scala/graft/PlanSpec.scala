@@ -114,6 +114,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shingle pipelines scan and shingle the corpus exactly once") {
+    // the anchored-exchange claims: both consumers of the exploded
+    // shingle table must come from ONE scan (exchange reuse), not
+    // per-branch re-shingling
+    for (q <- Seq("e2_dedup_ngram_jaccard", "h8_contamination")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+        .split("== Initial Plan ==").head
+      val scans = "FileScan parquet".r.findAllIn(plan).size
+      assert(scans == 1, s"$q must scan documents once, got $scans:\n$plan")
+    }
+  }
+
   test("hash sampling is a pure filter: zero exchanges") {
     val df = SparkEntry.queries("k1_hash_sample")(spark, sf)
     val plan = executed(df)
