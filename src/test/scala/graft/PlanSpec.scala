@@ -126,6 +126,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("as-of join plans as tagged union + window — no join operator") {
+    val plan = executed(SparkEntry.queries("d6_asof_join")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"),
+      s"as-of must not plan a join (no range explosion):\n$plan")
+  }
+
+  test("range join buckets into a hash equi-join, never nested-loop") {
+    val plan = executed(SparkEntry.queries("d7_range_join")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"range join must be an equi-join:\n$plan")
+    assert(!plan.contains("NestedLoop"),
+      s"range join must never plan a nested loop:\n$plan")
+  }
+
   test("hash sampling is a pure filter: zero exchanges") {
     val df = SparkEntry.queries("k1_hash_sample")(spark, sf)
     val plan = executed(df)
