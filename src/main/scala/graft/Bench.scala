@@ -23,7 +23,12 @@ object Bench {
     // unconsumed column, so map-only queries would be measured as bare
     // row counts; noop computes each result column and discards it.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (driver never sets it): run only the named
+    // queries, e.g. SPARK_GRAFT_ONLY=e6_dedup_clusters,e2_dedup_ngram_jaccard
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -383,6 +383,35 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"),
         TextFunctions.repetitionRatio(col("text"), 3).as("repetition_ratio"))),
 
+    // DQ. data-quality checks (dbt schema tests)
+    "dq1_checks" -> ((s, d) => {
+      val e = ev(s, d)
+      DataQuality.report(Seq(
+        // all column-local checks on events fuse into ONE scan
+        DataQuality.columnChecks(e, Seq(
+          ("not_null_user_id", col("user_id").isNull),
+          ("not_null_ts", col("ts").isNull),
+          ("not_null_value", col("value").isNull),
+          ("accepted_values_event_type", col("event_type").isNotNull &&
+            !col("event_type").isin("view", "click", "signup", "error", "purchase")))),
+        DataQuality.unique(e, Seq("event_id")),
+        DataQuality.relationships(e, "user_id", Tables.customer(s, d), "c_custkey")))
+    }),
+
+    "h10_interdup" -> ((s, d) =>
+      Dedup.sharedShingleRatio(docs(s, d), "doc_id", "text", 3)),
+
+    "h11_source_mix" -> ((s, d) =>
+      Curation.sourceMix(
+        docs(s, d)
+          .select(col("source"), col("lang"), col("text"),
+            TextFunctions.textProfile(lower(col("text"))).as("p"))
+          .select(col("source"), col("lang"),
+            col("p.n_tokens").cast("long").as("n_tok"),
+            TextFunctions.qualityScoreFromProfile(col("text"), col("p"))
+              .as("q")),
+        Seq("source", "lang"), col("n_tok"), col("q"))),
+
     // K. curation sampling
     "k1_hash_sample" -> ((s, d) =>
       Curation.hashSample(docs(s, d), col("doc_id"), 37)
@@ -398,6 +427,20 @@ object SparkEntry {
             TextFunctions.qualityScoreFromProfile(col("text"), col("p"))
               .as("quality_score")),
         Seq("lang"), col("quality_score"), col("doc_id"), 50)),
+
+    // token-budget corpus assembly: greedy quality-desc prefix per lang
+    // until the running token total passes the budget
+    "k4_token_budget" -> ((s, d) =>
+      Curation.tokenBudgetSample(
+        docs(s, d)
+          .select(col("doc_id"), col("lang"), col("text"),
+            TextFunctions.textProfile(lower(col("text"))).as("p"))
+          .select(col("doc_id"), col("lang"),
+            col("p.n_tokens").cast("long").as("n_tokens"),
+            TextFunctions.qualityScoreFromProfile(col("text"), col("p"))
+              .as("quality_score")),
+        Seq("lang"), col("n_tokens"), col("quality_score"), col("doc_id"),
+        budget = 3000L)),
 
     // same quota semantics through the custom TopKPerKey physical
     // operator (bounded per-key heaps, no per-stratum sort) — shares
@@ -1021,6 +1064,84 @@ object SparkEntry {
                s"1.0 - CAST(len(list_distinct($shingle3)) AS DOUBLE) / " +
                "(CASE WHEN len(tok) < 3 THEN 1 ELSE len(tok) - 2 END)", 4)} AS repetition_ratio
          |FROM t""".stripMargin,
+
+    "dq1_checks" ->
+      """SELECT 'not_null_user_id' AS check_name, count(*) AS n_violations, count(*) = 0 AS passed
+        |FROM events WHERE user_id IS NULL
+        |UNION ALL
+        |SELECT 'not_null_ts', count(*), count(*) = 0 FROM events WHERE ts IS NULL
+        |UNION ALL
+        |SELECT 'not_null_value', count(*), count(*) = 0 FROM events WHERE value IS NULL
+        |UNION ALL
+        |SELECT 'accepted_values_event_type', count(*), count(*) = 0 FROM events
+        |WHERE event_type IS NOT NULL
+        |  AND event_type NOT IN ('view', 'click', 'signup', 'error', 'purchase')
+        |UNION ALL
+        |SELECT 'unique_event_id', count(*), count(*) = 0
+        |FROM (SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'relationships_user_id', count(*), count(*) = 0 FROM events
+        |WHERE user_id IS NOT NULL AND user_id NOT IN (SELECT c_custkey FROM customer)""".stripMargin,
+
+    "h10_interdup" ->
+      s"""WITH t AS (${tokCte("documents", lower = true)}),
+         |s AS (SELECT doc_id, list_distinct($shingle3) AS shs FROM t),
+         |e AS (SELECT doc_id AS doc, unnest(shs) AS sh FROM s),
+         |d AS (SELECT sh, count(*) AS df FROM e GROUP BY 1)
+         |SELECT e.doc AS doc_id, count(*) AS n_sh,
+         |  count(*) FILTER (WHERE d.df > 1) AS n_shared,
+         |  ${sqlPround("CAST(count(*) FILTER (WHERE d.df > 1) AS DOUBLE) / count(*)", 4)} AS shared_ratio
+         |FROM e JOIN d USING (sh)
+         |GROUP BY e.doc""".stripMargin,
+
+    "h11_source_mix" -> {
+      val stop = TextFunctions.stopwordsEn.map("'" + _ + "'").mkString("[", ",", "]")
+      val quality = sqlPround(
+        """0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+          | + 0.3 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+          | + 0.3 * least(CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0)"""
+          .stripMargin.replace("\n", ""), 4)
+      s"""WITH t AS (${tokCte("documents", lower = false)}),
+         |m AS (
+         |  SELECT source, lang, text, len(tok) AS n_tokens,
+         |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |        x -> len(x) > 0 AND list_contains($stop, x))) AS n_stopwords,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+         |  FROM t),
+         |q AS (SELECT source, lang, n_tokens, $quality AS q FROM m),
+         |g AS (
+         |  SELECT source, lang, count(*) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    ${sqlFixedAvg("q", 4)} AS avg_quality
+         |  FROM q GROUP BY 1, 2)
+         |SELECT source, lang, n_docs, n_tokens, avg_quality,
+         |  ${sqlPround("CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)", 6)} AS token_share
+         |FROM g""".stripMargin
+    },
+
+    "k4_token_budget" -> {
+      val stop = TextFunctions.stopwordsEn.map("'" + _ + "'").mkString("[", ",", "]")
+      val quality = sqlPround(
+        """0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+          | + 0.3 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+          | + 0.3 * least(CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0)"""
+          .stripMargin.replace("\n", ""), 4)
+      s"""WITH t AS (${tokCte("documents", lower = false)}),
+         |m AS (
+         |  SELECT doc_id, lang, text, len(tok) AS n_tokens,
+         |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |        x -> len(x) > 0 AND list_contains($stop, x))) AS n_stopwords,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+         |  FROM t),
+         |scored AS (SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  $quality AS quality_score FROM m),
+         |r AS (
+         |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang
+         |    ORDER BY quality_score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM scored)
+         |SELECT doc_id, lang, n_tokens, quality_score, cum_tokens
+         |FROM r WHERE cum_tokens <= 3000""".stripMargin
+    },
 
     "k1_hash_sample" ->
       """SELECT doc_id, lang,

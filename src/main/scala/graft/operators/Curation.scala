@@ -94,4 +94,41 @@ object Curation {
       .filter(col("rk") <= n)
       .drop("rk")
   }
+
+  /** Token-budget quota: per stratum, keep rows in `order`-desc
+    * (tie-broken) sequence while the RUNNING token total (inclusive of
+    * the current row) stays within `budget` — how corpus assembly
+    * targets a token mix, not a document mix. Same single-window shape
+    * as [[quotaSample]]: one shuffle on the stratum key, one sort, a
+    * codegen'd running sum, no join. A document larger than the
+    * remaining budget blocks the stratum (running total passes the
+    * budget and never decreases) — the deterministic greedy-prefix
+    * semantics; skip-and-continue would make membership depend on
+    * unbounded lookback. */
+  def tokenBudgetSample(df: DataFrame, stratum: Seq[String], tokens: Column,
+                        order: Column, tieBreak: Column,
+                        budget: Long): DataFrame = {
+    val w = Window.partitionBy(stratum.map(col): _*)
+      .orderBy(order.desc, tieBreak.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokens).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Corpus mix report: per (group key) document/token mass and its
+    * share of the whole corpus — the numbers data-mixing weights are
+    * set from. One scan, one grouped aggregation; the corpus-wide
+    * totals come from an unpartitioned window over the ALREADY
+    * AGGREGATED rows (#strata rows, not #docs), so no second scan and
+    * no scalar-subquery join. */
+  def sourceMix(df: DataFrame, groupCols: Seq[String], tokens: Column,
+                quality: Column): DataFrame = {
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"),
+        Portable.fixedAvg(quality, 4).as("avg_quality"))
+      .withColumn("token_share", Portable.pround(
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(wAll), 6))
+  }
 }

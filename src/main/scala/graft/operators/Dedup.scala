@@ -256,6 +256,33 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Inter-document span duplication: for each doc, the fraction of its
+    * distinct k-shingles that occur in at least one OTHER document —
+    * sub-document-granularity duplication that document-level dedup
+    * (E1-E6) can't see, the signal exact-substring dedup targets (Lee
+    * et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022) at span granularity.
+    *
+    * Shape: one shingle pass (native, per-doc distinct) → per-shingle
+    * doc-frequency (map-side-combined hash agg, no sort, no doc-list
+    * materialization — a stop-shingle's bucket is one long, not a
+    * collected array) → equi-join back on the shingle key → per-doc
+    * ratio. Rows are distinct per (doc, shingle) by construction, so
+    * df = number of documents containing the shingle and df>1 means
+    * "some OTHER doc has it". Linear in shingle mass, two shuffles +
+    * one join. */
+  def sharedShingleRatio(docs: DataFrame, id: String, text: String,
+                         k: Int): DataFrame = {
+    val e = docs.select(col(id).as("doc"), explode(shingles(col(text), k)).as("sh"))
+    val df = e.groupBy("sh").agg(count(lit(1)).as("df"))
+    e.join(df, Seq("sh"))
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ratio", graft.functions.Portable.pround(
+        col("n_shared").cast("double") / col("n_sh"), 4))
+  }
+
   /** Embedding near-dup: cosine >= threshold within coarse partitions
     * (`clusterCol` plays the IVF cell). Pairs are generated per cluster
     * — an equi-join on the cluster key — never a cross product. */

@@ -129,11 +129,21 @@ object Similarity {
     * inputs up to ~10^6 rows per (cell, dim); lower it for larger
     * cells. */
   def trainCentroids(corpus: DataFrame, id: String, vec: String,
-                     nCells: Int, iters: Int): Array[Seq[Double]] = {
-    val c = corpus.select(col(id).as("nn_id"), l2normalize(col(vec)).as("cv"))
+                     nCells: Int, iters: Int): Array[Seq[Double]] =
+    trainCentroidsNormed(
+      corpus.select(col(id).as("nn_id"), l2normalize(col(vec)).as("cv")),
+      nCells, iters)
+
+  /** As [[trainCentroids]] over an already-normalized `(nn_id, cv)`
+    * frame — lets callers materialize the normalized corpus ONCE and
+    * share it between training and search instead of re-scanning the
+    * source per Lloyd iteration. */
+  private def trainCentroidsNormed(c: DataFrame, nCells: Int,
+                                   iters: Int): Array[Seq[Double]] = {
     var cents: Array[Seq[Double]] = c.orderBy("nn_id").limit(nCells)
       .collect().map(_.getSeq[Double](1))
     val scale = 1e12
+    val dim = if (cents.nonEmpty) cents(0).length else 0
     for (_ <- 0 until iters) {
       val best = element_at(sort_array(array(cents.zipWithIndex.map {
         case (cv, i) => struct(dot(col("cv"), typedlit(cv)).as("s"),
@@ -161,10 +171,23 @@ object Similarity {
     cents
   }
 
+  /** `cacheCorpus` materializes the normalized vectors once and shares
+    * them between the Lloyd iterations and the search pass — the
+    * standard iterative-ML pattern, worth it when re-scanning the source
+    * costs more than writing |corpus|·dim doubles to block storage
+    * (i.e. at real corpus scale, or whenever the input is an expensive
+    * upstream plan rather than a parquet scan). Off by default: at the
+    * bench SFs a parquet re-scan is measurably cheaper than the
+    * checkpoint round-trip. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-              k: Int, nCells: Int, nProbe: Int, trainIters: Int = 0): DataFrame =
-    ivfTopKWith(corpus, queries, id, vec, k, nProbe,
-      trainCentroids(corpus, id, vec, nCells, trainIters))
+              k: Int, nCells: Int, nProbe: Int, trainIters: Int = 0,
+              cacheCorpus: Boolean = false): DataFrame = {
+    val normed0 = corpus.select(col(id).as("nn_id"), l2normalize(col(vec)).as("cv"))
+    val normed = if (cacheCorpus && trainIters > 0) normed0.localCheckpoint()
+                 else normed0
+    val cents = trainCentroidsNormed(normed, nCells, trainIters)
+    ivfTopKWithNormed(normed, queries, id, vec, k, nProbe, cents)
+  }
 
   /** IVF search against a PRE-TRAINED quantizer — the deployment shape:
     * the model is trained once (offline, [[trainCentroids]]) and reused
@@ -172,8 +195,14 @@ object Similarity {
     * only. */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, id: String,
                   vec: String, k: Int, nProbe: Int,
-                  centroids: Array[Seq[Double]]): DataFrame = {
-    val c = corpus.select(col(id).as("nn_id"), l2normalize(col(vec)).as("cv"))
+                  centroids: Array[Seq[Double]]): DataFrame =
+    ivfTopKWithNormed(
+      corpus.select(col(id).as("nn_id"), l2normalize(col(vec)).as("cv")),
+      queries, id, vec, k, nProbe, centroids)
+
+  private def ivfTopKWithNormed(c: DataFrame, queries: DataFrame, id: String,
+                                vec: String, k: Int, nProbe: Int,
+                                centroids: Array[Seq[Double]]): DataFrame = {
     val cents: Array[(Int, Seq[Double])] =
       centroids.zipWithIndex.map { case (cv, i) => (i, cv) }
     def cellScores(v: Column): Column = sort_array(array(cents.map {

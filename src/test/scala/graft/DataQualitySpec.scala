@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{Curation, DataQuality, Dedup}
+import org.apache.spark.sql.functions._
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val child = Seq(
+    (1L, Option(10L), "view"),
+    (2L, Option(10L), "click"),
+    (2L, Option(20L), "view"),   // duplicate id 2
+    (3L, None, "view"),          // null user
+    (4L, Option(99L), "teleport") // orphan user + bad type
+  ).toDF("event_id", "user_id", "event_type")
+
+  private val parent = Seq(10L, 20L).toDF("c_custkey")
+
+  test("not_null / accepted_values fuse into one scan and count violations") {
+    val rep = DataQuality.columnChecks(child, Seq(
+      ("not_null_user_id", $"user_id".isNull),
+      ("accepted_values_event_type",
+        $"event_type".isNotNull && !$"event_type".isin("view", "click"))))
+    val got = rep.as[(String, Long, Boolean)].collect()
+      .map { case (k, v, p) => k -> ((v, p)) }.toMap
+    assert(got("not_null_user_id") == ((1L, false)))
+    assert(got("accepted_values_event_type") == ((1L, false)))
+    // single scan: exactly one aggregate over one relation
+    val scans = rep.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(scans.size == 1)
+  }
+
+  test("unique counts keys occurring more than once") {
+    val got = DataQuality.unique(child, Seq("event_id"))
+      .as[(String, Long, Boolean)].collect().head
+    assert(got == (("unique_event_id", 1L, false)))
+  }
+
+  test("relationships counts child keys missing from the parent") {
+    val got = DataQuality.relationships(child, "user_id", parent, "c_custkey")
+      .as[(String, Long, Boolean)].collect().head
+    assert(got == (("relationships_user_id", 1L, false))) // only 99L; null skipped
+  }
+
+  test("report on clean data passes every check") {
+    val clean = Seq((1L, Option(10L), "view"), (2L, Option(20L), "click"))
+      .toDF("event_id", "user_id", "event_type")
+    val rep = DataQuality.report(Seq(
+      DataQuality.notNull(clean, Seq("user_id", "event_type")),
+      DataQuality.unique(clean, Seq("event_id")),
+      DataQuality.relationships(clean, "user_id", parent, "c_custkey")))
+      .as[(String, Long, Boolean)].collect()
+    assert(rep.length == 4 && rep.forall(_._3))
+  }
+
+  test("token-budget sample keeps the greedy quality-desc prefix per stratum") {
+    val df = Seq(
+      // lang a: quality order 1,2,3 with tokens 40,50,20 -> cum 40,90,110
+      ("a", 1L, 40L, 0.9), ("a", 2L, 50L, 0.8), ("a", 3L, 20L, 0.7),
+      // lang b: single doc over budget is dropped
+      ("b", 4L, 200L, 0.9))
+      .toDF("lang", "doc_id", "n_tokens", "q")
+    val got = Curation.tokenBudgetSample(df, Seq("lang"), $"n_tokens", $"q",
+        $"doc_id", budget = 100L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 40L, 2L -> 90L)) // doc 3 blocked at cum 110
+  }
+
+  test("source mix shares sum to 1 and weigh token mass") {
+    val df = Seq(
+      ("s1", 100L, 0.5), ("s1", 100L, 0.7), ("s2", 200L, 0.9))
+      .toDF("source", "n_tok", "q")
+    val got = Curation.sourceMix(df, Seq("source"), $"n_tok", $"q")
+      .select("source", "n_docs", "n_tokens", "token_share")
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (s, nd, nt, sh) => s -> ((nd, nt, sh)) }.toMap
+    assert(got("s1") == ((2L, 200L, 0.5)))
+    assert(got("s2") == ((1L, 200L, 0.5)))
+  }
+
+  test("shared-shingle ratio flags cross-doc spans, not within-doc repeats") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),        // shares "alpha beta gamma" w/ 2
+      (2L, "alpha beta gamma epsilon"),
+      (3L, "zeta eta theta iota"),           // fully unique
+      (4L, "kappa kappa kappa kappa kappa")) // repeated WITHIN doc only
+      .toDF("doc_id", "text")
+    val got = Dedup.sharedShingleRatio(df, "doc_id", "text", 3)
+      .select("doc_id", "n_sh", "n_shared").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((2L, 1L)))
+    assert(got(2L) == ((2L, 1L)))
+    assert(got(3L) == ((2L, 0L)))
+    // within-doc repeats collapse to ONE distinct shingle, shared nowhere
+    assert(got(4L) == ((1L, 0L)))
+  }
+}
