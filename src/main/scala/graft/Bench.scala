@@ -17,11 +17,15 @@ object Bench {
       .config("spark.graft.rewriteTopK", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // best-of-2 per query: run 1 warms codegen/file-index caches, run 2
-    // is steady state — the regime a long-lived cluster actually sees.
-    // noop sink, NOT count(): count() lets the optimizer prune every
-    // unconsumed column, so map-only queries would be measured as bare
-    // row counts; noop computes each result column and discards it.
+    // Per query: one UNTIMED warm-up (codegen/file-index caches — the
+    // steady state a long-lived cluster sees) then `runs` timed runs;
+    // the reported number is the MEDIAN, with min and spread emitted
+    // alongside so a machine-noise outlier (the r2 F-family artifact)
+    // is visible instead of silently polluting the headline. noop sink,
+    // NOT count(): count() lets the optimizer prune every unconsumed
+    // column, so map-only queries would be measured as bare row counts;
+    // noop computes each result column and discards it.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     // local-iteration filter (driver never sets it): run only the named
     // queries, e.g. SPARK_GRAFT_ONLY=e6_dedup_clusters,e2_dedup_ngram_jaccard
@@ -29,7 +33,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (0 to runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -38,14 +42,20 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      }.drop(1).sorted // drop the warm-up
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(ts: Seq[Double]): Double = ts(ts.size / 2)
+    val qs = results.map { case (k, ts) => s"\"" + k + "\":" + median(ts) }
+      .mkString("{", ",", "}")
+    val mins = results.map { case (k, ts) => s"\"" + k + "\":" + ts.min }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, ts) => s"\"" + k + "\":" + (ts.max - ts.min) }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$errs,"sf":"$sfDir"}""")
+    val total = results.map(r => median(r._2)).sum
+    val totalMin = results.map(_._2.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"queries_min":$mins,"queries_spread":$spreads,"total_min":$totalMin,"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

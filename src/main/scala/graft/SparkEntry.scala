@@ -1078,7 +1078,8 @@ object SparkEntry {
         |  AND event_type NOT IN ('view', 'click', 'signup', 'error', 'purchase')
         |UNION ALL
         |SELECT 'unique_event_id', count(*), count(*) = 0
-        |FROM (SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1)
+        |FROM (SELECT event_id FROM events WHERE event_id IS NOT NULL
+        |      GROUP BY event_id HAVING count(*) > 1)
         |UNION ALL
         |SELECT 'relationships_user_id', count(*), count(*) = 0 FROM events
         |WHERE user_id IS NOT NULL AND user_id NOT IN (SELECT c_custkey FROM customer)""".stripMargin,

@@ -117,18 +117,24 @@ object Curation {
 
   /** Corpus mix report: per (group key) document/token mass and its
     * share of the whole corpus — the numbers data-mixing weights are
-    * set from. One scan, one grouped aggregation; the corpus-wide
-    * totals come from an unpartitioned window over the ALREADY
-    * AGGREGATED rows (#strata rows, not #docs), so no second scan and
-    * no scalar-subquery join. */
+    * set from. One scan, one grouped aggregation; the strata table is
+    * materialized once (`localCheckpoint`, distributed — never
+    * collected) and the corpus-wide total is a second-level aggregation
+    * over it, broadcast back as a one-row join. An unpartitioned window
+    * would funnel ALL strata through a SinglePartition exchange — fine
+    * for #source×lang strata, a driver-sized cliff the moment someone
+    * strata-izes by a high-cardinality key (URL domain); the two-level
+    * agg + broadcast scalar has no such cliff. */
   def sourceMix(df: DataFrame, groupCols: Seq[String], tokens: Column,
                 quality: Column): DataFrame = {
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    df.groupBy(groupCols.map(col): _*)
+    val strata = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"),
         Portable.fixedAvg(quality, 4).as("avg_quality"))
+      .localCheckpoint() // one scan: both consumers read the materialized strata
+    val total = strata.agg(sum(col("n_tokens")).as("__tot"))
+    strata.join(broadcast(total))
       .withColumn("token_share", Portable.pround(
-        col("n_tokens").cast("double") / sum(col("n_tokens")).over(wAll), 6))
+        col("n_tokens").cast("double") / col("__tot"), 6))
+      .drop("__tot")
   }
 }

@@ -25,14 +25,17 @@ object DataQuality {
     columnChecks(df, cols.map(c => (s"not_null_$c", col(c).isNull)))
 
   /** One row per (name, violationPredicate) — all predicates evaluated
-    * in a single scan. */
+    * in a single scan. Sums are coalesced to 0 so an EMPTY input reports
+    * 0 violations / passed (count-based dbt semantics), not NULL/NULL;
+    * aggregate outputs are referenced positionally, never re-resolved by
+    * name, so check names containing dots/backticks are fine. */
   def columnChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
-    val sums = checks.map { case (name, bad) =>
-      sum(when(bad, 1L).otherwise(0L)).as(name)
+    val sums = checks.zipWithIndex.map { case ((_, bad), i) =>
+      coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(s"__c$i")
     }
     val one = df.agg(sums.head, sums.tail: _*)
-    val stacked = explode(array(checks.map { case (name, _) =>
-      struct(lit(name).as("check_name"), col(name).as("n_violations"))
+    val stacked = explode(array(checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("check_name"), col(s"__c$i").as("n_violations"))
     }: _*))
     one.select(stacked.as("c")).select(col("c.check_name"),
       col("c.n_violations"), (col("c.n_violations") === 0).as("passed"))
@@ -44,10 +47,14 @@ object DataQuality {
     columnChecks(df,
       Seq((s"accepted_values_$c", col(c).isNotNull && !col(c).isin(allowed: _*))))
 
-  /** dbt `unique`: number of key values that occur more than once. */
+  /** dbt `unique`: number of key values that occur more than once.
+    * Rows with a null key component are excluded first — dbt's unique
+    * test filters `where col is not null` (nulls are the not_null
+    * test's business, as with acceptedValues). */
   def unique(df: DataFrame, keys: Seq[String]): DataFrame = {
     val name = s"unique_${keys.mkString("_")}"
-    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .agg(count(lit(1)).as("n_violations"))
       .select(lit(name).as("check_name"), col("n_violations"),
@@ -55,13 +62,18 @@ object DataQuality {
   }
 
   /** dbt `relationships`: child rows whose key has no parent. The
-    * parent side is reduced to its distinct key column before the
-    * broadcast — never the full dimension row. */
+    * parent side is reduced to its distinct key column before the join
+    * — never the full dimension row. `broadcastParent` hints the
+    * broadcast for dimension-sized parents (the common case); pass
+    * false for a fact-sized parent key set and let AQE/thresholds pick
+    * a shuffle anti join instead of force-broadcasting it. */
   def relationships(child: DataFrame, childKey: String,
-                    parent: DataFrame, parentKey: String): DataFrame = {
-    val p = parent.select(col(parentKey).as("__pk")).distinct()
+                    parent: DataFrame, parentKey: String,
+                    broadcastParent: Boolean = true): DataFrame = {
+    val p0 = parent.select(col(parentKey).as("__pk")).distinct()
+    val p = if (broadcastParent) broadcast(p0) else p0
     child.filter(col(childKey).isNotNull)
-      .join(broadcast(p), col(childKey) === col("__pk"), "left_anti")
+      .join(p, col(childKey) === col("__pk"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
       .select(lit(s"relationships_$childKey").as("check_name"),
         col("n_violations"), (col("n_violations") === 0).as("passed"))

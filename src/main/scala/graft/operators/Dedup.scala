@@ -263,18 +263,26 @@ object Dedup {
     * et al., "Deduplicating Training Data Makes Language Models
     * Better", ACL 2022) at span granularity.
     *
-    * Shape: one shingle pass (native, per-doc distinct) → per-shingle
-    * doc-frequency (map-side-combined hash agg, no sort, no doc-list
-    * materialization — a stop-shingle's bucket is one long, not a
-    * collected array) → equi-join back on the shingle key → per-doc
-    * ratio. Rows are distinct per (doc, shingle) by construction, so
-    * df = number of documents containing the shingle and df>1 means
-    * "some OTHER doc has it". Linear in shingle mass, two shuffles +
-    * one join. */
+    * Shape: ONE shingle pass (native, per-doc distinct), anchored on a
+    * `repartition(sh)` exchange that BOTH consumers — the per-shingle
+    * doc-frequency aggregation and the join probe side — read back, so
+    * the corpus is scanned and shingled exactly once (ReusedExchange;
+    * PlanSpec-asserted, the same anchor trick as
+    * [[Curation.contaminationSplit]]). The df branch aggregates
+    * `count(doc)` rather than `count(1)` deliberately: with `count(1)`
+    * column pruning drops `doc` from the aggregate's subtree, the two
+    * exchange subtrees stop being canonically equal, and Spark silently
+    * plans a second scan — the round-2 defect. No doc-list
+    * materialization anywhere: a stop-shingle's bucket is one long, not
+    * a collected array. Rows are distinct per (doc, shingle) by
+    * construction, so df = number of documents containing the shingle
+    * and df>1 means "some OTHER doc has it". Linear in shingle mass,
+    * two shuffles + one join, one scan. */
   def sharedShingleRatio(docs: DataFrame, id: String, text: String,
                          k: Int): DataFrame = {
     val e = docs.select(col(id).as("doc"), explode(shingles(col(text), k)).as("sh"))
-    val df = e.groupBy("sh").agg(count(lit(1)).as("df"))
+      .repartition(col("sh"))
+    val df = e.groupBy("sh").agg(count(col("doc")).as("df"))
     e.join(df, Seq("sh"))
       .groupBy(col("doc").as("doc_id"))
       .agg(count(lit(1)).as("n_sh"),

@@ -143,12 +143,9 @@ object Similarity {
     var cents: Array[Seq[Double]] = c.orderBy("nn_id").limit(nCells)
       .collect().map(_.getSeq[Double](1))
     val scale = 1e12
-    val dim = if (cents.nonEmpty) cents(0).length else 0
     for (_ <- 0 until iters) {
-      val best = element_at(sort_array(array(cents.zipWithIndex.map {
-        case (cv, i) => struct(dot(col("cv"), typedlit(cv)).as("s"),
-          lit(i).as("cell"))
-      }: _*), asc = false), 1)("cell")
+      val best = bestCell(col("cv"),
+        cents.zipWithIndex.map { case (cv, i) => (i, cv) })
       val sums = c.withColumn("cell", best)
         .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
@@ -200,15 +197,30 @@ object Similarity {
       corpus.select(col(id).as("nn_id"), l2normalize(col(vec)).as("cv")),
       queries, id, vec, k, nProbe, centroids)
 
+  /** Corpus-side cell assignment: argmax over the centroid dots as an
+    * O(nCells) `array_max` fold — struct ordering (s, cell) makes the
+    * max element "highest dot, ties to highest cell", the exact
+    * tie-break the sorted spelling (and the oracle's `ORDER BY dot
+    * DESC, cell DESC`) uses. The previous per-row `sort_array` over
+    * nCells structs was O(nCells·log nCells) PER CORPUS ROW — noise at
+    * 16 cells, real money at the thousands of cells a 100 TB corpus
+    * wants. */
+  private def bestCell(v: Column, cents: Array[(Int, Seq[Double])]): Column =
+    array_max(array(cents.map { case (cid, cv) =>
+      struct(dot(v, typedlit(cv)).as("s"), lit(cid).as("cell"))
+    }: _*))("cell")
+
   private def ivfTopKWithNormed(c: DataFrame, queries: DataFrame, id: String,
                                 vec: String, k: Int, nProbe: Int,
                                 centroids: Array[Seq[Double]]): DataFrame = {
     val cents: Array[(Int, Seq[Double])] =
       centroids.zipWithIndex.map { case (cv, i) => (i, cv) }
+    // query side keeps the full sort: it needs the top-nProbe SLICE, and
+    // the query set is broadcast-tiny — per-row sort cost is irrelevant
     def cellScores(v: Column): Column = sort_array(array(cents.map {
       case (cid, cv) => struct(dot(v, typedlit(cv)).as("s"), lit(cid).as("cell"))
     }: _*), asc = false)
-    val assigned = c.withColumn("cell", element_at(cellScores(col("cv")), 1)("cell"))
+    val assigned = c.withColumn("cell", bestCell(col("cv"), cents))
     val q = queries.select(col(id).as("query_id"), l2normalize(col(vec)).as("qv"))
       .withColumn("cell", explode(transform(
         slice(cellScores(col("qv")), 1, nProbe), x => x("cell"))))

@@ -118,12 +118,25 @@ class PlanSpec extends SparkSpec {
     // the anchored-exchange claims: both consumers of the exploded
     // shingle table must come from ONE scan (exchange reuse), not
     // per-branch re-shingling
-    for (q <- Seq("e2_dedup_ngram_jaccard", "h8_contamination")) {
+    for (q <- Seq("e2_dedup_ngram_jaccard", "h8_contamination", "h10_interdup")) {
       val plan = executed(SparkEntry.queries(q)(spark, sf))
         .split("== Initial Plan ==").head
       val scans = "FileScan parquet".r.findAllIn(plan).size
       assert(scans == 1, s"$q must scan documents once, got $scans:\n$plan")
     }
+  }
+
+  test("source mix: two-level agg, no unpartitioned Window over the strata") {
+    // the cliff shape is Window over a SinglePartition exchange carrying
+    // EVERY stratum; after the two-level-agg fix the only single-
+    // partition work left is the scalar total's final agg, which sits
+    // above a partial agg (one row per partition) — bounded by design
+    val plan = executed(SparkEntry.queries("h11_source_mix")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"),
+      s"source mix must not plan an unpartitioned window:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("Broadcast"),
+      s"scalar total should broadcast back:\n$plan")
   }
 
   test("as-of join plans as tagged union + window — no join operator") {
