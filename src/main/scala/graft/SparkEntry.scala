@@ -44,6 +44,21 @@ object SparkEntry {
       Stage.stageUsers(Tables.customer(s, d), ev(s, d))
         .withColumn("devices", concat_ws(",", col("devices")))),
 
+    // depth-2 dlt normalization: 4h metric buckets packed inside
+    // per-(user, day) documents, flattened back by normalizeRecursive;
+    // the returned table is the GRANDCHILD (day doc → bucket → metric),
+    // so the md5 id chain across two levels is oracle-checked
+    "a4_normalize_nested" -> ((s, d) => {
+      val buckets = MongoJsonSource.packDocuments(
+        ev(s, d), "user_id", "ts", 4 * 3600, Seq("event_id", "event_type", "value"))
+      val dayDocs = buckets
+        .groupBy(col("user_id"), TimeAgg.dayKey(col("created_at")).as("day"))
+        .agg(array_sort(collect_list(
+          struct(col("created_at"), col("doc_id"), col("metrics")))).as("buckets"))
+        .withColumn("day_id", md5(concat_ws("|", col("user_id"), col("day"))))
+      MongoJsonSource.normalizeRecursive(dayDocs, "days", "day_id")("days__buckets__metrics")
+    }),
+
     // B. periodic aggregation layer
     "b1_agg_daily" -> ((s, d) =>
       ev(s, d).groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
@@ -85,6 +100,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), fixedAvg(col("value"), 4).as("avg_value"))
       TimeAgg.gapfillLocf(hourly, "user_id", "bucket", 3600,
           fillZero = Seq("n_events"), locf = Seq("avg_value"))
+        .withColumn("bucket", col("bucket").cast("string"))
+    }),
+
+    // explicit-range gapfill — the two-argument
+    // time_bucket_gapfill(start, finish) form: full [start, finish]
+    // spine per entity observed in range, leading nulls, trailing LOCF
+    "b11_gapfill_bounded" -> ((s, d) => {
+      val hourly = ev(s, d)
+        .groupBy(col("user_id"), TimeAgg.timeBucket(col("ts"), 3600).as("bucket"))
+        .agg(count(lit(1)).as("n_events"), fixedAvg(col("value"), 4).as("avg_value"))
+      TimeAgg.gapfillLocf(hourly, "user_id", "bucket", 3600,
+          fillZero = Seq("n_events"), locf = Seq("avg_value"),
+          bounds = Some((lit("2024-01-10 00:00:00").cast("timestamp"),
+            lit("2024-01-13 00:00:00").cast("timestamp"))))
         .withColumn("bucket", col("bucket").cast("string"))
     }),
 
@@ -284,6 +313,30 @@ object SparkEntry {
     "f3_ann_ivf" -> ((s, d) => {
       val e = embD(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5, 16, 4, trainIters = 2)
+    }),
+
+    // recall@5 of the approximate searchers (f2 LSH, f3 trained IVF)
+    // against the exact baseline (f1) — the per-query index-quality
+    // report, oracle-checked end-to-end rather than a spec assertion
+    "f4_ann_recall" -> ((s, d) => {
+      val e = embD(s, d)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("nn_id"))
+      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", 5, 8, 64)
+        .select(col("query_id"), col("nn_id"), lit(1).as("__l"))
+      val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", 5, 16, 4, trainIters = 2)
+        .select(col("query_id"), col("nn_id"), lit(1).as("__i"))
+      bf.join(lsh, Seq("query_id", "nn_id"), "left")
+        .join(ivf, Seq("query_id", "nn_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_true"),
+          count(col("__l")).as("n_hit_lsh"),
+          count(col("__i")).as("n_hit_ivf"))
+        .withColumn("recall_lsh",
+          pround(col("n_hit_lsh").cast("double") / col("n_true"), 4))
+        .withColumn("recall_ivf",
+          pround(col("n_hit_ivf").cast("double") / col("n_true"), 4))
     }),
 
     // G. multimodal plumbing (decode stubbed — no codecs in container)
@@ -509,6 +562,28 @@ object SparkEntry {
         |       ts, event_id, event_type, value
         |FROM p""".stripMargin,
 
+    "a4_normalize_nested" ->
+      """WITH b AS (
+        |  SELECT user_id, time_bucket(INTERVAL '4 hours', ts) AS created_at,
+        |         ts, event_id, event_type, value FROM events
+        |), p AS (
+        |  SELECT *, md5(concat(user_id, '|', CAST(created_at AS VARCHAR))) AS doc_id,
+        |         row_number() OVER (PARTITION BY user_id, created_at ORDER BY ts, event_id) - 1 AS mpos
+        |  FROM b
+        |), d AS (
+        |  SELECT *, strftime(created_at, '%Y%m%d') AS day FROM p
+        |), dd AS (
+        |  SELECT *, md5(concat(user_id, '|', day)) AS day_id,
+        |         dense_rank() OVER (PARTITION BY user_id, day ORDER BY created_at) - 1 AS bpos
+        |  FROM d
+        |), bk AS (
+        |  SELECT *, md5(concat(day_id, '|buckets|', bpos)) AS bucket_row_id FROM dd
+        |)
+        |SELECT bucket_row_id AS _parent_id, mpos AS pos,
+        |       md5(concat(bucket_row_id, '|metrics|', mpos)) AS row_id,
+        |       ts, event_id, event_type, value
+        |FROM bk""".stripMargin,
+
     "a3_stage_users" ->
       """SELECT e.user_id, c.c_name AS name, c.c_acctbal AS acctbal,
         |       c.c_mktsegment AS mktsegment,
@@ -559,6 +634,25 @@ object SparkEntry {
          |  last_value(r.avg_value IGNORE NULLS) OVER (
          |    PARTITION BY sp.user_id ORDER BY sp.bucket ROWS UNBOUNDED PRECEDING) AS avg_value_locf
          |FROM sp LEFT JOIN r ON r.user_id = sp.user_id AND r.bucket = sp.bucket""".stripMargin,
+
+    "b11_gapfill_bounded" ->
+      s"""WITH r AS (
+         |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         |         count(*) AS n_events, ${sqlFixedAvg("value", 4)} AS avg_value
+         |  FROM events GROUP BY 1, 2),
+         |rf AS (SELECT * FROM r
+         |  WHERE bucket BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+         |                   AND TIMESTAMP '2024-01-13 00:00:00'),
+         |sp AS (
+         |  SELECT user_id, unnest(generate_series(
+         |    TIMESTAMP '2024-01-10 00:00:00', TIMESTAMP '2024-01-13 00:00:00',
+         |    INTERVAL 1 HOUR)) AS bucket
+         |  FROM (SELECT DISTINCT user_id FROM rf))
+         |SELECT sp.user_id, CAST(sp.bucket AS VARCHAR) AS bucket,
+         |  coalesce(rf.n_events, 0) AS n_events,
+         |  last_value(rf.avg_value IGNORE NULLS) OVER (
+         |    PARTITION BY sp.user_id ORDER BY sp.bucket ROWS UNBOUNDED PRECEDING) AS avg_value_locf
+         |FROM sp LEFT JOIN rf ON rf.user_id = sp.user_id AND rf.bucket = sp.bucket""".stripMargin,
 
     "b7_rollup_totals" ->
       s"""SELECT coalesce(user_id, -1) AS user_id, coalesce(m, 'ALL') AS month,
@@ -776,60 +870,28 @@ object SparkEntry {
         .replace("PROUND_DOT", sqlPround(
           "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), (x, y) -> x + y)", 4)),
 
-    "f1_ann_bruteforce" ->
-      """WITH e AS (
-        |  SELECT vec_id,
-        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-        |         (a, b) -> a + b)) AS nrm,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e
-        |), q AS (
-        |  SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id % 100 = 0
-        |), s AS (
-        |  SELECT query_id, c.vec_id AS nn_id,
-        |    PROUND_DOT AS cosine
-        |  FROM q JOIN n c ON c.vec_id <> q.query_id
-        |)
-        |SELECT query_id,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank,
-        |  nn_id, cosine
-        |FROM s QUALIFY rank <= 5""".stripMargin
-        .replace("PROUND_DOT", sqlPround(
-          "list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]), (x, y) -> x + y)", 6)),
+    "f1_ann_bruteforce" -> f1OracleSql,
 
-    "f2_ann_lsh" -> {
-      // the SAME deterministic hyperplane literals the operator ships to
-      // executors, embedded as SQL arrays (Double.toString round-trips
-      // exactly, so both engines compare the identical doubles to 0)
-      val ps = graft.operators.Similarity.planes(8, 64)
-      def planeArr(p: Int): String = ps(p).map(_.toString).mkString("[", ", ", "]")
-      val bucket = (0 until 8).map(p =>
-        s"(CASE WHEN list_reduce(list_transform(generate_series(1, len(v)), i -> v[i] * ${planeArr(p)}[i]), (x, y) -> x + y) > 0 THEN ${1L << p} ELSE 0 END)")
-        .mkString("\n|    + ")
-      s"""WITH e AS (
-         |  SELECT vec_id,
-         |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-         |         (a, b) -> a + b)) AS nrm,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings
-         |), n AS (
-         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e
-         |), b AS (
-         |  SELECT vec_id, v, $bucket AS bucket FROM n
-         |), q AS (
-         |  SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 100 = 0
-         |), s AS (
-         |  SELECT query_id, c.vec_id AS nn_id,
-         |    ${sqlPround("list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]), (x, y) -> x + y)", 6)} AS cosine
-         |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
-         |)
-         |SELECT query_id,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank,
-         |  nn_id, cosine
-         |FROM s QUALIFY rank <= 5""".stripMargin
-    },
+    "f2_ann_lsh" -> f2OracleSql,
+
+    "f3_ann_ivf" -> f3OracleSql,
+
+    // recall@5 of the approximate searchers against the exact baseline:
+    // each side is the full f1/f2/f3 oracle embedded as a subquery, so
+    // the report is checked end-to-end, not against cached results
+    "f4_ann_recall" ->
+      s"""SELECT bf.query_id,
+         |  count(*) AS n_true,
+         |  count(l.nn_id) AS n_hit_lsh,
+         |  count(iv.nn_id) AS n_hit_ivf,
+         |  ${sqlPround("CAST(count(l.nn_id) AS DOUBLE) / count(*)", 4)} AS recall_lsh,
+         |  ${sqlPround("CAST(count(iv.nn_id) AS DOUBLE) / count(*)", 4)} AS recall_ivf
+         |FROM ($f1OracleSql) bf
+         |LEFT JOIN ($f2OracleSql) l
+         |  ON l.query_id = bf.query_id AND l.nn_id = bf.nn_id
+         |LEFT JOIN ($f3OracleSql) iv
+         |  ON iv.query_id = bf.query_id AND iv.nn_id = bf.nn_id
+         |GROUP BY bf.query_id""".stripMargin,
 
     "g1_mm_metadata" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image/fake' AS media_type,
@@ -866,71 +928,6 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image/fake' AS media_type,
         |  8 AS width, 8 AS height, 64 AS n_bytes
         |FROM documents""".stripMargin,
-
-    "f3_ann_ivf" -> {
-      // trained IVF, fully mirrored: the fixed-point Lloyd sums make the
-      // k-means deterministic (see Similarity.trainCentroids), so two
-      // unrolled iterations in SQL reproduce bit-identical centroids —
-      // assignment tie-break (dot DESC, cell DESC) and the sequential
-      // fold orders match the Scala/VectorDot arithmetic exactly
-      val dot = "list_reduce(list_transform(generate_series(1, 64), i -> %s[i] * %s[i]), (x, y) -> x + y)"
-      def iter(prev: String, next: String): String =
-        s"""a_$next AS (
-           |  SELECT vec_id, v, cell FROM (
-           |    SELECT n.vec_id, n.v, $prev.cell,
-           |      row_number() OVER (PARTITION BY n.vec_id
-           |        ORDER BY ${dot.format("n.v", s"$prev.cv")} DESC, $prev.cell DESC) AS rk
-           |    FROM n CROSS JOIN $prev) WHERE rk = 1),
-           |s_$next AS (
-           |  SELECT cell, g.i AS pos,
-           |    CAST(SUM(CAST(floor(v[g.i] * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-           |      / 1000000000000.0 / COUNT(*) AS m
-           |  FROM a_$next CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
-           |  GROUP BY cell, g.i),
-           |m_$next AS (
-           |  SELECT cell, list(m ORDER BY pos) AS ml FROM s_$next GROUP BY cell),
-           |n_$next AS (
-           |  SELECT cell, ml,
-           |    sqrt(list_reduce(list_transform(ml, x -> x * x), (a, b) -> a + b)) AS nrm
-           |  FROM m_$next),
-           |$next AS (
-           |  SELECT $prev.cell,
-           |    CASE WHEN n_$next.cell IS NULL OR n_$next.nrm = 0 THEN $prev.cv
-           |         ELSE list_transform(n_$next.ml, x -> x / n_$next.nrm) END AS cv
-           |  FROM $prev LEFT JOIN n_$next ON $prev.cell = n_$next.cell)""".stripMargin
-      s"""WITH e0 AS (
-         |  SELECT vec_id,
-         |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-         |         (a, b) -> a + b)) AS nrm,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e0),
-         |c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v AS cv
-         |  FROM n QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
-         |${iter("c0", "c1")},
-         |${iter("c1", "c2")},
-         |asn AS (
-         |  SELECT vec_id, v, cell FROM (
-         |    SELECT n.vec_id, n.v, c2.cell,
-         |      row_number() OVER (PARTITION BY n.vec_id
-         |        ORDER BY ${dot.format("n.v", "c2.cv")} DESC, c2.cell DESC) AS rk
-         |    FROM n CROSS JOIN c2) WHERE rk = 1),
-         |q AS (
-         |  SELECT vec_id AS query_id, v AS qv, cell FROM (
-         |    SELECT n.vec_id, n.v, c2.cell,
-         |      row_number() OVER (PARTITION BY n.vec_id
-         |        ORDER BY ${dot.format("n.v", "c2.cv")} DESC, c2.cell DESC) AS rk
-         |    FROM n CROSS JOIN c2 WHERE n.vec_id % 100 = 0) WHERE rk <= 4),
-         |s AS (
-         |  SELECT q.query_id, a.vec_id AS nn_id,
-         |    ${sqlPround("list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * a.v[i]), (x, y) -> x + y)", 6)} AS cosine
-         |  FROM q JOIN asn a ON a.cell = q.cell AND a.vec_id <> q.query_id)
-         |SELECT query_id,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank,
-         |  nn_id, cosine
-         |FROM s QUALIFY rank <= 5""".stripMargin
-    },
 
     "g3_mm_frame_sample" ->
       """WITH f AS (
@@ -1178,5 +1175,127 @@ object SparkEntry {
          |    PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS rk
          |  FROM scored)
          |SELECT doc_id, lang, quality_score FROM ranked WHERE rk <= 50""".stripMargin
+  }
+
+  /** f1/f2/f3 oracle bodies as vals so f4's recall report can embed
+    * them end-to-end as subqueries. */
+  private lazy val f1OracleSql: String =
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |         (a, b) -> a + b)) AS nrm,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id % 100 = 0
+        |), s AS (
+        |  SELECT query_id, c.vec_id AS nn_id,
+        |    PROUND_DOT AS cosine
+        |  FROM q JOIN n c ON c.vec_id <> q.query_id
+        |)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank,
+        |  nn_id, cosine
+        |FROM s QUALIFY rank <= 5""".stripMargin
+        .replace("PROUND_DOT", sqlPround(
+          "list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]), (x, y) -> x + y)", 6))
+
+  private lazy val f2OracleSql: String = {
+      // the SAME deterministic hyperplane literals the operator ships to
+      // executors, embedded as SQL arrays (Double.toString round-trips
+      // exactly, so both engines compare the identical doubles to 0)
+      val ps = graft.operators.Similarity.planes(8, 64)
+      def planeArr(p: Int): String = ps(p).map(_.toString).mkString("[", ", ", "]")
+      val bucket = (0 until 8).map(p =>
+        s"(CASE WHEN list_reduce(list_transform(generate_series(1, len(v)), i -> v[i] * ${planeArr(p)}[i]), (x, y) -> x + y) > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString("\n|    + ")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         |         (a, b) -> a + b)) AS nrm,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e
+         |), b AS (
+         |  SELECT vec_id, v, $bucket AS bucket FROM n
+         |), q AS (
+         |  SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 100 = 0
+         |), s AS (
+         |  SELECT query_id, c.vec_id AS nn_id,
+         |    ${sqlPround("list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]), (x, y) -> x + y)", 6)} AS cosine
+         |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+         |)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank,
+         |  nn_id, cosine
+         |FROM s QUALIFY rank <= 5""".stripMargin
+  }
+
+  private lazy val f3OracleSql: String = {
+      // trained IVF, fully mirrored: the fixed-point Lloyd sums make the
+      // k-means deterministic (see Similarity.trainCentroids), so two
+      // unrolled iterations in SQL reproduce bit-identical centroids —
+      // assignment tie-break (dot DESC, cell DESC) and the sequential
+      // fold orders match the Scala/VectorDot arithmetic exactly
+      val dot = "list_reduce(list_transform(generate_series(1, 64), i -> %s[i] * %s[i]), (x, y) -> x + y)"
+      def iter(prev: String, next: String): String =
+        s"""a_$next AS (
+           |  SELECT vec_id, v, cell FROM (
+           |    SELECT n.vec_id, n.v, $prev.cell,
+           |      row_number() OVER (PARTITION BY n.vec_id
+           |        ORDER BY ${dot.format("n.v", s"$prev.cv")} DESC, $prev.cell DESC) AS rk
+           |    FROM n CROSS JOIN $prev) WHERE rk = 1),
+           |s_$next AS (
+           |  SELECT cell, g.i AS pos,
+           |    CAST(SUM(CAST(floor(v[g.i] * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           |      / 1000000000000.0 / COUNT(*) AS m
+           |  FROM a_$next CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+           |  GROUP BY cell, g.i),
+           |m_$next AS (
+           |  SELECT cell, list(m ORDER BY pos) AS ml FROM s_$next GROUP BY cell),
+           |n_$next AS (
+           |  SELECT cell, ml,
+           |    sqrt(list_reduce(list_transform(ml, x -> x * x), (a, b) -> a + b)) AS nrm
+           |  FROM m_$next),
+           |$next AS (
+           |  SELECT $prev.cell,
+           |    CASE WHEN n_$next.cell IS NULL OR n_$next.nrm = 0 THEN $prev.cv
+           |         ELSE list_transform(n_$next.ml, x -> x / n_$next.nrm) END AS cv
+           |  FROM $prev LEFT JOIN n_$next ON $prev.cell = n_$next.cell)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT vec_id,
+         |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         |         (a, b) -> a + b)) AS nrm,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e0),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v AS cv
+         |  FROM n QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+         |${iter("c0", "c1")},
+         |${iter("c1", "c2")},
+         |asn AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT n.vec_id, n.v, c2.cell,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${dot.format("n.v", "c2.cv")} DESC, c2.cell DESC) AS rk
+         |    FROM n CROSS JOIN c2) WHERE rk = 1),
+         |q AS (
+         |  SELECT vec_id AS query_id, v AS qv, cell FROM (
+         |    SELECT n.vec_id, n.v, c2.cell,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${dot.format("n.v", "c2.cv")} DESC, c2.cell DESC) AS rk
+         |    FROM n CROSS JOIN c2 WHERE n.vec_id % 100 = 0) WHERE rk <= 4),
+         |s AS (
+         |  SELECT q.query_id, a.vec_id AS nn_id,
+         |    ${sqlPround("list_reduce(list_transform(generate_series(1, 64), i -> qv[i] * a.v[i]), (x, y) -> x + y)", 6)} AS cosine
+         |  FROM q JOIN asn a ON a.cell = q.cell AND a.vec_id <> q.query_id)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank,
+         |  nn_id, cosine
+         |FROM s QUALIFY rank <= 5""".stripMargin
   }
 }

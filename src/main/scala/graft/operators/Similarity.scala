@@ -205,7 +205,7 @@ object Similarity {
     * nCells structs was O(nCells·log nCells) PER CORPUS ROW — noise at
     * 16 cells, real money at the thousands of cells a 100 TB corpus
     * wants. */
-  private def bestCell(v: Column, cents: Array[(Int, Seq[Double])]): Column =
+  private[graft] def bestCell(v: Column, cents: Array[(Int, Seq[Double])]): Column =
     array_max(array(cents.map { case (cid, cv) =>
       struct(dot(v, typedlit(cv)).as("s"), lit(cid).as("cell"))
     }: _*))("cell")

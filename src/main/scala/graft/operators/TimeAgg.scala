@@ -46,19 +46,38 @@ object TimeAgg {
     * and carrying the last observation forward for `locf` columns
     * (emitted as `<col>_locf`).
     *
+    * With `bounds = Some((start, finish))` the spine is the EXPLICIT
+    * range `[start, finish]` instead of each entity's [min, max] — the
+    * two-argument `time_bucket_gapfill(start, finish)` form: input rows
+    * outside the range are dropped, every entity with at least one
+    * in-range observation gets the full spine, leading gap rows carry
+    * null LOCF (no prior observation — TimescaleDB's default `locf`)
+    * and trailing gap rows carry the last observation forward to
+    * `finish`. Both bound columns must be literals/aligned to
+    * `stepSeconds` multiples, the same precondition as the buckets.
+    *
     * Scale shape: each observed row emits itself plus the missing
     * buckets since the entity's previous observation (`lag` + `sequence`
-    * + `explode`) — no spine branch, no fill join, ONE scan of the
-    * rollup. The gap-generation lag window and the LOCF running
-    * `last(ignoreNulls)` window share the entity partitioning, so the
-    * whole operator adds exactly one exchange (verified in PlanSpec).
-    * Output size is the filled spine either way; this shape just never
-    * materializes a second aggregate of the input to find it. */
+    * + `explode`; with bounds, the first row also emits the leading run
+    * from `start` and the last row the trailing run to `finish`, via a
+    * `lead` over the SAME window) — no spine branch, no fill join, ONE
+    * scan of the rollup. The gap-generation lag window and the LOCF
+    * running `last(ignoreNulls)` window share the entity partitioning,
+    * so the whole operator adds exactly one exchange (verified in
+    * PlanSpec for both forms). Output size is the filled spine either
+    * way; this shape just never materializes a second aggregate of the
+    * input to find it. */
   def gapfillLocf(rollup: DataFrame, entity: String, bucket: String,
                   stepSeconds: Long, fillZero: Seq[String],
-                  locf: Seq[String]): DataFrame = {
+                  locf: Seq[String],
+                  bounds: Option[(Column, Column)] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val step = expr(s"INTERVAL $stepSeconds SECOND")
+    val base = bounds match {
+      case Some((start, finish)) =>
+        rollup.filter(col(bucket).between(start, finish))
+      case None => rollup
+    }
     val others = rollup.columns.filterNot(c => c == entity || c == bucket).toSeq
     val wLag = Window.partitionBy(entity).orderBy(bucket)
     val runFrame = wLag.rowsBetween(Window.unboundedPreceding, 0)
@@ -67,26 +86,46 @@ object TimeAgg {
     // (a gap row's carried value is, by construction, the previous
     // observed row's running LOCF). Windowing after the explode would
     // sort the spine-sized output — 10-100x the rows for fine steps.
-    // Both Window operators share one partitioning+ordering → one sort.
-    val withLocf = locf.foldLeft(rollup)((d, c) =>
+    // All Window operators share one partitioning+ordering → one sort.
+    val withLocf = locf.foldLeft(base)((d, c) =>
       d.withColumn(s"__locf_$c", last(col(c), ignoreNulls = true).over(runFrame)))
     val pre = locf.foldLeft(
       withLocf.withColumn("__prev", lag(col(bucket), 1).over(wLag)))(
       (d, c) => d.withColumn(s"__plocf_$c", lag(col(s"__locf_$c"), 1).over(wLag)))
-    val exploded = pre
-      .withColumn("__b", explode(
+    val emitted = bounds match {
+      case None =>
         when(col("__prev").isNull, array(col(bucket)))
-          .otherwise(sequence(col("__prev") + step, col(bucket), step))))
+          .otherwise(sequence(col("__prev") + step, col(bucket), step))
+      case Some((start, finish)) =>
+        // head run: from the previous observation (or `start` for the
+        // entity's first row); tail run: the last row (lead is null)
+        // extends the spine to `finish`. Computed from the same lag
+        // window family — no extra exchange, no sort change.
+        val head = when(col("__prev").isNull, sequence(start, col(bucket), step))
+          .otherwise(sequence(col("__prev") + step, col(bucket), step))
+        val tail = when(col("__next").isNull && col(bucket) + step <= finish,
+          sequence(col(bucket) + step, finish, step))
+          .otherwise(typedlit(Seq.empty[java.sql.Timestamp]))
+        concat(head, tail)
+    }
+    val withNext = bounds match {
+      case Some(_) => pre.withColumn("__next", lag(col(bucket), -1).over(wLag))
+      case None => pre
+    }
+    val exploded = withNext
+      .withColumn("__b", explode(emitted))
       .withColumn("__obs", col("__b") === col(bucket))
     // gap rows: fillZero columns revert to null → 0; locf columns pick
-    // the carried value
+    // the carried value — backward (__plocf) for gaps before the
+    // observation, the row's own running LOCF for trailing gaps
     val zeroed = fillZero.foldLeft(exploded)((d, c) =>
       d.withColumn(c, coalesce(when(col("__obs"), col(c)), lit(0L))))
     val filled = locf.foldLeft(zeroed)((d, c) =>
       d.withColumn(s"${c}_locf",
-        when(col("__obs"), col(s"__locf_$c")).otherwise(col(s"__plocf_$c"))))
+        when(col("__b") >= col(bucket), col(s"__locf_$c"))
+          .otherwise(col(s"__plocf_$c"))))
     filled
-      .drop("__prev" +: bucket +: locf.flatMap(c =>
+      .drop("__prev" +: "__next" +: bucket +: locf.flatMap(c =>
         Seq(c, s"__locf_$c", s"__plocf_$c")): _*)
       .withColumnRenamed("__b", bucket)
       .select(col(entity) +: col(bucket) +:

@@ -65,6 +65,21 @@ object IotStreamPipeline {
           .write.mode("append").parquet(outPath)
       }
 
+  /** Warehouse sink over JDBC: the production spelling of
+    * [[sinkToWarehouse]] — each micro-batch lands through
+    * [[graft.sources.JdbcUpsert]]'s `INSERT ... ON CONFLICT` executor,
+    * so foreachBatch's at-least-once replays converge (idempotent by
+    * `versionCol`), the TimescaleDB-hypertable contract of the
+    * reference. `connect` runs on executors. */
+  def sinkToJdbc(agg: DataFrame, table: String, keyCols: Seq[String],
+                 versionCol: Option[String], checkpoint: String)
+                (connect: () => java.sql.Connection): DataStreamWriter[Row] =
+    agg.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(graft.sources.JdbcUpsert.foreachBatchSink(
+        table, keyCols, versionCol)(connect))
+
   /** dlt-style primary-key dedup on the stream: re-delivered event ids
     * within the watermark horizon are dropped once state allows eviction
     * — the streaming analog of the reference extractor's incremental

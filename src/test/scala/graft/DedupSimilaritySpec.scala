@@ -120,6 +120,30 @@ class DedupSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("argmax cell assignment ≡ sorted spelling, ties to the higher cell") {
+    // the O(nCells) array_max fold must reproduce the sort_array
+    // (dot DESC, cell DESC)[1] pick exactly — including on dot ties,
+    // where BOTH pick the higher cell id
+    val cents: Array[(Int, Seq[Double])] = Array(
+      0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0),
+      2 -> Seq(0.0, 1.0), 3 -> Seq(0.6, 0.8))
+    val vs = Seq(
+      (0L, Seq(1.0, 0.0)),   // clear winner: cell 0
+      (1L, Seq(0.0, 1.0)),   // exact tie between cells 1 and 2 -> 2
+      (2L, Seq(0.6, 0.8)),   // clear winner: cell 3
+      (3L, Seq(0.7071067811865475, 0.7071067811865475)))
+      .toDF("vec_id", "cv")
+    val sorted = element_at(sort_array(array(cents.map { case (cid, cv) =>
+      struct(Similarity.dot($"cv", typedlit(cv)).as("s"), lit(cid).as("cell"))
+    }: _*), asc = false), 1)("cell")
+    val got = vs.select($"vec_id", Similarity.bestCell($"cv", cents).as("fast"),
+        sorted.as("slow"))
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    got.foreach { case (id, fast, slow) =>
+      assert(fast == slow, s"vec $id: argmax $fast != sorted $slow") }
+    assert(got(1)._2 == 2) // tie resolved to the higher cell id
+  }
+
   test("bruteForceTopK ranks by cosine, excludes self") {
     val emb = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)),

@@ -27,6 +27,38 @@ class TimeAggSpec extends SparkSpec {
     assert(df.select(TimeAgg.timeBucket($"ts", 4 * 3600).cast("string"))
       .head().getString(0) == "2024-01-01 04:00:00")
   }
+
+  test("bounded gapfill: full spine, leading null locf, trailing carry, range filter") {
+    val rollup = Seq(
+      ("u1", "2024-01-01 02:00:00", 3L, 5.0),  // inside range
+      ("u1", "2024-01-01 04:00:00", 1L, 9.0),  // inside range
+      ("u1", "2024-01-01 09:00:00", 2L, 1.0),  // outside -> dropped
+      ("u2", "2024-01-01 23:00:00", 7L, 2.0))  // outside -> u2 absent
+      .toDF("user_id", "s", "n_events", "avg_value")
+      .select($"user_id", $"s".cast("timestamp").as("bucket"),
+        $"n_events", $"avg_value")
+    val got = TimeAgg.gapfillLocf(rollup, "user_id", "bucket", 3600,
+        fillZero = Seq("n_events"), locf = Seq("avg_value"),
+        bounds = Some((lit("2024-01-01 00:00:00").cast("timestamp"),
+          lit("2024-01-01 06:00:00").cast("timestamp"))))
+      .select($"user_id", $"bucket".cast("string").as("b"),
+        $"n_events", $"avg_value_locf")
+      .as[(String, String, Long, Option[Double])].collect()
+      .sortBy(r => (r._1, r._2))
+    // u2 had no in-range observation: no spine for it
+    assert(got.forall(_._1 == "u1"))
+    // full 7-bucket spine 00:00..06:00
+    assert(got.map(_._2) === (0 to 6).map(h => f"2024-01-01 0$h%d:00:00"))
+    // leading gaps: zero-filled counts, NULL locf before first observation
+    assert(got(0)._3 == 0 && got(0)._4.isEmpty && got(1)._4.isEmpty)
+    // observations keep their values; interior gap carries 5.0 forward
+    assert(got(2) == ("u1", "2024-01-01 02:00:00", 3L, Some(5.0)))
+    assert(got(3)._4 == Some(5.0) && got(3)._3 == 0)
+    assert(got(4) == ("u1", "2024-01-01 04:00:00", 1L, Some(9.0)))
+    // trailing gaps to `finish` carry the last observation
+    assert(got(5)._4 == Some(9.0) && got(6)._4 == Some(9.0))
+    assert(got(5)._3 == 0 && got(6)._3 == 0)
+  }
 }
 
 class IncrementalSpec extends SparkSpec {
@@ -129,5 +161,63 @@ class MongoJsonSourceSpec extends SparkSpec {
     val b = MongoJsonSource.normalize(packed, Seq("user_id"))
     assert(a.select("row_id").exceptAll(b.select("row_id")).count() == 0)
     assert(b.select("row_id").exceptAll(a.select("row_id")).count() == 0)
+  }
+
+  test("normalizeRecursive flattens depth-2 nesting into linked child tables") {
+    import graft.operators.TimeAgg
+    val ev = Tables.events(spark, sf)
+    val buckets = MongoJsonSource.packDocuments(
+      ev, "user_id", "ts", 4 * 3600, Seq("event_id", "event_type", "value"))
+    val dayDocs = buckets
+      .groupBy(col("user_id"), TimeAgg.dayKey(col("created_at")).as("day"))
+      .agg(array_sort(collect_list(
+        struct(col("created_at"), col("doc_id"), col("metrics")))).as("buckets"))
+      .withColumn("day_id", md5(concat_ws("|", col("user_id"), col("day"))))
+    val tables = MongoJsonSource.normalizeRecursive(dayDocs, "days", "day_id")
+    assert(tables.keySet ==
+      Set("days", "days__buckets", "days__buckets__metrics"))
+    // no table keeps a nested array column
+    tables.values.foreach(t => assert(!t.schema.fields.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])))
+    // every metric row survives, and every child's _parent_id resolves
+    val mid = tables("days__buckets__metrics")
+    assert(mid.count() == ev.count())
+    val orphanBuckets = tables("days__buckets")
+      .join(tables("days").select(col("day_id").as("_parent_id")),
+        Seq("_parent_id"), "left_anti")
+    val orphanMetrics = mid
+      .join(tables("days__buckets").select(col("row_id").as("_parent_id")),
+        Seq("_parent_id"), "left_anti")
+    assert(orphanBuckets.count() == 0 && orphanMetrics.count() == 0)
+    // ids are deterministic across re-runs
+    val again = MongoJsonSource.normalizeRecursive(dayDocs, "days", "day_id")
+    assert(mid.select("row_id")
+      .exceptAll(again("days__buckets__metrics").select("row_id")).count() == 0)
+  }
+
+  test("readDocumentsEvolving merges drifted load schemas without breaking stage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve")
+    val load1 = dir.resolve("load1.json")
+    val load2 = dir.resolve("load2.json")
+    // load 2 grows a `device` field and widens value int -> double —
+    // the dlt evolution contract: old loads read null for new fields
+    java.nio.file.Files.writeString(load1,
+      """[{"event_id": 1, "user_id": 10, "value": 5},
+        | {"event_id": 2, "user_id": 11, "value": 7}]""".stripMargin)
+    java.nio.file.Files.writeString(load2,
+      """[{"event_id": 3, "user_id": 10, "value": 2.5, "device": "watch"}]""".stripMargin)
+    val df = MongoJsonSource.readDocumentsEvolving(spark,
+      Seq(load1.toString, load2.toString))
+    assert(df.count() == 3)
+    assert(df.columns.toSet == Set("event_id", "user_id", "value", "device"))
+    // pre-evolution rows carry null for the new column
+    assert(df.filter(col("event_id") < 3 && col("device").isNull).count() == 2)
+    assert(df.filter(col("device") === "watch").count() == 1)
+    // a stage projection over the evolved superset schema still runs
+    val staged = df.select(col("event_id"), col("user_id"),
+      col("value").cast("double").as("value"),
+      coalesce(col("device"), lit("unknown")).as("device"))
+    assert(staged.filter(col("device") === "unknown").count() == 2)
+    assert(staged.schema("value").dataType.typeName == "double")
   }
 }

@@ -28,17 +28,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("gapfill+locf: one scan, no fill join, two exchanges end-to-end") {
-    val df = SparkEntry.queries("b6_gapfill_locf")(spark, sf)
-    // AQE's toString appends the pre-adaptive "Initial Plan" — count the
-    // final plan only
-    val plan = executed(df).split("== Initial Plan ==").head
-    val exchanges = "(?<!Reused)Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges == 2,
-      s"expected 2 exchanges (the hourly rollup agg + the shared entity "
-        + s"window partitioning), got $exchanges:\n$plan")
-    assert(!plan.contains("Join"), s"gapfill must not plan a fill join:\n$plan")
-    assert("FileScan parquet".r.findAllIn(plan).size == 1,
-      s"gapfill must scan the input once:\n$plan")
+    for (q <- Seq("b6_gapfill_locf", "b11_gapfill_bounded")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      // AQE's toString appends the pre-adaptive "Initial Plan" — count
+      // the final plan only
+      val plan = executed(df).split("== Initial Plan ==").head
+      val exchanges = "(?<!Reused)Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 2,
+        s"$q: expected 2 exchanges (the hourly rollup agg + the shared "
+          + s"entity window partitioning), got $exchanges:\n$plan")
+      assert(!plan.contains("Join"), s"$q must not plan a fill join:\n$plan")
+      assert("FileScan parquet".r.findAllIn(plan).size == 1,
+        s"$q must scan the input once:\n$plan")
+    }
   }
 
   test("TopKRewrite turns row_number window filters into TopKPerKey") {
