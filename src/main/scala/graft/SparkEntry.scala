@@ -64,6 +64,20 @@ object SparkEntry {
       ev(s, d).groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
         .agg(fixedSum(col("value"), 4).as("value_sum"), count(lit(1)).as("n_events"))),
 
+    // b1 through the salted two-stage shape — the a-priori-hot-key
+    // guard; sharing b1's oracle proves the decomposition is value-exact
+    "b13_salted_agg_daily" -> ((s, d) =>
+      Skew.saltedAgg(
+        ev(s, d).withColumn("day", TimeAgg.dayKey(col("ts"))),
+        Seq("user_id", "day"), saltBy = col("event_id"), saltFactor = 8,
+        partialAggs = Seq(
+          sum(Portable.toFixed(col("value"), 4)).as("__fs"),
+          count(lit(1)).as("__n")),
+        mergeAggs = Seq(
+          (sum(col("__fs")).cast("double") / lit(10000.0)).as("value_sum"),
+          sum(col("__n")).as("n_events")))
+        .select("user_id", "day", "value_sum", "n_events")),
+
     "b2_agg_weekly" -> ((s, d) =>
       ev(s, d).groupBy(col("user_id"),
           date_format(TimeAgg.weekBucket(col("ts")), "yyyy-MM-dd").as("week"))
@@ -133,6 +147,14 @@ object SparkEntry {
         Portable.pround(expr("percentile(value, 0.95D)"), 4).as("p95"),
         Portable.pround(expr("percentile(value, 0.99D)"), 4).as("p99"),
         count(lit(1)).as("n_events"))),
+
+    // histogram percentiles — the bounded-memory percentile for 100 TB
+    // (B8's exact aggregate buffers every value per group); 600 unit
+    // bins over the value domain, estimates fully oracle-mirrored
+    "b12_percentile_hist" -> ((s, d) =>
+      Sketches.histPercentiles(ev(s, d), Seq("event_type"), col("value"),
+        Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)),
+        lo = 0.0, hi = 600.0, nBins = 600)),
 
     // HLL sketch — engine-specific bits, so rows-only for the driver;
     // the spec asserts <5% relative error against exact countDistinct.
@@ -313,6 +335,14 @@ object SparkEntry {
     "f3_ann_ivf" -> ((s, d) => {
       val e = embD(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5, 16, 4, trainIters = 2)
+    }),
+
+    // multi-table LSH: 4 independent 8-bit hyperplane tables, candidates
+    // unioned across tables — the recall lever single-table LSH lacks
+    "f5_ann_lsh_multi" -> ((s, d) => {
+      val e = embD(s, d)
+      Similarity.lshTopKMulti(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", 5, 8, 4, 64)
     }),
 
     // recall@5 of the approximate searchers (f2 LSH, f3 trained IVF)
@@ -591,10 +621,9 @@ object SparkEntry {
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY e.user_id, c.c_name, c.c_acctbal, c.c_mktsegment""".stripMargin,
 
-    "b1_agg_daily" ->
-      s"""SELECT user_id, strftime(ts, '%Y%m%d') AS day,
-         |${sqlFixedSum("value", 4)} AS value_sum, count(*) AS n_events
-         |FROM events GROUP BY 1, 2""".stripMargin,
+    "b1_agg_daily" -> b1OracleSql,
+    // same oracle as b1: the salted two-stage plan must be value-equal
+    "b13_salted_agg_daily" -> b1OracleSql,
 
     "b2_agg_weekly" ->
       s"""SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
@@ -669,6 +698,27 @@ object SparkEntry {
          |  ${sqlPround("quantile_cont(value, 0.99)", 4)} AS p99,
          |  count(*) AS n_events
          |FROM events GROUP BY 1""".stripMargin,
+
+    "b12_percentile_hist" -> {
+      def pick(name: String, p: Double): String =
+        s"min_by(${sqlPround(s"0.0 + (bin + (ceil(n * $p) - (cum - cnt)) / cnt) * 1.0", 4)}, bin) " +
+          s"FILTER (WHERE cum >= ceil(n * $p)) AS $name"
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    CAST(least(greatest(floor((value - 0.0) / 1.0), 0), 599) AS BIGINT) AS bin,
+         |    count(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *, sum(cnt) OVER (PARTITION BY event_type) AS n,
+         |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM h)
+         |SELECT event_type,
+         |  ${pick("p50", 0.5)},
+         |  ${pick("p95", 0.95)},
+         |  ${pick("p99", 0.99)}
+         |FROM c GROUP BY event_type""".stripMargin
+    },
 
     "b10_distinct_kmv" ->
       s"""WITH h AS (SELECT DISTINCT
@@ -871,6 +921,41 @@ object SparkEntry {
           "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), (x, y) -> x + y)", 4)),
 
     "f1_ann_bruteforce" -> f1OracleSql,
+
+    "f5_ann_lsh_multi" -> {
+      // per-table planes come from the SAME deterministic pool the
+      // operator ships (pool row p depends only on p, so table t =
+      // rows [8t, 8t+8)), embedded as SQL array literals
+      val pool = graft.operators.Similarity.planes(32, 64)
+      def planeArr(g: Int): String = pool(g).map(_.toString).mkString("[", ", ", "]")
+      def bucketFor(t: Int): String = (0 until 8).map(p =>
+        s"(CASE WHEN list_reduce(list_transform(generate_series(1, len(v)), i -> v[i] * ${planeArr(t * 8 + p)}[i]), (x, y) -> x + y) > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString("\n|      + ")
+      val tables = (0 until 4).map(t =>
+        s"  SELECT vec_id, v, $t AS tb, ${bucketFor(t)} AS bucket FROM n")
+        .mkString(" UNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         |         (a, b) -> a + b)) AS nrm,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e
+         |), b AS (
+         |$tables
+         |), q AS (
+         |  SELECT vec_id AS query_id, v AS qv, tb, bucket FROM b WHERE vec_id % 100 = 0
+         |), s AS (
+         |  SELECT DISTINCT q.query_id, c.vec_id AS nn_id,
+         |    ${sqlPround("list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]), (x, y) -> x + y)", 6)} AS cosine
+         |  FROM q JOIN b c ON c.tb = q.tb AND c.bucket = q.bucket AND c.vec_id <> q.query_id
+         |)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank,
+         |  nn_id, cosine
+         |FROM s QUALIFY rank <= 5""".stripMargin
+    },
 
     "f2_ann_lsh" -> f2OracleSql,
 
@@ -1176,6 +1261,11 @@ object SparkEntry {
          |  FROM scored)
          |SELECT doc_id, lang, quality_score FROM ranked WHERE rk <= 50""".stripMargin
   }
+
+  private lazy val b1OracleSql: String =
+    s"""SELECT user_id, strftime(ts, '%Y%m%d') AS day,
+       |${sqlFixedSum("value", 4)} AS value_sum, count(*) AS n_events
+       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** f1/f2/f3 oracle bodies as vals so f4's recall report can embed
     * them end-to-end as subqueries. */

@@ -73,6 +73,20 @@ object Similarity {
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Bucket id for hash TABLE `table` of a multi-table family: table t
+    * uses the global plane rows [t·numBits, (t+1)·numBits) of one
+    * deterministic `planes(numTables·numBits, dim)` pool, so every
+    * table's planes are independent and every run/engine derives the
+    * identical family. Table 0 of a 1-table family IS [[lshBucket]]. */
+  private[graft] def lshBucketAt(vec: Column, numBits: Int, numTables: Int,
+                                 dim: Int, table: Int): Column = {
+    val pool = planes(numTables * numBits, dim)
+    (0 until numBits).map { p =>
+      val proj = dot(vec, typedlit(pool(table * numBits + p).toSeq))
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** ANN via LSH: score only corpus rows in the query's bucket. Same
     * output shape as [[bruteForceTopK]]; recall < 1 by design. The
     * embedding dimension is probed with a one-row driver lookup (as
@@ -93,6 +107,41 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("cosine", graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "nn_id", "cosine")
+  }
+
+  /** MULTI-TABLE LSH ANN — the standard recall lever a single hash
+    * table lacks: `numTables` independent hyperplane tables, a
+    * candidate is scored when it collides with the query in ANY table
+    * (union of per-table bucket joins), so recall rises roughly as
+    * 1-(1-p^b)^L while cost stays bucket-local. Spark shape: ONE
+    * posexplode over the per-table bucket array (rows = numTables ×
+    * |corpus|, shuffled on the (table, bucket) key — no per-table
+    * passes), broadcast query side, cosine computed before the
+    * (query, candidate) dedup so `distinct` runs on small scalar rows.
+    * Same output shape as [[bruteForceTopK]]. */
+  def lshTopKMulti(corpus: DataFrame, queries: DataFrame, id: String,
+                   vec: String, k: Int, numBits: Int, numTables: Int,
+                   dim: Int): DataFrame = {
+    def withBuckets(df: DataFrame, idName: String): DataFrame =
+      df.select(col(id).as(idName), l2normalize(col(vec)).as(s"__v_$idName"))
+        .select(col(idName), col(s"__v_$idName"), posexplode(array(
+          (0 until numTables).map(t =>
+            lshBucketAt(col(s"__v_$idName"), numBits, numTables, dim, t)): _*))
+          .as(Seq("tb", "bucket")))
+    val c = withBuckets(corpus, "nn_id")
+    val q = withBuckets(queries, "query_id")
+    val scored = c.join(broadcast(q), Seq("tb", "bucket"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("cosine", graft.functions.Portable.pround(
+        dot(col("__v_query_id"), col("__v_nn_id")), 6))
+      // a pair colliding in several tables must score once: cosine is
+      // identical across tables, so the distinct runs on 3 scalars
+      .select("query_id", "nn_id", "cosine")
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nn_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -39,4 +39,52 @@ object Sketches {
             .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
               col("kth_hash").cast("double")), 2).as("est_distinct"))
   }
+
+  /** Fixed-bin histogram percentiles — the SCALE-SAFE spelling of B8's
+    * exact `percentile`: Spark's exact aggregate buffers every distinct
+    * value per group in executor memory (a per-group value map), which
+    * at 100 TB is an OOM, while a fixed histogram is a bounded
+    * `nBins`-row state that partial-aggregates map-side like any count.
+    * Error is bounded by the bin width; memory is O(nBins) per group
+    * regardless of input size.
+    *
+    * Estimate: per group, bin counts → running totals (a window over
+    * ≤ nBins rows per group — never the raw values) → for each
+    * percentile p, rank r = ceil(p·n) lands in the first bin whose
+    * running count reaches r, and the value interpolates linearly
+    * within that bin. Every step is plain integer/double arithmetic on
+    * the SAME formula in any engine — the DuckDB oracle reproduces the
+    * numbers bit-for-bit (unlike t-digest/HLL-style sketches whose
+    * layout is engine-private, the same trade [[kmvDistinct]] makes).
+    * Values outside [lo, hi) clamp into the edge bins. */
+  def histPercentiles(df: DataFrame, groupCols: Seq[String], value: Column,
+                      ps: Seq[(String, Double)], lo: Double, hi: Double,
+                      nBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins > 0 && hi > lo && ps.nonEmpty)
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(floor((value - lit(lo)) / lit(width)), lit(0L)),
+      lit((nBins - 1).toLong))
+    val hist = df.groupBy(groupCols.map(col) :+ bin.as("__bin"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val wg = Window.partitionBy(groupCols.map(col): _*)
+    val wcum = wg.orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__n", sum(col("__cnt")).over(wg))
+      .withColumn("__cum", sum(col("__cnt")).over(wcum))
+    val aggs = ps.map { case (name, p) =>
+      val r = ceil(col("__n") * p)
+      val frac = (r - (col("__cum") - col("__cnt"))) / col("__cnt")
+      val est = graft.functions.Portable.pround(
+        lit(lo) + (col("__bin") + frac) * lit(width), 4)
+      // first qualifying bin via struct-min (nulls ignored); .est after
+      min(when(col("__cum") >= r,
+        struct(col("__bin").as("bin"), est.as("est")))).as(s"__$name")
+    }
+    cum.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) ++
+        ps.map { case (name, _) => col(s"__$name")("est").as(name) }: _*)
+  }
 }

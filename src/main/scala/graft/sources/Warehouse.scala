@@ -69,6 +69,54 @@ object Warehouse {
     overwritePartitions(merged.localCheckpoint(), path, partitionCols)
   }
 
+  /** CONTINUOUS-AGGREGATE refresh — the TimescaleDB continuous
+    * aggregate / dbt incremental-model contract (reference:
+    * dags/dbt_project/models/agg models materialized incrementally;
+    * macros/get_max_insert_timestamp.sql is exactly the high-watermark
+    * probe below): keep an aggregate table fresh against an append-only
+    * raw table WITHOUT recomputing history.
+    *
+    * Refresh = (1) read the aggregate's high watermark (max
+    * `aggWatermarkCol` — one tiny agg over the small table); (2) rows
+    * newer than it name the TOUCHED periods (partition values); (3)
+    * those periods are re-aggregated FROM RAW — complete recomputes,
+    * so late-arriving rows inside an old period are folded in
+    * correctly, not just appended — and (4) land via dynamic partition
+    * overwrite, replacing exactly the touched periods. Cost scales
+    * with the hot periods an increment lands in, never with table
+    * history; re-running with no new data is a no-op; re-running after
+    * a crash converges (idempotent), which is what lets an
+    * Airflow-style scheduler retry blindly.
+    *
+    * `raw` must already carry the partition columns (derive the period
+    * key first) plus a monotone ingest cursor `rawWatermarkCol` (dlt's
+    * incremental cursor — INGEST time, not event time, so late events
+    * still advance it); `aggregate` must emit the partition columns and
+    * `max(rawWatermarkCol)` as `aggWatermarkCol`. */
+  def refreshAggregate(raw: DataFrame, tablePath: String,
+                       partitionCols: Seq[String], rawWatermarkCol: String,
+                       aggWatermarkCol: String,
+                       aggregate: DataFrame => DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, max}
+    val spark = raw.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) {
+      overwritePartitions(aggregate(raw), tablePath, partitionCols)
+    } else {
+      val hwm = spark.read.parquet(tablePath)
+        .agg(max(col(aggWatermarkCol))).head().get(0)
+      val delta =
+        if (hwm == null) raw else raw.filter(col(rawWatermarkCol) > lit(hwm))
+      val touched = delta.select(partitionCols.map(col): _*).distinct()
+      // complete re-aggregation of ONLY the touched periods: the raw
+      // read prunes to them (partition pruning / DPP on a partitioned
+      // landing), and dynamic overwrite replaces only those partitions
+      val slice = raw.join(broadcast(touched), partitionCols, "left_semi")
+      overwritePartitions(aggregate(slice), tablePath, partitionCols)
+    }
+  }
+
   /** Bucketed + sorted warehouse table: co-locates rows by join key so
     * downstream fact-fact joins and grouped aggs on `bucketCols` plan
     * with ZERO exchange (verified in PlanSpec). The one-time write cost

@@ -68,6 +68,32 @@ class CurationSpec extends SparkSpec {
     assert(exact == 100.0)
   }
 
+  test("histogram percentiles land within one bin width of the nearest-rank value") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.Tables.events(spark, sf)
+    // the histogram targets rank ceil(p·n) — compare against the exact
+    // value AT that rank (the interpolating `percentile` aggregate can
+    // legitimately sit a sparse-tail gap away from any data point)
+    val w = Window.partitionBy("event_type").orderBy("value")
+    val ranked = ev.select($"event_type", $"value")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val exact = ranked.groupBy("event_type").agg(
+      min(when($"rk" === ceil($"n" * 0.5), $"value")).as("e50"),
+      min(when($"rk" === ceil($"n" * 0.99), $"value")).as("e99"))
+    val hist = graft.operators.Sketches.histPercentiles(ev,
+      Seq("event_type"), col("value"),
+      Seq(("p50", 0.5), ("p99", 0.99)), lo = 0.0, hi = 600.0, nBins = 600)
+    val joined = exact.join(hist, "event_type")
+      .select($"event_type", ($"p50" - $"e50").as("d50"), ($"p99" - $"e99").as("d99"))
+      .as[(String, Double, Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (et, d50, d99) =>
+      assert(math.abs(d50) <= 1.0 && math.abs(d99) <= 1.0,
+        s"$et drifted beyond a bin: d50=$d50 d99=$d99")
+    }
+  }
+
   test("repetition ratio: degenerate repeats score high, prose low") {
     val df = Seq(
       (1L, "buy now buy now buy now buy now buy now buy now"),

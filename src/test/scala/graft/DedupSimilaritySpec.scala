@@ -144,6 +144,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1)._2 == 2) // tie resolved to the higher cell id
   }
 
+  test("saltedAgg matches the plain grouped aggregation exactly under skew") {
+    // one key owns ~99% of rows — the shape salting exists for
+    val df = spark.range(100000)
+      .select(when($"id" % 100 === 0, $"id").otherwise(lit(7L)).as("k"),
+        ($"id" % 1000).cast("double").as("v"), $"id".as("rid"))
+    val plain = df.groupBy("k")
+      .agg(sum($"v".cast("long")).as("s"), count(lit(1)).as("n"))
+    val salted = graft.operators.Skew.saltedAgg(df, Seq("k"), $"rid", 16,
+      partialAggs = Seq(sum($"v".cast("long")).as("__s"), count(lit(1)).as("__n")),
+      mergeAggs = Seq(sum($"__s").as("s"), sum($"__n").as("n")))
+    assert(salted.exceptAll(plain).count() == 0
+      && plain.exceptAll(salted).count() == 0)
+  }
+
+  test("multi-table LSH: exact cosines, recall >= single table") {
+    val emb = Tables0.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    val single = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5, 8, 64)
+    val multi = Similarity.lshTopKMulti(emb, q, "vec_id", "embedding", 5, 8, 4, 64)
+    // every scored hit carries the exact brute-force cosine
+    val wrong = multi.as("l").join(bf.as("b"),
+      $"l.query_id" === $"b.query_id" && $"l.nn_id" === $"b.nn_id")
+      .filter($"l.cosine" =!= $"b.cosine").count()
+    assert(wrong == 0)
+    // pool row p depends only on p, so table 0 IS the single-table
+    // family: the union over 4 tables can only add candidates
+    def hits(approx: org.apache.spark.sql.DataFrame): Long =
+      approx.as("l").join(bf.as("b"),
+        $"l.query_id" === $"b.query_id" && $"l.nn_id" === $"b.nn_id").count()
+    assert(hits(multi) >= hits(single))
+    assert(multi.count() >= single.count())
+  }
+
   test("bruteForceTopK ranks by cosine, excludes self") {
     val emb = Seq(
       (0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)),

@@ -52,4 +52,50 @@ class WarehouseSpec extends SparkSpec {
     Warehouse.mergeUpsert(batch, wh, Seq("day"), Seq("id"), "v_ts")
     assert(spark.read.parquet(wh).count() == 5)
   }
+
+  test("refreshAggregate: incremental refresh == full recompute, history untouched") {
+    val wh = Files.createTempDirectory("graft-wh-cagg").toString + "/agg"
+    // raw rows carry (day from EVENT time, load_ts = monotone INGEST
+    // cursor) — late events advance load_ts while landing in old days
+    def agg(raw: org.apache.spark.sql.DataFrame) =
+      raw.groupBy("user", "day")
+        .agg(sum($"v".cast("long")).as("v_sum"), count(lit(1)).as("n"),
+          max($"load_ts").as("last_load_ts"))
+    def refresh(raw: org.apache.spark.sql.DataFrame): Unit =
+      Warehouse.refreshAggregate(raw, wh, Seq("day"),
+        rawWatermarkCol = "load_ts", aggWatermarkCol = "last_load_ts",
+        aggregate = agg)
+    val raw1 = Seq(
+      (1L, "20240101", 1L, 10.0), (1L, "20240101", 2L, 5.0),
+      (2L, "20240102", 3L, 30.0), (1L, "20240103", 4L, 7.0))
+      .toDF("user", "day", "load_ts", "v")
+    refresh(raw1) // first load = full build
+    val t1 = spark.read.parquet(wh)
+    assert(t1.count() == 3 &&
+      t1.filter($"user" === 1 && $"day" === "20240101")
+        .select("v_sum").as[Long].head() == 15L)
+    val day2File = new java.io.File(wh, "day=20240102")
+      .listFiles().map(_.getName).toSet
+    // increment: new day 20240104 + a LATE row for 20240101 (old day,
+    // newer cursor); 20240102/03 are untouched by this increment
+    val raw2 = raw1.union(Seq(
+      (3L, "20240104", 5L, 50.0), (1L, "20240101", 6L, 100.0))
+      .toDF("user", "day", "load_ts", "v"))
+    refresh(raw2)
+    // partitioned read re-orders columns (partition col last): align
+    val cols = Seq("user", "day", "v_sum", "n", "last_load_ts")
+    val t2 = spark.read.parquet(wh).select(cols.map(col): _*)
+    // incremental result == full recompute from all raw
+    val full = agg(raw2).select(cols.map(col): _*)
+    assert(t2.exceptAll(full).count() == 0 && full.exceptAll(t2).count() == 0)
+    // the late row was FOLDED into day 20240101's aggregate
+    assert(t2.filter($"user" === 1 && $"day" === "20240101")
+      .select("v_sum").as[Long].head() == 115L)
+    // untouched partition's files were not rewritten
+    assert(new java.io.File(wh, "day=20240102")
+      .listFiles().map(_.getName).toSet == day2File)
+    // no new data -> no-op, still converged
+    refresh(raw2)
+    assert(spark.read.parquet(wh).count() == 4)
+  }
 }
