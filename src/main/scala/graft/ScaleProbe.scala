@@ -1,0 +1,128 @@
+package graft
+
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-volume scaling probe — answers the question a fixed-SF bench
+  * can't: how much of each query's time is FIXED overhead (job setup,
+  * codegen, small-file scheduling) versus data-proportional work, i.e.
+  * whether any operator scales worse than linearly before it ever sees
+  * a real cluster.
+  *
+  * Method: inflate the sf tables `mult`× IN MEMORY with deterministic
+  * per-copy transforms that preserve the workload's statistical shape —
+  * ids get disjoint offsets (group/bucket counts scale linearly), and
+  * document text is caesar-rotated per copy (`translate`) so copies are
+  * NOT near-duplicates of each other: naively unioning identical copies
+  * would put every doc in the same shingle/minhash buckets 4× over and
+  * measure an adversarial dedup blow-up (quadratic in `mult`), not data
+  * scaling. Embedding copies flip one dimension's sign so LSH buckets
+  * decorrelate across copies.
+  *
+  * Prints one JSON line: per probe, median seconds at 1× and at
+  * `mult`×, and the ratio. Linear-or-better operators show
+  * ratio <= mult (well below it while fixed overhead dominates at
+  * these SFs). Run:
+  * `SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_SCALE_MULT=4 sbt "runMain graft.ScaleProbe"`.
+  */
+object ScaleProbe {
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+
+  /** Caesar-rotate letters by `i` — deterministic, codegen'd
+    * (`translate`), makes copy i's shingle space disjoint from copy
+    * j's while preserving token/shingle counts exactly. */
+  private def rot(c: org.apache.spark.sql.Column, i: Int) = {
+    val r = i % 26
+    if (r == 0) c
+    else translate(c, Lower + Upper,
+      Lower.drop(r) + Lower.take(r) + Upper.drop(r) + Upper.take(r))
+  }
+
+  private def inflateDocs(docs: DataFrame, mult: Int): DataFrame =
+    (0 until mult).map { i =>
+      docs.select((col("doc_id") + lit(i * 100000000L)).as("doc_id"),
+        rot(col("text"), i).as("text"), col("lang"), col("source"))
+    }.reduce(_ unionByName _)
+
+  private def inflateEvents(ev: DataFrame, mult: Int): DataFrame =
+    (0 until mult).map { i =>
+      ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+        (col("user_id") + lit(i * 1000000L)).as("user_id"),
+        col("ts"), col("event_type"), col("value"))
+    }.reduce(_ unionByName _)
+
+  private def inflateEmb(emb: DataFrame, mult: Int): DataFrame =
+    (0 until mult).map { i =>
+      val v = col("embedding").cast("array<double>")
+      val flipped =
+        if (i == 0) v
+        else zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
+          when(j === lit(i % 64), -x).otherwise(x))
+      emb.select((col("vec_id") + lit(i * 100000000L)).as("vec_id"),
+        flipped.as("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "4").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // localCheckpoint the inflated inputs so the probe times the
+    // OPERATOR, not the inflation projection re-run per query
+    def mat(df: DataFrame): DataFrame = df.localCheckpoint()
+
+    def probes(m: Int): Seq[(String, () => DataFrame)] = {
+      val docs = mat(inflateDocs(Tables.documents(spark, sfDir), m))
+      val ev = mat(inflateEvents(Tables.events(spark, sfDir), m))
+      val emb = mat(inflateEmb(Tables.embeddings(spark, sfDir), m))
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      Seq(
+        "e2_ngram_jaccard" -> (() =>
+          Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.25, 100)),
+        "e3_minhash_lsh" -> (() =>
+          Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4)),
+        "h10_interdup" -> (() =>
+          Dedup.sharedShingleRatio(docs, "doc_id", "text", 3)),
+        "h8_contamination" -> (() =>
+          Curation.contaminationSplit(docs, "doc_id", "text", 3,
+            col("doc_id") % 20 === 0)),
+        "b1_agg_daily" -> (() =>
+          ev.groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+            .agg(sum("value").as("v"), count(lit(1)).as("n"))),
+        "d5_sessionize" -> (() =>
+          Sessionize.summarize(ev, "user_id", "ts", "event_id", "value", 1800)),
+        "f5_ann_lsh_multi" -> (() =>
+          Similarity.lshTopKMulti(emb, q, "vec_id", "embedding", 5, 8, 4, 64)))
+    }
+
+    def timeIt(fn: () => DataFrame): Double = {
+      val times = (0 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.drop(1).sorted.head // warm-up dropped, best of 2
+    }
+
+    val base = probes(1).map { case (n, fn) => n -> timeIt(fn) }.toMap
+    val scaled = probes(mult).map { case (n, fn) => n -> timeIt(fn) }.toMap
+    val body = base.keys.toSeq.sorted.map { n =>
+      val r = scaled(n) / base(n)
+      f"""\"$n\":{\"t1\":${base(n)}%.3f,\"t$mult\":${scaled(n)}%.3f,\"ratio\":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","mult":$mult,"sf":"$sfDir","probes":$body}""")
+    spark.stop()
+  }
+}

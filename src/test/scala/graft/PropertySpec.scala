@@ -112,6 +112,73 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("histPercentiles hits the nearest-rank value's bin on arbitrary data") {
+    import graft.operators.Sketches
+    val dataset: Gen[List[Double]] = for {
+      n <- Gen.choose(1, 120)
+      xs <- Gen.listOfN(n, Gen.chooseNum(0.0, 100.0))
+    } yield xs
+    samples(Gen.zip(dataset, Gen.choose(1, 99)), 10).foreach { case (xs, pi) =>
+      val p = pi / 100.0
+      val est = Sketches.histPercentiles(xs.toDF("v"), Nil, $"v",
+        Seq(("est", p)), lo = 0.0, hi = 100.0, nBins = 200)
+        .select("est").as[Double].head()
+      // exact nearest-rank reference on the driver
+      val want = xs.sorted.apply(math.ceil(p * xs.size).toInt - 1)
+      assert(math.abs(est - want) <= 100.0 / 200 + 1e-9,
+        s"p=$p n=${xs.size} est=$est want=$want")
+    }
+  }
+
+  test("saltedAgg == plain groupBy for arbitrary data and salt factors") {
+    import graft.operators.Skew
+    val rows: Gen[List[(Int, Int)]] = for {
+      n <- Gen.choose(1, 150)
+      ks <- Gen.listOfN(n, Gen.choose(0, 5)) // few keys -> heavy collisions
+      vs <- Gen.listOfN(n, Gen.choose(-1000, 1000))
+    } yield ks.zip(vs)
+    samples(Gen.zip(rows, Gen.choose(1, 9)), 8).foreach { case (data, factor) =>
+      val df = data.zipWithIndex
+        .map { case ((k, v), i) => (k, v.toLong, i.toLong) }
+        .toDF("k", "v", "rid")
+      val plain = df.groupBy("k")
+        .agg(sum($"v").as("s"), count(lit(1)).as("n"), min($"v").as("mn"))
+      val salted = Skew.saltedAgg(df, Seq("k"), $"rid", factor,
+        partialAggs = Seq(sum($"v").as("__s"), count(lit(1)).as("__n"),
+          min($"v").as("__mn")),
+        mergeAggs = Seq(sum($"__s").as("s"), sum($"__n").as("n"),
+          min($"__mn").as("mn")))
+      assert(salted.exceptAll(plain).count() == 0
+        && plain.exceptAll(salted).count() == 0, s"factor=$factor")
+    }
+  }
+
+  test("normalizeRecursive conserves leaf rows and keeps ids unique at depth 2") {
+    import graft.sources.MongoJsonSource
+    val batch: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        parent <- Gen.choose(0L, 4L)
+        bucket <- Gen.choose(0L, 2L)
+      } yield (parent, bucket))
+    } yield rows.zipWithIndex.map { case ((p, b), i) => (p, b, i.toLong) }
+    samples(batch, 6).foreach { data =>
+      val docs = data.toDF("p", "b", "leaf")
+        .groupBy("p", "b").agg(array_sort(collect_list(struct($"leaf"))).as("metrics"))
+        .groupBy("p").agg(array_sort(collect_list(
+          struct($"b", $"metrics"))).as("buckets"))
+        .withColumn("root_id", md5($"p".cast("string")))
+      val tables = MongoJsonSource.normalizeRecursive(docs, "r", "root_id")
+      assert(tables.keySet == Set("r", "r__buckets", "r__buckets__metrics"))
+      val leaves = tables("r__buckets__metrics")
+      // every leaf row survives exactly once, ids collision-free
+      assert(leaves.count() == data.size)
+      assert(leaves.select("row_id").distinct().count() == data.size)
+      assert(leaves.select("leaf").as[Long].collect().sorted.toList ==
+        data.map(_._3).sorted)
+    }
+  }
+
   test("SimHash64 agrees with a per-token xxhash64 vote reference") {
     samples(doc, 40).foreach { s =>
       val votes = new Array[Int](64)
