@@ -128,6 +128,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("nested normalization flattens from ONE scan with no joins") {
+    val plan = executed(SparkEntry.queries("a4_normalize_nested")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"a4 must scan events once:\n$plan")
+    assert(!plan.contains("Join"), s"a4 must not join:\n$plan")
+  }
+
+  test("histogram percentile windows run over the histogram, not the raw rows") {
+    val plan = executed(SparkEntry.queries("b12_percentile_hist")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(plan).size == 1)
+    // the raw rows reduce to bin counts (partial+final agg) BEFORE any
+    // window: the one hash exchange carries histogram rows only
+    val exchanges = "(?<!Reused)Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"histogram should shuffle bins, got $exchanges:\n$plan")
+    assert(plan.indexOf("HashAggregate") >= 0 &&
+      plan.contains("Window"), s"expected agg-then-window:\n$plan")
+  }
+
+  test("salted aggregation plans exactly two shuffle stages") {
+    val plan = executed(SparkEntry.queries("b13_salted_agg_daily")(spark, sf))
+      .split("== Initial Plan ==").head
+    val exchanges = "(?<!Reused)Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2,
+      s"expected (keys, salt) + keys exchanges, got $exchanges:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1)
+  }
+
+  test("multi-table LSH broadcasts the query side, never a cross product") {
+    val plan = executed(SparkEntry.queries("f5_ann_lsh_multi")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"bucket join degenerated:\n$plan")
+  }
+
   test("source mix: two-level agg, no unpartitioned Window over the strata") {
     // the cliff shape is Window over a SinglePartition exchange carrying
     // EVERY stratum; after the two-level-agg fix the only single-
