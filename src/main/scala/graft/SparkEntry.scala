@@ -205,6 +205,16 @@ object SparkEntry {
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("ts").as("last_ts"), col("event_type").as("last_type"))),
 
+    // SCD2 history — the dbt snapshot (strategy: check) role: one row
+    // per (user, event_type state interval), emitted only on change
+    "c6_scd2_history" -> ((s, d) =>
+      Incremental.scd2(
+        ev(s, d).select("user_id", "ts", "event_id", "event_type"),
+        Seq("user_id"), col("ts"),
+        order = Seq(col("ts"), col("event_id")), attrs = Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current"))),
+
     // D. DWH join/agg at scale
     "d1_pricing_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -525,6 +535,20 @@ object SparkEntry {
         Seq("lang"), col("n_tokens"), col("quality_score"), col("doc_id"),
         budget = 3000L)),
 
+    // leakage-safe split: assignment unit = near-dup cluster, so no
+    // near-duplicate pair ever straddles train/test (split-contamination
+    // by construction otherwise); singletons split by their own id
+    "k5_split_leakage_safe" -> ((s, d) => {
+      val dd = docs(s, d)
+      val cl = Dedup.clusters(
+        Dedup.ngramJaccard(dd, "doc_id", "text", 3, 0.25, 100),
+        "doc_a", "doc_b")
+      Curation.leakageSafeSplit(dd, "doc_id", cl, "doc_id", "cluster_id", 90, 5)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split_key")).as("n_groups"))
+    }),
+
     // same quota semantics through the custom TopKPerKey physical
     // operator (bounded per-key heaps, no per-stratum sort) — shares
     // k2's oracle, proving plan-level equivalence on a second shape
@@ -764,6 +788,17 @@ object SparkEntry {
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
 
+    "c6_scd2_history" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM c""".stripMargin,
+
     "d1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |${sqlFixedSum("l_quantity", 4)} AS sum_qty,
@@ -845,16 +880,19 @@ object SparkEntry {
 
     "e2_dedup_ngram_jaccard" -> e2OracleSql,
 
-    "e6_dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS ($e2OracleSql),
-         |edges AS (
-         |  SELECT doc_a AS x, doc_b AS y FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |cc(id, label) AS (
-         |  SELECT DISTINCT x, x FROM edges
-         |  UNION
-         |  SELECT e.x, c.label FROM edges e JOIN cc c ON c.id = e.y)
-         |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin,
+    "e6_dedup_clusters" -> e6OracleSql,
+
+    "k5_split_leakage_safe" ->
+      s"""WITH a AS (
+         |  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS sk
+         |  FROM documents d LEFT JOIN ($e6OracleSql) cc ON cc.doc_id = d.doc_id),
+         |s AS (
+         |  SELECT doc_id, sk,
+         |    CAST(concat('0x', substr(md5(CAST(sk AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+         |  FROM a)
+         |SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, count(DISTINCT sk) AS n_groups
+         |FROM s GROUP BY 1""".stripMargin,
 
     "e3_dedup_minhash_lsh" -> {
       // K-M family constants come from the SAME Scala definitions the
@@ -1261,6 +1299,19 @@ object SparkEntry {
          |  FROM scored)
          |SELECT doc_id, lang, quality_score FROM ranked WHERE rk <= 50""".stripMargin
   }
+
+  /** e6's connected-components oracle, as a val so k5's leakage-safe
+    * split can embed it as a subquery. */
+  private lazy val e6OracleSql: String =
+    s"""WITH RECURSIVE pairs AS ($e2OracleSql),
+       |edges AS (
+       |  SELECT doc_a AS x, doc_b AS y FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |cc(id, label) AS (
+       |  SELECT DISTINCT x, x FROM edges
+       |  UNION
+       |  SELECT e.x, c.label FROM edges e JOIN cc c ON c.id = e.y)
+       |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin
 
   private lazy val b1OracleSql: String =
     s"""SELECT user_id, strftime(ts, '%Y%m%d') AS day,

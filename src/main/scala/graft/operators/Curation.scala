@@ -115,6 +115,32 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** LEAKAGE-SAFE train/val/test split: deterministic hash split where
+    * the unit of assignment is the NEAR-DUP CLUSTER, not the document —
+    * two near-duplicates must never straddle a split boundary (a doc in
+    * train with its near-copy in test is benchmark leakage by
+    * construction; Lee et al. ACL'22 measure exactly this effect).
+    * Docs outside any cluster split by their own id.
+    *
+    * `clusters` is a (docCol, clusterCol) assignment (e.g.
+    * [[Dedup.clusters]] output — broadcast-sized next to the corpus:
+    * only docs WITH near-dups appear in it). One broadcast left join +
+    * the zero-shuffle hash filter family; thresholds are percents of
+    * [[hashBucket]]'s 100-bucket space. */
+  def leakageSafeSplit(docs: DataFrame, id: String, clusters: DataFrame,
+                       docCol: String, clusterCol: String,
+                       trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct + valPct < 100)
+    val key = coalesce(col(clusterCol), col(id)).cast("string")
+    val b = hashBucket(key, 100)
+    docs.join(broadcast(clusters.select(col(docCol).as(id),
+        col(clusterCol))), Seq(id), "left")
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val").otherwise("test"))
+      .withColumn("split_key", key)
+  }
+
   /** Corpus mix report: per (group key) document/token mass and its
     * share of the whole corpus — the numbers data-mixing weights are
     * set from. One scan, one grouped aggregation; the strata table is

@@ -39,4 +39,30 @@ object Incremental {
     val w = Window.partitionBy(key.map(col): _*).orderBy(version.map(_.desc): _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Type-2 slowly-changing-dimension history from a change stream —
+    * the dbt SNAPSHOT (`strategy: check`) role the reference stack
+    * reserves its snapshots dir for: one row per (key, state interval),
+    * emitted only when a tracked attribute actually changed, with
+    * `valid_from`/`valid_to` bounds and an `is_current` flag
+    * (`valid_to` null on the open interval).
+    *
+    * Shape: one shuffle on the key; a `lag` window finds state changes
+    * (null-safe struct compare, so null attribute values are ordinary
+    * states), a `lead` over the surviving change rows closes each
+    * interval. Both windows share the (key × order) sort. `order` must
+    * make the change sequence deterministic (include a unique
+    * tie-break column alongside the timestamp). */
+  def scd2(changes: DataFrame, key: Seq[String], ts: Column,
+           order: Seq[Column], attrs: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+    val state = struct(attrs.map(col): _*)
+    changes
+      .withColumn("__prev", lag(state, 1).over(w))
+      .filter(!(col("__prev") <=> state))
+      .withColumn("valid_from", ts)
+      .withColumn("valid_to", lead(ts, 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__prev")
+  }
 }

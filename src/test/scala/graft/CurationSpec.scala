@@ -94,6 +94,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("leakage-safe split never puts two docs of one cluster in different splits") {
+    val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters pairing neighbors: (1,2), (5,6), ... — and one big star
+    val clusters = ((1L to 100L).map(i => (2 * i, 2 * i - 1)) ++
+      Seq((301L, 300L), (302L, 300L), (303L, 300L)))
+      .toDF("doc_id", "cluster_id")
+    val split = graft.operators.Curation.leakageSafeSplit(
+      docs, "doc_id", clusters, "doc_id", "cluster_id", 90, 5)
+    // every doc assigned exactly once
+    assert(split.count() == 400)
+    // no split_key (cluster or singleton) spans two splits
+    assert(split.groupBy("split_key")
+      .agg(countDistinct($"split").as("n")).filter($"n" > 1).count() == 0)
+    // clustered docs share their cluster's assignment
+    val star = split.filter($"doc_id".isin(300L, 301L, 302L, 303L))
+      .select("split").distinct()
+    assert(star.count() == 1)
+    // all three splits materialize at this size
+    assert(split.select("split").distinct().count() == 3)
+  }
+
   test("repetition ratio: degenerate repeats score high, prose low") {
     val df = Seq(
       (1L, "buy now buy now buy now buy now buy now buy now"),

@@ -84,6 +84,28 @@ class IncrementalSpec extends SparkSpec {
     val df = Seq((1, "202401"), (2, "202402"), (3, "202402")).toDF("k", "m")
     assert(Incremental.latestPeriod(df, "m").count() == 2)
   }
+
+  test("scd2 emits one interval per state change with closed/open bounds") {
+    // key 1: a -> a (no change) -> b -> a; key 2: constant; null state
+    // for key 3 is an ordinary tracked value
+    val df = Seq(
+      (1, 1L, Some("a")), (1, 2L, Some("a")), (1, 3L, Some("b")), (1, 4L, Some("a")),
+      (2, 1L, Some("x")), (2, 9L, Some("x")),
+      (3, 1L, None), (3, 2L, Some("z")))
+      .toDF("k", "t", "state")
+    val got = Incremental.scd2(df, Seq("k"), col("t"),
+        order = Seq(col("t")), attrs = Seq("state"))
+      .select("k", "state", "valid_from", "valid_to", "is_current")
+      .as[(Int, Option[String], Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(got == Set(
+      (1, Some("a"), 1L, Some(3L), false),
+      (1, Some("b"), 3L, Some(4L), false),
+      (1, Some("a"), 4L, None, true),     // re-entering a state opens anew
+      (2, Some("x"), 1L, None, true),     // unchanged run collapses to one
+      (3, None, 1L, Some(2L), false),     // null is a state, not "no row"
+      (3, Some("z"), 2L, None, true)))
+  }
 }
 
 class ArrayOpsSpec extends SparkSpec {
