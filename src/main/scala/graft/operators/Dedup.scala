@@ -291,6 +291,69 @@ object Dedup {
         col("n_shared").cast("double") / col("n_sh"), 4))
   }
 
+  /** EXACT REPEATED-SPAN REMOVAL — the transform the span-duplication
+    * report ([[sharedShingleRatio]]) only measures: every k-token span
+    * occurring MORE THAN ONCE corpus-wide (including twice in one doc)
+    * is deleted from every document, and the text is rebuilt from the
+    * surviving tokens — Lee et al. (ACL 2022)'s exact-substring
+    * deduplication at k-token granularity. Returns one row per doc:
+    * `(doc_id, n_tokens, n_kept, clean_text)`.
+    *
+    * Shape: ONE scan (PlanSpec-asserted). The tokenized projection is
+    * anchored on a `repartition(doc)` exchange with exactly TWO
+    * identical-shaped consumers — the positional k-gram table and the
+    * positional token table — so the exchange is reused, not re-derived
+    * (a third doc-length branch would prune differently and silently
+    * re-scan; doc lengths come out of the token aggregation instead).
+    * The k-gram table is anchored again on the span key so the
+    * occurrence-count aggregation and the probe side share one exchange
+    * (the [[sharedShingleRatio]] trick — `count(p)` not `count(1)`, so
+    * pruning can't split the subtrees). Duplicated spans explode to
+    * covered positions; tokens LEFT-join the covered set and ONE
+    * grouped pass per doc counts totals, counts survivors, and rebuilds
+    * the text (collect_list skips the nulls the `when` leaves on
+    * covered tokens; `posexplode_outer` keeps zero-token docs alive).
+    * Token-level shuffles are inherent to exact-substring dedup; every
+    * one is keyed and linear in token mass — nothing quadratic, nothing
+    * collected. Docs shorter than k tokens have no k-spans and pass
+    * through verbatim. */
+  def removeRepeatedSpans(docs: DataFrame, id: String, text: String,
+                          k: Int): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(text))
+    // ids are keys: null-id rows are dropped up front — EVERY branch
+    // then sits above the same isnotnull-filtered scan (the left join
+    // below infers isnotnull(doc) on its right side; filtering early
+    // keeps the two anchored-exchange subtrees canonically equal, else
+    // the probe branch silently re-scans with the inferred filter)
+    val base = docs.filter(col(id).isNotNull)
+      .select(col(id).as("doc"), toks.as("tk"))
+      .repartition(col("doc"))
+    val emptyStr = array().cast("array<string>")
+    // positional k-grams: span p covers token positions [p, p+k)
+    val grams = base.select(col("doc"),
+        posexplode(when(size(col("tk")) >= k,
+          transform(sequence(lit(0), size(col("tk")) - k),
+            p => array_join(slice(col("tk"), p + 1, lit(k)), " ")))
+          .otherwise(emptyStr)).as(Seq("p", "s")))
+      .repartition(col("s"))
+    val occ = grams.groupBy("s").agg(count(col("p")).as("occ"))
+    val covered = grams.join(occ, Seq("s"))
+      .filter(col("occ") > 1)
+      .select(col("doc"), explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+      .distinct()
+      .withColumn("__cov", lit(1))
+    val tokens = base.select(col("doc"),
+      posexplode_outer(col("tk")).as(Seq("pos", "w")))
+    val keepToken = col("pos").isNotNull && col("__cov").isNull
+    tokens.join(covered, Seq("doc", "pos"), "left")
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(col("pos")).as("n_tokens"),
+        sum(when(keepToken, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(keepToken, struct(col("pos"), col("w"))))),
+          x => x("w")), " ").as("clean_text"))
+  }
+
   /** Embedding near-dup: cosine >= threshold within coarse partitions
     * (`clusterCol` plays the IVF cell). Pairs are generated per cluster
     * — an equi-join on the cluster key — never a cross product. */

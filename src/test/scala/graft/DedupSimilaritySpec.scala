@@ -74,6 +74,27 @@ class DedupSpec extends SparkSpec {
     assert(a.count() > 0)
   }
 
+  test("removeRepeatedSpans deletes cross- and within-doc repeats, keeps the rest") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),     // "the quick brown" also in doc 2
+      (2L, "the quick brown cat sleeps"),
+      (3L, "go go go go go"),                     // within-doc repeated span
+      (4L, "completely unique sentence here"),
+      (5L, "a b"))                                // shorter than k: untouched
+      .toDF("doc_id", "text")
+    val got = Dedup.removeRepeatedSpans(docs, "doc_id", "text", 3)
+      .select("doc_id", "n_tokens", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // docs 1-2: span [0,3) removed, suffix survives
+    assert(got(0) == ((1L, 6L, 3L, "fox jumps high")))
+    assert(got(1) == ((2L, 5L, 2L, "cat sleeps")))
+    // doc 3: "go go go" occurs at p=0,1,2 -> every position covered
+    assert(got(2) == ((3L, 5L, 0L, "")))
+    // unique doc untouched; sub-k doc untouched
+    assert(got(3) == ((4L, 4L, 4L, "completely unique sentence here")))
+    assert(got(4) == ((5L, 2L, 2L, "a b")))
+  }
+
   test("clusters: min-label propagation finds connected components") {
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (9L, 1L))
       .toDF("doc_a", "doc_b")

@@ -120,7 +120,8 @@ class PlanSpec extends SparkSpec {
     // the anchored-exchange claims: both consumers of the exploded
     // shingle table must come from ONE scan (exchange reuse), not
     // per-branch re-shingling
-    for (q <- Seq("e2_dedup_ngram_jaccard", "h8_contamination", "h10_interdup")) {
+    for (q <- Seq("e2_dedup_ngram_jaccard", "h8_contamination", "h10_interdup",
+        "e7_dedup_spans")) {
       val plan = executed(SparkEntry.queries(q)(spark, sf))
         .split("== Initial Plan ==").head
       val scans = "FileScan parquet".r.findAllIn(plan).size
