@@ -255,7 +255,7 @@ object Similarity {
     * 16 cells, real money at the thousands of cells a 100 TB corpus
     * wants. */
   private[graft] def bestCell(v: Column, cents: Array[(Int, Seq[Double])]): Column =
-    array_max(array(cents.map { case (cid, cv) =>
+    array_max(array(cents.toIndexedSeq.map { case (cid, cv) =>
       struct(dot(v, typedlit(cv)).as("s"), lit(cid).as("cell"))
     }: _*))("cell")
 
@@ -266,7 +266,7 @@ object Similarity {
       centroids.zipWithIndex.map { case (cv, i) => (i, cv) }
     // query side keeps the full sort: it needs the top-nProbe SLICE, and
     // the query set is broadcast-tiny — per-row sort cost is irrelevant
-    def cellScores(v: Column): Column = sort_array(array(cents.map {
+    def cellScores(v: Column): Column = sort_array(array(cents.toIndexedSeq.map {
       case (cid, cv) => struct(dot(v, typedlit(cv)).as("s"), lit(cid).as("cell"))
     }: _*), asc = false)
     val assigned = c.withColumn("cell", bestCell(col("cv"), cents))
