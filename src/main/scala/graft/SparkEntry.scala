@@ -141,6 +141,20 @@ object SparkEntry {
           coalesce(col("month"), lit("ALL")).as("month"),
           col("grp_user"), col("grp_month"), col("value_sum"), col("n_events"))),
 
+    // full CUBE over (event_type, month) with grouping flags — the
+    // grouping-sets companion to b7's ROLLUP (dbt reporting marts
+    // materialize exactly these margin tables)
+    "b14_cube_totals" -> ((s, d) =>
+      ev(s, d).withColumn("month", TimeAgg.monthKey(col("ts")))
+        .cube(col("event_type"), col("month"))
+        .agg(fixedSum(col("value"), 4).as("value_sum"),
+          count(lit(1)).as("n_events"),
+          grouping(col("event_type")).cast("int").as("grp_type"),
+          grouping(col("month")).cast("int").as("grp_month"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("month"), lit("ALL")).as("month"),
+          col("grp_type"), col("grp_month"), col("value_sum"), col("n_events"))),
+
     "b8_percentile_summary" -> ((s, d) =>
       ev(s, d).groupBy(col("event_type")).agg(
         Portable.pround(expr("percentile(value, 0.5D)"), 4).as("p50"),
@@ -720,6 +734,14 @@ object SparkEntry {
          |  ${sqlFixedSum("value", 4)} AS value_sum, count(*) AS n_events
          |FROM (SELECT user_id, strftime(ts, '%Y%m') AS m, value FROM events)
          |GROUP BY ROLLUP (user_id, m)""".stripMargin,
+
+    "b14_cube_totals" ->
+      s"""SELECT coalesce(event_type, 'ALL') AS event_type, coalesce(m, 'ALL') AS month,
+         |  CAST(GROUPING(event_type) AS INTEGER) AS grp_type,
+         |  CAST(GROUPING(m) AS INTEGER) AS grp_month,
+         |  ${sqlFixedSum("value", 4)} AS value_sum, count(*) AS n_events
+         |FROM (SELECT event_type, strftime(ts, '%Y%m') AS m, value FROM events)
+         |GROUP BY CUBE (event_type, m)""".stripMargin,
 
     "b8_percentile_summary" ->
       s"""SELECT event_type,
