@@ -95,6 +95,8 @@ object ScaleProbe {
           Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4)),
         "h10_interdup" -> (() =>
           Dedup.sharedShingleRatio(docs, "doc_id", "text", 3)),
+        "e7_dedup_spans" -> (() =>
+          Dedup.removeRepeatedSpans(docs, "doc_id", "text", 3)),
         "h8_contamination" -> (() =>
           Curation.contaminationSplit(docs, "doc_id", "text", 3,
             col("doc_id") % 20 === 0)),
