@@ -25,7 +25,7 @@ object Bench {
     // NOT count(): count() lets the optimizer prune every unconsumed
     // column, so map-only queries would be measured as bare row counts;
     // noop computes each result column and discards it.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     // local-iteration filter (driver never sets it): run only the named
     // queries, e.g. SPARK_GRAFT_ONLY=e6_dedup_clusters,e2_dedup_ngram_jaccard

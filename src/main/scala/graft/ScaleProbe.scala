@@ -69,6 +69,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "4").toInt
+    // past 26 the caesar rotation wraps (copy i == copy i-26) and the
+    // probe would measure the adversarial duplicate blow-up the
+    // transforms exist to prevent — refuse rather than mislead
+    require(mult >= 1 && mult <= 26, s"mult must be in [1, 26], got $mult")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

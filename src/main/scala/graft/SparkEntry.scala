@@ -759,7 +759,7 @@ object SparkEntry {
          |  SELECT event_type,
          |    CAST(least(greatest(floor((value - 0.0) / 1.0), 0), 599) AS BIGINT) AS bin,
          |    count(*) AS cnt
-         |  FROM events GROUP BY 1, 2),
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
          |c AS (
          |  SELECT *, sum(cnt) OVER (PARTITION BY event_type) AS n,
          |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
@@ -1265,7 +1265,8 @@ object SparkEntry {
 
     "h10_interdup" ->
       s"""WITH t AS (${tokCte("documents", lower = true)}),
-         |s AS (SELECT doc_id, list_distinct($shingle3) AS shs FROM t),
+         |s AS (SELECT doc_id, list_distinct($shingle3) AS shs FROM t
+         |      WHERE doc_id IS NOT NULL),
          |e AS (SELECT doc_id AS doc, unnest(shs) AS sh FROM s),
          |d AS (SELECT sh, count(*) AS df FROM e GROUP BY 1)
          |SELECT e.doc AS doc_id, count(*) AS n_sh,

@@ -123,18 +123,23 @@ object Curation {
     * Docs outside any cluster split by their own id.
     *
     * `clusters` is a (docCol, clusterCol) assignment (e.g.
-    * [[Dedup.clusters]] output — broadcast-sized next to the corpus:
-    * only docs WITH near-dups appear in it). One broadcast left join +
+    * [[Dedup.clusters]] output — only docs WITH near-dups appear in
+    * it, usually dimension-sized next to the corpus). One left join +
     * the zero-shuffle hash filter family; thresholds are percents of
-    * [[hashBucket]]'s 100-bucket space. */
+    * [[hashBucket]]'s 100-bucket space. `broadcastClusters = false`
+    * drops the broadcast hint for a heavily-duplicated corpus whose
+    * cluster table is fact-sized (same opt-out as
+    * [[DataQuality.relationships]]). */
   def leakageSafeSplit(docs: DataFrame, id: String, clusters: DataFrame,
                        docCol: String, clusterCol: String,
-                       trainPct: Int, valPct: Int): DataFrame = {
+                       trainPct: Int, valPct: Int,
+                       broadcastClusters: Boolean = true): DataFrame = {
     require(trainPct + valPct < 100)
     val key = coalesce(col(clusterCol), col(id)).cast("string")
     val b = hashBucket(key, 100)
-    docs.join(broadcast(clusters.select(col(docCol).as(id),
-        col(clusterCol))), Seq(id), "left")
+    val cl0 = clusters.select(col(docCol).as(id), col(clusterCol))
+    val cl = if (broadcastClusters) broadcast(cl0) else cl0
+    docs.join(cl, Seq(id), "left")
       .withColumn("split",
         when(b < trainPct, "train")
           .when(b < trainPct + valPct, "val").otherwise("test"))

@@ -280,7 +280,11 @@ object Dedup {
     * two shuffles + one join, one scan. */
   def sharedShingleRatio(docs: DataFrame, id: String, text: String,
                          k: Int): DataFrame = {
-    val e = docs.select(col(id).as("doc"), explode(shingles(col(text), k)).as("sh"))
+    // ids are keys: a null-id doc would be excluded from df by the
+    // count(doc) aggregate yet still probe the join — drop it up front
+    // so both sides agree (and both subtrees stay canonically equal)
+    val e = docs.filter(col(id).isNotNull)
+      .select(col(id).as("doc"), explode(shingles(col(text), k)).as("sh"))
       .repartition(col("sh"))
     val df = e.groupBy("sh").agg(count(col("doc")).as("df"))
     e.join(df, Seq("sh"))

@@ -56,7 +56,9 @@ object Sketches {
     * the SAME formula in any engine — the DuckDB oracle reproduces the
     * numbers bit-for-bit (unlike t-digest/HLL-style sketches whose
     * layout is engine-private, the same trade [[kmvDistinct]] makes).
-    * Values outside [lo, hi) clamp into the edge bins. */
+    * Values outside [lo, hi) clamp into the edge bins; null values are
+    * dropped (the semantics of every SQL percentile aggregate — left
+    * in, they'd form a null bin that inflates ranks). */
   def histPercentiles(df: DataFrame, groupCols: Seq[String], value: Column,
                       ps: Seq[(String, Double)], lo: Double, hi: Double,
                       nBins: Int): DataFrame = {
@@ -65,7 +67,8 @@ object Sketches {
     val width = (hi - lo) / nBins
     val bin = least(greatest(floor((value - lit(lo)) / lit(width)), lit(0L)),
       lit((nBins - 1).toLong))
-    val hist = df.groupBy(groupCols.map(col) :+ bin.as("__bin"): _*)
+    val hist = df.filter(value.isNotNull)
+      .groupBy(groupCols.map(col) :+ bin.as("__bin"): _*)
       .agg(count(lit(1)).as("__cnt"))
     val wg = Window.partitionBy(groupCols.map(col): _*)
     val wcum = wg.orderBy(col("__bin"))

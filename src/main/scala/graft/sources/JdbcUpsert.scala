@@ -65,10 +65,12 @@ object JdbcUpsert {
   def write(df: DataFrame, table: String, keyCols: Seq[String],
             versionCol: Option[String] = None, batchSize: Int = 500)
            (connect: () => Connection): Unit = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     val cols = df.columns.toSeq
     val sql = upsertSql(table, cols, keyCols, versionCol)
     val width = cols.size
     df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) { // empty partitions open no connection
       val conn = connect()
       try {
         conn.setAutoCommit(false)
@@ -86,6 +88,7 @@ object JdbcUpsert {
           conn.commit()
         } finally st.close()
       } finally conn.close()
+      }
     }
   }
 

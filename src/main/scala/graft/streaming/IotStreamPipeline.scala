@@ -72,13 +72,14 @@ object IotStreamPipeline {
     * `versionCol`), the TimescaleDB-hypertable contract of the
     * reference. `connect` runs on executors. */
   def sinkToJdbc(agg: DataFrame, table: String, keyCols: Seq[String],
-                 versionCol: Option[String], checkpoint: String)
+                 versionCol: Option[String], checkpoint: String,
+                 batchSize: Int = 500)
                 (connect: () => java.sql.Connection): DataStreamWriter[Row] =
     agg.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch(graft.sources.JdbcUpsert.foreachBatchSink(
-        table, keyCols, versionCol)(connect))
+        table, keyCols, versionCol, batchSize)(connect))
 
   /** dlt-style primary-key dedup on the stream: re-delivered event ids
     * within the watermark horizon are dropped once state allows eviction
