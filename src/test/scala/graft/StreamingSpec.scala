@@ -13,6 +13,33 @@ class StreamingSpec extends SparkSpec {
     ev.coalesce(2).write.mode("overwrite").parquet(dir)
   }
 
+  test("text curation runs unchanged on a document stream (scores == batch)") {
+    import graft.functions.TextFunctions
+    // the curation scoring surface is pure projection work (native
+    // expressions, no shuffle) — it must compose with readStream as-is,
+    // which is what makes streaming corpus intake possible
+    val dir = Files.createTempDirectory("graft-stream-docs").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    docs.coalesce(2).write.mode("overwrite").parquet(dir)
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("lang"),
+          TextFunctions.textProfile(lower(col("text"))).as("p"), col("text"))
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScoreFromProfile(col("text"), col("p")).as("q"),
+          TextFunctions.langIdFromProfile(col("p")).as("pred_lang"))
+        .filter(col("q") >= 0.5 && col("pred_lang") === col("lang"))
+    val stream = curate(spark.readStream
+      .schema(docs.schema).parquet(dir))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("curated_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("curated_stream")
+    val want = curate(docs)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("stage → watermarked windowed agg over a file stream (memory sink)") {
     val in = Files.createTempDirectory("graft-stream-in").toString
     landEvents(in)
