@@ -496,6 +496,32 @@ object SparkEntry {
       docs(s, d).select(col("doc_id"),
         TextFunctions.repetitionRatio(col("text"), 3).as("repetition_ratio"))),
 
+    // corpus-inspection: top-10 3-grams per language by document
+    // frequency, through the custom TopKPerKey operator (bounded
+    // per-key heaps — no per-language sort of the full n-gram table)
+    "h12_top_ngrams" -> ((s, d) => {
+      val counts = docs(s, d)
+        .select(col("lang"),
+          explode(TextFunctions.shingles(lower(col("text")), 3)).as("ngram"))
+        .groupBy("lang", "ngram").agg(count(lit(1)).as("n_docs"))
+      graft.plans.TopKPerKey(counts,
+        keys = Seq(col("lang")),
+        order = Seq(col("n_docs").desc, col("ngram").asc),
+        k = 10, rankName = "rnk")
+    }),
+
+    // deterministic per-label embedding centroids: fixed-point mean
+    // pooling (order-independent long sums — a plain double mean drifts
+    // in ULPs with partition order), one row per (label, dimension)
+    "f6_label_centroids" -> ((s, d) =>
+      embD(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(Portable.pround(
+            sum(Portable.toFixed(col("x"), 12)).cast("double")
+              / lit(1e12) / count(lit(1)), 6).as("mean_x"),
+          count(lit(1)).as("n_vecs"))),
+
     // DQ. data-quality checks (dbt schema tests)
     "dq1_checks" -> ((s, d) => {
       val e = ev(s, d)
@@ -1243,6 +1269,28 @@ object SparkEntry {
                s"1.0 - CAST(len(list_distinct($shingle3)) AS DOUBLE) / " +
                "(CASE WHEN len(tok) < 3 THEN 1 ELSE len(tok) - 2 END)", 4)} AS repetition_ratio
          |FROM t""".stripMargin,
+
+    "h12_top_ngrams" ->
+      s"""WITH t AS (${tokCte("documents", lower = true)}),
+         |e AS (SELECT lang, unnest(list_distinct($shingle3)) AS ngram FROM t),
+         |c AS (SELECT lang, ngram, count(*) AS n_docs FROM e GROUP BY 1, 2)
+         |SELECT lang, ngram, n_docs,
+         |  row_number() OVER (PARTITION BY lang ORDER BY n_docs DESC, ngram) AS rnk
+         |FROM c QUALIFY rnk <= 10""".stripMargin,
+
+    "f6_label_centroids" ->
+      s"""WITH e AS (
+         |  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |x AS (
+         |  SELECT label, g.i - 1 AS pos, v[g.i] AS x
+         |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g)
+         |SELECT label, pos,
+         |  ${sqlPround(
+              "CAST(SUM(CAST(floor(x * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)" +
+              " / 1000000000000.0 / COUNT(*)", 6)} AS mean_x,
+         |  COUNT(*) AS n_vecs
+         |FROM x GROUP BY 1, 2""".stripMargin,
 
     "dq1_checks" ->
       """SELECT 'not_null_user_id' AS check_name, count(*) AS n_violations, count(*) = 0 AS passed
