@@ -387,16 +387,22 @@ object SparkEntry {
         .select(col("query_id"), col("nn_id"), lit(1).as("__l"))
       val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", 5, 16, 4, trainIters = 2)
         .select(col("query_id"), col("nn_id"), lit(1).as("__i"))
+      val multi = Similarity.lshTopKMulti(e, q, "vec_id", "embedding", 5, 8, 4, 64)
+        .select(col("query_id"), col("nn_id"), lit(1).as("__m"))
       bf.join(lsh, Seq("query_id", "nn_id"), "left")
         .join(ivf, Seq("query_id", "nn_id"), "left")
+        .join(multi, Seq("query_id", "nn_id"), "left")
         .groupBy("query_id")
         .agg(count(lit(1)).as("n_true"),
           count(col("__l")).as("n_hit_lsh"),
-          count(col("__i")).as("n_hit_ivf"))
+          count(col("__i")).as("n_hit_ivf"),
+          count(col("__m")).as("n_hit_multi"))
         .withColumn("recall_lsh",
           pround(col("n_hit_lsh").cast("double") / col("n_true"), 4))
         .withColumn("recall_ivf",
           pround(col("n_hit_ivf").cast("double") / col("n_true"), 4))
+        .withColumn("recall_multi",
+          pround(col("n_hit_multi").cast("double") / col("n_true"), 4))
     }),
 
     // G. multimodal plumbing (decode stubbed — no codecs in container)
@@ -1045,40 +1051,7 @@ object SparkEntry {
 
     "f1_ann_bruteforce" -> f1OracleSql,
 
-    "f5_ann_lsh_multi" -> {
-      // per-table planes come from the SAME deterministic pool the
-      // operator ships (pool row p depends only on p, so table t =
-      // rows [8t, 8t+8)), embedded as SQL array literals
-      val pool = graft.operators.Similarity.planes(32, 64)
-      def planeArr(g: Int): String = pool(g).map(_.toString).mkString("[", ", ", "]")
-      def bucketFor(t: Int): String = (0 until 8).map(p =>
-        s"(CASE WHEN list_reduce(list_transform(generate_series(1, len(v)), i -> v[i] * ${planeArr(t * 8 + p)}[i]), (x, y) -> x + y) > 0 THEN ${1L << p} ELSE 0 END)")
-        .mkString("\n|      + ")
-      val tables = (0 until 4).map(t =>
-        s"  SELECT vec_id, v, $t AS tb, ${bucketFor(t)} AS bucket FROM n")
-        .mkString(" UNION ALL\n")
-      s"""WITH e AS (
-         |  SELECT vec_id,
-         |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-         |         (a, b) -> a + b)) AS nrm,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings
-         |), n AS (
-         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e
-         |), b AS (
-         |$tables
-         |), q AS (
-         |  SELECT vec_id AS query_id, v AS qv, tb, bucket FROM b WHERE vec_id % 100 = 0
-         |), s AS (
-         |  SELECT DISTINCT q.query_id, c.vec_id AS nn_id,
-         |    ${sqlPround("list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]), (x, y) -> x + y)", 6)} AS cosine
-         |  FROM q JOIN b c ON c.tb = q.tb AND c.bucket = q.bucket AND c.vec_id <> q.query_id
-         |)
-         |SELECT query_id,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank,
-         |  nn_id, cosine
-         |FROM s QUALIFY rank <= 5""".stripMargin
-    },
+    "f5_ann_lsh_multi" -> f5OracleSql,
 
     "f2_ann_lsh" -> f2OracleSql,
 
@@ -1092,13 +1065,17 @@ object SparkEntry {
          |  count(*) AS n_true,
          |  count(l.nn_id) AS n_hit_lsh,
          |  count(iv.nn_id) AS n_hit_ivf,
+         |  count(ml.nn_id) AS n_hit_multi,
          |  ${sqlPround("CAST(count(l.nn_id) AS DOUBLE) / count(*)", 4)} AS recall_lsh,
-         |  ${sqlPround("CAST(count(iv.nn_id) AS DOUBLE) / count(*)", 4)} AS recall_ivf
+         |  ${sqlPround("CAST(count(iv.nn_id) AS DOUBLE) / count(*)", 4)} AS recall_ivf,
+         |  ${sqlPround("CAST(count(ml.nn_id) AS DOUBLE) / count(*)", 4)} AS recall_multi
          |FROM ($f1OracleSql) bf
          |LEFT JOIN ($f2OracleSql) l
          |  ON l.query_id = bf.query_id AND l.nn_id = bf.nn_id
          |LEFT JOIN ($f3OracleSql) iv
          |  ON iv.query_id = bf.query_id AND iv.nn_id = bf.nn_id
+         |LEFT JOIN ($f5OracleSql) ml
+         |  ON ml.query_id = bf.query_id AND ml.nn_id = bf.nn_id
          |GROUP BY bf.query_id""".stripMargin,
 
     "g1_mm_metadata" ->
@@ -1476,6 +1453,41 @@ object SparkEntry {
          |  SELECT query_id, c.vec_id AS nn_id,
          |    ${sqlPround("list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]), (x, y) -> x + y)", 6)} AS cosine
          |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+         |)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank,
+         |  nn_id, cosine
+         |FROM s QUALIFY rank <= 5""".stripMargin
+  }
+
+  private lazy val f5OracleSql: String = {
+      // per-table planes come from the SAME deterministic pool the
+      // operator ships (pool row p depends only on p, so table t =
+      // rows [8t, 8t+8)), embedded as SQL array literals
+      val pool = graft.operators.Similarity.planes(32, 64)
+      def planeArr(g: Int): String = pool(g).map(_.toString).mkString("[", ", ", "]")
+      def bucketFor(t: Int): String = (0 until 8).map(p =>
+        s"(CASE WHEN list_reduce(list_transform(generate_series(1, len(v)), i -> v[i] * ${planeArr(t * 8 + p)}[i]), (x, y) -> x + y) > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString("\n|      + ")
+      val tables = (0 until 4).map(t =>
+        s"  SELECT vec_id, v, $t AS tb, ${bucketFor(t)} AS bucket FROM n")
+        .mkString(" UNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         |         (a, b) -> a + b)) AS nrm,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e
+         |), b AS (
+         |$tables
+         |), q AS (
+         |  SELECT vec_id AS query_id, v AS qv, tb, bucket FROM b WHERE vec_id % 100 = 0
+         |), s AS (
+         |  SELECT DISTINCT q.query_id, c.vec_id AS nn_id,
+         |    ${sqlPround("list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]), (x, y) -> x + y)", 6)} AS cosine
+         |  FROM q JOIN b c ON c.tb = q.tb AND c.bucket = q.bucket AND c.vec_id <> q.query_id
          |)
          |SELECT query_id,
          |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank,
