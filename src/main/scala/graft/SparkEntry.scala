@@ -379,15 +379,25 @@ object SparkEntry {
     // against the exact baseline (f1) — the per-query index-quality
     // report, oracle-checked end-to-end rather than a spec assertion
     "f4_ann_recall" -> ((s, d) => {
-      val e = embD(s, d)
-      val q = e.filter(col("vec_id") % 100 === 0)
-      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      // ONE materialized normalized corpus feeds all four searchers AND
+      // the IVF training loop — before this seam each searcher re-planned
+      // its own scan+normalize (8 corpus FileScans in one plan, measured
+      // r3; at 100 TB the scan+normalize IS the operator cost). The
+      // localCheckpoint is the same anchored-materialization trick the
+      // shingle family uses, and PlanSpec asserts the scan count stays
+      // collapsed.
+      val normed = Similarity.normalized(embD(s, d), "vec_id", "embedding")
+        .localCheckpoint()
+      val q = normed.filter(col("nn_id") % 100 === 0)
+        .select(col("nn_id").as("query_id"), col("cv").as("qv"))
+      val cents = Similarity.trainCentroidsNormed(normed, 16, 2)
+      val bf = Similarity.bruteForceTopKNormed(normed, q, 5)
         .select(col("query_id"), col("nn_id"))
-      val lsh = Similarity.lshTopK(e, q, "vec_id", "embedding", 5, 8, 64)
+      val lsh = Similarity.lshTopKNormed(normed, q, 5, 8, 64)
         .select(col("query_id"), col("nn_id"), lit(1).as("__l"))
-      val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", 5, 16, 4, trainIters = 2)
+      val ivf = Similarity.ivfTopKNormed(normed, q, 5, 4, cents)
         .select(col("query_id"), col("nn_id"), lit(1).as("__i"))
-      val multi = Similarity.lshTopKMulti(e, q, "vec_id", "embedding", 5, 8, 4, 64)
+      val multi = Similarity.lshTopKMultiNormed(normed, q, 5, 8, 4, 64)
         .select(col("query_id"), col("nn_id"), lit(1).as("__m"))
       bf.join(lsh, Seq("query_id", "nn_id"), "left")
         .join(ivf, Seq("query_id", "nn_id"), "left")

@@ -36,13 +36,32 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Canonical normalized corpus frame `(nn_id, cv)` — the shape every
+    * `*TopKNormed` searcher consumes. A caller composing SEVERAL
+    * searchers over one corpus (the recall report, an index-quality
+    * sweep) should build this ONCE, `localCheckpoint()` it, and hand the
+    * same frame to each searcher: at corpus scale the scan+normalize IS
+    * the dominant cost, and without a shared materialization every
+    * searcher independently re-plans it (8 corpus scans in one plan,
+    * measured, before f4 switched to this seam). */
+  def normalized(df: DataFrame, id: String, vec: String): DataFrame =
+    df.select(col(id).as("nn_id"), l2normalize(col(vec)).as("cv"))
+
+  /** Normalized query frame `(query_id, qv)` — the broadcast side. */
+  def normalizedQueries(df: DataFrame, id: String, vec: String): DataFrame =
+    df.select(col(id).as("query_id"), l2normalize(col(vec)).as("qv"))
+
   /** Exact top-k neighbors for each query vector (excluding self).
     * Ranking uses the cosine rounded to 6dp with an id tie-break so the
     * result is engine-stable. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
-                     vec: String, k: Int): DataFrame = {
-    val c = corpus.select(col(id).as("nn_id"), l2normalize(col(vec)).as("cv"))
-    val q = queries.select(col(id).as("query_id"), l2normalize(col(vec)).as("qv"))
+                     vec: String, k: Int): DataFrame =
+    bruteForceTopKNormed(normalized(corpus, id, vec),
+      normalizedQueries(queries, id, vec), k)
+
+  /** As [[bruteForceTopK]] over pre-normalized `(nn_id, cv)` /
+    * `(query_id, qv)` frames. */
+  def bruteForceTopKNormed(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
       .withColumn("cosine", graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id"))
@@ -99,11 +118,15 @@ object Similarity {
   /** As above with the embedding dimension supplied by the caller,
     * skipping the one-row probe job. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-              k: Int, numBits: Int, dim: Int): DataFrame = {
-    val c = corpus.select(col(id).as("nn_id"), l2normalize(col(vec)).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), numBits, dim))
-    val q = queries.select(col(id).as("query_id"), l2normalize(col(vec)).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), numBits, dim))
+              k: Int, numBits: Int, dim: Int): DataFrame =
+    lshTopKNormed(normalized(corpus, id, vec),
+      normalizedQueries(queries, id, vec), k, numBits, dim)
+
+  /** As [[lshTopK]] over pre-normalized frames. */
+  def lshTopKNormed(c0: DataFrame, q0: DataFrame, k: Int, numBits: Int,
+                    dim: Int): DataFrame = {
+    val c = c0.withColumn("bucket", lshBucket(col("cv"), numBits, dim))
+    val q = q0.withColumn("bucket", lshBucket(col("qv"), numBits, dim))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("cosine", graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6))
@@ -125,15 +148,21 @@ object Similarity {
     * Same output shape as [[bruteForceTopK]]. */
   def lshTopKMulti(corpus: DataFrame, queries: DataFrame, id: String,
                    vec: String, k: Int, numBits: Int, numTables: Int,
-                   dim: Int): DataFrame = {
-    def withBuckets(df: DataFrame, idName: String): DataFrame =
-      df.select(col(id).as(idName), l2normalize(col(vec)).as(s"__v_$idName"))
+                   dim: Int): DataFrame =
+    lshTopKMultiNormed(normalized(corpus, id, vec),
+      normalizedQueries(queries, id, vec), k, numBits, numTables, dim)
+
+  /** As [[lshTopKMulti]] over pre-normalized frames. */
+  def lshTopKMultiNormed(c0: DataFrame, q0: DataFrame, k: Int, numBits: Int,
+                         numTables: Int, dim: Int): DataFrame = {
+    def withBuckets(df: DataFrame, idName: String, v: String): DataFrame =
+      df.select(col(idName), col(v).as(s"__v_$idName"))
         .select(col(idName), col(s"__v_$idName"), posexplode(array(
           (0 until numTables).map(t =>
             lshBucketAt(col(s"__v_$idName"), numBits, numTables, dim, t)): _*))
           .as(Seq("tb", "bucket")))
-    val c = withBuckets(corpus, "nn_id")
-    val q = withBuckets(queries, "query_id")
+    val c = withBuckets(c0, "nn_id", "cv")
+    val q = withBuckets(q0, "query_id", "qv")
     val scored = c.join(broadcast(q), Seq("tb", "bucket"))
       .filter(col("query_id") =!= col("nn_id"))
       .withColumn("cosine", graft.functions.Portable.pround(
@@ -187,8 +216,8 @@ object Similarity {
     * frame — lets callers materialize the normalized corpus ONCE and
     * share it between training and search instead of re-scanning the
     * source per Lloyd iteration. */
-  private def trainCentroidsNormed(c: DataFrame, nCells: Int,
-                                   iters: Int): Array[Seq[Double]] = {
+  def trainCentroidsNormed(c: DataFrame, nCells: Int,
+                           iters: Int): Array[Seq[Double]] = {
     var cents: Array[Seq[Double]] = c.orderBy("nn_id").limit(nCells)
       .collect().map(_.getSeq[Double](1))
     val scale = 1e12
@@ -232,7 +261,7 @@ object Similarity {
     val normed = if (cacheCorpus && trainIters > 0) normed0.localCheckpoint()
                  else normed0
     val cents = trainCentroidsNormed(normed, nCells, trainIters)
-    ivfTopKWithNormed(normed, queries, id, vec, k, nProbe, cents)
+    ivfTopKNormed(normed, normalizedQueries(queries, id, vec), k, nProbe, cents)
   }
 
   /** IVF search against a PRE-TRAINED quantizer — the deployment shape:
@@ -242,9 +271,8 @@ object Similarity {
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, id: String,
                   vec: String, k: Int, nProbe: Int,
                   centroids: Array[Seq[Double]]): DataFrame =
-    ivfTopKWithNormed(
-      corpus.select(col(id).as("nn_id"), l2normalize(col(vec)).as("cv")),
-      queries, id, vec, k, nProbe, centroids)
+    ivfTopKNormed(normalized(corpus, id, vec),
+      normalizedQueries(queries, id, vec), k, nProbe, centroids)
 
   /** Corpus-side cell assignment: argmax over the centroid dots as an
     * O(nCells) `array_max` fold — struct ordering (s, cell) makes the
@@ -259,9 +287,12 @@ object Similarity {
       struct(dot(v, typedlit(cv)).as("s"), lit(cid).as("cell"))
     }: _*))("cell")
 
-  private def ivfTopKWithNormed(c: DataFrame, queries: DataFrame, id: String,
-                                vec: String, k: Int, nProbe: Int,
-                                centroids: Array[Seq[Double]]): DataFrame = {
+  /** IVF search over pre-normalized frames with a pre-trained
+    * quantizer — the seam the recall report composes with
+    * [[trainCentroidsNormed]] so training + search share ONE
+    * materialized corpus. */
+  def ivfTopKNormed(c: DataFrame, q0: DataFrame, k: Int, nProbe: Int,
+                    centroids: Array[Seq[Double]]): DataFrame = {
     val cents: Array[(Int, Seq[Double])] =
       centroids.zipWithIndex.map { case (cv, i) => (i, cv) }
     // query side keeps the full sort: it needs the top-nProbe SLICE, and
@@ -270,8 +301,7 @@ object Similarity {
       case (cid, cv) => struct(dot(v, typedlit(cv)).as("s"), lit(cid).as("cell"))
     }: _*), asc = false)
     val assigned = c.withColumn("cell", bestCell(col("cv"), cents))
-    val q = queries.select(col(id).as("query_id"), l2normalize(col(vec)).as("qv"))
-      .withColumn("cell", explode(transform(
+    val q = q0.withColumn("cell", explode(transform(
         slice(cellScores(col("qv")), 1, nProbe), x => x("cell"))))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("nn_id"))

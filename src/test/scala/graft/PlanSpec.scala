@@ -158,6 +158,18 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(plan).size == 1)
   }
 
+  test("ANN recall report shares ONE materialized normalized corpus") {
+    // r3 verdict: each of the four searchers re-planned its own
+    // scan+normalize — 8 embeddings FileScans in one plan. The shared
+    // localCheckpoint collapses every consumer onto one materialization:
+    // the final plan must read checkpointed blocks, not parquet.
+    val plan = executed(SparkEntry.queries("f4_ann_recall")(spark, sf))
+      .split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"f4 must not re-scan embeddings per searcher (was 8 pre-fix), got $scans:\n$plan")
+  }
+
   test("multi-table LSH broadcasts the query side, never a cross product") {
     val plan = executed(SparkEntry.queries("f5_ann_lsh_multi")(spark, sf))
       .split("== Initial Plan ==").head
