@@ -360,11 +360,26 @@ object Dedup {
 
   /** Embedding near-dup: cosine >= threshold within coarse partitions
     * (`clusterCol` plays the IVF cell). Pairs are generated per cluster
-    * — an equi-join on the cluster key — never a cross product. */
+    * — an equi-join on the cluster key — never a cross product.
+    *
+    * `maxCluster` is the same valve as [[minhashLsh]]'s `maxBucket`:
+    * the pair expansion is quadratic in the largest cluster, so one
+    * mega-cluster (near-duplicate-heavy corpora have them) melts a
+    * reducer without a cap. Clusters past the cap are dropped before
+    * the join — their members are caught far cheaper by [[exact]]
+    * dedup or [[minhashLsh]] first. Unlimited by default so results
+    * are cap-free unless the caller opts in. */
   def embeddingNearDup(emb: DataFrame, id: String, vec: String,
-                       clusterCol: String, threshold: Double): DataFrame = {
-    val normed = emb.select(col(id).as("vid"), col(clusterCol).as("cl"),
+                       clusterCol: String, threshold: Double,
+                       maxCluster: Int = Int.MaxValue): DataFrame = {
+    val normed0 = emb.select(col(id).as("vid"), col(clusterCol).as("cl"),
       Similarity.l2normalize(col(vec)).as("v"))
+    val normed =
+      if (maxCluster == Int.MaxValue) normed0
+      else normed0.join(
+        normed0.groupBy("cl").agg(count(col("vid")).as("__n"))
+          .filter(col("__n") <= maxCluster).select("cl"),
+        Seq("cl"), "left_semi")
     val a = normed.as("a"); val b = normed.as("b")
     a.join(b, col("a.cl") === col("b.cl") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),

@@ -136,6 +136,23 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L))) // 4 is identical but in another cluster cell
   }
+
+  test("embedding near-dup maxCluster valve bounds the pair expansion") {
+    // degenerate input: ONE mega-cluster — uncapped pair count is
+    // quadratic (n·(n-1)/2); the valve must drop the oversized cluster
+    // entirely (maxBucket semantics) while smaller clusters still pair
+    val n = 40
+    val mega = (1 to n).map(i => (i.toLong, Array(1.0, 0.0), 0))
+    val small = Seq((100L, Array(0.0, 1.0), 1), (101L, Array(0.0, 1.0), 1))
+    val emb = (mega ++ small).toDF("vec_id", "embedding", "label")
+    val uncapped = Dedup.embeddingNearDup(emb, "vec_id", "embedding", "label", 0.99)
+    assert(uncapped.count() == n.toLong * (n - 1) / 2 + 1)
+    val capped = Dedup.embeddingNearDup(emb, "vec_id", "embedding", "label", 0.99,
+      maxCluster = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)),
+      "oversized cluster must be dropped before the quadratic expansion")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
