@@ -104,6 +104,23 @@ object ScaleProbe {
         "h8_contamination" -> (() =>
           Curation.contaminationSplit(docs, "doc_id", "text", 3,
             col("doc_id") % 20 === 0)),
+        // hashed-key modes of the shingle family (e3 is exempt by
+        // construction: its shingle strings are digested map-side and
+        // only (doc, h1, h2) longs ever shuffle) — the shuf1/shufN
+        // fields quantify the exchange-byte drop that motivates
+        // flipping the default in the network-bound regime
+        "e2_ngram_jaccard_hashed" -> (() =>
+          Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.25, 100,
+            hashShingleKeys = true)),
+        "h10_interdup_hashed" -> (() =>
+          Dedup.sharedShingleRatio(docs, "doc_id", "text", 3,
+            hashShingleKeys = true)),
+        "e7_dedup_spans_hashed" -> (() =>
+          Dedup.removeRepeatedSpans(docs, "doc_id", "text", 3,
+            hashSpanKeys = true)),
+        "h8_contamination_hashed" -> (() =>
+          Curation.contaminationSplit(docs, "doc_id", "text", 3,
+            col("doc_id") % 20 === 0, hashShingleKeys = true)),
         "b1_agg_daily" -> (() =>
           ev.groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
             .agg(sum("value").as("v"), count(lit(1)).as("n"))),
@@ -113,20 +130,44 @@ object ScaleProbe {
           Similarity.lshTopKMulti(emb, q, "vec_id", "embedding", 5, 8, 4, 64)))
     }
 
-    def timeIt(fn: () => DataFrame): Double = {
-      val times = (0 to 2).map { _ =>
+    // total shuffle-WRITE bytes of the jobs `run` launches — the number
+    // that models network cost on a real cluster (local mode writes the
+    // same shuffle files, it just reads them back over loopback)
+    def shuffleBytes(run: () => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          acc.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        run()
+        org.apache.spark.graft.ListenerBridge
+          .waitUntilListenersProcessed(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+
+    def timeIt(fn: () => DataFrame): (Double, Long) = {
+      var bytes = 0L
+      val times = (0 to 2).map { i =>
         val t0 = System.nanoTime()
-        fn().write.format("noop").mode("overwrite").save()
+        def run(): Unit = fn().write.format("noop").mode("overwrite").save()
+        // bytes come from the warm-up run (deterministic per plan);
+        // timed runs stay listener-free
+        if (i == 0) bytes = shuffleBytes(run _) else run()
         (System.nanoTime() - t0) / 1e9
       }
-      times.drop(1).sorted.head // warm-up dropped, best of 2
+      (times.drop(1).sorted.head, bytes) // warm-up dropped, best of 2
     }
 
     val base = probes(1).map { case (n, fn) => n -> timeIt(fn) }.toMap
     val scaled = probes(mult).map { case (n, fn) => n -> timeIt(fn) }.toMap
     val body = base.keys.toSeq.sorted.map { n =>
-      val r = scaled(n) / base(n)
-      f"""\"$n\":{\"t1\":${base(n)}%.3f,\"t$mult\":${scaled(n)}%.3f,\"ratio\":$r%.2f}"""
+      val (t1, s1) = base(n); val (tm, sm) = scaled(n)
+      val r = tm / t1
+      f"""\"$n\":{\"t1\":$t1%.3f,\"t$mult\":$tm%.3f,\"ratio\":$r%.2f,\"shuf1\":$s1,\"shuf$mult\":$sm}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","mult":$mult,"sf":"$sfDir","probes":$body}""")
     spark.stop()

