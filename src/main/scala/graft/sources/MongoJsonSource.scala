@@ -23,7 +23,11 @@ import org.apache.spark.sql.types._
 object MongoJsonSource {
 
   /** Read a directory/file of JSON documents shaped like the reference's
-    * Mongo collections (multiline JSON arrays, as in mongo-init.js). */
+    * Mongo collections (multiline JSON arrays, as in mongo-init.js).
+    * Against a LIVE MongoDB, use [[MongoConnectorSource]] instead — it
+    * compiles the reference's incremental-cursor contract to a
+    * server-side aggregation pipeline for the Spark Mongo connector;
+    * everything downstream of either source is identical. */
   def readDocuments(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("multiLine", true).json(path)
 

@@ -30,8 +30,12 @@ object IotStreamPipeline {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Landing-zone source (files play the Mongo change feed; swap for the
-    * Mongo Spark connector's readStream in production). */
+  /** Landing-zone source (files play the Mongo change feed; in
+    * production, point the connector at the live collection —
+    * [[graft.sources.MongoConnectorSource]] builds the option map and
+    * incremental-cursor pipeline, and `spark.readStream
+    * .format("mongodb")` consumes the change stream with the same
+    * namespace options). */
   def readRaw(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(rawSchema).parquet(path)
 
