@@ -124,6 +124,70 @@ object IotStreamPipeline {
         col("r.value").as("right_value"))
   }
 
+  case class Scd2State(eventType: String, validFrom: java.sql.Timestamp,
+                       openEventId: Long)
+  case class Scd2Out(user_id: Long, event_type: String,
+                     valid_from: java.sql.Timestamp,
+                     valid_to: Option[java.sql.Timestamp],
+                     is_current: Boolean, open_event_id: Long)
+
+  /** STREAMING type-2 SCD maintenance — the continuous analog of
+    * [[graft.operators.Incremental.scd2]] (the dbt-snapshot role the
+    * reference re-runs on every Airflow cycle; a change stream keeps
+    * the same table current instead of recomputing it).
+    *
+    * Per key, state holds only the OPEN interval. A change whose
+    * tracked attribute differs from the open state emits TWO rows —
+    * the now-closed interval (`valid_to` = new change's ts,
+    * `is_current` false) and the new open one — keyed by
+    * `(user_id, valid_from, open_event_id)` so an idempotent upsert
+    * sink ([[sinkToJdbc]] / [[graft.sources.JdbcUpsert]]) converges the
+    * maintained table to exactly the batch `scd2` output; an interval
+    * superseded WITHIN a micro-batch is emitted once, in its final
+    * version (`open_event_id` keeps two state flips at one timestamp —
+    * a zero-length interval — from colliding on the upsert key, the
+    * same two rows the batch operator keeps). Same-attribute changes
+    * emit nothing, like the batch `lag`-filter.
+    *
+    * Rows are ordered (ts, event_id) within a batch; ACROSS batches
+    * the stream must deliver each key's changes in cursor order — the
+    * contract a CDC/change-stream source ([[graft.sources
+    * .MongoConnectorSource]] cursor, Mongo change streams) provides.
+    * Out-of-order arrivals across batches would need interval
+    * splitting, which is a rebuild, not maintenance. State is one
+    * small case class per key — bounded by key cardinality, not
+    * history length (history lives in the sink table). */
+  def scd2Stream(changes: DataFrame): DataFrame = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val typed = changes.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[Scd2State]) =>
+          val evs = rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+          // last emitted version per interval key wins within the batch
+          val out = scala.collection.mutable.LinkedHashMap
+            .empty[(java.sql.Timestamp, Long), Scd2Out]
+          var st = state.getOption.orNull
+          evs.foreach { case (_, ts, eid, tpe) =>
+            if (st == null) {
+              st = Scd2State(tpe, ts, eid)
+              out((ts, eid)) = Scd2Out(uid, tpe, ts, None, is_current = true, eid)
+            } else if (st.eventType != tpe) {
+              out((st.validFrom, st.openEventId)) = Scd2Out(uid, st.eventType,
+                st.validFrom, Some(ts), is_current = false, st.openEventId)
+              st = Scd2State(tpe, ts, eid)
+              out((ts, eid)) = Scd2Out(uid, tpe, ts, None, is_current = true, eid)
+            }
+          }
+          if (st != null) state.update(st)
+          out.values.iterator
+      }.toDF()
+  }
+
   case class SessionState(start: Long, last: Long, n: Long, valueSum: Double)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         session_end: java.sql.Timestamp, n_events: Long,

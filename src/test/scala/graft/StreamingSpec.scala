@@ -99,6 +99,46 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("streaming SCD2 maintains exactly the batch type-2 table") {
+    import graft.streaming.IotStreamPipeline.Scd2Out
+    val in = Files.createTempDirectory("graft-scd2-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+    // two arrivals split BY TIME — the cursor-order delivery contract a
+    // change-stream source provides across micro-batches
+    val cut = ev.agg(expr("percentile_approx(cast(ts as double), 0.5)"))
+      .head().getDouble(0)
+    ev.filter(col("ts").cast("double") <= cut).coalesce(1)
+      .write.mode("overwrite").parquet(in)
+    // the maintained table: an in-memory stand-in for the idempotent
+    // upsert sink, keyed the way the operator keys its emissions
+    val table = scala.collection.mutable.Map
+      .empty[(Long, java.sql.Timestamp, Long), Scd2Out]
+    val stream = graft.streaming.IotStreamPipeline.scd2Stream(
+      spark.readStream.schema(ev.schema).parquet(in))
+    val q = stream.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        import batch.sparkSession.implicits._
+        batch.as[Scd2Out].collect().foreach { r =>
+          table((r.user_id, r.valid_from, r.open_event_id)) = r
+        }
+      }.start()
+    try {
+      q.processAllAvailable()
+      ev.filter(col("ts").cast("double") > cut).coalesce(1)
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = table.values.toSeq
+      .toDF().drop("open_event_id")
+      .withColumn("valid_to", col("valid_to")) // Option[-] already nullable
+    val want = graft.operators.Incremental.scd2(ev, Seq("user_id"), col("ts"),
+        order = Seq(col("ts"), col("event_id")), attrs = Seq("event_type"))
+      .select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("checkpointed query restarts exactly-once: no loss, no dups") {
     val in = Files.createTempDirectory("graft-restart-in").toString
     val outP = Files.createTempDirectory("graft-restart-out").toString + "/wh"
