@@ -151,6 +151,19 @@ class DedupSpec extends SparkSpec {
     assert(tp == ((6, 2, 3))) // tokens; ',' + '?'; the/and/the
   }
 
+  test("two-hop propagation: same components, fewer iterations on a path graph") {
+    // a 10-node path is the adversarial shape for one-hop min
+    // propagation (iterations ~ diameter); pointer jumping must halve
+    // its way down while landing on the identical fixed point
+    val pairs = (1L to 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (one, itOne) = Dedup.clustersIter(pairs, "doc_a", "doc_b", twoHop = false)
+    val (two, itTwo) = Dedup.clustersIter(pairs, "doc_a", "doc_b")
+    assert(two.select("cluster_id").distinct().as[Long].collect().toSeq == Seq(1L))
+    assert(one.exceptAll(two).count() == 0 && two.exceptAll(one).count() == 0)
+    assert(itTwo < itOne,
+      s"two-hop should need fewer iterations: $itTwo vs $itOne")
+  }
+
   test("embedding near-dup finds identical vectors within cluster") {
     val emb = Seq(
       (1L, Array(1.0, 0.0, 0.0), 0), (2L, Array(1.0, 0.0, 0.0), 0),
