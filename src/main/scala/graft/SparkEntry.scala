@@ -302,6 +302,20 @@ object SparkEntry {
         order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
         k = 3, rankName = "rnk")),
 
+    // rank()-spelled top-k with REAL ties (coarse price bands): the
+    // ties-aware heap mode keeps every row of the k best bands' rank
+    // range — deterministic as a row set with no tie-break column, the
+    // property row_number can't offer
+    "d9_topk_rank_ties" -> ((s, d) =>
+      graft.plans.TopKPerKey(
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment"), col("o_orderkey"),
+            floor(col("o_totalprice") / 10000).as("price_band")),
+        keys = Seq(col("c_mktsegment")),
+        order = Seq(col("price_band").desc),
+        k = 10, rankName = "rnk", mode = graft.plans.TopKMode.Ranked)),
+
     "d6_asof_join" -> ((s, d) => {
       // latest order per (customer, date) so the as-of pick is deterministic
       val oDedup = Incremental.upsertLatest(Tables.orders(s, d),
@@ -912,6 +926,13 @@ object SparkEntry {
         |row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |QUALIFY rnk <= 3""".stripMargin,
+
+    "d9_topk_rank_ties" ->
+      """SELECT c_mktsegment, o_orderkey,
+        |CAST(floor(o_totalprice / 10000) AS BIGINT) AS price_band,
+        |rank() OVER (PARTITION BY c_mktsegment ORDER BY floor(o_totalprice / 10000) DESC) AS rnk
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |QUALIFY rnk <= 10""".stripMargin,
 
     "d5_sessionize" ->
       """WITH x AS (

@@ -17,8 +17,9 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Correctness envelope, deliberately narrow:
   *  - the Window node computes exactly ONE expression and it is
-  *    `row_number()` (rank/dense_rank admit ties and need different
-  *    semantics);
+  *    `row_number()`, `rank()` or `dense_rank()` — the tied functions
+  *    plan the ties-aware [[TopKMode]] (k-capped GROUP trees, all tied
+  *    rows kept, exact rank values);
   *  - the filter bounds that rank above by an integer literal
   *    (`<= k`, `< k`, `= k`); the ORIGINAL filter is kept on top of the
   *    replacement, so mixed predicates and the `= k` case stay exact —
@@ -44,11 +45,20 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
         rewrite(cond, w, tk => Project(projList, tk)).getOrElse(f)
     }
 
+  private def modeOf(wf: Expression): Option[TopKMode] = wf match {
+    case RowNumber() => Some(TopKMode.RowNum)
+    case _: Rank => Some(TopKMode.Ranked)
+    case _: DenseRank => Some(TopKMode.Dense)
+    case _ => None
+  }
+
   private def rewrite(cond: Expression, w: Window,
                       wrap: LogicalPlan => LogicalPlan): Option[LogicalPlan] =
     w match {
-      case Window(Seq(a @ Alias(WindowExpression(RowNumber(),
-          WindowSpecDefinition(_, _, _)), _)), partitionSpec, orderSpec, child, _) =>
+      case Window(Seq(a @ Alias(WindowExpression(wf,
+          WindowSpecDefinition(_, _, _)), _)), partitionSpec, orderSpec, child, _)
+          if modeOf(wf).nonEmpty =>
+        val mode = modeOf(wf).get
         val rank = a.toAttribute.asInstanceOf[AttributeReference]
         val bounds = splitConjunctivePredicates(cond).collect {
           case LessThanOrEqual(r: AttributeReference, Literal(v: Int, IntegerType))
@@ -70,7 +80,7 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
             case other => other
           }
           Some(Filter(cond,
-            wrap(TopKPerKey(partitionSpec, orderSpec, bounds.min, rank, input))))
+            wrap(TopKPerKey(partitionSpec, orderSpec, bounds.min, rank, input, mode))))
         }
       case _ => None
     }

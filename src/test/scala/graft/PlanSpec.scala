@@ -69,6 +69,32 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKRewrite.FlagKey)
   }
 
+  test("TopKRewrite subsumes rank() and dense_rank() with ties intact") {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TopKRewrite.ensureRegistered(spark)
+    // coarse band ordering guarantees real ties in every group
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(floor(col("l_extendedprice") / 10000).desc)
+    for (fn <- Seq(rank(), dense_rank())) {
+      def q() = Tables.lineitem(spark, sf)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rk", fn.over(w))
+        .filter(col("rk") <= 4)
+      val want = q().collect().map(_.toSeq).toSet // flag off: WindowExec path
+      spark.conf.set(graft.plans.TopKRewrite.FlagKey, "true")
+      try {
+        val df = q()
+        val plan = executed(df)
+        assert(plan.contains("TopKPerKeyFinal"),
+          s"expected the ties-aware rewrite to plan TopKPerKey:\n$plan")
+        assert(!plan.contains("Window ") && !plan.contains("WindowGroupLimit"),
+          s"window machinery must be subsumed:\n$plan")
+        assert(!plan.contains("Sort "), s"no sorts in the top-k path:\n$plan")
+        assert(df.collect().map(_.toSeq).toSet == want) // rows AND rank values
+      } finally spark.conf.unset(graft.plans.TopKRewrite.FlagKey)
+    }
+  }
+
   test("TopKPerKey partial flush valve stays exact under a tiny key cap") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("l_returnflag", "l_linestatus")
@@ -84,6 +110,18 @@ class PlanSpec extends SparkSpec {
         order = Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc),
         k = 4).collect().map(_.toSeq).toSet
       assert(got == want)
+      // the tied-mode group trees flush through the same valve — a
+      // flushed group's rows must all survive to the final pass
+      val wTies = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag", "l_linestatus")
+        .orderBy(floor(col("l_extendedprice") / 10000).desc)
+      val wantTies = base.withColumn("rnk", rank().over(wTies))
+        .filter(col("rnk") <= 4).collect().map(_.toSeq).toSet
+      val gotTies = graft.plans.TopKPerKey(base,
+        keys = Seq(col("l_returnflag"), col("l_linestatus")),
+        order = Seq(floor(col("l_extendedprice") / 10000).desc),
+        k = 4, mode = graft.plans.TopKMode.Ranked).collect().map(_.toSeq).toSet
+      assert(gotTies == wantTies)
     } finally spark.conf.unset("spark.graft.topk.maxKeysInFlight")
   }
 
