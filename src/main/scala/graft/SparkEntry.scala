@@ -552,6 +552,11 @@ object SparkEntry {
               / lit(1e12) / count(lit(1)), 6).as("mean_x"),
           count(lit(1)).as("n_vecs"))),
 
+    // int8 scalar quantization: per-vector symmetric scale, codes as a
+    // portable csv, max reconstruction error — one projection, no shuffle
+    "f7_embedding_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(embD(s, d), "vec_id", "embedding")),
+
     // DQ. data-quality checks (dbt schema tests)
     "dq1_checks" -> ((s, d) => {
       val e = ev(s, d)
@@ -624,6 +629,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("split_key")).as("n_groups"))
     }),
+
+    // GPT-style concat-and-split sequence packing: per-language docs
+    // laid head-to-tail (size-desc, id tie-break) and cut into
+    // 2048-token sequences — one window per stratum, the k4 shape
+    "k6_pack_sequences" -> ((s, d) =>
+      Curation.packSequences(
+        docs(s, d).select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        stratum = Seq("lang"), tokens = col("n_tokens"),
+        order = col("n_tokens"), tieBreak = col("doc_id"), seqLen = 2048L)),
 
     // same quota semantics through the custom TopKPerKey physical
     // operator (bounded per-key heaps, no per-stratum sort) — shares
@@ -1299,6 +1314,31 @@ object SparkEntry {
               " / 1000000000000.0 / COUNT(*)", 6)} AS mean_x,
          |  COUNT(*) AS n_vecs
          |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "f7_embedding_quantize" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM e)
+         |SELECT vec_id,
+         |  ${sqlPround("sc", 6)} AS scale,
+         |  array_to_string(list_transform(v, x ->
+         |    CAST(CASE WHEN sc = 0 THEN 0 ELSE floor(x / sc * 127 + 0.5) END AS BIGINT)), ',') AS q_csv,
+         |  ${sqlPround(
+              "list_max(list_transform(v, x -> CASE WHEN sc = 0 THEN 0.0" +
+              " ELSE abs(x - floor(x / sc * 127 + 0.5) * sc / 127) END))", 6)} AS max_err
+         |FROM s""".stripMargin,
+
+    "k6_pack_sequences" ->
+      s"""WITH t AS (${tokCte("documents", lower = false)}),
+         |d AS (SELECT doc_id, lang, len(tok) AS n_tokens FROM t),
+         |c AS (SELECT *,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id)
+         |    AS BIGINT) - n_tokens AS st FROM d)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(floor(st / 2048.0) AS BIGINT) AS seq_id,
+         |  st % 2048 AS seq_offset
+         |FROM c""".stripMargin,
 
     "dq1_checks" ->
       """SELECT 'not_null_user_id' AS check_name, count(*) AS n_violations, count(*) = 0 AS passed

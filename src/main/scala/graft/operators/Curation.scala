@@ -131,6 +131,29 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** GPT-style concat-and-split SEQUENCE PACKING: per stratum,
+    * documents are laid head-to-tail in a deterministic order and cut
+    * into fixed-`seqLen`-token training sequences; each doc gets the
+    * sequence id and in-sequence token offset where it starts (a doc
+    * straddling a cut spans consecutive sequences — the standard
+    * pack-then-split training layout). The no-split greedy alternative
+    * is a prefix recurrence (bin fill resets whenever a doc would
+    * straddle) that no window expresses — it would serialize each
+    * stratum through one task at 100 TB; concat-and-split is both the
+    * common practice and the scalable shape: ONE window per stratum
+    * (shuffle + sort), a running sum, two codegen'd projections. */
+  def packSequences(df: DataFrame, stratum: Seq[String], tokens: Column,
+                    order: Column, tieBreak: Column, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = Window.partitionBy(stratum.map(col): _*)
+      .orderBy(order.desc, tieBreak.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exclusive prefix sum = global offset of the doc's first token
+    val start = sum(tokens).over(w) - tokens
+    df.withColumn("seq_id", floor(start / seqLen))
+      .withColumn("seq_offset", start % seqLen)
+  }
+
   /** LEAKAGE-SAFE train/val/test split: deterministic hash split where
     * the unit of assignment is the NEAR-DUP CLUSTER, not the document —
     * two near-duplicates must never straddle a split boundary (a doc in

@@ -129,4 +129,35 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == 0.0) // shorter than k: single shingle, no repetition
     assert(got(4L) == 0.0)
   }
+
+  test("packSequences lays docs head-to-tail with contiguous offsets") {
+    // lang a: sizes 5,3,2 (desc) packed into 4-token sequences:
+    //   doc 1 starts seq 0 off 0; doc 2 starts seq 1 off 1 (5 = 4+1);
+    //   doc 3 starts seq 2 off 0 (5+3 = 8). lang b independent.
+    val df = Seq(
+      (1L, "a", 5), (2L, "a", 3), (3L, "a", 2),
+      (10L, "b", 4), (11L, "b", 1))
+      .toDF("doc_id", "lang", "n_tokens")
+    val got = Curation.packSequences(df, Seq("lang"), col("n_tokens"),
+        order = col("n_tokens"), tieBreak = col("doc_id"), seqLen = 4L)
+      .select("doc_id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((0L, 0L)) && got(2L) == ((1L, 1L)) && got(3L) == ((2L, 0L)))
+    assert(got(10L) == ((0L, 0L)) && got(11L) == ((1L, 0L)))
+    // invariant: each doc starts exactly where the previous one ended
+    // (seq_id * seqLen + offset == exclusive prefix sum) — packing
+    // wastes no token slots
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n"))
+    val packed = Curation.packSequences(docs, Seq("lang"), col("n"),
+      order = col("n"), tieBreak = col("doc_id"), seqLen = 2048L)
+    val bad = packed
+      .withColumn("global_start", col("seq_id") * 2048L + col("seq_offset"))
+      .withColumn("prev_end", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("n").desc, col("doc_id").asc)) - col("n"))
+      .filter(col("global_start") =!= col("prev_end"))
+    assert(bad.count() == 0)
+  }
 }

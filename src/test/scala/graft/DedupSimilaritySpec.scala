@@ -306,6 +306,25 @@ class SimilaritySpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0 && salted.exceptAll(plain).count() == 0)
   }
 
+  test("int8 quantization round-trips within the scale/254 error bound") {
+    val emb = Tables0.embeddings(spark, sf)
+    val got = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    // symmetric scalar quantization: worst-case reconstruction error is
+    // half a quantization step = scale/254 (+ rounding slack)
+    val bad = got.filter(col("max_err") > col("scale") / 254 + 1e-6)
+    assert(bad.count() == 0)
+    assert(got.count() == emb.count())
+    // codes stay in the int8 range
+    val outOfRange = got.select(explode(split(col("q_csv"), ",")).as("q"))
+      .filter(abs(col("q").cast("int")) > 127)
+    assert(outOfRange.count() == 0)
+    // zero vector: all-zero codes, zero error, zero scale
+    val z = Similarity.quantizeInt8(
+      Seq((1L, Array(0.0, 0.0, 0.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding").head()
+    assert(z.getDouble(1) == 0.0 && z.getString(2) == "0,0,0" && z.getDouble(3) == 0.0)
+  }
+
   test("lshTopK returns a subset of brute-force candidates with same scoring") {
     val emb = Tables0.embeddings(spark, sf)
     val q = emb.filter($"vec_id" % 100 === 0)
