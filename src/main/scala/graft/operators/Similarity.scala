@@ -286,13 +286,20 @@ object Similarity {
     * quantize to all-zero codes with zero error. */
   def quantizeInt8(emb: DataFrame, id: String, vec: String): DataFrame = {
     import graft.functions.Portable
-    val v = col(vec)
-    val sc = array_max(transform(v, x => abs(x)))
+    // the scale must cross a Project boundary before the per-element
+    // lambdas reference it: inlined, the O(dim) array_max re-evaluates
+    // per element (O(dim²) per row — measured 10× slower), and
+    // CollapseProject correctly declines to merge a non-cheap alias
+    // referenced three times
+    val scaled = emb.select(col(id).as("vec_id"), col(vec).as("__v"),
+      array_max(transform(col(vec), x => abs(x))).as("__sc"))
+    val v = col("__v")
+    val sc = col("__sc")
     def q(x: Column): Column =
       when(sc === 0.0, lit(0L)).otherwise(Portable.toFixed(x / sc * 127, 0))
     val err = array_max(transform(v, x =>
       when(sc === 0.0, lit(0.0)).otherwise(abs(x - q(x) * sc / 127))))
-    emb.select(col(id).as("vec_id"),
+    scaled.select(col("vec_id"),
       Portable.pround(sc, 6).as("scale"),
       concat_ws(",", transform(v, x => q(x).cast("string"))).as("q_csv"),
       Portable.pround(err, 6).as("max_err"))
