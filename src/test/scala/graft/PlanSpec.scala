@@ -246,6 +246,23 @@ class PlanSpec extends SparkSpec {
       s"range join must never plan a nested loop:\n$plan")
   }
 
+  test("int8 quantization is a pure projection: zero exchanges, one scan") {
+    val df = SparkEntry.queries("f7_embedding_quantize")(spark, sf)
+    val plan = executed(df)
+    assert(!plan.contains("Exchange"), s"quantization must not shuffle:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"quantization must scan embeddings once:\n$plan")
+  }
+
+  test("sequence packing plans exactly one stratum exchange") {
+    val plan = executed(SparkEntry.queries("k6_pack_sequences")(spark, sf))
+      .split("== Initial Plan ==").head
+    val exchanges = "(?<!Reused)Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"packing should shuffle once on the stratum key, got $exchanges:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1)
+  }
+
   test("hash sampling is a pure filter: zero exchanges") {
     val df = SparkEntry.queries("k1_hash_sample")(spark, sf)
     val plan = executed(df)
