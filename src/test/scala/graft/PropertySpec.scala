@@ -130,6 +130,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKey (all three modes) == the window spelling on arbitrary data") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.choose(30, 120)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.choose(0, 4)
+        v <- Gen.choose(0, 9) // small domain → guaranteed ties
+      } yield (key, v))
+      k <- Gen.choose(1, 5)
+    } yield (rows, k)
+    samples(gen, 6).foreach { case (rows, k) =>
+      val df = rows.zipWithIndex.map { case ((key, v), i) => (i.toLong, key, v) }
+        .toDF("id", "key", "v")
+      val w = Window.partitionBy("key").orderBy(col("v").desc, col("id").asc)
+      val wTies = Window.partitionBy("key").orderBy(col("v").desc)
+      def windowed(fn: org.apache.spark.sql.Column, win: org.apache.spark.sql.expressions.WindowSpec) =
+        df.withColumn("rnk", fn.over(win)).filter(col("rnk") <= k)
+          .collect().map(_.toSeq).toSet
+      val modes = Seq(
+        (graft.plans.TopKMode.RowNum, row_number(), w,
+          Seq(col("v").desc, col("id").asc)),
+        (graft.plans.TopKMode.Ranked, rank(), wTies, Seq(col("v").desc)),
+        (graft.plans.TopKMode.Dense, dense_rank(), wTies, Seq(col("v").desc)))
+      modes.foreach { case (mode, fn, win, order) =>
+        val native = graft.plans.TopKPerKey(df, Seq(col("key")), order, k,
+          mode = mode).collect().map(_.toSeq).toSet
+        assert(native == windowed(fn, win), s"mode $mode k=$k diverged")
+      }
+    }
+  }
+
   test("saltedAgg == plain groupBy for arbitrary data and salt factors") {
     import graft.operators.Skew
     val rows: Gen[List[(Int, Int)]] = for {
