@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{L2Normalize, SimHash64, TextProfile, VectorDot, WordShingles}
+import graft.functions.expressions.{L2Normalize, OrderedPairs, SimHash60, SimHash64, TextProfile, VectorDot, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -35,6 +35,8 @@ object GraftExtensions {
     "vector_dot" -> (args => VectorDot(args(0), args(1))),
     "l2_normalize" -> (args => L2Normalize(args(0))),
     "simhash64" -> (args => SimHash64(args(0))),
+    "simhash60" -> (args => SimHash60(args(0))),
+    "ordered_pairs" -> (args => OrderedPairs(args(0))),
     "text_profile" -> (args => TextProfile(args(0))))
 
   /** Install the full surface (functions + strategy + optimizer rule)

@@ -378,7 +378,7 @@ object SparkEntry {
 
     "f3_ann_ivf" -> ((s, d) => {
       val e = embD(s, d)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5, 16, 4, trainIters = 2)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5, 16, 4, trainIters = 2, cacheCorpus = true)
     }),
 
     // multi-table LSH: 4 independent 8-bit hyperplane tables, candidates

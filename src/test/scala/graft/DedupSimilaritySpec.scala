@@ -149,6 +149,18 @@ class DedupSpec extends SparkSpec {
       "SELECT text_profile('the cat and the hat, ok?') AS p")
       .select("p.n_tokens", "p.n_punct", "p.n_en").as[(Int, Int, Int)].head()
     assert(tp == ((6, 2, 3))) // tokens; ',' + '?'; the/and/the
+    // simhash60: the portable (oracle-matchable) signature
+    val s60 = spark.sql("SELECT simhash60('the quick brown fox') AS s")
+      .as[Long].head()
+    val s60op = Dedup.simhashPortable(
+      Seq((1L, "the quick brown fox")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("simhash").as[Long].head()
+    assert(s60 == s60op)
+    // ordered_pairs: the LSH bucket pair expansion, from SQL
+    val op = spark.sql("SELECT ordered_pairs(array(1L, 2L, 3L)) AS p")
+      .select(explode(col("p")).as("e")).select("e.a", "e.b")
+      .as[(Long, Long)].collect().toSet
+    assert(op == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
   test("two-hop propagation: same components, fewer iterations on a path graph") {
