@@ -389,6 +389,18 @@ object SparkEntry {
         "vec_id", "embedding", 5, 8, 4, 64)
     }),
 
+    // the dedup APPLY step the e2-e6 reports feed: drop every clustered
+    // doc except its canonical keeper — what "deduplicate the corpus"
+    // actually ships
+    "e8_dedup_apply" -> ((s, d) => {
+      val dd = docs(s, d)
+      val cl = Dedup.clusters(
+        Dedup.ngramJaccard(dd, "doc_id", "text", 3, 0.25, 100),
+        "doc_a", "doc_b")
+      Dedup.applyClusters(dd, "doc_id", cl, "doc_id", "cluster_id")
+        .select("doc_id", "lang", "source")
+    }),
+
     // recall@5 of the approximate searchers (f2 LSH, f3 trained IVF)
     // against the exact baseline (f1) — the per-query index-quality
     // report, oracle-checked end-to-end rather than a spec assertion
@@ -987,6 +999,11 @@ object SparkEntry {
     "e2_dedup_ngram_jaccard" -> e2OracleSql,
 
     "e6_dedup_clusters" -> e6OracleSql,
+
+    "e8_dedup_apply" ->
+      s"""SELECT d.doc_id, d.lang, d.source
+         |FROM documents d LEFT JOIN ($e6OracleSql) cc ON cc.doc_id = d.doc_id
+         |WHERE cc.cluster_id IS NULL OR cc.cluster_id = d.doc_id""".stripMargin,
 
     "k5_split_leakage_safe" ->
       s"""WITH a AS (

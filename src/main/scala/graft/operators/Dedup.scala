@@ -286,6 +286,24 @@ object Dedup {
     (labels.select(col("id").as("doc_id"), col("label").as("cluster_id")), it)
   }
 
+  /** APPLY a near-dup clustering as an actual corpus dedup: keep each
+    * cluster's canonical keeper (the min-id label, which is its own
+    * cluster id by [[clusters]]' construction) plus every unclustered
+    * document — the transform the pair/cluster REPORTS (e2-e6) feed.
+    * One left join against the (dimension-sized next to the corpus)
+    * cluster table, no window; `broadcastClusters = false` for a
+    * heavily-duplicated corpus whose cluster table is fact-sized
+    * (same opt-out as [[Curation.leakageSafeSplit]]). */
+  def applyClusters(docs: DataFrame, id: String, clusters: DataFrame,
+                    docCol: String, clusterCol: String,
+                    broadcastClusters: Boolean = true): DataFrame = {
+    val cl0 = clusters.select(col(docCol).as(id), col(clusterCol).as("__cl"))
+    val cl = if (broadcastClusters) broadcast(cl0) else cl0
+    docs.join(cl, Seq(id), "left")
+      .filter(col("__cl").isNull || col("__cl") === col(id))
+      .drop("__cl")
+  }
+
   /** Inter-document span duplication: for each doc, the fraction of its
     * distinct k-shingles that occur in at least one OTHER document —
     * sub-document-granularity duplication that document-level dedup

@@ -163,6 +163,16 @@ class DedupSpec extends SparkSpec {
     assert(op == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("applyClusters keeps exactly one doc per cluster plus singletons") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (7L, "b"), (9L, "c"))
+      .toDF("doc_id", "text")
+    // cluster {1,2,3} with keeper 1; docs 7 and 9 unclustered
+    val cl = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id")
+    val kept = Dedup.applyClusters(docs, "doc_id", cl, "doc_id", "cluster_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 7L, 9L))
+  }
+
   test("two-hop propagation: same components, fewer iterations on a path graph") {
     // a 10-node path is the adversarial shape for one-hop min
     // propagation (iterations ~ diameter); pointer jumping must halve
