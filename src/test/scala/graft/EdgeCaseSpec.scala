@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input sweep: empty frames, single rows, zero vectors,
+  * empty strings. A 100 TB pipeline WILL see all of these (an empty
+  * partition after a filter, a blank document, a zeroed embedding) —
+  * operators must return sane empties, not throw or emit NaN. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val oneDoc = Seq((1L, "just one lonely document here")).toDF("doc_id", "text")
+  private val blankDoc = Seq((1L, ""), (2L, "   "), (3L, "real text here now")).toDF("doc_id", "text")
+
+  test("dedup family returns empty/sane results on empty and blank input") {
+    assert(Dedup.exact(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccard(noDocs, "doc_id", "text", 3, 0.2).count() == 0)
+    assert(Dedup.minhashLsh(noDocs, "doc_id", "text", 3, 16, 4).count() == 0)
+    assert(Dedup.simhashNearDup(noDocs, "doc_id", "text", 3).count() == 0)
+    assert(Dedup.sharedShingleRatio(noDocs, "doc_id", "text", 3).count() == 0)
+    assert(Dedup.removeRepeatedSpans(noDocs, "doc_id", "text", 3).count() == 0)
+    // a single doc can pair with nothing
+    assert(Dedup.ngramJaccard(oneDoc, "doc_id", "text", 3, 0.2).count() == 0)
+    // blank docs survive span removal with empty clean_text, not a crash
+    val byId = Dedup.removeRepeatedSpans(blankDoc, "doc_id", "text", 3)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(byId.size == 3)
+    assert(byId(1L) == 0 && byId(2L) == 0 && byId(3L) == 4)
+  }
+
+  test("clusters of an empty pair set is empty; self-pair input converges") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clusters(noPairs, "doc_a", "doc_b").count() == 0)
+    val selfish = Seq((5L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(selfish, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((5L, 5L)))
+  }
+
+  test("similarity search tolerates empty corpora and zero vectors") {
+    val noVecs = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(noVecs, noVecs, "vec_id", "embedding", 5).count() == 0)
+    // zero vector: l2normalize must not emit NaN that poisons every cosine
+    val withZero = Seq(
+      (1L, Array(0.0, 0.0)), (2L, Array(1.0, 0.0)), (3L, Array(0.9, 0.1)))
+      .toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(withZero,
+      withZero.filter($"vec_id" === 2), "vec_id", "embedding", 2)
+    val cosines = bf.select("cosine").as[Double].collect()
+    assert(cosines.nonEmpty && cosines.forall(c => !c.isNaN))
+    // quantization of an empty frame
+    assert(Similarity.quantizeInt8(noVecs, "vec_id", "embedding").count() == 0)
+  }
+
+  test("curation family on empty input returns empty, not errors") {
+    assert(Curation.contaminationSplit(noDocs, "doc_id", "text", 3,
+      col("doc_id") % 2 === 0).count() == 0)
+    assert(Curation.hashSample(noDocs, col("doc_id"), 10).count() == 0)
+    assert(Curation.quotaSample(noDocs.withColumn("q", lit(1.0)),
+      Seq("text"), col("q"), col("doc_id"), 3).count() == 0)
+    assert(Curation.packSequences(noDocs.withColumn("n", lit(1)),
+      Seq("text"), col("n"), col("n"), col("doc_id"), 128).count() == 0)
+    assert(Curation.sourceMix(noDocs.withColumn("n", lit(1L)),
+      Seq("text"), col("n"), lit(1.0)).count() == 0)
+  }
+
+  test("gapfill and sessionize handle empty and single-event streams") {
+    val noEv = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "bucket", "v")
+    assert(TimeAgg.gapfillLocf(noEv, "user_id", "bucket", 3600,
+      fillZero = Seq(), locf = Seq("v")).count() == 0)
+    val oneEv = Seq((7L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0, 99L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val sess = Sessionize.summarize(oneEv, "user_id", "ts", "event_id", "value", 1800)
+    assert(sess.count() == 1)
+  }
+}
