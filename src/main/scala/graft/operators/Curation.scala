@@ -30,8 +30,7 @@ object Curation {
     * the shingle vocabulary) at worst flips one shingle's membership
     * bit; mode equality is spec-asserted on test data. */
   private def shingleKeys(text: String, k: Int, hashed: Boolean): Column =
-    if (hashed) transform(shingles(col(text), k),
-      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    if (hashed) transform(shingles(col(text), k), Dedup.hashKey60(_))
     else shingles(col(text), k)
 
   /** Train/eval contamination check (n-gram overlap): for each eval
@@ -90,8 +89,7 @@ object Curation {
     * and parseable as a 64-bit integer by any engine (the oracle
     * mirrors it bit-for-bit). */
   def hashBucket(key: Column, buckets: Int): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
-      .cast("long") % buckets
+    Dedup.hashKey60(key.cast("string")) % buckets
 
   def hashSample(df: DataFrame, key: Column, rate: Int,
                  buckets: Int = 100): DataFrame =

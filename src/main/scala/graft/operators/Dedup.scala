@@ -25,6 +25,15 @@ object Dedup {
       graft.functions.expressions.OrderedPairs(
         org.apache.spark.sql.graft.ColumnBridge.expression(ds)))
 
+  /** The shared 60-bit shuffle key: the first 15 hex digits of one md5,
+    * parsed as a long — uniform, positive, reproducible by any engine.
+    * One definition serves every `hashShingleKeys` mode (here and
+    * [[Curation]]) so the width/collision contract can't drift between
+    * operators; [[removeRepeatedSpans]] deliberately uses a WIDER
+    * 120-bit struct instead (a transform can't shrug off collisions). */
+  private[operators] def hashKey60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Exact dedup: group by content hash; keeper = min id. */
   def exact(docs: DataFrame, id: String, text: String): DataFrame =
     docs.groupBy(md5(col(text)).as("content_hash"))
@@ -55,8 +64,7 @@ object Dedup {
     // ratio's mirrored arithmetic (spec asserts equality of the two
     // modes).
     val keyOf: Column => Column =
-      if (hashShingleKeys) s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")
-      else identity
+      if (hashShingleKeys) hashKey60 else identity
     // |A| rides along as 4 bytes per shuffled row, computed map-side
     // from the same shingle array — the alternative (a separate sizes
     // aggregation joined back) costs an extra aggregation plus two
@@ -342,8 +350,7 @@ object Dedup {
     // a TRANSFORM and gets 120-bit keys). Mode equality is
     // spec-asserted on test data.
     val keys =
-      if (hashShingleKeys) transform(shingles(col(text), k),
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+      if (hashShingleKeys) transform(shingles(col(text), k), hashKey60(_))
       else shingles(col(text), k)
     // ids are keys: a null-id doc would be excluded from df by the
     // count(doc) aggregate yet still probe the join — drop it up front

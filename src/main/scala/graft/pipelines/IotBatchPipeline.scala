@@ -16,59 +16,107 @@ import org.apache.spark.sql.functions._
   * duplicated runs converge to the same warehouse state.
   *
   * One cycle =
-  *  1. EXTRACT an incremental slice of the raw landing: cursor ≥ the
-  *     stage table's high watermark — the boundary row REPLAYS
-  *     (`>=`, the dlt/[[graft.sources.MongoConnectorSource]] `$gte`
-  *     contract) and the keyed upsert absorbs it, which is what makes
-  *     equal-timestamp ties at the watermark safe.
+  *  1. EXTRACT an incremental slice of the raw landing: `cursorCol` ≥
+  *     the stage watermark — the boundary row REPLAYS (`>=`, the
+  *     dlt/[[graft.sources.MongoConnectorSource]] `$gte` contract) and
+  *     the keyed upsert absorbs it, which is what makes
+  *     equal-cursor ties at the watermark safe.
   *  2. STAGE: type + derive period keys ([[Stage.stageEvents]]) and
   *     MERGE-upsert by `event_id` into the day-partitioned stage table
   *     — only touched partitions are read or rewritten.
-  *  3. AGG: [[Warehouse.refreshAggregate]] re-aggregates ONLY the
-  *     periods the increment touched, from stage, folding late rows
-  *     into their true period.
+  *  3. AGG: [[Warehouse.refreshAggregate]] (inclusive watermark, so
+  *     the replayed boundary's period re-aggregates too) rebuilds ONLY
+  *     the periods the increment touched, from stage.
   *
+  * `cursorCol` must be MONOTONE over landing order (dlt's incremental
+  * cursor is ingest order). It defaults to the event `ts`, which is a
+  * correct cursor only when the landing appends in event-time order
+  * (the reference generator's behavior); a landing with out-of-order
+  * EVENT times must carry a real ingest column and name it here —
+  * with cursor == event time, an event-time straggler sits below the
+  * cursor and no incremental extract can see it. Late rows under a
+  * proper cursor fold into their true period (the refresh re-aggregates
+  * whatever periods the increment touches, not just the newest).
+  *
+  * The stage watermark persists in a `_graft_watermark` sidecar next
+  * to the stage data (underscore-prefixed — invisible to parquet
+  * readers), so a steady-state cycle reads one tiny file plus the agg
+  * table's one-row max, never a history scan; if the sidecar is
+  * missing (pre-existing table, manual surgery) the watermark is
+  * recovered with a full `max(cursor)` probe once and re-persisted.
   * Cost per cycle scales with the increment and its touched periods,
   * never with warehouse history — the property that lets a 15-minute
-  * cadence survive a 100 TB table. A cycle with no new data reads two
-  * watermarks and writes nothing.
+  * cadence survive a 100 TB table.
   */
 object IotBatchPipeline {
 
-  private def tableExists(spark: SparkSession, path: String): Boolean = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def sidecar(stagePath: String) =
+    new org.apache.hadoop.fs.Path(stagePath, "_graft_watermark")
+
+  /** The stage table's extract cursor (the role of
+    * macros/get_max_insert_timestamp.sql): the sidecar value when
+    * present, else a one-off full-table recovery probe. None before
+    * the first load. Timestamps round-trip the sidecar as
+    * microsecond-precision instants. */
+  def stageWatermark(spark: SparkSession, stagePath: String,
+                     cursorCol: String): Option[java.sql.Timestamp] = {
+    val f = fs(spark, stagePath)
+    val side = sidecar(stagePath)
+    if (f.exists(side)) {
+      val in = f.open(side)
+      val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+      Some(java.sql.Timestamp.from(java.time.Instant.parse(txt)))
+    } else if (!f.exists(new org.apache.hadoop.fs.Path(stagePath))) None
+    else Option(spark.read.parquet(stagePath).agg(max(col(cursorCol))).head()
+      .get(0)).map(_.asInstanceOf[java.sql.Timestamp])
   }
 
-  /** The stage table's extract cursor: max event `ts` landed so far
-    * (the role of macros/get_max_insert_timestamp.sql). None before
-    * the first load. */
-  def stageWatermark(spark: SparkSession, stagePath: String): Option[Any] =
-    if (!tableExists(spark, stagePath)) None
-    else Option(spark.read.parquet(stagePath).agg(max(col("ts"))).head().get(0))
+  private def persistWatermark(spark: SparkSession, stagePath: String,
+                               wm: java.sql.Timestamp): Unit = {
+    val f = fs(spark, stagePath)
+    val out = f.create(sidecar(stagePath), true)
+    try out.write(wm.toInstant.toString.getBytes("UTF-8")) finally out.close()
+  }
 
   /** One extract → stage → agg cycle over a raw `events`-shaped
     * landing frame. Blindly re-runnable: every step is an idempotent
     * upsert or partition replacement. */
-  def runCycle(raw: DataFrame, stagePath: String, aggPath: String): Unit = {
+  def runCycle(raw: DataFrame, stagePath: String, aggPath: String,
+               cursorCol: String = "ts"): Unit = {
     val spark = raw.sparkSession
     // 1. extract: incremental slice, boundary replayed (>=) — the
     //    keyed stage upsert makes the replay harmless
-    val incoming = stageWatermark(spark, stagePath) match {
-      case Some(wm) => raw.filter(col("ts") >= lit(wm))
+    val prevWm = stageWatermark(spark, stagePath, cursorCol)
+    val incoming = prevWm match {
+      case Some(wm) => raw.filter(col(cursorCol) >= lit(wm))
       case None => raw
     }
-    // 2. stage: typed projection + keyed merge into day partitions
+    // 2. stage: typed projection + keyed merge into day partitions.
+    //    The increment's max cursor is read off the SLICE (bounded),
+    //    never the table.
     val staged = Stage.stageEvents(incoming)
     Warehouse.mergeUpsert(staged, stagePath, partitionCols = Seq("day"),
-      key = Seq("event_id"), versionCol = "ts")
-    // 3. agg: touched-period-only daily rollup refresh from stage
+      key = Seq("event_id"), versionCol = cursorCol)
+    val sliceMax = Option(staged.agg(max(col(cursorCol))).head().get(0))
+      .map(_.asInstanceOf[java.sql.Timestamp])
+    (prevWm ++ sliceMax).reduceOption((a, b) => if (a.after(b)) a else b)
+      .foreach(persistWatermark(spark, stagePath, _))
+    // 3. agg: touched-period-only daily rollup refresh from stage.
+    //    Inclusive watermark: the extract replays its boundary, so the
+    //    refresh must re-aggregate the boundary period too — a strict
+    //    delta would stage an equal-cursor tie but never roll it up.
     Warehouse.refreshAggregate(
       spark.read.parquet(stagePath), aggPath, partitionCols = Seq("day"),
-      rawWatermarkCol = "ts", aggWatermarkCol = "last_ts",
+      rawWatermarkCol = cursorCol, aggWatermarkCol = "last_ts",
       aggregate = slice => slice.groupBy(col("user_id"), col("day"))
         .agg(sum(col("value")).as("value_sum"),
           count(lit(1)).as("n_events"),
-          max(col("ts")).as("last_ts")))
+          max(col(cursorCol)).as("last_ts")),
+      inclusiveWatermark = true)
   }
 }

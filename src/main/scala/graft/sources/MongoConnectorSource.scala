@@ -73,7 +73,10 @@ object MongoConnectorSource {
     case s: String => "\"" + escape(s) + "\""
     case t: java.sql.Timestamp => s"""{"$$date": "${t.toInstant}"}"""
     case i: java.time.Instant => s"""{"$$date": "$i"}"""
-    case d: java.sql.Date => "\"" + d.toString + "\""
+    // a date cursor is a BSON datetime in Mongo — a plain string here
+    // would type-bracket against dates and silently match NOTHING
+    case d: java.sql.Date => s"""{"$$date": "${d.toLocalDate}T00:00:00Z"}"""
+    case d: java.time.LocalDate => s"""{"$$date": "${d}T00:00:00Z"}"""
     case n @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte) =>
       n.toString
     case b: Boolean => b.toString

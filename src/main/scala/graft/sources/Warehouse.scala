@@ -92,11 +92,21 @@ object Warehouse {
     * key first) plus a monotone ingest cursor `rawWatermarkCol` (dlt's
     * incremental cursor — INGEST time, not event time, so late events
     * still advance it); `aggregate` must emit the partition columns and
-    * `max(rawWatermarkCol)` as `aggWatermarkCol`. */
+    * `max(rawWatermarkCol)` as `aggWatermarkCol`.
+    *
+    * `inclusiveWatermark` compares the delta with `>=` instead of `>`:
+    * required when the UPSTREAM extract also replays its boundary
+    * (the `$gte` cursor contract) — with a strict delta, a row landing
+    * AT the watermark is staged but its period never re-aggregates
+    * (silent rollup loss). Cost: each refresh re-aggregates the
+    * boundary period once more — idempotent, bounded to one period,
+    * and a no-new-data refresh rewrites just that period instead of
+    * nothing. */
   def refreshAggregate(raw: DataFrame, tablePath: String,
                        partitionCols: Seq[String], rawWatermarkCol: String,
                        aggWatermarkCol: String,
-                       aggregate: DataFrame => DataFrame): Unit = {
+                       aggregate: DataFrame => DataFrame,
+                       inclusiveWatermark: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, max}
     val spark = raw.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(tablePath)
@@ -107,7 +117,9 @@ object Warehouse {
       val hwm = spark.read.parquet(tablePath)
         .agg(max(col(aggWatermarkCol))).head().get(0)
       val delta =
-        if (hwm == null) raw else raw.filter(col(rawWatermarkCol) > lit(hwm))
+        if (hwm == null) raw
+        else if (inclusiveWatermark) raw.filter(col(rawWatermarkCol) >= lit(hwm))
+        else raw.filter(col(rawWatermarkCol) > lit(hwm))
       val touched = delta.select(partitionCols.map(col): _*).distinct()
       // complete re-aggregation of ONLY the touched periods: the raw
       // read prunes to them (partition pruning / DPP on a partitioned

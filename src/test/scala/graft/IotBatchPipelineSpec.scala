@@ -8,6 +8,7 @@ import java.nio.file.Files
   * landing converge to exactly the single-shot full recompute, and
   * re-firing with nothing new changes nothing. */
 class IotBatchPipelineSpec extends SparkSpec {
+  import spark.implicits._
 
   test("incremental cycles == full recompute; empty cycle is a no-op") {
     val stage = Files.createTempDirectory("graft-bp-stage").toString + "/stage"
@@ -48,5 +49,26 @@ class IotBatchPipelineSpec extends SparkSpec {
     IotBatchPipeline.runCycle(ev, stage, agg)
     assert(spark.read.parquet(stage).collect().map(_.toSeq).toSet == stageBefore)
     assert(canonAgg(spark.read.parquet(agg)).collect().map(_.toSeq).toSet == aggBefore)
+
+    // cycle 4: a NEW event lands at ts EXACTLY the watermark — the >=
+    // extract replays the boundary and the INCLUSIVE agg refresh must
+    // roll it up too (a strict delta stages it but never aggregates it:
+    // the silent-rollup-loss case)
+    val wmTs = spark.read.parquet(stage)
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val tieUser = ev.limit(1).select("user_id").head().getLong(0)
+    val tie = Seq((999999999L, wmTs, tieUser, "view", 1.0, """{"k": 1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    IotBatchPipeline.runCycle(ev.unionByName(tie), stage, agg)
+    assert(spark.read.parquet(stage)
+      .filter(col("event_id") === 999999999L).count() == 1)
+    val tieDay = graft.operators.TimeAgg.dayKey(lit(wmTs))
+    val before = wantAgg.filter(col("user_id") === tieUser && col("day") === tieDay)
+      .select("n_events").as[Long].collect().headOption.getOrElse(0L)
+    val after = spark.read.parquet(agg)
+      .filter(col("user_id") === tieUser && col("day") === tieDay)
+      .select("n_events").as[Long].head()
+    assert(after == before + 1,
+      "the watermark-tie event must reach the rollup, not just the stage")
   }
 }

@@ -52,6 +52,15 @@ class MongoConnectorSourceSpec extends SparkSpec {
       """[{"$match": {"name": {"$gte": "he said \"hi\"\\"}}}]""")
   }
 
+  test("date cursors render as BSON $date, never as type-bracketed strings") {
+    // a plain "2022-01-01" string $gte against a BSON date field would
+    // match ZERO documents under Mongo type bracketing — silent stall
+    val inc = Incremental("created_at",
+      lastValue = Some(java.sql.Date.valueOf("2022-01-01")))
+    assert(MongoConnectorSource.pipelineJson(Some(inc)) ==
+      """[{"$match": {"created_at": {"$gte": {"$date": "2022-01-01T00:00:00Z"}}}}]""")
+  }
+
   test("options carry namespace + pipeline; pipeline omitted when empty") {
     val opts = MongoConnectorSource.options("mongodb://h:27017", "iot", "sleeps",
       Some(Incremental("created_at", Some(ts("2022-01-01T00:00:00Z")))), None)
