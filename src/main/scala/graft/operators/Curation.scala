@@ -82,6 +82,57 @@ object Curation {
       .withColumn("contamination", Portable.pround(
         col("n_hit").cast("double") / col("n_sh"), 4))
 
+  /** Contamination at the train-side scale where [[contamination]]'s
+    * distinct-shingle JOIN stops being reasonable: a 100 TB train
+    * corpus has ~10^12 distinct shingles — shuffling them against the
+    * eval probes is a full-corpus exchange for a report about a tiny
+    * eval set. The Bloom spelling aggregates train shingle hashes into
+    * ONE bounded membership sketch (`numBits` bits, `numBits`/8 bytes —
+    * a model-sized binary, collected exactly like the trained IVF
+    * centroids) and probes eval shingles with a codegen'd predicate:
+    * no join, no train-side shuffle beyond the sketch merge, eval cost
+    * linear in eval shingles alone. Uses Spark's own
+    * `BloomFilterAggregate`/`BloomFilterMightContain` (the runtime-
+    * filter machinery) — native expressions, no UDF.
+    *
+    * NO FALSE NEGATIVES: a shingle present anywhere in train always
+    * probes true, so a contaminated doc can never score clean. False
+    * positives are bounded by the bits/item budget, making the
+    * reported ratio an UPPER bound that converges to [[contamination]]
+    * as `numBits` grows (spec: equal on the test corpus at ~600
+    * bits/item). Engine-private sketch bits → spec-verified against
+    * the exact operator rather than a SQL oracle (the B9/HLL
+    * precedent). */
+  def contaminationBloom(train: DataFrame, eval: DataFrame, id: String,
+                         text: String, k: Int, expectedItems: Long,
+                         numBits: Long): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val trainHash = train
+      .select(explode(shingles(col(text), k)).as("sh"))
+      .select(xxhash64(col("sh")).as("h"))
+    val bloomAgg = ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.catalystExpression(col("h")),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+    val bloom = trainHash.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val probe =
+      if (bloom == null) lit(false) // empty train: nothing is contaminated
+      else ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal
+            .create(bloom, org.apache.spark.sql.types.BinaryType),
+          ColumnBridge.expression(xxhash64(col("sh")))))
+    eval.select(col(id).as("doc_id"),
+        explode(shingles(col(text), k)).as("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(probe, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("contamination", Portable.pround(
+        col("n_hit").cast("double") / col("n_sh"), 4))
+  }
+
   /** Deterministic hash sample: keep rows whose md5-derived bucket (of
     * `buckets`) falls below `rate`. Reproducible across runs, engines
     * and retries; sampling rate is exact in expectation and independent

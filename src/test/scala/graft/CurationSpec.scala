@@ -130,6 +130,29 @@ class CurationSpec extends SparkSpec {
     assert(got(4L) == 0.0)
   }
 
+  test("bloom contamination == exact contamination at generous bits, never under") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val isEval = col("doc_id") % 20 === 0
+    val train = docs.filter(!isEval)
+    val ev = docs.filter(isEval)
+    val exact = Curation.contamination(train, ev, "doc_id", "text", 3)
+      .select("doc_id", "n_hit").as[(Long, Long)].collect().toMap
+    // ~600 bits/item: FPR is ~1e-12 class — the sketch reproduces the
+    // exact report; at ANY sizing it may only over-count (no false
+    // negatives), never under
+    val bloom = Curation.contaminationBloom(train, ev, "doc_id", "text", 3,
+      expectedItems = 200000L, numBits = 1L << 27)
+      .select("doc_id", "n_hit").as[(Long, Long)].collect().toMap
+    assert(bloom.keySet == exact.keySet && bloom.nonEmpty)
+    assert(bloom.forall { case (d, h) => h >= exact(d) },
+      "bloom must never miss a real hit")
+    assert(bloom == exact, "at 600+ bits/item the sketch should be exact here")
+    // empty train corpus: nothing is contaminated, nothing throws
+    val none = Curation.contaminationBloom(train.limit(0), ev,
+      "doc_id", "text", 3, 100L, 1L << 16)
+    assert(none.filter(col("n_hit") > 0).count() == 0)
+  }
+
   test("packSequences lays docs head-to-tail with contiguous offsets") {
     // lang a: sizes 5,3,2 (desc) packed into 4-token sequences:
     //   doc 1 starts seq 0 off 0; doc 2 starts seq 1 off 1 (5 = 4+1);
