@@ -121,6 +121,13 @@ object ScaleProbe {
         "h8_contamination_hashed" -> (() =>
           Curation.contaminationSplit(docs, "doc_id", "text", 3,
             col("doc_id") % 20 === 0, hashShingleKeys = true)),
+        // the join-free bloom spelling: train-side shuffle collapses to
+        // sketch merges regardless of corpus size — the shufN column is
+        // the point of comparison against h8
+        "h13_contamination_bloom" -> (() =>
+          Curation.contaminationBloom(docs.filter(col("doc_id") % 20 =!= 0),
+            docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", 3,
+            expectedItems = 4000000L, numBits = 1L << 30)),
         "b1_agg_daily" -> (() =>
           ev.groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
             .agg(sum("value").as("v"), count(lit(1)).as("n"))),
