@@ -133,6 +133,25 @@ object Curation {
         col("n_hit").cast("double") / col("n_sh"), 4))
   }
 
+  /** [[contaminationBloom]] with the sketch sized FROM THE DATA: a
+    * KMV cardinality estimate of the train shingle vocabulary
+    * ([[Sketches.kmvDistinct]] — one cheap extra pass, rel. error
+    * ≈ 1/√1024 ≈ 3%) picks `expectedItems` with 25% headroom, and the
+    * bit budget is `bitsPerItem` × items (clamped to [2^16, maxBits]).
+    * Removes the one manual knob that actually hurts when wrong: an
+    * undersized sketch silently saturates and reports everything
+    * contaminated. */
+  def contaminationBloomAuto(train: DataFrame, eval: DataFrame, id: String,
+                             text: String, k: Int, bitsPerItem: Int = 16,
+                             maxBits: Long = 1L << 33): DataFrame = {
+    val trainSh = train.select(explode(shingles(col(text), k)).as("sh"))
+    val est = Sketches.kmvDistinct(trainSh, col("sh"), 1024)
+      .select("est_distinct").head().getDouble(0)
+    val items = math.max(1000L, (est * 1.25).toLong)
+    val bits = math.min(maxBits, math.max(1L << 16, items * bitsPerItem.toLong))
+    contaminationBloom(train, eval, id, text, k, items, bits)
+  }
+
   /** Deterministic hash sample: keep rows whose md5-derived bucket (of
     * `buckets`) falls below `rate`. Reproducible across runs, engines
     * and retries; sampling rate is exact in expectation and independent

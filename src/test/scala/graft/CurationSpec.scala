@@ -151,6 +151,16 @@ class CurationSpec extends SparkSpec {
     val none = Curation.contaminationBloom(train.limit(0), ev,
       "doc_id", "text", 3, 100L, 1L << 16)
     assert(none.filter(col("n_hit") > 0).count() == 0)
+
+    // auto-sizing: KMV picks the sketch budget; still never under, and
+    // at 16 bits/item the total over-count stays a rounding error
+    val auto = Curation.contaminationBloomAuto(train, ev, "doc_id", "text", 3)
+      .select("doc_id", "n_hit").as[(Long, Long)].collect().toMap
+    assert(auto.keySet == exact.keySet)
+    assert(auto.forall { case (d, h) => h >= exact(d) })
+    val overCount = auto.map { case (d, h) => h - exact(d) }.sum.toDouble
+    assert(overCount <= 0.01 * exact.values.sum,
+      s"auto-sized sketch over-counted by $overCount")
   }
 
   test("packSequences lays docs head-to-tail with contiguous offsets") {
