@@ -534,6 +534,17 @@ object SparkEntry {
       Curation.contaminationSplit(docs(s, d), "doc_id", "text", 3,
         col("doc_id") % 20 === 0)),
 
+    // the same report via the train-side Bloom sketch (join-free train
+    // scan; the 100 TB spelling). 2^28 bits over the <~1M-shingle sf0.1
+    // vocabulary is ~250+ bits/item → expected false hits over the eval
+    // probes << 1, so the exact h8 oracle hash-matches
+    "h13_contamination_bloom" -> ((s, d) => {
+      val dd = docs(s, d)
+      val isEval = col("doc_id") % 20 === 0
+      Curation.contaminationBloom(dd.filter(!isEval), dd.filter(isEval),
+        "doc_id", "text", 3, expectedItems = 4000000L, numBits = 1L << 28)
+    }),
+
     "h9_repetition" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextFunctions.repetitionRatio(col("text"), 3).as("repetition_ratio"))),
@@ -697,6 +708,21 @@ object SparkEntry {
        |  ${sqlPround("CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)", 4)} AS jaccard
        |FROM shared JOIN sized sa ON sa.doc = doc_a JOIN sized sb ON sb.doc = doc_b
        |WHERE ${sqlPround("CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)", 4)} >= 0.25""".stripMargin
+
+  /** The exact contamination report — shared by h8 (exact join) and h13
+    * (Bloom sketch): the sketch never misses a real hit, and at h13's
+    * registered bits/item its false positives are ~1e-19-rare, so both
+    * spellings must hash-match this oracle. */
+  private lazy val contaminationSql: String =
+    s"""WITH t AS (${tokCte("documents", lower = true)}),
+       |s AS (SELECT doc_id, list_distinct($shingle3) AS shs FROM t),
+       |e AS (SELECT doc_id AS doc, unnest(shs) AS sh FROM s),
+       |tr AS (SELECT DISTINCT sh AS hit_sh FROM e WHERE doc % 20 != 0),
+       |ev AS (SELECT doc, sh FROM e WHERE doc % 20 = 0)
+       |SELECT ev.doc AS doc_id, count(*) AS n_sh, count(tr.hit_sh) AS n_hit,
+       |  ${sqlPround("CAST(count(tr.hit_sh) AS DOUBLE) / count(*)", 4)} AS contamination
+       |FROM ev LEFT JOIN tr ON ev.sh = tr.hit_sh
+       |GROUP BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1292,16 +1318,13 @@ object SparkEntry {
          |WHERE quality_score >= 0.5 AND pred_lang = lang""".stripMargin
     },
 
-    "h8_contamination" ->
-      s"""WITH t AS (${tokCte("documents", lower = true)}),
-         |s AS (SELECT doc_id, list_distinct($shingle3) AS shs FROM t),
-         |e AS (SELECT doc_id AS doc, unnest(shs) AS sh FROM s),
-         |tr AS (SELECT DISTINCT sh AS hit_sh FROM e WHERE doc % 20 != 0),
-         |ev AS (SELECT doc, sh FROM e WHERE doc % 20 = 0)
-         |SELECT ev.doc AS doc_id, count(*) AS n_sh, count(tr.hit_sh) AS n_hit,
-         |  ${sqlPround("CAST(count(tr.hit_sh) AS DOUBLE) / count(*)", 4)} AS contamination
-         |FROM ev LEFT JOIN tr ON ev.sh = tr.hit_sh
-         |GROUP BY 1""".stripMargin,
+    "h8_contamination" -> contaminationSql,
+
+    // h13 computes the SAME report through the train-side Bloom sketch:
+    // no false negatives ever, and at the registered ~250 bits/item the
+    // expected false-hit count over the whole eval probe set is << 1 —
+    // the exact-join oracle is a valid oracle for the sketch too
+    "h13_contamination_bloom" -> contaminationSql,
 
     "h9_repetition" ->
       s"""WITH t AS (${tokCte("documents", lower = true)})

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions.shingles
 import graft.functions.Portable
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -100,30 +100,37 @@ object Curation {
     * positives are bounded by the bits/item budget, making the
     * reported ratio an UPPER bound that converges to [[contamination]]
     * as `numBits` grows (spec: equal on the test corpus at ~600
-    * bits/item). Engine-private sketch bits → spec-verified against
-    * the exact operator rather than a SQL oracle (the B9/HLL
-    * precedent). */
+    * bits/item, and a hash-green CORRECTNESS row against h8's exact
+    * DuckDB oracle at that sizing).
+    *
+    * Sizing honesty: `BloomFilterAggregate` silently `Math.min`-clamps
+    * both arguments to `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems`/`maxNumBits` (defaults 4M items / 2^26 bits — sized
+    * for join runtime filters, not a corpus vocabulary); a clamped
+    * sketch saturates and reports everything contaminated with no
+    * error. The build therefore raises those session caps to the
+    * requested size for the duration of the sketch job and restores
+    * them after ([[withBloomCaps]]) — the bits you ask for are the bits
+    * you get.
+    *
+    * Shipping: the sketch reaches probe tasks as a torrent BROADCAST
+    * ([[graft.functions.expressions.BloomProbe]]), not a plan
+    * `Literal` — a literal rides the task binary and is deserialized
+    * per task, which is why Spark caps its own runtime filters at
+    * 8 MiB. Broadcast bytes move once per executor; the bytes→long[]
+    * decode happens once per executor JVM. */
   def contaminationBloom(train: DataFrame, eval: DataFrame, id: String,
                          text: String, k: Int, expectedItems: Long,
                          numBits: Long): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val trainHash = train
-      .select(explode(shingles(col(text), k)).as("sh"))
-      .select(xxhash64(col("sh")).as("h"))
-    val bloomAgg = ColumnBridge.column(
-      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        ColumnBridge.catalystExpression(col("h")),
-        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
-        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
-        .toAggregateExpression())
-    val bloom = trainHash.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val bloom = trainShingleSketch(train, text, k, expectedItems, numBits)
     val probe =
       if (bloom == null) lit(false) // empty train: nothing is contaminated
-      else ColumnBridge.column(
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          org.apache.spark.sql.catalyst.expressions.Literal
-            .create(bloom, org.apache.spark.sql.types.BinaryType),
-          ColumnBridge.expression(xxhash64(col("sh")))))
+      else {
+        val bc = train.sparkSession.sparkContext.broadcast(bloom)
+        ColumnBridge.column(graft.functions.expressions.BloomProbe(
+          bc, ColumnBridge.expression(xxhash64(col("sh")))))
+      }
     eval.select(col(id).as("doc_id"),
         explode(shingles(col(text), k)).as("sh"))
       .groupBy("doc_id")
@@ -133,6 +140,55 @@ object Curation {
         col("n_hit").cast("double") / col("n_sh"), 4))
   }
 
+  private[graft] val MaxItemsConf =
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+  private[graft] val MaxBitsConf =
+    "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+
+  /** Raise Spark's runtime-filter Bloom caps to at least the requested
+    * sketch size for the duration of `body`, restoring the prior values
+    * after — without this, `BloomFilterAggregate` silently clamps any
+    * request above 4M items / 2^26 bits (verified against the Spark
+    * 4.1.2 catalyst bytecode: `Math.min(requested, conf)` in the lazy
+    * `estimatedNumItems`/`numBits`). Session-conf mutation is visible
+    * to concurrent queries on the same session for the build's
+    * duration; the caps are only ever RAISED, so a concurrent runtime
+    * filter at worst gets more headroom, never less. */
+  private def withBloomCaps[T](spark: SparkSession, items: Long,
+                               bits: Long)(body: => T): T = {
+    val conf = spark.conf
+    val saved = Seq(MaxItemsConf, MaxBitsConf).map(k => k -> conf.getOption(k))
+    conf.set(MaxItemsConf, math.max(items, conf.get(MaxItemsConf).toLong))
+    conf.set(MaxBitsConf, math.max(bits, conf.get(MaxBitsConf).toLong))
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  /** Build and collect the train-side shingle sketch: one scan, one
+    * merge to a `numBits`-bit filter (serialized ≈ numBits/8 bytes).
+    * Returns null for an empty train side. Exposed package-private so
+    * specs can assert the built sketch really carries the requested
+    * bits (i.e. the clamp raise worked). */
+  private[graft] def trainShingleSketch(train: DataFrame, text: String,
+                                        k: Int, expectedItems: Long,
+                                        numBits: Long): Array[Byte] =
+    withBloomCaps(train.sparkSession, expectedItems, numBits) {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val trainHash = train
+        .select(explode(shingles(col(text), k)).as("sh"))
+        .select(xxhash64(col("sh")).as("h"))
+      val bloomAgg = ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          ColumnBridge.catalystExpression(col("h")),
+          org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+          org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+          .toAggregateExpression())
+      trainHash.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    }
+
   /** [[contaminationBloom]] with the sketch sized FROM THE DATA: a
     * KMV cardinality estimate of the train shingle vocabulary
     * ([[Sketches.kmvDistinct]] — one cheap extra pass, rel. error
@@ -140,10 +196,18 @@ object Curation {
     * bit budget is `bitsPerItem` × items (clamped to [2^16, maxBits]).
     * Removes the one manual knob that actually hurts when wrong: an
     * undersized sketch silently saturates and reports everything
-    * contaminated. */
+    * contaminated.
+    *
+    * `maxBits` defaults to 2^30 (a 128 MiB serialized sketch — the
+    * broadcast size we're comfortable shipping unasked; the driver and
+    * each executor hold one copy). That budget covers a ~67M-shingle
+    * vocabulary at the default 16 bits/item; for a bigger corpus pass a
+    * larger `maxBits` explicitly — the build raises Spark's session
+    * Bloom caps to match, so the request is honored, not silently
+    * clamped (see [[contaminationBloom]]). */
   def contaminationBloomAuto(train: DataFrame, eval: DataFrame, id: String,
                              text: String, k: Int, bitsPerItem: Int = 16,
-                             maxBits: Long = 1L << 33): DataFrame = {
+                             maxBits: Long = 1L << 30): DataFrame = {
     val trainSh = train.select(explode(shingles(col(text), k)).as("sh"))
     val est = Sketches.kmvDistinct(trainSh, col("sh"), 1024)
       .select("est_distinct").head().getDouble(0)

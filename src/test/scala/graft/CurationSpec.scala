@@ -163,6 +163,41 @@ class CurationSpec extends SparkSpec {
       s"auto-sized sketch over-counted by $overCount")
   }
 
+  test("bloom sketch honors bit budgets beyond Spark's runtime-filter cap") {
+    // BloomFilterAggregate Math.min-clamps to the session caps (default
+    // 2^26 bits); the build must raise them so the requested budget is
+    // the built budget — observable as serialized size ≈ numBits/8
+    val itemsBefore = spark.conf.getOption(Curation.MaxItemsConf)
+    val bitsBefore = spark.conf.getOption(Curation.MaxBitsConf)
+    val bytes = Curation.trainShingleSketch(train, "text", 3,
+      expectedItems = 5000000L, numBits = 1L << 27)
+    assert(bytes.length >= (1L << 27) / 8,
+      s"sketch is ${bytes.length} B — the 2^27-bit request was clamped")
+    // and the session caps are restored after the build
+    assert(spark.conf.getOption(Curation.MaxItemsConf) == itemsBefore)
+    assert(spark.conf.getOption(Curation.MaxBitsConf) == bitsBefore)
+  }
+
+  test("bloom probe plan carries the broadcast handle, not the sketch bytes") {
+    val ev = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val df = Curation.contaminationBloom(train, ev, "doc_id", "text", 3,
+      expectedItems = 5000000L, numBits = 1L << 27)
+    // a Literal-shipped sketch would ride (and be deserialized by)
+    // every task binary; assert no plan literal is sketch-sized
+    val bigLiterals = df.queryExecution.executedPlan.flatMap(
+      _.expressions.flatMap(_.collect {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Array[Byte], _)
+            if v.length > 4096 => v.length
+      }))
+    assert(bigLiterals.isEmpty,
+      s"sketch bytes embedded as plan literal(s) of size $bigLiterals")
+    // and the probe still answers correctly through the broadcast
+    val got = df.select("doc_id", "contamination")
+      .as[(Long, Double)].collect().toMap
+    assert(got(100L) == 1.0)
+  }
+
   test("packSequences lays docs head-to-tail with contiguous offsets") {
     // lang a: sizes 5,3,2 (desc) packed into 4-token sequences:
     //   doc 1 starts seq 0 off 0; doc 2 starts seq 1 off 1 (5 = 4+1);
