@@ -56,6 +56,15 @@ object Bench {
     val total = results.map(r => median(r._2)).sum
     val totalMin = results.map(_._2.min).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"queries_min":$mins,"queries_spread":$spreads,"total_min":$totalMin,"failed":$errs,"sf":"$sfDir"}""")
+    // compact HEADLINE line, printed LAST: the durable artifact keeps a
+    // bounded tail of stdout, and the full line above truncates from the
+    // front — leaving a spread map that reads like query times (the r4
+    // "e7 = 3.26 s" misread). This line is valid JSON on its own, carries
+    // the same metric/value contract, and stays well under any tail cap.
+    val top5 = results.sortBy(r => -median(r._2)).take(5)
+      .map { case (k, ts) => s"\"" + k + "\":" + median(ts) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"n_queries":${results.size},"top5_med":$top5,"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

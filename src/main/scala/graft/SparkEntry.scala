@@ -663,6 +663,18 @@ object SparkEntry {
         stratum = Seq("lang"), tokens = col("n_tokens"),
         order = col("n_tokens"), tieBreak = col("doc_id"), seqLen = 2048L)),
 
+    // k6b: NO-SPLIT packing — docs assigned whole to harmonic
+    // size-class bins (capacity floor(seqLen/n) docs per bin, so no bin
+    // overflows and no doc is cut); the parallel stand-in for the
+    // sequential first-fit greedy. seqLen 512 so the sf corpus
+    // populates several classes
+    "k6b_pack_nosplit" -> ((s, d) =>
+      Curation.packSequencesNoSplit(
+        docs(s, d).select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        stratum = Seq("lang"), tokens = col("n_tokens"),
+        order = col("n_tokens"), tieBreak = col("doc_id"), seqLen = 512L)),
+
     // same quota semantics through the custom TopKPerKey physical
     // operator (bounded per-key heaps, no per-stratum sort) — shares
     // k2's oracle, proving plan-level equivalence on a second shape
@@ -1379,6 +1391,19 @@ object SparkEntry {
          |  CAST(floor(st / 2048.0) AS BIGINT) AS seq_id,
          |  st % 2048 AS seq_offset
          |FROM c""".stripMargin,
+
+    "k6b_pack_nosplit" ->
+      s"""WITH t AS (${tokCte("documents", lower = false)}),
+         |d AS (SELECT doc_id, lang, len(tok) AS n_tokens FROM t),
+         |c AS (SELECT *, greatest(CAST(1 AS BIGINT), least(CAST(512 AS BIGINT),
+         |  CAST(floor(512.0 / greatest(n_tokens, 1)) AS BIGINT))) AS bin_cap FROM d),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY lang, bin_cap ORDER BY n_tokens DESC, doc_id)
+         |  AS BIGINT) - 1 AS rr FROM c)
+         |SELECT doc_id, lang, n_tokens, bin_cap,
+         |  bin_cap * 1099511627776 + CAST(floor(rr / CAST(bin_cap AS DOUBLE)) AS BIGINT) AS seq_id,
+         |  rr % bin_cap AS bin_pos
+         |FROM r""".stripMargin,
 
     "dq1_checks" ->
       """SELECT 'not_null_user_id' AS check_name, count(*) AS n_violations, count(*) = 0 AS passed

@@ -286,6 +286,45 @@ object Curation {
       .withColumn("seq_offset", start % seqLen)
   }
 
+  /** NO-SPLIT sequence packing — documents are never cut; each is
+    * assigned whole to a fixed-capacity `seqLen`-token bin (the layout
+    * for objectives that forbid cross-document attention or mid-doc
+    * truncation). The EXACT greedy (walk quality-ordered docs, close
+    * the bin when the next doc doesn't fit) is a sequential prefix
+    * recurrence no window expresses — it would serialize each stratum
+    * through one task at 100 TB — so this is the classic parallel
+    * approximation: HARMONIC size-class packing. A doc of `n` tokens
+    * joins class `cap = floor(seqLen / n)` (clamped to [1, seqLen]);
+    * every bin of that class takes exactly `cap` docs, so capacity can
+    * never overflow (`cap · n ≤ seqLen` by construction — no doc ever
+    * straddles) and a FULL bin is > `cap/(cap+1) ≥ 50%` filled (docs of
+    * class `cap` carry > seqLen/(cap+1) tokens each). Docs longer than
+    * `seqLen` land alone in their own bin (`bin_cap = 1`) for the
+    * caller to truncate or reroute. Waste vs the sequential greedy is
+    * the harmonic-packing bound (≤ ~1.69× bins asymptotically vs
+    * OPTIMAL — the greedy itself is ≥ 1.22× on adversarial input);
+    * per-stratum-and-class it costs ONE window (shuffle + sort), fully
+    * parallel in #classes × #strata.
+    *
+    * Output adds `bin_cap` (the class), `seq_id` (bin id, unique within
+    * the stratum: class ⊕ running bin index), `bin_pos` (the doc's slot
+    * in its bin, quality order). */
+  def packSequencesNoSplit(df: DataFrame, stratum: Seq[String], tokens: Column,
+                           order: Column, tieBreak: Column,
+                           seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val cap = greatest(lit(1L), least(lit(seqLen),
+      floor(lit(seqLen) / greatest(tokens.cast("long"), lit(1L))).cast("long")))
+    val w = Window.partitionBy((stratum.map(col) :+ col("bin_cap")): _*)
+      .orderBy(order.desc, tieBreak.asc)
+    df.withColumn("bin_cap", cap)
+      .withColumn("__r", row_number().over(w).cast("long") - 1L)
+      .withColumn("seq_id",
+        shiftleft(col("bin_cap"), 40) + floor(col("__r") / col("bin_cap")))
+      .withColumn("bin_pos", col("__r") % col("bin_cap"))
+      .drop("__r")
+  }
+
   /** LEAKAGE-SAFE train/val/test split: deterministic hash split where
     * the unit of assignment is the NEAR-DUP CLUSTER, not the document —
     * two near-duplicates must never straddle a split boundary (a doc in

@@ -1,15 +1,16 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Baseline: brute-force cosine top-k — the query set is broadcast (it
   * is small by construction) and every corpus partition scores its own
-  * rows in one codegen'd pass; a per-query window keeps top-k. At 100 TB
-  * corpus this is one broadcast + one scan + one k-bounded shuffle.
+  * rows in one codegen'd pass; a bounded per-query heap
+  * ([[graft.plans.TopKPerKey]], applied map-side then post-shuffle)
+  * keeps top-k. At 100 TB corpus this is one broadcast + one scan + one
+  * k-bounded shuffle — and never a per-group sort.
   *
   * Scale path: random-hyperplane LSH — `numBits` deterministic
   * hyperplanes hash each vector to a bucket; probing joins only matching
@@ -51,6 +52,21 @@ object Similarity {
   def normalizedQueries(df: DataFrame, id: String, vec: String): DataFrame =
     df.select(col(id).as("query_id"), l2normalize(col(vec)).as("qv"))
 
+  /** Every searcher's shared tail: keep the k best-scored candidates
+    * per query, ranked. Spelled through the bounded-heap
+    * [[graft.plans.TopKPerKey]] operator UNCONDITIONALLY — not the
+    * `row_number().over(window)` idiom — so the scale shape (map-side
+    * k-cap per query, no per-group sort, exchange carries ≤ #partitions
+    * × k rows per query) does not depend on the opt-in
+    * `spark.graft.rewriteTopK` flag or on Spark's sort-based
+    * `WindowGroupLimit` fallback. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.TopKPerKey(scored,
+      keys = Seq(col("query_id")),
+      order = Seq(col("cosine").desc, col("nn_id").asc),
+      k = k, rankName = "rank")
+      .select("query_id", "rank", "nn_id", "cosine")
+
   /** Exact top-k neighbors for each query vector (excluding self).
     * Ranking uses the cosine rounded to 6dp with an id tie-break so the
     * result is engine-stable. */
@@ -61,14 +77,12 @@ object Similarity {
 
   /** As [[bruteForceTopK]] over pre-normalized `(nn_id, cv)` /
     * `(query_id, qv)` frames. */
-  def bruteForceTopKNormed(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
-    val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
-      .withColumn("cosine", graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("nn_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "nn_id", "cosine")
-  }
+  def bruteForceTopKNormed(c: DataFrame, q: DataFrame, k: Int): DataFrame =
+    topKPerQuery(
+      c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+        .withColumn("cosine",
+          graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6)),
+      k)
 
   /** Deterministic pseudo-random hyperplanes, generated driver-side with
     * a splitmix64 mix of (plane, dim) — a pure function, so every run
@@ -127,13 +141,12 @@ object Similarity {
                     dim: Int): DataFrame = {
     val c = c0.withColumn("bucket", lshBucket(col("cv"), numBits, dim))
     val q = q0.withColumn("bucket", lshBucket(col("qv"), numBits, dim))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("nn_id"))
-      .withColumn("cosine", graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("nn_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "nn_id", "cosine")
+    topKPerQuery(
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("query_id") =!= col("nn_id"))
+        .withColumn("cosine",
+          graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6)),
+      k)
   }
 
   /** MULTI-TABLE LSH ANN — the standard recall lever a single hash
@@ -171,10 +184,7 @@ object Similarity {
       // identical across tables, so the distinct runs on 3 scalars
       .select("query_id", "nn_id", "cosine")
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("nn_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "nn_id", "cosine")
+    topKPerQuery(scored, k)
   }
 
   /** IVF-style ANN: the corpus is split into `nCells` Voronoi cells
@@ -336,12 +346,11 @@ object Similarity {
     val assigned = c.withColumn("cell", bestCell(col("cv"), cents))
     val q = q0.withColumn("cell", explode(transform(
         slice(cellScores(col("qv")), 1, nProbe), x => x("cell"))))
-    val scored = assigned.join(broadcast(q), Seq("cell"))
-      .filter(col("query_id") =!= col("nn_id"))
-      .withColumn("cosine", graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("nn_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "nn_id", "cosine")
+    topKPerQuery(
+      assigned.join(broadcast(q), Seq("cell"))
+        .filter(col("query_id") =!= col("nn_id"))
+        .withColumn("cosine",
+          graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6)),
+      k)
   }
 }

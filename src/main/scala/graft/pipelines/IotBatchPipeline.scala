@@ -83,11 +83,57 @@ object IotBatchPipeline {
     try out.write(wm.toInstant.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** One downstream aggregate cadence of the master DAG: `prepare`
+    * derives the period key on stage rows (identity when the stage
+    * already carries it), `aggregate` must emit `partitionCols` plus a
+    * `last_ts` max-cursor column (the refresh watermark). */
+  final case class AggCadence(aggPath: String, partitionCols: Seq[String],
+                              prepare: DataFrame => DataFrame,
+                              aggregate: DataFrame => DataFrame)
+
+  /** Fixed-point value sum ([[graft.functions.Portable.fixedSum]]):
+    * partition-order-independent, so a re-aggregated period is
+    * byte-identical across retries — a plain double sum drifts in ULPs
+    * with task order and would make idempotent refreshes rewrite
+    * different bytes each run. */
+  private def rollup(period: String, cursorCol: String)(
+      slice: DataFrame): DataFrame =
+    slice.groupBy(col("user_id"), col(period))
+      .agg(graft.functions.Portable.fixedSum(col("value"), 4).as("value_sum"),
+        count(lit(1)).as("n_events"),
+        max(col(cursorCol)).as("last_ts"))
+
+  /** The reference's three agg DAGs (`iot_dwh_agg_transform_daily.py`,
+    * `..._weekly.py`, `..._monthly.py` — same stage input, one rollup
+    * table per cadence). Day and month keys already live on the stage
+    * rows; the week key is derived per refresh (cheap map-side
+    * projection over the touched slice only). */
+  def dailyCadence(aggPath: String, cursorCol: String = "ts"): AggCadence =
+    AggCadence(aggPath, Seq("day"), identity, rollup("day", cursorCol))
+
+  def weeklyCadence(aggPath: String, cursorCol: String = "ts"): AggCadence =
+    AggCadence(aggPath, Seq("week"),
+      _.withColumn("week", date_format(
+        graft.operators.TimeAgg.weekBucket(col(cursorCol)), "yyyy-MM-dd")),
+      rollup("week", cursorCol))
+
+  def monthlyCadence(aggPath: String, cursorCol: String = "ts"): AggCadence =
+    AggCadence(aggPath, Seq("month"), identity, rollup("month", cursorCol))
+
   /** One extract → stage → agg cycle over a raw `events`-shaped
-    * landing frame. Blindly re-runnable: every step is an idempotent
-    * upsert or partition replacement. */
+    * landing frame, refreshing the single daily rollup — the reference
+    * master DAG's minimal shape. Blindly re-runnable. */
   def runCycle(raw: DataFrame, stagePath: String, aggPath: String,
-               cursorCol: String = "ts"): Unit = {
+               cursorCol: String = "ts"): Unit =
+    runCycles(raw, stagePath, Seq(dailyCadence(aggPath, cursorCol)), cursorCol)
+
+  /** One extract → stage → agg cycle refreshing EVERY registered
+    * cadence (the reference runs daily AND weekly AND monthly agg DAGs
+    * off the same stage). Each refresh re-aggregates only the periods
+    * the increment touched in ITS OWN period grain — a day of new data
+    * rewrites one day, one week and one month partition. */
+  def runCycles(raw: DataFrame, stagePath: String,
+                cadences: Seq[AggCadence], cursorCol: String = "ts"): Unit = {
     val spark = raw.sparkSession
     // 1. extract: incremental slice, boundary replayed (>=) — the
     //    keyed stage upsert makes the replay harmless
@@ -97,26 +143,31 @@ object IotBatchPipeline {
       case None => raw
     }
     // 2. stage: typed projection + keyed merge into day partitions.
-    //    The increment's max cursor is read off the SLICE (bounded),
-    //    never the table.
-    val staged = Stage.stageEvents(incoming)
+    //    localCheckpoint pins ONE snapshot of the slice: the merge and
+    //    the watermark probe below must see the same rows — two
+    //    independent executions against a live/re-listed source could
+    //    let the probe see rows the merge never staged and advance the
+    //    watermark past data that was never loaded (silent loss). The
+    //    increment's max cursor is then read off the pinned SLICE
+    //    (bounded), never the table.
+    val staged = Stage.stageEvents(incoming).localCheckpoint()
     Warehouse.mergeUpsert(staged, stagePath, partitionCols = Seq("day"),
       key = Seq("event_id"), versionCol = cursorCol)
     val sliceMax = Option(staged.agg(max(col(cursorCol))).head().get(0))
       .map(_.asInstanceOf[java.sql.Timestamp])
     (prevWm ++ sliceMax).reduceOption((a, b) => if (a.after(b)) a else b)
       .foreach(persistWatermark(spark, stagePath, _))
-    // 3. agg: touched-period-only daily rollup refresh from stage.
-    //    Inclusive watermark: the extract replays its boundary, so the
-    //    refresh must re-aggregate the boundary period too — a strict
-    //    delta would stage an equal-cursor tie but never roll it up.
-    Warehouse.refreshAggregate(
-      spark.read.parquet(stagePath), aggPath, partitionCols = Seq("day"),
-      rawWatermarkCol = cursorCol, aggWatermarkCol = "last_ts",
-      aggregate = slice => slice.groupBy(col("user_id"), col("day"))
-        .agg(sum(col("value")).as("value_sum"),
-          count(lit(1)).as("n_events"),
-          max(col(cursorCol)).as("last_ts")),
-      inclusiveWatermark = true)
+    // 3. agg: touched-period-only rollup refresh from stage, once per
+    //    cadence. Inclusive watermark: the extract replays its
+    //    boundary, so each refresh must re-aggregate the boundary
+    //    period too — a strict delta would stage an equal-cursor tie
+    //    but never roll it up.
+    val stage = spark.read.parquet(stagePath)
+    cadences.foreach { c =>
+      Warehouse.refreshAggregate(
+        c.prepare(stage), c.aggPath, partitionCols = c.partitionCols,
+        rawWatermarkCol = cursorCol, aggWatermarkCol = "last_ts",
+        aggregate = c.aggregate, inclusiveWatermark = true)
+    }
   }
 }

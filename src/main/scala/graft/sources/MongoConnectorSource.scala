@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first: there is no driver-side cursor loop at all. The
   * incremental contract compiles to a server-side aggregation pipeline
-  * (`$match` + `$sort` + `$limit`) handed to the connector via
+  * (`$match` + `$sort` + `$limit` + `$project`) handed to the connector via
   * `aggregation.pipeline`, so filtering happens IN MongoDB before any
   * bytes reach an executor, and the connector's partitioner fans the
   * matching documents out across the cluster — the role
@@ -66,21 +66,58 @@ object MongoConnectorSource {
       case c => c.toString
     }
 
+  /** BSON datetimes carry MILLISECOND precision, and the relaxed
+    * extended-JSON `$date` string is specified at millisecond maximum —
+    * a Spark timestamp's micro/nano digits rendered verbatim are, per
+    * BSON parser version, either rejected at pipeline parse time or
+    * truncated, silently mis-windowing the boundary. Sub-milli digits
+    * therefore round toward INCLUDING more rows (`roundUp` picks the
+    * direction per bound): the boundary at worst REPLAYS — which the
+    * `$gte` cursor contract already absorbs idempotently — and never
+    * silently loses rows. */
+  private[sources] def toMillis(i: java.time.Instant,
+                                roundUp: Boolean): java.time.Instant = {
+    val t = i.truncatedTo(java.time.temporal.ChronoUnit.MILLIS)
+    if (roundUp && t != i) t.plusMillis(1) else t
+  }
+
+  /** The cursor value a bound actually compares against: timestamps
+    * snap to the BSON millisecond grid ([[toMillis]]); everything else
+    * passes through. Shared by the JSON renderer and [[matchFilter]] so
+    * the stand-in reader filters EXACTLY like the server would. */
+  private[sources] def boundValue(v: Any, roundUp: Boolean): Any = v match {
+    case t: java.sql.Timestamp =>
+      java.sql.Timestamp.from(toMillis(t.toInstant, roundUp))
+    case i: java.time.Instant => toMillis(i, roundUp)
+    case other => other
+  }
+
   /** A value as a BSON extended-JSON literal: timestamps become
-    * `{"$date": ...}` (what pymongo's BSON datetime marshals to),
-    * strings escape, numbers/booleans pass through. */
-  private[sources] def bsonLit(v: Any): String = v match {
-    case s: String => "\"" + escape(s) + "\""
-    case t: java.sql.Timestamp => s"""{"$$date": "${t.toInstant}"}"""
-    case i: java.time.Instant => s"""{"$$date": "$i"}"""
-    // a date cursor is a BSON datetime in Mongo — a plain string here
-    // would type-bracket against dates and silently match NOTHING
-    case d: java.sql.Date => s"""{"$$date": "${d.toLocalDate}T00:00:00Z"}"""
-    case d: java.time.LocalDate => s"""{"$$date": "${d}T00:00:00Z"}"""
-    case n @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte) =>
-      n.toString
-    case b: Boolean => b.toString
-    case other => "\"" + escape(other.toString) + "\""
+    * `{"$date": ...}` (what pymongo's BSON datetime marshals to) at
+    * millisecond precision, strings escape, numbers/booleans pass
+    * through. */
+  private[sources] def bsonLit(v: Any, roundUp: Boolean = false): String =
+    boundValue(v, roundUp) match {
+      case s: String => "\"" + escape(s) + "\""
+      case t: java.sql.Timestamp => s"""{"$$date": "${t.toInstant}"}"""
+      case i: java.time.Instant => s"""{"$$date": "$i"}"""
+      // a date cursor is a BSON datetime in Mongo — a plain string here
+      // would type-bracket against dates and silently match NOTHING
+      case d: java.sql.Date => s"""{"$$date": "${d.toLocalDate}T00:00:00Z"}"""
+      case d: java.time.LocalDate => s"""{"$$date": "${d}T00:00:00Z"}"""
+      case n @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte) =>
+        n.toString
+      case b: Boolean => b.toString
+      case other => "\"" + escape(other.toString) + "\""
+    }
+
+  /** Per-bound sub-millisecond rounding directions: the bound that
+    * KEEPS rows in the window rounds outward. Max walks forward
+    * (`$gte last` floor / `$lt end` ceil); min walks backward
+    * (`$lte last` ceil / `$gt end` floor). */
+  private def roundDirs(func: CursorFunc): (Boolean, Boolean) = func match {
+    case MaxFunc => (false, true)
+    case MinFunc => (true, false)
   }
 
   /** `$match` body mirroring helpers.py `_filter_op`: none without a
@@ -93,8 +130,9 @@ object MongoConnectorSource {
         case MaxFunc => ("$gte", "$lt")
         case MinFunc => ("$lte", "$gt")
       }
-      val bounds = s""""$lo": ${bsonLit(last)}""" +
-        inc.endValue.map(e => s""", "$hi": ${bsonLit(e)}""").getOrElse("")
+      val (lastUp, endUp) = roundDirs(inc.func)
+      val bounds = s""""$lo": ${bsonLit(last, lastUp)}""" +
+        inc.endValue.map(e => s""", "$hi": ${bsonLit(e, endUp)}""").getOrElse("")
       s"""{"$$match": {$f: {$bounds}}}"""
     }
 
@@ -114,12 +152,27 @@ object MongoConnectorSource {
       s"""{"$$sort": {"${escape(inc.cursorField)}": $dir}}"""
     }
 
+  /** `$project` stage for SERVER-SIDE field pruning — the role the
+    * connector's schema pushdown plays under SQL column pruning, made
+    * explicit in the pipeline so the fields a stage model never reads
+    * (the document body, nested blobs) don't cross the wire at all.
+    * Mongo's include-projection keeps `_id` unless excluded — that
+    * semantic is preserved (`_id` is the dlt primary key; it should
+    * survive pruning). */
+  private[sources] def projectJson(columns: Seq[String]): Option[String] =
+    if (columns.isEmpty) None
+    else Some(columns.map(c => s""""${escape(c)}": 1""")
+      .mkString("""{"$project": {""", ", ", "}}"))
+
   /** The full `aggregation.pipeline` value: `$match` → `$sort` →
     * `$limit` (helpers.py applies them in cursor order: find(filter),
-    * sort, limit). */
-  def pipelineJson(inc: Option[Incremental], limit: Option[Long] = None): String = {
+    * sort, limit) → `$project` (ours; last, so it prunes only what
+    * survives the limit and the sort key needn't be re-included). */
+  def pipelineJson(inc: Option[Incremental], limit: Option[Long] = None,
+                   columns: Seq[String] = Nil): String = {
     val stages = inc.toSeq.flatMap(i => matchJson(i).toSeq ++ sortJson(i).toSeq) ++
-      limit.filter(_ != 0).map(l => s"""{"$$limit": ${math.abs(l)}}""")
+      limit.filter(_ != 0).map(l => s"""{"$$limit": ${math.abs(l)}}""") ++
+      projectJson(columns)
     stages.mkString("[", ", ", "]")
   }
 
@@ -127,8 +180,9 @@ object MongoConnectorSource {
     * namespace, and the server-side pipeline. */
   def options(uri: String, database: String, collection: String,
               inc: Option[Incremental] = None,
-              limit: Option[Long] = None): Map[String, String] = {
-    val pipeline = pipelineJson(inc, limit)
+              limit: Option[Long] = None,
+              columns: Seq[String] = Nil): Map[String, String] = {
+    val pipeline = pipelineJson(inc, limit, columns)
     Map(
       "connection.uri" -> uri,
       "database" -> database,
@@ -144,26 +198,32 @@ object MongoConnectorSource {
   def matchFilter(inc: Incremental): Column =
     inc.lastValue match {
       case None => lit(true)
-      case Some(last) =>
+      case Some(last0) =>
+        val (lastUp, endUp) = roundDirs(inc.func)
+        // same millisecond snap as the rendered pipeline — the stand-in
+        // must include/exclude exactly the rows the server would
+        val last = boundValue(last0, lastUp)
+        val end = inc.endValue.map(boundValue(_, endUp))
         val c = col(inc.cursorField)
         inc.func match {
           case MaxFunc =>
-            inc.endValue.foldLeft(c >= lit(last))((p, e) => p && c < lit(e))
+            end.foldLeft(c >= lit(last))((p, e) => p && c < lit(e))
           case MinFunc =>
-            inc.endValue.foldLeft(c <= lit(last))((p, e) => p && c > lit(e))
+            end.foldLeft(c <= lit(last))((p, e) => p && c > lit(e))
         }
     }
 
   /** Incremental read through a pluggable reader. The default reader
     * is the real connector (`format("mongodb")` — requires the
     * connector jar on the classpath); tests inject a file-backed
-    * stand-in that honors the same option map via [[matchFilter]]. */
+    * stand-in that honors the same option map via [[matchFilter]].
+    * `columns` pushes a `$project` so the server prunes fields. */
   def read(spark: SparkSession, uri: String, database: String,
            collection: String, inc: Option[Incremental] = None,
-           limit: Option[Long] = None)
+           limit: Option[Long] = None, columns: Seq[String] = Nil)
           (reader: Map[String, String] => DataFrame = opts =>
             spark.read.format("mongodb").options(opts).load()): DataFrame =
-    reader(options(uri, database, collection, inc, limit))
+    reader(options(uri, database, collection, inc, limit, columns))
 
   /** The next cursor watermark after loading `batch`: max (or min,
     * per `func`) of the cursor field — a one-scalar aggregate, the

@@ -198,6 +198,38 @@ class CurationSpec extends SparkSpec {
     assert(got(100L) == 1.0)
   }
 
+  test("no-split packing: bins never overflow, full bins stay above the harmonic fill bound") {
+    val seqLen = 512L
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang",
+        TextFunctions.tokenCount($"text").as("n"))
+    val packed = Curation.packSequencesNoSplit(docs, Seq("lang"), col("n"),
+      order = col("n"), tieBreak = col("doc_id"), seqLen = seqLen)
+    // every doc assigned exactly once, never cut
+    assert(packed.count() == docs.count())
+    val bins = packed.groupBy("lang", "seq_id", "bin_cap")
+      .agg(sum("n").as("fill"), count(lit(1)).as("n_docs"),
+        max("n").as("max_n"), min("n").as("min_n"))
+    // capacity: a bin never holds more docs than its class capacity,
+    // and (absent oversize docs) never more tokens than seqLen
+    assert(bins.filter(col("n_docs") > col("bin_cap")).count() == 0)
+    assert(bins.filter(col("max_n") <= seqLen && col("fill") > seqLen).count() == 0)
+    // fill guarantee: a FULL bin of class cap carries > seqLen·cap/(cap+1)
+    // tokens (each member is > seqLen/(cap+1) by class construction) —
+    // ≥ 50% for every class; empty docs (n=0) are excluded from the bound
+    val slack = bins.filter(col("n_docs") === col("bin_cap") &&
+        col("max_n") <= seqLen && col("min_n") >= 1)
+      .filter(col("fill") <= lit(seqLen.toDouble) * col("bin_cap") / (col("bin_cap") + 1))
+    assert(slack.count() == 0, "a full bin fell below the harmonic fill bound")
+    // oversize docs (n > seqLen) are isolated one-per-bin
+    assert(packed.filter(col("n") > seqLen)
+      .groupBy("seq_id").count().filter(col("count") > 1).count() == 0)
+    // deterministic: a re-run assigns identical bins
+    val again = Curation.packSequencesNoSplit(docs, Seq("lang"), col("n"),
+      order = col("n"), tieBreak = col("doc_id"), seqLen = seqLen)
+    assert(packed.exceptAll(again).count() == 0 && again.exceptAll(packed).count() == 0)
+  }
+
   test("packSequences lays docs head-to-tail with contiguous offsets") {
     // lang a: sizes 5,3,2 (desc) packed into 4-token sequences:
     //   doc 1 starts seq 0 off 0; doc 2 starts seq 1 off 1 (5 = 4+1);

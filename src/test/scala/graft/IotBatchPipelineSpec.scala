@@ -37,7 +37,8 @@ class IotBatchPipelineSpec extends SparkSpec {
     def canonAgg(df: org.apache.spark.sql.DataFrame) =
       df.select("user_id", "day", "value_sum", "n_events", "last_ts")
     val wantAgg = wantStage.groupBy(col("user_id"), col("day"))
-      .agg(sum(col("value")).as("value_sum"), count(lit(1)).as("n_events"),
+      .agg(graft.functions.Portable.fixedSum(col("value"), 4).as("value_sum"),
+        count(lit(1)).as("n_events"),
         max(col("ts")).as("last_ts"))
     val gotAgg = canonAgg(spark.read.parquet(agg))
     assert(gotAgg.exceptAll(canonAgg(wantAgg)).count() == 0
@@ -70,5 +71,73 @@ class IotBatchPipelineSpec extends SparkSpec {
       .select("n_events").as[Long].head()
     assert(after == before + 1,
       "the watermark-tie event must reach the rollup, not just the stage")
+  }
+
+  test("multi-cadence cycles: daily+weekly+monthly all converge; cold partitions untouched") {
+    val root = Files.createTempDirectory("graft-bp-multi").toString
+    val stage = root + "/stage"
+    val cadences = Seq(
+      IotBatchPipeline.dailyCadence(root + "/daily"),
+      IotBatchPipeline.weeklyCadence(root + "/weekly"),
+      IotBatchPipeline.monthlyCadence(root + "/monthly"))
+    val ev = graft.sources.Tables.events(spark, sf)
+    val cut = ev.agg(expr("percentile_approx(cast(ts as double), 0.5)"))
+      .head().getDouble(0)
+
+    // growing landing: half, then all
+    IotBatchPipeline.runCycles(ev.filter(col("ts").cast("double") <= cut), stage, cadences)
+    IotBatchPipeline.runCycles(ev, stage, cadences)
+
+    // every cadence == a from-scratch rollup of the full stage
+    val st = graft.operators.Stage.stageEvents(ev)
+    val wk = date_format(graft.operators.TimeAgg.weekBucket(col("ts")), "yyyy-MM-dd")
+    val want = Map(
+      "daily" -> st.groupBy(col("user_id"), col("day")),
+      "weekly" -> st.withColumn("week", wk).groupBy(col("user_id"), col("week")),
+      "monthly" -> st.groupBy(col("user_id"), col("month")))
+      .map { case (name, g) => name -> g.agg(
+        graft.functions.Portable.fixedSum(col("value"), 4).as("value_sum"),
+        count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts")) }
+    want.foreach { case (name, w) =>
+      val got = spark.read.parquet(s"$root/$name")
+        .select(w.columns.map(col): _*)
+      if (got.exceptAll(w).count() != 0) {
+        println(s"=== $name GOT-not-WANT ===")
+        got.exceptAll(w).show(10, false)
+        println(s"=== $name WANT-not-GOT ===")
+        w.exceptAll(got).show(10, false)
+      }
+      assert(got.exceptAll(w).count() == 0 && w.exceptAll(got).count() == 0,
+        s"$name cadence diverged from the full recompute")
+    }
+
+    // an empty cycle re-aggregates only the boundary period of each
+    // cadence: a COLD weekly partition's files must stay byte-for-byte
+    // in place (dynamic partition overwrite never touches it)
+    def partitionFiles(table: String, part: String) = {
+      val dir = java.nio.file.Paths.get(root, table, part)
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => (p.getFileName.toString, Files.size(p),
+          Files.getLastModifiedTime(p).toMillis)).toSet
+    }
+    // partition type inference reads "2024-01-01" back as a date — cast
+    // for the directory-name round trip
+    val weeks = spark.read.parquet(root + "/weekly")
+      .select(min(col("week").cast("string")), max(col("week").cast("string")))
+      .head()
+    val (coldWeek, hotWeek) = (weeks.getString(0), weeks.getString(1))
+    assert(coldWeek != hotWeek, "test data must span at least two weeks")
+    val coldBefore = partitionFiles("weekly", s"week=$coldWeek")
+    IotBatchPipeline.runCycles(ev, stage, cadences)
+    assert(partitionFiles("weekly", s"week=$coldWeek") == coldBefore,
+      "an untouched week partition was rewritten by an empty cycle")
+    // while every cadence's content is still exactly the recompute
+    want.foreach { case (name, w) =>
+      val got = spark.read.parquet(s"$root/$name").select(w.columns.map(col): _*)
+      assert(got.exceptAll(w).count() == 0 && w.exceptAll(got).count() == 0)
+    }
   }
 }

@@ -61,6 +61,62 @@ class MongoConnectorSourceSpec extends SparkSpec {
       """[{"$match": {"created_at": {"$gte": {"$date": "2022-01-01T00:00:00Z"}}}}]""")
   }
 
+  test("sub-millisecond cursors snap to the BSON millisecond grid, replaying not losing") {
+    // BSON $date is millisecond-max; a micros-bearing watermark must
+    // round toward INCLUDING rows: floor on $gte (forward lower bound),
+    // ceil on $lt (forward end), and the mirror for the min walk
+    val micros = java.sql.Timestamp.from(
+      java.time.Instant.parse("2022-01-01T00:00:00.123456Z"))
+    val fwd = Incremental("created_at", lastValue = Some(micros),
+      endValue = Some(micros))
+    assert(MongoConnectorSource.pipelineJson(Some(fwd)) ==
+      """[{"$match": {"created_at": {"$gte": {"$date": "2022-01-01T00:00:00.123Z"}, """ +
+        """"$lt": {"$date": "2022-01-01T00:00:00.124Z"}}}}]""")
+    val back = fwd.copy(func = MinFunc)
+    assert(MongoConnectorSource.pipelineJson(Some(back)) ==
+      """[{"$match": {"created_at": {"$lte": {"$date": "2022-01-01T00:00:00.124Z"}, """ +
+        """"$gt": {"$date": "2022-01-01T00:00:00.123Z"}}}}]""")
+    // the stand-in filter snaps identically: a row BETWEEN the floored
+    // bound and the raw watermark is replayed (never silently dropped)
+    val between = Seq((1L, java.sql.Timestamp.from(
+        java.time.Instant.parse("2022-01-01T00:00:00.123400Z"))))
+      .toDF("_id", "created_at")
+    assert(between.filter(MongoConnectorSource.matchFilter(
+      Incremental("created_at", Some(micros)))).count() == 1)
+    // millis-exact watermarks are untouched
+    val exact = Incremental("created_at",
+      lastValue = Some(ts("2022-01-01T00:00:00Z")))
+    assert(MongoConnectorSource.pipelineJson(Some(exact)) ==
+      """[{"$match": {"created_at": {"$gte": {"$date": "2022-01-01T00:00:00Z"}}}}]""")
+  }
+
+  test("$project pushdown prunes fields in the server pipeline") {
+    val inc = Incremental("created_at", Some(ts("2022-01-01T00:00:00Z")))
+    // stage order: match → sort → limit → project
+    assert(MongoConnectorSource.pipelineJson(Some(inc), Some(100L),
+      Seq("created_at", "payload")) ==
+      """[{"$match": {"created_at": {"$gte": {"$date": "2022-01-01T00:00:00Z"}}}}, """ +
+        """{"$limit": 100}, {"$project": {"created_at": 1, "payload": 1}}]""")
+    // project alone is still a pushed pipeline
+    val opts = MongoConnectorSource.options("u", "db", "coll",
+      columns = Seq("created_at"))
+    assert(opts("aggregation.pipeline") ==
+      """[{"$project": {"created_at": 1}}]""")
+    // stand-in read through the option map: the served frame carries
+    // ONLY the requested fields (+ _id, which Mongo keeps by default)
+    val collection = Seq((1L, ts("2022-01-02T00:00:00Z"), "a", "drop-me"))
+      .toDF("_id", "created_at", "payload", "body")
+    val requested = Seq("created_at", "payload")
+    val got = MongoConnectorSource.read(spark, "mongodb://fake", "iot",
+      "events", Some(inc), columns = requested) { o =>
+      assert(o("aggregation.pipeline").contains("$project"))
+      collection.filter(MongoConnectorSource.matchFilter(inc))
+        .select((Seq("_id") ++ requested).map(col): _*)
+    }
+    assert(got.columns.toSeq == Seq("_id", "created_at", "payload"))
+    assert(got.count() == 1)
+  }
+
   test("options carry namespace + pipeline; pipeline omitted when empty") {
     val opts = MongoConnectorSource.options("mongodb://h:27017", "iot", "sleeps",
       Some(Incremental("created_at", Some(ts("2022-01-01T00:00:00Z")))), None)

@@ -208,6 +208,25 @@ class PlanSpec extends SparkSpec {
       s"f4 must not re-scan embeddings per searcher (was 8 pre-fix), got $scans:\n$plan")
   }
 
+  test("ANN searchers plan the bounded-heap top-k — no Window, no candidate sort") {
+    // r4 verdict: the searchers spelled top-k as row_number().over(w)
+    // and only got the heap shape behind the opt-in rewriteTopK flag.
+    // Now they call TopKPerKey directly: on a PLAIN session (no graft
+    // extensions, no flag) every searcher must plan partial/final heaps
+    // with zero WindowExec and zero sort of the candidate set.
+    for (q <- Seq("f1_ann_bruteforce", "f2_ann_lsh", "f3_ann_ivf",
+        "f5_ann_lsh_multi")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+        .split("== Initial Plan ==").head
+      assert(plan.contains("TopKPerKeyFinal") && plan.contains("TopKPerKeyPartial"),
+        s"$q should plan the bounded-heap operator:\n$plan")
+      assert(!plan.contains("Window ") && !plan.contains("WindowGroupLimit"),
+        s"$q must not fall back to the window spelling:\n$plan")
+      assert(!plan.toLowerCase.contains("sortexec"),
+        s"$q must not sort candidate bodies:\n$plan")
+    }
+  }
+
   test("multi-table LSH broadcasts the query side, never a cross product") {
     val plan = executed(SparkEntry.queries("f5_ann_lsh_multi")(spark, sf))
       .split("== Initial Plan ==").head
