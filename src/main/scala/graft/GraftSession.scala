@@ -18,7 +18,10 @@ import org.apache.spark.sql.SparkSession
   *    silently shifts bucket boundaries between clusters;
   *  - the graft extensions (`word_shingles`, `simhash64`, `vector_dot`,
   *    `l2_normalize`, and the TopKPerKey planner strategy) registered
-  *    via `spark.sql.extensions` so plain SQL users get them too.
+  *    via `spark.sql.extensions` so plain SQL users get them too;
+  *  - `spark.graft.rewriteTopK` ON: window-spelled top-k-per-group
+  *    queries plan the bounded-heap operator (oracle-verified across
+  *    the whole suite), opt-out per session.
   *
   * Callers still pick master/app-name/shuffle-partition count — those
   * are cluster-shaped, not engine-shaped. For 1000-executor targets set
@@ -33,6 +36,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // row_number/rank window-filter queries plan the bounded-heap
+      // TopKPerKey instead of Exchange→full-group-sort→Window. The
+      // rewrite is oracle-gated (the whole query suite hash-matches
+      // DuckDB with it on — Bench runs it on every round), so a graft
+      // deployment gets the heap shape for plain SQL too; set it to
+      // false to fall back to Spark's stock window plan
+      .config("spark.graft.rewriteTopK", "true")
 
   /** Local session for tests/examples: `local[n]`, n shuffle
     * partitions. */

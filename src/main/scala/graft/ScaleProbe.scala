@@ -123,11 +123,51 @@ object ScaleProbe {
             col("doc_id") % 20 === 0, hashShingleKeys = true)),
         // the join-free bloom spelling: train-side shuffle collapses to
         // sketch merges regardless of corpus size — the shufN column is
-        // the point of comparison against h8
+        // the point of comparison against h8. 2^28 bits (32 MiB) now
+        // that the build honors the request (pre-r5 a 2^30 ask was
+        // silently clamped to Spark's 2^26 cap): the partial aggregation
+        // allocates one numBits/8 buffer PER MAP TASK, so the probe
+        // sizes for 32 concurrent tasks, not for the biggest sketch the
+        // API allows
         "h13_contamination_bloom" -> (() =>
           Curation.contaminationBloom(docs.filter(col("doc_id") % 20 =!= 0),
             docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", 3,
-            expectedItems = 4000000L, numBits = 1L << 30)),
+            expectedItems = 4000000L, numBits = 1L << 28)),
+        // auto-sized variant: adds the KMV vocabulary-estimate pass; the
+        // ratio shows whether the extra pass stays data-proportional
+        "h13_contamination_bloom_auto" -> (() =>
+          Curation.contaminationBloomAuto(docs.filter(col("doc_id") % 20 =!= 0),
+            docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", 3)),
+        // e8 probes the APPLY join alone against a pre-materialized
+        // cluster table (the deployment shape) — the bench's composite
+        // spelling re-times the embedded e2+clustering instead
+        "e8_dedup_apply" -> {
+          val cl = mat(Dedup.clusters(
+            Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.25, 100),
+            "doc_a", "doc_b"))
+          () => Dedup.applyClusters(docs, "doc_id", cl, "doc_id", "cluster_id")
+        },
+        "k6_pack_sequences" -> (() =>
+          Curation.packSequences(
+            docs.select(col("doc_id"), col("lang"),
+              graft.functions.TextFunctions.tokenCount(col("text")).as("n")),
+            Seq("lang"), col("n"), col("n"), col("doc_id"), 2048L)),
+        "k6b_pack_nosplit" -> (() =>
+          Curation.packSequencesNoSplit(
+            docs.select(col("doc_id"), col("lang"),
+              graft.functions.TextFunctions.tokenCount(col("text")).as("n")),
+            Seq("lang"), col("n"), col("n"), col("doc_id"), 512L)),
+        "f7_quantize_int8" -> (() =>
+          Similarity.quantizeInt8(emb, "vec_id", "embedding")),
+        // ties-aware heap mode on an inflatable table (the registered d9
+        // runs on orders⋈customer; the operator mechanics are identical)
+        "d9_topk_rank_ties" -> (() =>
+          graft.plans.TopKPerKey(
+            ev.select(col("event_type"), col("event_id"),
+              floor(col("value") / 10).as("band")),
+            keys = Seq(col("event_type")),
+            order = Seq(col("band").desc),
+            k = 10, rankName = "rnk", mode = graft.plans.TopKMode.Ranked)),
         "b1_agg_daily" -> (() =>
           ev.groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
             .agg(sum("value").as("v"), count(lit(1)).as("n"))),

@@ -111,7 +111,18 @@ object Curation {
     * error. The build therefore raises those session caps to the
     * requested size for the duration of the sketch job and restores
     * them after ([[withBloomCaps]]) — the bits you ask for are the bits
-    * you get.
+    * you get. Budget accordingly: the partial aggregation allocates one
+    * `numBits`/8-byte buffer PER MAP TASK (2^30 bits = 128 MiB × task
+    * concurrency), the same way any sketch-merge aggregate does, and
+    * the merge exchange ships one partial sketch per map task —
+    * compressed by sparsity (a task holding s shingles produces an
+    * s-bits-set bitmap, which lz4 crushes; measured 32 MiB → ~3 MB at
+    * probe fill), but still LINEAR IN MAP-TASK COUNT, not in data. On a
+    * very wide scan (10^5+ tasks) cap the bits (or pre-shrink the
+    * train side) so tasks × compressed-sketch stays inside the shuffle
+    * budget — the regime where the exact [[contamination]] join's
+    * 8-bytes-per-shingle exchange wins back is exactly when the sketch
+    * no longer fits that budget.
     *
     * Shipping: the sketch reaches probe tasks as a torrent BROADCAST
     * ([[graft.functions.expressions.BloomProbe]]), not a plan

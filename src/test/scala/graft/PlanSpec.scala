@@ -282,6 +282,16 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(plan).size == 1)
   }
 
+  test("no-split packing plans one (stratum, class) exchange, no join") {
+    val plan = executed(SparkEntry.queries("k6b_pack_nosplit")(spark, sf))
+      .split("== Initial Plan ==").head
+    val exchanges = "(?<!Reused)Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"harmonic packing should shuffle once on (stratum, class), got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"packing must not join:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1)
+  }
+
   test("hash sampling is a pure filter: zero exchanges") {
     val df = SparkEntry.queries("k1_hash_sample")(spark, sf)
     val plan = executed(df)
