@@ -230,6 +230,39 @@ class CurationSpec extends SparkSpec {
     assert(packed.exceptAll(again).count() == 0 && again.exceptAll(packed).count() == 0)
   }
 
+  test("no-split packing stays within the harmonic bound of the sequential greedy") {
+    // the parallel harmonic packing trades bins for parallelism; its
+    // guarantee is ≤ ~1.69×OPT + one partial bin per (stratum, class).
+    // Verify against the EXACT sequential first-fit greedy (what a
+    // single-threaded packer would ship), computed driver-side on the
+    // small corpus — the operator must stay inside the documented bound.
+    val seqLen = 512L
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", TextFunctions.tokenCount($"text").as("n"))
+    val packed = Curation.packSequencesNoSplit(docs, Seq("lang"), col("n"),
+      order = col("n"), tieBreak = col("doc_id"), seqLen = seqLen)
+    val harmonicBins = packed.select("lang", "seq_id").distinct().count()
+    val classes = packed.select("lang", "bin_cap").distinct().count()
+    // exact greedy, same visit order (n desc, doc_id asc) per stratum
+    val byLang = docs.select("lang", "n", "doc_id")
+      .as[(String, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._2, r._3)).map(_._2))
+    val greedyBins = byLang.values.map { ns =>
+      var bins = 0L; var fill = 0L
+      ns.foreach { n =>
+        if (n > seqLen) { if (fill > 0) { bins += 1; fill = 0 }; bins += 1 }
+        else if (fill + n > seqLen) { bins += 1; fill = n }
+        else fill += n
+      }
+      if (fill > 0) bins + 1 else bins
+    }.sum
+    assert(greedyBins > 0 && harmonicBins >= greedyBins,
+      "greedy is a lower bound here (it packs at least as tight)")
+    assert(harmonicBins <= math.ceil(1.7 * greedyBins).toLong + classes,
+      s"harmonic packing used $harmonicBins bins vs greedy $greedyBins " +
+        s"(+$classes class remainders) — outside the documented bound")
+  }
+
   test("packSequences lays docs head-to-tail with contiguous offsets") {
     // lang a: sizes 5,3,2 (desc) packed into 4-token sequences:
     //   doc 1 starts seq 0 off 0; doc 2 starts seq 1 off 1 (5 = 4+1);
