@@ -132,13 +132,26 @@ object Curation {
     * decode happens once per executor JVM. */
   def contaminationBloom(train: DataFrame, eval: DataFrame, id: String,
                          text: String, k: Int, expectedItems: Long,
-                         numBits: Long): DataFrame = {
+                         numBits: Long): DataFrame =
+    contaminationBloomWith(eval, id, text, k,
+      trainShingleSketch(train, text, k, expectedItems, numBits))
+
+  /** Probe side against a PRE-BUILT sketch — the deployment seam (the
+    * [[Similarity.ivfTopKWith]] pattern): train the sketch once
+    * offline ([[trainContaminationSketch]]), persist its bytes like
+    * any model artifact, and probe every subsequent eval batch — or a
+    * document STREAM — against it. The shingle probe itself is a
+    * stateless codegen'd projection (composes with `readStream`
+    * unchanged); the per-doc hit ratio is a standard grouped
+    * aggregation, streaming-legal under update/complete output.
+    * `sketch = null` (empty train corpus) marks nothing contaminated. */
+  def contaminationBloomWith(eval: DataFrame, id: String, text: String,
+                             k: Int, sketch: Array[Byte]): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val bloom = trainShingleSketch(train, text, k, expectedItems, numBits)
     val probe =
-      if (bloom == null) lit(false) // empty train: nothing is contaminated
+      if (sketch == null) lit(false) // empty train: nothing is contaminated
       else {
-        val bc = train.sparkSession.sparkContext.broadcast(bloom)
+        val bc = eval.sparkSession.sparkContext.broadcast(sketch)
         ColumnBridge.column(graft.functions.expressions.BloomProbe(
           bc, ColumnBridge.expression(xxhash64(col("sh")))))
       }
@@ -150,6 +163,13 @@ object Curation {
       .withColumn("contamination", Portable.pround(
         col("n_hit").cast("double") / col("n_sh"), 4))
   }
+
+  /** Public name for the offline sketch build (bytes are the model
+    * artifact to persist/version alongside IVF centroids). */
+  def trainContaminationSketch(train: DataFrame, text: String, k: Int,
+                               expectedItems: Long,
+                               numBits: Long): Array[Byte] =
+    trainShingleSketch(train, text, k, expectedItems, numBits)
 
   private[graft] val MaxItemsConf =
     "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"

@@ -40,6 +40,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("contamination probe runs on a document stream against an offline sketch (== batch)") {
+    import graft.operators.Curation
+    // the deployment shape: sketch trained ONCE offline (a persisted
+    // model artifact), every incoming eval batch/stream probed against
+    // its broadcast — the BloomProbe expression must be streaming-legal
+    // (stateless codegen'd projection; the per-doc ratio is a standard
+    // streaming aggregation under complete output)
+    val dir = Files.createTempDirectory("graft-stream-contam").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val isEval = col("doc_id") % 20 === 0
+    docs.filter(isEval).coalesce(2).write.mode("overwrite").parquet(dir)
+    val sketch = Curation.trainContaminationSketch(docs.filter(!isEval),
+      "text", 3, expectedItems = 200000L, numBits = 1L << 24)
+    val stream = Curation.contaminationBloomWith(
+      spark.readStream.schema(docs.schema).parquet(dir),
+      "doc_id", "text", 3, sketch)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("contam_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("contam_stream")
+    val want = Curation.contaminationBloomWith(docs.filter(isEval),
+      "doc_id", "text", 3, sketch)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("stage → watermarked windowed agg over a file stream (memory sink)") {
     val in = Files.createTempDirectory("graft-stream-in").toString
     landEvents(in)
