@@ -64,6 +64,26 @@ class EdgeCaseSpec extends SparkSpec {
       Seq("text"), col("n"), col("n"), col("doc_id"), 128).count() == 0)
     assert(Curation.sourceMix(noDocs.withColumn("n", lit(1L)),
       Seq("text"), col("n"), lit(1.0)).count() == 0)
+    assert(Curation.packSequencesNoSplit(noDocs.withColumn("n", lit(1)),
+      Seq("text"), col("n"), col("n"), col("doc_id"), 128).count() == 0)
+  }
+
+  test("no-split packing degenerate shapes: seqLen=1, zero-token and oversize docs") {
+    val df = Seq((1L, "a", 0), (2L, "a", 1), (3L, "a", 5), (4L, "a", 1))
+      .toDF("doc_id", "lang", "n")
+    // seqLen 1: every 1-token doc is its own full bin; the 5-token doc
+    // is oversize → isolated; the 0-token doc shares nothing it can
+    // overflow
+    val got = Curation.packSequencesNoSplit(df, Seq("lang"), col("n"),
+      col("n"), col("doc_id"), 1L)
+    assert(got.count() == 4)
+    val binSizes = got.groupBy("seq_id")
+      .agg(sum("n").as("s"), count(lit(1)).as("c"))
+    // no bin of in-budget docs exceeds seqLen
+    assert(binSizes.filter(col("s") > 1 && col("c") > 1).count() == 0)
+    // the oversize doc sits alone
+    val ovBin = got.filter(col("n") === 5).select("seq_id").head().getLong(0)
+    assert(got.filter(col("seq_id") === ovBin).count() == 1)
   }
 
   test("gapfill and sessionize handle empty and single-event streams") {
