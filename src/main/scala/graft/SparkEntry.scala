@@ -580,6 +580,15 @@ object SparkEntry {
     "f7_embedding_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(embD(s, d), "vec_id", "embedding")),
 
+    // f8: search OVER the int8 index — the searcher sees only f7-style
+    // codes + per-vector scale, dequantizes on the fly; exact top-k of
+    // the quantized space, oracle-mirrored bit-for-bit
+    "f8_ann_quantized" -> ((s, d) => {
+      val e = embD(s, d)
+      Similarity.quantizedTopK(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", 5)
+    }),
+
     // DQ. data-quality checks (dbt schema tests)
     "dq1_checks" -> ((s, d) => {
       val e = ev(s, d)
@@ -1380,6 +1389,36 @@ object SparkEntry {
               "list_max(list_transform(v, x -> CASE WHEN sc = 0 THEN 0.0" +
               " ELSE abs(x - floor(x / sc * 127 + 0.5) * sc / 127) END))", 6)} AS max_err
          |FROM s""".stripMargin,
+
+    "f8_ann_quantized" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         |         (a, b) -> a + b)) AS nrm,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e
+         |), z AS (
+         |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM n
+         |), dq AS (
+         |  SELECT vec_id, list_transform(v, x ->
+         |    CAST(CASE WHEN sc = 0 THEN 0 ELSE floor(x / sc * 127 + 0.5) END AS BIGINT)
+         |      * ${sqlPround("sc", 6)} / 127) AS cv
+         |  FROM z
+         |), q AS (
+         |  SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id % 100 = 0
+         |), s AS (
+         |  SELECT query_id, c.vec_id AS nn_id,
+         |    PROUND_DOT AS cosine
+         |  FROM q JOIN dq c ON c.vec_id <> q.query_id
+         |)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank,
+         |  nn_id, cosine
+         |FROM s QUALIFY rank <= 5""".stripMargin
+        .replace("PROUND_DOT", sqlPround(
+          "list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.cv[i]), (x, y) -> x + y)", 6)),
 
     "k6_pack_sequences" ->
       s"""WITH t AS (${tokCte("documents", lower = false)}),

@@ -317,6 +317,31 @@ object Similarity {
       Portable.pround(err, 6).as("max_err"))
   }
 
+  /** Brute-force top-k over the INT8-QUANTIZED corpus — the
+    * memory-bound deployment shape: the index stores the 4×-smaller
+    * [[quantizeInt8]] codes (+ one 6dp scale per vector) and the
+    * searcher sees ONLY them, dequantizing on the fly (`code · scale /
+    * 127`, one codegen'd transform — the scale is a plain column ref,
+    * cheap inside the lambda). Queries stay full-precision and
+    * broadcast. Ranking degrades only by the quantization error (≤
+    * scale/254 per component); the result remains bit-deterministic and
+    * oracle-checkable because codes and the dequant arithmetic are
+    * exact integer/IEEE ops mirrored in SQL. Same output shape as
+    * [[bruteForceTopK]]. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                    vec: String, k: Int): DataFrame = {
+    val qz = quantizeInt8(normalized(corpus, id, vec), "nn_id", "cv")
+    val c = qz.select(col("vec_id").as("nn_id"),
+      transform(split(col("q_csv"), ","),
+        s => s.cast("double") * col("scale") / lit(127.0)).as("cv"))
+    topKPerQuery(
+      c.join(broadcast(normalizedQueries(queries, id, vec)),
+          col("query_id") =!= col("nn_id"))
+        .withColumn("cosine",
+          graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6)),
+      k)
+  }
+
   /** Corpus-side cell assignment: argmax over the centroid dots as an
     * O(nCells) `array_max` fold — struct ordering (s, cell) makes the
     * max element "highest dot, ties to highest cell", the exact

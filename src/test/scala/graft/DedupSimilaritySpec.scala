@@ -347,6 +347,23 @@ class SimilaritySpec extends SparkSpec {
     assert(z.getDouble(1) == 0.0 && z.getString(2) == "0,0,0" && z.getDouble(3) == 0.0)
   }
 
+  test("quantized search nearly reproduces full-precision top-k") {
+    val emb = Tables0.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "nn_id")
+    val quant = Similarity.quantizedTopK(emb, q, "vec_id", "embedding", 5)
+      .select("query_id", "nn_id")
+    assert(quant.groupBy("query_id").count()
+      .filter(col("count") =!= 5).count() == 0)
+    // int8 on unit-norm vectors perturbs each cosine by < ~2·scale/254;
+    // recall@5 vs the exact searcher stays near-perfect
+    val hits = exact.join(quant, Seq("query_id", "nn_id"), "left_semi").count()
+    val total = exact.count()
+    assert(total > 0 && hits.toDouble / total >= 0.9,
+      s"quantized recall@5 = $hits/$total")
+  }
+
   test("lshTopK returns a subset of brute-force candidates with same scoring") {
     val emb = Tables0.embeddings(spark, sf)
     val q = emb.filter($"vec_id" % 100 === 0)
