@@ -535,14 +535,17 @@ object SparkEntry {
         col("doc_id") % 20 === 0)),
 
     // the same report via the train-side Bloom sketch (join-free train
-    // scan; the 100 TB spelling). 2^28 bits over the <~1M-shingle sf0.1
-    // vocabulary is ~250+ bits/item → expected false hits over the eval
-    // probes << 1, so the exact h8 oracle hash-matches
+    // scan; the 100 TB spelling), auto-sized FROM THE DATA: the KMV
+    // vocabulary estimate picks the sketch budget, so the build is
+    // data-proportional at every SF instead of a fixed worst-case
+    // allocation. 256 bits/item ⇒ FPR ~1e-33 — expected false hits over
+    // the eval probes << 1 at any tested scale, so the exact h8 oracle
+    // hash-matches
     "h13_contamination_bloom" -> ((s, d) => {
       val dd = docs(s, d)
       val isEval = col("doc_id") % 20 === 0
-      Curation.contaminationBloom(dd.filter(!isEval), dd.filter(isEval),
-        "doc_id", "text", 3, expectedItems = 4000000L, numBits = 1L << 28)
+      Curation.contaminationBloomAuto(dd.filter(!isEval), dd.filter(isEval),
+        "doc_id", "text", 3, bitsPerItem = 256)
     }),
 
     "h9_repetition" -> ((s, d) =>

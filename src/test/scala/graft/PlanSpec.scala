@@ -227,6 +227,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bloom contamination probe: one eval exchange, no join, codegen'd probe") {
+    // the probe side must be a map-side projection (BloomProbe inside
+    // whole-stage codegen) + ONE doc-key aggregation exchange; the
+    // train side never appears in the probe plan (it was collapsed
+    // into the broadcast sketch at build time)
+    val plan = executed(SparkEntry.queries("h13_contamination_bloom")(spark, sf))
+      .split("== Initial Plan ==").head
+    val exchanges = "(?<!Reused)Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"probe should shuffle once on doc_id, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"the sketch spelling must not join:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"probe plan must scan only the eval side:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"))
+  }
+
   test("multi-table LSH broadcasts the query side, never a cross product") {
     val plan = executed(SparkEntry.queries("f5_ann_lsh_multi")(spark, sf))
       .split("== Initial Plan ==").head
