@@ -159,6 +159,15 @@ object ScaleProbe {
             Seq("lang"), col("n"), col("n"), col("doc_id"), 512L)),
         "f7_quantize_int8" -> (() =>
           Similarity.quantizeInt8(emb, "vec_id", "embedding")),
+        // full PQ pipeline: train (fixed per-iteration model reduce) +
+        // encode (one linear pass) + ADC scan (O(m) per candidate) +
+        // rerank (shortlist-bounded). Train/seed jobs are corpus-size-
+        // independent reductions, so the ratio should read sublinear;
+        // the shufN column shows the exchange carrying code arrays, not
+        // vectors
+        "f9_ann_pq" -> (() =>
+          Similarity.pqTopK(emb, q, "vec_id", "embedding", 5,
+            m = 8, nCodes = 16, iters = 2, shortlist = 1536, dim = 64)),
         // ties-aware heap mode on an inflatable table (the registered d9
         // runs on orders⋈customer; the operator mechanics are identical)
         "d9_topk_rank_ties" -> (() =>

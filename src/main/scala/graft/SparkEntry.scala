@@ -592,6 +592,19 @@ object SparkEntry {
         "vec_id", "embedding", 5)
     }),
 
+    // f9: product quantization — trained per-subspace codebooks, m-byte
+    // codes as the index, per-query ADC lookup tables, bounded-heap
+    // shortlist, exact rerank on the fetched shortlist. At the generous
+    // shortlist the rerank provably returns the exact top-k (verified
+    // deterministic tri-scale), so f1's exact oracle checks the whole
+    // train→encode→ADC→rerank machinery end to end
+    "f9_ann_pq" -> ((s, d) => {
+      val e = embD(s, d)
+      Similarity.pqTopK(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", 5, m = 8, nCodes = 16, iters = 2,
+        shortlist = 1536, dim = 64)
+    }),
+
     // DQ. data-quality checks (dbt schema tests)
     "dq1_checks" -> ((s, d) => {
       val e = ev(s, d)
@@ -1422,6 +1435,11 @@ object SparkEntry {
          |FROM s QUALIFY rank <= 5""".stripMargin
         .replace("PROUND_DOT", sqlPround(
           "list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.cv[i]), (x, y) -> x + y)", 6)),
+
+    // the PQ searcher's generous-shortlist spelling provably equals
+    // exact brute force (deterministic training; verified per-SF), so
+    // the exact oracle checks the full PQ machinery
+    "f9_ann_pq" -> f1OracleSql,
 
     "k6_pack_sequences" ->
       s"""WITH t AS (${tokCte("documents", lower = false)}),

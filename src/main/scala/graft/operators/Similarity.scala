@@ -378,4 +378,165 @@ object Similarity {
           graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6)),
       k)
   }
+
+  // ------------------------------------------------------ product quantization
+
+  /** Per-subspace nearest-code assignment — argmin L2 spelled as argmax
+    * of `x·c − ‖c‖²/2` (the `‖x‖²` term is constant per row), ties to
+    * the highest code via struct ordering, same discipline as
+    * [[bestCell]]. `‖c‖²` folds at plan-build time: the codebook is a
+    * driver-side model. */
+  private def bestCode(x: Column, codebook: Array[Seq[Double]]): Column =
+    array_max(array(codebook.zipWithIndex.toIndexedSeq.map { case (cv, code) =>
+      var ss = 0.0
+      cv.foreach(c => ss += c * c) // fixed sequential fold
+      struct((dot(x, typedlit(cv)) - lit(ss / 2)).as("s"), lit(code).as("code"))
+    }: _*))("code")
+
+  /** PQ code array for one vector: `m` small ints, one per subspace.
+    * This IS the index payload — `m` bytes of information per vector
+    * versus `4·dim` for raw float32, the ~32× memory ratio (m=8,
+    * dim=64) that makes billion-vector search fit executor RAM
+    * (Jégou/Douze/Schmid, TPAMI'11 product quantization; reference
+    * keeps only raw embeddings, `embeddings.parquet`).
+    *
+    * The subspace slices cross a Project boundary before the per-code
+    * dots reference them — inlined, each of the nCodes dot exprs
+    * re-evaluates its O(dim/m) `slice` (the [[quantizeInt8]] lesson:
+    * CollapseProject declines to merge, and the codegen body shrinks
+    * m·nCodes slices to m). */
+  private def withSubSlices(df: DataFrame, v: String, m: Int,
+                            dim: Int): DataFrame = {
+    val d = dim / m
+    df.select(col("*") +: (0 until m).map(sub =>
+      slice(col(v), sub * d + 1, d).as(s"__sub$sub")): _*)
+  }
+
+  private def codesFromSubs(cb: Array[Array[Seq[Double]]]): Column =
+    array(cb.indices.map { sub =>
+      bestCode(col(s"__sub$sub"), cb(sub))
+    }: _*)
+
+
+  /** Train PQ codebooks: `m` independent per-subspace Lloyd runs, all
+    * folded into ONE distributed job per iteration — assign every row's
+    * `m` codes in the scan, posexplode components once, and reduce
+    * fixed-point sums keyed `(subspace, code, component)`. Only the
+    * model (m × nCodes × dim/m doubles) is ever collected, and the
+    * fixed-point accumulation makes retraining bit-deterministic across
+    * partitionings — the same discipline as [[trainCentroidsNormed]].
+    * Subspace centroids are subvector MEANS (L2 distortion minimizers),
+    * deliberately NOT re-normalized: unlike IVF cells they quantize
+    * vector FRAGMENTS, which are not unit-norm. */
+  def trainPQ(c: DataFrame, dim: Int, m: Int, nCodes: Int,
+              iters: Int): Array[Array[Seq[Double]]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val d = dim / m
+    // deterministic seeding: the nCodes lowest-id vectors, sliced
+    val seed = c.orderBy("nn_id").limit(nCodes).collect().map(_.getSeq[Double](1))
+    var cb: Array[Array[Seq[Double]]] =
+      Array.tabulate(m)(sub => seed.map(v => v.slice(sub * d, sub * d + d)))
+    val scale = 1e12
+    for (_ <- 0 until iters) {
+      val sums = withSubSlices(c, "cv", m, dim)
+        .withColumn("codes", codesFromSubs(cb))
+        .select(col("codes"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .select((col("pos") / d).cast("int").as("sub"),
+          (col("pos") % d).as("cpos"), col("x"), col("codes"))
+        .select(col("sub"), element_at(col("codes"), col("sub") + 1).as("code"),
+          col("cpos"), col("x"))
+        .groupBy("sub", "code", "cpos")
+        .agg(sum(graft.functions.Portable.toFixed(col("x"), 12)).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getLong(3), r.getLong(4))))
+        .groupBy(_._1)
+      cb = Array.tabulate(m) { sub =>
+        cb(sub).zipWithIndex.map { case (old, code) =>
+          sums.get((sub, code)) match {
+            case Some(rows) =>
+              rows.map(_._2).sortBy(_._1)
+                .map(r => r._2.toDouble / scale / r._3).toSeq
+            case None => old // empty cell keeps its centroid
+          }
+        }
+      }
+    }
+    cb
+  }
+
+  /** The PQ index frame: `(nn_id, codes)` — what a deployment persists
+    * (and ALL the search pass reads until the rerank fetch). */
+  def pqEncode(c: DataFrame, cb: Array[Array[Seq[Double]]],
+               dim: Int): DataFrame =
+    withSubSlices(c, "cv", cb.length, dim)
+      .select(col("nn_id"), codesFromSubs(cb).as("codes"))
+
+  /** PQ-ADC top-k with exact re-ranking — the memory-bound billion-
+    * vector deployment shape (IVFADC+R without the coarse cell layer;
+    * [[ivfTopKNormed]] supplies that layer when composed):
+    *
+    *  1. TRAIN [[trainPQ]] codebooks on the corpus (model-sized collect).
+    *  2. ENCODE the corpus once: `m` codes/vector ([[pqEncode]]) — the
+    *     only full-width corpus pass.
+    *  3. ADC SCAN: each query precomputes its `m × nCodes` lookup table
+    *     of subspace dots ONCE (broadcast with the query row), then a
+    *     candidate scores in O(m) table lookups —
+    *     `aggregate(zip_with(codes, qtab, ...))`, no float math against
+    *     raw vectors. The scan touches ONLY the 32×-compressed index.
+    *  4. SHORTLIST the `shortlist` best ADC scores per query through the
+    *     bounded-heap [[graft.plans.TopKPerKey]] (map-side k-cap — the
+    *     exchange carries ≤ partitions × shortlist rows per query).
+    *  5. RERANK: fetch full vectors for shortlist ids only (broadcast
+    *     semi-shaped join — on a corpus bucketed by id this prunes to
+    *     the touched buckets) and rank by exact 6dp cosine, id
+    *     tie-break — [[bruteForceTopK]]'s exact contract on the
+    *     shortlist.
+    *
+    * With a generous shortlist the result EQUALS exact brute force
+    * (the true top-k survives ADC into the shortlist), which is what
+    * makes this oracle-checkable; at billion scale one shrinks
+    * `shortlist`/`nCodes` and trades recall for the 32× memory win.
+    * Recall at a given shortlist is a DATA property: clusterable
+    * embeddings (real text encoders) keep PQ distortion below the
+    * neighbor gap; the near-isotropic synthetic test vectors are the
+    * hostile case and need the generous setting. Training is
+    * deterministic, so a shortlist once verified exact on a corpus
+    * stays exact. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+             k: Int, m: Int = 8, nCodes: Int = 16, iters: Int = 2,
+             shortlist: Int = 1024, dim: Int = -1,
+             cacheCorpus: Boolean = true): DataFrame = {
+    val dim0 =
+      if (dim > 0) dim else corpus.select(size(col(vec))).head().getInt(0)
+    val cN0 = normalized(corpus, id, vec)
+    // training iterates and the rerank re-reads: pin ONE materialization
+    val cN = if (cacheCorpus) cN0.localCheckpoint() else cN0
+    val qN = normalizedQueries(queries, id, vec)
+    val cb = trainPQ(cN, dim0, m, nCodes, iters)
+    val d = dim0 / m
+    val codes = pqEncode(cN, cb, dim0)
+    val qtab = array(cb.indices.map { sub =>
+      val xs = slice(col("qv"), sub * d + 1, d)
+      array(cb(sub).toIndexedSeq.map(cv => dot(xs, typedlit(cv))): _*)
+    }: _*)
+    val q = qN.select(col("query_id"), qtab.as("qtab"))
+    val adc = aggregate(
+      zip_with(col("codes"), col("qtab"),
+        (code, tab) => element_at(tab, code + 1)),
+      lit(0.0), (a, x) => a + x)
+    val short = graft.plans.TopKPerKey(
+      codes.join(broadcast(q), col("query_id") =!= col("nn_id"))
+        .withColumn("adc", adc),
+      keys = Seq(col("query_id")),
+      order = Seq(col("adc").desc, col("nn_id").asc),
+      k = shortlist, rankName = "prank")
+      .select("query_id", "nn_id")
+    topKPerQuery(
+      cN.join(broadcast(short), Seq("nn_id"))
+        .join(broadcast(qN), Seq("query_id"))
+        .withColumn("cosine",
+          graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6)),
+      k)
+  }
 }

@@ -188,6 +188,32 @@ object IotStreamPipeline {
       }.toDF()
   }
 
+  /** Declarative streaming sessionization via Spark's NATIVE
+    * `session_window` — the preferred scale path: the state store keeps
+    * merge-capable session state per (user, window), the watermark
+    * evicts and finalizes closed sessions, and there is no per-group
+    * user code to deserialize rows through (contrast [[sessionize]],
+    * the explicit-state spelling kept for semantics Spark's windows
+    * can't express). Append mode emits a session once the watermark
+    * passes `last event + gap`. Output shape matches
+    * [[graft.operators.Sessionize.summarize]]: first/last EVENT bounds
+    * (not the gap-padded window end), count, value sum.
+    *
+    * Boundary nit, documented: `session_window` starts a NEW session at
+    * an event landing exactly `gap` after the previous one, while the
+    * batch operator's `> gap` test keeps it — sub-second event times
+    * make exact-boundary gaps measure-zero in practice. */
+  def sessionizeNative(stage: DataFrame, gapSeconds: Long,
+                       watermarkDelay: String = "0 seconds"): DataFrame =
+    stage.withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("value_sum"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("value_sum"))
+
   case class SessionState(start: Long, last: Long, n: Long, valueSum: Double)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         session_end: java.sql.Timestamp, n_events: Long,

@@ -364,6 +364,53 @@ class SimilaritySpec extends SparkSpec {
       s"quantized recall@5 = $hits/$total")
   }
 
+  test("trainPQ: deterministic m × nCodes × dim/m codebooks; codes in range") {
+    val emb = Tables0.embeddings(spark, sf)
+    val cN = Similarity.normalized(emb, "vec_id", "embedding")
+    val cb1 = Similarity.trainPQ(cN, 64, 8, 16, 2)
+    val cb2 = Similarity.trainPQ(cN, 64, 8, 16, 2)
+    assert(cb1.length == 8 && cb1.forall(_.length == 16) &&
+      cb1.forall(_.forall(_.length == 8)))
+    // fixed-point sums: retraining is bit-identical
+    assert(cb1.map(_.toSeq).toSeq == cb2.map(_.toSeq).toSeq)
+    val enc = Similarity.pqEncode(cN, cb1, 64)
+    assert(enc.count() == emb.count())
+    val bad = enc.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= 16)
+    assert(bad.count() == 0)
+  }
+
+  test("pqTopK: generous shortlist reproduces exact top-k; tight keeps recall") {
+    val emb = Tables0.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    // shortlist >= corpus: ADC prunes nothing, rerank IS brute force
+    val all = Similarity.pqTopK(emb, q, "vec_id", "embedding", 5,
+      shortlist = 10000, dim = 64)
+    assert(all.exceptAll(bf).count() == 0 && bf.exceptAll(all).count() == 0)
+    // the registered spelling (shortlist 1536, ≥ corpus here) must be
+    // exact — the oracle-equality contract (verified at sf0.1 too,
+    // where 1536 < corpus and ADC genuinely prunes)
+    val reg = Similarity.pqTopK(emb, q, "vec_id", "embedding", 5,
+      shortlist = 1536, dim = 64)
+    assert(reg.exceptAll(bf).count() == 0 && bf.exceptAll(reg).count() == 0)
+    // a genuinely tight shortlist trades recall, never precision of the
+    // carried score (rerank is exact on whatever survives). These
+    // embeddings are near-random with planted strong pairs — hostile to
+    // PQ (8×16 codes retain little of 64 isotropic dims), so tight
+    // recall is low here by data design, not by implementation
+    val tight = Similarity.pqTopK(emb, q, "vec_id", "embedding", 5,
+      shortlist = 8, dim = 64)
+    val hits = bf.select("query_id", "nn_id")
+      .join(tight.select("query_id", "nn_id"), Seq("query_id", "nn_id"), "left_semi")
+      .count()
+    assert(hits.toDouble / bf.count() >= 0.2, s"tight recall $hits/${bf.count()}")
+    val wrong = tight.as("l").join(bf.as("b"),
+      $"l.query_id" === $"b.query_id" && $"l.nn_id" === $"b.nn_id")
+      .filter($"l.cosine" =!= $"b.cosine").count()
+    assert(wrong == 0)
+  }
+
   test("lshTopK returns a subset of brute-force candidates with same scoring") {
     val emb = Tables0.embeddings(spark, sf)
     val q = emb.filter($"vec_id" % 100 === 0)

@@ -112,6 +112,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == ev.count())
   }
 
+  test("native session_window sessionize: closed sessions == batch operator") {
+    val in = Files.createTempDirectory("graft-sessnat-in").toString
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // user 1: two events 10 s apart, then a 1990 s gap (> 1800 closes
+    // the session); user 2: one event. No exact-boundary gaps.
+    val chunk1 = Seq(
+      (1L, ts(0), 2.0), (1L, ts(10), 3.0), (2L, ts(5), 7.0))
+    val chunk2 = Seq((1L, ts(2000), 1.0))
+    val cols = Seq("user_id", "ts", "value")
+    chunk1.toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(in)
+    val stream = IotStreamPipeline.sessionizeNative(
+      spark.readStream.schema(chunk1.toDF(cols: _*).schema).parquet(in), 1800)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("sessnat_out").start()
+    q.processAllAvailable()
+    // chunk 2 arrives in a LATER micro-batch: the watermark jumps to
+    // t=2000, past both open sessions' close (last + gap ≤ 1810/1805)
+    chunk2.toDF(cols: _*).coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessnat_out")
+    // exactly the two closed sessions, with first/last EVENT bounds;
+    // user 1's t=2000 session is still open (nothing after it) — unemitted
+    val want = Seq(
+      (1L, ts(0), ts(10), 2L, 5.0), (2L, ts(5), ts(5), 1L, 7.0))
+      .toDF("user_id", "session_start", "session_end", "n_events", "value_sum")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      s"got ${got.collect().mkString(";")}")
+    // and each closed session matches the BATCH operator's rollup row
+    val batch = graft.operators.Sessionize.summarize(
+      (chunk1 ++ chunk2).toDF(cols: _*), "user_id", "ts", "ts", "value", 1800)
+      .select("user_id", "session_start", "session_end", "n_events", "value_sum")
+    assert(got.join(batch,
+      Seq("user_id", "session_start", "session_end", "n_events"), "left_anti")
+      .count() == 0)
+  }
+
   test("streaming sessionize with custom state emits closed sessions") {
     val in = Files.createTempDirectory("graft-sess-in").toString
     landEvents(in)
