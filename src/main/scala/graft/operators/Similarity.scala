@@ -417,6 +417,18 @@ object Similarity {
       bestCode(col(s"__sub$sub"), cb(sub))
     }: _*)
 
+  /** The ADC inner loop as a native codegen'd expression
+    * ([[graft.functions.expressions.PqAdc]]) — the HOF spelling
+    * (`aggregate(zip_with(...))`) is interpreted and allocates per
+    * CANDIDATE, which a 16× ScaleProbe measured at 44× before the
+    * native rewrite; this is the scan the compressed index exists
+    * to make cheap. */
+  private def adcScore(codes: Column, qtab: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.PqAdc(
+        org.apache.spark.sql.graft.ColumnBridge.expression(codes),
+        org.apache.spark.sql.graft.ColumnBridge.expression(qtab)))
+
 
   /** Train PQ codebooks: `m` independent per-subspace Lloyd runs, all
     * folded into ONE distributed job per iteration — assign every row's
@@ -521,13 +533,62 @@ object Similarity {
       array(cb(sub).toIndexedSeq.map(cv => dot(xs, typedlit(cv))): _*)
     }: _*)
     val q = qN.select(col("query_id"), qtab.as("qtab"))
-    val adc = aggregate(
-      zip_with(col("codes"), col("qtab"),
-        (code, tab) => element_at(tab, code + 1)),
-      lit(0.0), (a, x) => a + x)
     val short = graft.plans.TopKPerKey(
       codes.join(broadcast(q), col("query_id") =!= col("nn_id"))
-        .withColumn("adc", adc),
+        .withColumn("adc", adcScore(col("codes"), col("qtab"))),
+      keys = Seq(col("query_id")),
+      order = Seq(col("adc").desc, col("nn_id").asc),
+      k = shortlist, rankName = "prank")
+      .select("query_id", "nn_id")
+    topKPerQuery(
+      cN.join(broadcast(short), Seq("nn_id"))
+        .join(broadcast(qN), Seq("query_id"))
+        .withColumn("cosine",
+          graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6)),
+      k)
+  }
+
+  /** Full IVFADC (Jégou et al. TPAMI'11 §IV): the coarse IVF layer
+    * bounds WHICH candidates are scanned (nProbe of nCells cells), the
+    * PQ codes bound the BYTES per scanned candidate (m per vector), and
+    * the exact rerank bounds the precision loss — the composition of
+    * [[ivfTopKNormed]]'s cell pruning with [[pqTopK]]'s ADC scan, and
+    * the billion-vector index layout every production ANN system ships.
+    * The persisted index is one row per vector: `(cell, codes)` — both
+    * quantizers trained on the SAME localCheckpoint'd corpus (the f4
+    * shared-materialization seam). Queries broadcast with their ADC
+    * table replicated per probed cell; candidates join bucket-locally
+    * on `cell`, so the scan cost is bucket mass × O(m), never corpus ×
+    * O(dim). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                vec: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, nCodes: Int = 16, iters: Int = 2,
+                shortlist: Int = 1024, dim: Int = -1): DataFrame = {
+    val dim0 =
+      if (dim > 0) dim else corpus.select(size(col(vec))).head().getInt(0)
+    val cN = normalized(corpus, id, vec).localCheckpoint()
+    val qN = normalizedQueries(queries, id, vec)
+    val cents = trainCentroidsNormed(cN, nCells, iters)
+      .zipWithIndex.map { case (cv, i) => (i, cv) }
+    val cb = trainPQ(cN, dim0, m, nCodes, iters)
+    val d = dim0 / m
+    val index = withSubSlices(cN, "cv", m, dim0)
+      .select(col("nn_id"), bestCell(col("cv"), cents).as("cell"),
+        codesFromSubs(cb).as("codes"))
+    def cellScores(v: Column): Column = sort_array(array(cents.toIndexedSeq.map {
+      case (cid, cv) => struct(dot(v, typedlit(cv)).as("s"), lit(cid).as("cell"))
+    }: _*), asc = false)
+    val qtab = array(cb.indices.map { sub =>
+      val xs = slice(col("qv"), sub * d + 1, d)
+      array(cb(sub).toIndexedSeq.map(cv => dot(xs, typedlit(cv))): _*)
+    }: _*)
+    val q = qN.select(col("query_id"), qtab.as("qtab"),
+      explode(transform(slice(cellScores(col("qv")), 1, nProbe),
+        x => x("cell"))).as("cell"))
+    val short = graft.plans.TopKPerKey(
+      index.join(broadcast(q), Seq("cell"))
+        .filter(col("query_id") =!= col("nn_id"))
+        .withColumn("adc", adcScore(col("codes"), col("qtab"))),
       keys = Seq(col("query_id")),
       order = Seq(col("adc").desc, col("nn_id").asc),
       k = shortlist, rankName = "prank")

@@ -411,6 +411,26 @@ class SimilaritySpec extends SparkSpec {
     assert(wrong == 0)
   }
 
+  test("ivfPqTopK: full probe + generous shortlist = exact; tight probe scores exactly") {
+    val emb = Tables0.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    // probing every cell with an unpruning shortlist degenerates to
+    // exact search — the composition's end-to-end contract
+    val full = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 16, shortlist = 10000, dim = 64)
+    assert(full.exceptAll(bf).count() == 0 && bf.exceptAll(full).count() == 0)
+    // real pruning (4 of 16 cells, tight shortlist): results exist and
+    // every carried cosine is the exact 6dp value
+    val pruned = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 4, shortlist = 64, dim = 64)
+    assert(pruned.count() > 0)
+    val wrong = pruned.as("l").join(bf.as("b"),
+      $"l.query_id" === $"b.query_id" && $"l.nn_id" === $"b.nn_id")
+      .filter($"l.cosine" =!= $"b.cosine").count()
+    assert(wrong == 0)
+  }
+
   test("lshTopK returns a subset of brute-force candidates with same scoring") {
     val emb = Tables0.embeddings(spark, sf)
     val q = emb.filter($"vec_id" % 100 === 0)
