@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{L2Normalize, OrderedPairs, SimHash60, SimHash64, TextProfile, VectorDot, WordShingles}
+import graft.functions.expressions.{L2Normalize, OrderedPairs, PqAdc, SimHash60, SimHash64, TextProfile, VectorDot, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -34,6 +34,7 @@ object GraftExtensions {
     "word_shingles" -> (args => WordShingles(args(0), intArg(args(1), "word_shingles"))),
     "vector_dot" -> (args => VectorDot(args(0), args(1))),
     "l2_normalize" -> (args => L2Normalize(args(0))),
+    "pq_adc" -> (args => PqAdc(args(0), args(1))),
     "simhash64" -> (args => SimHash64(args(0))),
     "simhash60" -> (args => SimHash60(args(0))),
     "ordered_pairs" -> (args => OrderedPairs(args(0))),

@@ -230,6 +230,9 @@ object Similarity {
                            iters: Int): Array[Seq[Double]] = {
     var cents: Array[Seq[Double]] = c.orderBy("nn_id").limit(nCells)
       .collect().map(_.getSeq[Double](1))
+    // empty corpus: no cells to refine (a 0-cell assignment would not
+    // even analyze) — callers see the empty quantizer
+    if (cents.isEmpty) return cents
     val scale = 1e12
     for (_ <- 0 until iters) {
       val best = bestCell(col("cv"),
@@ -448,6 +451,9 @@ object Similarity {
     val seed = c.orderBy("nn_id").limit(nCodes).collect().map(_.getSeq[Double](1))
     var cb: Array[Array[Seq[Double]]] =
       Array.tabulate(m)(sub => seed.map(v => v.slice(sub * d, sub * d + d)))
+    // empty corpus: no codebooks to refine (a 0-code assignment would
+    // not even analyze) — callers guard on the empty result
+    if (seed.isEmpty) return cb
     val scale = 1e12
     for (_ <- 0 until iters) {
       val sums = withSubSlices(c, "cv", m, dim)
@@ -526,6 +532,11 @@ object Similarity {
     val cN = if (cacheCorpus) cN0.localCheckpoint() else cN0
     val qN = normalizedQueries(queries, id, vec)
     val cb = trainPQ(cN, dim0, m, nCodes, iters)
+    // empty corpus → empty codebooks: nothing to encode or scan, and the
+    // zero-arg `array()` a 0-code bestCode would build does not analyze.
+    // Brute force over the same (empty) frames yields the searcher
+    // schema with zero rows
+    if (cb.exists(_.isEmpty)) return bruteForceTopKNormed(cN, qN, k)
     val d = dim0 / m
     val codes = pqEncode(cN, cb, dim0)
     val qtab = array(cb.indices.map { sub =>
@@ -571,6 +582,9 @@ object Similarity {
     val cents = trainCentroidsNormed(cN, nCells, iters)
       .zipWithIndex.map { case (cv, i) => (i, cv) }
     val cb = trainPQ(cN, dim0, m, nCodes, iters)
+    // empty corpus → no cells and no codes (see pqTopK's guard)
+    if (cents.isEmpty || cb.exists(_.isEmpty))
+      return bruteForceTopKNormed(cN, qN, k)
     val d = dim0 / m
     val index = withSubSlices(cN, "cv", m, dim0)
       .select(col("nn_id"), bestCell(col("cv"), cents).as("cell"),

@@ -161,6 +161,11 @@ class DedupSpec extends SparkSpec {
       .select(explode(col("p")).as("e")).select("e.a", "e.b")
       .as[(Long, Long)].collect().toSet
     assert(op == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // pq_adc: Σᵢ qtab[i][codes[i]] — code 1 picks 20.0, code 0 picks 30.0
+    val adc = spark.sql(
+      "SELECT pq_adc(array(1, 0), array(array(10.0d, 20.0d), array(30.0d, 40.0d))) AS s")
+      .as[Double].head()
+    assert(adc == 50.0)
   }
 
   test("applyClusters keeps exactly one doc per cluster plus singletons") {

@@ -52,6 +52,18 @@ class EdgeCaseSpec extends SparkSpec {
     assert(cosines.nonEmpty && cosines.forall(c => !c.isNaN))
     // quantization of an empty frame
     assert(Similarity.quantizeInt8(noVecs, "vec_id", "embedding").count() == 0)
+    // PQ searchers: empty corpus trains empty codebooks — must return
+    // empty, not fail analysis on a 0-code argmax; and a corpus smaller
+    // than nCodes seeds short (non-empty) codebooks and still searches
+    assert(Similarity.pqTopK(noVecs, noVecs, "vec_id", "embedding", 5,
+      m = 2, dim = 2).count() == 0)
+    assert(Similarity.ivfPqTopK(noVecs, noVecs, "vec_id", "embedding", 5,
+      m = 2, dim = 2).count() == 0)
+    val tiny = Similarity.pqTopK(withZero, withZero.filter($"vec_id" === 2),
+      "vec_id", "embedding", 2, m = 1, nCodes = 16, iters = 1,
+      shortlist = 10, dim = 2)
+    assert(tiny.count() > 0 &&
+      tiny.select("cosine").as[Double].collect().forall(c => !c.isNaN))
   }
 
   test("curation family on empty input returns empty, not errors") {
