@@ -227,6 +227,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("PQ searchers: native codegen'd ADC, bucket-local cell join for IVFADC") {
+    // the ADC scan must run through the native PqAdc expression inside
+    // whole-stage codegen — the interpreted aggregate(zip_with(...))
+    // spelling read 44× at the 16× probe before the rewrite
+    val f9 = executed(SparkEntry.queries("f9_ann_pq")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(f9.contains("pq_adc"), s"f9 should score via PqAdc:\n$f9")
+    assert(!f9.contains("ArrayAggregate") && !f9.contains("ZipWith"),
+      s"f9 must not fall back to interpreted HOFs:\n$f9")
+    // the IVFADC composition joins candidates to probed queries on the
+    // CELL key — a broadcast hash join, never a nested-loop cross of
+    // corpus × queries
+    import graft.operators.Similarity
+    val emb = Tables0.embeddings(spark, sf)
+    val f10 = executed(Similarity.ivfPqTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") % 100 === 0),
+      "vec_id", "embedding", 5, nCells = 16, nProbe = 4, shortlist = 64,
+      dim = 64)).split("== Initial Plan ==").head
+    assert(f10.contains("BroadcastHashJoin"),
+      s"f10 should hash-join on cell:\n$f10")
+    assert(f10.contains("pq_adc") && !f10.contains("ArrayAggregate"),
+      s"f10 should score via PqAdc:\n$f10")
+    assert(f10.contains("TopKPerKeyFinal"),
+      s"f10 shortlist should run through the bounded heap:\n$f10")
+  }
+
   test("bloom contamination probe: one eval exchange, no join, codegen'd probe") {
     // the probe side must be a map-side projection (BloomProbe inside
     // whole-stage codegen) + ONE doc-key aggregation exchange; the

@@ -226,4 +226,44 @@ class PropertySpec extends SparkSpec {
       assert(SimHash64.compute(UTF8String.fromString(s)) == want, s.map(_.toInt))
     }
   }
+
+  test("PqAdc sums the table entries the codes select, on arbitrary shapes") {
+    import graft.functions.expressions.PqAdc
+    import org.apache.spark.sql.graft.ColumnBridge
+    val shape = for {
+      m <- Gen.choose(1, 12)
+      nCodes <- Gen.choose(1, 9)
+      codes <- Gen.listOfN(m, Gen.choose(0, nCodes - 1))
+      qtab <- Gen.listOfN(m, Gen.listOfN(nCodes, reasonableDouble))
+    } yield (codes, qtab)
+    samples(shape, 40).foreach { case (codes, qtab) =>
+      val want = codes.zip(qtab).map { case (c, tab) => tab(c) }.sum
+      val got = Seq((codes, qtab)).toDF("codes", "qtab")
+        .select(ColumnBridge.column(PqAdc(
+          ColumnBridge.expression(col("codes")),
+          ColumnBridge.expression(col("qtab")))).as("s"))
+        .as[Double].head()
+      assert(got == want, s"codes=$codes qtab=$qtab")
+    }
+  }
+
+  test("PQ generous-shortlist search == brute force on arbitrary vector sets") {
+    import graft.operators.Similarity
+    val vecs = for {
+      n <- Gen.choose(3, 40)
+      dim <- Gen.oneOf(4, 8)
+      rows <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-1.0, 1.0)
+        .map(x => math.rint(x * 1e3) / 1e3)))
+    } yield rows.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+    samples(vecs, 8).foreach { rows =>
+      val dim = rows.head._2.length
+      val df = rows.toDF("vec_id", "embedding")
+      val q = df.filter($"vec_id" % 5 === 0)
+      val bf = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", 3)
+      val pq = Similarity.pqTopK(df, q, "vec_id", "embedding", 3,
+        m = 2, nCodes = 8, iters = 1, shortlist = 1000, dim = dim)
+      assert(pq.exceptAll(bf).count() == 0 && bf.exceptAll(pq).count() == 0,
+        s"n=${rows.size} dim=$dim")
+    }
+  }
 }
