@@ -537,13 +537,32 @@ object Similarity {
     // Brute force over the same (empty) frames yields the searcher
     // schema with zero rows
     if (cb.exists(_.isEmpty)) return bruteForceTopKNormed(cN, qN, k)
-    val d = dim0 / m
-    val codes = pqEncode(cN, cb, dim0)
+    pqTopKWith(cN, pqEncode(cN, cb, dim0), qN, cb, k, shortlist, dim0)
+  }
+
+  /** The ADC lookup tables for a normalized query frame: `qtab[sub]
+    * [code] = qv_sub · cb[sub][code]`, computed ONCE per query row and
+    * broadcast with it. */
+  private def withQueryTables(qN: DataFrame, cb: Array[Array[Seq[Double]]],
+                              dim: Int): DataFrame = {
+    val d = dim / cb.length
     val qtab = array(cb.indices.map { sub =>
       val xs = slice(col("qv"), sub * d + 1, d)
       array(cb(sub).toIndexedSeq.map(cv => dot(xs, typedlit(cv))): _*)
     }: _*)
-    val q = qN.select(col("query_id"), qtab.as("qtab"))
+    qN.select(col("query_id"), qtab.as("qtab"))
+  }
+
+  /** The deployment seam of [[pqTopK]] — train once, encode once, query
+    * many: takes a pre-trained codebook and the pre-encoded
+    * `(nn_id, codes)` index ([[pqEncode]], typically persisted), so a
+    * query batch costs ONLY the ADC scan + shortlist + rerank — the
+    * [[ivfTopKWith]] / `trainContaminationSketch` pattern. `cN` is the
+    * full-precision normalized corpus the rerank fetches from. */
+  def pqTopKWith(cN: DataFrame, codes: DataFrame, qN: DataFrame,
+                 cb: Array[Array[Seq[Double]]], k: Int, shortlist: Int,
+                 dim: Int): DataFrame = {
+    val q = withQueryTables(qN, cb, dim)
     val short = graft.plans.TopKPerKey(
       codes.join(broadcast(q), col("query_id") =!= col("nn_id"))
         .withColumn("adc", adcScore(col("codes"), col("qtab"))),

@@ -416,6 +416,22 @@ class SimilaritySpec extends SparkSpec {
     assert(wrong == 0)
   }
 
+  test("pqTopKWith: a persisted index + pre-trained codebook reproduces pqTopK") {
+    val emb = Tables0.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val want = Similarity.pqTopK(emb, q, "vec_id", "embedding", 5,
+      shortlist = 64, dim = 64)
+    // deployment: train once, encode once (the index a job would
+    // persist), then search with the model + index only
+    val cN = Similarity.normalized(emb, "vec_id", "embedding").localCheckpoint()
+    val cb = Similarity.trainPQ(cN, 64, 8, 16, 2)
+    val codes = Similarity.pqEncode(cN, cb, 64).localCheckpoint()
+    val got = Similarity.pqTopKWith(cN,
+      codes, Similarity.normalizedQueries(q, "vec_id", "embedding"),
+      cb, 5, 64, 64)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("ivfPqTopK: full probe + generous shortlist = exact; tight probe scores exactly") {
     val emb = Tables0.embeddings(spark, sf)
     val q = emb.filter($"vec_id" % 100 === 0)
