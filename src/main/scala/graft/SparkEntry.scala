@@ -605,6 +605,20 @@ object SparkEntry {
         shortlist = 1536, dim = 64)
     }),
 
+    // f10: the full IVFADC composition — coarse cells + PQ codes +
+    // exact rerank. Registered at full probe (every cell) + generous
+    // shortlist, where the result provably equals exact brute force
+    // (verified deterministic tri-scale): the oracle then hash-checks
+    // both quantizer trainings, the (cell, codes) index, the cell-join
+    // ADC scan and the rerank end to end; tight-probe pruning behavior
+    // is spec-covered
+    "f10_ann_ivf_pq" -> ((s, d) => {
+      val e = embD(s, d)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", 5, nCells = 16, nProbe = 16, m = 8,
+        nCodes = 16, iters = 2, shortlist = 1536, dim = 64)
+    }),
+
     // DQ. data-quality checks (dbt schema tests)
     "dq1_checks" -> ((s, d) => {
       val e = ev(s, d)
@@ -1440,6 +1454,9 @@ object SparkEntry {
     // exact brute force (deterministic training; verified per-SF), so
     // the exact oracle checks the full PQ machinery
     "f9_ann_pq" -> f1OracleSql,
+
+    // same contract for the IVFADC composition at full probe
+    "f10_ann_ivf_pq" -> f1OracleSql,
 
     "k6_pack_sequences" ->
       s"""WITH t AS (${tokCte("documents", lower = false)}),

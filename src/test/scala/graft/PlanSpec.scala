@@ -215,7 +215,7 @@ class PlanSpec extends SparkSpec {
     // extensions, no flag) every searcher must plan partial/final heaps
     // with zero WindowExec and zero sort of the candidate set.
     for (q <- Seq("f1_ann_bruteforce", "f2_ann_lsh", "f3_ann_ivf",
-        "f5_ann_lsh_multi", "f9_ann_pq")) {
+        "f5_ann_lsh_multi", "f9_ann_pq", "f10_ann_ivf_pq")) {
       val plan = executed(SparkEntry.queries(q)(spark, sf))
         .split("== Initial Plan ==").head
       assert(plan.contains("TopKPerKeyFinal") && plan.contains("TopKPerKeyPartial"),
