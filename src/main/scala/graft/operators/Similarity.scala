@@ -227,9 +227,20 @@ object Similarity {
     * share it between training and search instead of re-scanning the
     * source per Lloyd iteration. */
   def trainCentroidsNormed(c: DataFrame, nCells: Int,
-                           iters: Int): Array[Seq[Double]] = {
-    var cents: Array[Seq[Double]] = c.orderBy("nn_id").limit(nCells)
-      .collect().map(_.getSeq[Double](1))
+                           iters: Int): Array[Seq[Double]] =
+    trainCentroidsNormed(c, nCells, iters, seedVectors(c, nCells))
+
+  /** Deterministic quantizer seeds: the `n` lowest-id vectors. A caller
+    * training SEVERAL quantizers over one corpus (the IVFADC
+    * composition) collects max(n) once and slices, instead of paying
+    * one driver round-trip per trainer. */
+  private[graft] def seedVectors(c: DataFrame, n: Int): Array[Seq[Double]] =
+    c.orderBy("nn_id").limit(n).collect().map(_.getSeq[Double](1))
+
+  /** As above with a pre-collected seed (first `nCells` rows used). */
+  private[graft] def trainCentroidsNormed(c: DataFrame, nCells: Int,
+      iters: Int, seed: Array[Seq[Double]]): Array[Seq[Double]] = {
+    var cents: Array[Seq[Double]] = seed.take(nCells)
     // empty corpus: no cells to refine (a 0-cell assignment would not
     // even analyze) — callers see the empty quantizer
     if (cents.isEmpty) return cents
@@ -444,11 +455,16 @@ object Similarity {
     * deliberately NOT re-normalized: unlike IVF cells they quantize
     * vector FRAGMENTS, which are not unit-norm. */
   def trainPQ(c: DataFrame, dim: Int, m: Int, nCodes: Int,
-              iters: Int): Array[Array[Seq[Double]]] = {
+              iters: Int): Array[Array[Seq[Double]]] =
+    trainPQ(c, dim, m, nCodes, iters, seedVectors(c, nCodes))
+
+  /** As above with a pre-collected seed (first `nCodes` rows used). */
+  private[graft] def trainPQ(c: DataFrame, dim: Int, m: Int, nCodes: Int,
+      iters: Int, seed0: Array[Seq[Double]]): Array[Array[Seq[Double]]] = {
     require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val d = dim / m
     // deterministic seeding: the nCodes lowest-id vectors, sliced
-    val seed = c.orderBy("nn_id").limit(nCodes).collect().map(_.getSeq[Double](1))
+    val seed = seed0.take(nCodes)
     var cb: Array[Array[Seq[Double]]] =
       Array.tabulate(m)(sub => seed.map(v => v.slice(sub * d, sub * d + d)))
     // empty corpus: no codebooks to refine (a 0-code assignment would
@@ -598,9 +614,11 @@ object Similarity {
       if (dim > 0) dim else corpus.select(size(col(vec))).head().getInt(0)
     val cN = normalized(corpus, id, vec).localCheckpoint()
     val qN = normalizedQueries(queries, id, vec)
-    val cents = trainCentroidsNormed(cN, nCells, iters)
+    // ONE seed collect feeds both quantizer trainers
+    val seed = seedVectors(cN, math.max(nCells, nCodes))
+    val cents = trainCentroidsNormed(cN, nCells, iters, seed)
       .zipWithIndex.map { case (cv, i) => (i, cv) }
-    val cb = trainPQ(cN, dim0, m, nCodes, iters)
+    val cb = trainPQ(cN, dim0, m, nCodes, iters, seed)
     // empty corpus → no cells and no codes (see pqTopK's guard)
     if (cents.isEmpty || cb.exists(_.isEmpty))
       return bruteForceTopKNormed(cN, qN, k)
