@@ -155,6 +155,17 @@ object SparkEntry {
           coalesce(col("month"), lit("ALL")).as("month"),
           col("grp_type"), col("grp_month"), col("value_sum"), col("n_events"))),
 
+    // b15: the reference's wide daily summary (models/agg/
+    // daily_summary.sql JOINS one aggregate per metric) re-expressed
+    // Spark-first as ONE grouped pass: pivot with an EXPLICIT value
+    // list — no distinct-probe job, no per-metric scans, a single
+    // shuffle; at N metrics the reference shape pays N scans + N-1
+    // joins. Absent (user, day, type) cells are NULL on both engines
+    "b15_pivot_daily" -> ((s, d) =>
+      ev(s, d).groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(fixedSum(col("value"), 4))),
+
     "b8_percentile_summary" -> ((s, d) =>
       ev(s, d).groupBy(col("event_type")).agg(
         Portable.pround(expr("percentile(value, 0.5D)"), 4).as("p50"),
@@ -902,6 +913,18 @@ object SparkEntry {
          |  ${sqlFixedSum("value", 4)} AS value_sum, count(*) AS n_events
          |FROM (SELECT event_type, strftime(ts, '%Y%m') AS m, value FROM events)
          |GROUP BY CUBE (event_type, m)""".stripMargin,
+
+    // pivot ≡ conditional aggregation: one fixed-point sum per type,
+    // FILTER leaves absent cells NULL exactly as the pivot does
+    "b15_pivot_daily" -> {
+      def cell(t: String): String =
+        s"CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))" +
+          s" FILTER (WHERE event_type = '$t') AS DOUBLE) / 10000.0 AS $t"
+      s"""SELECT user_id, strftime(ts, '%Y%m%d') AS day,
+         |  ${Seq("click", "error", "purchase", "signup", "view")
+              .map(cell).mkString(",\n|  ")}
+         |FROM events GROUP BY 1, 2""".stripMargin
+    },
 
     "b8_percentile_summary" ->
       s"""SELECT event_type,
