@@ -166,6 +166,38 @@ object SparkEntry {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(fixedSum(col("value"), 4))),
 
+    // b16: melt — the inverse surface. The registered spelling round-
+    // trips b15's wide matrix back to long form; dropping the NULL
+    // cells makes it provably equal the direct 3-key aggregate (the
+    // oracle), so one hash check covers both pivot directions
+    "b16_unpivot_daily" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      ev(s, d).groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+        .pivot("event_type", types)
+        .agg(fixedSum(col("value"), 4))
+        .unpivot(Array(col("user_id"), col("day")),
+          types.map(col).toArray, "event_type", "value_sum")
+        .filter(col("value_sum").isNotNull)
+    }),
+
+    // b17: week-over-week deltas — the time-series analytics layer over
+    // B2's weekly rollup (TimescaleDB dashboards' standard follow-up).
+    // lag() AFTER aggregation: the window sees one row per (user, week),
+    // bounded state per user, never the raw events
+    "b17_wow_delta" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wk = ev(s, d).groupBy(col("user_id"),
+          date_format(TimeAgg.weekBucket(col("ts")), "yyyy-MM-dd").as("week"))
+        .agg(fixedSum(col("value"), 4).as("value_sum"))
+      val w = Window.partitionBy("user_id").orderBy("week")
+      wk.withColumn("prev_sum", lag(col("value_sum"), 1).over(w))
+        .withColumn("wow_delta",
+          pround(col("value_sum") - col("prev_sum"), 4))
+        .withColumn("wow_pct",
+          pround((col("value_sum") - col("prev_sum")) /
+            when(col("prev_sum") =!= 0.0, col("prev_sum")), 4))
+    }),
+
     "b8_percentile_summary" -> ((s, d) =>
       ev(s, d).groupBy(col("event_type")).agg(
         Portable.pround(expr("percentile(value, 0.5D)"), 4).as("p50"),
@@ -925,6 +957,26 @@ object SparkEntry {
               .map(cell).mkString(",\n|  ")}
          |FROM events GROUP BY 1, 2""".stripMargin
     },
+
+    // the pivot→unpivot round trip minus NULL cells ≡ the direct
+    // 3-key aggregate
+    "b16_unpivot_daily" ->
+      s"""SELECT user_id, strftime(ts, '%Y%m%d') AS day, event_type,
+         |${sqlFixedSum("value", 4)} AS value_sum
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "b17_wow_delta" ->
+      s"""WITH wk AS (
+         |  SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         |    ${sqlFixedSum("value", 4)} AS value_sum
+         |  FROM events GROUP BY 1, 2),
+         |l AS (
+         |  SELECT *, lag(value_sum) OVER (PARTITION BY user_id ORDER BY week) AS prev_sum
+         |  FROM wk)
+         |SELECT user_id, week, value_sum, prev_sum,
+         |  ${sqlPround("value_sum - prev_sum", 4)} AS wow_delta,
+         |  ${sqlPround("(value_sum - prev_sum) / NULLIF(prev_sum, 0.0)", 4)} AS wow_pct
+         |FROM l""".stripMargin,
 
     "b8_percentile_summary" ->
       s"""SELECT event_type,
