@@ -39,7 +39,17 @@ object VectorExprs {
     val n = math.min(codes.numElements(), qtab.numElements())
     var s = 0.0d; var i = 0
     while (i < n) {
-      s += qtab.getArray(i).getDouble(codes.getInt(i))
+      val row = qtab.getArray(i)
+      val code = codes.getInt(i)
+      // pq_adc is a public SQL function: an out-of-range code against
+      // UnsafeArrayData would silently read out-of-bounds memory and
+      // return garbage — fail loudly instead (the branch is noise next
+      // to the table lookup)
+      if (code < 0 || code >= row.numElements())
+        throw new IllegalArgumentException(
+          s"pq_adc: code $code at subspace $i out of range " +
+            s"[0, ${row.numElements()})")
+      s += row.getDouble(code)
       i += 1
     }
     s

@@ -541,8 +541,13 @@ object Similarity {
              k: Int, m: Int = 8, nCodes: Int = 16, iters: Int = 2,
              shortlist: Int = 1024, dim: Int = -1,
              cacheCorpus: Boolean = true): DataFrame = {
-    val dim0 =
-      if (dim > 0) dim else corpus.select(size(col(vec))).head().getInt(0)
+    val dim0 = if (dim > 0) dim else inferDim(corpus, vec) match {
+      // empty corpus: no row to infer from — same contract as the
+      // empty-codebook guard below (searcher schema, zero rows)
+      case None => return bruteForceTopKNormed(
+        normalized(corpus, id, vec), normalizedQueries(queries, id, vec), k)
+      case Some(n) => n
+    }
     val cN0 = normalized(corpus, id, vec)
     // training iterates and the rerank re-reads: pin ONE materialization
     val cN = if (cacheCorpus) cN0.localCheckpoint() else cN0
@@ -556,18 +561,29 @@ object Similarity {
     pqTopKWith(cN, pqEncode(cN, cb, dim0), qN, cb, k, shortlist, dim0)
   }
 
-  /** The ADC lookup tables for a normalized query frame: `qtab[sub]
-    * [code] = qv_sub · cb[sub][code]`, computed ONCE per query row and
-    * broadcast with it. */
-  private def withQueryTables(qN: DataFrame, cb: Array[Array[Seq[Double]]],
-                              dim: Int): DataFrame = {
+  /** Vector length of the first corpus row, or None when the corpus is
+    * empty (so default-dim callers can honor the empty-corpus contract
+    * instead of throwing on `head()`). */
+  private def inferDim(corpus: DataFrame, vec: String): Option[Int] =
+    corpus.select(size(col(vec))).take(1).headOption.map(_.getInt(0))
+
+  /** The per-query ADC lookup-table expression over a normalized query
+    * vector `qv`: `qtab[sub][code] = qv_sub · cb[sub][code]` — the ONE
+    * spelling of the subspace-dot formula both [[pqTopKWith]] and
+    * [[ivfPqTopK]] ship (two inline copies could drift). */
+  private def qtabColumn(cb: Array[Array[Seq[Double]]], dim: Int): Column = {
     val d = dim / cb.length
-    val qtab = array(cb.indices.map { sub =>
+    array(cb.indices.map { sub =>
       val xs = slice(col("qv"), sub * d + 1, d)
       array(cb(sub).toIndexedSeq.map(cv => dot(xs, typedlit(cv))): _*)
     }: _*)
-    qN.select(col("query_id"), qtab.as("qtab"))
   }
+
+  /** The ADC lookup tables for a normalized query frame, computed ONCE
+    * per query row and broadcast with it. */
+  private def withQueryTables(qN: DataFrame, cb: Array[Array[Seq[Double]]],
+                              dim: Int): DataFrame =
+    qN.select(col("query_id"), qtabColumn(cb, dim).as("qtab"))
 
   /** The deployment seam of [[pqTopK]] — train once, encode once, query
     * many: takes a pre-trained codebook and the pre-encoded
@@ -610,8 +626,11 @@ object Similarity {
                 vec: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
                 m: Int = 8, nCodes: Int = 16, iters: Int = 2,
                 shortlist: Int = 1024, dim: Int = -1): DataFrame = {
-    val dim0 =
-      if (dim > 0) dim else corpus.select(size(col(vec))).head().getInt(0)
+    val dim0 = if (dim > 0) dim else inferDim(corpus, vec) match {
+      case None => return bruteForceTopKNormed(
+        normalized(corpus, id, vec), normalizedQueries(queries, id, vec), k)
+      case Some(n) => n
+    }
     val cN = normalized(corpus, id, vec).localCheckpoint()
     val qN = normalizedQueries(queries, id, vec)
     // ONE seed collect feeds both quantizer trainers
@@ -622,18 +641,13 @@ object Similarity {
     // empty corpus → no cells and no codes (see pqTopK's guard)
     if (cents.isEmpty || cb.exists(_.isEmpty))
       return bruteForceTopKNormed(cN, qN, k)
-    val d = dim0 / m
     val index = withSubSlices(cN, "cv", m, dim0)
       .select(col("nn_id"), bestCell(col("cv"), cents).as("cell"),
         codesFromSubs(cb).as("codes"))
     def cellScores(v: Column): Column = sort_array(array(cents.toIndexedSeq.map {
       case (cid, cv) => struct(dot(v, typedlit(cv)).as("s"), lit(cid).as("cell"))
     }: _*), asc = false)
-    val qtab = array(cb.indices.map { sub =>
-      val xs = slice(col("qv"), sub * d + 1, d)
-      array(cb(sub).toIndexedSeq.map(cv => dot(xs, typedlit(cv))): _*)
-    }: _*)
-    val q = qN.select(col("query_id"), qtab.as("qtab"),
+    val q = qN.select(col("query_id"), qtabColumn(cb, dim0).as("qtab"),
       explode(transform(slice(cellScores(col("qv")), 1, nProbe),
         x => x("cell"))).as("cell"))
     val short = graft.plans.TopKPerKey(

@@ -166,6 +166,19 @@ class DedupSpec extends SparkSpec {
       "SELECT pq_adc(array(1, 0), array(array(10.0d, 20.0d), array(30.0d, 40.0d))) AS s")
       .as[Double].head()
     assert(adc == 50.0)
+    // pq_adc is a public SQL function: an out-of-range or negative code
+    // must fail loudly, never read out-of-bounds UnsafeArrayData memory
+    for (bad <- Seq("array(2, 0)", "array(-1, 0)")) {
+      val e = intercept[Exception] {
+        spark.sql(
+          s"SELECT pq_adc($bad, array(array(10.0d, 20.0d), array(30.0d, 40.0d))) AS s")
+          .as[Double].head()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+        c.getMessage.contains("out of range")), s"wrong failure for $bad: $e")
+    }
   }
 
   test("applyClusters keeps exactly one doc per cluster plus singletons") {

@@ -59,6 +59,12 @@ class EdgeCaseSpec extends SparkSpec {
       m = 2, dim = 2).count() == 0)
     assert(Similarity.ivfPqTopK(noVecs, noVecs, "vec_id", "embedding", 5,
       m = 2, dim = 2).count() == 0)
+    // default-dim path: inference has no row to probe on an empty
+    // corpus — must honor the same empty contract, not throw
+    assert(Similarity.pqTopK(noVecs, noVecs, "vec_id", "embedding", 5,
+      m = 2).count() == 0)
+    assert(Similarity.ivfPqTopK(noVecs, noVecs, "vec_id", "embedding", 5,
+      m = 2).count() == 0)
     val tiny = Similarity.pqTopK(withZero, withZero.filter($"vec_id" === 2),
       "vec_id", "embedding", 2, m = 1, nCodes = 16, iters = 1,
       shortlist = 10, dim = 2)
