@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native vector math over `array<double>` embedding columns.
   *
@@ -140,5 +140,126 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
       s"graft.functions.expressions.VectorExprs.l2normalize($a)")
 
   override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
+/** A trained PQ codebook evaluated as one native loop. The declarative
+  * spelling (m subspace `slice`s, then per code an `array_max` over
+  * `struct(dot − ‖c‖²/2, code)`) allocates m·nCodes structs + m arrays
+  * PER ROW and bloats codegen with m·nCodes expression subtrees; the
+  * encode pass is corpus × dim × nCodes multiplies — the hottest PQ
+  * pass after the ADC scan, and the reason [[PqEncode]] gets the same
+  * native treatment as [[PqAdc]]. Argmin L2 is spelled argmax of
+  * `x·c − ‖c‖²/2` (the `‖x‖²` term is constant per row). Bit-equal to
+  * the declarative form: dots accumulate in ascending index order,
+  * `‖c‖²` uses the same sequential fold, and score comparison mirrors
+  * Spark's struct ordering (`==` short-circuit so −0.0 ties 0.0, then
+  * `Double.compare` so NaN is greatest; ties to the higher code). A
+  * vector shorter than `sub·d` contributes an empty dot (= `slice`
+  * past the end), matching the min-length dot contract. */
+class PqCodebook(cb: Array[Array[Array[Double]]]) extends Serializable {
+  private val halfSS: Array[Array[Double]] = cb.map(_.map { cv =>
+    var s = 0.0d; var i = 0
+    while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+    s / 2
+  })
+
+  def encode(a: ArrayData): ArrayData = {
+    val x = a.toDoubleArray()
+    val out = new Array[Int](cb.length)
+    var sub = 0; var off = 0
+    while (sub < cb.length) {
+      val codes = cb(sub); val hs = halfSS(sub)
+      var best = 0.0d; var bestCode = 0
+      var code = 0
+      while (code < codes.length) {
+        val cv = codes(code)
+        var s = 0.0d; var j = 0
+        val n = math.min(cv.length, x.length - off)
+        while (j < n) { s += x(off + j) * cv(j); j += 1 }
+        s -= hs(code)
+        val cmp = if (s == best) 0 else java.lang.Double.compare(s, best)
+        if (code == 0 || cmp >= 0) { best = s; bestCode = code }
+        code += 1
+      }
+      out(sub) = bestCode
+      if (codes.nonEmpty) off += codes(0).length
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** PQ code assignment against a driver-trained [[PqCodebook]]:
+  * `array<double>` vector → `array<int>` of `m` subspace codes. The
+  * model rides the codegen reference array (one object per executor),
+  * not the expression tree. */
+case class PqEncode(child: Expression, model: PqCodebook) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkVec(child, prettyName)
+
+  override protected def nullSafeEval(a: Any): Any =
+    model.encode(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebook", model, classOf[PqCodebook].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.encode($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Trained IVF centroids evaluated as one native argmax loop — the
+  * corpus-side cell assignment ([[BestCell]]), replacing an `array_max`
+  * over nCells `struct(dot, cell)` subtrees that allocated per row.
+  * Comparison is lexicographic on (score, cell id) with the same
+  * double semantics as [[PqCodebook]] — exactly Spark's struct-max
+  * tie-break (highest dot, ties to the highest cell id), which is also
+  * the oracle's `ORDER BY dot DESC, cell DESC` pick. */
+class CellCentroids(cids: Array[Int], cents: Array[Array[Double]])
+    extends Serializable {
+  require(cids.length == cents.length, "cell ids and centroids must align")
+
+  def best(a: ArrayData): Int = {
+    val x = a.toDoubleArray()
+    var bestS = 0.0d; var bi = 0
+    var i = 0
+    while (i < cents.length) {
+      val cv = cents(i)
+      var s = 0.0d; var j = 0
+      val n = math.min(cv.length, x.length)
+      while (j < n) { s += x(j) * cv(j); j += 1 }
+      val cmp = if (s == bestS) 0 else java.lang.Double.compare(s, bestS)
+      if (i == 0 || cmp > 0 || (cmp == 0 && cids(i) > cids(bi))) {
+        bestS = s; bi = i
+      }
+      i += 1
+    }
+    cids(bi)
+  }
+}
+
+/** IVF cell assignment against driver-trained [[CellCentroids]]:
+  * `array<double>` vector → `int` cell id. */
+case class BestCell(child: Expression, model: CellCentroids) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "best_cell"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.checkVec(child, prettyName)
+
+  override protected def nullSafeEval(a: Any): Any =
+    model.best(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellCentroids", model, classOf[CellCentroids].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.best($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BestCell =
     copy(child = newChild)
 }

@@ -356,18 +356,20 @@ object Similarity {
       k)
   }
 
-  /** Corpus-side cell assignment: argmax over the centroid dots as an
-    * O(nCells) `array_max` fold — struct ordering (s, cell) makes the
-    * max element "highest dot, ties to highest cell", the exact
-    * tie-break the sorted spelling (and the oracle's `ORDER BY dot
-    * DESC, cell DESC`) uses. The previous per-row `sort_array` over
-    * nCells structs was O(nCells·log nCells) PER CORPUS ROW — noise at
-    * 16 cells, real money at the thousands of cells a 100 TB corpus
-    * wants. */
+  /** Corpus-side cell assignment: the native argmax loop
+    * ([[graft.functions.expressions.BestCell]]) — "highest dot, ties to
+    * highest cell", the exact tie-break the sorted spelling (and the
+    * oracle's `ORDER BY dot DESC, cell DESC`) uses. Two spellings
+    * preceded it: per-row `sort_array` (O(nCells·log nCells) per corpus
+    * row), then an `array_max` struct fold — still nCells struct
+    * allocations per row and nCells expression subtrees per plan, real
+    * money at the thousands of cells a 100 TB corpus wants. */
   private[graft] def bestCell(v: Column, cents: Array[(Int, Seq[Double])]): Column =
-    array_max(array(cents.toIndexedSeq.map { case (cid, cv) =>
-      struct(dot(v, typedlit(cv)).as("s"), lit(cid).as("cell"))
-    }: _*))("cell")
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.BestCell(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v),
+        new graft.functions.expressions.CellCentroids(
+          cents.map(_._1), cents.map(_._2.toArray))))
 
   /** IVF search over pre-normalized frames with a pre-trained
     * quantizer — the seam the recall report composes with
@@ -395,41 +397,21 @@ object Similarity {
 
   // ------------------------------------------------------ product quantization
 
-  /** Per-subspace nearest-code assignment — argmin L2 spelled as argmax
-    * of `x·c − ‖c‖²/2` (the `‖x‖²` term is constant per row), ties to
-    * the highest code via struct ordering, same discipline as
-    * [[bestCell]]. `‖c‖²` folds at plan-build time: the codebook is a
-    * driver-side model. */
-  private def bestCode(x: Column, codebook: Array[Seq[Double]]): Column =
-    array_max(array(codebook.zipWithIndex.toIndexedSeq.map { case (cv, code) =>
-      var ss = 0.0
-      cv.foreach(c => ss += c * c) // fixed sequential fold
-      struct((dot(x, typedlit(cv)) - lit(ss / 2)).as("s"), lit(code).as("code"))
-    }: _*))("code")
-
-  /** PQ code array for one vector: `m` small ints, one per subspace.
-    * This IS the index payload — `m` bytes of information per vector
-    * versus `4·dim` for raw float32, the ~32× memory ratio (m=8,
-    * dim=64) that makes billion-vector search fit executor RAM
-    * (Jégou/Douze/Schmid, TPAMI'11 product quantization; reference
-    * keeps only raw embeddings, `embeddings.parquet`).
-    *
-    * The subspace slices cross a Project boundary before the per-code
-    * dots reference them — inlined, each of the nCodes dot exprs
-    * re-evaluates its O(dim/m) `slice` (the [[quantizeInt8]] lesson:
-    * CollapseProject declines to merge, and the codegen body shrinks
-    * m·nCodes slices to m). */
-  private def withSubSlices(df: DataFrame, v: String, m: Int,
-                            dim: Int): DataFrame = {
-    val d = dim / m
-    df.select(col("*") +: (0 until m).map(sub =>
-      slice(col(v), sub * d + 1, d).as(s"__sub$sub")): _*)
-  }
-
-  private def codesFromSubs(cb: Array[Array[Seq[Double]]]): Column =
-    array(cb.indices.map { sub =>
-      bestCode(col(s"__sub$sub"), cb(sub))
-    }: _*)
+  /** PQ code array for one vector: `m` small ints, one per subspace —
+    * per-subspace argmin L2 as ONE native loop
+    * ([[graft.functions.expressions.PqEncode]]; semantics and the
+    * declarative-spelling history documented on
+    * [[graft.functions.expressions.PqCodebook]]). This IS the index
+    * payload — `m` bytes of information per vector versus `4·dim` for
+    * raw float32, the ~32× memory ratio (m=8, dim=64) that makes
+    * billion-vector search fit executor RAM (Jégou/Douze/Schmid,
+    * TPAMI'11 product quantization; reference keeps only raw
+    * embeddings, `embeddings.parquet`). */
+  private def pqCodes(v: Column, cb: Array[Array[Seq[Double]]]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.PqEncode(
+        org.apache.spark.sql.graft.ColumnBridge.expression(v),
+        new graft.functions.expressions.PqCodebook(cb.map(_.map(_.toArray)))))
 
   /** The ADC inner loop as a native codegen'd expression
     * ([[graft.functions.expressions.PqAdc]]) — the HOF spelling
@@ -472,8 +454,8 @@ object Similarity {
     if (seed.isEmpty) return cb
     val scale = 1e12
     for (_ <- 0 until iters) {
-      val sums = withSubSlices(c, "cv", m, dim)
-        .withColumn("codes", codesFromSubs(cb))
+      val sums = c
+        .withColumn("codes", pqCodes(col("cv"), cb))
         .select(col("codes"), posexplode(col("cv")).as(Seq("pos", "x")))
         .select((col("pos") / d).cast("int").as("sub"),
           (col("pos") % d).as("cpos"), col("x"), col("codes"))
@@ -501,10 +483,8 @@ object Similarity {
 
   /** The PQ index frame: `(nn_id, codes)` — what a deployment persists
     * (and ALL the search pass reads until the rerank fetch). */
-  def pqEncode(c: DataFrame, cb: Array[Array[Seq[Double]]],
-               dim: Int): DataFrame =
-    withSubSlices(c, "cv", cb.length, dim)
-      .select(col("nn_id"), codesFromSubs(cb).as("codes"))
+  def pqEncode(c: DataFrame, cb: Array[Array[Seq[Double]]]): DataFrame =
+    c.select(col("nn_id"), pqCodes(col("cv"), cb).as("codes"))
 
   /** PQ-ADC top-k with exact re-ranking — the memory-bound billion-
     * vector deployment shape (IVFADC+R without the coarse cell layer;
@@ -558,7 +538,7 @@ object Similarity {
     // Brute force over the same (empty) frames yields the searcher
     // schema with zero rows
     if (cb.exists(_.isEmpty)) return bruteForceTopKNormed(cN, qN, k)
-    pqTopKWith(cN, pqEncode(cN, cb, dim0), qN, cb, k, shortlist, dim0)
+    pqTopKWith(cN, pqEncode(cN, cb), qN, cb, k, shortlist, dim0)
   }
 
   /** Vector length of the first corpus row, or None when the corpus is
@@ -635,15 +615,24 @@ object Similarity {
     val qN = normalizedQueries(queries, id, vec)
     // ONE seed collect feeds both quantizer trainers
     val seed = seedVectors(cN, math.max(nCells, nCodes))
-    val cents = trainCentroidsNormed(cN, nCells, iters, seed)
-      .zipWithIndex.map { case (cv, i) => (i, cv) }
-    val cb = trainPQ(cN, dim0, m, nCodes, iters, seed)
+    // the two trainers are INDEPENDENT Lloyd runs over the one pinned
+    // corpus, each a chain of driver-blocking per-iteration jobs: train
+    // on concurrent threads so the scheduler interleaves their jobs
+    // (wall-clock ≈ max, not sum — concurrent actions on a
+    // localCheckpoint'd frame are safe)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val centsF = Future(trainCentroidsNormed(cN, nCells, iters, seed)
+      .zipWithIndex.map { case (cv, i) => (i, cv) })
+    val cbF = Future(trainPQ(cN, dim0, m, nCodes, iters, seed))
+    val cents = Await.result(centsF, Duration.Inf)
+    val cb = Await.result(cbF, Duration.Inf)
     // empty corpus → no cells and no codes (see pqTopK's guard)
     if (cents.isEmpty || cb.exists(_.isEmpty))
       return bruteForceTopKNormed(cN, qN, k)
-    val index = withSubSlices(cN, "cv", m, dim0)
-      .select(col("nn_id"), bestCell(col("cv"), cents).as("cell"),
-        codesFromSubs(cb).as("codes"))
+    val index = cN.select(col("nn_id"), bestCell(col("cv"), cents).as("cell"),
+      pqCodes(col("cv"), cb).as("codes"))
     def cellScores(v: Column): Column = sort_array(array(cents.toIndexedSeq.map {
       case (cid, cv) => struct(dot(v, typedlit(cv)).as("s"), lit(cid).as("cell"))
     }: _*), asc = false)

@@ -391,7 +391,7 @@ class SimilaritySpec extends SparkSpec {
       cb1.forall(_.forall(_.length == 8)))
     // fixed-point sums: retraining is bit-identical
     assert(cb1.map(_.toSeq).toSeq == cb2.map(_.toSeq).toSeq)
-    val enc = Similarity.pqEncode(cN, cb1, 64)
+    val enc = Similarity.pqEncode(cN, cb1)
     assert(enc.count() == emb.count())
     val bad = enc.select(explode(col("codes")).as("c"))
       .filter(col("c") < 0 || col("c") >= 16)
@@ -438,7 +438,7 @@ class SimilaritySpec extends SparkSpec {
     // persist), then search with the model + index only
     val cN = Similarity.normalized(emb, "vec_id", "embedding").localCheckpoint()
     val cb = Similarity.trainPQ(cN, 64, 8, 16, 2)
-    val codes = Similarity.pqEncode(cN, cb, 64).localCheckpoint()
+    val codes = Similarity.pqEncode(cN, cb).localCheckpoint()
     val got = Similarity.pqTopKWith(cN,
       codes, Similarity.normalizedQueries(q, "vec_id", "embedding"),
       cb, 5, 64, 64)
