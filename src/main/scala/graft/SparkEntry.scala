@@ -198,6 +198,30 @@ object SparkEntry {
             when(col("prev_sum") =!= 0.0, col("prev_sum")), 4))
     }),
 
+    // TimescaleDB counter_agg → delta/num_resets: reset-aware counter
+    // increase per (user, day) — one window + one agg, ONE shuffle
+    "b18_counter_delta" -> ((s, d) =>
+      TimeAgg.counterDelta(
+        ev(s, d).withColumn("day", TimeAgg.dayKey(col("ts"))),
+        keys = Seq("user_id", "day"), reading = "value",
+        order = Seq("ts", "event_id"), scale = 4)),
+
+    // TimescaleDB time_weighted_average (LOCF weighting): each reading
+    // holds until its successor; single-instant groups report NULL
+    "b19_time_weighted" -> ((s, d) =>
+      TimeAgg.timeWeightedAvg(
+        ev(s, d).withColumn("day", TimeAgg.dayKey(col("ts"))),
+        keys = Seq("user_id", "day"), ts = "ts", tieBreak = Seq("event_id"),
+        value = "value", scale = 4)),
+
+    // TimescaleDB first()/last(): min_by/max_by over a unique struct
+    // key — partial-aggregable, no per-group sort
+    "b20_first_last" -> ((s, d) =>
+      TimeAgg.firstLast(
+        ev(s, d).withColumn("day", TimeAgg.dayKey(col("ts"))),
+        keys = Seq("user_id", "day"), value = "value",
+        order = Seq("ts", "event_id"))),
+
     "b8_percentile_summary" -> ((s, d) =>
       ev(s, d).groupBy(col("event_type")).agg(
         Portable.pround(expr("percentile(value, 0.5D)"), 4).as("p50"),
@@ -358,6 +382,22 @@ object SparkEntry {
         keys = Seq(col("c_mktsegment")),
         order = Seq(col("price_band").desc),
         k = 10, rankName = "rnk", mode = graft.plans.TopKMode.Ranked)),
+
+    // TPC-H Q4 shape (order-priority checking): quarter-scoped orders
+    // that have at least one returned line item — a LEFT SEMI join, so
+    // the fact side never duplicates orders however many lines match;
+    // the date filter pushes to the orders scan, the returnflag filter
+    // to the lineitem scan, and the semi join shuffles only (orderkey)
+    "d10_order_priority" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val returned = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
 
     "d6_asof_join" -> ((s, d) => {
       // latest order per (customer, date) so the as-of pick is deterministic
@@ -594,6 +634,13 @@ object SparkEntry {
     "h9_repetition" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextFunctions.repetitionRatio(col("text"), 3).as("repetition_ratio"))),
+
+    // char-n-gram LM quality score (the CCNet-style perplexity filter
+    // in pure rational arithmetic): mean/min corpus transition
+    // likelihood per doc — one scan, anchored gram exchange, the model
+    // broadcast-able by construction (vocab capped at charset^n)
+    "h14_ngram_lm" -> ((s, d) =>
+      Curation.ngramLmScore(docs(s, d), "doc_id", "text", 3)),
 
     // corpus-inspection: top-10 3-grams per language by document
     // frequency, through the custom TopKPerKey operator (bounded
@@ -978,6 +1025,57 @@ object SparkEntry {
          |  ${sqlPround("(value_sum - prev_sum) / NULLIF(prev_sum, 0.0)", 4)} AS wow_pct
          |FROM l""".stripMargin,
 
+    "b18_counter_delta" ->
+      s"""WITH o AS (
+         |  SELECT user_id, strftime(ts, '%Y%m%d') AS day, value,
+         |    lag(value) OVER (PARTITION BY user_id, strftime(ts, '%Y%m%d')
+         |                     ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, day,
+         |    CASE WHEN prev IS NULL THEN NULL
+         |         WHEN value >= prev THEN value - prev
+         |         ELSE value END AS step,
+         |    CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END AS r
+         |  FROM o)
+         |SELECT user_id, day,
+         |  coalesce(${sqlFixedSum("step", 4)}, 0.0) AS counter_delta,
+         |  CAST(sum(r) AS BIGINT) AS n_resets, count(*) AS n_readings
+         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "b19_time_weighted" ->
+      s"""WITH o AS (
+         |  SELECT user_id, strftime(ts, '%Y%m%d') AS day, value,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+         |    lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+         |      PARTITION BY user_id, strftime(ts, '%Y%m%d')
+         |      ORDER BY ts, event_id) AS nxt
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, day, nxt - tu AS dur,
+         |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) * (nxt - tu) AS num
+         |  FROM o)
+         |SELECT user_id, day,
+         |  CASE WHEN sum(dur) > 0 THEN
+         |    ${sqlPround("CAST(sum(num) AS DOUBLE) / 10000.0 / CAST(sum(dur) AS DOUBLE)", 4)}
+         |  ELSE NULL END AS tw_avg,
+         |  count(*) AS n_readings
+         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "b20_first_last" ->
+      """WITH o AS (
+        |  SELECT user_id, strftime(ts, '%Y%m%d') AS day, value,
+        |    row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y%m%d')
+        |                       ORDER BY ts, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y%m%d')
+        |                       ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM events)
+        |SELECT user_id, day,
+        |  max(CASE WHEN rn = 1 THEN value END) AS first_value,
+        |  max(CASE WHEN rd = 1 THEN value END) AS last_value,
+        |  count(*) AS n_readings
+        |FROM o GROUP BY 1, 2""".stripMargin,
+
     "b8_percentile_summary" ->
       s"""SELECT event_type,
          |  ${sqlPround("quantile_cont(value, 0.5)", 4)} AS p50,
@@ -1112,6 +1210,16 @@ object SparkEntry {
         |rank() OVER (PARTITION BY c_mktsegment ORDER BY floor(o_totalprice / 10000) DESC) AS rnk
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |QUALIFY rnk <= 10""".stripMargin,
+
+    "d10_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
 
     "d5_sessionize" ->
       """WITH x AS (
@@ -1451,6 +1559,24 @@ object SparkEntry {
     // expected false-hit count over the whole eval probe set is << 1 —
     // the exact-join oracle is a valid oracle for the sketch too
     "h13_contamination_bloom" -> contaminationSql,
+
+    "h14_ngram_lm" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, u.g AS g
+         |  FROM documents,
+         |    unnest([substring(text, i, 3)
+         |            for i in generate_series(1, greatest(length(text) - 2, 0))]) AS u(g)
+         |  WHERE doc_id IS NOT NULL),
+         |c3 AS (SELECT g, count(*) AS c_full FROM g GROUP BY 1),
+         |c2 AS (SELECT substring(g, 1, 2) AS p, sum(c_full) AS c_prefix
+         |       FROM c3 GROUP BY 1),
+         |m AS (SELECT g, CAST(c_full AS DOUBLE) / c_prefix AS prob
+         |      FROM c3 JOIN c2 ON substring(c3.g, 1, 2) = c2.p)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  ${sqlFixedAvg("prob", 6)} AS avg_prob,
+         |  ${sqlPround("min(prob)", 6)} AS min_prob
+         |FROM g JOIN m USING (g)
+         |GROUP BY 1""".stripMargin,
 
     "h9_repetition" ->
       s"""WITH t AS (${tokCte("documents", lower = true)})

@@ -409,4 +409,71 @@ object Curation {
         col("n_tokens").cast("double") / col("__tot"), 6))
       .drop("__tot")
   }
+
+  /** Sliding character n-grams (guarded: Spark's `sequence(1, 0)` is
+    * DESCENDING, so short texts must short-circuit to the empty list,
+    * not enumerate backwards). */
+  private def charNgrams(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
+      .otherwise(typedlit(Seq.empty[String]))
+
+  /** Character-n-gram language-model quality score — the CCNet-style
+    * "does this read like the corpus" perplexity filter, kept in pure
+    * rational arithmetic: per document, the mean (and min) transition
+    * likelihood `P(cₙ | c₁..cₙ₋₁) = count(gram) / count(prefix·)` under
+    * the corpus's own n-gram counts. Trained on the corpus it scores,
+    * every gram has count ≥ 1 — no smoothing term, no transcendental
+    * (a log-space spelling would hash-diverge across engines at the
+    * libm ULP level; the mean likelihood ranks documents for the same
+    * filtering purpose). Low scores flag machine-garbled / non-natural
+    * text exactly like high perplexity does.
+    *
+    * Shape: TWO cheap corpus scans, deliberately — train then score,
+    * the ivfTopKWith / trainContaminationSketch seam. The train pass
+    * reduces gram occurrences map-side to a VOCAB-sized count table
+    * (distinct char n-grams are capped by charset^n regardless of
+    * corpus size — the shuffle carries per-task distinct grams, the
+    * prefix marginals aggregate the vocabulary, not the corpus) and
+    * materializes the model; the score pass is one scan + a broadcast
+    * probe + one doc-key agg. The one-scan alternative — anchoring the
+    * exploded grams for both consumers — would re-read a corpus-sized
+    * exchange twice (and materializing the exploded grams is corpus ×
+    * n bytes); re-scanning the source is strictly cheaper. The bounded
+    * vocab is also what makes the model broadcast-able by construction
+    * (a word-n-gram model would not be). Docs shorter than `n` chars
+    * have no transitions and drop out, mirrored by the oracle's inner
+    * join. */
+  def ngramLmScore(docs: DataFrame, id: String, text: String, n: Int = 3,
+                   scale: Int = 6): DataFrame =
+    ngramLmScoreWith(docs, id, text, n, scale, trainCharLm(docs, text, n))
+
+  /** Train the [[ngramLmScore]] transition model: `(g, prob)` over the
+    * corpus's char n-grams — vocab-sized, eagerly materialized (what a
+    * deployment persists and reuses across scoring batches). */
+  def trainCharLm(docs: DataFrame, text: String, n: Int = 3): DataFrame = {
+    val full = docs.select(explode(charNgrams(col(text), n)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c_full"))
+      .localCheckpoint() // vocab-sized; both consumers below read this
+    val prefix = full.groupBy(substring(col("g"), 1, n - 1).as("p"))
+      .agg(sum(col("c_full")).as("c_prefix"))
+    full.withColumn("p", substring(col("g"), 1, n - 1))
+      .join(prefix, "p")
+      .select(col("g"),
+        (col("c_full").cast("double") / col("c_prefix")).as("prob"))
+  }
+
+  /** Score against a pre-trained [[trainCharLm]] model — the per-batch
+    * deployment cost: one scan, broadcast probe, one doc-key shuffle.
+    * Grams unseen in training drop out (inner join); a corpus scored
+    * against its own model loses nothing. */
+  def ngramLmScoreWith(docs: DataFrame, id: String, text: String, n: Int,
+                       scale: Int, model: DataFrame): DataFrame =
+    docs.filter(col(id).isNotNull)
+      .select(col(id).as("doc_id"), explode(charNgrams(col(text), n)).as("g"))
+      .join(broadcast(model), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        Portable.fixedAvg(col("prob"), scale).as("avg_prob"),
+        Portable.pround(min(col("prob")), scale).as("min_prob"))
 }

@@ -131,4 +131,81 @@ object TimeAgg {
       .select(col(entity) +: col(bucket) +:
         others.map(c => if (locf.contains(c)) col(s"${c}_locf") else col(c)): _*)
   }
+
+  /** TimescaleDB `counter_agg` → `delta()`/`num_resets()` equivalent:
+    * per `keys` group, the reset-aware total increase of a monotonic
+    * counter reading. Readings ordered by `order` (must be a unique
+    * ordering — include a row id); each step contributes
+    * `r_i − r_{i−1}` when the counter advanced and `r_i` when it reset
+    * (the counter restarted from ~0, so the new reading IS the
+    * increase — TimescaleDB's reset accounting). Groups with a single
+    * reading report 0 delta.
+    *
+    * Shape: one window (partition = `keys`) for the lag, then a grouped
+    * agg on the SAME keys — the aggregation reuses the window's
+    * exchange, so the whole operator is one shuffle. Per-step deltas
+    * are fixed-pointed before summing (order-independent cross-engine
+    * sums — [[graft.functions.Portable]]). */
+  def counterDelta(df: DataFrame, keys: Seq[String], reading: String,
+                   order: Seq[String], scale: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+    val prev = lag(col(reading), 1).over(w)
+    val step = when(prev.isNull, lit(null).cast("double"))
+      .when(col(reading) >= prev, col(reading) - prev)
+      .otherwise(col(reading))
+    val reset = (prev.isNotNull && col(reading) < prev).cast("int")
+    df.withColumn("__step", step).withColumn("__reset", reset)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        coalesce(graft.functions.Portable.fixedSum(col("__step"), scale),
+          lit(0.0)).as("counter_delta"),
+        sum(col("__reset")).as("n_resets"),
+        count(lit(1)).as("n_readings"))
+  }
+
+  /** TimescaleDB `time_weighted_average` (LOCF weighting) equivalent:
+    * per `keys` group, `Σ vᵢ·(tᵢ₊₁ − tᵢ) / Σ (tᵢ₊₁ − tᵢ)` — each
+    * reading holds until the next one (last-observation-carried-
+    * forward), so a reading's weight is the microseconds until its
+    * successor; the group's last reading bounds the integral and
+    * carries no weight. Groups whose readings span zero time (a single
+    * reading, or all at one instant) report NULL. Same one-shuffle
+    * window→agg shape as [[counterDelta]]; the numerator is an exact
+    * long sum of `fixed(v)·Δµs` (value fixed at `scale`). */
+  def timeWeightedAvg(df: DataFrame, keys: Seq[String], ts: String,
+                      tieBreak: Seq[String], value: String,
+                      scale: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((col(ts) +: tieBreak.map(col)): _*)
+    val tu = unix_micros(col(ts))
+    val dur = lead(tu, 1).over(w) - tu
+    val p = math.pow(10, scale)
+    df.withColumn("__dur", dur)
+      .withColumn("__num",
+        graft.functions.Portable.toFixed(col(value), scale) * col("__dur"))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        when(sum(col("__dur")) > 0, graft.functions.Portable.pround(
+          sum(col("__num")).cast("double") / lit(p)
+            / sum(col("__dur")).cast("double"), 4)).as("tw_avg"),
+        count(lit(1)).as("n_readings"))
+  }
+
+  /** TimescaleDB `first(value, time)` / `last(value, time)` equivalent:
+    * per `keys` group, the reading at the earliest and latest `order`
+    * position. Spelled as `min_by`/`max_by` over a struct ordering key —
+    * a PARTIAL-AGGREGABLE one-shuffle plan (map-side combine carries
+    * one candidate per group per task), never a per-group sort; `order`
+    * must be unique (include a row id) so ties cannot make the pick
+    * nondeterministic. */
+  def firstLast(df: DataFrame, keys: Seq[String], value: String,
+                order: Seq[String]): DataFrame = {
+    val key = struct(order.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(col(value), key).as("first_value"),
+        max_by(col(value), key).as("last_value"),
+        count(lit(1)).as("n_readings"))
+  }
 }

@@ -293,4 +293,18 @@ class CurationSpec extends SparkSpec {
       .filter(col("global_start") =!= col("prev_end"))
     assert(bad.count() == 0)
   }
+
+  test("ngram LM score: hand-checked transition likelihoods; short docs drop") {
+    // corpus grams: "abab" -> {aba, bab}, "abc" -> {abc}; prefix "ab"
+    // is followed by 'a' once and 'c' once -> P(aba)=P(abc)=1/2,
+    // "ba" only by 'b' -> P(bab)=1
+    val docs = Seq((1L, "abab"), (2L, "abc"), (3L, "ab"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = Curation.ngramLmScore(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    // docs 3 and 4 have no 3-gram transition: absent, not zero-scored
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got(0) == ((1L, 2L, 0.75, 0.5))) // (0.5 + 1.0) / 2
+    assert(got(1) == ((2L, 1L, 0.5, 0.5)))
+  }
 }

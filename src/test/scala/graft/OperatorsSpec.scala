@@ -59,6 +59,55 @@ class TimeAggSpec extends SparkSpec {
     assert(got(5)._4 == Some(9.0) && got(6)._4 == Some(9.0))
     assert(got(5)._3 == 0 && got(6)._3 == 0)
   }
+
+  test("counterDelta: reset-aware increase, reset count, single-reading zero") {
+    // u1: 10 → 15 (+5) → 3 (reset: +3) → 8 (+5) = 13, one reset
+    val df = Seq(
+      (1L, "d1", 1L, 10.0), (1L, "d1", 2L, 15.0),
+      (1L, "d1", 3L, 3.0), (1L, "d1", 4L, 8.0),
+      (2L, "d1", 5L, 42.0)) // single reading: delta 0
+      .toDF("user_id", "day", "event_id", "value")
+    val got = TimeAgg.counterDelta(df, Seq("user_id", "day"), "value",
+        Seq("event_id"), 4)
+      .as[(Long, String, Double, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, "d1", 13.0, 1L, 4L)))
+    assert(got(1) == ((2L, "d1", 0.0, 0L, 1L)))
+  }
+
+  test("timeWeightedAvg: LOCF hold-time weighting; zero-span groups NULL") {
+    def t(sec: Int) = s"2024-01-01 00:00:${f"$sec%02d"}"
+    // v=10 held 10s, v=20 held 20s, last reading unweighted:
+    // (10*10 + 20*20) / 30 = 16.6667
+    val df = Seq(
+      (1L, t(0), 1L, 10.0), (1L, t(10), 2L, 20.0), (1L, t(30), 3L, 99.0),
+      (2L, t(5), 4L, 7.0)) // single instant: no span
+      .toDF("user_id", "s", "event_id", "value")
+      .select($"user_id", $"s".cast("timestamp").as("ts"), $"event_id", $"value")
+    val got = TimeAgg.timeWeightedAvg(df, Seq("user_id"), "ts",
+        Seq("event_id"), "value", 4)
+      .as[(Long, Option[Double], Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, Some(16.6667), 3L)))
+    assert(got(1) == ((2L, None, 1L)))
+  }
+
+  test("firstLast: earliest/latest reading, ties broken by the unique key") {
+    val df = Seq(
+      // u1: ts tie at the start — event_id 1 is first; latest is event 3
+      (1L, "2024-01-01 00:00:00", 1L, 5.0),
+      (1L, "2024-01-01 00:00:00", 2L, 6.0),
+      (1L, "2024-01-01 00:00:09", 3L, 7.0),
+      // u2: ts tie at the end — event_id 6 is last
+      (2L, "2024-01-01 00:00:00", 4L, 1.0),
+      (2L, "2024-01-01 00:00:09", 5L, 2.0),
+      (2L, "2024-01-01 00:00:09", 6L, 3.0))
+      .toDF("user_id", "s", "event_id", "value")
+      .select($"user_id", $"s".cast("timestamp").as("ts"), $"event_id", $"value")
+    val got = TimeAgg.firstLast(df, Seq("user_id"), "value",
+        Seq("ts", "event_id"))
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 5.0, 7.0, 3L)))
+    assert(got(1) == ((2L, 1.0, 3.0, 3L)))
+  }
 }
 
 class IncrementalSpec extends SparkSpec {

@@ -167,6 +167,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ngram LM scoring scans the corpus once; model rides a broadcast") {
+    val plan = executed(SparkEntry.queries("h14_ngram_lm")(spark, sf))
+      .split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"h14 must scan documents once, got $scans:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the vocab-bounded prob model should broadcast:\n$plan")
+  }
+
+  test("counter delta and time-weighted avg fold window + agg onto ONE shuffle") {
+    for (q <- Seq("b18_counter_delta", "b19_time_weighted")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+        .split("== Initial Plan ==").head
+      assert("FileScan parquet".r.findAllIn(plan).size == 1)
+      // the grouped agg keys prefix the window partition keys: the agg
+      // must reuse the window's exchange, not add its own
+      val exchanges = "(?<!Reused)Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1, s"$q should shuffle once, got $exchanges:\n$plan")
+    }
+  }
+
+  test("first/last partial-aggregates before the exchange; no window") {
+    val plan = executed(SparkEntry.queries("b20_first_last")(spark, sf))
+      .split("== Initial Plan ==").head
+    // struct-keyed min_by plans as SortAggregate (group-key sort only,
+    // never a per-group ordering pass); the property that matters at
+    // scale is the MAP-SIDE partial — the exchange carries one
+    // candidate per group per task, not the raw readings
+    assert(!plan.contains("Window"),
+      s"b20 must be min_by/max_by aggregation, not a window:\n$plan")
+    assert(plan.contains("partial_min_by"),
+      s"expected map-side partial min_by before the exchange:\n$plan")
+  }
+
   test("nested normalization flattens from ONE scan with no joins") {
     val plan = executed(SparkEntry.queries("a4_normalize_nested")(spark, sf))
       .split("== Initial Plan ==").head
