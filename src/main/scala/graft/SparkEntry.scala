@@ -222,6 +222,26 @@ object SparkEntry {
         keys = Seq("user_id", "day"), value = "value",
         order = Seq("ts", "event_id"))),
 
+    // dashboard smoothing: 7-row trailing moving average + running
+    // total over the daily rollup — the window FRAME surface. Both
+    // frames run in fixed-point over the PRE-AGGREGATED series (one
+    // row per (user, day)); one sort serves both window specs
+    "b21_moving_avg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev(s, d)
+        .groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+        .agg(sum(Portable.toFixed(col("value"), 4)).as("fs"))
+      val w7 = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+      val wr = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(col("user_id"), col("day"),
+        (col("fs").cast("double") / lit(1e4)).as("value_sum"),
+        pround(sum(col("fs")).over(w7).cast("double") / lit(1e4)
+          / count(lit(1)).over(w7), 4).as("mov_avg_7d"),
+        (sum(col("fs")).over(wr).cast("double") / lit(1e4)).as("running_total"))
+    }),
+
     "b8_percentile_summary" -> ((s, d) =>
       ev(s, d).groupBy(col("event_type")).agg(
         Portable.pround(expr("percentile(value, 0.5D)"), 4).as("p50"),
@@ -399,6 +419,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("order_count"))
     }),
 
+    // TPC-H Q22 shape (inactive customers): NOT EXISTS as a LEFT ANTI
+    // join — the quarter-scoped order keys are the only shuffled
+    // payload; the anti join never duplicates or drops customer rows
+    "d11_inactive_customers" -> ((s, d) => {
+      val active = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      Tables.customer(s, d)
+        .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          fixedAvg(col("c_acctbal"), 4).as("avg_acctbal"))
+    }),
+
     "d6_asof_join" -> ((s, d) => {
       // latest order per (customer, date) so the as-of pick is deterministic
       val oDedup = Incremental.upsertLatest(Tables.orders(s, d),
@@ -540,6 +575,15 @@ object SparkEntry {
         Multimodal.asMediaTable(docs(s, d), "doc_id", "text"), 64, 2)
         .select(col("media_id"), col("frame_idx"),
           length(col("frame_payload")).as("n_bytes"))),
+
+    // perceptual-hash near-dup over binary payloads: aHash fingerprint
+    // (integer block-mean bits on the stub decode's slot sums) through
+    // the SAME chunk-bucket hamming machinery as e4 — bucket-local,
+    // no media self-join
+    "g5_mm_phash_dedup" -> ((s, d) =>
+      Multimodal.phashNearDup(
+        Multimodal.asMediaTable(docs(s, d), "doc_id", "text"),
+        maxHamming = 12)),
 
     "g4_mm_resize" -> ((s, d) =>
       Multimodal.resize(
@@ -1076,6 +1120,23 @@ object SparkEntry {
         |  count(*) AS n_readings
         |FROM o GROUP BY 1, 2""".stripMargin,
 
+    "b21_moving_avg" ->
+      s"""WITH dly AS (
+         |  SELECT user_id, strftime(ts, '%Y%m%d') AS day,
+         |    sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS fs
+         |  FROM events GROUP BY 1, 2)
+         |SELECT user_id, day,
+         |  CAST(fs AS DOUBLE) / 10000.0 AS value_sum,
+         |  ${sqlPround(
+              "CAST(sum(fs) OVER w7 AS DOUBLE) / 10000.0 / count(*) OVER w7", 4)}
+         |    AS mov_avg_7d,
+         |  CAST(sum(fs) OVER wr AS DOUBLE) / 10000.0 AS running_total
+         |FROM dly
+         |WINDOW w7 AS (PARTITION BY user_id ORDER BY day
+         |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+         |       wr AS (PARTITION BY user_id ORDER BY day
+         |              ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
     "b8_percentile_summary" ->
       s"""SELECT event_type,
          |  ${sqlPround("quantile_cont(value, 0.5)", 4)} AS p50,
@@ -1220,6 +1281,16 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_returnflag = 'R')
         |GROUP BY 1""".stripMargin,
+
+    "d11_inactive_customers" ->
+      s"""SELECT c_mktsegment, count(*) AS n_customers,
+         |  ${sqlFixedAvg("c_acctbal", 4)} AS avg_acctbal
+         |FROM customer c
+         |WHERE NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+         |                    AND o.o_orderdate < TIMESTAMP '1996-04-01')
+         |GROUP BY 1""".stripMargin,
 
     "d5_sessionize" ->
       """WITH x AS (
@@ -1436,6 +1507,36 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image/fake' AS media_type,
         |  8 AS width, 8 AS height, 64 AS n_bytes
         |FROM documents""".stripMargin,
+
+    // byte-exact aHash mirror (g2's hex-extraction CTE with 60 slots),
+    // then e4's chunk-bucket pair/hamming spelling
+    "g5_mm_phash_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |e AS (SELECT doc_id, hx,
+        |        unnest(generate_series(0, CAST(n AS BIGINT) - 1)) AS i FROM b),
+        |s AS (
+        |  SELECT doc_id, CAST(i % 60 AS INTEGER) AS j,
+        |    SUM(CAST(concat('0x', substr(hx, CAST(2 * i + 1 AS INTEGER), 2)) AS BIGINT)) AS sb
+        |  FROM e GROUP BY 1, 2),
+        |t AS (SELECT doc_id, SUM(sb) AS total FROM s GROUP BY 1),
+        |h0 AS (
+        |  SELECT s.doc_id,
+        |    CAST(SUM(CASE WHEN 60 * sb > total
+        |                  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS ph
+        |  FROM s JOIN t USING (doc_id) GROUP BY 1),
+        |sig AS (SELECT d.doc_id AS doc, CAST(COALESCE(h0.ph, 0) AS BIGINT) AS s
+        |        FROM documents d LEFT JOIN h0 USING (doc_id)),
+        |chunked AS (
+        |  SELECT doc, s, c.chunk, (s >> (c.chunk * 15)) & 32767 AS key
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS chunk) c)
+        |SELECT DISTINCT a.doc AS media_a, b.doc AS media_b,
+        |  bit_count(xor(a.s, b.s)) AS hamming
+        |FROM chunked a JOIN chunked b
+        |  ON a.chunk = b.chunk AND a.key = b.key AND a.doc < b.doc
+        |WHERE bit_count(xor(a.s, b.s)) <= 12""".stripMargin,
 
     "g3_mm_frame_sample" ->
       """WITH f AS (

@@ -199,8 +199,17 @@ object Dedup {
     * hamming distance within buckets. Built on [[simhashPortable]] so
     * the full pipeline hash-matches the DuckDB oracle. */
   def simhashNearDup(docs: DataFrame, id: String, text: String,
-                     maxHamming: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
-    val sig = simhashPortable(docs, id, text)
+                     maxHamming: Int, maxBucket: Int = Int.MaxValue): DataFrame =
+    simhashPairs(simhashPortable(docs, id, text), maxHamming, maxBucket)
+
+  /** Hamming-ball candidate pairs over ANY pre-computed 60-bit
+    * signature frame `(doc, simhash)` — the chunk-bucket machinery
+    * behind [[simhashNearDup]], reused by signatures that are not
+    * text-derived (e.g. multimodal perceptual hashes). Buckets by the
+    * 4 15-bit chunks (pigeonhole: hamming ≤ 3 guarantees one exact
+    * chunk match), verifies hamming within buckets. */
+  def simhashPairs(sig: DataFrame, maxHamming: Int,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     val chunked = sig.select(col("doc"), col("simhash"), posexplode(
       array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL))): _*))

@@ -67,6 +67,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("ngram LM scoring runs on a document stream against an offline model (== batch)") {
+    import graft.operators.Curation
+    // the train-once/score-many seam, streaming: the char-LM model is a
+    // batch-materialized vocab table; scoring is explode + stream-static
+    // broadcast join + per-doc aggregation (complete output) — the same
+    // deployment shape as the contamination sketch probe
+    val dir = Files.createTempDirectory("graft-stream-lm").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    docs.coalesce(2).write.mode("overwrite").parquet(dir)
+    val model = Curation.trainCharLm(docs, "text", 3)
+    val stream = Curation.ngramLmScoreWith(
+      spark.readStream.schema(docs.schema).parquet(dir),
+      "doc_id", "text", 3, 6, model)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("lm_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("lm_stream")
+    val want = Curation.ngramLmScoreWith(docs, "doc_id", "text", 3, 6, model)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("stage → watermarked windowed agg over a file stream (memory sink)") {
     val in = Files.createTempDirectory("graft-stream-in").toString
     landEvents(in)

@@ -105,4 +105,34 @@ class MultimodalSpec extends SparkSpec {
     // id 1: 200 bytes → 3 full frames → sampled 0, 2 ; id 2: 40 bytes → none
     assert(got == Set((1L, 0L), (1L, 2L)))
   }
+
+  test("perceptual hash: hand-checked block-mean bits; empty payload is 0") {
+    import spark.implicits._
+    // bytes (0, 255, 0, 255), 2 slots: sums (0, 510), total 510 —
+    // bit 0: 2·0 > 510 false; bit 1: 2·510 > 510 true → hash 0b10 = 2
+    val df = Seq(
+      (1L, Array[Byte](0, -1, 0, -1)),
+      (2L, Array.empty[Byte])).toDF("media_id", "payload")
+    val got = Multimodal.perceptualHash(df, slots = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 2L && got(2L) == 0L)
+  }
+
+  test("phash near-dup: identical payloads pair at hamming 0; partitioning-stable") {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // byte-identical
+      (3L, "completely different payload content here !!")).toDF("id", "t"),
+      "id", "t")
+    val pairs = Multimodal.phashNearDup(media, maxHamming = 0)
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // hash is a pure function of the payload: repartitioning changes nothing
+    val h1 = Multimodal.perceptualHash(media).as[(Long, Long)].collect().toMap
+    val h2 = Multimodal.perceptualHash(media.repartition(5))
+      .as[(Long, Long)].collect().toMap
+    assert(h1 == h2)
+  }
 }
