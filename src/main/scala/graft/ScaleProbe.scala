@@ -147,6 +147,22 @@ object ScaleProbe {
             "doc_a", "doc_b"))
           () => Dedup.applyClusters(docs, "doc_id", cl, "doc_id", "cluster_id")
         },
+        // char-LM scoring: the train pass's gram exchange carries per-
+        // task DISTINCT grams (bounded vocab), the score pass is a
+        // broadcast probe — the ratio should track the scan, not the
+        // shuffle
+        "h14_ngram_lm" -> (() =>
+          Curation.ngramLmScore(docs, "doc_id", "text", 3)),
+        // perceptual-hash media dedup: the fingerprint is a per-row
+        // loop; only (id, 60-bit hash) rows ever shuffle, candidate
+        // pairs stay bucket-local. The maxBucket valve is LOAD-BEARING:
+        // byte-mass hashes cluster on homogeneous corpora, and the
+        // uncapped probe read 35.8× at 16× (quadratic hot-bucket pair
+        // expansion — the exact blow-up the valve bounds)
+        "g5_mm_phash_dedup" -> (() =>
+          Multimodal.phashNearDup(
+            Multimodal.asMediaTable(docs, "doc_id", "text"),
+            maxHamming = 12, maxBucket = 100)),
         "k6_pack_sequences" -> (() =>
           Curation.packSequences(
             docs.select(col("doc_id"), col("lang"),

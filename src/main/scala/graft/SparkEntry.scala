@@ -579,11 +579,14 @@ object SparkEntry {
     // perceptual-hash near-dup over binary payloads: aHash fingerprint
     // (integer block-mean bits on the stub decode's slot sums) through
     // the SAME chunk-bucket hamming machinery as e4 — bucket-local,
-    // no media self-join
+    // no media self-join. maxBucket is NOT optional here: byte-mass
+    // hashes cluster on homogeneous corpora (every slot hovers near the
+    // mean), and an uncapped hot bucket expands quadratically — the 16×
+    // ScaleProbe read 35.8× before the valve, 1.9× with it
     "g5_mm_phash_dedup" -> ((s, d) =>
       Multimodal.phashNearDup(
         Multimodal.asMediaTable(docs(s, d), "doc_id", "text"),
-        maxHamming = 12)),
+        maxHamming = 12, maxBucket = 100)),
 
     "g4_mm_resize" -> ((s, d) =>
       Multimodal.resize(
@@ -1531,10 +1534,14 @@ object SparkEntry {
         |        FROM documents d LEFT JOIN h0 USING (doc_id)),
         |chunked AS (
         |  SELECT doc, s, c.chunk, (s >> (c.chunk * 15)) & 32767 AS key
-        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS chunk) c)
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS chunk) c),
+        |-- maxBucket valve: buckets beyond 100 docs generate no pairs
+        |bsz AS (SELECT chunk, key, count(*) AS n FROM chunked GROUP BY 1, 2),
+        |ck AS (SELECT c.* FROM chunked c JOIN bsz USING (chunk, key)
+        |       WHERE bsz.n BETWEEN 2 AND 100)
         |SELECT DISTINCT a.doc AS media_a, b.doc AS media_b,
         |  bit_count(xor(a.s, b.s)) AS hamming
-        |FROM chunked a JOIN chunked b
+        |FROM ck a JOIN ck b
         |  ON a.chunk = b.chunk AND a.key = b.key AND a.doc < b.doc
         |WHERE bit_count(xor(a.s, b.s)) <= 12""".stripMargin,
 
