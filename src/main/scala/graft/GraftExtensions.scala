@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{L2Normalize, OrderedPairs, PqAdc, SimHash60, SimHash64, TextProfile, VectorDot, WordShingles}
+import graft.functions.expressions.{CharNgrams, L2Normalize, OrderedPairs, PqAdc, SimHash60, SimHash64, TextProfile, VectorDot, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -32,6 +32,7 @@ object GraftExtensions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "word_shingles" -> (args => WordShingles(args(0), intArg(args(1), "word_shingles"))),
+    "char_ngrams" -> (args => CharNgrams(args(0), intArg(args(1), "char_ngrams"))),
     "vector_dot" -> (args => VectorDot(args(0), args(1))),
     "l2_normalize" -> (args => L2Normalize(args(0))),
     "pq_adc" -> (args => PqAdc(args(0), args(1))),

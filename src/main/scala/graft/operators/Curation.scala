@@ -410,13 +410,15 @@ object Curation {
       .drop("__tot")
   }
 
-  /** Sliding character n-grams (guarded: Spark's `sequence(1, 0)` is
-    * DESCENDING, so short texts must short-circuit to the empty list,
-    * not enumerate backwards). */
+  /** Sliding character n-grams — the native single-pass expression
+    * ([[graft.functions.expressions.CharNgrams]]). The declarative
+    * `transform(sequence(...), i → substr)` spelling was O(len²) per
+    * document (`substr` re-scans to code point i) and made the LM
+    * scorer the slowest query in the suite. */
   private def charNgrams(c: Column, n: Int): Column =
-    when(length(c) >= n,
-      transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
-      .otherwise(typedlit(Seq.empty[String]))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.CharNgrams(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), n))
 
   /** Character-n-gram language-model quality score — the CCNet-style
     * "does this read like the corpus" perplexity filter, kept in pure

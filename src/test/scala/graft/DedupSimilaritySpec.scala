@@ -166,6 +166,21 @@ class DedupSpec extends SparkSpec {
       "SELECT pq_adc(array(1, 0), array(array(10.0d, 20.0d), array(30.0d, 40.0d))) AS s")
       .as[Double].head()
     assert(adc == 50.0)
+    // char_ngrams: sliding code-point grams — non-ASCII must slice on
+    // code points (the substr semantics the oracle mirrors), short
+    // strings yield the empty list
+    val cn = spark.sql("SELECT char_ngrams('héllo', 3) AS g, char_ngrams('ab', 3) AS e")
+      .as[(Seq[String], Seq[String])].head()
+    assert(cn._1 == Seq("hél", "éll", "llo") && cn._2 == Seq.empty)
+    // equals the declarative substr spelling on real corpus text
+    val docsCn = graft.sources.Tables.documents(spark, sf).limit(200)
+    val mismatch = docsCn.select(
+        expr("char_ngrams(text, 3)").as("fast"),
+        when(length(col("text")) >= 3,
+          expr("transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))
+          .otherwise(expr("array()")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(mismatch.count() == 0)
     // pq_adc is a public SQL function: an out-of-range or negative code
     // must fail loudly, never read out-of-bounds UnsafeArrayData memory
     for (bad <- Seq("array(2, 0)", "array(-1, 0)")) {
