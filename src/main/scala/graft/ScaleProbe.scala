@@ -163,6 +163,17 @@ object ScaleProbe {
           Multimodal.phashNearDup(
             Multimodal.asMediaTable(docs, "doc_id", "text"),
             maxHamming = 12, maxBucket = 100)),
+        // incremental dedup probe: the ARCHIVE index inflates with the
+        // corpus, the incoming batch is fixed at the base slice (like
+        // the ANN query sets) — the ratio isolates the index-side join
+        // cost, which is what grows in production
+        "e9_dedup_incremental" -> {
+          val idx = mat(Dedup.minhashBandIndex(
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3, 16, 4))
+          () => Dedup.minhashLshAgainst(idx,
+            docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 100000000L),
+            "doc_id", "text", 3, 16, 4)
+        },
         "k6_pack_sequences" -> (() =>
           Curation.packSequences(
             docs.select(col("doc_id"), col("lang"),

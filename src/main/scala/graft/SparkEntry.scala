@@ -419,6 +419,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("order_count"))
     }),
 
+    // TPC-H Q17 shape (small-quantity revenue): the aggregate SELF-JOIN
+    // — a fact slice joined against its own per-key aggregate. The
+    // brand dimension filter broadcasts as a semi join onto BOTH
+    // consumers of lineitem; the per-part average partial-aggregates
+    // before its exchange, so the join's build side is one row per part
+    "d12_small_qty_revenue" -> ((s, d) => {
+      val pk = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val scoped = Tables.lineitem(s, d)
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
+      val avgq = scoped.groupBy(col("l_partkey"))
+        .agg(fixedAvg(col("l_quantity"), 4).as("avg_qty"))
+      scoped.join(avgq, Seq("l_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(pround(fixedSum(col("l_extendedprice"), 4) / lit(7.0), 4)
+          .as("avg_yearly"))
+    }),
+
     // TPC-H Q22 shape (inactive customers): NOT EXISTS as a LEFT ANTI
     // join — the quarter-scoped order keys are the only shuffled
     // payload; the anti join never duplicates or drops customer rows
@@ -464,6 +482,19 @@ object SparkEntry {
 
     "e3_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docs(s, d), "doc_id", "text", 3, 16, 4)),
+
+    // incremental "dedup before append": the incoming batch (1 in 10
+    // docs) probed against the ARCHIVE's persisted band index — the
+    // archive text is never re-read, only its (doc, band, bucket) rows
+    // join bucket-locally
+    "e9_dedup_incremental" -> ((s, d) => {
+      val dd = docs(s, d)
+      val isNew = col("doc_id") % 10 === 0
+      val index = Dedup.minhashBandIndex(dd.filter(!isNew),
+        "doc_id", "text", 3, 16, 4)
+      Dedup.minhashLshAgainst(index, dd.filter(isNew),
+        "doc_id", "text", 3, 16, 4)
+    }),
 
     "e4_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDup(docs(s, d), "doc_id", "text", 12)),
@@ -1295,6 +1326,19 @@ object SparkEntry {
          |                    AND o.o_orderdate < TIMESTAMP '1996-04-01')
          |GROUP BY 1""".stripMargin,
 
+    "d12_small_qty_revenue" ->
+      s"""WITH scoped AS (
+         |  SELECT l.* FROM lineitem l
+         |  JOIN part p ON p.p_partkey = l.l_partkey
+         |  WHERE p.p_brand = 'Brand#23'),
+         |a AS (
+         |  SELECT l_partkey, ${sqlFixedAvg("l_quantity", 4)} AS avg_qty
+         |  FROM scoped GROUP BY 1)
+         |SELECT ${sqlPround(s"(${sqlFixedSum("l_extendedprice", 4)}) / 7.0", 4)}
+         |  AS avg_yearly
+         |FROM scoped l JOIN a USING (l_partkey)
+         |WHERE l.l_quantity < 0.2 * a.avg_qty""".stripMargin,
+
     "d5_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id, value,
@@ -1405,6 +1449,32 @@ object SparkEntry {
          |SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_bands
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    // e3's banding CTEs, split into archive index and incoming probe
+    "e9_dedup_incremental" -> {
+      def mh(i: Int): String =
+        s"list_min(list_transform(h, x -> (${Dedup.kmA(i)} * CAST(concat('0x', x[1:7]) AS BIGINT)" +
+          s" + ${Dedup.kmB(i)} * CAST(concat('0x', x[9:15]) AS BIGINT)" +
+          s" + ${Dedup.kmC(i)}) % ${Dedup.KmP}))"
+      val sigCols = (0 until 16).map(i => s"  ${mh(i)} AS mh$i").mkString(",\n")
+      val bands = (0 until 4).map { b =>
+        val cols = (0 until 4).map(j => s"mh${b * 4 + j}").mkString(", ")
+        s"  SELECT doc, $b AS band, md5(array_to_string([$cols], '|')) AS bucket FROM sig"
+      }.mkString(" UNION ALL\n")
+      s"""WITH t AS (${tokCte("documents", lower = true)}),
+         |s AS (SELECT doc_id, list_distinct($shingle3) AS shs FROM t),
+         |hs AS (SELECT doc_id, list_transform(shs, x -> md5(x)) AS h FROM s),
+         |sig AS (SELECT doc_id AS doc,
+         |$sigCols
+         |  FROM hs),
+         |banded AS (
+         |$bands)
+         |SELECT n.doc AS doc_id, o.doc AS match_id, count(*) AS n_bands
+         |FROM banded n JOIN banded o
+         |  ON n.band = o.band AND n.bucket = o.bucket
+         |WHERE n.doc % 10 = 0 AND o.doc % 10 <> 0
          |GROUP BY 1, 2""".stripMargin
     },
 

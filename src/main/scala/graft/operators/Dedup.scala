@@ -126,6 +126,25 @@ object Dedup {
   def minhashLsh(docs: DataFrame, id: String, text: String, k: Int,
                  numHashes: Int, rowsPerBand: Int,
                  maxBucket: Int = Int.MaxValue): DataFrame = {
+    // candidate pairs from per-(band, bucket) doc lists — a sort-free
+    // hash agg + declarative pair expansion (same shape as ngramJaccard;
+    // a self-join would sort the banded table twice). One shingle+md5
+    // pass feeds everything.
+    minhashBandIndex(docs, id, text, k, numHashes, rowsPerBand)
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+      .select(explode(Dedup.orderedPairs(col("ds"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** The LSH BAND INDEX: one `(doc, band, bucket)` row per band — what
+    * an incremental ingestion pipeline persists alongside the corpus so
+    * new batches can be dedup-checked without re-signing the archive
+    * ([[minhashLshAgainst]]). Also the first half of [[minhashLsh]]. */
+  def minhashBandIndex(docs: DataFrame, id: String, text: String, k: Int,
+                       numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0)
     val shs = docs.select(col(id).as("doc"),
       shingles(col(text), k).as("shs"))
@@ -147,21 +166,40 @@ object Dedup {
       .select(col("doc"),
         array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
     val numBands = numHashes / rowsPerBand
-    // candidate pairs from per-(band, bucket) doc lists — a sort-free
-    // hash agg + declarative pair expansion (same shape as ngramJaccard;
-    // a self-join would sort the banded table twice). One shingle+md5
-    // pass feeds everything.
-    val banded = sig.select(col("doc"), posexplode(
+    sig.select(col("doc"), posexplode(
       array((0 until numBands).map(bnd =>
         md5(concat_ws("|", transform(
           slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand),
           x => x.cast("string"))))
       ): _*)).as(Seq("band", "bucket")))
-    banded.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("doc"))).as("ds"))
-      .filter(size(col("ds")).between(2, maxBucket))
-      .select(explode(Dedup.orderedPairs(col("ds"))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+  }
+
+  /** Incremental dedup probe — "dedup before append": near-dup
+    * candidates between an INCOMING batch and an existing corpus's
+    * persisted [[minhashBandIndex]], without touching archive text.
+    * The batch is signed+banded (one pass over the batch only) and
+    * joined bucket-locally against the index on `(band, bucket)`;
+    * `n_bands` counts agreeing bands per (new, existing) pair, the
+    * same collision-strength signal [[minhashLsh]] reports. `maxBucket`
+    * drops index buckets past the cap before the join (one map-side-
+    * combined count over the index — the skew guard for archive-scale
+    * hot buckets; uncapped by default for cap-free results). */
+  def minhashLshAgainst(index: DataFrame, docs: DataFrame, id: String,
+                        text: String, k: Int, numHashes: Int,
+                        rowsPerBand: Int,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    val idx0 = index.select(col("doc").as("match_id"), col("band"), col("bucket"))
+    val idx =
+      if (maxBucket == Int.MaxValue) idx0
+      else idx0.join(
+        idx0.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucket)
+          .select("band", "bucket"),
+        Seq("band", "bucket"), "left_semi")
+    minhashBandIndex(docs, id, text, k, numHashes, rowsPerBand)
+      .select(col("doc").as("doc_id"), col("band"), col("bucket"))
+      .join(idx, Seq("band", "bucket"))
+      .groupBy(col("doc_id"), col("match_id"))
       .agg(count(lit(1)).as("n_bands"))
   }
 

@@ -196,6 +196,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental LSH probe == the full run's cross-split candidates") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val isNew = col("doc_id") % 10 === 0
+    // ground truth: the full self-run's pairs with one doc on each side
+    // of the split, reoriented as (new, existing)
+    val full = Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4)
+      .as[(Long, Long, Long)].collect()
+    val want = full.flatMap { case (a, b, n) =>
+      (a % 10 == 0, b % 10 == 0) match {
+        case (true, false) => Some((a, b, n))
+        case (false, true) => Some((b, a, n))
+        case _ => None
+      }
+    }.toSet
+    val idx = Dedup.minhashBandIndex(docs.filter(!isNew),
+      "doc_id", "text", 3, 16, 4)
+    val got = Dedup.minhashLshAgainst(idx, docs.filter(isNew),
+      "doc_id", "text", 3, 16, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // the index-side bucket cap drops hot buckets, never invents pairs:
+    // capped results are a subset, and pairs that survive keep their
+    // band counts bounded by the uncapped run's
+    val capped = Dedup.minhashLshAgainst(idx, docs.filter(isNew),
+      "doc_id", "text", 3, 16, 4, maxBucket = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped.forall { case (n, o, nb) =>
+      want.exists(w => w._1 == n && w._2 == o && nb <= w._3) })
+  }
+
   test("applyClusters keeps exactly one doc per cluster plus singletons") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (7L, "b"), (9L, "c"))
       .toDF("doc_id", "text")
