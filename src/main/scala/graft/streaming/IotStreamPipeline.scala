@@ -248,4 +248,55 @@ object IotStreamPipeline {
           out.result().iterator
       }.toDF()
   }
+
+  case class CounterState(last: Double, deltaFixed: Long, resets: Long, n: Long)
+  case class CounterOut(user_id: Long, day: String, counter_delta: Double,
+                        n_resets: Long, n_readings: Long)
+
+  /** Continuous `counter_agg` → `delta()` maintenance — the streaming
+    * analog of [[graft.operators.TimeAgg.counterDelta]]: state is ONE
+    * `(last reading, running fixed-point delta, resets, count)` per
+    * (user, day), each batch folds its readings in (ts, event_id)
+    * order, and the updated running row is emitted for an idempotent
+    * keyed upsert sink — last write per key wins, exactly the
+    * maintained-table contract of [[scd2Stream]]. Per-step deltas use
+    * the SAME `floor(step·10^s + 0.5)` fixed-point accumulation as the
+    * batch operator, so the maintained table equals the batch rollup
+    * row-for-row (spec-asserted). Cross-batch ordering relies on the
+    * cursor-order delivery contract a change-stream source provides
+    * (see [[scd2Stream]]); state is bounded by live (user, day) keys,
+    * not reading count. */
+  def counterDeltaStream(stage: DataFrame, scale: Int = 4): DataFrame = {
+    val spark = stage.sparkSession
+    import spark.implicits._
+    val p = math.pow(10, scale)
+    val typed = stage
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyyMMdd").as("day"),
+        col("ts"), col("event_id"), col("value"))
+      .as[(Long, String, java.sql.Timestamp, Long, Double)]
+    typed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[CounterState, CounterOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((uid, day), rows, state: GroupState[CounterState]) =>
+          val evs = rows.toSeq.sortBy(r => (r._3.getTime, r._3.getNanos, r._4))
+          var st = state.getOption.orNull
+          evs.foreach { case (_, _, _, _, v) =>
+            st =
+              if (st == null) CounterState(v, 0L, 0L, 1L)
+              else {
+                val step = if (v >= st.last) v - st.last else v
+                val reset = if (v < st.last) 1L else 0L
+                CounterState(v, st.deltaFixed + math.floor(step * p + 0.5).toLong,
+                  st.resets + reset, st.n + 1)
+              }
+          }
+          if (st == null) Iterator.empty
+          else {
+            state.update(st)
+            Iterator.single(
+              CounterOut(uid, day, st.deltaFixed / p, st.resets, st.n))
+          }
+      }.toDF()
+  }
 }

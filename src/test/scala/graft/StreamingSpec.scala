@@ -90,6 +90,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming counter delta maintains the batch rollup across arrivals") {
+    import graft.streaming.IotStreamPipeline
+    import graft.streaming.IotStreamPipeline.CounterOut
+    val in = Files.createTempDirectory("graft-counter-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value")
+    // two arrivals split BY TIME — the cursor-order contract (scd2Stream)
+    val cut = ev.agg(expr("percentile_approx(cast(ts as double), 0.5)"))
+      .head().getDouble(0)
+    ev.filter(col("ts").cast("double") <= cut).coalesce(1)
+      .write.mode("overwrite").parquet(in)
+    val table = scala.collection.mutable.Map.empty[(Long, String), CounterOut]
+    val stream = IotStreamPipeline.counterDeltaStream(
+      spark.readStream.schema(ev.schema).parquet(in))
+    val q = stream.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        import batch.sparkSession.implicits._
+        batch.as[CounterOut].collect().foreach { r =>
+          table((r.user_id, r.day)) = r
+        }
+      }.start()
+    try {
+      q.processAllAvailable()
+      ev.filter(col("ts").cast("double") > cut).coalesce(1)
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = table.values.toSeq.toDF()
+    val want = graft.operators.TimeAgg.counterDelta(
+      graft.sources.Tables.events(spark, sf)
+        .withColumn("day", graft.operators.TimeAgg.dayKey(col("ts"))),
+      Seq("user_id", "day"), "value", Seq("ts", "event_id"), 4)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("stage → watermarked windowed agg over a file stream (memory sink)") {
     val in = Files.createTempDirectory("graft-stream-in").toString
     landEvents(in)
