@@ -86,6 +86,30 @@ class EdgeCaseSpec extends SparkSpec {
       Seq("text"), col("n"), col("n"), col("doc_id"), 128).count() == 0)
   }
 
+  test("r6 operators on empty input return empty, not errors") {
+    val noReadings = Seq.empty[(Long, String, java.sql.Timestamp, Long, Double)]
+      .toDF("user_id", "day", "ts", "event_id", "value")
+    assert(TimeAgg.counterDelta(noReadings, Seq("user_id", "day"), "value",
+      Seq("event_id"), 4).count() == 0)
+    assert(TimeAgg.timeWeightedAvg(noReadings, Seq("user_id", "day"), "ts",
+      Seq("event_id"), "value", 4).count() == 0)
+    assert(TimeAgg.firstLast(noReadings, Seq("user_id", "day"), "value",
+      Seq("ts", "event_id")).count() == 0)
+    assert(Curation.ngramLmScore(noDocs, "doc_id", "text", 3).count() == 0)
+    val noMedia = Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload")
+    assert(Multimodal.perceptualHash(noMedia).count() == 0)
+    assert(Multimodal.phashNearDup(noMedia, 12).count() == 0)
+    // empty archive index: the probe finds nothing, never errors
+    val emptyIdx = Dedup.minhashBandIndex(noDocs, "doc_id", "text", 3, 16, 4)
+    val batch = Seq((10L, "some text here")).toDF("doc_id", "text")
+    assert(Dedup.minhashLshAgainst(emptyIdx, batch,
+      "doc_id", "text", 3, 16, 4).count() == 0)
+    // empty batch against a real index likewise
+    val idx = Dedup.minhashBandIndex(batch, "doc_id", "text", 3, 16, 4)
+    assert(Dedup.minhashLshAgainst(idx, noDocs,
+      "doc_id", "text", 3, 16, 4).count() == 0)
+  }
+
   test("no-split packing degenerate shapes: seqLen=1, zero-token and oversize docs") {
     val df = Seq((1L, "a", 0), (2L, "a", 1), (3L, "a", 5), (4L, "a", 1))
       .toDF("doc_id", "lang", "n")

@@ -227,6 +227,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("counterDelta and firstLast == their window spellings on arbitrary series") {
+    import org.apache.spark.sql.expressions.Window
+    val series: Gen[List[(Long, Long, Double)]] = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1L, 4L)
+        v <- Gen.chooseNum(0.0, 1000.0).map(x => math.rint(x * 1e4) / 1e4)
+      } yield (k, v))
+    } yield rows.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+    samples(series, 10).foreach { rows =>
+      val df = rows.toDF("k", "seq", "v")
+      val w = Window.partitionBy("k").orderBy("seq")
+      // reference: explicit lag spelling of the reset-aware delta
+      val ref = df.withColumn("prev", lag($"v", 1).over(w))
+        .withColumn("step", when($"prev".isNull, lit(null).cast("double"))
+          .when($"v" >= $"prev", $"v" - $"prev").otherwise($"v"))
+        .groupBy("k")
+        .agg(coalesce(Portable.fixedSum($"step", 4), lit(0.0)).as("counter_delta"),
+          sum(($"prev".isNotNull && $"v" < $"prev").cast("int")).as("n_resets"),
+          count(lit(1)).as("n_readings"))
+      val got = graft.operators.TimeAgg.counterDelta(df, Seq("k"), "v", Seq("seq"), 4)
+      assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+      // firstLast vs the row_number spelling
+      val fl = graft.operators.TimeAgg.firstLast(df, Seq("k"), "v", Seq("seq"))
+      val wAsc = Window.partitionBy("k").orderBy($"seq".asc)
+      val wDesc = Window.partitionBy("k").orderBy($"seq".desc)
+      val flRef = df.withColumn("rn", row_number().over(wAsc))
+        .withColumn("rd", row_number().over(wDesc))
+        .groupBy("k")
+        .agg(max(when($"rn" === 1, $"v")).as("first_value"),
+          max(when($"rd" === 1, $"v")).as("last_value"),
+          count(lit(1)).as("n_readings"))
+      assert(fl.exceptAll(flRef).count() == 0 && flRef.exceptAll(fl).count() == 0)
+    }
+  }
+
   test("PqAdc sums the table entries the codes select, on arbitrary shapes") {
     import graft.functions.expressions.PqAdc
     import org.apache.spark.sql.graft.ColumnBridge
