@@ -1,0 +1,151 @@
+package graft.pipelines
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import graft.sources.Warehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The LLM-corpus counterpart of [[IotBatchPipeline]]: continuous
+  * corpus construction as one incremental, idempotent cycle any
+  * scheduler can fire blindly. Where the IoT pipeline maintains a
+  * warehouse (stage + agg cadences), this maintains a training CORPUS
+  * and its dedup INDEX — the "ingest a crawl batch" loop every
+  * training-data pipeline runs.
+  *
+  * One cycle =
+  *  1. EXTRACT: landing docs not already accepted (anti join on
+  *     `doc_id` against the corpus — re-delivered docs are skipped, so
+  *     crashed or duplicated runs converge).
+  *  2. CURATE: quality score + language agreement on the scan (the H7
+  *     score-first discipline — map-side work, no text ever shuffles
+  *     for docs that fail here).
+  *  3. EXACT DEDUP: batch docs whose `md5(text)` already exists in the
+  *     corpus are dropped (broadcast-able hash semi-join — the corpus
+  *     side is hashes, never text); within the batch the lowest id per
+  *     hash wins.
+  *  4. NEAR-DUP vs ARCHIVE: the batch is signed+banded once and probed
+  *     against the PERSISTED band index ([[Dedup.minhashLshAgainst]]) —
+  *     the archive's text is never re-read; matches with ≥ `minBands`
+  *     agreeing bands are rejected.
+  *  5. NEAR-DUP within batch: [[Dedup.minhashLsh]] pairs →
+  *     [[Dedup.clusters]] → keep each cluster's canonical keeper
+  *     ([[Dedup.applyClusters]]).
+  *  6. COMMIT: survivors merge-upsert into the lang-partitioned corpus;
+  *     their band rows merge-upsert into the band-partitioned index —
+  *     both keyed writes, so replays are absorbed, and the maintained
+  *     index provably equals a from-scratch index of the corpus
+  *     (spec-asserted).
+  *
+  * Decisions are deterministic and the corpus only grows, so a doc
+  * re-landing in any later cycle reaches the same verdict — the
+  * accounting invariant (every landing doc is accepted, a dup of an
+  * accepted doc, or quality-rejected) holds across any cycle split.
+  * Near-dup ACCEPTANCE is order-dependent across cycles by design
+  * (first accepted member of a dup group becomes the archive's
+  * representative; later members reject against it) — same as any
+  * streaming dedup; the invariant that matters is that NO two accepted
+  * docs are near-dups at the banding's sensitivity.
+  *
+  * Scale: each cycle's cost is the batch's (scoring, signing, one
+  * bucket-local index join, keyed writes into touched partitions) —
+  * never a re-scan of corpus text; the only archive-sized input is the
+  * band index, which joins bucket-locally and prunes to the batch's
+  * buckets.
+  */
+object CorpusPipeline {
+
+  case class CycleStats(nLanding: Long, nNew: Long, nRejectedQuality: Long,
+                        nRejectedExact: Long, nRejectedNearDup: Long,
+                        nAccepted: Long, corpusSize: Long)
+
+  private def exists(spark: SparkSession, path: String): Boolean =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path))
+
+  /** The accepted corpus (empty frame with the landing's schema before
+    * the first commit). Landing schema: `doc_id, text, lang, source`. */
+  def corpus(spark: SparkSession, corpusPath: String,
+             landing: DataFrame): DataFrame =
+    if (exists(spark, corpusPath)) spark.read.parquet(corpusPath)
+    else landing.limit(0)
+
+  def bandIndex(spark: SparkSession, indexPath: String): DataFrame =
+    if (exists(spark, indexPath)) spark.read.parquet(indexPath)
+    else {
+      import spark.implicits._
+      spark.emptyDataset[(Long, Int, String)].toDF("doc", "band", "bucket")
+    }
+
+  def runCycle(landing: DataFrame, corpusPath: String, indexPath: String,
+               k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+               minQuality: Double = 0.5, minBands: Int = 2): CycleStats = {
+    val spark = landing.sparkSession
+    val corp = corpus(spark, corpusPath, landing)
+    val idx = bandIndex(spark, indexPath)
+
+    // 1. extract: skip docs already accepted (replay/crash convergence)
+    val fresh = landing
+      .join(corp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint() // several consumers; landing may be expensive
+    val nLanding = landing.count()
+    val nNew = fresh.count()
+
+    // 2. curate (score-first: map-side, text never shuffles for drops)
+    val scored = fresh
+      .withColumn("__p", TextFunctions.textProfile(lower(col("text"))))
+      .withColumn("__q",
+        TextFunctions.qualityScoreFromProfile(col("text"), col("__p")))
+      .withColumn("__pl", TextFunctions.langIdFromProfile(col("__p")))
+    val curated = scored
+      .filter(col("__q") >= minQuality && col("__pl") === col("lang"))
+      .drop("__p", "__q", "__pl")
+    val nQualityRejected = nNew - curated.count()
+
+    // 3. exact dedup: vs corpus hashes, then lowest id per hash in batch
+    val corpHashes = corp.select(md5(col("text")).as("__h")).distinct()
+    val hashed = curated.withColumn("__h", md5(col("text")))
+    val wHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col("doc_id"))
+    val noExact = hashed
+      .join(corpHashes, Seq("__h"), "left_anti")
+      .withColumn("__rn", row_number().over(wHash))
+      .filter(col("__rn") === 1).drop("__rn", "__h")
+      .localCheckpoint() // consumed by the probe, the pair run and the commit
+    val nExactRejected = nNew - nQualityRejected - noExact.count()
+
+    // 4. near-dup vs archive (index probe; archive text untouched)
+    val archiveDups = Dedup.minhashLshAgainst(idx, noExact, "doc_id", "text",
+        k, numHashes, rowsPerBand)
+      .filter(col("n_bands") >= minBands)
+      .select(col("doc_id")).distinct()
+    val noArchiveDup = noExact.join(archiveDups, Seq("doc_id"), "left_anti")
+
+    // 5. near-dup within batch: pairs → clusters → canonical keepers
+    val pairs = Dedup.minhashLsh(noArchiveDup, "doc_id", "text",
+        k, numHashes, rowsPerBand)
+      .filter(col("n_bands") >= minBands)
+    val clusters = Dedup.clusters(pairs, "doc_a", "doc_b")
+    val accepted = Dedup.applyClusters(noArchiveDup, "doc_id",
+        clusters, "doc_id", "cluster_id")
+      .localCheckpoint() // written twice below (corpus + index)
+    val nAccepted = accepted.count()
+    val nNearDupRejected = nNew - nQualityRejected - nExactRejected - nAccepted
+
+    // 6. commit: keyed writes absorb replays
+    if (nAccepted > 0) {
+      Warehouse.mergeUpsert(accepted, corpusPath,
+        partitionCols = Seq("lang"), key = Seq("doc_id"),
+        versionCol = "doc_id")
+      Warehouse.mergeUpsert(
+        Dedup.minhashBandIndex(accepted, "doc_id", "text",
+          k, numHashes, rowsPerBand),
+        indexPath, partitionCols = Seq("band"),
+        key = Seq("doc", "band"), versionCol = "doc")
+    }
+    val corpusSize = corpus(spark, corpusPath, landing).count()
+    CycleStats(nLanding, nNew, nQualityRejected, nExactRejected,
+      nNearDupRejected, nAccepted, corpusSize)
+  }
+}
