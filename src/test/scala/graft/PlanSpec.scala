@@ -201,6 +201,26 @@ class PlanSpec extends SparkSpec {
       s"expected map-side partial min_by before the exchange:\n$plan")
   }
 
+  test("Q4/Q22/Q17 shapes: semi/anti joins with filters pushed to the scans") {
+    val d10 = executed(SparkEntry.queries("d10_order_priority")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(d10.contains("LeftSemi"), s"d10 must be a semi join:\n$d10")
+    assert(d10.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      d10.contains("GreaterThanOrEqual(o_orderdate"),
+      s"d10's date range must reach the orders scan:\n$d10")
+    assert(d10.contains("EqualTo(l_returnflag,R)"),
+      s"d10's flag filter must reach the lineitem scan:\n$d10")
+    val d11 = executed(SparkEntry.queries("d11_inactive_customers")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(d11.contains("LeftAnti"), s"d11 must be an anti join:\n$d11")
+    val d12 = executed(SparkEntry.queries("d12_small_qty_revenue")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(d12.contains("LeftSemi") && d12.contains("BroadcastHashJoin"),
+      s"d12's brand scope must broadcast as a semi join:\n$d12")
+    assert(d12.contains("EqualTo(p_brand,Brand#23)"),
+      s"d12's brand filter must reach the part scan:\n$d12")
+  }
+
   test("nested normalization flattens from ONE scan with no joins") {
     val plan = executed(SparkEntry.queries("a4_normalize_nested")(spark, sf))
       .split("== Initial Plan ==").head
