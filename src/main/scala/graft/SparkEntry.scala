@@ -242,6 +242,17 @@ object SparkEntry {
         (sum(col("fs")).over(wr).cast("double") / lit(1e4)).as("running_total"))
     }),
 
+    // TimescaleDB stats_agg → slope/intercept/corr: per-(user, day)
+    // least-squares fit of value against seconds-into-day — five exact
+    // long sums, one shuffle; every float op after the sums (incl.
+    // sqrt) is IEEE-correctly-rounded, hence oracle-reproducible
+    "b22_regression" -> ((s, d) =>
+      TimeAgg.regression(
+        ev(s, d).withColumn("day", TimeAgg.dayKey(col("ts"))),
+        keys = Seq("user_id", "day"), ts = "ts",
+        periodStart = date_trunc("DAY", col("ts")), value = "value",
+        scale = 4)),
+
     "b8_percentile_summary" -> ((s, d) =>
       ev(s, d).groupBy(col("event_type")).agg(
         Portable.pround(expr("percentile(value, 0.5D)"), 4).as("p50"),
@@ -1170,6 +1181,32 @@ object SparkEntry {
          |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
          |       wr AS (PARTITION BY user_id ORDER BY day
          |              ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    "b22_regression" -> {
+      val covN = "(CAST(n AS DOUBLE) * CAST(stv AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))"
+      val varT = "(CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))"
+      val varV = "(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))"
+      s"""WITH r AS (
+         |  SELECT user_id, strftime(ts, '%Y%m%d') AS day,
+         |    (epoch_us(CAST(ts AS TIMESTAMP))
+         |     - epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))) // 1000000 AS t,
+         |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+         |  FROM events),
+         |g AS (
+         |  SELECT user_id, day, count(*) AS n,
+         |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(v) AS BIGINT) AS sv,
+         |    CAST(sum(t * v) AS BIGINT) AS stv,
+         |    CAST(sum(t * t) AS BIGINT) AS stt,
+         |    CAST(sum(v * v) AS BIGINT) AS svv
+         |  FROM r GROUP BY 1, 2)
+         |SELECT user_id, day,
+         |  ${sqlPround(s"CASE WHEN $varT > 0 THEN $covN / $varT / 10000.0 END", 6)} AS slope,
+         |  ${sqlPround(s"CASE WHEN $varT > 0 THEN (CAST(sv AS DOUBLE) / 10000.0"
+            + s" - ($covN / $varT / 10000.0) * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) END", 4)} AS intercept,
+         |  ${sqlPround(s"CASE WHEN $varT > 0 AND $varV > 0 THEN $covN / sqrt($varT * $varV) END", 6)} AS corr,
+         |  n AS n_readings
+         |FROM g""".stripMargin
+    },
 
     "b8_percentile_summary" ->
       s"""SELECT event_type,

@@ -193,6 +193,53 @@ object TimeAgg {
         count(lit(1)).as("n_readings"))
   }
 
+  /** TimescaleDB `stats_agg` → `slope()`/`intercept()`/`corr()`
+    * equivalent: per-group least-squares regression of the reading
+    * against elapsed seconds since the group's period start. Everything
+    * reduces to five exact long sums (n, Σt, Σv, Σtv, Σt², Σv² — all
+    * map-side-combinable, one shuffle), the closed forms are evaluated
+    * once per group, and every float op afterwards (±,·,/,sqrt) is
+    * IEEE-correctly-rounded — so the result is reproducible bit-for-bit
+    * by any engine from the same sums, sqrt included. Readings are
+    * fixed-pointed at `scale`; `t` must fit a long when squared-and-
+    * summed (seconds within a day: Σt² ≤ n·7.5e9 — fine; raw epoch
+    * MICROseconds would overflow, so the period start is subtracted
+    * FIRST). Groups with < 2 readings or zero time/value variance
+    * report NULL slope/corr (the 0/0 cases), like TimescaleDB. */
+  def regression(df: DataFrame, keys: Seq[String], ts: String,
+                 periodStart: Column, value: String,
+                 scale: Int): DataFrame = {
+    val p = math.pow(10, scale)
+    // whole seconds: Spark's `/` on longs is TRUE division (double) —
+    // cast back to long to floor, matching the oracle's `//`
+    val t = ((unix_micros(col(ts)) - unix_micros(periodStart))
+      / lit(1000000L)).cast("long")
+    val v = graft.functions.Portable.toFixed(col(value), scale)
+    val g = df.withColumn("__t", t).withColumn("__v", v)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__t")).as("__st"),
+        sum(col("__v")).as("__sv"),
+        sum(col("__t") * col("__v")).as("__stv"),
+        sum(col("__t") * col("__t")).as("__stt"),
+        sum(col("__v") * col("__v")).as("__svv"))
+    val n = col("__n").cast("double")
+    val st = col("__st").cast("double"); val sv = col("__sv").cast("double")
+    val stv = col("__stv").cast("double"); val stt = col("__stt").cast("double")
+    val svv = col("__svv").cast("double")
+    val covN = n * stv - st * sv       // n²·cov — all exact-sum derived
+    val varTN = n * stt - st * st      // n²·var(t)
+    val varVN = n * svv - sv * sv      // n²·var(v)
+    val slope = when(varTN > 0, covN / varTN / lit(p))
+    val intercept = when(varTN > 0,
+      (sv / lit(p) - (covN / varTN / lit(p)) * st) / n)
+    val corr = when(varTN > 0 && varVN > 0, covN / sqrt(varTN * varVN))
+    g.select(keys.map(col) ++ Seq(
+      graft.functions.Portable.pround(slope, 6).as("slope"),
+      graft.functions.Portable.pround(intercept, 4).as("intercept"),
+      graft.functions.Portable.pround(corr, 6).as("corr"),
+      col("__n").as("n_readings")): _*)
+  }
+
   /** TimescaleDB `first(value, time)` / `last(value, time)` equivalent:
     * per `keys` group, the reading at the earliest and latest `order`
     * position. Spelled as `min_by`/`max_by` over a struct ordering key —

@@ -90,6 +90,26 @@ class TimeAggSpec extends SparkSpec {
     assert(got(1) == ((2L, None, 1L)))
   }
 
+  test("regression: hand-checked slope/intercept/corr; degenerate groups NULL") {
+    def t(sec: Int) = s"2024-01-01 00:00:${f"$sec%02d"}"
+    val df = Seq(
+      // u1: (0s, 10.0), (10s, 20.0) — slope 1, intercept 10, corr 1
+      (1L, t(0), 10.0), (1L, t(10), 20.0),
+      // u2: single reading — zero time variance, all NULL
+      (2L, t(5), 7.0),
+      // u3: two readings at one instant — zero time variance
+      (3L, t(4), 1.0), (3L, t(4), 9.0))
+      .toDF("user_id", "s", "value")
+      .select($"user_id", $"s".cast("timestamp").as("ts"), $"value")
+    val got = TimeAgg.regression(df, Seq("user_id"), "ts",
+        date_trunc("DAY", $"ts"), "value", 4)
+      .as[(Long, Option[Double], Option[Double], Option[Double], Long)]
+      .collect().sortBy(_._1)
+    assert(got(0) == ((1L, Some(1.0), Some(10.0), Some(1.0), 2L)))
+    assert(got(1) == ((2L, None, None, None, 1L)))
+    assert(got(2) == ((3L, None, None, None, 2L)))
+  }
+
   test("firstLast: earliest/latest reading, ties broken by the unique key") {
     val df = Seq(
       // u1: ts tie at the start — event_id 1 is first; latest is event 3
