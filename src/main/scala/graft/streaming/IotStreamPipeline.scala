@@ -249,6 +249,53 @@ object IotStreamPipeline {
       }.toDF()
   }
 
+  case class SilenceState(lastTs: Long, nEvents: Long)
+  case class SilenceAlert(user_id: Long, last_seen: java.sql.Timestamp,
+                          n_events: Long)
+
+  /** Dead-device detection — the monitoring alert every IoT warehouse
+    * pairs with its rollups: emit ONE alert row when a device goes
+    * silent for more than `gapSeconds` of EVENT TIME. This is the
+    * timeout side of the state-store API ([[sessionize]] and
+    * [[scd2Stream]] only ever react to arriving rows; a silent key
+    * never calls them again) — `EventTimeTimeout` + watermark makes
+    * absence itself the trigger: state carries (last seen, count), the
+    * timeout is re-armed at `last + gap` on every arrival, and when the
+    * WATERMARK (driven by other, still-alive keys) passes that deadline
+    * with no new rows, Spark invokes the group once more with
+    * `hasTimedOut` and the alert is emitted + state cleared (a device
+    * that resumes later simply starts a fresh state — re-appearance
+    * after an alert is a new lifecycle, like any paging system). State
+    * is bounded by LIVE keys: alerted keys are dropped. */
+  def silenceAlerts(stage: DataFrame, gapSeconds: Long,
+                    watermarkDelay: String = "0 seconds"): DataFrame = {
+    val spark = stage.sparkSession
+    import spark.implicits._
+    val typed = stage.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SilenceState, SilenceAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[SilenceState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SilenceAlert(uid,
+              new java.sql.Timestamp(st.lastTs), st.nEvents))
+          } else {
+            val prev = state.getOption.getOrElse(SilenceState(Long.MinValue, 0L))
+            var last = prev.lastTs; var n = prev.nEvents
+            rows.foreach { case (_, ts) =>
+              last = math.max(last, ts.getTime); n += 1
+            }
+            state.update(SilenceState(last, n))
+            state.setTimeoutTimestamp(last + gapSeconds * 1000)
+            Iterator.empty
+          }
+      }.toDF()
+  }
+
   case class CounterState(last: Double, deltaFixed: Long, resets: Long, n: Long)
   case class CounterOut(user_id: Long, day: String, counter_delta: Double,
                         n_resets: Long, n_readings: Long)

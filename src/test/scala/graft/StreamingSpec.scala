@@ -90,6 +90,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("silence alerts fire when the watermark passes a quiet device's deadline") {
+    import graft.streaming.IotStreamPipeline
+    import graft.streaming.IotStreamPipeline.SilenceAlert
+    val in = Files.createTempDirectory("graft-silence-in").toString
+    def land(rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("user_id", "s")
+        .select($"user_id", $"s".cast("timestamp").as("ts"))
+        .coalesce(1).write.mode(mode).parquet(in)
+    // batch 1: devices 1 and 2 alive at 10:00
+    land(Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:00:00")),
+      "overwrite")
+    val schema = spark.read.parquet(in).schema
+    val stream = IotStreamPipeline.silenceAlerts(
+      spark.readStream.schema(schema).parquet(in), gapSeconds = 3600)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("silence_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("silence_out").count() == 0) // nobody late yet
+      // batch 2: device 2 keeps reporting; device 1 stays silent — the
+      // watermark (driven by device 2) passes 1's 11:00 deadline
+      land(Seq((2L, "2024-01-01 13:00:00")), "append")
+      q.processAllAvailable()
+      // timeout firing needs a following trigger after the watermark
+      // advances; an empty-ish extra batch provides it
+      land(Seq((2L, "2024-01-01 13:30:00")), "append")
+      q.processAllAvailable()
+    } finally q.stop()
+    import org.apache.spark.sql.Encoders
+    val alerts = spark.table("silence_out")
+      .as[SilenceAlert](Encoders.product[SilenceAlert]).collect()
+    assert(alerts.exists(a => a.user_id == 1L &&
+      a.last_seen.toString.startsWith("2024-01-01 10:00:00") &&
+      a.n_events == 1L), s"expected device-1 alert, got ${alerts.toSeq}")
+    assert(!alerts.exists(_.user_id == 2L), s"device 2 is alive: ${alerts.toSeq}")
+  }
+
   test("streaming counter delta maintains the batch rollup across arrivals") {
     import graft.streaming.IotStreamPipeline
     import graft.streaming.IotStreamPipeline.CounterOut
