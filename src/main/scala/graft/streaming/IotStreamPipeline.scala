@@ -296,6 +296,61 @@ object IotStreamPipeline {
       }.toDF()
   }
 
+  case class TwaState(lastTs: Long, lastV: Double, num: Long, dur: Long, n: Long)
+  case class TwaOut(user_id: Long, day: String, tw_avg: Option[Double],
+                    n_readings: Long)
+
+  /** Continuous `time_weighted_average` maintenance — the streaming
+    * analog of [[graft.operators.TimeAgg.timeWeightedAvg]], closing the
+    * hyperfunction trio with [[counterDeltaStream]]: state per
+    * (user, day) is (last reading, its timestamp, running Σ fixed(v)·Δµs
+    * and ΣΔµs); each arrival closes the PREVIOUS reading's hold
+    * interval and the updated running average is emitted for a keyed
+    * upsert. Identical fixed-point numerator as batch, so the
+    * maintained table equals the batch rollup row-for-row
+    * (spec-asserted); zero-span groups report NULL exactly like batch.
+    * Cross-batch ordering relies on the cursor-order delivery contract
+    * ([[scd2Stream]]). */
+  def timeWeightedStream(stage: DataFrame, scale: Int = 4): DataFrame = {
+    val spark = stage.sparkSession
+    import spark.implicits._
+    val p = math.pow(10, scale)
+    val typed = stage
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyyMMdd").as("day"),
+        col("ts"), col("event_id"), col("value"))
+      .as[(Long, String, java.sql.Timestamp, Long, Double)]
+    typed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[TwaState, TwaOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((uid, day), rows, state: GroupState[TwaState]) =>
+          val evs = rows.toSeq.sortBy(r => (r._3.getTime, r._3.getNanos, r._4))
+          var st = state.getOption.orNull
+          evs.foreach { case (_, _, ts, _, v) =>
+            // event-time µs on the same grid as unix_micros (ns floored)
+            val tu = ts.getTime * 1000L + ts.getNanos / 1000L % 1000L
+            st =
+              if (st == null) TwaState(tu, v, 0L, 0L, 1L)
+              else {
+                val d = tu - st.lastTs
+                TwaState(tu, v,
+                  st.num + math.floor(st.lastV * p + 0.5).toLong * d,
+                  st.dur + d, st.n + 1)
+              }
+          }
+          if (st == null) Iterator.empty
+          else {
+            state.update(st)
+            val twa =
+              if (st.dur > 0)
+                Some(math.floor(st.num.toDouble / p / st.dur.toDouble
+                  * 1e4 + 0.5) / 1e4)
+              else None
+            Iterator.single(TwaOut(uid, day, twa, st.n))
+          }
+      }.toDF()
+  }
+
   case class CounterState(last: Double, deltaFixed: Long, resets: Long, n: Long)
   case class CounterOut(user_id: Long, day: String, counter_delta: Double,
                         n_resets: Long, n_readings: Long)

@@ -163,6 +163,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming time-weighted avg maintains the batch rollup across arrivals") {
+    import graft.streaming.IotStreamPipeline
+    import graft.streaming.IotStreamPipeline.TwaOut
+    val in = Files.createTempDirectory("graft-twa-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value")
+    val cut = ev.agg(expr("percentile_approx(cast(ts as double), 0.5)"))
+      .head().getDouble(0)
+    ev.filter(col("ts").cast("double") <= cut).coalesce(1)
+      .write.mode("overwrite").parquet(in)
+    val table = scala.collection.mutable.Map.empty[(Long, String), TwaOut]
+    val stream = IotStreamPipeline.timeWeightedStream(
+      spark.readStream.schema(ev.schema).parquet(in))
+    val q = stream.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        import batch.sparkSession.implicits._
+        batch.as[TwaOut].collect().foreach { r =>
+          table((r.user_id, r.day)) = r
+        }
+      }.start()
+    try {
+      q.processAllAvailable()
+      ev.filter(col("ts").cast("double") > cut).coalesce(1)
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = table.values.toSeq.toDF()
+      .select(col("user_id"), col("day"), col("tw_avg"), col("n_readings"))
+    val want = graft.operators.TimeAgg.timeWeightedAvg(
+      graft.sources.Tables.events(spark, sf)
+        .withColumn("day", graft.operators.TimeAgg.dayKey(col("ts"))),
+      Seq("user_id", "day"), "ts", Seq("event_id"), "value", 4)
+      .select(col("user_id"), col("day"), col("tw_avg"), col("n_readings"))
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("stage → watermarked windowed agg over a file stream (memory sink)") {
     val in = Files.createTempDirectory("graft-stream-in").toString
     landEvents(in)
