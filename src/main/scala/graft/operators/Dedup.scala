@@ -125,19 +125,24 @@ object Dedup {
     * by default so results are cap-free unless the caller opts in. */
   def minhashLsh(docs: DataFrame, id: String, text: String, k: Int,
                  numHashes: Int, rowsPerBand: Int,
-                 maxBucket: Int = Int.MaxValue): DataFrame = {
-    // candidate pairs from per-(band, bucket) doc lists — a sort-free
-    // hash agg + declarative pair expansion (same shape as ngramJaccard;
-    // a self-join would sort the banded table twice). One shingle+md5
-    // pass feeds everything.
-    minhashBandIndex(docs, id, text, k, numHashes, rowsPerBand)
-      .groupBy(col("band"), col("bucket"))
+                 maxBucket: Int = Int.MaxValue): DataFrame =
+    minhashPairsFromBands(
+      minhashBandIndex(docs, id, text, k, numHashes, rowsPerBand), maxBucket)
+
+  /** Candidate pairs from an already-banded `(doc, band, bucket)` frame
+    * ([[minhashBandIndex]]) — a sort-free hash agg + declarative pair
+    * expansion (same shape as ngramJaccard; a self-join would sort the
+    * banded table twice). Callers that band once and reuse (the
+    * [[graft.pipelines.CorpusPipeline]] cycle probes, pairs AND commits
+    * from one signing pass) call this directly. */
+  def minhashPairsFromBands(bands: DataFrame,
+                            maxBucket: Int = Int.MaxValue): DataFrame =
+    bands.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc"))).as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))
       .select(explode(Dedup.orderedPairs(col("ds"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
-  }
 
   /** The LSH BAND INDEX: one `(doc, band, bucket)` row per band — what
     * an incremental ingestion pipeline persists alongside the corpus so
@@ -187,6 +192,13 @@ object Dedup {
   def minhashLshAgainst(index: DataFrame, docs: DataFrame, id: String,
                         text: String, k: Int, numHashes: Int,
                         rowsPerBand: Int,
+                        maxBucket: Int = Int.MaxValue): DataFrame =
+    minhashProbeBands(index,
+      minhashBandIndex(docs, id, text, k, numHashes, rowsPerBand), maxBucket)
+
+  /** As [[minhashLshAgainst]] with the probe side already banded — the
+    * band-once/consume-thrice seam. */
+  def minhashProbeBands(index: DataFrame, probeBands: DataFrame,
                         maxBucket: Int = Int.MaxValue): DataFrame = {
     val idx0 = index.select(col("doc").as("match_id"), col("band"), col("bucket"))
     val idx =
@@ -196,7 +208,7 @@ object Dedup {
           .filter(col("__n") <= maxBucket)
           .select("band", "bucket"),
         Seq("band", "bucket"), "left_semi")
-    minhashBandIndex(docs, id, text, k, numHashes, rowsPerBand)
+    probeBands
       .select(col("doc").as("doc_id"), col("band"), col("bucket"))
       .join(idx, Seq("band", "bucket"))
       .groupBy(col("doc_id"), col("match_id"))

@@ -21,16 +21,17 @@ import org.apache.spark.sql.functions._
   *     score-first discipline — map-side work, no text ever shuffles
   *     for docs that fail here).
   *  3. EXACT DEDUP: batch docs whose `md5(text)` already exists in the
-  *     corpus are dropped (broadcast-able hash semi-join — the corpus
-  *     side is hashes, never text); within the batch the lowest id per
-  *     hash wins.
-  *  4. NEAR-DUP vs ARCHIVE: the batch is signed+banded once and probed
-  *     against the PERSISTED band index ([[Dedup.minhashLshAgainst]]) —
-  *     the archive's text is never re-read; matches with ≥ `minBands`
-  *     agreeing bands are rejected.
-  *  5. NEAR-DUP within batch: [[Dedup.minhashLsh]] pairs →
-  *     [[Dedup.clusters]] → keep each cluster's canonical keeper
-  *     ([[Dedup.applyClusters]]).
+  *     corpus are dropped — the corpus STORES `text_hash` at commit, so
+  *     this gate reads one pruned column of the archive, never its
+  *     text; within the batch the lowest id per hash wins.
+  *  4. NEAR-DUP vs ARCHIVE: the batch is signed+banded ONCE (the probe,
+  *     the within-batch pair run and the index commit all consume that
+  *     one pass) and probed against the PERSISTED band index
+  *     ([[Dedup.minhashProbeBands]]) — the archive's text is never
+  *     re-read; matches with ≥ `minBands` agreeing bands are rejected.
+  *  5. NEAR-DUP within batch: [[Dedup.minhashPairsFromBands]] over the
+  *     surviving bands → [[Dedup.clusters]] → keep each cluster's
+  *     canonical keeper ([[Dedup.applyClusters]]).
   *  6. COMMIT: survivors merge-upsert into the lang-partitioned corpus;
   *     their band rows merge-upsert into the band-partitioned index —
   *     both keyed writes, so replays are absorbed, and the maintained
@@ -103,28 +104,40 @@ object CorpusPipeline {
       .drop("__p", "__q", "__pl")
     val nQualityRejected = nNew - curated.count()
 
-    // 3. exact dedup: vs corpus hashes, then lowest id per hash in batch
-    val corpHashes = corp.select(md5(col("text")).as("__h")).distinct()
+    // 3. exact dedup: the corpus stores `text_hash` at commit time, so
+    // this gate reads ONE pruned column of the archive — never its text
+    // (first cycle: no corpus yet, the hash frame is empty either way)
+    val corpHashes =
+      if (corp.columns.contains("text_hash"))
+        corp.select(col("text_hash").as("__h")).distinct()
+      else corp.select(md5(col("text")).as("__h")).distinct()
     val hashed = curated.withColumn("__h", md5(col("text")))
     val wHash = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h")).orderBy(col("doc_id"))
     val noExact = hashed
       .join(corpHashes, Seq("__h"), "left_anti")
       .withColumn("__rn", row_number().over(wHash))
-      .filter(col("__rn") === 1).drop("__rn", "__h")
-      .localCheckpoint() // consumed by the probe, the pair run and the commit
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumnRenamed("__h", "text_hash")
+      .localCheckpoint() // consumed by the banding pass and the commit
     val nExactRejected = nNew - nQualityRejected - noExact.count()
 
-    // 4. near-dup vs archive (index probe; archive text untouched)
-    val archiveDups = Dedup.minhashLshAgainst(idx, noExact, "doc_id", "text",
+    // sign + band the batch ONCE; the archive probe, the within-batch
+    // pair run and the index commit all consume this one pass
+    val batchBands = Dedup.minhashBandIndex(noExact, "doc_id", "text",
         k, numHashes, rowsPerBand)
+      .localCheckpoint()
+
+    // 4. near-dup vs archive (index probe; archive text untouched)
+    val archiveDups = Dedup.minhashProbeBands(idx, batchBands)
       .filter(col("n_bands") >= minBands)
       .select(col("doc_id")).distinct()
     val noArchiveDup = noExact.join(archiveDups, Seq("doc_id"), "left_anti")
+    val keptBands = batchBands
+      .join(archiveDups.select(col("doc_id").as("doc")), Seq("doc"), "left_anti")
 
     // 5. near-dup within batch: pairs → clusters → canonical keepers
-    val pairs = Dedup.minhashLsh(noArchiveDup, "doc_id", "text",
-        k, numHashes, rowsPerBand)
+    val pairs = Dedup.minhashPairsFromBands(keptBands)
       .filter(col("n_bands") >= minBands)
     val clusters = Dedup.clusters(pairs, "doc_a", "doc_b")
     val accepted = Dedup.applyClusters(noArchiveDup, "doc_id",
@@ -133,14 +146,15 @@ object CorpusPipeline {
     val nAccepted = accepted.count()
     val nNearDupRejected = nNew - nQualityRejected - nExactRejected - nAccepted
 
-    // 6. commit: keyed writes absorb replays
+    // 6. commit: keyed writes absorb replays; the index rows are the
+    // accepted docs' slice of the ONE banding pass
     if (nAccepted > 0) {
       Warehouse.mergeUpsert(accepted, corpusPath,
         partitionCols = Seq("lang"), key = Seq("doc_id"),
         versionCol = "doc_id")
       Warehouse.mergeUpsert(
-        Dedup.minhashBandIndex(accepted, "doc_id", "text",
-          k, numHashes, rowsPerBand),
+        keptBands.join(accepted.select(col("doc_id").as("doc")),
+          Seq("doc"), "left_semi"),
         indexPath, partitionCols = Seq("band"),
         key = Seq("doc", "band"), versionCol = "doc")
     }
