@@ -497,14 +497,16 @@ object SparkEntry {
     // incremental "dedup before append": the incoming batch (1 in 10
     // docs) probed against the ARCHIVE's persisted band index — the
     // archive text is never re-read, only its (doc, band, bucket) rows
-    // join bucket-locally
+    // join bucket-locally; maxBucket drops archive buckets past 100
+    // docs before the join (the hot-bucket guard), mirrored in the
+    // oracle's bucket-size filter
     "e9_dedup_incremental" -> ((s, d) => {
       val dd = docs(s, d)
       val isNew = col("doc_id") % 10 === 0
       val index = Dedup.minhashBandIndex(dd.filter(!isNew),
         "doc_id", "text", 3, 16, 4)
       Dedup.minhashLshAgainst(index, dd.filter(isNew),
-        "doc_id", "text", 3, 16, 4)
+        "doc_id", "text", 3, 16, 4, maxBucket = 100)
     }),
 
     "e4_dedup_simhash" -> ((s, d) =>
@@ -1507,10 +1509,16 @@ object SparkEntry {
          |$sigCols
          |  FROM hs),
          |banded AS (
-         |$bands)
+         |$bands),
+         |-- maxBucket valve: ARCHIVE buckets past 100 docs are dropped
+         |-- before the probe join (mirrors minhashProbeBands' cap)
+         |bsz AS (SELECT band, bucket, count(*) AS n FROM banded
+         |        WHERE doc % 10 <> 0 GROUP BY 1, 2),
+         |ok AS (SELECT band, bucket FROM bsz WHERE n <= 100)
          |SELECT n.doc AS doc_id, o.doc AS match_id, count(*) AS n_bands
          |FROM banded n JOIN banded o
          |  ON n.band = o.band AND n.bucket = o.bucket
+         |JOIN ok ON n.band = ok.band AND n.bucket = ok.bucket
          |WHERE n.doc % 10 = 0 AND o.doc % 10 <> 0
          |GROUP BY 1, 2""".stripMargin
     },

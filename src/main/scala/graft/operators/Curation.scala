@@ -448,7 +448,11 @@ object Curation {
     * join. */
   def ngramLmScore(docs: DataFrame, id: String, text: String, n: Int = 3,
                    scale: Int = 6): DataFrame =
-    ngramLmScoreWith(docs, id, text, n, scale, trainCharLm(docs, text, n))
+    // train on exactly the rows the scorer keeps (non-null ids) — a
+    // null-id doc must not shift the trained probabilities away from
+    // what a re-scoring of the same identified corpus would use
+    ngramLmScoreWith(docs, id, text, n, scale,
+      trainCharLm(docs.filter(col(id).isNotNull), text, n))
 
   /** Train the [[ngramLmScore]] transition model: `(g, prob)` over the
     * corpus's char n-grams — vocab-sized, eagerly materialized (what a

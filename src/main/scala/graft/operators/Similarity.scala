@@ -654,4 +654,47 @@ object Similarity {
           graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6)),
       k)
   }
+
+  /** Persist a trained ANN index — the deployment round trip
+    * [[pqTopKWith]] implies: the codebooks land as one model-sized
+    * parquet table (`(sub, code, centroid)` rows, m × nCodes of them)
+    * and the encoded corpus as the 32×-compressed `codes` table. When
+    * the codes carry a `cell` column (the [[ivfPqTopK]] layout) the
+    * table is cell-partitioned and lands through
+    * [[graft.sources.Warehouse.mergeUpsert]] keyed on `nn_id` — an
+    * incremental re-encode upserts idempotently and a probe's read
+    * prunes to its nProbe cells' partitions. Training is deterministic,
+    * so reload == retrain bit-for-bit (spec-asserted). */
+  def savePqIndex(path: String, cb: Array[Array[Seq[Double]]],
+                  codes: DataFrame): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.map { case (cv, c) => (s, c, cv) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    if (codes.columns.contains("cell"))
+      graft.sources.Warehouse.mergeUpsert(codes, s"$path/codes",
+        partitionCols = Seq("cell"), key = Seq("nn_id"), versionCol = "nn_id")
+    else codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Reload [[savePqIndex]]'s codebooks into the in-memory shape the
+    * searchers take (model-sized collect — the same bounded pattern as
+    * the trainers' own output). */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Array[Array[Seq[Double]]] =
+    spark.read.parquet(s"$path/codebooks")
+      .select("sub", "code", "centroid").collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2))
+      }
+
+  /** Reload [[savePqIndex]]'s encoded corpus (lazy — the ADC scan is
+    * the first thing to read it, pruned to probed cells when
+    * cell-partitioned). */
+  def loadPqCodes(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame =
+    spark.read.parquet(s"$path/codes")
 }

@@ -189,7 +189,7 @@ object TimeAgg {
       .agg(
         when(sum(col("__dur")) > 0, graft.functions.Portable.pround(
           sum(col("__num")).cast("double") / lit(p)
-            / sum(col("__dur")).cast("double"), 4)).as("tw_avg"),
+            / sum(col("__dur")).cast("double"), scale)).as("tw_avg"),
         count(lit(1)).as("n_readings"))
   }
 

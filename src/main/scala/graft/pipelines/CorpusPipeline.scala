@@ -79,9 +79,17 @@ object CorpusPipeline {
       spark.emptyDataset[(Long, Int, String)].toDF("doc", "band", "bucket")
     }
 
+  /** `maxBucket` caps the archive-index bucket size the probe joins
+    * against (finite BY DEFAULT here, unlike the cap-free operator
+    * defaults): the corpus's no-near-dups invariant limits band-bucket
+    * mass but does not bound it (chance collisions, boilerplate-heavy
+    * corpora), and at archive scale one hot bucket otherwise expands
+    * quadratically in the probe join. Members of a dropped bucket are
+    * still guarded by the exact-hash gate and the within-batch pass. */
   def runCycle(landing: DataFrame, corpusPath: String, indexPath: String,
                k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
-               minQuality: Double = 0.5, minBands: Int = 2): CycleStats = {
+               minQuality: Double = 0.5, minBands: Int = 2,
+               maxBucket: Int = 1000): CycleStats = {
     val spark = landing.sparkSession
     val corp = corpus(spark, corpusPath, landing)
     val idx = bandIndex(spark, indexPath)
@@ -129,7 +137,7 @@ object CorpusPipeline {
       .localCheckpoint()
 
     // 4. near-dup vs archive (index probe; archive text untouched)
-    val archiveDups = Dedup.minhashProbeBands(idx, batchBands)
+    val archiveDups = Dedup.minhashProbeBands(idx, batchBands, maxBucket)
       .filter(col("n_bands") >= minBands)
       .select(col("doc_id")).distinct()
     val noArchiveDup = noExact.join(archiveDups, Seq("doc_id"), "left_anti")
@@ -162,4 +170,45 @@ object CorpusPipeline {
     CycleStats(nLanding, nNew, nQualityRejected, nExactRejected,
       nNearDupRejected, nAccepted, corpusSize)
   }
+
+  /** `foreachBatch` body for CONTINUOUS corpus ingestion: each
+    * micro-batch of landing docs runs one full [[runCycle]] against the
+    * persisted corpus + index. Safe under Structured Streaming's
+    * at-least-once foreachBatch contract for the same reason the batch
+    * cycle is scheduler-safe: a replayed micro-batch's accepted docs are
+    * skipped at extract, its rejected docs re-reach the same
+    * deterministic verdicts, and both commits are keyed upserts — so
+    * replays converge on identical corpus + index state. `onStats`
+    * receives each cycle's accounting row (a production deployment
+    * writes it to a metrics sink). */
+  def foreachBatchSink(corpusPath: String, indexPath: String,
+                       k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+                       minQuality: Double = 0.5, minBands: Int = 2,
+                       maxBucket: Int = 1000,
+                       onStats: (Long, CycleStats) => Unit = (_, _) => ())
+                      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      onStats(batchId, runCycle(batch, corpusPath, indexPath,
+        k, numHashes, rowsPerBand, minQuality, minBands, maxBucket))
+
+  /** The streaming entry point the reference's continuously-scheduled
+    * extract DAG implies (reference: dags/iot_mongo_extract_to_dwh.py —
+    * a loop that keeps landing new Mongo documents): a streaming frame
+    * of landing docs (`doc_id, text, lang, source`) → one corpus cycle
+    * per micro-batch. Append output mode — the sink consumes raw
+    * arrivals; all state (corpus, index) lives in the persisted paths,
+    * so a restarted query resumes from the checkpoint and replayed
+    * batches are absorbed (see [[foreachBatchSink]]). */
+  def ingestStream(docsStream: DataFrame, corpusPath: String,
+                   indexPath: String, checkpoint: String,
+                   k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+                   minQuality: Double = 0.5, minBands: Int = 2,
+                   maxBucket: Int = 1000,
+                   onStats: (Long, CycleStats) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(foreachBatchSink(corpusPath, indexPath, k, numHashes,
+        rowsPerBand, minQuality, minBands, maxBucket, onStats))
 }

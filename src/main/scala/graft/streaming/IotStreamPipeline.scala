@@ -290,7 +290,15 @@ object IotStreamPipeline {
               last = math.max(last, ts.getTime); n += 1
             }
             state.update(SilenceState(last, n))
-            state.setTimeoutTimestamp(last + gapSeconds * 1000)
+            // a deadline already behind the watermark (late/buffered
+            // readings, or cross-device event-time skew within one
+            // batch) would make Spark fail the WHOLE query with
+            // "timeout timestamp cannot be earlier than watermark" —
+            // clamp the re-arm just past it so the alert fires on the
+            // next watermark advance instead
+            state.setTimeoutTimestamp(
+              math.max(last + gapSeconds * 1000,
+                state.getCurrentWatermarkMs + 1))
             Iterator.empty
           }
       }.toDF()
@@ -344,7 +352,7 @@ object IotStreamPipeline {
             val twa =
               if (st.dur > 0)
                 Some(math.floor(st.num.toDouble / p / st.dur.toDouble
-                  * 1e4 + 0.5) / 1e4)
+                  * p + 0.5) / p)
               else None
             Iterator.single(TwaOut(uid, day, twa, st.n))
           }

@@ -60,4 +60,57 @@ class CorpusPipelineSpec extends SparkSpec {
       .exceptAll(docs.join(corp.select("doc_id"), Seq("doc_id"), "left_semi")
         .select(cols.map(col): _*)).count() == 0)
   }
+
+  test("streaming corpus ingest == batch cycles across micro-batch splits; replays converge") {
+    val dir = Files.createTempDirectory("graft-corpus-stream").toString
+    val in = s"$dir/landing"
+    val docs = landing()
+    val cut = 250L
+    val first = docs.filter($"doc_id" < cut)
+    val second = docs.filter($"doc_id" >= cut)
+
+    // batch reference: the SAME splits through the batch cycle
+    CorpusPipeline.runCycle(first, s"$dir/b_corpus", s"$dir/b_index")
+    CorpusPipeline.runCycle(second, s"$dir/b_corpus", s"$dir/b_index")
+
+    // streaming: land the splits as consecutive micro-batches
+    first.coalesce(1).write.mode("overwrite").parquet(in)
+    val stats = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, CorpusPipeline.CycleStats)]
+    val q = CorpusPipeline.ingestStream(
+      spark.readStream.schema(docs.schema).parquet(in),
+      s"$dir/s_corpus", s"$dir/s_index", s"$dir/ckpt",
+      onStats = (id, st) => stats += ((id, st))).start()
+    try {
+      q.processAllAvailable()
+      second.coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // corpus + index row-for-row equal to the batch cycles'
+    val sc = spark.read.parquet(s"$dir/s_corpus")
+    val bc = spark.read.parquet(s"$dir/b_corpus")
+    assert(sc.count() > 0)
+    assert(sc.exceptAll(bc).count() == 0 && bc.exceptAll(sc).count() == 0)
+    val si = spark.read.parquet(s"$dir/s_index")
+      .select("doc", "band", "bucket").localCheckpoint() // pinned pre-replay
+    val bi = spark.read.parquet(s"$dir/b_index").select("doc", "band", "bucket")
+    assert(si.exceptAll(bi).count() == 0 && bi.exceptAll(si).count() == 0)
+    // each micro-batch surfaced a closing accounting row
+    assert(stats.size == 2 && stats.forall { case (_, st) =>
+      st.nNew == st.nRejectedQuality + st.nRejectedExact +
+        st.nRejectedNearDup + st.nAccepted })
+
+    // replay: a fresh-checkpoint query re-delivers EVERY landed file as
+    // one micro-batch; accepted docs skip at extract, rejected docs
+    // re-reach the same verdicts — state unchanged
+    val before = sc.count()
+    val q2 = CorpusPipeline.ingestStream(
+      spark.readStream.schema(docs.schema).parquet(in),
+      s"$dir/s_corpus", s"$dir/s_index", s"$dir/ckpt2").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$dir/s_corpus").count() == before)
+    val si2 = spark.read.parquet(s"$dir/s_index").select("doc", "band", "bucket")
+    assert(si2.exceptAll(si).count() == 0 && si.exceptAll(si2).count() == 0)
+  }
 }

@@ -490,6 +490,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("savePqIndex round trip: reloaded codebooks + codes reproduce the fresh search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
+    val emb = Tables0.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val cN = Similarity.normalized(emb, "vec_id", "embedding").localCheckpoint()
+    val qN = Similarity.normalizedQueries(q, "vec_id", "embedding")
+    val cb = Similarity.trainPQ(cN, 64, 8, 16, 2)
+    val codes = Similarity.pqEncode(cN, cb).localCheckpoint()
+    val fresh = Similarity.pqTopKWith(cN, codes, qN, cb, 5, 64, 64)
+
+    // flat layout: write, reload, search with ONLY the reloaded model
+    Similarity.savePqIndex(s"$dir/flat", cb, codes)
+    val cb2 = Similarity.loadPqCodebooks(spark, s"$dir/flat")
+    assert(cb2.length == cb.length &&
+      cb2.zip(cb).forall { case (a, b) => a.toSeq == b.toSeq })
+    val got = Similarity.pqTopKWith(cN,
+      Similarity.loadPqCodes(spark, s"$dir/flat"), qN, cb2, 5, 64, 64)
+    assert(got.exceptAll(fresh).count() == 0 && fresh.exceptAll(got).count() == 0)
+
+    // cell-partitioned layout (the ivfPqTopK index shape): lands via
+    // mergeUpsert keyed on nn_id — saving TWICE converges (idempotent
+    // re-encode), and the reloaded rows equal the input set
+    val celled = codes.withColumn("cell", pmod($"nn_id", lit(4)).cast("int"))
+    Similarity.savePqIndex(s"$dir/ivf", cb, celled)
+    Similarity.savePqIndex(s"$dir/ivf", cb, celled)
+    val re = Similarity.loadPqCodes(spark, s"$dir/ivf")
+      .select("nn_id", "cell", "codes")
+    assert(re.exceptAll(celled.select("nn_id", "cell", "codes")).count() == 0 &&
+      celled.select("nn_id", "cell", "codes").exceptAll(re).count() == 0)
+  }
+
   test("ivfPqTopK: full probe + generous shortlist = exact; tight probe scores exactly") {
     val emb = Tables0.embeddings(spark, sf)
     val q = emb.filter($"vec_id" % 100 === 0)
