@@ -120,36 +120,19 @@ object Multimodal {
       col("meta.nBytes").as("n_bytes"),
       (col("meta.width") * col("meta.height")).as("n_pixels"))
 
-  /** Average-hash perceptual fingerprint: bit `j` set iff payload slot
-    * `j`'s byte mass is above the payload's average slot mass — the
-    * block-mean aHash every image-dedup pipeline starts with, computed
-    * on the stub decode's slot sums (a real decoder swaps in pixel
-    * block means; the hash construction is unchanged). Pure integer
-    * compare (`slots·sum_j > total`), no float threshold — bit-exact in
-    * any engine. 60 bits so the signature (and every downstream chunk/
-    * hamming stage) stays positive BIGINT, like [[Dedup.simhashPortable]].
-    * Empty payloads hash to 0 (identical payloads must collide). */
-  def perceptualHash(media: DataFrame, slots: Int = 60): DataFrame = {
-    require(slots > 0 && slots <= 60, s"slots must be in [1, 60], got $slots")
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val sums = new Array[Long](slots)
-          var i = 0
-          while (i < bytes.length) { sums(i % slots) += (bytes(i) & 0xFF); i += 1 }
-          var total = 0L
-          sums.foreach(total += _)
-          var h = 0L; var j = 0
-          while (j < slots) {
-            if (slots * sums(j) > total) h |= (1L << j)
-            j += 1
-          }
-          (id, h)
-        }
-      }.toDF("media_id", "phash")
-  }
+  /** Average-hash perceptual fingerprint — one native
+    * [[graft.functions.expressions.PerceptualHash]] expression (see its
+    * doc for the hash construction): the signing pass is a codegen'd
+    * projection, so [[phashNearDup]]'s whole signing stage stays in
+    * whole-stage codegen (PlanSpec-asserted) instead of breaking at a
+    * `mapPartitions` boundary. Swapping in a REAL decoder moves this
+    * back to a per-partition batch loop ([[featurize]]'s shape). */
+  def perceptualHash(media: DataFrame, slots: Int = 60): DataFrame =
+    media.select(col("media_id"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.expressions.PerceptualHash(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            col("payload")), slots)).as("phash"))
 
   /** Near-duplicate media pairs by perceptual hash: [[perceptualHash]]
     * signatures through the shared hamming chunk-bucket machinery

@@ -307,6 +307,20 @@ class PlanSpec extends SparkSpec {
       s"f10 shortlist should run through the bounded heap:\n$f10")
   }
 
+  test("g5 phash signing runs as a native codegen'd projection, no mapPartitions") {
+    // the aHash signing pass must be the native PerceptualHash
+    // expression inside whole-stage codegen — the Dataset mapPartitions
+    // spelling broke codegen (SerializeFromObject/DeserializeToObject
+    // boundaries) around a pure per-row byte loop
+    val plan = executed(SparkEntry.queries("g5_mm_phash_dedup")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("perceptual_hash"),
+      s"g5 should sign via PerceptualHash:\n$plan")
+    assert(!plan.contains("DeserializeToObject") &&
+      !plan.contains("MapPartitions"),
+      s"g5 signing must not leave codegen for an object loop:\n$plan")
+  }
+
   test("bloom contamination probe: one eval exchange, no join, codegen'd probe") {
     // the probe side must be a map-side projection (BloomProbe inside
     // whole-stage codegen) + ONE doc-key aggregation exchange; the
