@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// `sbt run` tours both master DAGs (graft.Main); the other mains
+// (Verify/Bench/ScaleProbe) stay reachable via runMain
+Compile / run / mainClass := Some("graft.Main")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

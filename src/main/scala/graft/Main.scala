@@ -1,0 +1,53 @@
+package graft
+
+import graft.pipelines.{CorpusPipeline, IotBatchPipeline}
+import org.apache.spark.sql.SparkSession
+
+/** One-command tour of the two master DAGs: a full IoT warehouse cycle
+  * (extract → stage → daily/weekly/monthly agg cadences — the
+  * reference's `iot_master_dag.py` shape) and a training-corpus
+  * construction cycle (curate → exact/near dedup vs archive → keyed
+  * commit), both against a temp warehouse over the sf0.001 testdata.
+  *
+  * `sbt run` (default main) or `sbt "runMain graft.Main [sfDir]"` —
+  * prints each cycle's stats and exits 0. Both cycles are blindly
+  * re-runnable (idempotent keyed writes); running Main twice converges.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.graft.rewriteTopK", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val wh = java.nio.file.Files.createTempDirectory("graft-demo").toString
+    println(s"[demo] input=$sfDir warehouse=$wh")
+
+    // ---- IoT warehouse cycle (J7): one master-DAG run, all cadences
+    val ev = sources.Tables.events(spark, sfDir)
+    IotBatchPipeline.runCycles(ev, s"$wh/stage", Seq(
+      IotBatchPipeline.dailyCadence(s"$wh/agg_daily"),
+      IotBatchPipeline.weeklyCadence(s"$wh/agg_weekly"),
+      IotBatchPipeline.monthlyCadence(s"$wh/agg_monthly")))
+    println(s"[iot] staged=${spark.read.parquet(s"$wh/stage").count()}" +
+      s" daily=${spark.read.parquet(s"$wh/agg_daily").count()}" +
+      s" weekly=${spark.read.parquet(s"$wh/agg_weekly").count()}" +
+      s" monthly=${spark.read.parquet(s"$wh/agg_monthly").count()}")
+
+    // ---- corpus cycle (J8): one training-corpus ingestion run
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val st = CorpusPipeline.runCycle(docs, s"$wh/corpus", s"$wh/corpus_index")
+    println(s"[corpus] landed=${st.nLanding} new=${st.nNew}" +
+      s" quality_rejected=${st.nRejectedQuality}" +
+      s" exact_dup=${st.nRejectedExact} near_dup=${st.nRejectedNearDup}" +
+      s" accepted=${st.nAccepted} corpus=${st.corpusSize}")
+    spark.stop()
+  }
+}

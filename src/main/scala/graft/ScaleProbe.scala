@@ -92,6 +92,43 @@ object ScaleProbe {
       val ev = mat(inflateEvents(Tables.events(spark, sfDir), m))
       val emb = mat(inflateEmb(Tables.embeddings(spark, sfDir), m))
       val q = emb.filter(col("vec_id") % 100 === 0)
+      // TPC-H tables for the d10–d12 join shapes — lazy (only forced
+      // when one of those probes actually runs) with id offsets kept
+      // CONSISTENT across tables so copy i's facts join copy i's dims
+      lazy val ords = mat((0 until m).map { i =>
+        Tables.orders(spark, sfDir).select(
+          (col("o_orderkey") + lit(i * 100000000L)).as("o_orderkey"),
+          (col("o_custkey") + lit(i * 1000000L)).as("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      }.reduce(_ unionByName _))
+      lazy val li = mat((0 until m).map { i =>
+        Tables.lineitem(spark, sfDir).select(
+          (col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * 1000000L)).as("l_partkey"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      }.reduce(_ unionByName _))
+      lazy val cust = mat((0 until m).map { i =>
+        Tables.customer(spark, sfDir).select(
+          (col("c_custkey") + lit(i * 1000000L)).as("c_custkey"),
+          col("c_mktsegment"), col("c_acctbal"))
+      }.reduce(_ unionByName _))
+      lazy val prt = mat((0 until m).map { i =>
+        Tables.part(spark, sfDir).select(
+          (col("p_partkey") + lit(i * 1000000L)).as("p_partkey"),
+          col("p_brand"))
+      }.reduce(_ unionByName _))
+      // boilerplate-heavy corpus for the archive-probe hot-bucket row:
+      // 80% of docs collapse to ONE shared text, so every copy's band
+      // buckets concentrate corpus-linear mass — the adversarial shape
+      // the CorpusPipeline maxBucket valve exists for (uncapped, the
+      // probe join expands quadratically in the hot bucket)
+      lazy val hotDocs = mat(docs.select(col("doc_id"),
+        when(col("doc_id") % 5 =!= 0,
+          lit("all rights reserved standard legal boilerplate notice " +
+            "repeated verbatim across the corpus pages"))
+          .otherwise(col("text")).as("text")))
+      lazy val hotIdx = mat(Dedup.minhashBandIndex(
+        hotDocs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3, 16, 4))
       Seq(
         "e2_ngram_jaccard" -> (() =>
           Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.25, 100)),
@@ -221,7 +258,85 @@ object ScaleProbe {
         "d5_sessionize" -> (() =>
           Sessionize.summarize(ev, "user_id", "ts", "event_id", "value", 1800)),
         "f5_ann_lsh_multi" -> (() =>
-          Similarity.lshTopKMulti(emb, q, "vec_id", "embedding", 5, 8, 4, 64)))
+          Similarity.lshTopKMulti(emb, q, "vec_id", "embedding", 5, 8, 4, 64)),
+        // r6 hyperfunction family: window + agg on the SAME keys — the
+        // one-shuffle claim PlanSpec asserts, probed for data scaling
+        "b18_counter_delta" -> (() =>
+          TimeAgg.counterDelta(ev.withColumn("day", TimeAgg.dayKey(col("ts"))),
+            keys = Seq("user_id", "day"), reading = "value",
+            order = Seq("ts", "event_id"), scale = 4)),
+        "b19_time_weighted" -> (() =>
+          TimeAgg.timeWeightedAvg(ev.withColumn("day", TimeAgg.dayKey(col("ts"))),
+            keys = Seq("user_id", "day"), ts = "ts", tieBreak = Seq("event_id"),
+            value = "value", scale = 4)),
+        "b20_first_last" -> (() =>
+          TimeAgg.firstLast(ev.withColumn("day", TimeAgg.dayKey(col("ts"))),
+            keys = Seq("user_id", "day"), value = "value",
+            order = Seq("ts", "event_id"))),
+        "b21_moving_avg" -> (() => {
+          import org.apache.spark.sql.expressions.Window
+          val daily = ev.groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+            .agg(sum(graft.functions.Portable.toFixed(col("value"), 4)).as("fs"))
+          val w7 = Window.partitionBy("user_id").orderBy("day")
+            .rowsBetween(-6, Window.currentRow)
+          val wr = Window.partitionBy("user_id").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          daily.select(col("user_id"), col("day"),
+            (col("fs").cast("double") / lit(1e4)).as("value_sum"),
+            graft.functions.Portable.pround(
+              sum(col("fs")).over(w7).cast("double") / lit(1e4)
+                / count(lit(1)).over(w7), 4).as("mov_avg_7d"),
+            (sum(col("fs")).over(wr).cast("double") / lit(1e4)).as("running_total"))
+        }),
+        "b22_regression" -> (() =>
+          TimeAgg.regression(ev.withColumn("day", TimeAgg.dayKey(col("ts"))),
+            keys = Seq("user_id", "day"), ts = "ts",
+            periodStart = date_trunc("DAY", col("ts")), value = "value",
+            scale = 4)),
+        // r6 TPC-H join shapes: the semi/anti/broadcast-semi shuffles
+        // PlanSpec asserts, probed at volume
+        "d10_order_priority" -> (() => {
+          val o = ords.filter(
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          val returned = li.filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey"))
+          o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("order_count"))
+        }),
+        "d11_inactive_customers" -> (() => {
+          val active = ords.filter(
+            col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+            .select(col("o_custkey"))
+          cust.join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n_customers"),
+              graft.functions.Portable.fixedAvg(col("c_acctbal"), 4).as("avg_acctbal"))
+        }),
+        "d12_small_qty_revenue" -> (() => {
+          val pk = prt.filter(col("p_brand") === "Brand#23")
+            .select(col("p_partkey"))
+          val scoped = li.join(broadcast(pk),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          val avgq = scoped.groupBy(col("l_partkey"))
+            .agg(graft.functions.Portable.fixedAvg(col("l_quantity"), 4).as("avg_qty"))
+          scoped.join(avgq, Seq("l_partkey"))
+            .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+            .agg(graft.functions.Portable.pround(
+              graft.functions.Portable.fixedSum(col("l_extendedprice"), 4)
+                / lit(7.0), 4).as("avg_yearly"))
+        }),
+        // the CAPPED archive probe on the boilerplate corpus: without
+        // maxBucket the hot bucket's pair expansion is quadratic in the
+        // corpus; with the runCycle default the bucket is dropped before
+        // the join and the ratio should track the batch, not the bucket
+        "e9_incremental_hotbucket" -> (() =>
+          Dedup.minhashLshAgainst(hotIdx,
+            hotDocs.filter(col("doc_id") % 10 === 0 &&
+              col("doc_id") < 100000000L),
+            "doc_id", "text", 3, 16, 4, maxBucket = 100)))
     }
 
     // total shuffle-WRITE bytes of the jobs `run` launches — the number

@@ -13,6 +13,40 @@ class StreamingSpec extends SparkSpec {
     ev.coalesce(2).write.mode("overwrite").parquet(dir)
   }
 
+  /** Shared arrival fixture for streaming==batch maintenance specs:
+    * land `df` into `dir` split at its median event time into two
+    * sequential micro-batches (the cursor-order delivery contract a
+    * change-stream source provides), calling `afterEach` — in practice
+    * `q.processAllAvailable()` — after each split lands. */
+  private def landTimeSplit(df: org.apache.spark.sql.DataFrame, dir: String,
+                            tsCol: String = "ts")(afterEach: () => Unit): Unit = {
+    val cut = df.agg(expr(s"percentile_approx(cast($tsCol as double), 0.5)"))
+      .head().getDouble(0)
+    df.filter(col(tsCol).cast("double") <= cut).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    afterEach()
+    df.filter(col(tsCol).cast("double") > cut).coalesce(1)
+      .write.mode("append").parquet(dir)
+    afterEach()
+  }
+
+  /** Run an update-mode maintained-table stream, upserting each emitted
+    * row into a keyed map (the idempotent keyed-sink contract of
+    * sinkToJdbc) while `land` delivers arrivals; returns the final
+    * maintained rows. */
+  private def maintainedRows[T <: Product : _root_.scala.reflect.runtime.universe.TypeTag](
+      stream: org.apache.spark.sql.DataFrame, keyOf: T => Any)(
+      land: (() => Unit) => Unit): Seq[T] = {
+    val table = scala.collection.mutable.Map.empty[Any, T]
+    val enc = org.apache.spark.sql.Encoders.product[T]
+    val q = stream.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.as[T](enc).collect().foreach(r => table(keyOf(r)) = r)
+      }.start()
+    try land(() => q.processAllAvailable()) finally q.stop()
+    table.values.toSeq
+  }
+
   test("text curation runs unchanged on a document stream (scores == batch)") {
     import graft.functions.TextFunctions
     // the curation scoring surface is pure projection work (native
@@ -133,28 +167,10 @@ class StreamingSpec extends SparkSpec {
     val in = Files.createTempDirectory("graft-counter-in").toString
     val ev = graft.sources.Tables.events(spark, sf)
       .select("user_id", "ts", "event_id", "value")
-    // two arrivals split BY TIME — the cursor-order contract (scd2Stream)
-    val cut = ev.agg(expr("percentile_approx(cast(ts as double), 0.5)"))
-      .head().getDouble(0)
-    ev.filter(col("ts").cast("double") <= cut).coalesce(1)
-      .write.mode("overwrite").parquet(in)
-    val table = scala.collection.mutable.Map.empty[(Long, String), CounterOut]
-    val stream = IotStreamPipeline.counterDeltaStream(
-      spark.readStream.schema(ev.schema).parquet(in))
-    val q = stream.writeStream.outputMode("update")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        import batch.sparkSession.implicits._
-        batch.as[CounterOut].collect().foreach { r =>
-          table((r.user_id, r.day)) = r
-        }
-      }.start()
-    try {
-      q.processAllAvailable()
-      ev.filter(col("ts").cast("double") > cut).coalesce(1)
-        .write.mode("append").parquet(in)
-      q.processAllAvailable()
-    } finally q.stop()
-    val got = table.values.toSeq.toDF()
+    val got = maintainedRows[CounterOut](
+      IotStreamPipeline.counterDeltaStream(
+        spark.readStream.schema(ev.schema).parquet(in)),
+      r => (r.user_id, r.day))(landTimeSplit(ev, in)).toDF()
     val want = graft.operators.TimeAgg.counterDelta(
       graft.sources.Tables.events(spark, sf)
         .withColumn("day", graft.operators.TimeAgg.dayKey(col("ts"))),
@@ -169,27 +185,10 @@ class StreamingSpec extends SparkSpec {
     val in = Files.createTempDirectory("graft-twa-in").toString
     val ev = graft.sources.Tables.events(spark, sf)
       .select("user_id", "ts", "event_id", "value")
-    val cut = ev.agg(expr("percentile_approx(cast(ts as double), 0.5)"))
-      .head().getDouble(0)
-    ev.filter(col("ts").cast("double") <= cut).coalesce(1)
-      .write.mode("overwrite").parquet(in)
-    val table = scala.collection.mutable.Map.empty[(Long, String), TwaOut]
-    val stream = IotStreamPipeline.timeWeightedStream(
-      spark.readStream.schema(ev.schema).parquet(in))
-    val q = stream.writeStream.outputMode("update")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        import batch.sparkSession.implicits._
-        batch.as[TwaOut].collect().foreach { r =>
-          table((r.user_id, r.day)) = r
-        }
-      }.start()
-    try {
-      q.processAllAvailable()
-      ev.filter(col("ts").cast("double") > cut).coalesce(1)
-        .write.mode("append").parquet(in)
-      q.processAllAvailable()
-    } finally q.stop()
-    val got = table.values.toSeq.toDF()
+    val got = maintainedRows[TwaOut](
+      IotStreamPipeline.timeWeightedStream(
+        spark.readStream.schema(ev.schema).parquet(in)),
+      r => (r.user_id, r.day))(landTimeSplit(ev, in)).toDF()
       .select(col("user_id"), col("day"), col("tw_avg"), col("n_readings"))
     val want = graft.operators.TimeAgg.timeWeightedAvg(
       graft.sources.Tables.events(spark, sf)
