@@ -327,6 +327,21 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"),
           col("valid_from"), col("valid_to"), col("is_current"))),
 
+    // point-in-time lookup over the C6 history: each fact picks the
+    // state version valid at its timestamp — disjoint intervals, so
+    // the key-equi join + interval predicate matches at most one row
+    "c7_pit_join" -> ((s, d) => {
+      val e = ev(s, d).select("user_id", "ts", "event_id", "event_type")
+      val hist = Incremental.scd2(e, Seq("user_id"), col("ts"),
+        order = Seq(col("ts"), col("event_id")), attrs = Seq("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from"), col("valid_to"))
+      Incremental.pitJoin(e.select("event_id", "user_id", "ts"), hist,
+        Seq("user_id"), "ts")
+        .select(col("event_id"), col("user_id"), col("state"),
+          col("valid_from"))
+    }),
+
     // D. DWH join/agg at scale
     "d1_pricing_summary" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -461,6 +476,39 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"),
           fixedAvg(col("c_acctbal"), 4).as("avg_acctbal"))
+    }),
+
+    // TPC-H Q13 shape (order-count distribution): orders PRE-AGGREGATE
+    // to one row per customer BEFORE the outer join — the join carries
+    // |customers| + |custkeys-with-orders| rows, never order rows; a
+    // zero-order customer surfaces via coalesce, and the distribution
+    // agg is vocabulary-sized (distinct counts)
+    "d13_order_count_dist" -> ((s, d) => {
+      val perCust = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("__n"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("__n"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q15 shape (top supplier): quarter revenue per supplier,
+    // keep the max-revenue row(s) — the scalar max broadcasts back as a
+    // one-row join (never a single-partition global window); ties all
+    // survive, exactly Q15's view semantics
+    "d14_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(fixedSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("__mx"))
+      rev.join(broadcast(mx), col("total_revenue") === col("__mx"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
     }),
 
     "d6_asof_join" -> ((s, d) => {
@@ -834,6 +882,12 @@ object SparkEntry {
       Curation.hashSample(docs(s, d), col("doc_id"), 37)
         .select(col("doc_id"), col("lang"),
           Curation.hashBucket(col("doc_id"), 100).as("bucket"))),
+
+    // deterministic fixed-size per-stratum draw: the 50 smallest
+    // md5(id ‖ salt) per language through the bounded-heap TopKPerKey
+    "k7_priority_sample" -> ((s, d) =>
+      Curation.prioritySample(docs(s, d).select(col("doc_id"), col("lang")),
+        Seq("lang"), col("doc_id"), 50, "|s1")),
 
     "k2_quota_sample" -> ((s, d) =>
       Curation.quotaSample(
@@ -1294,6 +1348,21 @@ object SparkEntry {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM c""".stripMargin,
 
+    "c7_pit_join" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT * FROM o WHERE prev IS NULL OR prev <> event_type),
+        |h AS (
+        |  SELECT user_id, event_type AS state, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM c)
+        |SELECT e.event_id, e.user_id, h.state, h.valid_from
+        |FROM events e JOIN h ON e.user_id = h.user_id
+        |  AND e.ts >= h.valid_from
+        |  AND (h.valid_to IS NULL OR e.ts < h.valid_to)""".stripMargin,
+
     "d1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |${sqlFixedSum("l_quantity", 4)} AS sum_qty,
@@ -1364,6 +1433,25 @@ object SparkEntry {
          |                    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
          |                    AND o.o_orderdate < TIMESTAMP '1996-04-01')
          |GROUP BY 1""".stripMargin,
+
+    "d13_order_count_dist" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+        |SELECT COALESCE(pc.n, 0) AS c_count, count(*) AS custdist
+        |FROM customer c LEFT JOIN pc ON c.c_custkey = pc.o_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "d14_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    ${sqlFixedSum("l_extendedprice * (1 - l_discount)", 4)} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
 
     "d12_small_qty_revenue" ->
       s"""WITH scoped AS (
@@ -1993,7 +2081,12 @@ object SparkEntry {
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 37""".stripMargin,
 
     "k2_quota_sample" -> quotaOracleSql,
-    "k3_quota_native" -> quotaOracleSql
+    "k3_quota_native" -> quotaOracleSql,
+
+    "k7_priority_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '|s1')), doc_id) <= 50""".stripMargin
   )
 
   /** Shared by k2 (window) and k3 (custom TopKPerKey operator) — one

@@ -274,6 +274,25 @@ object Curation {
       .drop("rk")
   }
 
+  /** Deterministic FIXED-SIZE per-stratum sample ("priority sample"):
+    * the `n` rows with the smallest `md5(key ‖ salt)` per stratum — a
+    * uniform without-replacement draw that is reproducible across
+    * engines and re-runs (no RNG state), re-seedable via `salt`, and
+    * stable under corpus growth (a new doc displaces at most one
+    * incumbent). Complements [[hashSample]] (fixed RATE, size drifts
+    * with the corpus) when downstream wants exactly-n rows per stratum
+    * — eval set carving, per-language pilot corpora. Runs through the
+    * bounded-heap [[graft.plans.TopKPerKey]]: map-side k-cap, never a
+    * per-stratum sort of the full table. */
+  def prioritySample(df: DataFrame, stratum: Seq[String], key: Column,
+                     n: Int, salt: String = ""): DataFrame =
+    graft.plans.TopKPerKey(
+      df.withColumn("__pri", md5(concat(key.cast("string"), lit(salt)))),
+      keys = stratum.map(col),
+      order = Seq(col("__pri").asc, key.asc),
+      k = n, rankName = "__rk")
+      .drop("__rk", "__pri")
+
   /** Token-budget quota: per stratum, keep rows in `order`-desc
     * (tie-broken) sequence while the RUNNING token total (inclusive of
     * the current row) stays within `budget` — how corpus assembly

@@ -65,4 +65,28 @@ object Incremental {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__prev")
   }
+
+  /** Point-in-time dimension lookup over an [[scd2]] history — THE
+    * query a type-2 dimension exists for: each fact row picks the
+    * attribute version whose `[valid_from, valid_to)` interval contains
+    * its timestamp (open interval = `valid_to` null). An equi-join on
+    * the business key plus the interval predicate: intervals are
+    * DISJOINT by [[scd2]] construction, so each fact matches at most
+    * one version; the join shuffles on the key and its fan-out is
+    * bounded by versions-per-key (the change count), never fact ×
+    * history. Facts earlier than the key's first version drop out
+    * (inner join), mirroring the dimension's own coverage.
+    *
+    * Output: every fact column plus the history's non-key columns. */
+  def pitJoin(facts: DataFrame, history: DataFrame, key: Seq[String],
+              tsCol: String): DataFrame = {
+    val f = facts.as("f")
+    val h = history.as("h")
+    val cond = key.map(k => col(s"f.$k") === col(s"h.$k")).reduce(_ && _) &&
+      col(s"f.$tsCol") >= col("h.valid_from") &&
+      (col("h.valid_to").isNull || col(s"f.$tsCol") < col("h.valid_to"))
+    val hCols = history.columns.filterNot(key.contains)
+    f.join(h, cond)
+      .select(col("f.*") +: hCols.map(c => col(s"h.$c")): _*)
+  }
 }

@@ -129,6 +129,73 @@ object Warehouse {
     }
   }
 
+  /** Small-files MAINTENANCE — the compaction job every incremental
+    * warehouse needs: continuous keyed upserts ([[mergeUpsert]], the
+    * streaming sinks) leave hot partitions with one small file per
+    * micro-batch/cycle, and at 100 TB the resulting file-listing +
+    * task-scheduling overhead, not data volume, starts dominating reads.
+    *
+    * For each leaf partition whose file count exceeds both `minFiles`
+    * and its byte-proportional target (`ceil(bytes / targetFileBytes)`),
+    * the partition is re-read (partition-pruned — directly by its own
+    * path), `coalesce`d to the target file count — a NARROW dependency:
+    * compaction never shuffles a byte — and atomically replaced via
+    * dynamic partition overwrite. Partitions already at their target are
+    * left byte-untouched (spec-asserted), so repeated runs are no-ops
+    * and the job can run on any cadence. The per-partition loop is
+    * driver-side METADATA iteration (bounded by partition count, the
+    * same pattern as the refresh watermarks); each partition's rewrite
+    * is one bounded Spark job.
+    *
+    * Partition-column values are restored from the directory names as
+    * strings — the rewritten directory names (and hence read-back
+    * partition-type inference) are identical to the originals.
+    *
+    * Returns (partitionPath, filesBefore, filesAfter) per compacted
+    * partition for observability. */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession,
+                        path: String, partitionCols: Seq[String],
+                        targetFileBytes: Long = 128L << 20,
+                        minFiles: Int = 2): Seq[(String, Int, Int)] = {
+    import org.apache.spark.sql.functions.lit
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return Seq.empty
+    def leafDirs(dir: org.apache.hadoop.fs.Path,
+                 depth: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (depth == 0) Seq(dir)
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+        .flatMap(s => leafDirs(s.getPath, depth - 1))
+    leafDirs(hPath, partitionCols.size).flatMap { pd =>
+      val files = fs.listStatus(pd).filter(f =>
+        f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      if (files.length <= math.max(want, minFiles)) None
+      else {
+        // listStatus returns scheme-qualified paths; strip the equally-
+        // qualified root so `rel` is the bare partition-dir chain
+        val rel = pd.toString
+          .stripPrefix(fs.makeQualified(hPath).toString).stripPrefix("/")
+        val kvs = rel.split("/").map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }
+        val part = kvs.foldLeft(spark.read.parquet(pd.toString)) {
+          case (df, (k, v)) => df.withColumn(k, lit(v))
+        }
+        // localCheckpoint: the coalesced plan reads the very files the
+        // dynamic overwrite below replaces
+        overwritePartitions(part.coalesce(want).localCheckpoint(),
+          path, partitionCols)
+        Some((rel, files.length, want))
+      }
+    }
+  }
+
   /** Bucketed + sorted warehouse table: co-locates rows by join key so
     * downstream fact-fact joins and grouped aggs on `bucketCols` plan
     * with ZERO exchange (verified in PlanSpec). The one-time write cost

@@ -221,6 +221,26 @@ class PlanSpec extends SparkSpec {
       s"d12's brand filter must reach the part scan:\n$d12")
   }
 
+  test("Q13/Q15 shapes: pre-aggregated outer join; scalar max broadcast, no global window") {
+    // d13: orders reduce to one (custkey, n) row BEFORE the outer join —
+    // the orders scan reads ONLY o_custkey (order rows never ride the
+    // join) and no cartesian/window appears
+    val d13 = executed(SparkEntry.queries("d13_order_count_dist")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(d13.contains("LeftOuter"), s"d13 must outer-join:\n$d13")
+    assert(d13.contains("ReadSchema: struct<o_custkey:"),
+      s"d13's orders scan must prune to o_custkey alone:\n$d13")
+    // d14: the quarter filter reaches the lineitem scan, the scalar max
+    // and the supplier dim both come back as broadcast joins — never a
+    // single-partition global Window
+    val d14 = executed(SparkEntry.queries("d14_top_supplier")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(d14.contains("GreaterThanOrEqual(l_shipdate"),
+      s"d14's date range must reach the lineitem scan:\n$d14")
+    assert(d14.contains("BroadcastHashJoin") && !d14.contains("Window"),
+      s"d14 must broadcast the max row, not window globally:\n$d14")
+  }
+
   test("nested normalization flattens from ONE scan with no joins") {
     val plan = executed(SparkEntry.queries("a4_normalize_nested")(spark, sf))
       .split("== Initial Plan ==").head

@@ -98,4 +98,36 @@ class WarehouseSpec extends SparkSpec {
     refresh(raw2)
     assert(spark.read.parquet(wh).count() == 4)
   }
+
+  test("compactPartitions: fragmented partitions collapse, data byte-equal, cold partitions untouched") {
+    val wh = Files.createTempDirectory("graft-wh-compact").toString + "/t"
+    // hot partition: 6 single-row files (6 upsert cycles); cold: 1 file
+    (1 to 6).foreach { i =>
+      Seq((i.toLong, "20240101", i * 1.0)).toDF("id", "day", "v")
+        .coalesce(1).write.mode("append").partitionBy("day").parquet(wh)
+    }
+    Seq((7L, "20240102", 70.0)).toDF("id", "day", "v")
+      .coalesce(1).write.mode("append").partitionBy("day").parquet(wh)
+    val before = spark.read.parquet(wh).select("id", "day", "v")
+      .localCheckpoint() // pinned pre-compaction
+    val coldFiles = new java.io.File(wh, "day=20240102")
+      .listFiles().map(_.getName).toSet
+    val done = graft.sources.Warehouse.compactPartitions(
+      spark, wh, Seq("day"), targetFileBytes = 128L << 20)
+    // only the fragmented partition was rewritten, to ONE file
+    assert(done.map(d => (d._1, d._3)) == Seq(("day=20240101", 1)))
+    assert(new java.io.File(wh, "day=20240101").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")) == 1)
+    // cold partition's files byte-untouched
+    assert(new java.io.File(wh, "day=20240102")
+      .listFiles().map(_.getName).toSet == coldFiles)
+    // data identical row-for-row
+    val after = spark.read.parquet(wh).select("id", "day", "v")
+    assert(after.exceptAll(before).count() == 0 &&
+      before.exceptAll(after).count() == 0)
+    // a second run is a no-op (already at target)
+    assert(graft.sources.Warehouse.compactPartitions(
+      spark, wh, Seq("day"), targetFileBytes = 128L << 20).isEmpty)
+  }
 }
