@@ -105,7 +105,9 @@ object ScaleProbe {
         Tables.lineitem(spark, sfDir).select(
           (col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
           (col("l_partkey") + lit(i * 1000000L)).as("l_partkey"),
-          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+          (col("l_suppkey") + lit(i * 1000000L)).as("l_suppkey"),
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_shipdate"))
       }.reduce(_ unionByName _))
       lazy val cust = mat((0 until m).map { i =>
         Tables.customer(spark, sfDir).select(
@@ -115,7 +117,7 @@ object ScaleProbe {
       lazy val prt = mat((0 until m).map { i =>
         Tables.part(spark, sfDir).select(
           (col("p_partkey") + lit(i * 1000000L)).as("p_partkey"),
-          col("p_brand"))
+          col("p_brand"), col("p_size"))
       }.reduce(_ unionByName _))
       // boilerplate-heavy corpus for the archive-probe hot-bucket row:
       // 80% of docs collapse to ONE shared text, so every copy's band
@@ -327,6 +329,95 @@ object ScaleProbe {
             .agg(graft.functions.Portable.pround(
               graft.functions.Portable.fixedSum(col("l_extendedprice"), 4)
                 / lit(7.0), 4).as("avg_yearly"))
+        }),
+        // r7 shapes: the SCD2 point-in-time lookup (fan-out bounded by
+        // versions-per-key — ratio should track the fact volume), the
+        // Q13 pre-aggregated outer join (order rows never ride the
+        // join), the Q15 broadcast-max (two agg passes + a one-row
+        // join, no global window), and the bounded-heap priority
+        // sample (map-side k-cap — the shuffle carries ≤ k rows per
+        // task per stratum however big the corpus gets)
+        "c7_pit_join" -> (() => {
+          val e = ev.select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          val hist = Incremental.scd2(e, Seq("user_id"), col("ts"),
+            order = Seq(col("ts"), col("event_id")),
+            attrs = Seq("event_type"))
+            .select(col("user_id"), col("event_type").as("state"),
+              col("valid_from"), col("valid_to"))
+          Incremental.pitJoin(e.select("event_id", "user_id", "ts"),
+            hist, Seq("user_id"), "ts")
+        }),
+        "d13_order_count_dist" -> (() => {
+          val perCust = ords.groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("__n"))
+          cust.select(col("c_custkey"))
+            .join(perCust, col("c_custkey") === col("o_custkey"),
+              "left_outer")
+            .select(coalesce(col("__n"), lit(0L)).as("c_count"))
+            .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        }),
+        "d14_top_supplier" -> (() => {
+          val rev = li.filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+            .groupBy(col("l_suppkey"))
+            .agg(graft.functions.Portable.fixedSum(
+              col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("total_revenue"))
+          val mx = rev.agg(max(col("total_revenue")).as("__mx"))
+          rev.join(broadcast(mx), col("total_revenue") === col("__mx"))
+        }),
+        "k7_priority_sample" -> (() =>
+          Curation.prioritySample(
+            docs.select(col("doc_id"), col("lang")),
+            Seq("lang"), col("doc_id"), 50, "|s1")),
+        // Q18: per-order reduction before the join — only qualifying
+        // (orderkey, sum) rows ride the orders join
+        "d15_large_orders" -> (() => {
+          val big = li.groupBy(col("l_orderkey"))
+            .agg(graft.functions.Portable.fixedSum(col("l_quantity"), 4)
+              .as("sum_qty"))
+            .filter(col("sum_qty") > 200)
+          ords.join(big, col("o_orderkey") === col("l_orderkey"))
+        }),
+        // Q21: the double-EXISTS rewrite — all legs key on l_orderkey
+        // (supplier dim broadcast elided; the orderkey join family is
+        // what scales)
+        "d16_supplier_blame" -> (() => {
+          val rPairs = li.filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey"), col("l_suppkey")).distinct()
+          val allCnt = li.groupBy(col("l_orderkey"))
+            .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+          val rCnt = rPairs.groupBy(col("l_orderkey"))
+            .agg(count(lit(1)).as("n_r"))
+          rPairs.join(allCnt, Seq("l_orderkey"))
+            .join(rCnt, Seq("l_orderkey"))
+            .filter(col("n_supp") >= 2 && col("n_r") === 1)
+            .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+        }),
+        // Q16: pair-distinct before the part join, broadcast anti
+        "d17_supplier_variety" -> (() => {
+          val pairs = li.select(col("l_partkey"), col("l_suppkey")).distinct()
+          val bad = li.select(col("l_suppkey")).distinct()
+            .filter(col("l_suppkey") % 17 === 0)
+          pairs.join(broadcast(bad), Seq("l_suppkey"), "left_anti")
+            .join(prt, col("l_partkey") === col("p_partkey"))
+            .groupBy(col("p_brand"), col("p_size"))
+            .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        }),
+        // Q11: grouped value vs global scalar — the per-part exchange
+        // is REUSED for the total (one lineitem pass, PlanSpec-asserted)
+        "d18_revenue_concentration" -> (() => {
+          val pr = li.groupBy(col("l_partkey"))
+            .agg(sum(graft.functions.Portable.toFixed(
+              col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+              .as("__vf"))
+          val tot = pr.agg(sum(col("__vf")).as("__tot"),
+            count(lit(1)).as("__n"))
+          pr.join(broadcast(tot),
+            col("__vf").cast("double") * col("__n") >
+              lit(1.3) * col("__tot").cast("double"))
         }),
         // the CAPPED archive probe on the boilerplate corpus: without
         // maxBucket the hot bucket's pair expansion is quadratic in the

@@ -511,6 +511,89 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
     }),
 
+    // TPC-H Q18 shape (large orders): a HAVING-filtered grouped agg
+    // joined back to its facts — per-order quantity totals reduce
+    // lineitem to one row per order BEFORE any join, the threshold
+    // filter prunes further, and only the qualifying (orderkey, sum)
+    // rows ride the orders/customer joins
+    "d15_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(fixedSum(col("l_quantity"), 4).as("sum_qty"))
+        .filter(col("sum_qty") > 200)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    // DOUBLE-correlated EXISTS/NOT-EXISTS (another supplier in the
+    // order exists; another FLAGGED supplier does not) rewritten as
+    // per-order aggregates — distinct supplier counts computed once per
+    // order and joined back, so no per-row correlated re-scan of
+    // lineitem ever runs; all three join legs key on l_orderkey (one
+    // exchange family), the supplier dim broadcasts
+    "d16_supplier_blame" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val rPairs = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val allCnt = li.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      val rCnt = rPairs.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_r"))
+      rPairs
+        .join(allCnt, Seq("l_orderkey"))
+        .join(rCnt, Seq("l_orderkey"))
+        .filter(col("n_supp") >= 2 && col("n_r") === 1)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
+    // TPC-H Q16 shape (supplier variety): NOT IN as a broadcast LEFT
+    // ANTI join plus a count-distinct over pre-distincted pairs — the
+    // (partkey, suppkey) distinct reduces lineitem map-side before the
+    // part join, the excluded-supplier list broadcasts, and the brand
+    // exclusion pushes to the part scan
+    "d17_supplier_variety" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      pairs
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(Tables.part(s, d).filter(col("p_brand") =!= "Brand#45"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q11 shape (value concentration): a grouped value filtered
+    // against a GLOBAL scalar threshold (HAVING > scalar subquery) —
+    // per-part revenue aggregates exactly as fixed longs in one pass,
+    // the corpus total reduces from those SAME per-part rows (no second
+    // fact scan), and the one-row total broadcasts back as a nested-
+    // loop join; the 1.3×-mean threshold is scale-free because TPC-H
+    // holds lines-per-part constant as the corpus grows
+    "d18_revenue_concentration" -> ((s, d) => {
+      val pr = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(Portable.toFixed(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .as("__vf"))
+      val tot = pr.agg(sum(col("__vf")).as("__tot"),
+        count(lit(1)).as("__n"))
+      pr.join(broadcast(tot),
+          col("__vf").cast("double") * col("__n") >
+            lit(1.3) * col("__tot").cast("double"))
+        .select(col("l_partkey"),
+          (col("__vf").cast("double") / lit(1e4)).as("part_value"))
+    }),
+
     "d6_asof_join" -> ((s, d) => {
       // latest order per (customer, date) so the as-of pick is deterministic
       val oDedup = Incremental.upsertLatest(Tables.orders(s, d),
@@ -1452,6 +1535,54 @@ object SparkEntry {
          |SELECT s_suppkey, s_name, total_revenue
          |FROM rev JOIN supplier ON l_suppkey = s_suppkey
          |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+
+    "d15_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${sqlFixedSum("l_quantity", 4)} AS sum_qty
+         |  FROM lineitem GROUP BY 1 HAVING ${sqlFixedSum("l_quantity", 4)} > 200)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         |FROM orders
+         |JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "d16_supplier_blame" ->
+      """WITH rp AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_returnflag = 'R'),
+        |ac AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp
+        |  FROM lineitem GROUP BY 1),
+        |rc AS (SELECT l_orderkey, count(*) AS n_r FROM rp GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM rp
+        |JOIN ac USING (l_orderkey)
+        |JOIN rc USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE n_supp >= 2 AND n_r = 1
+        |GROUP BY 1""".stripMargin,
+
+    "d17_supplier_variety" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |kept AS (
+        |  SELECT * FROM pairs
+        |  WHERE l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM kept JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "d18_revenue_concentration" ->
+      """WITH pr AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)
+        |      AS BIGINT)) AS vf
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, CAST(vf AS DOUBLE) / 10000.0 AS part_value
+        |FROM pr
+        |WHERE CAST(vf AS DOUBLE) * (SELECT count(*) FROM pr)
+        |      > 1.3 * CAST((SELECT sum(vf) FROM pr) AS DOUBLE)""".stripMargin,
 
     "d12_small_qty_revenue" ->
       s"""WITH scoped AS (

@@ -241,6 +241,49 @@ class PlanSpec extends SparkSpec {
       s"d14 must broadcast the max row, not window globally:\n$d14")
   }
 
+  test("Q18/Q21/Q16/Q11 shapes: pre-reduced joins, broadcast dims, reused fact scan") {
+    // d15: lineitem reduces to per-order sums BEFORE any join, and the
+    // scan reads only the two columns the agg needs
+    val d15 = executed(SparkEntry.queries("d15_large_orders")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(d15.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double"),
+      s"d15's lineitem scan must prune to (orderkey, quantity):\n$d15")
+    assert(!d15.contains("NestedLoop") && !d15.contains("Cartesian"),
+      s"d15 must stay equi-join only:\n$d15")
+    // d16: the double-EXISTS rewrite joins on l_orderkey only and the
+    // supplier dim comes in as a broadcast — no correlated re-scan, no
+    // window
+    val d16 = executed(SparkEntry.queries("d16_supplier_blame")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(d16.contains("BroadcastHashJoin"),
+      s"d16's supplier dim must broadcast:\n$d16")
+    assert(!d16.contains("Window") && !d16.contains("NestedLoop"),
+      s"d16 must plan as aggregate joins, not windows/loops:\n$d16")
+    // d17: NOT IN is a broadcast LEFT ANTI, the brand exclusion reaches
+    // the part scan, and the pair-distinct prunes lineitem to two cols.
+    // The anti-join shape is asserted on the FULL plan text (the
+    // initial plan included): at toy SF the exclusion list is empty and
+    // AQE's empty-relation propagation correctly elides the join from
+    // the final plan
+    val d17full = executed(SparkEntry.queries("d17_supplier_variety")(spark, sf))
+    val d17 = d17full.split("== Initial Plan ==").head
+    assert(d17full.contains("LeftAnti"),
+      s"d17's exclusion list must plan as an anti join:\n$d17full")
+    assert(d17.contains("Not(EqualTo(p_brand,Brand#45))"),
+      s"d17's brand exclusion must reach the part scan:\n$d17")
+    assert(d17.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint"),
+      s"d17's lineitem scan must prune to the pair columns:\n$d17")
+    // d18: the global total comes back as a one-row broadcast nested-
+    // loop join, and the per-part aggregate's exchange is REUSED for
+    // the total — lineitem is scanned once
+    val d18 = executed(SparkEntry.queries("d18_revenue_concentration")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(d18.contains("BroadcastNestedLoopJoin"),
+      s"d18's scalar threshold must broadcast as a one-row join:\n$d18")
+    assert("FileScan parquet".r.findAllIn(d18).size == 1,
+      s"d18 must scan lineitem once (exchange reuse for the total):\n$d18")
+  }
+
   test("nested normalization flattens from ONE scan with no joins") {
     val plan = executed(SparkEntry.queries("a4_normalize_nested")(spark, sf))
       .split("== Initial Plan ==").head
