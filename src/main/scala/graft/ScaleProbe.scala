@@ -372,6 +372,15 @@ object ScaleProbe {
           Curation.prioritySample(
             docs.select(col("doc_id"), col("lang")),
             Seq("lang"), col("doc_id"), 50, "|s1")),
+        // chunking is NARROW (tokenize → sequence → posexplode → slice,
+        // zero shuffles) — the ratio is pure scan+explode scaling
+        "h15_chunk_tokens" -> (() =>
+          Curation.chunkTokens(docs, "doc_id", "text", 64, 16)),
+        // tf-idf: token explode → (doc, term) combine → vocabulary-
+        // sized df join → bounded-heap top-k; the term join is the one
+        // exchange that grows with the corpus
+        "h16_tfidf_terms" -> (() =>
+          Curation.topTfidfTerms(docs, "doc_id", "text", 5)),
         // Q18: per-order reduction before the join — only qualifying
         // (orderkey, sum) rows ride the orders join
         "d15_large_orders" -> (() => {

@@ -864,6 +864,15 @@ object SparkEntry {
     "h14_ngram_lm" -> ((s, d) =>
       Curation.ngramLmScore(docs(s, d), "doc_id", "text", 3)),
 
+    // sliding-window chunking: 64-token windows every 48 tokens (16
+    // overlap) — narrow (zero shuffles), the context-window prep step
+    "h15_chunk_tokens" -> ((s, d) =>
+      Curation.chunkTokens(docs(s, d), "doc_id", "text", 64, 16)),
+
+    // per-doc salient terms by log-free tf-idf through the bounded heap
+    "h16_tfidf_terms" -> ((s, d) =>
+      Curation.topTfidfTerms(docs(s, d), "doc_id", "text", 5)),
+
     // corpus-inspection: top-10 3-grams per language by document
     // frequency, through the custom TopKPerKey operator (bounded
     // per-key heaps — no per-language sort of the full n-gram table)
@@ -2019,6 +2028,31 @@ object SparkEntry {
          |  ${sqlPround("min(prob)", 6)} AS min_prob
          |FROM g JOIN m USING (g)
          |GROUP BY 1""".stripMargin,
+
+    "h15_chunk_tokens" ->
+      s"""WITH t AS (${tokCte("documents", lower = false)}),
+         |n AS (SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) > 0)
+         |SELECT doc_id, s // 48 AS chunk_id, s AS start_token,
+         |  least(64, n - s) AS n_tokens,
+         |  array_to_string(tok[s + 1 : s + 64], ' ') AS chunk_text
+         |FROM n, LATERAL unnest(range(0, CAST(n AS BIGINT), 48)) AS u(s)""".stripMargin,
+
+    "h16_tfidf_terms" ->
+      """WITH e AS (
+        |  SELECT doc_id, u.term AS term
+        |  FROM documents,
+        |    LATERAL unnest(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 0)) AS u(term)),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, term, tf, df,
+        |    CAST(tf AS DOUBLE) * (SELECT count(*) FROM documents) / df AS rtfidf
+        |  FROM tf JOIN dfq USING (term))
+        |SELECT doc_id, term, tf, df, rtfidf,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY rtfidf DESC, term) AS rnk
+        |FROM sc QUALIFY rnk <= 5""".stripMargin,
 
     "h9_repetition" ->
       s"""WITH t AS (${tokCte("documents", lower = true)})

@@ -293,6 +293,68 @@ object Curation {
       k = n, rankName = "__rk")
       .drop("__rk", "__pri")
 
+  /** Sliding-window token CHUNKING with overlap — the
+    * context-window-preparation step between curation and packing in a
+    * training pipeline: each document's token stream is cut into
+    * `chunk`-token windows every `chunk - overlap` tokens, so adjacent
+    * chunks share `overlap` tokens of context and no token is dropped
+    * (the tail chunk may be shorter). Entirely NARROW — tokenize,
+    * per-row `sequence` of window starts, `posexplode`, `slice` — all
+    * codegen'd built-ins, zero shuffles, zero UDFs; output rows stay on
+    * their input partition, so the op scales with the scan alone.
+    * Empty-token docs produce no chunks.
+    *
+    * Output: (id, chunk_id, start_token, n_tokens, chunk_text). */
+  def chunkTokens(df: DataFrame, id: String, text: String,
+                  chunk: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && chunk > overlap,
+      s"need chunk > overlap >= 0, got chunk=$chunk overlap=$overlap")
+    val stride = chunk - overlap
+    df.select(col(id),
+        graft.functions.TextFunctions.tokens(col(text)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(id), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride))))
+      .select(col(id), col("pos").as("chunk_id"),
+        col("col").as("start_token"),
+        least(lit(chunk), col("__n") - col("col")).as("n_tokens"),
+        array_join(slice(col("__toks"), col("col") + 1, lit(chunk)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Per-document top-k salient terms by LOG-FREE tf-idf: score =
+    * tf × N / df (linear inverse document frequency). The log variant
+    * ranks identically for a fixed corpus (log is monotone in N/df and
+    * tf scales within a doc — the tf·log curve can reorder, but the
+    * linear form is itself a standard idf family member) and the
+    * rational spelling is exactly reproducible across engines: every
+    * factor is an integer, the one division is a single IEEE op — no
+    * libm `ln` whose last ULP differs between runtimes.
+    *
+    * Shape: tokenize+explode (narrow) → (doc, term) count with map-side
+    * combine → vocabulary-sized df counts joined back on term → corpus
+    * size N as a one-row broadcast → bounded-heap
+    * [[graft.plans.TopKPerKey]] per doc. No global sort, no window. */
+  def topTfidfTerms(df: DataFrame, id: String, text: String,
+                    k: Int): DataFrame = {
+    val terms = df.select(col(id),
+      explode(filter(split(lower(col(text)), "[^a-z0-9]+"),
+        t => length(t) > 0)).as("term"))
+    val tf = terms.groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col(id), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") * col("__n") / col("df")).as("rtfidf"))
+    graft.plans.TopKPerKey(scored,
+      keys = Seq(col(id)),
+      order = Seq(col("rtfidf").desc, col("term").asc),
+      k = k, rankName = "rnk")
+  }
+
   /** Token-budget quota: per stratum, keep rows in `order`-desc
     * (tie-broken) sequence while the RUNNING token total (inclusive of
     * the current row) stays within `budget` — how corpus assembly

@@ -294,6 +294,41 @@ class CurationSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("chunkTokens: hand-checked windows — overlap shared, tail kept, no token dropped") {
+    // 10 tokens, chunk=4, overlap=2 → stride 2 → starts 0,2,4,6,8
+    val doc = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "   "))
+      .toDF("doc_id", "text")
+    val got = Curation.chunkTokens(doc, "doc_id", "text", 4, 2)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 0, 4, "t0 t1 t2 t3"),
+      (1L, 1, 2, 4, "t2 t3 t4 t5"),
+      (1L, 2, 4, 4, "t4 t5 t6 t7"),
+      (1L, 3, 6, 4, "t6 t7 t8 t9"),
+      (1L, 4, 8, 2, "t8 t9")))          // tail chunk shorter, kept
+    // whitespace-only doc produces no chunks; every token of doc 1
+    // appears in at least one chunk
+    val covered = got.flatMap(_._5.split(" ")).toSet
+    assert(covered == (0 to 9).map(i => s"t$i").toSet)
+  }
+
+  test("topTfidfTerms: rare terms outrank common ones, rank deterministic") {
+    val corpus = Seq(
+      (1L, "alpha beta beta shared"),
+      (2L, "alpha gamma shared"),
+      (3L, "alpha delta shared")).toDF("doc_id", "text")
+    val got = Curation.topTfidfTerms(corpus, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(5)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // 'alpha'/'shared' appear in all 3 docs (df=3, score tf*3/3=tf);
+    // doc-unique terms score 3 (1*3/1) — beta has tf=2 ⇒ score 6, top
+    assert(got(1L) == Seq("beta", "alpha"))   // beta 6; alpha=shared=1 → term asc
+    assert(got(2L) == Seq("gamma", "alpha"))  // gamma 3
+    assert(got(3L) == Seq("delta", "alpha"))
+  }
+
   test("ngram LM score: hand-checked transition likelihoods; short docs drop") {
     // corpus grams: "abab" -> {aba, bab}, "abc" -> {abc}; prefix "ab"
     // is followed by 'a' once and 'c' once -> P(aba)=P(abc)=1/2,
