@@ -428,6 +428,29 @@ object ScaleProbe {
             col("__vf").cast("double") * col("__n") >
               lit(1.3) * col("__tot").cast("double"))
         }),
+        // Q2: groupwise argmin — both legs reduce before the join, the
+        // per-(part,supp) exchange reused for the per-part min
+        "d19_cheapest_supplier" -> (() => {
+          val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
+            .agg(min(graft.functions.Portable.toFixed(
+              col("l_extendedprice"), 4)).as("__pf"))
+          val mn = ps.groupBy(col("l_partkey")).agg(min(col("__pf")).as("__mf"))
+          ps.join(mn, Seq("l_partkey")).filter(col("__pf") === col("__mf"))
+        }),
+        // Q19: hand-factored disjunction — brand IN pushed to the part
+        // scan, broadcast hash join, OR evaluated post-join
+        "d20_disjunctive_revenue" -> (() => {
+          val p = prt.filter(col("p_brand")
+            .isin("Brand#12", "Brand#23", "Brand#34"))
+          li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+            .filter(
+              (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+              (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+              (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30)))
+            .agg(graft.functions.Portable.fixedSum(
+              col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("revenue"))
+        }),
         // the CAPPED archive probe on the boilerplate corpus: without
         // maxBucket the hot bucket's pair expansion is quadratic in the
         // corpus; with the runCycle default the bucket is dropped before

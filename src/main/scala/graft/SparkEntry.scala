@@ -594,6 +594,42 @@ object SparkEntry {
           (col("__vf").cast("double") / lit(1e4)).as("part_value"))
     }),
 
+    // TPC-H Q2 shape (cheapest supplier): GROUPWISE ARGMIN — the
+    // correlated "= (SELECT min(..) WHERE key matches)" subquery as a
+    // per-key min aggregate joined back; ties all survive (Q2 lists
+    // every supplier at the min), both legs reduce BEFORE the join
+    // (per-(part,supplier) min, then per-part min of those), and the
+    // join keys on partkey — never a window over the whole fact table
+    "d19_cheapest_supplier" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(Portable.toFixed(col("l_extendedprice"), 4)).as("__pf"))
+      val mn = ps.groupBy(col("l_partkey")).agg(min(col("__pf")).as("__mf"))
+      ps.join(mn, Seq("l_partkey"))
+        .filter(col("__pf") === col("__mf"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("__pf").cast("double") / lit(1e4)).as("min_price"))
+    }),
+
+    // TPC-H Q19 shape (disjunctive predicate join): OR-of-conjunctions
+    // across both join sides — kept a HASH equi-join by hand-factoring
+    // the implied brand disjunction onto the part scan (pushed filter)
+    // and evaluating the full OR as a post-join filter; without the
+    // factoring this degenerates to a nested-loop over the whole fact
+    "d20_disjunctive_revenue" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select(col("p_partkey"), col("p_brand"))
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30)))
+        .agg(fixedSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+    }),
+
     "d6_asof_join" -> ((s, d) => {
       // latest order per (customer, date) so the as-of pick is deterministic
       val oDedup = Incremental.upsertLatest(Tables.orders(s, d),
@@ -1592,6 +1628,23 @@ object SparkEntry {
         |FROM pr
         |WHERE CAST(vf AS DOUBLE) * (SELECT count(*) FROM pr)
         |      > 1.3 * CAST((SELECT sum(vf) FROM pr) AS DOUBLE)""".stripMargin,
+
+    "d19_cheapest_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) AS pf
+        |  FROM lineitem GROUP BY 1, 2),
+        |mn AS (SELECT l_partkey, min(pf) AS mf FROM ps GROUP BY 1)
+        |SELECT ps.l_partkey, ps.l_suppkey,
+        |  CAST(pf AS DOUBLE) / 10000.0 AS min_price
+        |FROM ps JOIN mn ON ps.l_partkey = mn.l_partkey AND ps.pf = mn.mf""".stripMargin,
+
+    "d20_disjunctive_revenue" ->
+      s"""SELECT ${sqlFixedSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "d12_small_qty_revenue" ->
       s"""WITH scoped AS (

@@ -284,6 +284,27 @@ class PlanSpec extends SparkSpec {
       s"d18 must scan lineitem once (exchange reuse for the total):\n$d18")
   }
 
+  test("Q2/Q19 shapes: argmin joins back pre-reduced; disjunction stays a hash join") {
+    // d19: groupwise argmin — both legs are aggregates (no window over
+    // the fact), the join is equi on partkey, and the per-(part,supp)
+    // exchange is reused for the per-part min (one lineitem scan)
+    val d19 = executed(SparkEntry.queries("d19_cheapest_supplier")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!d19.contains("Window") && !d19.contains("NestedLoop"),
+      s"d19 must be aggregate + equi-join, not window/loop:\n$d19")
+    assert("FileScan parquet".r.findAllIn(d19).size == 1,
+      s"d19 must scan lineitem once (exchange reuse):\n$d19")
+    // d20: the hand-factored brand disjunction reaches the part scan
+    // as an IN filter and the join stays a broadcast HASH join — the
+    // naive OR-of-conjunctions spelling degenerates to a nested loop
+    val d20 = executed(SparkEntry.queries("d20_disjunctive_revenue")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(d20.contains("In(p_brand"),
+      s"d20's implied brand disjunction must reach the part scan:\n$d20")
+    assert(d20.contains("BroadcastHashJoin") && !d20.contains("NestedLoop"),
+      s"d20 must stay a broadcast hash join:\n$d20")
+  }
+
   test("nested normalization flattens from ONE scan with no joins") {
     val plan = executed(SparkEntry.queries("a4_normalize_nested")(spark, sf))
       .split("== Initial Plan ==").head
