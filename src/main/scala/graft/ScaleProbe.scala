@@ -372,6 +372,18 @@ object ScaleProbe {
           Curation.prioritySample(
             docs.select(col("doc_id"), col("lang")),
             Seq("lang"), col("doc_id"), 50, "|s1")),
+        // count-min build+probe: the build exchange is SKETCH-sized
+        // (≤ 4×1024 groups after map-side combine) however big the
+        // corpus — the ratio should track the scan, the shufN column
+        // should stay flat
+        "b23_heavy_hitters" -> (() => {
+          val terms = docs.select(
+            explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+              t => length(t) > 0)).as("term"))
+          val cms = Sketches.countMinTable(terms, "term", 4, 1024)
+          Sketches.countMinEstimate(cms, terms.distinct(), "term", 4, 1024)
+            .filter(col("est_count") >= 50)
+        }),
         // chunking is NARROW (tokenize → sequence → posexplode → slice,
         // zero shuffles) — the ratio is pure scan+explode scaling
         "h15_chunk_tokens" -> (() =>

@@ -278,6 +278,19 @@ object SparkEntry {
     "b10_distinct_kmv" -> ((s, d) =>
       Sketches.kmvDistinct(ev(s, d), col("event_id"), 256)),
 
+    // count-min heavy hitters: one pass builds the bounded 4×1024
+    // counter matrix (exchange is sketch-sized, not corpus-sized), the
+    // sketch broadcasts, and a sampled query-term set reads its min-
+    // of-rows estimates; est >= true count by the CMS guarantee
+    "b23_heavy_hitters" -> ((s, d) => {
+      val terms = docs(s, d).select(
+        explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+          t => length(t) > 0)).as("term"))
+      val cms = Sketches.countMinTable(terms, "term", 4, 1024)
+      Sketches.countMinEstimate(cms, terms.distinct(), "term", 4, 1024)
+        .filter(col("est_count") >= 50)
+    }),
+
     // C. analytics layer
     "c1_balance_group_metrics" -> ((s, d) => {
       val grp = when(col("c_acctbal") < 0, "negative")
@@ -1420,6 +1433,29 @@ object SparkEntry {
          |  ${pick("p99", 0.99)}
          |FROM c GROUP BY event_type""".stripMargin
     },
+
+    "b23_heavy_hitters" ->
+      """WITH e AS (
+        |  SELECT u.term AS term FROM documents,
+        |    LATERAL unnest(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 0)) AS u(term)),
+        |cells AS (
+        |  SELECT term, i.i AS cms_row,
+        |    CAST(concat('0x', substr(md5(concat(term, '|cms', CAST(i.i AS VARCHAR))), 1, 15))
+        |      AS BIGINT) % 1024 AS cms_bucket
+        |  FROM e, LATERAL unnest([0, 1, 2, 3]) AS i(i)),
+        |cms AS (SELECT cms_row, cms_bucket, count(*) AS cnt
+        |        FROM cells GROUP BY 1, 2),
+        |q AS (SELECT DISTINCT term FROM e),
+        |qc AS (
+        |  SELECT term, i.i AS cms_row,
+        |    CAST(concat('0x', substr(md5(concat(term, '|cms', CAST(i.i AS VARCHAR))), 1, 15))
+        |      AS BIGINT) % 1024 AS cms_bucket
+        |  FROM q, LATERAL unnest([0, 1, 2, 3]) AS i(i))
+        |SELECT term, min(cnt) AS est_count
+        |FROM qc JOIN cms USING (cms_row, cms_bucket)
+        |GROUP BY 1 HAVING min(cnt) >= 50""".stripMargin,
 
     "b10_distinct_kmv" ->
       s"""WITH h AS (SELECT DISTINCT

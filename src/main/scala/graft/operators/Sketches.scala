@@ -40,6 +40,44 @@ object Sketches {
               col("kth_hash").cast("double")), 2).as("est_distinct"))
   }
 
+  /** COUNT-MIN sketch over a key column: a `depth × width` counter
+    * matrix where row i counts keys by `hash_i(key) mod width`. Like
+    * [[kmvDistinct]] (and unlike HLL/t-digest), the layout is fully
+    * portable — the hash family is md5-derived, so any engine builds
+    * the bit-identical matrix and the estimates oracle-match exactly.
+    *
+    * Scale shape: ONE pass — per row a `depth`-element literal-array of
+    * (row, bucket) cells is `posexplode`d and the groupBy partial-
+    * aggregates map-side into at most `depth × width` groups, so the
+    * exchange is sketch-sized (bounded) no matter the corpus; the
+    * sketch itself is broadcast-sized by construction, which is the
+    * whole point — frequency lookups join against it broadcast. */
+  def countMinTable(items: DataFrame, term: String,
+                    depth: Int = 4, width: Int = 1024): DataFrame =
+    items.select(posexplode(cmsCells(col(term), depth, width)))
+      .toDF("cms_row", "cms_bucket")
+      .groupBy("cms_row", "cms_bucket").agg(count(lit(1)).as("cnt"))
+
+  /** The depth hash cells of one key: cell i = h(key ‖ "|cms" ‖ i) mod
+    * width; posexplode position IS the row index. */
+  private def cmsCells(term: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(i =>
+      portableHash(concat(term, lit(s"|cms$i"))) % width): _*)
+
+  /** Point estimates from a [[countMinTable]] sketch: for each distinct
+    * query term, est = min over the depth rows of its bucket counters —
+    * the CMS upper bound (est ≥ true count, overshoot bounded by
+    * e·N/width with prob 1−e^−depth). The sketch side is broadcast
+    * (≤ depth × width rows); the inner join is exact for terms the
+    * sketch has seen — for never-seen keys left-join and zero-fill. */
+  def countMinEstimate(cms: DataFrame, queries: DataFrame, term: String,
+                       depth: Int = 4, width: Int = 1024): DataFrame =
+    queries.select(col(term),
+        posexplode(cmsCells(col(term), depth, width)))
+      .toDF(term, "cms_row", "cms_bucket")
+      .join(broadcast(cms), Seq("cms_row", "cms_bucket"))
+      .groupBy(col(term)).agg(min(col("cnt")).as("est_count"))
+
   /** Fixed-bin histogram percentiles — the SCALE-SAFE spelling of B8's
     * exact `percentile`: Spark's exact aggregate buffers every distinct
     * value per group in executor memory (a per-group value map), which

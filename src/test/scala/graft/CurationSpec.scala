@@ -68,6 +68,29 @@ class CurationSpec extends SparkSpec {
     assert(exact == 100.0)
   }
 
+  test("count-min estimates never undercount; exact at generous width") {
+    import graft.operators.Sketches
+    // zipf-ish: key k appears 1000/k times, 200 keys, ~5900 items
+    val items = spark.range(1, 201).select(explode(sequence(lit(1),
+      (lit(1000) / $"id").cast("int"))).as("rep"), $"id")
+      .select(concat(lit("key"), $"id").as("term"))
+    val truth = items.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tight sketch: collisions expected → est >= truth, never under
+    val tight = Sketches.countMinEstimate(
+      Sketches.countMinTable(items, "term", 4, 64),
+      items.distinct(), "term", 4, 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (t, n) =>
+      assert(tight(t) >= n, s"CMS undercounted $t: ${tight(t)} < $n") }
+    // generous sketch: 200 keys across 4x4096 cells → exact w.h.p.
+    val wide = Sketches.countMinEstimate(
+      Sketches.countMinTable(items, "term", 4, 4096),
+      items.distinct(), "term", 4, 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == truth)
+  }
+
   test("histogram percentiles land within one bin width of the nearest-rank value") {
     import org.apache.spark.sql.expressions.Window
     val ev = graft.sources.Tables.events(spark, sf)
