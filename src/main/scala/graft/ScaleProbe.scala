@@ -372,6 +372,22 @@ object ScaleProbe {
           Curation.prioritySample(
             docs.select(col("doc_id"), col("lang")),
             Seq("lang"), col("doc_id"), 50, "|s1")),
+        // LTTB downsample: one window family per series + the bounded-
+        // heap argmax — user count scales with m, points-per-series flat
+        "b24_downsample_lttb" -> (() =>
+          TimeAgg.downsampleLttb(
+            ev.select("user_id", "ts", "value", "event_id"),
+            "user_id", "ts", "value", "event_id", nBuckets = 10, scale = 2)),
+        // interpolating gapfill: window work on rollup-sized rows, the
+        // spine explode is narrow — same discipline as b6
+        "b25_gapfill_interp" -> (() => {
+          val hourly = ev.groupBy(col("user_id"),
+              TimeAgg.timeBucket(col("ts"), 3600).as("bucket"))
+            .agg(graft.functions.Portable.fixedAvg(col("value"), 4)
+              .as("avg_value"))
+          TimeAgg.gapfillInterpolate(hourly, "user_id", "bucket",
+            "avg_value", 3600)
+        }),
         // count-min build+probe: the build exchange is SKETCH-sized
         // (≤ 4×1024 groups after map-side combine) however big the
         // corpus — the ratio should track the scan, the shufN column

@@ -278,6 +278,24 @@ object SparkEntry {
     "b10_distinct_kmv" -> ((s, d) =>
       Sketches.kmvDistinct(ev(s, d), col("event_id"), 256)),
 
+    // LTTB-style downsampling: ~10 visually-salient points per series,
+    // integer-exact triangle areas, argmax through the bounded heap
+    "b24_downsample_lttb" -> ((s, d) =>
+      TimeAgg.downsampleLttb(
+        ev(s, d).select("user_id", "ts", "value", "event_id"),
+        "user_id", "ts", "value", "event_id", nBuckets = 10, scale = 2)),
+
+    // gapfill with linear interpolation between observations —
+    // Timescale's interpolate() next to b6's locf()
+    "b25_gapfill_interp" -> ((s, d) => {
+      val hourly = ev(s, d)
+        .groupBy(col("user_id"), TimeAgg.timeBucket(col("ts"), 3600).as("bucket"))
+        .agg(fixedAvg(col("value"), 4).as("avg_value"))
+      TimeAgg.gapfillInterpolate(hourly, "user_id", "bucket", "avg_value",
+          3600, scale = 4)
+        .withColumn("bucket", col("bucket").cast("string"))
+    }),
+
     // count-min heavy hitters: one pass builds the bounded 4×1024
     // counter matrix (exchange is sketch-sized, not corpus-sized), the
     // sketch broadcasts, and a sampled query-term set reads its min-
@@ -1433,6 +1451,65 @@ object SparkEntry {
          |  ${pick("p99", 0.99)}
          |FROM c GROUP BY event_type""".stripMargin
     },
+
+    "b24_downsample_lttb" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    epoch_ms(ts) AS x,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y,
+        |    min(epoch_ms(ts)) OVER (PARTITION BY user_id) AS mn,
+        |    max(epoch_ms(ts)) OVER (PARTITION BY user_id) AS mx
+        |  FROM events),
+        |pb AS (SELECT *, (x - mn) * 10 // (mx - mn + 1) AS b FROM p),
+        |st AS (
+        |  SELECT user_id, b, x, y,
+        |    row_number() OVER (PARTITION BY user_id, b
+        |      ORDER BY x, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY user_id, b
+        |      ORDER BY x DESC, event_id DESC) AS rl
+        |  FROM pb),
+        |bounds AS (
+        |  SELECT f.user_id, f.b, f.x AS fx, f.y AS fy, l.x AS lx, l.y AS ly
+        |  FROM (SELECT * FROM st WHERE rf = 1) f
+        |  JOIN (SELECT * FROM st WHERE rl = 1) l USING (user_id, b)),
+        |nb AS (
+        |  SELECT user_id, b,
+        |    lag(lx) OVER w AS pax, lag(ly) OVER w AS pay,
+        |    lead(fx) OVER w AS nxx, lead(fy) OVER w AS nxy
+        |  FROM bounds WINDOW w AS (PARTITION BY user_id ORDER BY b)),
+        |sc AS (
+        |  SELECT pb.user_id, pb.b AS bucket, pb.ts, pb.value, pb.event_id,
+        |    CASE WHEN pax IS NULL THEN mx - x
+        |         WHEN nxx IS NULL THEN x - mn
+        |         ELSE abs((x - pax) * (nxy - pay)
+        |                - (nxx - pax) * (y - pay)) END AS score
+        |  FROM pb JOIN nb ON pb.user_id = nb.user_id AND pb.b = nb.b)
+        |SELECT user_id, bucket, ts, value, event_id FROM sc
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id, bucket
+        |  ORDER BY score DESC, ts, event_id) = 1""".stripMargin,
+
+    "b25_gapfill_interp" ->
+      s"""WITH r AS (
+         |  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         |         ${sqlFixedAvg("value", 4)} AS avg_value
+         |  FROM events GROUP BY 1, 2),
+         |p AS (
+         |  SELECT *,
+         |    lag(bucket) OVER w AS pb, lag(avg_value) OVER w AS pv
+         |  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY bucket)),
+         |sp AS (
+         |  SELECT user_id, bucket, avg_value, pb, pv,
+         |    unnest(CASE WHEN pb IS NULL THEN [bucket]
+         |      ELSE generate_series(pb + INTERVAL 1 HOUR, bucket, INTERVAL 1 HOUR)
+         |      END) AS t
+         |  FROM p)
+         |SELECT user_id, CAST(t AS VARCHAR) AS bucket,
+         |  ${sqlPround(
+              "CASE WHEN t = bucket THEN avg_value ELSE pv + (avg_value - pv) * " +
+              "(CAST(epoch(t) - epoch(pb) AS DOUBLE) / " +
+              "CAST(epoch(bucket) - epoch(pb) AS DOUBLE)) END", 4)} AS avg_value
+         |FROM sp""".stripMargin,
 
     "b23_heavy_hitters" ->
       """WITH e AS (

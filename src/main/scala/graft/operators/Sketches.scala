@@ -78,6 +78,16 @@ object Sketches {
       .join(broadcast(cms), Seq("cms_row", "cms_bucket"))
       .groupBy(col(term)).agg(min(col("cnt")).as("est_count"))
 
+  /** Merge two count-min sketches by summing counters cell-wise — CMS
+    * is distributive, so a maintained sketch ingests per-batch sketches
+    * without ever re-reading history (the same maintenance shape as the
+    * band index / continuous aggregates: per-cycle cost scales with the
+    * batch). Estimates from the merged sketch == estimates from a
+    * sketch built over the concatenated corpus (spec-asserted). */
+  def countMinMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("cms_row", "cms_bucket").agg(sum("cnt").as("cnt"))
+
   /** Fixed-bin histogram percentiles — the SCALE-SAFE spelling of B8's
     * exact `percentile`: Spark's exact aggregate buffers every distinct
     * value per group in executor memory (a per-group value map), which

@@ -146,6 +146,105 @@ object TimeAgg {
     * exchange, so the whole operator is one shuffle. Per-step deltas
     * are fixed-pointed before summing (order-independent cross-engine
     * sums — [[graft.functions.Portable]]). */
+  /** Gapfill with LINEAR INTERPOLATION — TimescaleDB's `interpolate()`
+    * companion to [[gapfillLocf]]'s `locf()`: each missing bucket gets
+    * the straight-line value between its surrounding observations; no
+    * rows are emitted before an entity's first or after its last
+    * observation (Timescale's null-outside-range semantics, minus the
+    * nulls).
+    *
+    * Same scale discipline as [[gapfillLocf]]: ALL window work happens
+    * on rollup-sized rows BEFORE the gap explode — each observed row
+    * carries its predecessor's (bucket, value) via one lag window and
+    * emits its gap run with `sequence`; the interpolation itself is a
+    * per-row expression on the exploded spine. One window family, one
+    * exchange, never a sort of the spine.
+    *
+    * The lerp `prev + (cur−prev) · (t−t_prev)/(t_cur−t_prev)` is pure
+    * IEEE arithmetic on exact inputs (fixed-point values, integer
+    * epoch), rounded at `scale` — bit-reproducible in any engine. */
+  def gapfillInterpolate(rollup: DataFrame, entity: String, bucket: String,
+                         value: String, stepSeconds: Long,
+                         scale: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val step = expr(s"INTERVAL $stepSeconds SECOND")
+    val w = Window.partitionBy(entity).orderBy(bucket)
+    val pre = rollup
+      .withColumn("__pb", lag(col(bucket), 1).over(w))
+      .withColumn("__pv", lag(col(value), 1).over(w))
+    val spine = pre.select(col(entity), col(bucket), col(value),
+        col("__pb"), col("__pv"),
+        explode(when(col("__pb").isNull, array(col(bucket)))
+          .otherwise(sequence(col("__pb") + step, col(bucket), step)))
+          .as("__t"))
+    val frac = (unix_timestamp(col("__t")) - unix_timestamp(col("__pb")))
+      .cast("double") /
+      (unix_timestamp(col(bucket)) - unix_timestamp(col("__pb"))).cast("double")
+    spine.select(col(entity), col("__t").as(bucket),
+      graft.functions.Portable.pround(
+        when(col("__t") === col(bucket), col(value))
+          .otherwise(col("__pv") + (col(value) - col("__pv")) * frac),
+        scale).as(value))
+  }
+
+  /** LTTB-style series DOWNSAMPLING (largest-triangle-three-buckets,
+    * the TimescaleDB `lttb()` hyperfunction's job): keep ~`nBuckets`
+    * visually-salient points per series. This is the PARALLEL variant:
+    * canonical LTTB anchors each bucket's triangle on the previously
+    * SELECTED point — a sequential recurrence that would serialize each
+    * series — so the triangle anchors here are the neighbor buckets'
+    * BOUNDARY points (previous bucket's last, next bucket's first),
+    * which are actual data points, keeping every area an exact INTEGER
+    * expression (epoch-millis × fixed-point value; overflow budget:
+    * series span in ms × value·10^s must stay < 2^63) — deterministic
+    * and bit-identical cross-engine, where canonical LTTB's
+    * floating-point bucket averages are not. First/last buckets keep
+    * the series' first/last point (the LTTB endpoint contract).
+    *
+    * Shape: one window family partitioned by series (bucket assignment
+    * from the series' min/max ts, boundary structs, lag/lead), then the
+    * per-bucket argmax runs through the bounded-heap
+    * [[graft.plans.TopKPerKey]] — never a per-bucket sort. */
+  def downsampleLttb(df: DataFrame, series: String, ts: String,
+                     value: String, tieBreak: String, nBuckets: Int,
+                     scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(series)
+    val x = unix_millis(col(ts))
+    val y = graft.functions.Portable.toFixed(col(value), scale)
+    val pts = df.select(col(series), col(ts), col(value), col(tieBreak),
+        x.as("__x"), y.as("__y"))
+      .withColumn("__mn", min(col("__x")).over(w))
+      .withColumn("__mx", max(col("__x")).over(w))
+      .withColumn("__b",
+        ((col("__x") - col("__mn")) * nBuckets /
+          (col("__mx") - col("__mn") + 1)).cast("long"))
+    val wb = Window.partitionBy(series).orderBy("__b")
+    val stats = pts.groupBy(col(series), col("__b"))
+      .agg(min(struct(col("__x"), col(tieBreak), col("__y"))).as("__first"),
+        max(struct(col("__x"), col(tieBreak), col("__y"))).as("__last"))
+      .withColumn("__pa", lag(col("__last"), 1).over(wb))
+      .withColumn("__nb", lead(col("__first"), 1).over(wb))
+      .select(col(series), col("__b"), col("__pa"), col("__nb"))
+    // area·2 anchored on A=prev bucket's last, B=next bucket's first:
+    // |(xP−xA)(yB−yA) − (xB−xA)(yP−yA)| — all longs. Endpoint buckets
+    // score by ts so the series' first/last point wins.
+    val area = abs(
+      (col("__x") - col("__pa")("__x")) * (col("__nb")("__y") - col("__pa")("__y")) -
+      (col("__nb")("__x") - col("__pa")("__x")) * (col("__y") - col("__pa")("__y")))
+    val score = when(col("__pa").isNull, col("__mx") - col("__x"))
+      .when(col("__nb").isNull, col("__x") - col("__mn"))
+      .otherwise(area)
+    graft.plans.TopKPerKey(
+      pts.join(stats, Seq(series, "__b"))
+        .select(col(series), col("__b").as("bucket"), col(ts), col(value),
+          col(tieBreak), score.as("__score")),
+      keys = Seq(col(series), col("bucket")),
+      order = Seq(col("__score").desc, col(ts).asc, col(tieBreak).asc),
+      k = 1, rankName = "__rk")
+      .drop("__rk", "__score")
+  }
+
   def counterDelta(df: DataFrame, keys: Seq[String], reading: String,
                    order: Seq[String], scale: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -89,6 +89,17 @@ class CurationSpec extends SparkSpec {
       items.distinct(), "term", 4, 4096)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(wide == truth)
+    // CMS is distributive: per-batch sketches merged cell-wise give
+    // the bit-identical matrix the full-corpus build gives
+    val half = Sketches.portableHash($"term") % 2 === 0
+    val (b1, b2) = (items.filter(half), items.filter(!half))
+    val merged = Sketches.countMinMerge(
+      Sketches.countMinTable(b1, "term", 4, 64),
+      Sketches.countMinTable(b2, "term", 4, 64))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = Sketches.countMinTable(items, "term", 4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == full)
   }
 
   test("histogram percentiles land within one bin width of the nearest-rank value") {

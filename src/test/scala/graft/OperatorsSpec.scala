@@ -128,6 +128,40 @@ class TimeAggSpec extends SparkSpec {
     assert(got(0) == ((1L, 5.0, 7.0, 3L)))
     assert(got(1) == ((2L, 1.0, 3.0, 3L)))
   }
+
+  test("gapfillInterpolate: straight line through the gap, observed rows exact") {
+    // observations at hours 0 (v=10) and 3 (v=40): gap hours 1,2 lerp
+    // to 20, 30; nothing before the first or after the last observation
+    val r = Seq((1L, "2024-01-01 00:00:00", 10.0),
+        (1L, "2024-01-01 03:00:00", 40.0))
+      .toDF("user_id", "s", "v")
+      .select($"user_id", $"s".cast("timestamp").as("bucket"), $"v")
+    val got = TimeAgg.gapfillInterpolate(r, "user_id", "bucket", "v", 3600)
+      .orderBy("bucket")
+      .select(date_format($"bucket", "HH").cast("int"), $"v")
+      .as[(Int, Double)].collect().toSeq
+    assert(got == Seq((0, 10.0), (1, 20.0), (2, 30.0), (3, 40.0)))
+  }
+
+  test("downsampleLttb: endpoints kept, one point per bucket, salient spike wins") {
+    // one series, 20 points at minute spacing, flat at 0 except a spike
+    // at t=7; 4 buckets of 5 → the spike's bucket must pick the spike,
+    // bucket 0 the first point, bucket 3 the last point
+    val df = (0 until 20).map(i =>
+        (1L, f"2024-01-01 00:$i%02d:00", i.toLong,
+          if (i == 7) 100.0 else 0.0))
+      .toDF("user_id", "s", "event_id", "value")
+      .select($"user_id", $"s".cast("timestamp").as("ts"),
+        $"event_id", $"value")
+    val got = TimeAgg.downsampleLttb(df, "user_id", "ts", "value",
+        "event_id", nBuckets = 4, scale = 2)
+      .orderBy("bucket")
+      .select($"bucket", $"event_id").as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L), s"one point per bucket: $got")
+    assert(got.head._2 == 0L, "first bucket keeps the series' first point")
+    assert(got.last._2 == 19L, "last bucket keeps the series' last point")
+    assert(got(1)._2 == 7L, s"the spike must be selected: $got")
+  }
 }
 
 class IncrementalSpec extends SparkSpec {

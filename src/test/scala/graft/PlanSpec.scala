@@ -28,7 +28,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("gapfill+locf: one scan, no fill join, two exchanges end-to-end") {
-    for (q <- Seq("b6_gapfill_locf", "b11_gapfill_bounded")) {
+    for (q <- Seq("b6_gapfill_locf", "b11_gapfill_bounded",
+        "b25_gapfill_interp")) {
       val df = SparkEntry.queries(q)(spark, sf)
       // AQE's toString appends the pre-adaptive "Initial Plan" — count
       // the final plan only
