@@ -110,6 +110,52 @@ class EdgeCaseSpec extends SparkSpec {
       "doc_id", "text", 3, 16, 4).count() == 0)
   }
 
+  test("r7 operators on empty and degenerate input return sane results, not errors") {
+    // chunking: empty corpus → no chunks; doc shorter than overlap →
+    // exactly one chunk holding everything
+    assert(Curation.chunkTokens(noDocs, "doc_id", "text", 64, 16).count() == 0)
+    val tiny = Seq((1L, "just three tokens")).toDF("doc_id", "text")
+    val tc = Curation.chunkTokens(tiny, "doc_id", "text", 64, 16).collect()
+    assert(tc.length == 1 && tc.head.getString(4) == "just three tokens")
+    // tf-idf: empty corpus → empty
+    assert(Curation.topTfidfTerms(noDocs, "doc_id", "text", 5).count() == 0)
+    // CMS: empty corpus → empty sketch, probes return nothing
+    val emptyCms = graft.operators.Sketches.countMinTable(
+      noDocs.select(col("text").as("term")), "term", 4, 64)
+    assert(emptyCms.count() == 0)
+    assert(graft.operators.Sketches.countMinEstimate(emptyCms,
+      tiny.select(col("text").as("term")), "term", 4, 64).count() == 0)
+    // pitJoin: a fact BEFORE the key's first version drops out (inner
+    // join — the dimension doesn't cover it), one in-range fact matches
+    // exactly one version even at an interval boundary
+    val hist = Seq((1L, "a", "2024-01-02 00:00:00", "2024-01-03 00:00:00"),
+        (1L, "b", "2024-01-03 00:00:00", null))
+      .toDF("k", "state", "f", "t")
+      .select($"k", $"state", $"f".cast("timestamp").as("valid_from"),
+        $"t".cast("timestamp").as("valid_to"))
+    val facts = Seq((100L, 1L, "2024-01-01 12:00:00"),  // before coverage
+        (101L, 1L, "2024-01-03 00:00:00"))              // boundary → 'b'
+      .toDF("fid", "k", "s")
+      .select($"fid", $"k", $"s".cast("timestamp").as("ts"))
+    val pit = Incremental.pitJoin(facts, hist, Seq("k"), "ts")
+      .select("fid", "state").as[(Long, String)].collect().toSeq
+    assert(pit == Seq((101L, "b")))
+    // LTTB: a single-point series survives (the point is its own
+    // first-and-last); empty input → empty
+    val one = Seq((1L, "2024-01-01 00:00:00", 1L, 5.0))
+      .toDF("user_id", "s", "event_id", "value")
+      .select($"user_id", $"s".cast("timestamp").as("ts"), $"event_id", $"value")
+    assert(TimeAgg.downsampleLttb(one, "user_id", "ts", "value",
+      "event_id", 10).count() == 1)
+    // interpolate: a single observation emits just itself
+    val oneObs = Seq((1L, "2024-01-01 00:00:00", 3.0))
+      .toDF("user_id", "s", "v")
+      .select($"user_id", $"s".cast("timestamp").as("bucket"), $"v")
+    val gi = TimeAgg.gapfillInterpolate(oneObs, "user_id", "bucket", "v", 3600)
+      .collect()
+    assert(gi.length == 1 && gi.head.getDouble(2) == 3.0)
+  }
+
   test("no-split packing degenerate shapes: seqLen=1, zero-token and oversize docs") {
     val df = Seq((1L, "a", 0), (2L, "a", 1), (3L, "a", 5), (4L, "a", 1))
       .toDF("doc_id", "lang", "n")

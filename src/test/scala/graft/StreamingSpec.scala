@@ -124,6 +124,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("chunking streams as-is; per-batch CMS sketches merge to the batch matrix") {
+    import graft.operators.{Curation, Sketches}
+    // chunking is a stateless narrow projection → composes with
+    // readStream unchanged; the CMS is the streaming heavy-hitters
+    // story — each micro-batch builds its own sketch and the cell-wise
+    // merge (distributive) maintains exactly the full-corpus matrix,
+    // so a maintained sketch never re-reads history
+    val dir = Files.createTempDirectory("graft-stream-chunk").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    docs.coalesce(4).write.mode("overwrite").parquet(dir) // 4 splits
+    val stream = Curation.chunkTokens(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir),
+      "doc_id", "text", 64, 16)
+    assert(stream.isStreaming)
+    var maintained: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val terms = batch.select(
+          explode(split(col("chunk_text"), " ")).as("term"))
+        val b = Sketches.countMinTable(terms, "term", 4, 64).localCheckpoint()
+        maintained = Some(maintained
+          .map(Sketches.countMinMerge(_, b)).getOrElse(b).localCheckpoint())
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // maintained sketch over the streamed chunks == one batch build
+    val batchChunks = Curation.chunkTokens(docs, "doc_id", "text", 64, 16)
+    val want = Sketches.countMinTable(
+      batchChunks.select(explode(split(col("chunk_text"), " ")).as("term")),
+      "term", 4, 64)
+    val got = maintained.get
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0
+      && want.count() > 0)
+  }
+
   test("silence alerts fire when the watermark passes a quiet device's deadline") {
     import graft.streaming.IotStreamPipeline
     import graft.streaming.IotStreamPipeline.SilenceAlert
