@@ -372,6 +372,24 @@ object ScaleProbe {
           Curation.prioritySample(
             docs.select(col("doc_id"), col("lang")),
             Seq("lang"), col("doc_id"), 50, "|s1")),
+        // snapshot diff: two latest-state builds + one full-outer on
+        // the key — delta-sized output however big the table
+        "c8_snapshot_diff" -> (() => {
+          val e = ev.select("user_id", "ts", "event_id", "event_type")
+          val cutoff = lit("2024-01-08").cast("timestamp")
+          Incremental.snapshotDiff(
+            Incremental.upsertLatest(e.filter(col("ts") < cutoff),
+              Seq("user_id"), Seq(col("ts"), col("event_id")))
+              .select("user_id", "event_type"),
+            Incremental.upsertLatest(e,
+              Seq("user_id"), Seq(col("ts"), col("event_id")))
+              .select("user_id", "event_type"),
+            Seq("user_id"), Seq("event_type"))
+        }),
+        // exact z² outliers: one grouped pass + the aggregate join-back
+        "dq2_outliers" -> (() =>
+          DataQuality.outliers(ev.select("user_id", "event_id", "value"),
+            Seq("user_id"), "value", k = 3, scale = 2)),
         // LTTB downsample: one window family per series + the bounded-
         // heap argmax — user count scales with m, points-per-series flat
         "b24_downsample_lttb" -> (() =>

@@ -350,6 +350,22 @@ object SparkEntry {
 
     // SCD2 history — the dbt snapshot (strategy: check) role: one row
     // per (user, event_type state interval), emitted only on change
+    // snapshot diff: what changed between two versions of the keyed
+    // latest-state table — full-outer on the key, null-safe compare,
+    // delta-sized output (the dbt-snapshot pre-write check)
+    "c8_snapshot_diff" -> ((s, d) => {
+      val e = ev(s, d).select("user_id", "ts", "event_id", "event_type")
+      val cutoff = lit("2024-01-08").cast("timestamp")
+      val before = Incremental.upsertLatest(e.filter(col("ts") < cutoff),
+        Seq("user_id"), Seq(col("ts"), col("event_id")))
+      val after = Incremental.upsertLatest(e,
+        Seq("user_id"), Seq(col("ts"), col("event_id")))
+      Incremental.snapshotDiff(
+        before.select("user_id", "event_type"),
+        after.select("user_id", "event_type"),
+        Seq("user_id"), Seq("event_type"))
+    }),
+
     "c6_scd2_history" -> ((s, d) =>
       Incremental.scd2(
         ev(s, d).select("user_id", "ts", "event_id", "event_type"),
@@ -1022,6 +1038,13 @@ object SparkEntry {
         DataQuality.relationships(e, "user_id", Tables.customer(s, d), "c_custkey")))
     }),
 
+    // per-user 3σ anomaly flags in exact fixed-point/decimal arithmetic
+    // — the z² test cleared of divisions, bit-identical cross-engine
+    "dq2_outliers" -> ((s, d) =>
+      DataQuality.outliers(
+        ev(s, d).select("user_id", "event_id", "value"),
+        Seq("user_id"), "value", k = 3, scale = 2)),
+
     "h10_interdup" -> ((s, d) =>
       Dedup.sharedShingleRatio(docs(s, d), "doc_id", "text", 3)),
 
@@ -1577,6 +1600,26 @@ object SparkEntry {
       """SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
         |FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+
+    "c8_snapshot_diff" ->
+      """WITH b AS (
+        |  SELECT user_id, event_type FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-08') WHERE rk = 1),
+        |a AS (
+        |  SELECT user_id, event_type FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        |    FROM events) WHERE rk = 1)
+        |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |  CASE WHEN b.user_id IS NULL THEN 'added'
+        |       WHEN a.user_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  b.event_type AS old_event_type, a.event_type AS new_event_type
+        |FROM b FULL OUTER JOIN a ON b.user_id = a.user_id
+        |WHERE b.user_id IS NULL OR a.user_id IS NULL
+        |   OR b.event_type IS DISTINCT FROM a.event_type""".stripMargin,
 
     "c6_scd2_history" ->
       """WITH o AS (
@@ -2324,6 +2367,21 @@ object SparkEntry {
          |  bin_cap * 1099511627776 + CAST(floor(rr / CAST(bin_cap AS DOUBLE)) AS BIGINT) AS seq_id,
          |  rr % bin_cap AS bin_pos
          |FROM r""".stripMargin,
+
+    "dq2_outliers" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vf
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, count(*) AS n,
+        |    sum(CAST(vf AS HUGEINT)) AS s,
+        |    sum(CAST(vf AS HUGEINT) * CAST(vf AS HUGEINT)) AS q
+        |  FROM v GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT v.user_id, v.event_id, v.value
+        |FROM v JOIN st USING (user_id)
+        |WHERE (CAST(vf AS HUGEINT) * n - s) * (CAST(vf AS HUGEINT) * n - s)
+        |      > 9 * (n * q - s * s)""".stripMargin,
 
     "dq1_checks" ->
       """SELECT 'not_null_user_id' AS check_name, count(*) AS n_violations, count(*) = 0 AS passed

@@ -80,6 +80,43 @@ object DataQuality {
   }
 
   /** Union a report out of individual checks. */
+  /** Per-group z-score OUTLIER detection in EXACT arithmetic — the IoT
+    * anomaly flag ("reading more than k·σ from its group's mean")
+    * without the float-summation trap: group mean/variance computed
+    * from fixed-point integer sums, and the z² > k² test cleared of
+    * divisions —
+    *
+    *   (v·n − s)² > k² · (n·q − s²),  s = Σvᵢ, q = Σvᵢ² (scaled longs)
+    *
+    * — evaluated in DECIMAL(38,0) (the oracle uses HUGEINT), so the
+    * flag is bit-identical in any engine; a libm-stddev spelling would
+    * disagree at boundary readings. Groups need n ≥ 2 (variance
+    * undefined below) and the products stay within 38 digits for
+    * |v|·10^s < 10⁹ and n < 10⁶ per group — size `scale` accordingly.
+    *
+    * One grouped pass builds (n, s, q); flags come from the join back
+    * on the group key (both sides hash-partition on it — the d12/d18
+    * aggregate-join-back family). */
+  def outliers(df: DataFrame, keys: Seq[String], value: String,
+               k: Int, scale: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = graft.functions.Portable.toFixed(col(value), scale)
+    // sums accumulate in decimal from the start — a long Σv² would
+    // silently wrap first on a hot group
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(v.cast(dec)).as("__s"),
+        sum(v.cast(dec) * v.cast(dec)).as("__q"))
+      .filter(col("__n") >= 2)
+    df.withColumn("__v", v)
+      .join(stats, keys)
+      .filter(
+        (col("__v").cast(dec) * col("__n") - col("__s")) *
+          (col("__v").cast(dec) * col("__n") - col("__s")) >
+        lit(k * k).cast(dec) *
+          (col("__n").cast(dec) * col("__q") - col("__s").cast(dec) * col("__s")))
+      .drop("__v", "__n", "__s", "__q")
+  }
+
   def report(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_.unionByName(_))
 }

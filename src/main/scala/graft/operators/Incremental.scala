@@ -66,6 +66,38 @@ object Incremental {
       .drop("__prev")
   }
 
+  /** SNAPSHOT DIFF — what changed between two versions of a keyed
+    * table (the check a dbt `snapshot` run performs before writing
+    * history, and the audit query behind "what did yesterday's load
+    * touch"): FULL OUTER join on the key, null-safe attribute compare,
+    * one row per differing key labeled `added` / `removed` / `changed`.
+    * Unchanged keys are filtered OUT before anything downstream sees
+    * them — the output is delta-sized, not table-sized. Both sides
+    * shuffle once on the key (co-partitioned equi-join); at warehouse
+    * scale this is the one full-table pass a snapshot audit costs.
+    *
+    * Output: key columns, `change`, and `old_` / `new_` copies of each
+    * compared attribute. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, key: Seq[String],
+                   attrs: Seq[String]): DataFrame = {
+    val b = before.as("b")
+    val a = after.as("a")
+    val cond = key.map(k => col(s"b.$k") === col(s"a.$k")).reduce(_ && _)
+    val bKey = col(s"b.${key.head}")
+    val aKey = col(s"a.${key.head}")
+    val same = attrs.map(c => col(s"b.$c") <=> col(s"a.$c")).reduce(_ && _)
+    b.join(a, cond, "full_outer")
+      .withColumn("change",
+        when(bKey.isNull, lit("added"))
+          .when(aKey.isNull, lit("removed"))
+          .otherwise(lit("changed")))
+      .filter(bKey.isNull || aKey.isNull || !same)
+      .select(key.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) ++
+        Seq(col("change")) ++
+        attrs.flatMap(c => Seq(col(s"b.$c").as(s"old_$c"),
+          col(s"a.$c").as(s"new_$c"))): _*)
+  }
+
   /** Point-in-time dimension lookup over an [[scd2]] history — THE
     * query a type-2 dimension exists for: each fact row picks the
     * attribute version whose `[valid_from, valid_to)` interval contains

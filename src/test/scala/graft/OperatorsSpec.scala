@@ -183,6 +183,39 @@ class IncrementalSpec extends SparkSpec {
     assert(got == Map(1 -> "z", 2 -> "c")) // v desc, then tag desc
   }
 
+  test("snapshotDiff labels added/removed/changed and drops unchanged keys") {
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null.asInstanceOf[String]))
+      .toDF("k", "state")
+    val after = Seq((1L, "a"), (2L, "B"), (5L, "e"), (4L, null.asInstanceOf[String]))
+      .toDF("k", "state")
+    val got = Incremental.snapshotDiff(before, after, Seq("k"), Seq("state"))
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSeq
+    // k=1 unchanged → absent; k=4 null==null (null-safe) → absent
+    assert(got == Seq(
+      (2L, "changed", Some("b"), Some("B")),
+      (3L, "removed", Some("c"), None),
+      (5L, "added", None, Some("e"))))
+  }
+
+  test("outliers: exact z² flag — the lone far reading, not the cluster") {
+    // group 1: nine readings at 10.0, one at 100.0 → mean 19, σ = 27,
+    // z(100) = 3 exactly (the > is strict: k=3 would NOT flag it — the
+    // boundary case the exact arithmetic pins down), z(10) = 1/3. At
+    // k=2 only the far reading flags. n=2 groups can never flag
+    // (max z = 1) and singletons are skipped
+    val df = ((1 to 9).map(i => (1L, i.toLong, 10.0)) ++
+      Seq((1L, 10L, 100.0), (2L, 11L, 0.0), (2L, 12L, 99.0), (3L, 13L, 5.0)))
+      .toDF("g", "id", "v")
+    val got = DataQuality.outliers(df, Seq("g"), "v", k = 2, scale = 2)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(10L))
+    // the exact-boundary check: z == k is NOT an outlier
+    assert(DataQuality.outliers(df, Seq("g"), "v", k = 3, scale = 2)
+      .count() == 0)
+  }
+
   test("latestPeriod filters to max period") {
     val df = Seq((1, "202401"), (2, "202402"), (3, "202402")).toDF("k", "m")
     assert(Incremental.latestPeriod(df, "m").count() == 2)
