@@ -309,6 +309,13 @@ object SparkEntry {
         .filter(col("est_count") >= 50)
     }),
 
+    // TimescaleDB toolkit state_agg/duration_in analog: event_type as
+    // the device's state machine — exact-µs time held in each state per
+    // user, one window + one hash agg, single shuffle
+    "b26_state_agg" -> ((s, d) =>
+      TimeAgg.stateAgg(ev(s, d), entity = "user_id", state = "event_type",
+        ts = "ts", tieBreak = "event_id")),
+
     // C. analytics layer
     "c1_balance_group_metrics" -> ((s, d) => {
       val grp = when(col("c_acctbal") < 0, "negative")
@@ -675,6 +682,141 @@ object SparkEntry {
           (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30)))
         .agg(fixedSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
           .as("revenue"))
+    }),
+
+    // TPC-H Q7 shape (cross-nation volume): nation dims resolved on
+    // BOTH sides of the fact (supplier's nation vs customer's nation)
+    // with a disjunctive pair filter — the supplier leg pre-filters to
+    // the two nations of interest and broadcasts; the customer leg is
+    // left UNHINTED (nation-filtered customers broadcast at test scale,
+    // but customer grows with the corpus, so AQE owns that decision);
+    // the date filter pushes to the lineitem scan
+    "d21_nation_volume" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" &&
+                 col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" &&
+                 col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(fixedSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+    }),
+
+    // TPC-H Q8 shape (market share): one nation's share of a region's
+    // market per year — the num/den CONDITIONAL-RATIO aggregate over a
+    // single fact pass (sum of when(..) fixed longs over sum of all),
+    // never two scans; region→nation→customer resolves to a broadcast
+    // custkey set, the part filter broadcasts, the supplier's nation
+    // rides a broadcast dim
+    "d22_market_share" -> ((s, d) => {
+      val natR = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val custR = Tables.customer(s, d)
+        .join(broadcast(natR), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val supN = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val vf = Portable.toFixed(
+        col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custR), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(pround(
+          sum(when(col("supp_nation") === "NATION_3", vf).otherwise(lit(0L)))
+            .cast("double") /
+          sum(vf).cast("double"), 6).as("mkt_share"))
+    }),
+
+    // TPC-H Q10 shape (returned-item revenue): global top-N after a
+    // join-agg — quarter orders × returned lines × customer, grouped
+    // per customer, then the 20 best ride a TakeOrderedAndProject
+    // (per-partition top-20 heaps merged on the driver; never a global
+    // sort shuffle); c_custkey breaks revenue ties deterministically
+    "d23_returned_revenue" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val ret = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      ret.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(fixedSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q14 shape (promo share): single-month fact slice, the
+    // promo flag rides the broadcast part dim, and the percentage is
+    // the same one-pass conditional-ratio aggregate as d22 — exact
+    // fixed-long numerator and denominator, one double division at
+    // the end
+    "d24_promo_share" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), (col("p_type") === "PROMO").as("__promo"))
+      val vf = Portable.toFixed(
+        col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(pround(
+          lit(100.0) *
+            sum(when(col("__promo"), vf).otherwise(lit(0L))).cast("double") /
+            sum(vf).cast("double"), 6).as("promo_share"))
+    }),
+
+    // TPC-H Q9 shape (product-type profit): profit per supplier-nation
+    // per year with the part's retail price as the unit-cost leg (the
+    // testdata has no partsupp table — noted, the shape is Q9's) —
+    // both dims pre-filter/pre-project and broadcast, the amount
+    // expression folds into the scan projection, and the only exchange
+    // is the final (nation, year) agg
+    "d25_product_profit" -> ((s, d) => {
+      val prt = Tables.part(s, d).filter(col("p_type") === "LARGE")
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supN = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      Tables.lineitem(s, d)
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(fixedSum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")) -
+            col("p_retailprice") * col("l_quantity"), 4).as("sum_profit"))
     }),
 
     "d6_asof_join" -> ((s, d) => {
@@ -1557,6 +1699,16 @@ object SparkEntry {
         |FROM qc JOIN cms USING (cms_row, cms_bucket)
         |GROUP BY 1 HAVING min(cnt) >= 50""".stripMargin,
 
+    "b26_state_agg" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |    COALESCE(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id), epoch_us(ts)) - epoch_us(ts) AS dur
+        |  FROM events)
+        |SELECT user_id, event_type, CAST(sum(dur) AS BIGINT) AS held_us,
+        |  count(*) AS n_entries
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
     "b10_distinct_kmv" ->
       s"""WITH h AS (SELECT DISTINCT
          |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
@@ -1801,6 +1953,81 @@ object SparkEntry {
          |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
          |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
          |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "d21_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  ${sqlFixedSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "d22_market_share" ->
+      s"""WITH v AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)
+         |      AS BIGINT) AS vf,
+         |    n2.n_name AS supp_nation
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+         |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |    AND o_orderdate < TIMESTAMP '1997-01-01')
+         |SELECT o_year,
+         |  ${sqlPround(
+             "CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vf ELSE 0 END)" +
+             " AS DOUBLE) / CAST(sum(vf) AS DOUBLE)", 6)} AS mkt_share
+         |FROM v GROUP BY 1""".stripMargin,
+
+    "d23_returned_revenue" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${sqlFixedSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "d24_promo_share" ->
+      s"""SELECT ${sqlPround(
+             "100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN" +
+             " CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS BIGINT)" +
+             " ELSE 0 END) AS DOUBLE)" +
+             " / CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)" +
+             " AS BIGINT)) AS DOUBLE)", 6)} AS promo_share
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "d25_product_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  ${sqlFixedSum(
+             "l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity", 4)}
+         |  AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_type = 'LARGE'
+         |GROUP BY 1, 2""".stripMargin,
 
     "d12_small_qty_revenue" ->
       s"""WITH scoped AS (

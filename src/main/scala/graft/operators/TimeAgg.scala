@@ -354,4 +354,31 @@ object TimeAgg {
         max_by(col(value), key).as("last_value"),
         count(lit(1)).as("n_readings"))
   }
+
+  /** TimescaleDB toolkit `state_agg`/`duration_in()` equivalent: treat
+    * `state` as the entity's state machine — each row's state holds
+    * from its timestamp until the entity's NEXT event, and the report
+    * is total time held in each state per entity, in EXACT microseconds
+    * (`unix_micros` longs; no float time arithmetic), plus the entry
+    * count. The entity's final event opens an unbounded interval and
+    * contributes zero duration but still counts as an entry — the
+    * closed-intervals-only contract, stated here because `state_agg`
+    * implementations differ on it.
+    *
+    * Shape: one window family (lead over (ts, tieBreak)) partitioned by
+    * the entity, then a hash agg on (entity, state) — a narrow
+    * dependency between the two, so ONE shuffle total; never a
+    * self-join of the series against itself. `tieBreak` must make the
+    * ordering total or simultaneous readings make the hold durations
+    * nondeterministic. */
+  def stateAgg(df: DataFrame, entity: String, state: String,
+               ts: String, tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entity)).orderBy(col(ts), col(tieBreak))
+    val us = unix_micros(col(ts))
+    df.select(col(entity), col(state),
+        (coalesce(lead(us, 1).over(w), us) - us).as("__dur"))
+      .groupBy(col(entity), col(state))
+      .agg(sum(col("__dur")).as("held_us"), count(lit(1)).as("n_entries"))
+  }
 }

@@ -90,6 +90,22 @@ class TimeAggSpec extends SparkSpec {
     assert(got(1) == ((2L, None, 1L)))
   }
 
+  test("stateAgg: exact-µs hold times; final event counts but holds nothing") {
+    def t(sec: Int) = s"2024-01-01 00:00:${f"$sec%02d"}"
+    // u1: on@0 (held 10s) → off@10 (held 5s) → on@15 (final: 0s, counts)
+    val df = Seq(
+      (1L, t(0), 1L, "on"), (1L, t(10), 2L, "off"), (1L, t(15), 3L, "on"),
+      (2L, t(7), 4L, "idle")) // single event: zero hold, one entry
+      .toDF("user_id", "s", "event_id", "state")
+      .select($"user_id", $"s".cast("timestamp").as("ts"), $"event_id", $"state")
+    val got = TimeAgg.stateAgg(df, "user_id", "state", "ts", "event_id")
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, "off", 5000000L, 1L),
+      (1L, "on", 10000000L, 2L),
+      (2L, "idle", 0L, 1L)))
+  }
+
   test("regression: hand-checked slope/intercept/corr; degenerate groups NULL") {
     def t(sec: Int) = s"2024-01-01 00:00:${f"$sec%02d"}"
     val df = Seq(

@@ -556,6 +556,49 @@ class PlanSpec extends SparkSpec {
       s"top-k still sorts/windows:\n$plan")
   }
 
+  test("Q7/Q8/Q10/Q14 shapes: pushed scans, broadcast dims, top-N never a global sort") {
+    // d21: the two-year window reaches the lineitem scan; the nation-
+    // filtered supplier leg broadcasts. Asserted on the INITIAL plan:
+    // at sf0.001 the nation pair has no trade at all, and AQE folds the
+    // whole final plan into an EmptyRelation (itself worth keeping —
+    // runtime zero-propagation is exactly what we want at scale)
+    val d21 = executed(SparkEntry.queries("d21_nation_volume")(spark, sf))
+      .split("== Initial Plan ==").last
+    assert(d21.contains("GreaterThanOrEqual(l_shipdate"),
+      s"d21's date range must reach the lineitem scan:\n$d21")
+    assert(d21.contains("BroadcastHashJoin"),
+      s"d21's dim legs must broadcast:\n$d21")
+    // d22/d24: the conditional-ratio aggregates read the fact ONCE —
+    // a num/den CASE pair in one agg, never two scans of lineitem
+    val d22 = executed(SparkEntry.queries("d22_market_share")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("lineitem\\.parquet".r.findAllIn(d22).size == 1,
+      s"d22 must scan lineitem exactly once:\n$d22")
+    assert(d22.contains("EqualTo(p_type,ECONOMY)"),
+      s"d22's type filter must reach the part scan:\n$d22")
+    val d24 = executed(SparkEntry.queries("d24_promo_share")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("lineitem\\.parquet".r.findAllIn(d24).size == 1,
+      s"d24 must scan lineitem exactly once:\n$d24")
+    assert(d24.contains("GreaterThanOrEqual(l_shipdate"),
+      s"d24's month window must reach the lineitem scan:\n$d24")
+    // d23: global top-20 is a TakeOrderedAndProject (per-partition
+    // heaps merged on the driver), never a full sort exchange
+    val d23 = executed(SparkEntry.queries("d23_returned_revenue")(spark, sf))
+    assert(d23.contains("TakeOrderedAndProject"),
+      s"d23's top-20 must be TakeOrderedAndProject:\n$d23")
+    assert(d23.contains("EqualTo(l_returnflag,R)"),
+      s"d23's flag filter must reach the lineitem scan:\n$d23")
+  }
+
+  test("state_agg: one window family + one hash agg, never a series self-join") {
+    val p = executed(SparkEntry.queries("b26_state_agg")(spark, sf))
+    assert("Window".r.findAllIn(p).size >= 1 &&
+      !p.contains("Join"), s"b26 must be window→agg with no join:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"b26's rollup must hash-aggregate:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path; no UDFs anywhere") {
     // '*(n)' is how executedPlan.toString marks WholeStageCodegen subtrees
     val d1 = executed(SparkEntry.queries("d1_pricing_summary")(spark, sf))
