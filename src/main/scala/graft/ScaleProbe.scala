@@ -117,7 +117,7 @@ object ScaleProbe {
       lazy val prt = mat((0 until m).map { i =>
         Tables.part(spark, sfDir).select(
           (col("p_partkey") + lit(i * 1000000L)).as("p_partkey"),
-          col("p_brand"), col("p_size"))
+          col("p_brand"), col("p_size"), col("p_retailprice"))
       }.reduce(_ unionByName _))
       // boilerplate-heavy corpus for the archive-probe hot-bucket row:
       // 80% of docs collapse to ONE shared text, so every copy's band
@@ -505,7 +505,84 @@ object ScaleProbe {
           Dedup.minhashLshAgainst(hotIdx,
             hotDocs.filter(col("doc_id") % 10 === 0 &&
               col("doc_id") < 100000000L),
-            "doc_id", "text", 3, 16, 4, maxBucket = 100)))
+            "doc_id", "text", 3, 16, 4, maxBucket = 100)),
+        // Q7: the orderkey fact join + disjunctive nation-pair filter +
+        // year agg (nations derived from keys — the dims broadcast and
+        // are not what scales)
+        "d21_nation_volume" -> (() => {
+          val sn = (col("l_suppkey") % 25).as("supp_nation")
+          val cn = (col("o_custkey") % 25).as("cust_nation")
+          li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+            .join(ords, col("l_orderkey") === col("o_orderkey"))
+            .select(sn, cn, col("l_shipdate"), col("l_extendedprice"),
+              col("l_discount"))
+            .filter((col("supp_nation") === 1 && col("cust_nation") === 2) ||
+                    (col("supp_nation") === 2 && col("cust_nation") === 1))
+            .groupBy(col("supp_nation"), col("cust_nation"),
+              year(col("l_shipdate")).as("l_year"))
+            .agg(graft.functions.Portable.fixedSum(
+              col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("revenue"))
+        }),
+        // Q8: the conditional-ratio agg fed by the fact join — one
+        // lineitem pass, num/den in the same agg
+        "d22_market_share" -> (() => {
+          val vf = graft.functions.Portable.toFixed(
+            col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          li.join(ords.filter(col("o_custkey") % 5 === 1),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(year(col("o_orderdate")).as("o_year"))
+            .agg(graft.functions.Portable.pround(
+              sum(when(col("l_suppkey") % 25 === 3, vf).otherwise(lit(0L)))
+                .cast("double") / sum(vf).cast("double"), 6).as("mkt_share"))
+        }),
+        // Q10: global top-20 after the join-agg — TakeOrderedAndProject
+        // must stay per-partition-heap-sized however big the fact gets
+        "d23_returned_revenue" -> (() => {
+          li.filter(col("l_returnflag") === "R")
+            .join(ords.filter(
+                col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_custkey"))
+            .agg(graft.functions.Portable.fixedSum(
+              col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("revenue"))
+            .orderBy(col("revenue").desc, col("o_custkey").asc)
+            .limit(20)
+        }),
+        // Q14: the one-scan CASE-ratio — flag from the broadcast dim,
+        // both branches into the same aggregate
+        "d24_promo_share" -> (() => {
+          val p = prt.select(col("p_partkey"),
+            (col("p_partkey") % 6 === 0).as("__promo"))
+          val vf = graft.functions.Portable.toFixed(
+            col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          li.filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+            .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+            .agg(graft.functions.Portable.pround(
+              lit(100.0) *
+                sum(when(col("__promo"), vf).otherwise(lit(0L))).cast("double") /
+                sum(vf).cast("double"), 6).as("promo_share"))
+        }),
+        // Q9: amount expression folded into the scan projection, dims
+        // broadcast, one (nation, year) exchange
+        "d25_product_profit" -> (() => {
+          li.join(broadcast(prt.filter(col("p_size") % 3 === 0)
+              .select(col("p_partkey"), col("p_retailprice"))),
+              col("l_partkey") === col("p_partkey"))
+            .groupBy((col("l_suppkey") % 25).as("nation"),
+              year(col("l_shipdate")).as("l_year"))
+            .agg(graft.functions.Portable.fixedSum(
+              col("l_extendedprice") * (lit(1) - col("l_discount")) -
+                col("p_retailprice") * col("l_quantity"), 4).as("sum_profit"))
+        }),
+        // state_agg: one window + one agg — the shuffle is entity-
+        // partitioned once and the agg rides the same exchange family
+        "b26_state_agg" -> (() =>
+          TimeAgg.stateAgg(ev, "user_id", "event_type", "ts", "event_id")))
     }
 
     // total shuffle-WRITE bytes of the jobs `run` launches — the number
