@@ -582,7 +582,16 @@ object ScaleProbe {
         // state_agg: one window + one agg — the shuffle is entity-
         // partitioned once and the agg rides the same exchange family
         "b26_state_agg" -> (() =>
-          TimeAgg.stateAgg(ev, "user_id", "event_type", "ts", "event_id")))
+          TimeAgg.stateAgg(ev, "user_id", "event_type", "ts", "event_id")),
+        // candlestick: pure partial-aggregable hash agg — the exchange
+        // must stay GROUP-sized (one OHLC candidate set per group per
+        // task) however many readings flow in
+        "b27_candlestick" -> (() =>
+          TimeAgg.candlestick(
+            ev.withColumn("day", TimeAgg.dayKey(col("ts"))),
+            Seq("user_id", "day"), "ts", "event_id", "value")),
+        "b28_uptime" -> (() =>
+          TimeAgg.heartbeatUptime(ev, "user_id", "ts", "event_id", 1800)))
     }
 
     // total shuffle-WRITE bytes of the jobs `run` launches — the number

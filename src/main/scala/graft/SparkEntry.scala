@@ -316,6 +316,22 @@ object SparkEntry {
       TimeAgg.stateAgg(ev(s, d), entity = "user_id", state = "event_type",
         ts = "ts", tieBreak = "event_id")),
 
+    // TimescaleDB toolkit candlestick_agg analog: daily OHLC of the
+    // reading per user — every output an exact input pick (no sums),
+    // the whole tuple one partial-aggregable hash agg
+    "b27_candlestick" -> ((s, d) =>
+      TimeAgg.candlestick(
+        ev(s, d).withColumn("day", TimeAgg.dayKey(col("ts"))),
+        keys = Seq("user_id", "day"), ts = "ts", tieBreak = "event_id",
+        value = "value")),
+
+    // TimescaleDB toolkit heartbeat_agg/uptime analog: each event
+    // proves the device live for 30 min; exact-µs liveness union +
+    // lapse count per user
+    "b28_uptime" -> ((s, d) =>
+      TimeAgg.heartbeatUptime(ev(s, d), entity = "user_id", ts = "ts",
+        tieBreak = "event_id", gapSeconds = 1800)),
+
     // C. analytics layer
     "c1_balance_group_metrics" -> ((s, d) => {
       val grp = when(col("c_acctbal") < 0, "negative")
@@ -1708,6 +1724,35 @@ object SparkEntry {
         |SELECT user_id, event_type, CAST(sum(dur) AS BIGINT) AS held_us,
         |  count(*) AS n_entries
         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "b27_candlestick" ->
+      """WITH x AS (
+        |  SELECT user_id, strftime(ts, '%Y%m%d') AS day, value,
+        |    row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y%m%d')
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y%m%d')
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT user_id, day,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n_readings
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "b28_uptime" ->
+      """WITH x AS (
+        |  SELECT user_id,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - epoch_us(ts) AS delta
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(COALESCE(least(delta, 1800000000), 1800000000)) AS BIGINT)
+        |    AS live_us,
+        |  CAST(sum(CASE WHEN delta > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dead,
+        |  count(*) AS n_heartbeats
+        |FROM x GROUP BY 1""".stripMargin,
 
     "b10_distinct_kmv" ->
       s"""WITH h AS (SELECT DISTINCT

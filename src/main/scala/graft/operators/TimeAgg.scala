@@ -355,6 +355,48 @@ object TimeAgg {
         count(lit(1)).as("n_readings"))
   }
 
+  /** TimescaleDB toolkit `candlestick_agg` equivalent: per group, the
+    * OHLC tuple — open/close picked by `min_by`/`max_by` over the
+    * unique (ts, tieBreak) ordering key (the B20 first/last machinery),
+    * high/low as plain min/max — plus the reading count. Every output
+    * is an EXACT pick of an input value (no sums, no rounding needed),
+    * and the whole tuple is ONE partial-aggregable hash agg: map-side
+    * combine carries one candidate set per group per task, one shuffle,
+    * never a per-group sort. */
+  def candlestick(df: DataFrame, keys: Seq[String], ts: String,
+                  tieBreak: String, value: String): DataFrame = {
+    val okey = struct(col(ts), col(tieBreak))
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(col(value), okey).as("open"),
+        max(col(value)).as("high"),
+        min(col(value)).as("low"),
+        max_by(col(value), okey).as("close"),
+        count(lit(1)).as("n_readings"))
+  }
+
+  /** TimescaleDB toolkit `heartbeat_agg`/`uptime()` equivalent: each
+    * heartbeat proves liveness for `gapSeconds` after it; total live
+    * time per entity is Σ min(Δ, gap) over consecutive heartbeats plus
+    * a full `gap` for the final one (its liveness window runs to
+    * completion unobserved). Exact-µs long arithmetic throughout;
+    * `n_dead` counts the gaps where liveness lapsed (Δ > gap). Same
+    * one-shuffle window→agg shape as [[stateAgg]]. */
+  def heartbeatUptime(df: DataFrame, entity: String, ts: String,
+                      tieBreak: String, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entity)).orderBy(col(ts), col(tieBreak))
+    val gapUs = gapSeconds * 1000000L
+    val us = unix_micros(col(ts))
+    val delta = lead(us, 1).over(w) - us
+    df.select(col(entity),
+        coalesce(least(delta, lit(gapUs)), lit(gapUs)).as("__live"),
+        when(delta > gapUs, 1L).otherwise(0L).as("__dead"))
+      .groupBy(col(entity))
+      .agg(sum(col("__live")).as("live_us"),
+        sum(col("__dead")).as("n_dead"),
+        count(lit(1)).as("n_heartbeats"))
+  }
+
   /** TimescaleDB toolkit `state_agg`/`duration_in()` equivalent: treat
     * `state` as the entity's state machine — each row's state holds
     * from its timestamp until the entity's NEXT event, and the report

@@ -106,6 +106,39 @@ class TimeAggSpec extends SparkSpec {
       (2L, "idle", 0L, 1L)))
   }
 
+  test("candlestick: OHLC are exact input picks under tie-broken ordering") {
+    def t(sec: Int) = s"2024-01-01 00:00:${f"$sec%02d"}"
+    val df = Seq(
+      (1L, "d1", t(0), 1L, 5.0), (1L, "d1", t(10), 2L, 9.0),
+      (1L, "d1", t(20), 3L, 2.0), (1L, "d1", t(30), 4L, 7.0),
+      (2L, "d1", t(5), 5L, 4.0)) // single reading: all four equal
+      .toDF("user_id", "day", "s", "event_id", "value")
+      .select($"user_id", $"day", $"s".cast("timestamp").as("ts"),
+        $"event_id", $"value")
+    val got = TimeAgg.candlestick(df, Seq("user_id", "day"), "ts",
+        "event_id", "value")
+      .as[(Long, String, Double, Double, Double, Double, Long)]
+      .collect().sortBy(_._1)
+    assert(got(0) == ((1L, "d1", 5.0, 9.0, 2.0, 7.0, 4L)))
+    assert(got(1) == ((2L, "d1", 4.0, 4.0, 4.0, 4.0, 1L)))
+  }
+
+  test("heartbeatUptime: capped deltas + final-gap credit; lapses counted") {
+    def t(sec: Int) = s"2024-01-01 00:${f"${sec / 60}%02d"}:${f"${sec % 60}%02d"}"
+    // gap=60s. u1: Δ=30 (live 30) → Δ=100 (capped 60, dead) → final +60
+    //   = 150s live, 1 lapse, 3 heartbeats
+    val df = Seq(
+      (1L, t(0), 1L), (1L, t(30), 2L), (1L, t(130), 3L),
+      (2L, t(7), 4L)) // single heartbeat: gap credit only
+      .toDF("user_id", "s", "event_id")
+      .select($"user_id", $"s".cast("timestamp").as("ts"), $"event_id")
+    val got = TimeAgg.heartbeatUptime(df, "user_id", "ts", "event_id",
+        gapSeconds = 60)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 150000000L, 1L, 3L)))
+    assert(got(1) == ((2L, 60000000L, 0L, 1L)))
+  }
+
   test("regression: hand-checked slope/intercept/corr; degenerate groups NULL") {
     def t(sec: Int) = s"2024-01-01 00:00:${f"$sec%02d"}"
     val df = Seq(
