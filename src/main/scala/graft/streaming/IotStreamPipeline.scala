@@ -359,6 +359,64 @@ object IotStreamPipeline {
       }.toDF()
   }
 
+  case class StateAggState(lastTs: Long, lastState: String,
+                           held: Map[String, Long], entries: Map[String, Long])
+  case class StateAggOut(user_id: Long, event_type: String,
+                         held_us: Long, n_entries: Long)
+
+  /** Continuous `state_agg` maintenance — the streaming analog of
+    * [[graft.operators.TimeAgg.stateAgg]], completing the hyperfunction
+    * maintenance trio (I11 counter, I13 time-weighted, this): state per
+    * entity is (last event's µs + state, per-state held-µs and
+    * entry-count maps — bounded by the observed state vocabulary, not
+    * event count); each arrival closes the PREVIOUS event's hold
+    * interval, and only the states touched this batch re-emit their
+    * updated row for an idempotent (user, state)-keyed upsert. Same
+    * closed-intervals-only accounting as batch (the open interval holds
+    * nothing until the next arrival closes it), so the maintained table
+    * equals the batch rollup row-for-row (spec-asserted). Cross-batch
+    * ordering relies on the cursor-order delivery contract
+    * ([[scd2Stream]]). */
+  def stateAggStream(stage: DataFrame): DataFrame = {
+    val spark = stage.sparkSession
+    import spark.implicits._
+    val typed = stage
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[StateAggState, StateAggOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[StateAggState]) =>
+          val evs = rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+          var st = state.getOption.orNull
+          val touched = scala.collection.mutable.Set.empty[String]
+          evs.foreach { case (_, ts, _, s0) =>
+            // event-time µs on the same grid as unix_micros (ns floored)
+            val tu = ts.getTime * 1000L + ts.getNanos / 1000L % 1000L
+            st =
+              if (st == null)
+                StateAggState(tu, s0, Map.empty, Map(s0 -> 1L))
+              else {
+                val d = tu - st.lastTs
+                touched += st.lastState
+                StateAggState(tu, s0,
+                  st.held.updated(st.lastState,
+                    st.held.getOrElse(st.lastState, 0L) + d),
+                  st.entries.updated(s0, st.entries.getOrElse(s0, 0L) + 1L))
+              }
+            touched += s0
+          }
+          if (st == null) Iterator.empty
+          else {
+            state.update(st)
+            touched.iterator.map { s0 =>
+              StateAggOut(uid, s0, st.held.getOrElse(s0, 0L),
+                st.entries.getOrElse(s0, 0L))
+            }
+          }
+      }.toDF()
+  }
+
   case class CounterState(last: Double, deltaFixed: Long, resets: Long, n: Long)
   case class CounterOut(user_id: Long, day: String, counter_delta: Double,
                         n_resets: Long, n_readings: Long)

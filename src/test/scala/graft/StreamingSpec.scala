@@ -214,6 +214,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming state_agg maintains the batch rollup across arrivals") {
+    import graft.streaming.IotStreamPipeline
+    import graft.streaming.IotStreamPipeline.StateAggOut
+    val in = Files.createTempDirectory("graft-stateagg-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+    val got = maintainedRows[StateAggOut](
+      IotStreamPipeline.stateAggStream(
+        spark.readStream.schema(ev.schema).parquet(in)),
+      r => (r.user_id, r.event_type))(landTimeSplit(ev, in)).toDF()
+    val want = graft.operators.TimeAgg.stateAgg(
+      graft.sources.Tables.events(spark, sf),
+      "user_id", "event_type", "ts", "event_id")
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming time-weighted avg maintains the batch rollup across arrivals") {
     import graft.streaming.IotStreamPipeline
     import graft.streaming.IotStreamPipeline.TwaOut
