@@ -591,7 +591,17 @@ object ScaleProbe {
             ev.withColumn("day", TimeAgg.dayKey(col("ts"))),
             Seq("user_id", "day"), "ts", "event_id", "value")),
         "b28_uptime" -> (() =>
-          TimeAgg.heartbeatUptime(ev, "user_id", "ts", "event_id", 1800)))
+          TimeAgg.heartbeatUptime(ev, "user_id", "ts", "event_id", 1800)),
+        // filtered ANN: per-attribute blocks — work scales with block
+        // mass, never query × corpus
+        "f12_ann_filtered" -> (() =>
+          Similarity.filteredTopK(emb, q, "vec_id", "embedding", "label", 5)),
+        // MAD outliers: two grouped percentile passes + flag join-back,
+        // one hash-partition family
+        "dq3_mad_outliers" -> (() =>
+          graft.operators.DataQuality.outliersMad(
+            ev.select("user_id", "event_id", "value"),
+            Seq("user_id"), "value", 3.0, 2)))
     }
 
     // total shuffle-WRITE bytes of the jobs `run` launches — the number

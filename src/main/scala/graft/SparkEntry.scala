@@ -923,6 +923,16 @@ object SparkEntry {
         "vec_id", "embedding", 5, 8, 4, 64)
     }),
 
+    // FILTERED vector search: each query's neighbors drawn only from
+    // its label block — the metadata-predicate ANN shape; the attribute
+    // is the hash-join key, so off-block corpus rows are hash-rejected
+    // before any dot product; exact within the block
+    "f12_ann_filtered" -> ((s, d) => {
+      val e = embD(s, d)
+      Similarity.filteredTopK(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "label", 5)
+    }),
+
     // the dedup APPLY step the e2-e6 reports feed: drop every clustered
     // doc except its canonical keeper — what "deduplicate the corpus"
     // actually ships
@@ -1202,6 +1212,13 @@ object SparkEntry {
       DataQuality.outliers(
         ev(s, d).select("user_id", "event_id", "value"),
         Seq("user_id"), "value", k = 3, scale = 2)),
+
+    // robust median/MAD outliers beside dq2's mean/variance — a glitch
+    // can inflate a variance enough to hide itself; not a median
+    "dq3_mad_outliers" -> ((s, d) =>
+      DataQuality.outliersMad(
+        ev(s, d).select("user_id", "event_id", "value"),
+        Seq("user_id"), "value", k = 3.0, scale = 2)),
 
     "h10_interdup" -> ((s, d) =>
       Dedup.sharedShingleRatio(docs(s, d), "doc_id", "text", 3)),
@@ -2272,6 +2289,29 @@ object SparkEntry {
 
     "f1_ann_bruteforce" -> f1OracleSql,
 
+    "f12_ann_filtered" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |         (a, b) -> a + b)) AS nrm,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, label, list_transform(v, x -> x / nrm) AS v FROM e
+        |), q AS (
+        |  SELECT vec_id AS query_id, label AS ql, v AS qv FROM n WHERE vec_id % 100 = 0
+        |), s AS (
+        |  SELECT query_id, c.vec_id AS nn_id,
+        |    PROUND_DOT AS cosine
+        |  FROM q JOIN n c ON c.label = q.ql AND c.vec_id <> q.query_id
+        |)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank,
+        |  nn_id, cosine
+        |FROM s QUALIFY rank <= 5""".stripMargin
+        .replace("PROUND_DOT", sqlPround(
+          "list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]), (x, y) -> x + y)", 6)),
+
     "f5_ann_lsh_multi" -> f5OracleSql,
 
     "f2_ann_lsh" -> f2OracleSql,
@@ -2654,6 +2694,20 @@ object SparkEntry {
         |FROM v JOIN st USING (user_id)
         |WHERE (CAST(vf AS HUGEINT) * n - s) * (CAST(vf AS HUGEINT) * n - s)
         |      > 9 * (n * q - s * s)""".stripMargin,
+
+    "dq3_mad_outliers" ->
+      s"""WITH med AS (
+         |  SELECT user_id, ${sqlPround("quantile_cont(value, 0.5)", 2)} AS med
+         |  FROM events GROUP BY 1),
+         |dev AS (
+         |  SELECT e.user_id, event_id, value, med, abs(value - med) AS ad
+         |  FROM events e JOIN med USING (user_id)),
+         |mad AS (
+         |  SELECT user_id, ${sqlPround("quantile_cont(ad, 0.5)", 2)} AS mad
+         |  FROM dev GROUP BY 1)
+         |SELECT d.user_id, event_id, value, med, mad
+         |FROM dev d JOIN mad USING (user_id)
+         |WHERE mad > 0 AND ad > 3.0 * mad""".stripMargin,
 
     "dq1_checks" ->
       """SELECT 'not_null_user_id' AS check_name, count(*) AS n_violations, count(*) = 0 AS passed

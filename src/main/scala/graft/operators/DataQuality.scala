@@ -117,6 +117,37 @@ object DataQuality {
       .drop("__v", "__n", "__s", "__q")
   }
 
+  /** ROBUST per-group outlier flags — median/MAD where [[outliers]] is
+    * mean/variance: a reading flags when |v − median| > k·MAD. The
+    * robust pair is what a dashboard wants on dirty telemetry (one
+    * glitched reading inflates a variance enough to hide itself; it
+    * cannot move a median). Medians are exact interpolated percentiles
+    * (the B8 machinery, hash-proven ≡ `quantile_cont`), `pround`ed at
+    * `scale` so the interpolation's last-ULP never disagrees
+    * cross-engine; everything downstream of the rounded medians is
+    * plain IEEE and deterministic. Zero-MAD groups (≥ half the
+    * readings AT the median) flag nothing — the standard MAD
+    * degeneracy, by contract.
+    *
+    * Shape: two grouped percentile passes + the flag join back, all
+    * hash-partitioned on the group key (one exchange family — the
+    * aggregate-join-back shape of [[outliers]]/d12). Exact percentiles
+    * buffer a group's values; at 100 TB-per-group cardinalities swap
+    * the median for B12's bounded-memory histogram percentile. */
+  def outliersMad(df: DataFrame, keys: Seq[String], value: String,
+                  k: Double, scale: Int): DataFrame = {
+    val pr = graft.functions.Portable.pround(_: Column, scale)
+    val med = df.groupBy(keys.map(col): _*)
+      .agg(pr(percentile(col(value), lit(0.5))).as("med"))
+    val dev = df.join(med, keys)
+      .withColumn("__ad", abs(col(value) - col("med")))
+    val mad = dev.groupBy(keys.map(col): _*)
+      .agg(pr(percentile(col("__ad"), lit(0.5))).as("mad"))
+    dev.join(mad, keys)
+      .filter(col("mad") > 0 && col("__ad") > lit(k) * col("mad"))
+      .drop("__ad")
+  }
+
   def report(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_.unionByName(_))
 }

@@ -84,6 +84,34 @@ object Similarity {
           graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6)),
       k)
 
+  /** FILTERED vector search — the production "metadata predicate +
+    * top-k" shape: each query's neighbors come ONLY from corpus rows
+    * sharing its `attr` value. The attribute IS the join key, so the
+    * all-pairs cross product of brute force collapses to per-attribute
+    * blocks (a broadcast hash equi-join on the attribute; corpus rows
+    * outside a query's block are hash-rejected, never scored), while
+    * scoring keeps the same codegen'd dot product. Exact within the
+    * filtered set — it IS brute force per block — so the oracle stays
+    * SQL-expressible, unlike approximate searchers. At scale the block
+    * structure is the contract: a selective attribute bounds each
+    * query's work to its block; a single-value attribute degrades to
+    * full brute force (the caller's schema choice). For a query set too
+    * big to broadcast, drop the hint and the same plan becomes a
+    * co-partitioned shuffle join on the attribute. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                   vec: String, attr: String, k: Int): DataFrame = {
+    val c = corpus.select(col(id).as("nn_id"), col(attr).as("__ca"),
+      l2normalize(col(vec)).as("cv"))
+    val q = queries.select(col(id).as("query_id"), col(attr).as("__qa"),
+      l2normalize(col(vec)).as("qv"))
+    topKPerQuery(
+      c.join(broadcast(q),
+          col("__qa") === col("__ca") && col("query_id") =!= col("nn_id"))
+        .withColumn("cosine",
+          graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6)),
+      k)
+  }
+
   /** Deterministic pseudo-random hyperplanes, generated driver-side with
     * a splitmix64 mix of (plane, dim) — a pure function, so every run
     * (and every executor) derives identical planes with zero per-row

@@ -591,6 +591,18 @@ class PlanSpec extends SparkSpec {
       s"d23's flag filter must reach the lineitem scan:\n$d23")
   }
 
+  test("filtered ANN: the attribute is the hash-join key, not a post-scoring filter") {
+    val p = executed(SparkEntry.queries("f12_ann_filtered")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"f12 must hash-join on the attribute:\n$p")
+    // the attr equality must be IN the join keys (off-block rows hash-
+    // rejected before any dot product), not a filter above the join
+    assert("BroadcastHashJoin \\[__ca".r.findFirstIn(p).isDefined ||
+      p.contains("__qa#"), s"f12's attribute must be a join key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"f12 degenerated to a nested loop:\n$p")
+  }
+
   test("state_agg: one window family + one hash agg, never a series self-join") {
     val p = executed(SparkEntry.queries("b26_state_agg")(spark, sf))
     assert("Window".r.findAllIn(p).size >= 1 &&
