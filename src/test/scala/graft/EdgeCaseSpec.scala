@@ -154,6 +154,33 @@ class EdgeCaseSpec extends SparkSpec {
     val gi = TimeAgg.gapfillInterpolate(oneObs, "user_id", "bucket", "v", 3600)
       .collect()
     assert(gi.length == 1 && gi.head.getDouble(2) == 3.0)
+    // state_agg / candlestick / uptime: empty input → empty, never a
+    // window/agg error
+    val noTs = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    assert(TimeAgg.stateAgg(noTs, "user_id", "event_type", "ts",
+      "event_id").count() == 0)
+    assert(TimeAgg.candlestick(noTs, Seq("user_id"), "ts", "event_id",
+      "value").count() == 0)
+    assert(TimeAgg.heartbeatUptime(noTs, "user_id", "ts", "event_id",
+      1800).count() == 0)
+    // MAD outliers: a constant group has MAD 0 → flags nothing (the
+    // documented degeneracy), and a 1-row group cannot flag itself
+    val const = Seq((1L, 1L, 5.0), (1L, 2L, 5.0), (1L, 3L, 5.0),
+        (2L, 4L, 7.0))
+      .toDF("user_id", "event_id", "value")
+    assert(graft.operators.DataQuality.outliersMad(const, Seq("user_id"),
+      "value", 3.0, 2).count() == 0)
+    // filtered ANN: a query whose attribute block holds only itself
+    // gets no neighbors (self excluded), not an error
+    val lone = Seq((1L, Seq(1.0, 0.0), "a"), (2L, Seq(0.0, 1.0), "b"),
+        (3L, Seq(1.0, 1.0), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val fa = graft.operators.Similarity.filteredTopK(lone,
+      lone.filter($"vec_id" === 1L || $"vec_id" === 2L),
+      "vec_id", "embedding", "label", 5)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSeq
+    assert(fa == Seq((2L, 3L)))
   }
 
   test("no-split packing degenerate shapes: seqLen=1, zero-token and oversize docs") {
