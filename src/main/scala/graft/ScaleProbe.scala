@@ -601,7 +601,31 @@ object ScaleProbe {
         "dq3_mad_outliers" -> (() =>
           graft.operators.DataQuality.outliersMad(
             ev.select("user_id", "event_id", "value"),
-            Seq("user_id"), "value", 3.0, 2)))
+            Seq("user_id"), "value", 3.0, 2)),
+        // Q6: pure scan+filter+agg — must scale with the SCAN alone
+        // (shuffle stays one row per task)
+        "d26_forecast_revenue" -> (() =>
+          li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+            .agg(graft.functions.Portable.fixedSum(
+              col("l_extendedprice") * col("l_discount"), 4).as("revenue"))),
+        // Q20: the semi-chain — per-(part,supp) reduction before the
+        // threshold compare; the distinct supplier set is what survives
+        "d28_promotable_suppliers" -> (() => {
+          val scoped = li.join(broadcast(prt
+              .filter(col("p_partkey") % 6 === 0).select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          val perPS = scoped.groupBy(col("l_partkey"), col("l_suppkey"))
+            .agg(graft.functions.Portable.fixedSum(col("l_quantity"), 4)
+              .as("qty"))
+          val thresh = perPS.groupBy(col("l_partkey"))
+            .agg(graft.functions.Portable.fixedAvg(col("qty"), 4).as("avg_qty"))
+          perPS.join(thresh, Seq("l_partkey"))
+            .filter(col("qty") > lit(2.0) * col("avg_qty"))
+            .select(col("l_suppkey")).distinct()
+        }))
     }
 
     // total shuffle-WRITE bytes of the jobs `run` launches — the number

@@ -835,6 +835,59 @@ object SparkEntry {
             col("p_retailprice") * col("l_quantity"), 4).as("sum_profit"))
     }),
 
+    // TPC-H Q6 shape (forecast revenue change): THE pushdown benchmark
+    // — no join at all, every predicate (date range, discount band,
+    // quantity cap) pushed to the parquet scan, one map-side-combined
+    // global agg; the scan must read exactly the four touched columns
+    // (PlanSpec-asserted)
+    "d26_forecast_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(fixedSum(col("l_extendedprice") * col("l_discount"), 4)
+          .as("revenue"))),
+
+    // TPC-H Q12 shape (shipping-mode priority): the TWO-BRANCH
+    // conditional count pair — per group, how many lines belong to
+    // high-priority orders and how many don't, in ONE pass (the testdata
+    // has no l_shipmode; l_linestatus plays the group role, the shape —
+    // join + dual CASE counts — is Q12's)
+    "d27_linestatus_priority" -> ((s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+    }),
+
+    // TPC-H Q20 shape (part promotion): the nested SEMI-JOIN CHAIN —
+    // suppliers qualify through an aggregate threshold on their own
+    // shipments of a name-filtered part slice (no partsupp table: the
+    // threshold is "shipped more than 2x the per-(part,supplier)
+    // average of the slice"), then the supplier dim reduces through
+    // ONE left-semi hop; every leg pre-aggregates before joining
+    "d28_promotable_suppliers" -> ((s, d) => {
+      val scoped = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+      val perPS = scoped.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(fixedSum(col("l_quantity"), 4).as("qty"))
+      val thresh = perPS.groupBy(col("l_partkey"))
+        .agg(fixedAvg(col("qty"), 4).as("avg_qty"))
+      val qualified = perPS.join(thresh, Seq("l_partkey"))
+        .filter(col("qty") > lit(2.0) * col("avg_qty"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    }),
+
     "d6_asof_join" -> ((s, d) => {
       // latest order per (customer, date) so the as-of pick is deterministic
       val oDedup = Incremental.upsertLatest(Tables.orders(s, d),
@@ -2090,6 +2143,41 @@ object SparkEntry {
          |JOIN nation ON s_nationkey = n_nationkey
          |WHERE p_type = 'LARGE'
          |GROUP BY 1, 2""".stripMargin,
+
+    "d26_forecast_revenue" ->
+      s"""SELECT ${sqlFixedSum("l_extendedprice * l_discount", 4)} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
+    "d27_linestatus_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "d28_promotable_suppliers" ->
+      s"""WITH scoped AS (
+         |  SELECT l.* FROM lineitem l
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')),
+         |ps AS (
+         |  SELECT l_partkey, l_suppkey, ${sqlFixedSum("l_quantity", 4)} AS qty
+         |  FROM scoped GROUP BY 1, 2),
+         |th AS (
+         |  SELECT l_partkey, ${sqlFixedAvg("qty", 4)} AS avg_qty
+         |  FROM ps GROUP BY 1),
+         |q AS (
+         |  SELECT DISTINCT l_suppkey FROM ps JOIN th USING (l_partkey)
+         |  WHERE qty > 2.0 * avg_qty)
+         |SELECT s_suppkey, s_name, s_nationkey
+         |FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM q)""".stripMargin,
 
     "d12_small_qty_revenue" ->
       s"""WITH scoped AS (

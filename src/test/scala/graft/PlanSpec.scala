@@ -591,6 +591,31 @@ class PlanSpec extends SparkSpec {
       s"d23's flag filter must reach the lineitem scan:\n$d23")
   }
 
+  test("Q6/Q12/Q20 shapes: full pushdown, one-pass dual counts, semi-join chain") {
+    // d26: every predicate reaches the scan, the scan reads exactly the
+    // four touched columns, and there is no join and no shuffle beyond
+    // the single global agg
+    val d26 = executed(SparkEntry.queries("d26_forecast_revenue")(spark, sf))
+    assert(d26.contains("GreaterThanOrEqual(l_shipdate") &&
+      d26.contains("GreaterThanOrEqual(l_discount") &&
+      d26.contains("LessThan(l_quantity"),
+      s"d26's predicates must all reach the scan:\n$d26")
+    assert(d26.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"),
+      s"d26 must read exactly the four touched columns:\n$d26")
+    assert(!d26.contains("Join"), s"d26 must be join-free:\n$d26")
+    // d27: both branch counts come from ONE pass — a single agg over a
+    // single orders join, never two scans
+    val d27 = executed(SparkEntry.queries("d27_linestatus_priority")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("orders\\.parquet".r.findAllIn(d27).size == 1,
+      s"d27 must scan orders exactly once:\n$d27")
+    // d28: supplier reduces through a semi join (never duplicated by
+    // its qualifying shipments)
+    val d28 = executed(SparkEntry.queries("d28_promotable_suppliers")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(d28.contains("LeftSemi"), s"d28 must semi-join:\n$d28")
+  }
+
   test("filtered ANN: the attribute is the hash-join key, not a post-scoring filter") {
     val p = executed(SparkEntry.queries("f12_ann_filtered")(spark, sf))
     assert(p.contains("BroadcastHashJoin"),

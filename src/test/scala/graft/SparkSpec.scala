@@ -12,6 +12,10 @@ object TestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // plan assertions read PushedFilters/ReadSchema out of
+      // executedPlan.toString; the 100-char metadata default truncates
+      // longer filter lists mid-name
+      .config("spark.sql.maxMetadataStringLength", "2000")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
