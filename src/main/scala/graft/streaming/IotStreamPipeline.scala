@@ -359,6 +359,29 @@ object IotStreamPipeline {
       }.toDF()
   }
 
+  case class CandleOut(user_id: Long, day: String, open: Double, high: Double,
+                       low: Double, close: Double, n_readings: Long)
+
+  /** Continuous candlestick (OHLC) maintenance — B27's streaming
+    * analog, and deliberately the DECLARATIVE one: `min_by`/`max_by`/
+    * `min`/`max`/`count` are all partial-aggregable, so unlike the
+    * path-dependent counter/TWA/state_agg maintenances (I11/I13/I16,
+    * which need `flatMapGroupsWithState`), the state store can fold
+    * candidates in ANY arrival order with zero user state code — a
+    * plain update-mode streaming aggregation. Emitted rows upsert
+    * keyed on (user, day); no watermark by design (a late reading must
+    * still update its day's candle — the state is bounded by (entity,
+    * day) keys either way, and a production caller that prefers
+    * finalized candles adds `withWatermark` + append mode). */
+  def candlestickStream(stage: DataFrame): DataFrame =
+    stage
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyyMMdd").as("day"))
+      .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_readings"))
+
   case class StateAggState(lastTs: Long, lastState: String,
                            held: Map[String, Long], entries: Map[String, Long])
   case class StateAggOut(user_id: Long, event_type: String,

@@ -231,6 +231,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming candlestick maintains the batch OHLC declaratively") {
+    import graft.streaming.IotStreamPipeline
+    import graft.streaming.IotStreamPipeline.CandleOut
+    val in = Files.createTempDirectory("graft-candle-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value")
+    val got = maintainedRows[CandleOut](
+      IotStreamPipeline.candlestickStream(
+        spark.readStream.schema(ev.schema).parquet(in)),
+      r => (r.user_id, r.day))(landTimeSplit(ev, in)).toDF()
+    val want = graft.operators.TimeAgg.candlestick(
+      graft.sources.Tables.events(spark, sf)
+        .withColumn("day", graft.operators.TimeAgg.dayKey(col("ts"))),
+      Seq("user_id", "day"), "ts", "event_id", "value")
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming time-weighted avg maintains the batch rollup across arrivals") {
     import graft.streaming.IotStreamPipeline
     import graft.streaming.IotStreamPipeline.TwaOut
