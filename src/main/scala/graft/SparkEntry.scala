@@ -206,6 +206,14 @@ object SparkEntry {
         keys = Seq("user_id", "day"), reading = "value",
         order = Seq("ts", "event_id"), scale = 4)),
 
+    // TimescaleDB counter_agg -> rate(): reset-corrected increase per
+    // second over the group's observed span; zero-span groups NULL
+    "b29_counter_rate" -> ((s, d) =>
+      TimeAgg.counterRate(
+        ev(s, d).withColumn("day", TimeAgg.dayKey(col("ts"))),
+        keys = Seq("user_id", "day"), reading = "value", ts = "ts",
+        order = Seq("ts", "event_id"), scale = 4)),
+
     // TimescaleDB time_weighted_average (LOCF weighting): each reading
     // holds until its successor; single-instant groups report NULL
     "b19_time_weighted" -> ((s, d) =>
@@ -267,6 +275,12 @@ object SparkEntry {
       Sketches.histPercentiles(ev(s, d), Seq("event_type"), col("value"),
         Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)),
         lo = 0.0, hi = 600.0, nBins = 600)),
+
+    // TimescaleDB histogram(value, lo, hi, n): dense per-group bucket
+    // counts incl. under/overflow rows, empty buckets explicit zeros
+    "b30_histogram" -> ((s, d) =>
+      Sketches.histogram(ev(s, d), Seq("event_type"), col("value"),
+        lo = 0.0, hi = 500.0, nBuckets = 20)),
 
     // HLL sketch — engine-specific bits, so rows-only for the driver;
     // the spec asserts <5% relative error against exact countDistinct.
@@ -1177,6 +1191,11 @@ object SparkEntry {
     "h16_tfidf_terms" -> ((s, d) =>
       Curation.topTfidfTerms(docs(s, d), "doc_id", "text", 5)),
 
+    // BPE-style adjacent-pair rank table: corpus bigram counts with a
+    // support threshold (vocabulary^2-bounded, one map-combined shuffle)
+    "h17_bigram_stats" -> ((s, d) =>
+      Curation.bigramStats(docs(s, d), "text", minCount = 5)),
+
     // corpus-inspection: top-10 3-grams per language by document
     // frequency, through the custom TopKPerKey operator (bounded
     // per-key heaps — no per-language sort of the full n-gram table)
@@ -1598,6 +1617,26 @@ object SparkEntry {
          |  CAST(sum(r) AS BIGINT) AS n_resets, count(*) AS n_readings
          |FROM s GROUP BY 1, 2""".stripMargin,
 
+    "b29_counter_rate" ->
+      s"""WITH o AS (
+         |  SELECT user_id, strftime(ts, '%Y%m%d') AS day, value,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+         |    lag(value) OVER (PARTITION BY user_id, strftime(ts, '%Y%m%d')
+         |                     ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, day, tu,
+         |    CASE WHEN prev IS NULL THEN NULL
+         |         WHEN value >= prev THEN value - prev
+         |         ELSE value END AS step
+         |  FROM o)
+         |SELECT user_id, day,
+         |  CASE WHEN max(tu) > min(tu) THEN
+         |    ${sqlPround(s"(${sqlFixedSum("step", 4)}) * 1000000.0 / CAST(max(tu) - min(tu) AS DOUBLE)", 4)}
+         |  ELSE NULL END AS rate_per_sec,
+         |  count(*) AS n_readings
+         |FROM s GROUP BY 1, 2""".stripMargin,
+
     "b19_time_weighted" ->
       s"""WITH o AS (
          |  SELECT user_id, strftime(ts, '%Y%m%d') AS day, value,
@@ -1702,6 +1741,20 @@ object SparkEntry {
          |  ${pick("p99", 0.99)}
          |FROM c GROUP BY event_type""".stripMargin
     },
+
+    "b30_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CASE WHEN value < 0.0 THEN 0
+        |         WHEN value >= 500.0 THEN 21
+        |         ELSE CAST(floor((value - 0.0) / 25.0) AS INT) + 1 END AS bucket
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+        |k AS (SELECT DISTINCT event_type FROM events),
+        |s AS (SELECT event_type, CAST(u.b AS INT) AS bucket
+        |      FROM k, LATERAL unnest(range(0, 22)) AS u(b))
+        |SELECT s.event_type, s.bucket, coalesce(c.n, 0) AS n
+        |FROM s LEFT JOIN c ON s.event_type = c.event_type AND s.bucket = c.bucket""".stripMargin,
 
     "b24_downsample_lttb" ->
       """WITH p AS (
@@ -2662,6 +2715,15 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, rtfidf,
         |  row_number() OVER (PARTITION BY doc_id ORDER BY rtfidf DESC, term) AS rnk
         |FROM sc QUALIFY rnk <= 5""".stripMargin,
+
+    "h17_bigram_stats" ->
+      s"""WITH t AS (${tokCte("documents", lower = false)}),
+         |p AS (
+         |  SELECT tok[u.i] AS first_tok, tok[u.i + 1] AS second_tok
+         |  FROM t, LATERAL unnest(range(1, len(tok))) AS u(i)
+         |  WHERE len(tok) >= 2)
+         |SELECT first_tok, second_tok, count(*) AS n
+         |FROM p GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
 
     "h9_repetition" ->
       s"""WITH t AS (${tokCte("documents", lower = true)})

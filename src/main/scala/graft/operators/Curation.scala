@@ -323,6 +323,35 @@ object Curation {
           .as("chunk_text"))
   }
 
+  /** Corpus-wide ADJACENT-PAIR frequencies — the counting step at the
+    * heart of BPE-style tokenizer training (each merge round ranks
+    * pairs by corpus frequency; this is that rank table for
+    * whitespace units) and the bigram table language-model features
+    * read. Pairs below `minCount` are dropped — the support threshold
+    * every tokenizer trainer applies, and what keeps the output
+    * vocabulary²-BOUNDED instead of corpus-sized.
+    *
+    * Shape: tokenize → per-row `transform` over the token index
+    * (NARROW — the pair list never leaves its input partition) →
+    * explode → one count agg with map-side combine. The agg's partial
+    * state is the distinct-pair vocabulary per task, not the token
+    * stream; one shuffle total. Docs with fewer than two tokens
+    * contribute nothing.
+    *
+    * Output: (first_tok, second_tok, n), n ≥ minCount. */
+  def bigramStats(df: DataFrame, text: String, minCount: Long): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(text))
+    val pairs = df.select(toks.as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("first_tok"),
+          element_at(col("__toks"), i + 1).as("second_tok")))).as("p"))
+    pairs.select(col("p.first_tok"), col("p.second_tok"))
+      .groupBy("first_tok", "second_tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Per-document top-k salient terms by LOG-FREE tf-idf: score =
     * tf × N / df (linear inverse document frequency). The log variant
     * ranks identically for a fixed corpus (log is monotone in N/df and

@@ -88,6 +88,39 @@ object Sketches {
     a.unionByName(b)
       .groupBy("cms_row", "cms_bucket").agg(sum("cnt").as("cnt"))
 
+  /** TimescaleDB `histogram(value, lo, hi, nBuckets)` equivalent: per
+    * group, the DENSE bucket-count vector — `nBuckets` equal-width
+    * buckets over `[lo, hi)` plus the underflow bucket 0 (`v < lo`) and
+    * overflow bucket `nBuckets+1` (`v ≥ hi`), one row per
+    * (group, bucket) with empty buckets emitted as explicit zeros
+    * (Timescale returns the full array; the row spelling is the same
+    * content un-nested). Null values are dropped, as in any SQL
+    * aggregate.
+    *
+    * Scale shape: the count agg partial-aggregates map-side to at most
+    * groups × (nBuckets+2) rows — sketch-sized, never input-sized — and
+    * the dense spine is `distinct(group) × sequence(0..nBuckets+1)`, a
+    * narrow explode over the vocabulary-sized key set; the final left
+    * join is sketch × sketch. Bucket assignment `floor((v−lo)/width)`
+    * is one pure-IEEE expression, bit-identical cross-engine. */
+  def histogram(df: DataFrame, groupCols: Seq[String], value: Column,
+                lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo)
+    val width = (hi - lo) / nBuckets
+    val bucket = when(value < lit(lo), lit(0))
+      .when(value >= lit(hi), lit(nBuckets + 1))
+      .otherwise(floor((value - lit(lo)) / lit(width)).cast("int") + lit(1))
+    val counts = df.filter(value.isNotNull)
+      .groupBy(groupCols.map(col) :+ bucket.as("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+    val spine = df.select(groupCols.map(col): _*).distinct()
+      .withColumn("bucket", explode(sequence(lit(0), lit(nBuckets + 1))))
+      .withColumn("bucket", col("bucket").cast("int"))
+    spine.join(counts, groupCols :+ "bucket", "left")
+      .select(groupCols.map(col) :+ col("bucket") :+
+        coalesce(col("n"), lit(0L)).as("n"): _*)
+  }
+
   /** Fixed-bin histogram percentiles — the SCALE-SAFE spelling of B8's
     * exact `percentile`: Spark's exact aggregate buffers every distinct
     * value per group in executor memory (a per-group value map), which

@@ -263,6 +263,42 @@ object TimeAgg {
         count(lit(1)).as("n_readings"))
   }
 
+  /** TimescaleDB `counter_agg` → `rate()`: the reset-corrected increase
+    * per SECOND over each group's observed span — [[counterDelta]]'s
+    * delta divided by `last(ts) − first(ts)`. Groups whose readings
+    * span zero time (a single reading, or all at one instant) report
+    * NULL — there is no elapsed time to normalize by, Timescale's
+    * `rate()` contract.
+    *
+    * Same ONE-shuffle window→agg shape as [[counterDelta]] (the lag
+    * window and the agg share `keys`, so the agg reuses the window's
+    * exchange). Elapsed time is exact integer microseconds and the
+    * delta an exact fixed-point long sum; one double division at the
+    * end, `pround`ed at `scale` — bit-reproducible cross-engine. */
+  def counterRate(df: DataFrame, keys: Seq[String], reading: String,
+                  ts: String, order: Seq[String], scale: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+    val prev = lag(col(reading), 1).over(w)
+    val step = when(prev.isNull, lit(null).cast("double"))
+      .when(col(reading) >= prev, col(reading) - prev)
+      .otherwise(col(reading))
+    df.withColumn("__step", step)
+      .withColumn("__tu", unix_micros(col(ts)))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        graft.functions.Portable.fixedSum(col("__step"), scale).as("__delta"),
+        min(col("__tu")).as("__t0"), max(col("__tu")).as("__t1"),
+        count(lit(1)).as("n_readings"))
+      .select(keys.map(col) :+
+        when(col("__t1") > col("__t0"),
+          graft.functions.Portable.pround(
+            col("__delta") * lit(1000000.0) /
+              (col("__t1") - col("__t0")).cast("double"), scale))
+          .otherwise(lit(null).cast("double")).as("rate_per_sec") :+
+        col("n_readings"): _*)
+  }
+
   /** TimescaleDB `time_weighted_average` (LOCF weighting) equivalent:
     * per `keys` group, `Σ vᵢ·(tᵢ₊₁ − tᵢ) / Σ (tᵢ₊₁ − tᵢ)` — each
     * reading holds until the next one (last-observation-carried-

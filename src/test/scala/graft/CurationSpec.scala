@@ -128,6 +128,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("histogram: dense per-group buckets incl. explicit zeros and under/overflow") {
+    val df = Seq(("a", -1.0), ("a", 0.0), ("a", 5.0), ("a", 5.5), ("a", 10.0),
+      ("a", 99.0), ("b", 3.0)).toDF("g", "v")
+    // lo=0 hi=10 n=2: bucket 0 = underflow, 1 = [0,5), 2 = [5,10), 3 = overflow
+    val got = graft.operators.Sketches.histogram(df, Seq("g"), col("v"),
+        lo = 0.0, hi = 10.0, nBuckets = 2)
+      .as[(String, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("a", 0, 1L), ("a", 1, 1L), ("a", 2, 2L), ("a", 3, 2L),
+      ("b", 0, 0L), ("b", 1, 1L), ("b", 2, 0L), ("b", 3, 0L)))
+  }
+
+  test("bigramStats: adjacent-pair counts with support threshold") {
+    val docs = Seq("a b a b c", "a b x", "z").toDF("text")
+    val got = Curation.bigramStats(docs, "text", minCount = 2)
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    // "a b" appears 3x (twice in doc1, once in doc2); every other pair
+    // is below the threshold; the single-token doc contributes nothing
+    assert(got.toSeq == Seq(("a", "b", 3L)))
+    val all = Curation.bigramStats(docs, "text", minCount = 1)
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(all.toSeq == Seq(
+      ("a", "b", 3L), ("b", "a", 1L), ("b", "c", 1L), ("b", "x", 1L)))
+  }
+
   test("leakage-safe split never puts two docs of one cluster in different splits") {
     val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // clusters pairing neighbors: (1,2), (5,6), ... — and one big star

@@ -74,6 +74,22 @@ class TimeAggSpec extends SparkSpec {
     assert(got(1) == ((2L, "d1", 0.0, 0L, 1L)))
   }
 
+  test("counterRate: reset-corrected delta per second; zero-span groups NULL") {
+    def t(sec: Int) = s"2024-01-01 00:00:${f"$sec%02d"}"
+    // u1: 10 → 15 → 3 (reset) → 8 over 30s: delta 13 / 30s
+    val df = Seq(
+      (1L, t(0), 1L, 10.0), (1L, t(10), 2L, 15.0),
+      (1L, t(20), 3L, 3.0), (1L, t(30), 4L, 8.0),
+      (2L, t(5), 5L, 42.0)) // single reading: no span
+      .toDF("user_id", "s", "event_id", "value")
+      .select($"user_id", $"s".cast("timestamp").as("ts"), $"event_id", $"value")
+    val got = TimeAgg.counterRate(df, Seq("user_id"), "value", "ts",
+        Seq("ts", "event_id"), 4)
+      .as[(Long, Option[Double], Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, Some(0.4333), 4L))) // 13/30 pround 4
+    assert(got(1) == ((2L, None, 1L)))
+  }
+
   test("timeWeightedAvg: LOCF hold-time weighting; zero-span groups NULL") {
     def t(sec: Int) = s"2024-01-01 00:00:${f"$sec%02d"}"
     // v=10 held 10s, v=20 held 20s, last reading unweighted:
