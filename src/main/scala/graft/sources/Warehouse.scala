@@ -196,6 +196,37 @@ object Warehouse {
     }
   }
 
+  /** Retention policy — TimescaleDB `add_retention_policy()` /
+    * `drop_chunks()` for the parquet warehouse: drop every first-level
+    * partition of `partitionCol` strictly older than `keepFrom`
+    * (value < keepFrom under the partition encoding's lexicographic
+    * order — the `day=YYYYMMDD` keys the IoT tables use sort
+    * correctly by construction). Returns the dropped partition values;
+    * already-absent partitions are a no-op, so any-cadence re-runs
+    * converge (the drop-chunks idempotence contract).
+    *
+    * This is a METADATA-ONLY operation: no scan, no shuffle, no
+    * rewrite — each expired partition is one recursive directory
+    * delete, which is why time-first partitioning beats a `DELETE
+    * WHERE ts < cutoff` (a full rewrite of every touched file) at
+    * warehouse scale. Surviving partitions are byte-untouched
+    * (spec-asserted). */
+  def applyRetention(spark: org.apache.spark.sql.SparkSession,
+                     path: String, partitionCol: String,
+                     keepFrom: String): Seq[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return Seq.empty
+    fs.listStatus(hPath).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"$partitionCol="))
+      .flatMap { s =>
+        val v = java.net.URLDecoder.decode(
+          s.getPath.getName.stripPrefix(s"$partitionCol="), "UTF-8")
+        if (v < keepFrom) { fs.delete(s.getPath, true); Some(v) } else None
+      }.sorted
+  }
+
   /** Bucketed + sorted warehouse table: co-locates rows by join key so
     * downstream fact-fact joins and grouped aggs on `bucketCols` plan
     * with ZERO exchange (verified in PlanSpec). The one-time write cost

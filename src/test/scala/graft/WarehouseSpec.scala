@@ -130,4 +130,30 @@ class WarehouseSpec extends SparkSpec {
     assert(graft.sources.Warehouse.compactPartitions(
       spark, wh, Seq("day"), targetFileBytes = 128L << 20).isEmpty)
   }
+
+  test("applyRetention: expired partitions dropped, survivors byte-untouched, re-run no-op") {
+    val wh = Files.createTempDirectory("graft-wh-retain").toString + "/t"
+    Seq((1L, "20240101", 1.0), (2L, "20240102", 2.0),
+        (3L, "20240103", 3.0), (4L, "20240104", 4.0))
+      .toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(wh)
+    val keepFiles = Seq("20240103", "20240104").map { d =>
+      d -> new java.io.File(wh, s"day=$d").listFiles().map(_.getName).toSet
+    }.toMap
+    val dropped = graft.sources.Warehouse.applyRetention(
+      spark, wh, "day", keepFrom = "20240103")
+    assert(dropped == Seq("20240101", "20240102"))
+    assert(!new java.io.File(wh, "day=20240101").exists())
+    assert(!new java.io.File(wh, "day=20240102").exists())
+    // survivors byte-untouched (no rewrite — a metadata-only drop)
+    keepFiles.foreach { case (d, fset) =>
+      assert(new java.io.File(wh, s"day=$d").listFiles()
+        .map(_.getName).toSet == fset)
+    }
+    assert(spark.read.parquet(wh).select("id").as[Long].collect().sorted
+      .toSeq == Seq(3L, 4L))
+    // idempotent: the expired partitions are already gone
+    assert(graft.sources.Warehouse.applyRetention(
+      spark, wh, "day", keepFrom = "20240103").isEmpty)
+  }
 }
