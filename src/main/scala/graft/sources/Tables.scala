@@ -24,14 +24,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and floor-convert to µs (exactly
-    * what engines with µs-precision timestamps do on NANOS input).
-    * Integer `div` — a double division would lose precision above 2^53. */
+  /** `events.ts` arrives either as parquet TIMESTAMP(MICROS) (read
+    * natively) or TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; for the latter, read nanos as long and floor-convert to µs
+    * (exactly what engines with µs-precision timestamps do on NANOS
+    * input). Integer `div` — a double division would lose precision
+    * above 2^53. Schema-adaptive so the loader survives upstream
+    * precision changes without a code edit. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ =>
+        // TIMESTAMP_NTZ (parquet micros without isAdjustedToUTC): the
+        // session timezone is pinned to UTC, so this cast is lossless
+        // and keeps every downstream unix_micros/window call typed.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
