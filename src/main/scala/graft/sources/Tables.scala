@@ -33,6 +33,12 @@ object Tables {
     * precision changes without a code edit. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Read micros-no-tz as TIMESTAMP (not NTZ) *at the scan*: a
+    // post-scan cast would sit between the parquet reader and every
+    // downstream ts predicate and break pushdown; with the conf off,
+    // the scan itself produces TimestampType and C3/C4-style
+    // incremental filters still reach PushedFilters.
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
