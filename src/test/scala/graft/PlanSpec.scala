@@ -27,6 +27,21 @@ class PlanSpec extends SparkSpec {
       s"scan reads more columns than projected:\n$scan")
   }
 
+  test("events.ts loads as TIMESTAMP and ts predicates reach the scan") {
+    // The driver's events.parquet timestamp precision has changed
+    // between rounds (NANOS → MICROS-no-tz); the loader must keep
+    // producing plain TimestampType AT THE SCAN — a post-scan cast
+    // would silently break incremental-load (C3/C4) pushdown.
+    val ev = Tables.events(spark, sf)
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType, "events.ts must be TIMESTAMP")
+    val df = ev.filter(col("ts") > lit("2024-01-02").cast("timestamp"))
+      .select("event_id", "ts")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("GreaterThan(ts,"),
+      s"ts range filter not pushed to the events scan:\n$scan")
+  }
+
   test("gapfill+locf: one scan, no fill join, two exchanges end-to-end") {
     for (q <- Seq("b6_gapfill_locf", "b11_gapfill_bounded",
         "b25_gapfill_interp")) {
