@@ -106,8 +106,8 @@ object ScaleProbe {
           (col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
           (col("l_partkey") + lit(i * 1000000L)).as("l_partkey"),
           (col("l_suppkey") + lit(i * 1000000L)).as("l_suppkey"),
-          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
-          col("l_discount"), col("l_shipdate"))
+          col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
       }.reduce(_ unionByName _))
       lazy val cust = mat((0 until m).map { i =>
         Tables.customer(spark, sfDir).select(
@@ -579,6 +579,55 @@ object ScaleProbe {
               col("l_extendedprice") * (lit(1) - col("l_discount")) -
                 col("p_retailprice") * col("l_quantity"), 4).as("sum_profit"))
         }),
+        // counter rate: same one-shuffle window→agg family as b18 —
+        // the ratio should match counterDelta's
+        "b29_counter_rate" -> (() =>
+          TimeAgg.counterRate(ev.withColumn("day", TimeAgg.dayKey(col("ts"))),
+            keys = Seq("user_id", "day"), reading = "value", ts = "ts",
+            order = Seq("ts", "event_id"), scale = 4)),
+        // dense histogram: count partials bound the exchange at
+        // groups × (n+2) rows however many readings flow in
+        "b30_histogram" -> (() =>
+          Sketches.histogram(ev, Seq("event_type"), col("value"),
+            lo = 0.0, hi = 500.0, nBuckets = 20)),
+        // Q12 dual CASE counts over the orderkey fact join — one pass,
+        // the join is what scales
+        "d27_linestatus_priority" -> (() => {
+          val hi = (col("o_custkey") % 3 === 0)
+          li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+            .join(ords, col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("l_linestatus"))
+            .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+              sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        }),
+        // dbt-style check battery: the column-local checks fuse into one
+        // scan; unique + relationships each add one keyed exchange whose
+        // payload is violation-sized, not table-sized
+        "dq1_checks" -> (() =>
+          DataQuality.report(Seq(
+            DataQuality.columnChecks(ev, Seq(
+              ("not_null_user_id", col("user_id").isNull),
+              ("not_null_value", col("value").isNull))),
+            DataQuality.unique(ev, Seq("event_id")),
+            DataQuality.relationships(ev, "user_id",
+              cust.select(col("c_custkey")), "c_custkey")))),
+        // per-language top n-grams through the bounded heap — the gram
+        // count exchange is map-combined, the heap caps the final stage
+        "h12_top_ngrams" -> (() => {
+          val counts = docs.select(col("lang"),
+              explode(graft.functions.TextFunctions.shingles(
+                lower(col("text")), 3)).as("ngram"))
+            .groupBy("lang", "ngram").agg(count(lit(1)).as("n_docs"))
+          graft.plans.TopKPerKey(counts,
+            keys = Seq(col("lang")),
+            order = Seq(col("n_docs").desc, col("ngram").asc),
+            k = 10, rankName = "rnk")
+        }),
+        // BPE pair-rank table: adjacent-pair counts, vocabulary²-bounded
+        // map-combined shuffle — the scan is what scales
+        "h17_bigram_stats" -> (() =>
+          Curation.bigramStats(docs, "text", minCount = 5)),
         // state_agg: one window + one agg — the shuffle is entity-
         // partitioned once and the agg rides the same exchange family
         "b26_state_agg" -> (() =>

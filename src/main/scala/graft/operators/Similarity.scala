@@ -659,8 +659,7 @@ object Similarity {
     // empty corpus → no cells and no codes (see pqTopK's guard)
     if (cents.isEmpty || cb.exists(_.isEmpty))
       return bruteForceTopKNormed(cN, qN, k)
-    val index = cN.select(col("nn_id"), bestCell(col("cv"), cents).as("cell"),
-      pqCodes(col("cv"), cb).as("codes"))
+    val index = encodeIvfPq(cN, cents, cb)
     def cellScores(v: Column): Column = sort_array(array(cents.toIndexedSeq.map {
       case (cid, cv) => struct(dot(v, typedlit(cv)).as("s"), lit(cid).as("cell"))
     }: _*), asc = false)
@@ -682,6 +681,37 @@ object Similarity {
           graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6)),
       k)
   }
+
+  /** The IVFADC index frame under a FROZEN model — one row per vector
+    * `(nn_id, cell, codes)` from an already-normalized `(nn_id, cv)`
+    * corpus. Pure projection work (both quantizers ride the row as
+    * literals), so it composes with `readStream` unchanged — the seam
+    * [[graft.streaming.AnnIndexStream]] encodes micro-batches through.
+    * Shared with [[ivfPqTopK]]'s train-then-encode path so the two
+    * spellings of the encode cannot drift. */
+  def encodeIvfPq(cN: DataFrame, cents: Array[(Int, Seq[Double])],
+                  cb: Array[Array[Seq[Double]]]): DataFrame =
+    cN.select(col("nn_id"), bestCell(col("cv"), cents).as("cell"),
+      pqCodes(col("cv"), cb).as("codes"))
+
+  /** Persist the coarse IVF quantizer beside [[savePqIndex]]'s
+    * codebooks — `(cell, centroid)` rows, nCells of them; the other
+    * half of the frozen model a continuous encoder reloads. */
+  def saveIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String,
+                       cents: Array[(Int, Seq[Double])]): Unit = {
+    import spark.implicits._
+    cents.toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Reload [[saveIvfCentroids]] into the searcher/encoder shape
+    * (model-sized collect, cell-ordered). */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Array[(Int, Seq[Double])] =
+    spark.read.parquet(s"$path/centroids")
+      .select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
 
   /** Persist a trained ANN index — the deployment round trip
     * [[pqTopKWith]] implies: the codebooks land as one model-sized
