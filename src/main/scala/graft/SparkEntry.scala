@@ -276,6 +276,24 @@ object SparkEntry {
         Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)),
         lo = 0.0, hi = 600.0, nBins = 600)),
 
+    // the continuous-aggregate percentile ROLLUP: per-(type, day) bin
+    // counts (the persisted finer aggregate) merged to months by plain
+    // count addition — exact by associativity — and re-estimated with
+    // b12's formula, never re-reading raw data (TimescaleDB
+    // percentile_agg -> rollup() -> approx_percentile)
+    "b31_percentile_rollup" -> ((s, d) => {
+      val bins = Sketches.histBinCounts(
+        ev(s, d).withColumn("day", TimeAgg.dayKey(col("ts"))),
+        Seq("event_type", "day"), col("value"),
+        lo = 0.0, hi = 600.0, nBins = 600)
+      val monthly = Sketches.histMerge(
+        bins.withColumn("month", substring(col("day"), 1, 6)),
+        Seq("event_type", "month"))
+      Sketches.histPercentilesFromBins(monthly, Seq("event_type", "month"),
+        Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)),
+        lo = 0.0, hi = 600.0, nBins = 600)
+    }),
+
     // TimescaleDB histogram(value, lo, hi, n): dense per-group bucket
     // counts incl. under/overflow rows, empty buckets explicit zeros
     "b30_histogram" -> ((s, d) =>
@@ -1740,6 +1758,30 @@ object SparkEntry {
          |  ${pick("p95", 0.95)},
          |  ${pick("p99", 0.99)}
          |FROM c GROUP BY event_type""".stripMargin
+    },
+
+    "b31_percentile_rollup" -> {
+      def pick(name: String, p: Double): String =
+        s"min_by(${sqlPround(s"0.0 + (bin + (ceil(n * $p) - (cum - cnt)) / cnt) * 1.0", 4)}, bin) " +
+          s"FILTER (WHERE cum >= ceil(n * $p)) AS $name"
+      s"""WITH bins AS (
+         |  SELECT event_type, strftime(ts, '%Y%m%d') AS day,
+         |    CAST(least(greatest(floor((value - 0.0) / 1.0), 0), 599) AS BIGINT) AS bin,
+         |    count(*) AS cnt
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+         |m AS (
+         |  SELECT event_type, substr(day, 1, 6) AS month, bin, sum(cnt) AS cnt
+         |  FROM bins GROUP BY 1, 2, 3),
+         |c AS (
+         |  SELECT *, sum(cnt) OVER (PARTITION BY event_type, month) AS n,
+         |    sum(cnt) OVER (PARTITION BY event_type, month ORDER BY bin
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM m)
+         |SELECT event_type, month,
+         |  ${pick("p50", 0.5)},
+         |  ${pick("p95", 0.95)},
+         |  ${pick("p99", 0.99)}
+         |FROM c GROUP BY event_type, month""".stripMargin
     },
 
     "b30_histogram" ->

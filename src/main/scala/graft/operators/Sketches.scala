@@ -142,15 +142,48 @@ object Sketches {
     * in, they'd form a null bin that inflates ranks). */
   def histPercentiles(df: DataFrame, groupCols: Seq[String], value: Column,
                       ps: Seq[(String, Double)], lo: Double, hi: Double,
-                      nBins: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(nBins > 0 && hi > lo && ps.nonEmpty)
+                      nBins: Int): DataFrame =
+    histPercentilesFromBins(
+      histBinCounts(df, groupCols, value, lo, hi, nBins),
+      groupCols, ps, lo, hi, nBins)
+
+  /** The PERSISTABLE layer of the percentile story: per-group fixed-bin
+    * counts `(groups…, __bin, __cnt)`. Bin counts are DISTRIBUTIVE —
+    * they sum — so a finer aggregate (per-day bins, the materialized
+    * continuous aggregate) rolls up to any coarser grouping with
+    * [[histMerge]] and re-estimates with [[histPercentilesFromBins]]
+    * WITHOUT re-reading raw data: TimescaleDB's continuous-aggregate
+    * `percentile_agg → rollup() → approx_percentile` contract, with the
+    * merge exact by associativity of +. */
+  def histBinCounts(df: DataFrame, groupCols: Seq[String], value: Column,
+                    lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo)
     val width = (hi - lo) / nBins
     val bin = least(greatest(floor((value - lit(lo)) / lit(width)), lit(0L)),
       lit((nBins - 1).toLong))
-    val hist = df.filter(value.isNotNull)
+    df.filter(value.isNotNull)
       .groupBy(groupCols.map(col) :+ bin.as("__bin"): _*)
       .agg(count(lit(1)).as("__cnt"))
+  }
+
+  /** Roll a [[histBinCounts]] frame up to a coarser grouping (the
+    * coarse keys must already be columns — derive them first, e.g. a
+    * month prefix of a day key). One map-combined sum over sketch-sized
+    * input. */
+  def histMerge(bins: DataFrame, coarseCols: Seq[String]): DataFrame =
+    bins.groupBy(coarseCols.map(col) :+ col("__bin"): _*)
+      .agg(sum(col("__cnt")).as("__cnt"))
+
+  /** The estimate stage of [[histPercentiles]] over an existing bins
+    * frame (fresh from [[histBinCounts]] or merged via [[histMerge]]).
+    * All window work runs on ≤ nBins rows per group — never raw
+    * values. */
+  def histPercentilesFromBins(hist: DataFrame, groupCols: Seq[String],
+                              ps: Seq[(String, Double)], lo: Double,
+                              hi: Double, nBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins > 0 && hi > lo && ps.nonEmpty)
+    val width = (hi - lo) / nBins
     val wg = Window.partitionBy(groupCols.map(col): _*)
     val wcum = wg.orderBy(col("__bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

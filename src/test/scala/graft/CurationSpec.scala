@@ -128,6 +128,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("histogram percentile rollup == direct estimate (bin counts merge exactly)") {
+    import graft.operators.{Sketches, TimeAgg}
+    val ev = graft.sources.Tables.events(spark, sf)
+    val ps = Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+    // rollup path: per-(type, day) bins (the persisted finer aggregate)
+    // merged up to months, estimated from merged bins
+    val bins = Sketches.histBinCounts(
+      ev.withColumn("day", TimeAgg.dayKey(col("ts"))),
+      Seq("event_type", "day"), col("value"), 0.0, 600.0, 600)
+    val rolled = Sketches.histPercentilesFromBins(
+      Sketches.histMerge(bins.withColumn("month", substring($"day", 1, 6)),
+        Seq("event_type", "month")),
+      Seq("event_type", "month"), ps, 0.0, 600.0, 600)
+    // direct path: bins built straight at month grain
+    val direct = Sketches.histPercentiles(
+      ev.withColumn("month", TimeAgg.monthKey(col("ts"))),
+      Seq("event_type", "month"), col("value"), ps, 0.0, 600.0, 600)
+    assert(rolled.count() > 0)
+    assert(rolled.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(rolled).count() == 0)
+  }
+
   test("histogram: dense per-group buckets incl. explicit zeros and under/overflow") {
     val df = Seq(("a", -1.0), ("a", 0.0), ("a", 5.0), ("a", 5.5), ("a", 10.0),
       ("a", 99.0), ("b", 3.0)).toDF("g", "v")
