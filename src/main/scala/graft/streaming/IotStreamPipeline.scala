@@ -382,6 +382,28 @@ object IotStreamPipeline {
         max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("n_readings"))
 
+  case class HistBinOut(event_type: String, day: String, bin: Long, cnt: Long)
+
+  /** Continuous percentile maintenance (I19) — the streaming half of
+    * the B31 continuous-aggregate story, and like I17 deliberately the
+    * DECLARATIVE path: [[graft.operators.Sketches.histBinCounts]] IS
+    * the streaming query (bin counts are plain distributive counts, so
+    * the state store folds arrivals in any order with zero user state
+    * code — update-mode agg, state bounded by touched (type, day, bin)
+    * keys). Emitted rows upsert keyed on (type, day, bin); downstream,
+    * [[graft.operators.Sketches.histMerge]] +
+    * [[graft.operators.Sketches.histPercentilesFromBins]] read the
+    * maintained table for always-current percentile estimates at ANY
+    * coarser grain — raw readings are never re-read. The B31 batch
+    * operator and this share one code path, so the two cannot drift. */
+  def histBinsStream(stage: DataFrame, lo: Double, hi: Double,
+                     nBins: Int): DataFrame =
+    graft.operators.Sketches.histBinCounts(
+      stage.withColumn("day", date_format(col("ts"), "yyyyMMdd")),
+      Seq("event_type", "day"), col("value"), lo, hi, nBins)
+      .select(col("event_type"), col("day"),
+        col("__bin").as("bin"), col("__cnt").as("cnt"))
+
   case class StateAggState(lastTs: Long, lastState: String,
                            held: Map[String, Long], entries: Map[String, Long])
   case class StateAggOut(user_id: Long, event_type: String,

@@ -249,6 +249,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming histogram bins maintain B31's layer; estimates == batch rollup") {
+    import graft.operators.Sketches
+    import graft.streaming.IotStreamPipeline
+    import graft.streaming.IotStreamPipeline.HistBinOut
+    val in = Files.createTempDirectory("graft-hist-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "ts", "value")
+    val got = maintainedRows[HistBinOut](
+      IotStreamPipeline.histBinsStream(
+        spark.readStream.schema(ev.schema).parquet(in), 0.0, 600.0, 600),
+      r => (r.event_type, r.day, r.bin))(landTimeSplit(ev, in)).toDF()
+    val want = Sketches.histBinCounts(
+      ev.withColumn("day", graft.operators.TimeAgg.dayKey(col("ts"))),
+      Seq("event_type", "day"), col("value"), 0.0, 600.0, 600)
+      .select(col("event_type"), col("day"),
+        col("__bin").as("bin"), col("__cnt").as("cnt"))
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // the maintained table feeds the B31 rollup unchanged: month-grain
+    // estimates off maintained bins == estimates off raw data
+    val ps = Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+    val maintained = got
+      .select(col("event_type"), col("day"),
+        col("bin").as("__bin"), col("cnt").as("__cnt"))
+    val est = Sketches.histPercentilesFromBins(
+      Sketches.histMerge(
+        maintained.withColumn("month", substring(col("day"), 1, 6)),
+        Seq("event_type", "month")),
+      Seq("event_type", "month"), ps, 0.0, 600.0, 600)
+    val direct = Sketches.histPercentiles(
+      ev.withColumn("month", graft.operators.TimeAgg.monthKey(col("ts"))),
+      Seq("event_type", "month"), col("value"), ps, 0.0, 600.0, 600)
+    assert(est.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(est).count() == 0)
+  }
+
   test("streaming time-weighted avg maintains the batch rollup across arrivals") {
     import graft.streaming.IotStreamPipeline
     import graft.streaming.IotStreamPipeline.TwaOut
