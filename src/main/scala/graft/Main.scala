@@ -48,6 +48,31 @@ object Main {
       s" quality_rejected=${st.nRejectedQuality}" +
       s" exact_dup=${st.nRejectedExact} near_dup=${st.nRejectedNearDup}" +
       s" accepted=${st.nAccepted} corpus=${st.corpusSize}")
+
+    // ---- ANN index cycle (I18's batch half): train once, persist the
+    // frozen model + encoded index, reload, serve a query batch
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val emb = sources.Tables.embeddings(spark, sfDir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 16, 2)
+      .zipWithIndex.map { case (cv, i) => (i, cv) }
+    val cb = Similarity.trainPQ(
+      Similarity.normalized(emb, "vec_id", "embedding"), dim, 8, 16, 2)
+    Similarity.saveIvfCentroids(spark, s"$wh/ann", cents)
+    Similarity.savePqIndex(s"$wh/ann", cb,
+      streaming.AnnIndexStream.encodeBatch(emb, "vec_id", "embedding", cents, cb))
+    val hits = Similarity.pqTopKWith(
+      Similarity.normalized(emb, "vec_id", "embedding"),
+      Similarity.loadPqCodes(spark, s"$wh/ann").select("nn_id", "codes"),
+      Similarity.normalizedQueries(
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding"),
+      Similarity.loadPqCodebooks(spark, s"$wh/ann"),
+      k = 5, shortlist = 256, dim = dim)
+    println(s"[ann] indexed=${Similarity.loadPqCodes(spark, s"$wh/ann").count()}" +
+      s" queries=${hits.select("query_id").distinct().count()}" +
+      s" hits=${hits.count()}")
     spark.stop()
   }
 }
