@@ -341,6 +341,19 @@ class PlanSpec extends SparkSpec {
       plan.contains("Window"), s"expected agg-then-window:\n$plan")
   }
 
+  test("percentile rollup: raw reduces to bins before merge and windows") {
+    val plan = executed(SparkEntry.queries("b31_percentile_rollup")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"rollup must scan raw once:\n$plan")
+    // raw → (type, day, bin) counts → merged (type, month, bin) counts →
+    // estimate windows: every exchange after the first carries
+    // SKETCH-sized bin rows, never raw readings
+    val exchanges = "(?<!Reused)Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"rollup should shuffle bins only, got $exchanges:\n$plan")
+    assert(plan.contains("Window"), s"expected estimate windows:\n$plan")
+  }
+
   test("salted aggregation plans exactly two shuffle stages") {
     val plan = executed(SparkEntry.queries("b13_salted_agg_daily")(spark, sf))
       .split("== Initial Plan ==").head
