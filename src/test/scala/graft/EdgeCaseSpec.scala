@@ -183,6 +183,52 @@ class EdgeCaseSpec extends SparkSpec {
     assert(fa == Seq((2L, 3L)))
   }
 
+  test("r8 operators on empty and degenerate input return sane results, not errors") {
+    import graft.operators.Sketches
+    val noVals = Seq.empty[(String, String, Double)].toDF("g", "day", "v")
+    val nullVals = Seq(("a", "20240101", null.asInstanceOf[java.lang.Double]))
+      .toDF("g", "day", "v")
+    val ps = Seq(("p50", 0.5))
+    // bins of empty / all-null input: empty frame, and the estimate
+    // stage over it stays empty (no divide-by-zero rows)
+    val emptyBins = Sketches.histBinCounts(noVals, Seq("g", "day"), col("v"),
+      0.0, 10.0, 10)
+    assert(emptyBins.count() == 0)
+    assert(Sketches.histBinCounts(nullVals, Seq("g", "day"), col("v"),
+      0.0, 10.0, 10).count() == 0)
+    assert(Sketches.histPercentilesFromBins(
+      Sketches.histMerge(emptyBins, Seq("g")), Seq("g"), ps, 0.0, 10.0, 10)
+      .count() == 0)
+    // a single-value group estimates that value's bin midpoint formula,
+    // through the rollup path identically to the direct path
+    val one = Seq(("a", "20240101", 3.2)).toDF("g", "day", "v")
+    val direct = Sketches.histPercentiles(one, Seq("g"), col("v"),
+      ps, 0.0, 10.0, 10)
+    val rolled = Sketches.histPercentilesFromBins(
+      Sketches.histMerge(
+        Sketches.histBinCounts(one, Seq("g", "day"), col("v"), 0.0, 10.0, 10),
+        Seq("g")), Seq("g"), ps, 0.0, 10.0, 10)
+    assert(direct.exceptAll(rolled).count() == 0 && direct.count() == 1)
+    // ANN stream: an empty micro-batch encodes to empty and the upsert
+    // leaves the persisted index byte-equal (no spurious first-load)
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-ann").toString
+    val emb = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 2, 1)
+      .zipWithIndex.map { case (cv, i) => (i, cv) }
+    val cb = Similarity.trainPQ(
+      Similarity.normalized(emb, "vec_id", "embedding"), 2, 2, 2, 1)
+    val sink = graft.streaming.AnnIndexStream.foreachBatchSink(
+      dir, "vec_id", "embedding", cents, cb)
+    sink(emb, 0L)
+    val before = Similarity.loadPqCodes(spark, dir)
+      .select("nn_id", "cell", "codes").collect().toSet
+    sink(emb.limit(0), 1L)
+    val after = Similarity.loadPqCodes(spark, dir)
+      .select("nn_id", "cell", "codes").collect().toSet
+    assert(before == after && before.size == 2)
+  }
+
   test("no-split packing degenerate shapes: seqLen=1, zero-token and oversize docs") {
     val df = Seq((1L, "a", 0), (2L, "a", 1), (3L, "a", 5), (4L, "a", 1))
       .toDF("doc_id", "lang", "n")
