@@ -1245,6 +1245,13 @@ object SparkEntry {
     "f7_embedding_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(embD(s, d), "vec_id", "embedding")),
 
+    // per-dimension calibration stats (mean/std/min/max): the range
+    // table per-dimension int8 PTQ and whitening need — narrow
+    // posexplode, ONE map-combined agg keyed on dim (exchange carries
+    // <= partitions x dim fixed-point sum rows, never corpus-sized)
+    "f13_embedding_stats" -> ((s, d) =>
+      Similarity.embeddingStats(embD(s, d), "vec_id", "embedding")),
+
     // f8: search OVER the int8 index — the searcher sees only f7-style
     // codes + per-vector scale, dequantizes on the fly; exact top-k of
     // the quantized space, oracle-mirrored bit-for-bit
@@ -2809,6 +2816,28 @@ object SparkEntry {
               "list_max(list_transform(v, x -> CASE WHEN sc = 0 THEN 0.0" +
               " ELSE abs(x - floor(x / sc * 127 + 0.5) * sc / 127) END))", 6)} AS max_err
          |FROM s""".stripMargin,
+
+    "f13_embedding_stats" -> {
+      val m = "CAST(sx AS DOUBLE) / 100000000.0 / n"
+      s"""WITH e AS (
+         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |xs AS (
+         |  SELECT CAST(u.d AS INT) AS dim, v[CAST(u.d AS INT) + 1] AS x
+         |  FROM e, LATERAL unnest(range(0, len(v))) AS u(d)),
+         |a AS (
+         |  SELECT dim, count(*) AS n,
+         |    sum(CAST(floor(x * 100000000.0 + 0.5) AS BIGINT)) AS sx,
+         |    sum(CAST(floor(x * x * 100000000.0 + 0.5) AS BIGINT)) AS sxx,
+         |    min(x) AS mn0, max(x) AS mx0
+         |  FROM xs GROUP BY dim)
+         |SELECT dim,
+         |  ${sqlPround(m, 6)} AS mean,
+         |  ${sqlPround(s"sqrt(CAST(sxx AS DOUBLE) / 100000000.0 / n - ($m) * ($m))", 6)} AS std,
+         |  ${sqlPround("mn0", 6)} AS mn,
+         |  ${sqlPround("mx0", 6)} AS mx
+         |FROM a""".stripMargin
+    },
 
     "f8_ann_quantized" ->
       s"""WITH e AS (

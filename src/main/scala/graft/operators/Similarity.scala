@@ -338,6 +338,36 @@ object Similarity {
     * unit-norm embeddings is bounded by scale/254. Pure codegen'd
     * array work in ONE projection — no shuffle, no UDF; zero vectors
     * quantize to all-zero codes with zero error. */
+  /** Per-DIMENSION corpus statistics `(dim, mean, std, mn, mx)` — the
+    * calibration table a production int8/PTQ pipeline computes before
+    * choosing quantizer ranges (per-tensor [[quantizeInt8]] clips
+    * outlier dimensions; per-dimension ranges need exactly this), and
+    * the whitening layer's mean/std. Narrow `posexplode` then ONE
+    * map-combined grouped agg keyed on the dimension index: the
+    * exchange carries ≤ partitions × dim rows of fixed-point sums —
+    * sketch-sized however big the corpus. Sums run in exact fixed-point
+    * ([[graft.functions.Portable]]) so results are partition-order
+    * independent and oracle-reproducible; std is the population form
+    * computed from (Σx, Σx²) in one pass, IEEE-rounded at 6dp. */
+  def embeddingStats(emb: DataFrame, id: String, vec: String): DataFrame = {
+    import graft.functions.Portable
+    val e = emb.select(posexplode(col(vec)).as(Seq("dim", "x")))
+    e.groupBy(col("dim"))
+      .agg(count(lit(1)).as("__n"),
+        sum(Portable.toFixed(col("x"), 8)).as("__sx"),
+        sum(Portable.toFixed(col("x") * col("x"), 8)).as("__sxx"),
+        Portable.pround(min(col("x")), 6).as("mn"),
+        Portable.pround(max(col("x")), 6).as("mx"))
+      .select(col("dim"),
+        Portable.pround(col("__sx").cast("double") / 1e8 / col("__n"), 6)
+          .as("mean"),
+        Portable.pround(sqrt(
+          col("__sxx").cast("double") / 1e8 / col("__n") -
+            (col("__sx").cast("double") / 1e8 / col("__n")) *
+            (col("__sx").cast("double") / 1e8 / col("__n"))), 6).as("std"),
+        col("mn"), col("mx"))
+  }
+
   def quantizeInt8(emb: DataFrame, id: String, vec: String): DataFrame = {
     import graft.functions.Portable
     // the scale must cross a Project boundary before the per-element
