@@ -1252,6 +1252,16 @@ object SparkEntry {
     "f13_embedding_stats" -> ((s, d) =>
       Similarity.embeddingStats(embD(s, d), "vec_id", "embedding")),
 
+    // per-dimension int8 encode against f13's calibrated ranges — the
+    // PTQ pairing: scales ride as a literal array inside the transform
+    // lambda (pure codegen'd projection, no join/shuffle)
+    "f14_quantize_per_dim" -> ((s, d) => {
+      val e = embD(s, d)
+      Similarity.quantizeInt8PerDim(e, "vec_id", "embedding",
+        Similarity.perDimScales(
+          Similarity.embeddingStats(e, "vec_id", "embedding")))
+    }),
+
     // f8: search OVER the int8 index — the searcher sees only f7-style
     // codes + per-vector scale, dequantizes on the fly; exact top-k of
     // the quantized space, oracle-mirrored bit-for-bit
@@ -2838,6 +2848,27 @@ object SparkEntry {
          |  ${sqlPround("mx0", 6)} AS mx
          |FROM a""".stripMargin
     },
+
+    "f14_quantize_per_dim" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |xs AS (
+         |  SELECT vec_id, CAST(u.d AS INT) AS dim, v[CAST(u.d AS INT) + 1] AS x
+         |  FROM e, LATERAL unnest(range(0, len(v))) AS u(d)),
+         |sc AS (
+         |  SELECT dim, greatest(abs(${sqlPround("min(x)", 6)}),
+         |                       abs(${sqlPround("max(x)", 6)})) AS s
+         |  FROM xs GROUP BY dim),
+         |q AS (
+         |  SELECT vec_id, dim, x, s,
+         |    CASE WHEN s = 0 THEN 0
+         |         ELSE CAST(floor(x / s * 127 + 0.5) AS BIGINT) END AS c
+         |  FROM xs JOIN sc USING (dim))
+         |SELECT vec_id,
+         |  array_to_string(list(CAST(c AS VARCHAR) ORDER BY dim), ',') AS q_csv,
+         |  ${sqlPround("max(CASE WHEN s = 0 THEN 0.0 ELSE abs(x - c * s / 127) END)", 6)} AS max_err
+         |FROM q GROUP BY vec_id""".stripMargin,
 
     "f8_ann_quantized" ->
       s"""WITH e AS (

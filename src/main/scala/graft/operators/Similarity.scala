@@ -368,6 +368,43 @@ object Similarity {
         col("mn"), col("mx"))
   }
 
+  /** The symmetric per-dimension ranges [[quantizeInt8PerDim]] encodes
+    * against, read off an [[embeddingStats]] table — a model-sized
+    * collect (dim doubles), the same train-once pattern as the PQ
+    * codebooks. */
+  def perDimScales(stats: DataFrame): Array[Double] =
+    stats.select(col("dim"), greatest(abs(col("mn")), abs(col("mx"))))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+      .sortBy(_._1).map(_._2)
+
+  /** Per-DIMENSION symmetric int8 quantization — the PTQ shape that
+    * per-tensor [[quantizeInt8]] approximates: each dimension encodes
+    * against ITS calibrated range (`scales`, from [[perDimScales]] over
+    * an [[embeddingStats]] calibration pass), so one wide outlier
+    * dimension no longer crushes every other dimension's resolution.
+    * The scales ride the projection as a literal array indexed inside
+    * the transform lambda — pure codegen'd projection, no join, no
+    * shuffle. Zero-range dimensions encode 0 (the f7 zero-scale
+    * contract). Output mirrors [[quantizeInt8]]: portable csv codes +
+    * 6dp max reconstruction error. */
+  def quantizeInt8PerDim(emb: DataFrame, id: String, vec: String,
+                         scales: Array[Double]): DataFrame = {
+    import graft.functions.Portable
+    val sc = typedlit(scales.toSeq)
+    val v = col(vec)
+    def scAt(i: Column): Column = element_at(sc, (i + 1).cast("int"))
+    def q(x: Column, i: Column): Column =
+      when(scAt(i) === 0.0, lit(0L))
+        .otherwise(Portable.toFixed(x / scAt(i) * 127, 0))
+    val err = array_max(zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+      when(scAt(i) === 0.0, lit(0.0))
+        .otherwise(abs(x - q(x, i) * scAt(i) / 127))))
+    emb.select(col(id).as("vec_id"),
+      concat_ws(",", zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, i) => q(x, i).cast("string"))).as("q_csv"),
+      Portable.pround(err, 6).as("max_err"))
+  }
+
   def quantizeInt8(emb: DataFrame, id: String, vec: String): DataFrame = {
     import graft.functions.Portable
     // the scale must cross a Project boundary before the per-element

@@ -410,6 +410,36 @@ class SimilaritySpec extends SparkSpec {
     assert(z.getDouble(1) == 0.0 && z.getString(2) == "0,0,0" && z.getDouble(3) == 0.0)
   }
 
+  test("per-dim quantization: outlier dimension no longer crushes the rest") {
+    // dim0 is a 1000-wide outlier; dims 1-2 live in [0, 0.1]. Per-TENSOR
+    // symmetric quantization puts the whole vector on dim0's grid
+    // (step ~1000/127 ≈ 7.9 — the small dims all collapse to code 0,
+    // error ~0.1); per-DIMENSION ranges keep each dim on its own grid.
+    val emb = Seq(
+      (1L, Array(1000.0, 0.1, 0.07)),
+      (2L, Array(-900.0, 0.03, 0.1)),
+      (3L, Array(500.0, 0.08, 0.01))).toDF("vec_id", "embedding")
+    val scales = Similarity.perDimScales(
+      Similarity.embeddingStats(emb, "vec_id", "embedding"))
+    assert(scales.length == 3 && scales(0) == 1000.0 && scales(1) == 0.1)
+    val perDim = Similarity.quantizeInt8PerDim(emb, "vec_id", "embedding", scales)
+    // worst per-dim error is half a step of the WIDEST dim: 1000/254
+    assert(perDim.filter(col("max_err") > 1000.0 / 254 + 1e-6).count() == 0)
+    // the small dims specifically: reconstruct and compare — per-dim
+    // codes carry them within 0.1/254, per-tensor collapsed them to 0
+    val codes = perDim.orderBy("vec_id").collect()
+      .map(_.getString(1).split(",").map(_.toLong))
+    assert(codes(0)(1) == 127 && codes(2)(1) != 0) // 0.1 and 0.08 survive
+    val perTensor = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .orderBy("vec_id").collect().map(_.getString(2).split(",").map(_.toLong))
+    assert(perTensor(0)(1) == 0 && perTensor(2)(1) == 0) // crushed
+    // zero-range dimension encodes 0 with zero error
+    val z = Similarity.quantizeInt8PerDim(
+      Seq((1L, Array(5.0, 0.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", Array(5.0, 0.0)).head()
+    assert(z.getString(1) == "127,0" && z.getDouble(2) == 0.0)
+  }
+
   test("quantized search nearly reproduces full-precision top-k") {
     val emb = Tables0.embeddings(spark, sf)
     val q = emb.filter($"vec_id" % 100 === 0)
