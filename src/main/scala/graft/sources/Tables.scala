@@ -14,8 +14,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Read micros-no-tz parquet timestamps as TIMESTAMP (not NTZ) for
+    // EVERY table, set here at the one chokepoint all loaders share:
+    // were it set only in events(), the other tables' timestamp
+    // columns would load as NTZ or TIMESTAMP depending on whether
+    // events loaded first in the session — an order-dependent schema,
+    // and NTZ-vs-TIMESTAMP comparisons across tables would break.
+    // Lossless under the pinned UTC session timezone.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
@@ -33,12 +42,10 @@ object Tables {
     * precision changes without a code edit. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Read micros-no-tz as TIMESTAMP (not NTZ) *at the scan*: a
-    // post-scan cast would sit between the parquet reader and every
-    // downstream ts predicate and break pushdown; with the conf off,
-    // the scan itself produces TimestampType and C3/C4-style
-    // incremental filters still reach PushedFilters.
-    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // [[load]] turns off NTZ inference, so the scan itself produces
+    // TimestampType (no post-scan cast sitting between the reader and
+    // downstream ts predicates — C3/C4-style incremental filters keep
+    // reaching PushedFilters).
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
