@@ -55,12 +55,14 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(r => median(r._2)).sum
     val totalMin = results.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"queries_min":$mins,"queries_spread":$spreads,"total_min":$totalMin,"failed":$errs,"sf":"$sfDir"}""")
-    // compact HEADLINE line, printed LAST: the durable artifact keeps a
-    // bounded tail of stdout, and the full line above truncates from the
-    // front — leaving a spread map that reads like query times (the r4
-    // "e7 = 3.26 s" misread). This line is valid JSON on its own, carries
-    // the same metric/value contract, and stays well under any tail cap.
+    // FULL per-query diagnostics go to STDERR: the contract is ONE JSON
+    // line on stdout, and a second (huge, front-truncating) stdout line
+    // both breaks machine parsing of the artifact and invites the r4
+    // "spread map read as query times" misread. Local iteration still
+    // sees everything on stderr.
+    System.err.println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"queries_min":$mins,"queries_spread":$spreads,"total_min":$totalMin,"failed":$errs,"sf":"$sfDir"}""")
+    // compact HEADLINE line — the one stdout JSON line, valid on its
+    // own, carrying the metric/value contract plus the top-5 medians.
     val top5 = results.sortBy(r => -median(r._2)).take(5)
       .map { case (k, ts) => s"\"" + k + "\":" + median(ts) }
       .mkString("{", ",", "}")

@@ -579,6 +579,32 @@ object ScaleProbe {
               col("l_extendedprice") * (lit(1) - col("l_discount")) -
                 col("p_retailprice") * col("l_quantity"), 4).as("sum_profit"))
         }),
+        // percentile rollup: raw reduces to (type, day, bin) counts in
+        // the FIRST exchange — everything after is sketch-sized however
+        // many readings flow in; the ratio should track the scan
+        "b31_percentile_rollup" -> (() => {
+          val bins = Sketches.histBinCounts(
+            ev.withColumn("day", TimeAgg.dayKey(col("ts"))),
+            Seq("event_type", "day"), col("value"), 0.0, 600.0, 600)
+          Sketches.histPercentilesFromBins(
+            Sketches.histMerge(
+              bins.withColumn("month", substring(col("day"), 1, 6)),
+              Seq("event_type", "month")),
+            Seq("event_type", "month"),
+            Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)), 0.0, 600.0, 600)
+        }),
+        // per-dimension stats: the one exchange carries ≤ partitions ×
+        // dim fixed-point sum rows — corpus-size-independent; the
+        // explode is what scales
+        "f13_embedding_stats" -> (() =>
+          Similarity.embeddingStats(emb, "vec_id", "embedding")),
+        // per-dim encode under a FROZEN calibration (the deployment
+        // shape): pure projection, the ratio is scan+project scaling
+        "f14_quantize_per_dim" -> {
+          val scales = Similarity.perDimScales(Similarity.embeddingStats(
+            emb.filter(col("vec_id") < 100000000L), "vec_id", "embedding"))
+          () => Similarity.quantizeInt8PerDim(emb, "vec_id", "embedding", scales)
+        },
         // counter rate: same one-shuffle window→agg family as b18 —
         // the ratio should match counterDelta's
         "b29_counter_rate" -> (() =>
