@@ -130,6 +130,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("histMerge over ANY split of the data == bins built whole (associativity)") {
+    import graft.operators.Sketches
+    val dataset: Gen[(List[Double], Int)] = for {
+      n <- Gen.choose(2, 120)
+      xs <- Gen.listOfN(n, Gen.chooseNum(0.0, 100.0))
+      cut <- Gen.choose(1, n - 1)
+    } yield (xs, cut)
+    samples(dataset, 8).foreach { case (xs, cut) =>
+      // split arbitrarily into two "days", merge the per-day bins to
+      // one group, compare against bins built over the whole set — the
+      // distributivity the B31 rollup and I19 maintenance both rest on
+      val tagged = xs.zipWithIndex
+        .map { case (x, i) => (if (i < cut) "d1" else "d2", x) }
+        .toDF("day", "v").withColumn("g", lit("all"))
+      val merged = Sketches.histMerge(
+        Sketches.histBinCounts(tagged, Seq("g", "day"), $"v", 0.0, 100.0, 50),
+        Seq("g"))
+      val whole = Sketches.histBinCounts(tagged, Seq("g"), $"v", 0.0, 100.0, 50)
+      assert(merged.exceptAll(whole).count() == 0 &&
+        whole.exceptAll(merged).count() == 0, s"split at $cut of ${xs.size}")
+    }
+  }
+
   test("TopKPerKey (all three modes) == the window spelling on arbitrary data") {
     import org.apache.spark.sql.expressions.Window
     val gen = for {
