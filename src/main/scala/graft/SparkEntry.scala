@@ -307,6 +307,21 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("n_users_approx"),
           count(lit(1)).as("n_events"))),
 
+    // COUNT DISTINCT rollup — the non-additive aggregate B31's bins
+    // cannot cover: per-(type, day) KMV sketches (k smallest distinct
+    // user-id hashes) UNION losslessly to months and re-estimate, raw
+    // rows never re-read; deterministic hashes keep every step
+    // oracle-reproducible (the portable answer to HLL rollups)
+    "b32_distinct_rollup" -> ((s, d) => {
+      val sk = Sketches.kmvBottomK(
+        ev(s, d).withColumn("day", TimeAgg.dayKey(col("ts"))),
+        Seq("event_type", "day"), col("user_id"), 256)
+      Sketches.kmvEstimate(
+        Sketches.kmvMerge(sk.withColumn("month", substring(col("day"), 1, 6)),
+          Seq("event_type", "month"), 256),
+        Seq("event_type", "month"), 256)
+    }),
+
     "b10_distinct_kmv" -> ((s, d) =>
       Sketches.kmvDistinct(ev(s, d), col("event_id"), 256)),
 
@@ -1935,6 +1950,24 @@ object SparkEntry {
         |    AS n_dead,
         |  count(*) AS n_heartbeats
         |FROM x GROUP BY 1""".stripMargin,
+
+    "b32_distinct_rollup" ->
+      s"""WITH h AS (SELECT DISTINCT event_type, strftime(ts, '%Y%m%d') AS day,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events),
+         |bk AS (SELECT event_type, day, h,
+         |    row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS r
+         |  FROM h),
+         |m AS (SELECT DISTINCT event_type, substr(day, 1, 6) AS month, h
+         |  FROM bk WHERE r <= 256),
+         |mk AS (SELECT event_type, month, h,
+         |    row_number() OVER (PARTITION BY event_type, month ORDER BY h) AS r
+         |  FROM m)
+         |SELECT event_type, month, count(*) AS k_used, max(h) AS kth_hash,
+         |  ${sqlPround(
+              "CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE) " +
+              "ELSE 255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END", 2)} AS est_distinct
+         |FROM mk WHERE r <= 256 GROUP BY event_type, month""".stripMargin,
 
     "b10_distinct_kmv" ->
       s"""WITH h AS (SELECT DISTINCT

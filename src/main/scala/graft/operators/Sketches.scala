@@ -40,6 +40,48 @@ object Sketches {
               col("kth_hash").cast("double")), 2).as("est_distinct"))
   }
 
+  /** Per-group KMV sketch rows `(groups…, h)` — the k smallest distinct
+    * hashes per group: the persistable finer aggregate for COUNT
+    * DISTINCT rollups (the [[histBinCounts]] story for the one
+    * aggregate plain counts cannot give you — distincts are NOT
+    * additive, but KMV sketches UNION losslessly: the bottom-k of a
+    * union equals the bottom-k of the union of per-part bottom-k sets).
+    * Deterministic md5-derived hashes, so unlike HLL the sketch and
+    * every merge of it is oracle-reproducible bit-for-bit.
+    *
+    * Scale shape: the distinct collapses map-side; the bounded-heap
+    * [[graft.plans.TopKPerKey]] caps the final exchange at
+    * partitions × k rows per group — sketch-sized however many raw
+    * rows flow in. */
+  def kmvBottomK(df: DataFrame, groupCols: Seq[String], key: Column,
+                 k: Int): DataFrame =
+    graft.plans.TopKPerKey(
+      df.select(groupCols.map(col) :+ portableHash(key).as("h"): _*)
+        .distinct(),
+      keys = groupCols.map(col), order = Seq(col("h").asc), k = k,
+      rankName = "__r").drop("__r")
+
+  /** KMV union: merge sketch rows to a coarser grouping — distinct then
+    * bottom-k again, the same machinery over sketch-sized input (the
+    * same hash can appear under several finer groups). */
+  def kmvMerge(sk: DataFrame, coarseCols: Seq[String], k: Int): DataFrame =
+    graft.plans.TopKPerKey(
+      sk.select(coarseCols.map(col) :+ col("h"): _*).distinct(),
+      keys = coarseCols.map(col), order = Seq(col("h").asc), k = k,
+      rankName = "__r").drop("__r")
+
+  /** Per-group estimates off sketch rows — [[kmvDistinct]]'s formula,
+    * grouped: exact below k distinct, (k−1)·2^60/h_(k) above. */
+  def kmvEstimate(sk: DataFrame, groupCols: Seq[String],
+                  k: Int): DataFrame =
+    sk.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+      .select(groupCols.map(col) :+ col("k_used") :+ col("kth_hash") :+
+        graft.functions.Portable.pround(
+          when(col("k_used") < k, col("k_used").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+              col("kth_hash").cast("double")), 2).as("est_distinct"): _*)
+
   /** COUNT-MIN sketch over a key column: a `depth × width` counter
     * matrix where row i counts keys by `hash_i(key) mod width`. Like
     * [[kmvDistinct]] (and unlike HLL/t-digest), the layout is fully

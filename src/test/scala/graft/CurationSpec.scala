@@ -150,6 +150,36 @@ class CurationSpec extends SparkSpec {
       direct.exceptAll(rolled).count() == 0)
   }
 
+  test("KMV rollup: merged day sketches == month-grain sketch; estimates accurate") {
+    import graft.operators.{Sketches, TimeAgg}
+    val ev = graft.sources.Tables.events(spark, sf)
+      .withColumn("day", TimeAgg.dayKey(col("ts")))
+      .withColumn("month", TimeAgg.monthKey(col("ts")))
+    val k = 256
+    // the union property: bottom-k of the union of per-day bottom-k
+    // sets == bottom-k built directly over the month's raw rows
+    val rolled = Sketches.kmvMerge(
+      Sketches.kmvBottomK(ev, Seq("event_type", "day"), col("user_id"), k)
+        .withColumn("month", substring($"day", 1, 6)),
+      Seq("event_type", "month"), k)
+    val direct = Sketches.kmvBottomK(ev, Seq("event_type", "month"),
+      col("user_id"), k)
+    assert(rolled.count() > 0)
+    assert(rolled.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(rolled).count() == 0)
+    // estimates off the merged sketch land within KMV's error envelope
+    // of the exact per-month distinct (rel std err ≈ 1/√k ≈ 6.25%)
+    val est = Sketches.kmvEstimate(rolled, Seq("event_type", "month"), k)
+    val exact = ev.groupBy("event_type", "month")
+      .agg(countDistinct($"user_id").as("n_exact"))
+    val joined = est.join(exact, Seq("event_type", "month"))
+      .select($"est_distinct", $"n_exact").as[(Double, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (e, n) =>
+      assert(math.abs(e - n) <= math.max(0.25 * n, 2.0),
+        s"estimate $e too far from exact $n") }
+  }
+
   test("histogram: dense per-group buckets incl. explicit zeros and under/overflow") {
     val df = Seq(("a", -1.0), ("a", 0.0), ("a", 5.0), ("a", 5.5), ("a", 10.0),
       ("a", 99.0), ("b", 3.0)).toDF("g", "v")
