@@ -593,6 +593,18 @@ object ScaleProbe {
             Seq("event_type", "month"),
             Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)), 0.0, 600.0, 600)
         }),
+        // distinct rollup: the per-day distinct collapses map-side and
+        // the bounded heap caps every exchange at partitions × k rows
+        // per group — the ratio should track the scan
+        "b32_distinct_rollup" -> (() => {
+          val sk = Sketches.kmvBottomK(
+            ev.withColumn("day", TimeAgg.dayKey(col("ts"))),
+            Seq("event_type", "day"), col("user_id"), 256)
+          Sketches.kmvEstimate(
+            Sketches.kmvMerge(sk.withColumn("month", substring(col("day"), 1, 6)),
+              Seq("event_type", "month"), 256),
+            Seq("event_type", "month"), 256)
+        }),
         // per-dimension stats: the one exchange carries ≤ partitions ×
         // dim fixed-point sum rows — corpus-size-independent; the
         // explode is what scales
