@@ -947,6 +947,21 @@ object SparkEntry {
           coalesce(Portable.pround(col("o_totalprice"), 4), lit(0.0)).as("last_totalprice"))
     }),
 
+    // d6 with the kdb-style staleness bound: an order older than 7
+    // days is too stale to count as the customer's "current" order —
+    // same one-shuffle tagged-union plan, the bound is a projection
+    "d29_asof_tolerance" -> ((s, d) => {
+      val oDedup = Incremental.upsertLatest(Tables.orders(s, d),
+        Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
+      TemporalJoin.asOf(ev(s, d), oDedup,
+          keys = ("user_id", "o_custkey"), times = ("ts", "o_orderdate"),
+          payload = Seq("o_orderkey", "o_totalprice"),
+          toleranceSeconds = 7 * 86400.0)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("last_orderkey"),
+          coalesce(Portable.pround(col("o_totalprice"), 4), lit(0.0)).as("last_totalprice"))
+    }),
+
     "d7_range_join" -> ((s, d) => {
       val e = ev(s, d)
       TemporalJoin.countPriorWithin(
@@ -2359,6 +2374,20 @@ object SparkEntry {
          |SELECT e.event_id, e.user_id, e.ts,
          |  coalesce(o.o_orderkey, -1) AS last_orderkey,
          |  coalesce(${sqlPround("o.o_totalprice", 4)}, 0.0) AS last_totalprice
+         |FROM events e ASOF LEFT JOIN od o
+         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "d29_asof_tolerance" ->
+      s"""WITH od AS (
+         |  SELECT * FROM orders
+         |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1)
+         |SELECT e.event_id, e.user_id, e.ts,
+         |  CASE WHEN o.o_orderdate IS NOT NULL
+         |         AND e.ts - o.o_orderdate <= INTERVAL 7 DAY
+         |       THEN o.o_orderkey ELSE -1 END AS last_orderkey,
+         |  CASE WHEN o.o_orderdate IS NOT NULL
+         |         AND e.ts - o.o_orderdate <= INTERVAL 7 DAY
+         |       THEN ${sqlPround("o.o_totalprice", 4)} ELSE 0.0 END AS last_totalprice
          |FROM events e ASOF LEFT JOIN od o
          |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
 

@@ -26,28 +26,47 @@ object TemporalJoin {
     *
     * `right` must be unique per (key, time) — pre-dedupe (e.g.
     * [[Incremental.upsertLatest]]) for deterministic output.
-    */
+    *
+    * `toleranceSeconds` (the kdb `aj` window / TimescaleDB staleness
+    * bound): when ≥ 0, a match older than the bound is TOO STALE to
+    * use and the payload reads null, exactly as if no right row had
+    * arrived yet — the semantics a sensor-state lookup needs (a
+    * reading from last month must not masquerade as current state).
+    * Same one-shuffle plan: the matched right time rides the window as
+    * one extra `last(ignoreNulls)` column and the bound is a post-hoc
+    * projection, never a range join. */
   def asOf(left: DataFrame, right: DataFrame, keys: (String, String),
-           times: (String, String), payload: Seq[String]): DataFrame = {
+           times: (String, String), payload: Seq[String],
+           toleranceSeconds: Double = -1.0): DataFrame = {
     val (lk, rk) = keys; val (lt, rt) = times
     val leftCols = left.columns.toSeq
-    val out = Seq("__k", "__t", "__m") ++ leftCols ++ payload
+    val out = Seq("__k", "__t", "__m", "__rt") ++ leftCols ++ payload
     val lTagged = payload.foldLeft(
       left.withColumn("__k", col(lk)).withColumn("__t", col(lt))
-        .withColumn("__m", lit(1)))((d, c) =>
+        .withColumn("__m", lit(1))
+        .withColumn("__rt", lit(null).cast(right.schema(rt).dataType)))((d, c) =>
       d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
     val rTagged = leftCols.foldLeft(
       right.withColumn("__k", col(rk)).withColumn("__t", col(rt))
-        .withColumn("__m", lit(0)))((d, c) =>
+        .withColumn("__m", lit(0)).withColumn("__rt", col(rt)))((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val unioned = lTagged.select(out.map(col): _*)
       .unionByName(rTagged.select(out.map(col): _*))
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__m"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    payload.foldLeft(unioned)((d, c) =>
+    val carried = (payload :+ "__rt").foldLeft(unioned)((d, c) =>
         d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
       .filter(col("__m") === 1)
-      .select((leftCols ++ payload).map(col): _*)
+    val bounded =
+      if (toleranceSeconds < 0) carried
+      else {
+        val fresh = col("__rt").isNotNull &&
+          col("__t").cast("double") - col("__rt").cast("double") <=
+            toleranceSeconds
+        payload.foldLeft(carried)((d, c) =>
+          d.withColumn(c, when(fresh, col(c))))
+      }
+    bounded.select((leftCols ++ payload).map(col): _*)
   }
 
   /** Windowed range join, bucketed: for every left row, count right rows

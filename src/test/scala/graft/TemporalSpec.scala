@@ -26,6 +26,25 @@ class TemporalJoinSpec extends SparkSpec {
       "e3" -> None, "e0" -> None))
   }
 
+  test("asOf tolerance: stale matches null out, boundary-exact ones survive") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "fresh"),   // 1 h after the reading
+      (1L, ts("2024-01-01 12:00:00"), "boundary"),// exactly 3 h after
+      (1L, ts("2024-01-02 00:00:00"), "stale"),   // 15 h after — too old
+      (2L, ts("2024-01-01 10:00:00"), "nomatch")
+    ).toDF("k", "t", "ev")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 100L)).toDF("k", "t", "pay")
+    val got = TemporalJoin.asOf(left, right, ("k", "k"), ("t", "t"),
+        Seq("pay"), toleranceSeconds = 3 * 3600.0)
+      .select("ev", "pay").as[(String, Option[Long])].collect().toMap
+    assert(got == Map("fresh" -> Some(100L), "boundary" -> Some(100L),
+      "stale" -> None, "nomatch" -> None))
+    // tolerance off (default) keeps the stale match — unchanged contract
+    val off = TemporalJoin.asOf(left, right, ("k", "k"), ("t", "t"), Seq("pay"))
+      .select("ev", "pay").as[(String, Option[Long])].collect().toMap
+    assert(off("stale") == Some(100L))
+  }
+
   test("countPriorWithin counts right rows in (t-w, t] per key, 0 when none") {
     val clicks = Seq((1L, ts("2024-01-01 10:00:00"), "c1"),
       (2L, ts("2024-01-01 10:00:00"), "c2")).toDF("k", "t", "id")
