@@ -593,6 +593,35 @@ object ScaleProbe {
             Seq("event_type", "month"),
             Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)), 0.0, 600.0, 600)
         }),
+        // as-of join: ONE shuffle (the tagged union sorted per key) —
+        // never a per-row range scan; the ratio tracks the union size
+        "d6_asof_join" -> (() =>
+          TemporalJoin.asOf(ev.select("event_id", "user_id", "ts"),
+            Incremental.upsertLatest(
+              ords.select(col("o_custkey"), col("o_orderdate"),
+                col("o_orderkey")),
+              Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey"))),
+            keys = ("user_id", "o_custkey"), times = ("ts", "o_orderdate"),
+            payload = Seq("o_orderkey"))),
+        // the staleness-bounded variant: same plan + one projection —
+        // the ratio should match d6's
+        "d29_asof_tolerance" -> (() =>
+          TemporalJoin.asOf(ev.select("event_id", "user_id", "ts"),
+            Incremental.upsertLatest(
+              ords.select(col("o_custkey"), col("o_orderdate"),
+                col("o_orderkey")),
+              Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey"))),
+            keys = ("user_id", "o_custkey"), times = ("ts", "o_orderdate"),
+            payload = Seq("o_orderkey"), toleranceSeconds = 7 * 86400.0)),
+        // bucketed range join: equi-join on (key, cell) with the range
+        // as a post-filter — linear in matches, never a cross product
+        "d7_range_join" -> (() =>
+          TemporalJoin.countPriorWithin(
+            ev.filter(col("event_type") === "click")
+              .select("event_id", "user_id", "ts"),
+            ev.filter(col("event_type") === "view").select("user_id", "ts"),
+            keys = ("user_id", "user_id"), times = ("ts", "ts"),
+            windowSeconds = 1800, countName = "n_prior_views")),
         // distinct rollup: the per-day distinct collapses map-side and
         // the bounded heap caps every exchange at partitions × k rows
         // per group — the ratio should track the scan
