@@ -436,6 +436,14 @@ object SparkEntry {
         Seq("user_id"), Seq("event_type"))
     }),
 
+    // conversion funnel (windowFunnel role, deterministic earliest-
+    // chain semantics): view -> click -> purchase within 1 h of the
+    // user's first view; one filtered grouped MIN per step, every
+    // join/agg keyed on the entity — a single hash-partition family
+    "c9_funnel" -> ((s, d) =>
+      operators.Sessionize.funnel(ev(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSeconds = 3600L)),
+
     "c6_scd2_history" -> ((s, d) =>
       Incremental.scd2(
         ev(s, d).select("user_id", "ts", "event_id", "event_type"),
@@ -2047,6 +2055,25 @@ object SparkEntry {
         |FROM b FULL OUTER JOIN a ON b.user_id = a.user_id
         |WHERE b.user_id IS NULL OR a.user_id IS NULL
         |   OR b.event_type IS DISTINCT FROM a.event_type""".stripMargin,
+
+    "c9_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, s1.t1, min(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 3600 SECOND GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |    AND e.ts <= s2.t1 + INTERVAL 3600 SECOND GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+        |       (SELECT count(*) FROM s1) AS n_entities
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
 
     "c6_scd2_history" ->
       """WITH o AS (

@@ -44,4 +44,51 @@ object Sessionize {
         max(col(ts)).as("session_end"),
         count(lit(1)).as("n_events"),
         graft.functions.Portable.fixedSum(col(valueCol), 4).as("value_sum"))
+
+  /** Conversion funnel over an event stream (the ClickHouse
+    * `windowFunnel` role, with the deterministic EARLIEST-CHAIN
+    * semantics every SQL funnel uses): step 1 anchors at the entity's
+    * FIRST step-1 event; step i+1 completes at the earliest step-(i+1)
+    * event at-or-after step i's completion, provided it still falls
+    * within `windowSeconds` of the anchor. Returns one row per step:
+    * `(step, step_name, n_entities)` — entities whose chain reached
+    * that step (monotonically non-increasing).
+    *
+    * Scale shape: one filtered grouped MIN per step, every join/agg
+    * keyed on the entity — a single hash-partition family (no windows,
+    * no per-entity event lists collected); step frames shrink
+    * monotonically, and the per-step counts ride map-side partial
+    * aggregation. Earliest-chain is deliberately deterministic and
+    * plain-SQL-expressible (oracle-mirrorable), unlike any-start
+    * backtracking funnels whose result depends on search order. */
+  def funnel(events: DataFrame, entity: String, ts: String, typeCol: String,
+             steps: Seq[String], windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // each step frame is localCheckpoint-pinned: step i+1 builds on it,
+    // and the final count union reads every frame — without the pin the
+    // union would re-derive an O(steps²) chain of subtrees
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(entity)).agg(min(col(ts)).as("__t"))
+      .withColumn("__anchor", col("__t"))
+      .localCheckpoint()
+    val frames = scala.collection.mutable.ArrayBuffer((1, steps.head, cur))
+    for (i <- 1 until steps.size) {
+      val si = events.filter(col(typeCol) === steps(i))
+        .select(col(entity), col(ts).as("__ti"))
+      cur = cur.join(si, Seq(entity))
+        .filter(col("__ti") >= col("__t") &&
+          col("__ti").cast("double") - col("__anchor").cast("double") <=
+            windowSeconds.toDouble)
+        .groupBy(col(entity), col("__anchor"))
+        .agg(min(col("__ti")).as("__t"))
+        .select(col(entity), col("__t"), col("__anchor"))
+        .localCheckpoint()
+      frames += ((i + 1, steps(i), cur))
+    }
+    frames.map { case (step, name, f) =>
+      f.agg(count(lit(1)).as("n_entities"))
+        .select(lit(step).as("step"), lit(name).as("step_name"),
+          col("n_entities"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -345,6 +345,30 @@ class SessionizeSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
+
+  test("funnel: ordered chain within the window; out-of-order and late drop") {
+    def row(u: Long, s: String, t: String) = (u, s, t)
+    val df = Seq(
+      // u1 completes the full chain inside 1 h
+      row(1L, "2024-01-01 00:00:00", "view"),
+      row(1L, "2024-01-01 00:10:00", "click"),
+      row(1L, "2024-01-01 00:20:00", "purchase"),
+      // u2's purchase PRECEDES the click — chain stops at click
+      row(2L, "2024-01-01 00:00:00", "view"),
+      row(2L, "2024-01-01 00:05:00", "purchase"),
+      row(2L, "2024-01-01 00:30:00", "click"),
+      // u3's click lands past the 1 h window of the FIRST view
+      row(3L, "2024-01-01 00:00:00", "view"),
+      row(3L, "2024-01-01 02:00:00", "click"),
+      // u4 never views — not in the funnel at all
+      row(4L, "2024-01-01 00:00:00", "click"))
+      .toDF("user_id", "s", "event_type")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val got = Sessionize.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 3600L)
+      .select("step", "n_entities").as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+  }
 }
 
 class MongoJsonSourceSpec extends SparkSpec {
