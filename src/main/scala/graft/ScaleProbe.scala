@@ -593,6 +593,12 @@ object ScaleProbe {
             Seq("event_type", "month"),
             Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)), 0.0, 600.0, 600)
         }),
+        // funnel: one filtered grouped MIN per step, all keyed on the
+        // entity — step frames shrink monotonically; the ratio tracks
+        // the first step's scan+agg
+        "c9_funnel" -> (() =>
+          Sessionize.funnel(ev, "user_id", "ts", "event_type",
+            Seq("view", "click", "purchase"), 3600L)),
         // as-of join: ONE shuffle (the tagged union sorted per key) —
         // never a per-row range scan; the ratio tracks the union size
         "d6_asof_join" -> (() =>
