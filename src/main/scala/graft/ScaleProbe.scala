@@ -593,6 +593,10 @@ object ScaleProbe {
             Seq("event_type", "month"),
             Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)), 0.0, 600.0, 600)
         }),
+        // retention: the distinct (entity, day) collapse is the only
+        // input-sized stage; everything after is cohort-calendar-sized
+        "c10_retention" -> (() =>
+          Sessionize.retentionCohorts(ev, "user_id", "ts")),
         // funnel: one filtered grouped MIN per step, all keyed on the
         // entity — step frames shrink monotonically; the ratio tracks
         // the first step's scan+agg

@@ -444,6 +444,12 @@ object SparkEntry {
       operators.Sessionize.funnel(ev(s, d), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), windowSeconds = 3600L)),
 
+    // retention cohorts (funnel's companion): first-active-day cohort
+    // x day-offset activity counts — activity collapses to distinct
+    // (user, day) map-side first, everything after is cohort-sized
+    "c10_retention" -> ((s, d) =>
+      operators.Sessionize.retentionCohorts(ev(s, d), "user_id", "ts")),
+
     "c6_scd2_history" -> ((s, d) =>
       Incremental.scd2(
         ev(s, d).select("user_id", "ts", "event_id", "event_type"),
@@ -2074,6 +2080,16 @@ object SparkEntry {
         |       (SELECT count(*) FROM s1) AS n_entities
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+    "c10_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, a.day) AS INT) AS day_offset,
+        |  count(*) AS n_entities
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "c6_scd2_history" ->
       """WITH o AS (

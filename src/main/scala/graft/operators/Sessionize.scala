@@ -61,6 +61,30 @@ object Sessionize {
     * aggregation. Earliest-chain is deliberately deterministic and
     * plain-SQL-expressible (oracle-mirrorable), unlike any-start
     * backtracking funnels whose result depends on search order. */
+  /** Retention cohorts — the funnel's companion event-analytics query:
+    * each entity joins the cohort of its FIRST active day; a cohort's
+    * day-N retention is how many of its entities were active exactly N
+    * days later. Returns `(cohort_day, day_offset, n_entities)` with
+    * offset 0 = the cohort size itself.
+    *
+    * Scale shape: activity collapses to distinct (entity, day) rows
+    * map-side FIRST (the only input-sized reduction); cohorts are a
+    * grouped MIN over that (not the raw events), the join back is
+    * entity-keyed in the same hash-partition family, and the final
+    * count is (cohort × offset)-sized — calendar-bounded however many
+    * raw events flow in. */
+  def retentionCohorts(events: DataFrame, entity: String,
+                       ts: String): DataFrame = {
+    val active = events
+      .select(col(entity), to_date(col(ts)).as("__day")).distinct()
+    val cohorts = active.groupBy(col(entity))
+      .agg(min(col("__day")).as("cohort_day"))
+    active.join(cohorts, Seq(entity))
+      .groupBy(col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_entities"))
+  }
+
   def funnel(events: DataFrame, entity: String, ts: String, typeCol: String,
              steps: Seq[String], windowSeconds: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

@@ -346,6 +346,23 @@ class SessionizeSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("retention cohorts: first-day cohort, offset counts, dedup within day") {
+    val df = Seq(
+      (1L, "2024-01-01 08:00:00"), (1L, "2024-01-01 09:00:00"), // same day dedups
+      (1L, "2024-01-02 08:00:00"),                              // day-1 return
+      (2L, "2024-01-01 10:00:00"),                              // never returns
+      (3L, "2024-01-02 10:00:00"), (3L, "2024-01-04 10:00:00")) // late cohort
+      .toDF("user_id", "s")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val got = Sessionize.retentionCohorts(df, "user_id", "ts")
+      .select(col("cohort_day").cast("string"), col("day_offset"),
+        col("n_entities"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L),
+      ("2024-01-02", 0, 1L), ("2024-01-02", 2, 1L)))
+  }
+
   test("funnel: ordered chain within the window; out-of-order and late drop") {
     def row(u: Long, s: String, t: String) = (u, s, t)
     val df = Seq(
