@@ -354,6 +354,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), s"expected estimate windows:\n$plan")
   }
 
+  test("r8 newcomers keep their scale shapes: b32 heaps, f13 one exchange, f14 none") {
+    // b32: the bottom-k runs through the custom TopKPerKey operator
+    // (bounded heaps), never a Window/Sort
+    val b32 = executed(SparkEntry.queries("b32_distinct_rollup")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(b32.contains("TopKPerKey"), s"b32 must use the bounded heap:\n$b32")
+    assert(!b32.contains("Window"), s"b32 must not plan a window:\n$b32")
+    // f13: one scan, ONE dim-keyed exchange (the sketch-sized agg)
+    val f13 = executed(SparkEntry.queries("f13_embedding_stats")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(f13).size == 1)
+    assert("(?<!Reused)Exchange hashpartitioning".r.findAllIn(f13).size == 1,
+      s"f13 should shuffle dim sums once:\n$f13")
+    // f14: pure projection — zero exchanges of any kind
+    val f14 = executed(SparkEntry.queries("f14_quantize_per_dim")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!f14.contains("Exchange"), s"f14 must not shuffle:\n$f14")
+    // c10: no window machinery; the distinct-day collapse feeds both
+    // the cohort min and the join back
+    val c10 = executed(SparkEntry.queries("c10_retention")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!c10.contains("Window"), s"c10 must not plan a window:\n$c10")
+  }
+
   test("salted aggregation plans exactly two shuffle stages") {
     val plan = executed(SparkEntry.queries("b13_salted_agg_daily")(spark, sf))
       .split("== Initial Plan ==").head

@@ -153,6 +153,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kmvMerge over ANY split == bottom-k built whole (the union property)") {
+    import graft.operators.Sketches
+    val dataset: Gen[(List[Long], Int)] = for {
+      n <- Gen.choose(2, 150)
+      xs <- Gen.listOfN(n, Gen.choose(0L, 400L)) // duplicates likely
+      cut <- Gen.choose(1, n - 1)
+    } yield (xs, cut)
+    samples(dataset, 8).foreach { case (xs, cut) =>
+      val k = 16
+      val tagged = xs.zipWithIndex
+        .map { case (x, i) => (if (i < cut) "p1" else "p2", x) }
+        .toDF("part", "id").withColumn("g", lit("all"))
+      val rolled = Sketches.kmvMerge(
+        Sketches.kmvBottomK(tagged, Seq("g", "part"), $"id", k), Seq("g"), k)
+      val whole = Sketches.kmvBottomK(tagged, Seq("g"), $"id", k)
+      assert(rolled.exceptAll(whole).count() == 0 &&
+        whole.exceptAll(rolled).count() == 0, s"split at $cut of ${xs.size}")
+    }
+  }
+
   test("TopKPerKey (all three modes) == the window spelling on arbitrary data") {
     import org.apache.spark.sql.expressions.Window
     val gen = for {
