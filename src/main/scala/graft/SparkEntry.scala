@@ -2948,7 +2948,7 @@ object SparkEntry {
          |  FROM xs GROUP BY dim)
          |SELECT dim,
          |  ${sqlPround(m, 6)} AS mean,
-         |  ${sqlPround(s"sqrt(CAST(sxx AS DOUBLE) / 100000000.0 / n - ($m) * ($m))", 6)} AS std,
+         |  ${sqlPround(s"sqrt(greatest(0.0, CAST(sxx AS DOUBLE) / 100000000.0 / n - ($m) * ($m)))", 6)} AS std,
          |  ${sqlPround("mn0", 6)} AS mn,
          |  ${sqlPround("mx0", 6)} AS mx
          |FROM a""".stripMargin

@@ -361,10 +361,13 @@ object Similarity {
       .select(col("dim"),
         Portable.pround(col("__sx").cast("double") / 1e8 / col("__n"), 6)
           .as("mean"),
-        Portable.pround(sqrt(
+        // greatest(0, ·): Σx²/n − mean² can round epsilon-negative for a
+        // near-constant dimension, and sqrt of that is NaN — which would
+        // poison downstream whitening/calibration consumers
+        Portable.pround(sqrt(greatest(lit(0.0),
           col("__sxx").cast("double") / 1e8 / col("__n") -
             (col("__sx").cast("double") / 1e8 / col("__n")) *
-            (col("__sx").cast("double") / 1e8 / col("__n"))), 6).as("std"),
+            (col("__sx").cast("double") / 1e8 / col("__n")))), 6).as("std"),
         col("mn"), col("mx"))
   }
 
@@ -798,10 +801,19 @@ object Similarity {
       sub.zipWithIndex.map { case (cv, c) => (s, c, cv) }
     }.toSeq.toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    if (codes.columns.contains("cell"))
-      graft.sources.Warehouse.mergeUpsert(codes, s"$path/codes",
-        partitionCols = Seq("cell"), key = Seq("nn_id"), versionCol = "nn_id")
-    else codes.write.mode("overwrite").parquet(s"$path/codes")
+    if (codes.columns.contains("cell")) {
+      // batch loads are generation -1 on the same provenance column the
+      // streaming maintainer versions by (its micro-batch ids start at
+      // 0), so a maintained index and a batch seed share one schema and
+      // stream updates always outrank the seed
+      val versioned =
+        if (codes.columns.contains("batch_id")) codes
+        else codes.withColumn("batch_id",
+          org.apache.spark.sql.functions.lit(-1L))
+      graft.sources.Warehouse.mergeUpsert(versioned, s"$path/codes",
+        partitionCols = Seq("cell"), key = Seq("nn_id"),
+        versionCol = "batch_id")
+    } else codes.write.mode("overwrite").parquet(s"$path/codes")
   }
 
   /** Reload [[savePqIndex]]'s codebooks into the in-memory shape the

@@ -19,10 +19,13 @@ object TemporalJoin {
     * right row with `rightTime <= leftTime` and matching key.
     *
     * Implemented as a tagged union sorted per key on (time, side):
-    * one shuffle + one sort, payload carried by a running
-    * `last(ignoreNulls)` window — the classic scalable as-of (vs. the
-    * naive per-row range join, which explodes). Right rows sort before
-    * left rows at equal timestamps, so `rightTime == leftTime` matches.
+    * one shuffle + one sort, payload + matched time carried TOGETHER
+    * as one struct by a running `last(ignoreNulls)` window — the
+    * classic scalable as-of (vs. the naive per-row range join, which
+    * explodes). The single-struct carry keeps the payload and its
+    * timestamp from the SAME right row even when payload fields are
+    * NULL in the newest right row. Right rows sort before left rows at
+    * equal timestamps, so `rightTime == leftTime` matches.
     *
     * `right` must be unique per (key, time) — pre-dedupe (e.g.
     * [[Incremental.upsertLatest]]) for deterministic output.
@@ -32,9 +35,9 @@ object TemporalJoin {
     * use and the payload reads null, exactly as if no right row had
     * arrived yet — the semantics a sensor-state lookup needs (a
     * reading from last month must not masquerade as current state).
-    * Same one-shuffle plan: the matched right time rides the window as
-    * one extra `last(ignoreNulls)` column and the bound is a post-hoc
-    * projection, never a range join. */
+    * Same one-shuffle plan: the matched right time rides the same
+    * struct carry and the bound is a post-hoc projection, never a
+    * range join. */
   def asOf(left: DataFrame, right: DataFrame, keys: (String, String),
            times: (String, String), payload: Seq[String],
            toleranceSeconds: Double = -1.0): DataFrame = {
@@ -54,16 +57,27 @@ object TemporalJoin {
       .unionByName(rTagged.select(out.map(col): _*))
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__m"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = (payload :+ "__rt").foldLeft(unioned)((d, c) =>
-        d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    // payload + matched time ride the window as ONE struct, non-null
+    // exactly on right rows: last(ignoreNulls) then takes the ENTIRE
+    // latest right row. Per-column carries would be wrong — a NULL
+    // payload field in the newest right row would fall through to an
+    // older row's value while __rt (and the tolerance check) reflect
+    // the newer row, pairing payloads with the wrong time.
+    val packed = ("__rt" +: payload).map(col)
+    val carried = unioned
+      .withColumn("__c", when(col("__m") === 0, struct(packed: _*)))
+      .withColumn("__c", last(col("__c"), ignoreNulls = true).over(w))
       .filter(col("__m") === 1)
+      .withColumn("__rt", col("__c").getField("__rt"))
+    val carriedP = payload.foldLeft(carried)((d, c) =>
+      d.withColumn(c, col("__c").getField(c)))
     val bounded =
-      if (toleranceSeconds < 0) carried
+      if (toleranceSeconds < 0) carriedP
       else {
         val fresh = col("__rt").isNotNull &&
           col("__t").cast("double") - col("__rt").cast("double") <=
             toleranceSeconds
-        payload.foldLeft(carried)((d, c) =>
+        payload.foldLeft(carriedP)((d, c) =>
           d.withColumn(c, when(fresh, col(c))))
       }
     bounded.select((leftCols ++ payload).map(col): _*)

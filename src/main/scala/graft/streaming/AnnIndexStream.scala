@@ -21,9 +21,16 @@ import org.apache.spark.sql.DataFrame
   *
   * Replay safety: encoding under a frozen model is deterministic, so an
   * at-least-once `foreachBatch` re-delivery upserts byte-identical rows
-  * — latest-wins keyed on `nn_id` converges (the J3/J5 idempotence
-  * contract). Retraining the model is a BATCH event (a new model
-  * version + full re-encode), not a streaming concern — PQ codebooks
+  * — latest-wins keyed on `nn_id` with the micro-batch id as the
+  * version converges (the J3/J5 idempotence contract). The maintained
+  * index is INSERT-plus-SAME-CELL-UPDATE only: the upsert prunes to the
+  * touched cells' partitions, so a re-landed `nn_id` whose VECTOR
+  * changed enough to move cells would leave its old-cell row behind.
+  * Under a frozen model that is the correct trade — cell is a pure
+  * function of the vector, so byte-identical replays never move cells —
+  * and value-mutating re-encodes belong to the BATCH migration path
+  * ([[graft.operators.ModelMigration]]: new model version + full
+  * re-encode + atomic swap), not a streaming concern — PQ codebooks
   * are only meaningful against the codebook generation that encoded the
   * index.
   *
@@ -43,16 +50,23 @@ object AnnIndexStream {
 
   /** `foreachBatch` body: encode + idempotent cell-partitioned upsert
     * into `indexPath/codes` (the [[Similarity.savePqIndex]] layout, so
-    * [[Similarity.loadPqCodes]] reads the maintained table unchanged). */
+    * [[Similarity.loadPqCodes]] reads the maintained table unchanged —
+    * the extra `batch_id` provenance column rides along and is ignored
+    * by the searchers). The micro-batch id is the merge VERSION, so a
+    * later batch's row for the same `nn_id` genuinely wins (not just
+    * by the updates-side tie-break). `onStats` costs one count job per
+    * micro-batch, so it only runs when a callback is supplied. */
   def foreachBatchSink(indexPath: String, id: String, vec: String,
                        cents: Array[(Int, Seq[Double])],
                        cb: Array[Array[Seq[Double]]],
-                       onStats: (Long, Long) => Unit = (_, _) => ())
+                       onStats: Option[(Long, Long) => Unit] = None)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
-    val idx = encodeBatch(batch, id, vec, cents, cb).localCheckpoint()
+    val idx = encodeBatch(batch, id, vec, cents, cb)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .localCheckpoint()
     graft.sources.Warehouse.mergeUpsert(idx, s"$indexPath/codes",
-      partitionCols = Seq("cell"), key = Seq("nn_id"), versionCol = "nn_id")
-    onStats(batchId, idx.count())
+      partitionCols = Seq("cell"), key = Seq("nn_id"), versionCol = "batch_id")
+    onStats.foreach(f => f(batchId, idx.count()))
   }
 
   /** Maintain the persisted IVFADC index from a stream of new vectors
@@ -63,7 +77,7 @@ object AnnIndexStream {
                indexPath: String, checkpoint: String,
                cents: Array[(Int, Seq[Double])],
                cb: Array[Array[Seq[Double]]],
-               onStats: (Long, Long) => Unit = (_, _) => ())
+               onStats: Option[(Long, Long) => Unit] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecStream.writeStream
       .outputMode("append")

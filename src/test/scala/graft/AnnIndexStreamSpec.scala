@@ -44,7 +44,7 @@ class AnnIndexStreamSpec extends SparkSpec {
     val q1 = AnnIndexStream.maintain(
       spark.readStream.schema(emb.schema).parquet(in),
       "vec_id", "embedding", s"$dir/index", s"$dir/ckpt", cents, cb,
-      onStats = (id, n) => counts += ((id, n))).start()
+      onStats = Some((id, n) => counts += ((id, n)))).start()
     try q1.processAllAvailable() finally q1.stop()
     second.coalesce(1).write.mode("append").parquet(in)
     val q2 = AnnIndexStream.maintainFrom(
@@ -79,5 +79,48 @@ class AnnIndexStreamSpec extends SparkSpec {
     val b = search(want.select("nn_id", "codes"))
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0 &&
       a.count() > 0)
+  }
+
+  test("default sink runs no per-batch stats job; a supplied onStats costs exactly one") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ann-stats").toString
+    val emb = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 2, 1)
+      .zipWithIndex.map { case (cv, i) => (i, cv) }
+    val cb = Similarity.trainPQ(
+      Similarity.normalized(emb, "vec_id", "embedding"), 2, 2, 2, 1)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    // the async listener bus has no public drain hook: poll until the
+    // counter has been stable for a beat
+    def settled(): Int = {
+      var prev = -1; var cur = jobs.get(); var spins = 0
+      while (cur != prev && spins < 100) {
+        prev = cur; Thread.sleep(200); cur = jobs.get(); spins += 1
+      }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val base = settled()
+      AnnIndexStream.foreachBatchSink(
+        s"$dir/plain", "vec_id", "embedding", cents, cb)(emb, 0L)
+      val plainJobs = settled() - base
+      AnnIndexStream.foreachBatchSink(s"$dir/stats", "vec_id", "embedding",
+        cents, cb, onStats = Some((_, _) => ()))(emb, 0L)
+      val statsJobs = settled() - base - plainJobs
+      // identical first-load merge either way; the only delta is the
+      // gated idx.count() (AQE may split it, so assert strictly-fewer,
+      // not exactly-one-fewer: were the count unconditional, the two
+      // runs would count EQUAL jobs)
+      assert(statsJobs > plainJobs,
+        s"default sink must skip the stats job(s), got $plainJobs vs $statsJobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

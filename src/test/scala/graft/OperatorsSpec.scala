@@ -385,6 +385,14 @@ class SessionizeSpec extends SparkSpec {
         Seq("view", "click", "purchase"), 3600L)
       .select("step", "n_entities").as[(Int, Long)].collect().toMap
     assert(got == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+    // reliable pin mode (fault-tolerant checkpoint() instead of
+    // executor-local localCheckpoint) computes the identical funnel
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-funnel-ckpt").toString)
+    val rel = Sessionize.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 3600L, reliable = true)
+      .select("step", "n_entities").as[(Int, Long)].collect().toMap
+    assert(rel == got)
   }
 }
 

@@ -372,10 +372,15 @@ class PlanSpec extends SparkSpec {
       .split("== Initial Plan ==").head
     assert(!f14.contains("Exchange"), s"f14 must not shuffle:\n$f14")
     // c10: no window machinery; the distinct-day collapse feeds both
-    // the cohort min and the join back
+    // the cohort min and the join back off ONE scan — the second
+    // consumer must ride a ReusedExchange, never a second collapse
     val c10 = executed(SparkEntry.queries("c10_retention")(spark, sf))
       .split("== Initial Plan ==").head
     assert(!c10.contains("Window"), s"c10 must not plan a window:\n$c10")
+    assert("FileScan parquet".r.findAllIn(c10).size == 1,
+      s"c10 must scan events once:\n$c10")
+    assert(c10.contains("ReusedExchange"),
+      s"c10's cohort min and join-back must share the anchored exchange:\n$c10")
   }
 
   test("salted aggregation plans exactly two shuffle stages") {

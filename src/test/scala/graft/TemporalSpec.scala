@@ -45,6 +45,26 @@ class TemporalJoinSpec extends SparkSpec {
     assert(off("stale") == Some(100L))
   }
 
+  test("asOf pairs payload and time from the SAME right row when the newest payload is NULL") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "e1")).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(100L)),
+      (1L, ts("2024-01-01 11:00:00"), None) // newest row: NULL payload
+    ).toDF("k", "t", "pay")
+    // per-column carries would leak 100 from the older row while the
+    // staleness time reads 11:00 — the struct carry takes the whole
+    // newest row, so the payload is honestly NULL
+    val got = TemporalJoin.asOf(left, right, ("k", "k"), ("t", "t"), Seq("pay"))
+      .select("ev", "pay").as[(String, Option[Long])].collect().toMap
+    assert(got == Map("e1" -> None))
+    // and under tolerance the 11:00 match is FRESH (1 h old), so the
+    // result stays NULL rather than resurrecting the stale 100
+    val tol = TemporalJoin.asOf(left, right, ("k", "k"), ("t", "t"),
+        Seq("pay"), toleranceSeconds = 2 * 3600.0)
+      .select("ev", "pay").as[(String, Option[Long])].collect().toMap
+    assert(tol == Map("e1" -> None))
+  }
+
   test("countPriorWithin counts right rows in (t-w, t] per key, 0 when none") {
     val clicks = Seq((1L, ts("2024-01-01 10:00:00"), "c1"),
       (2L, ts("2024-01-01 10:00:00"), "c2")).toDF("k", "t", "id")
