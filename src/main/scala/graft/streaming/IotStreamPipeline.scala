@@ -512,4 +512,141 @@ object IotStreamPipeline {
           }
       }.toDF()
   }
+
+  case class FunnelProgState(anchorUs: Long, lastUs: Long, reached: Int)
+  case class FunnelProgOut(user_id: Long, reached_step: Int, anchor_us: Long)
+
+  /** Continuous conversion-funnel maintenance (I20) — the streaming
+    * analog of [[graft.operators.Sessionize.funnel]]: state per entity
+    * is the earliest-chain progress `(anchor, last completion, steps
+    * reached)` — bounded by the STEP COUNT, never by event count. Each
+    * batch folds its events in (ts, event_id) order; because batch
+    * funnel semantics are earliest-chain, a greedy forward fold over
+    * time-ordered events computes the identical chain. Events sharing
+    * one timestamp advance the chain to FIXPOINT at that instant
+    * (batch's `__ti >= __t` admits same-timestamp multi-step
+    * advances, so click+purchase at the same second completes both).
+    * Updated per-entity progress rows emit for an idempotent keyed
+    * upsert; [[funnelProgressCounts]] rolls the maintained table up to
+    * the batch operator's `(step, step_name, n_entities)` shape.
+    * Cross-batch ordering relies on the cursor-order delivery contract
+    * ([[scd2Stream]]). */
+  def funnelStream(stage: DataFrame, steps: Seq[String],
+                   windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = stage.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val typed = stage
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelProgState, FunnelProgOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[FunnelProgState]) =>
+          // relevant events in time order; equal-timestamp events fold
+          // as one instant (set of present step types)
+          val evs = rows.filter(r => stepIdx.contains(r._4)).toSeq
+            .sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+          var st = state.getOption.orNull
+          evs.groupBy(r => (r._2.getTime, r._2.getNanos)).toSeq.sortBy(_._1)
+            .foreach { case ((ms, ns), group) =>
+              val tu = ms * 1000L + ns / 1000L % 1000L
+              val present = group.map(r => stepIdx(r._4)).toSet
+              if (st == null && present.contains(0))
+                st = FunnelProgState(tu, tu, 1)
+              if (st != null) {
+                // fixpoint at this instant: each completable next step
+                // present here advances the chain (within the window)
+                var advanced = true
+                while (advanced && st.reached < steps.size) {
+                  advanced = present.contains(st.reached) &&
+                    tu >= st.lastUs &&
+                    (tu - st.anchorUs) <= windowSeconds * 1000000L
+                  if (advanced) st = FunnelProgState(st.anchorUs, tu,
+                    st.reached + 1)
+                }
+              }
+            }
+          if (st == null) Iterator.empty
+          else {
+            state.update(st)
+            Iterator.single(FunnelProgOut(uid, st.reached, st.anchorUs))
+          }
+      }.toDF()
+  }
+
+  /** Roll a [[funnelStream]] maintained table up to the batch
+    * operator's `(step, step_name, n_entities)` output: an entity that
+    * reached step s counts toward every step ≤ s. Progress-table-sized
+    * work (one row per funnel-entered entity). */
+  def funnelProgressCounts(progress: DataFrame,
+                           steps: Seq[String]): DataFrame = {
+    val spark = progress.sparkSession
+    import spark.implicits._
+    val names = steps.zipWithIndex.map { case (n, i) => (i + 1, n) }
+      .toDF("step", "step_name")
+    progress
+      .select(explode(sequence(lit(1), col("reached_step"))).as("step"))
+      .groupBy(col("step")).agg(count(lit(1)).as("n_entities"))
+      .join(names, Seq("step"))
+      .select(col("step"), col("step_name"), col("n_entities"))
+  }
+
+  /** One retention-maintenance cycle (I21) — the foreachBatch body of
+    * [[maintainRetention]], callable directly for scheduled batch
+    * increments (the reference re-runs its agg models on a schedule —
+    * reference: dags/iot_dwh_agg_transform_daily.py).
+    *
+    * State under `statePath` is the compact ACTIVITY LEDGER
+    * `active_days` (distinct `(user_id, __day)` rows — the only
+    * input-sized stage of batch C10, here built incrementally so raw
+    * events are read once each) plus the `counts` table in
+    * [[graft.operators.Sessionize.retentionCohorts]]'s output shape.
+    * Each cycle: (1) collapse the batch to its distinct day pairs; (2)
+    * anti-join the ledger — only genuinely new pairs survive; (3)
+    * re-derive counts from ledger ∪ new through the SHARED
+    * [[graft.operators.Sessionize.cohortCounts]] stage (ledger-sized,
+    * calendar-bounded — never raw events) and overwrite `counts`; (4)
+    * append the new pairs to the ledger. Idempotent under at-least-once
+    * replay in EITHER crash order: a replayed batch's pairs either
+    * still anti-join through (same union, same counts) or are already
+    * in the ledger (empty delta, same counts). */
+  def retentionCycle(batch: DataFrame, statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val ledgerPath = s"$statePath/active_days"
+    val hPath = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pairs = batch
+      .select(col("user_id"), to_date(col("ts")).as("__day")).distinct()
+    val ledger =
+      if (fs.exists(hPath)) spark.read.parquet(ledgerPath)
+      else pairs.limit(0)
+    val fresh = pairs.join(ledger, Seq("user_id", "__day"), "left_anti")
+      .localCheckpoint()
+    if (fresh.isEmpty &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/counts"))) return
+    val all = ledger.unionByName(fresh).localCheckpoint()
+    graft.operators.Sessionize.cohortCounts(all, "user_id")
+      .write.mode("overwrite").parquet(s"$statePath/counts")
+    fresh.write.mode("append").parquet(ledgerPath)
+  }
+
+  /** Maintain C10 retention continuously: each micro-batch runs one
+    * [[retentionCycle]]; `retentionCounts` reads the always-current
+    * table. All state lives under `statePath`, so a restarted query
+    * resumes from the checkpoint and replays converge. */
+  def maintainRetention(stage: DataFrame, statePath: String,
+                        checkpoint: String): DataStreamWriter[Row] =
+    stage.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        retentionCycle(batch, statePath)
+      }
+
+  /** The maintained retention table (`(cohort_day, day_offset,
+    * n_entities)` — batch C10's exact shape, spec-asserted equal). */
+  def retentionCounts(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/counts")
 }

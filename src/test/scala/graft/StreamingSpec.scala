@@ -196,6 +196,86 @@ class StreamingSpec extends SparkSpec {
     assert(!alerts.exists(_.user_id == 2L), s"device 2 is alive: ${alerts.toSeq}")
   }
 
+  test("streaming funnel maintains batch C9 counts across arrivals") {
+    import graft.streaming.IotStreamPipeline
+    import graft.streaming.IotStreamPipeline.FunnelProgOut
+    val in = Files.createTempDirectory("graft-funnel-in").toString
+    val steps = Seq("view", "click", "purchase")
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+    val got = maintainedRows[FunnelProgOut](
+      IotStreamPipeline.funnelStream(
+        spark.readStream.schema(ev.schema).parquet(in), steps, 3600L),
+      _.user_id)(landTimeSplit(ev, in)).toDF()
+    val counts = IotStreamPipeline.funnelProgressCounts(got, steps)
+    val want = graft.operators.Sessionize.funnel(
+      graft.sources.Tables.events(spark, sf),
+      "user_id", "ts", "event_type", steps, 3600L)
+    assert(counts.count() == want.filter(col("n_entities") > 0).count())
+    assert(counts.exceptAll(want).count() == 0 &&
+      want.filter(col("n_entities") > 0).exceptAll(counts).count() == 0)
+  }
+
+  test("streaming funnel: equal-timestamp chain advances to fixpoint (== batch)") {
+    import graft.streaming.IotStreamPipeline
+    import graft.streaming.IotStreamPipeline.FunnelProgOut
+    val in = Files.createTempDirectory("graft-funnel-eq-in").toString
+    val steps = Seq("view", "click", "purchase")
+    // u1: click and purchase share one timestamp — batch's `__ti >= __t`
+    // admits the same-instant multi-step advance (reaches 3); u2's
+    // purchase precedes its click (stops at 2); u3 only views
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (1L, "2024-01-01 00:10:00", 2L, "click"),
+      (1L, "2024-01-01 00:10:00", 3L, "purchase"),
+      (2L, "2024-01-01 00:00:00", 4L, "view"),
+      (2L, "2024-01-01 00:05:00", 5L, "purchase"),
+      (2L, "2024-01-01 00:30:00", 6L, "click"),
+      (3L, "2024-01-01 00:00:00", 7L, "view"))
+      .toDF("user_id", "s", "event_id", "event_type")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+      .select("user_id", "ts", "event_id", "event_type")
+    val got = maintainedRows[FunnelProgOut](
+      IotStreamPipeline.funnelStream(
+        spark.readStream.schema(df.schema).parquet(in), steps, 3600L),
+      _.user_id)(landTimeSplit(df, in)).toDF()
+    val counts = IotStreamPipeline.funnelProgressCounts(got, steps)
+      .select("step", "n_entities").as[(Int, Long)].collect().toMap
+    assert(counts == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+    val want = graft.operators.Sessionize.funnel(
+      df, "user_id", "ts", "event_type", steps, 3600L)
+      .select("step", "n_entities").as[(Int, Long)].collect().toMap
+    assert(counts == want)
+  }
+
+  test("streaming retention maintains batch C10 row-for-row; replay converges") {
+    import graft.streaming.IotStreamPipeline
+    val dir = Files.createTempDirectory("graft-retention").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts")
+    val q = IotStreamPipeline.maintainRetention(
+      spark.readStream.schema(ev.schema).parquet(s"$dir/in"),
+      s"$dir/state", s"$dir/ckpt").start()
+    try landTimeSplit(ev, s"$dir/in")(() => q.processAllAvailable())
+    finally q.stop()
+    val got = IotStreamPipeline.retentionCounts(spark, s"$dir/state")
+      .localCheckpoint()
+    val want = graft.operators.Sessionize.retentionCohorts(
+      graft.sources.Tables.events(spark, sf), "user_id", "ts")
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // replay: a fresh-checkpoint query re-delivers every landed file;
+    // the anti-joined ledger absorbs them and counts are unchanged
+    val q2 = IotStreamPipeline.maintainRetention(
+      spark.readStream.schema(ev.schema).parquet(s"$dir/in"),
+      s"$dir/state", s"$dir/ckpt2").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val replayed = IotStreamPipeline.retentionCounts(spark, s"$dir/state")
+    assert(replayed.exceptAll(got).count() == 0 &&
+      got.exceptAll(replayed).count() == 0)
+  }
+
   test("streaming counter delta maintains the batch rollup across arrivals") {
     import graft.streaming.IotStreamPipeline
     import graft.streaming.IotStreamPipeline.CounterOut
