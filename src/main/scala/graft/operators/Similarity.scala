@@ -729,15 +729,32 @@ object Similarity {
     // empty corpus → no cells and no codes (see pqTopK's guard)
     if (cents.isEmpty || cb.exists(_.isEmpty))
       return bruteForceTopKNormed(cN, qN, k)
-    val index = encodeIvfPq(cN, cents, cb)
+    ivfPqTopKWith(cN, qN, cents, cb, encodeIvfPq(cN, cents, cb),
+      k, nProbe, shortlist, dim0)
+  }
+
+  /** IVFADC search from explicit components — the deployment spelling
+    * of [[ivfPqTopK]]'s tail: a FROZEN model (`cents` + `cb`, e.g.
+    * reloaded via [[loadIvfCentroids]]/[[loadPqCodebooks]]) against an
+    * already-encoded `codes` table (`(nn_id, cell, codes)` — a
+    * [[loadPqCodes]] read of the persisted/maintained index, pruned to
+    * the probed cells' partitions). [[ivfPqTopK]] delegates here, so
+    * the train-inline and serve-from-index paths cannot drift. `cN`
+    * (the raw normalized corpus) serves only the exact rerank of the
+    * shortlist. */
+  def ivfPqTopKWith(cN: DataFrame, qN: DataFrame,
+                    cents: Array[(Int, Seq[Double])],
+                    cb: Array[Array[Seq[Double]]], codes: DataFrame,
+                    k: Int, nProbe: Int, shortlist: Int,
+                    dim: Int): DataFrame = {
     def cellScores(v: Column): Column = sort_array(array(cents.toIndexedSeq.map {
       case (cid, cv) => struct(dot(v, typedlit(cv)).as("s"), lit(cid).as("cell"))
     }: _*), asc = false)
-    val q = qN.select(col("query_id"), qtabColumn(cb, dim0).as("qtab"),
+    val q = qN.select(col("query_id"), qtabColumn(cb, dim).as("qtab"),
       explode(transform(slice(cellScores(col("qv")), 1, nProbe),
         x => x("cell"))).as("cell"))
     val short = graft.plans.TopKPerKey(
-      index.join(broadcast(q), Seq("cell"))
+      codes.select("nn_id", "cell", "codes").join(broadcast(q), Seq("cell"))
         .filter(col("query_id") =!= col("nn_id"))
         .withColumn("adc", adcScore(col("codes"), col("qtab"))),
       keys = Seq(col("query_id")),
