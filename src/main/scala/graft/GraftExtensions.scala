@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
+    GraftTableFunctions.builders.foreach { case (name, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
@@ -47,6 +51,10 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, name, builder)
+    }
+    GraftTableFunctions.builders.foreach { case (name, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge
+        .registerTableFunction(spark, name, builder)
     }
     graft.plans.TopKRewrite.ensureRegistered(spark)
   }

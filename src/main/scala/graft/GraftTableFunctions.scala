@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators.{Incremental, Sessionize, TemporalJoin, TimeAgg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StringType
+
+/** SQL TABLE-function surface for the whole-operator layer.
+  *
+  * The native scalar expressions are already SQL-registered
+  * ([[GraftExtensions]]), but the operator layer — funnel, retention,
+  * as-of join, gapfill, sessionize — was Scala-only, while the
+  * reference serves these workloads to plain-SQL users (dbt models:
+  * reference dags/dbt_project/models/agg/daily_summary.sql and
+  * siblings). Each builder here is a
+  * Spark `TableFunctionRegistry` entry (`Seq[Expression] =>
+  * LogicalPlan`), so SQL users write
+  *
+  * {{{
+  *   SELECT * FROM graft_funnel('events', 'user_id', 'ts', 'event_type',
+  *                              'view,click,purchase', 3600)
+  * }}}
+  *
+  * and get EXACTLY the Scala operator's plan — the builder resolves the
+  * named table through the session catalog, calls the same operator
+  * function, and returns its analyzed logical plan to be spliced into
+  * the outer query. One code path, so the SQL and Scala spellings
+  * cannot drift (spec-asserted row-for-row; the registered SQL
+  * spellings are also oracle-checked through the same DuckDB oracles as
+  * their Scala originals).
+  *
+  * Arguments are SQL literals (table/column names as strings, CSV lists
+  * for multi-column parameters, numerics for windows/steps) — the
+  * operator's knobs, not data. Installed by
+  * `spark.sql.extensions=graft.GraftExtensions` at session build or
+  * [[GraftExtensions.register]] on a live session.
+  */
+object GraftTableFunctions {
+
+  private def lit(args: Seq[Expression], i: Int, fn: String): Any = {
+    if (i >= args.length) throw new IllegalArgumentException(
+      s"$fn: missing argument ${i + 1} (got ${args.length})")
+    args(i) match {
+      case Literal(v, _) if v != null => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a non-null literal, got $other")
+    }
+  }
+
+  private def str(args: Seq[Expression], i: Int, fn: String): String =
+    args(i) match {
+      case Literal(s, StringType) if s != null => s.toString
+      case _ => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a string literal" +
+          (if (i < args.length) s", got ${args(i)}" else " (missing)"))
+    }
+
+  private def num(args: Seq[Expression], i: Int, fn: String): Double =
+    lit(args, i, fn) match {
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be numeric, got $other")
+    }
+
+  private def csv(args: Seq[Expression], i: Int, fn: String): Seq[String] =
+    str(args, i, fn).split(',').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def table(name: String): DataFrame = SparkSession.active.table(name)
+
+  private def plan(df: DataFrame): LogicalPlan =
+    org.apache.spark.sql.graft.ColumnBridge.logicalPlan(df)
+
+  private def arity(args: Seq[Expression], fn: String, allowed: Set[Int],
+                    usage: String): Unit =
+    if (!allowed.contains(args.length)) throw new IllegalArgumentException(
+      s"$fn expects ${allowed.toSeq.sorted.mkString(" or ")} arguments: " +
+        s"$fn($usage); got ${args.length}")
+
+  /** name → (builder, usage string for the ExpressionInfo). */
+  val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+
+    // graft_funnel(table, entity, ts, typeCol, stepsCsv, windowSeconds)
+    "graft_funnel" -> { args =>
+      val fn = "graft_funnel"
+      arity(args, fn, Set(6), "table, entity, ts, typeCol, stepsCsv, windowSeconds")
+      plan(Sessionize.funnel(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn), str(args, 3, fn), csv(args, 4, fn),
+        num(args, 5, fn).toLong))
+    },
+
+    // graft_retention(table, entity, ts)
+    "graft_retention" -> { args =>
+      val fn = "graft_retention"
+      arity(args, fn, Set(3), "table, entity, ts")
+      plan(Sessionize.retentionCohorts(table(str(args, 0, fn)),
+        str(args, 1, fn), str(args, 2, fn)))
+    },
+
+    // graft_asof_join(left, right, leftKey, rightKey, leftTime,
+    //                 rightTime, payloadCsv [, toleranceSeconds])
+    "graft_asof_join" -> { args =>
+      val fn = "graft_asof_join"
+      arity(args, fn, Set(7, 8),
+        "left, right, leftKey, rightKey, leftTime, rightTime, payloadCsv[, toleranceSeconds]")
+      val tol = if (args.length == 8) num(args, 7, fn) else -1.0
+      plan(TemporalJoin.asOf(table(str(args, 0, fn)), table(str(args, 1, fn)),
+        keys = (str(args, 2, fn), str(args, 3, fn)),
+        times = (str(args, 4, fn), str(args, 5, fn)),
+        payload = csv(args, 6, fn), toleranceSeconds = tol))
+    },
+
+    // graft_gapfill_locf(table, entity, bucket, stepSeconds,
+    //                    fillZeroCsv, locfCsv)
+    "graft_gapfill_locf" -> { args =>
+      val fn = "graft_gapfill_locf"
+      arity(args, fn, Set(6), "table, entity, bucket, stepSeconds, fillZeroCsv, locfCsv")
+      plan(TimeAgg.gapfillLocf(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn), num(args, 3, fn).toLong,
+        fillZero = csv(args, 4, fn), locf = csv(args, 5, fn)))
+    },
+
+    // graft_sessionize(table, entity, ts, tieCol, valueCol, gapSeconds)
+    "graft_sessionize" -> { args =>
+      val fn = "graft_sessionize"
+      arity(args, fn, Set(6), "table, entity, ts, tieCol, valueCol, gapSeconds")
+      plan(Sessionize.summarize(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn), str(args, 3, fn), str(args, 4, fn),
+        num(args, 5, fn).toLong))
+    },
+
+    // graft_dedup_latest(table, keysCsv, orderCsv) — dbt unique_key
+    // incremental upsert semantics: latest row per key
+    "graft_dedup_latest" -> { args =>
+      val fn = "graft_dedup_latest"
+      arity(args, fn, Set(3), "table, keysCsv, orderCsv")
+      plan(Incremental.upsertLatest(table(str(args, 0, fn)),
+        csv(args, 1, fn), csv(args, 2, fn).map(col)))
+    })
+}

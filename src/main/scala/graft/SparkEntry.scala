@@ -1470,8 +1470,85 @@ object SparkEntry {
               .as("quality_score")),
         keys = Seq(col("lang")),
         order = Seq(col("quality_score").desc, col("doc_id").asc),
-        k = 50).drop("rnk"))
+        k = 50).drop("rnk")),
+
+    // === SQL-TVF spellings: the graft_* TABLE functions
+    // (GraftTableFunctions) reached through spark.sql — hash-checked
+    // against the SAME oracles as their Scala originals. The TVF
+    // builder calls the identical operator function, so these rows
+    // prove the SQL surface (argument decoding, catalog resolution,
+    // plan splicing) cannot drift from the operator layer ===
+    "c9s_funnel_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_funnel('graft_sql_events', 'user_id',
+        'ts', 'event_type', 'view,click,purchase', 3600)""")
+    }),
+
+    "c10s_retention_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("SELECT * FROM graft_retention('graft_sql_events', 'user_id', 'ts')")
+    }),
+
+    "d5s_sessionize_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_sessionize('graft_sql_events',
+        'user_id', 'ts', 'event_id', 'value', 1800)""")
+    }),
+
+    "d6s_asof_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      Incremental.upsertLatest(Tables.orders(s, d),
+          Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
+        .createOrReplaceTempView("graft_sql_orders_dedup")
+      s.sql("""SELECT * FROM graft_asof_join('graft_sql_events',
+          'graft_sql_orders_dedup', 'user_id', 'o_custkey', 'ts',
+          'o_orderdate', 'o_orderkey,o_totalprice')""")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("last_orderkey"),
+          coalesce(Portable.pround(col("o_totalprice"), 4), lit(0.0))
+            .as("last_totalprice"))
+    }),
+
+    "d29s_asof_tolerance_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      Incremental.upsertLatest(Tables.orders(s, d),
+          Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
+        .createOrReplaceTempView("graft_sql_orders_dedup")
+      s.sql("""SELECT * FROM graft_asof_join('graft_sql_events',
+          'graft_sql_orders_dedup', 'user_id', 'o_custkey', 'ts',
+          'o_orderdate', 'o_orderkey,o_totalprice', 604800)""")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("last_orderkey"),
+          coalesce(Portable.pround(col("o_totalprice"), 4), lit(0.0))
+            .as("last_totalprice"))
+    }),
+
+    "b6s_gapfill_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      ev(s, d)
+        .groupBy(col("user_id"), TimeAgg.timeBucket(col("ts"), 3600).as("bucket"))
+        .agg(count(lit(1)).as("n_events"), fixedAvg(col("value"), 4).as("avg_value"))
+        .createOrReplaceTempView("graft_sql_hourly")
+      s.sql("""SELECT * FROM graft_gapfill_locf('graft_sql_hourly',
+          'user_id', 'bucket', 3600, 'n_events', 'avg_value')""")
+        .withColumn("bucket", col("bucket").cast("string"))
+    }),
+
+    "c5s_dedup_latest_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_dedup_latest('graft_sql_events',
+          'user_id', 'ts,event_id')""")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("event_type").as("last_type"))
+    })
   )
+
+  /** SQL-TVF mirror support: install the graft SQL surface (idempotent)
+    * and expose the events table to SQL by name. */
+  private def sqlSurface(s: SparkSession, d: String): Unit = {
+    GraftExtensions.register(s)
+    ev(s, d).createOrReplaceTempView("graft_sql_events")
+  }
 
   // ---- DuckDB oracles -------------------------------------------------
 
@@ -1518,7 +1595,9 @@ object SparkEntry {
        |FROM ev LEFT JOIN tr ON ev.sh = tr.hit_sh
        |GROUP BY 1""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++ sqlMirrorOracles
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
 
     "a1_stage_events" ->
       """SELECT event_id, user_id, event_type, value, ts,
@@ -3160,6 +3239,22 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '|s1')), doc_id) <= 50""".stripMargin
   )
+
+  /** The SQL-TVF spellings share their Scala originals' oracles — one
+    * code path on the Spark side, one oracle on the DuckDB side. Built
+    * against the map above, so a renamed original fails loudly here. */
+  private lazy val sqlMirrorOracles: Map[String, String] = {
+    val base = baseOracleSql
+    Map(
+      "c9s_funnel_sql" -> "c9_funnel",
+      "c10s_retention_sql" -> "c10_retention",
+      "d5s_sessionize_sql" -> "d5_sessionize",
+      "d6s_asof_sql" -> "d6_asof_join",
+      "d29s_asof_tolerance_sql" -> "d29_asof_tolerance",
+      "b6s_gapfill_sql" -> "b6_gapfill_locf",
+      "c5s_dedup_latest_sql" -> "c5_dedup_upsert_latest"
+    ).map { case (mirror, orig) => mirror -> base(orig) }
+  }
 
   /** Shared by k2 (window) and k3 (custom TopKPerKey operator) — one
     * oracle, two physical strategies. */

@@ -40,4 +40,15 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "scala_udf")
+
+  /** Register a TABLE-function builder (`Seq[Expression] => LogicalPlan`)
+    * on an existing session — the in-session equivalent of
+    * `SparkSessionExtensions.injectTableFunction`. */
+  def registerTableFunction(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
 }

@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.{Incremental, Sessionize, TemporalJoin, TimeAgg}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The SQL table-function surface ([[GraftTableFunctions]]): each
+  * `graft_*` TVF must produce row-for-row the SAME result as the Scala
+  * operator it wraps — they share one code path, so this is a drift
+  * guard on the registration layer (argument decoding, table
+  * resolution, plan splicing), not a re-test of the operators. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private def sameRows(sql: DataFrame, scala: DataFrame): Unit = {
+    assert(sql.columns.toSeq == scala.columns.toSeq)
+    assert(sql.collect().toSet == scala.collect().toSet)
+    assert(sql.count() == scala.count())
+  }
+
+  private lazy val ready: Unit = {
+    GraftExtensions.register(spark)
+    Tables.events(spark, sf).createOrReplaceTempView("ev")
+    Incremental.upsertLatest(Tables.orders(spark, sf),
+        Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
+      .createOrReplaceTempView("orders_dedup")
+  }
+
+  test("graft_funnel == Sessionize.funnel, and composes in a bigger query") {
+    ready
+    val sql = spark.sql(
+      """SELECT * FROM graft_funnel('ev', 'user_id', 'ts', 'event_type',
+        |  'view,click,purchase', 3600)""".stripMargin)
+    val sc = Sessionize.funnel(Tables.events(spark, sf), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), 3600L)
+    sameRows(sql, sc)
+    // TVF output is a relation like any other: filter + join over it
+    val composed = spark.sql(
+      """SELECT f.step_name, f.n_entities
+        |FROM graft_funnel('ev', 'user_id', 'ts', 'event_type',
+        |                  'view,click,purchase', 3600) f
+        |WHERE f.step >= 2 ORDER BY f.step""".stripMargin).collect()
+    assert(composed.length == 2)
+    assert(composed.map(_.getString(0)).toSeq == Seq("click", "purchase"))
+  }
+
+  test("graft_retention == Sessionize.retentionCohorts") {
+    ready
+    sameRows(
+      spark.sql("SELECT * FROM graft_retention('ev', 'user_id', 'ts')"),
+      Sessionize.retentionCohorts(Tables.events(spark, sf), "user_id", "ts"))
+  }
+
+  test("graft_asof_join == TemporalJoin.asOf, with and without tolerance") {
+    ready
+    val e = Tables.events(spark, sf)
+    val o = spark.table("orders_dedup")
+    sameRows(
+      spark.sql(
+        """SELECT * FROM graft_asof_join('ev', 'orders_dedup',
+          |  'user_id', 'o_custkey', 'ts', 'o_orderdate',
+          |  'o_orderkey,o_totalprice')""".stripMargin),
+      TemporalJoin.asOf(e, o, keys = ("user_id", "o_custkey"),
+        times = ("ts", "o_orderdate"),
+        payload = Seq("o_orderkey", "o_totalprice")))
+    sameRows(
+      spark.sql(
+        """SELECT * FROM graft_asof_join('ev', 'orders_dedup',
+          |  'user_id', 'o_custkey', 'ts', 'o_orderdate',
+          |  'o_orderkey,o_totalprice', 604800)""".stripMargin),
+      TemporalJoin.asOf(e, o, keys = ("user_id", "o_custkey"),
+        times = ("ts", "o_orderdate"),
+        payload = Seq("o_orderkey", "o_totalprice"),
+        toleranceSeconds = 604800.0))
+  }
+
+  test("graft_gapfill_locf == TimeAgg.gapfillLocf over an hourly rollup") {
+    ready
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("user_id"), TimeAgg.timeBucket(col("ts"), 3600).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Portable.fixedAvg(col("value"), 4).as("avg_value"))
+    hourly.createOrReplaceTempView("hourly")
+    sameRows(
+      spark.sql(
+        """SELECT * FROM graft_gapfill_locf('hourly', 'user_id', 'bucket',
+          |  3600, 'n_events', 'avg_value')""".stripMargin),
+      TimeAgg.gapfillLocf(hourly, "user_id", "bucket", 3600,
+        fillZero = Seq("n_events"), locf = Seq("avg_value")))
+  }
+
+  test("graft_sessionize == Sessionize.summarize") {
+    ready
+    sameRows(
+      spark.sql(
+        """SELECT * FROM graft_sessionize('ev', 'user_id', 'ts',
+          |  'event_id', 'value', 1800)""".stripMargin),
+      Sessionize.summarize(Tables.events(spark, sf), "user_id", "ts",
+        "event_id", "value", 1800L))
+  }
+
+  test("graft_dedup_latest == Incremental.upsertLatest") {
+    ready
+    sameRows(
+      spark.sql(
+        """SELECT * FROM graft_dedup_latest('ev', 'user_id,event_type',
+          |  'ts,event_id')""".stripMargin),
+      Incremental.upsertLatest(Tables.events(spark, sf),
+        Seq("user_id", "event_type"), Seq(col("ts"), col("event_id"))))
+  }
+
+  test("argument errors fail loudly with the usage string") {
+    ready
+    val tooFew = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_retention('ev')").collect()
+    }
+    assert(tooFew.getMessage.contains("graft_retention"))
+    val notLit = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_retention('ev', 'user_id', 'nope', 'x')")
+        .collect()
+    }
+    assert(notLit.getMessage.contains("graft_retention"))
+  }
+}
