@@ -409,6 +409,56 @@ object IotStreamPipeline {
   case class StateAggOut(user_id: Long, event_type: String,
                          held_us: Long, n_entries: Long)
 
+  case class UptimeState(lastUs: Long, closedUs: Long, dead: Long, n: Long)
+  case class UptimeOut(user_id: Long, live_us: Long, n_dead: Long,
+                       n_heartbeats: Long)
+
+  /** Continuous `heartbeat_agg`/`uptime()` maintenance (I22) — the
+    * streaming analog of [[graft.operators.TimeAgg.heartbeatUptime]],
+    * closing the last hyperfunction without a continuous story: state
+    * per entity is `(last heartbeat µs, live-µs over CLOSED intervals,
+    * lapse count, heartbeat count)` — four longs, never event history.
+    * Each arrival closes the previous heartbeat's liveness window
+    * (`closed += min(Δ, gap)`, a lapse when Δ > gap), exactly the
+    * batch operator's per-pair accounting; the emitted row adds the
+    * final heartbeat's full-`gap` credit (its window runs to completion
+    * unobserved — the batch contract), which the NEXT arrival replaces
+    * with the closed-interval truth, so the maintained table equals
+    * batch row-for-row at every quiescent point (spec-asserted).
+    * Cross-batch ordering relies on the cursor-order delivery contract
+    * ([[scd2Stream]]). */
+  def uptimeStream(stage: DataFrame, gapSeconds: Long): DataFrame = {
+    val spark = stage.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val typed = stage
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[UptimeState, UptimeOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UptimeState]) =>
+          val evs = rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+          var st = state.getOption.orNull
+          evs.foreach { case (_, ts, _) =>
+            val tu = ts.getTime * 1000L + ts.getNanos / 1000L % 1000L
+            st =
+              if (st == null) UptimeState(tu, 0L, 0L, 1L)
+              else {
+                val d = tu - st.lastUs
+                UptimeState(tu, st.closedUs + math.min(d, gapUs),
+                  st.dead + (if (d > gapUs) 1L else 0L), st.n + 1)
+              }
+          }
+          if (st == null) Iterator.empty
+          else {
+            state.update(st)
+            Iterator.single(
+              UptimeOut(uid, st.closedUs + gapUs, st.dead, st.n))
+          }
+      }.toDF()
+  }
+
   /** Continuous `state_agg` maintenance — the streaming analog of
     * [[graft.operators.TimeAgg.stateAgg]], completing the hyperfunction
     * maintenance trio (I11 counter, I13 time-weighted, this): state per

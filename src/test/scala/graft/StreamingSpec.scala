@@ -311,6 +311,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming uptime maintains the batch heartbeat rollup across arrivals") {
+    import graft.streaming.IotStreamPipeline
+    import graft.streaming.IotStreamPipeline.UptimeOut
+    val in = Files.createTempDirectory("graft-uptime-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id")
+    val got = maintainedRows[UptimeOut](
+      IotStreamPipeline.uptimeStream(
+        spark.readStream.schema(ev.schema).parquet(in), gapSeconds = 1800),
+      _.user_id)(landTimeSplit(ev, in)).toDF()
+    val want = graft.operators.TimeAgg.heartbeatUptime(
+      graft.sources.Tables.events(spark, sf),
+      entity = "user_id", ts = "ts", tieBreak = "event_id",
+      gapSeconds = 1800)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming candlestick maintains the batch OHLC declaratively") {
     import graft.streaming.IotStreamPipeline
     import graft.streaming.IotStreamPipeline.CandleOut
