@@ -31,15 +31,27 @@ object ScaleProbe {
 
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
+  // the 12 residues coprime to 26 — each yields a valid affine cipher
+  private val CoprimeA = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
 
-  /** Caesar-rotate letters by `i` — deterministic, codegen'd
+  /** Per-copy monoalphabetic substitution — deterministic, codegen'd
     * (`translate`), makes copy i's shingle space disjoint from copy
-    * j's while preserving token/shingle counts exactly. */
+    * j's while preserving token/shingle counts exactly. Copy i maps
+    * letter x to a·x+b (mod 26) with a = CoprimeA(i/26 mod 12),
+    * b = i mod 26 — the affine-cipher family, 312 distinct
+    * permutations. Two distinct affine maps agree on at most
+    * gcd(a'−1, 26) letters, so cross-copy shingle collisions need
+    * every character to be a fixed point — negligible. For i < 26
+    * this is exactly the Caesar rotation earlier artifacts used, so
+    * ≤16× rows stay comparable across rounds. */
   private def rot(c: org.apache.spark.sql.Column, i: Int) = {
-    val r = i % 26
-    if (r == 0) c
-    else translate(c, Lower + Upper,
-      Lower.drop(r) + Lower.take(r) + Upper.drop(r) + Upper.take(r))
+    val a = CoprimeA((i / 26) % CoprimeA.size)
+    val b = i % 26
+    if (a == 1 && b == 0) c
+    else {
+      val mapped = Lower.indices.map(x => Lower((a * x + b) % 26)).mkString
+      translate(c, Lower + Upper, mapped + mapped.toUpperCase)
+    }
   }
 
   private def inflateDocs(docs: DataFrame, mult: Int): DataFrame =
@@ -55,7 +67,12 @@ object ScaleProbe {
         col("ts"), col("event_type"), col("value"))
     }.reduce(_ unionByName _)
 
-  private def inflateEmb(emb: DataFrame, mult: Int): DataFrame =
+  private def inflateEmb(emb: DataFrame, mult: Int): DataFrame = {
+    // one flipped dimension per copy — distinct for copies 0..63;
+    // past that copy i and copy i−64 share buckets and an emb probe
+    // would measure the duplicate blow-up, so refuse
+    require(mult <= 64,
+      s"embedding decorrelation wraps past 64 copies, got $mult")
     (0 until mult).map { i =>
       val v = col("embedding").cast("array<double>")
       val flipped =
@@ -65,18 +82,24 @@ object ScaleProbe {
       emb.select((col("vec_id") + lit(i * 100000000L)).as("vec_id"),
         flipped.as("embedding"), col("label"))
     }.reduce(_ unionByName _)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "4").toInt
-    // past 26 the caesar rotation wraps (copy i == copy i-26) and the
-    // probe would measure the adversarial duplicate blow-up the
-    // transforms exist to prevent — refuse rather than mislead
-    require(mult >= 1 && mult <= 26, s"mult must be in [1, 26], got $mult")
+    // past 312 the affine-cipher family wraps (copy i == copy i-312)
+    // and the probe would measure the adversarial duplicate blow-up
+    // the transforms exist to prevent — refuse rather than mislead
+    require(mult >= 1 && mult <= 312, s"mult must be in [1, 312], got $mult")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // default = cpus (the bench profile); override to separate
+    // "operator scales worse than linearly" from "a fixed partition
+    // count made per-partition sorts spill at high mult" — a real
+    // cluster's AQE grows partition counts with the data
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -88,10 +111,12 @@ object ScaleProbe {
     def mat(df: DataFrame): DataFrame = df.localCheckpoint()
 
     def probes(m: Int): Seq[(String, () => DataFrame)] = {
-      val docs = mat(inflateDocs(Tables.documents(spark, sfDir), m))
-      val ev = mat(inflateEvents(Tables.events(spark, sfDir), m))
-      val emb = mat(inflateEmb(Tables.embeddings(spark, sfDir), m))
-      val q = emb.filter(col("vec_id") % 100 === 0)
+      // lazy like the TPC-H tables below: a SPARK_GRAFT_PROBE_ONLY
+      // run must not pay to inflate+pin tables its probes never read
+      lazy val docs = mat(inflateDocs(Tables.documents(spark, sfDir), m))
+      lazy val ev = mat(inflateEvents(Tables.events(spark, sfDir), m))
+      lazy val emb = mat(inflateEmb(Tables.embeddings(spark, sfDir), m))
+      lazy val q = emb.filter(col("vec_id") % 100 === 0)
       // TPC-H tables for the d10–d12 join shapes — lazy (only forced
       // when one of those probes actually runs) with id offsets kept
       // CONSISTENT across tables so copy i's facts join copy i's dims
@@ -181,7 +206,7 @@ object ScaleProbe {
         // cluster table (the deployment shape) — the bench's composite
         // spelling re-times the embedded e2+clustering instead
         "e8_dedup_apply" -> {
-          val cl = mat(Dedup.clusters(
+          lazy val cl = mat(Dedup.clusters(
             Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.25, 100),
             "doc_a", "doc_b"))
           () => Dedup.applyClusters(docs, "doc_id", cl, "doc_id", "cluster_id")
@@ -207,7 +232,7 @@ object ScaleProbe {
         // the ANN query sets) — the ratio isolates the index-side join
         // cost, which is what grows in production
         "e9_dedup_incremental" -> {
-          val idx = mat(Dedup.minhashBandIndex(
+          lazy val idx = mat(Dedup.minhashBandIndex(
             docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3, 16, 4))
           () => Dedup.minhashLshAgainst(idx,
             docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 100000000L),
@@ -652,7 +677,7 @@ object ScaleProbe {
         // per-dim encode under a FROZEN calibration (the deployment
         // shape): pure projection, the ratio is scan+project scaling
         "f14_quantize_per_dim" -> {
-          val scales = Similarity.perDimScales(Similarity.embeddingStats(
+          lazy val scales = Similarity.perDimScales(Similarity.embeddingStats(
             emb.filter(col("vec_id") < 100000000L), "vec_id", "embedding"))
           () => Similarity.quantizeInt8PerDim(emb, "vec_id", "embedding", scales)
         },
@@ -705,6 +730,22 @@ object ScaleProbe {
         // map-combined shuffle — the scan is what scales
         "h17_bigram_stats" -> (() =>
           Curation.bigramStats(docs, "text", minCount = 5)),
+        // BPE training: ONE corpus-sized word count; the merge loop runs
+        // on the capped model-sized table — the ratio should track the
+        // count pass, the loop is corpus-size-independent
+        "h18_bpe_train" -> (() =>
+          Curation.bpeTrain(docs, "text", numMerges = 30,
+            topWords = 2000, minPairCount = 2)),
+        // encode under a FROZEN merge table (the deployment shape): a
+        // zero-shuffle codegen'd projection — pure scan+project scaling.
+        // merges train lazily on the warm-up run (dropped from timing;
+        // its one-off count shuffle is in the shufN column)
+        "h19_bpe_encode" -> {
+          lazy val merges = Curation.bpeMerges(Curation.bpeTrain(
+            docs.filter(col("doc_id") < 100000000L), "text",
+            numMerges = 30, topWords = 2000, minPairCount = 2))
+          () => Curation.bpeEncode(docs, "doc_id", "text", merges)
+        },
         // state_agg: one window + one agg — the shuffle is entity-
         // partitioned once and the agg rides the same exchange family
         "b26_state_agg" -> (() =>
