@@ -137,5 +137,69 @@ object GraftTableFunctions {
       arity(args, fn, Set(3), "table, keysCsv, orderCsv")
       plan(Incremental.upsertLatest(table(str(args, 0, fn)),
         csv(args, 1, fn), csv(args, 2, fn).map(col)))
+    },
+
+    // graft_range_join(left, right, leftKey, rightKey, leftTime,
+    //                  rightTime, windowSeconds, countName)
+    "graft_range_join" -> { args =>
+      val fn = "graft_range_join"
+      arity(args, fn, Set(8),
+        "left, right, leftKey, rightKey, leftTime, rightTime, windowSeconds, countName")
+      plan(TemporalJoin.countPriorWithin(
+        table(str(args, 0, fn)), table(str(args, 1, fn)),
+        keys = (str(args, 2, fn), str(args, 3, fn)),
+        times = (str(args, 4, fn), str(args, 5, fn)),
+        windowSeconds = num(args, 6, fn).toLong,
+        countName = str(args, 7, fn)))
+    },
+
+    // graft_uptime(table, entity, ts, tieCol, gapSeconds)
+    "graft_uptime" -> { args =>
+      val fn = "graft_uptime"
+      arity(args, fn, Set(5), "table, entity, ts, tieCol, gapSeconds")
+      plan(TimeAgg.heartbeatUptime(table(str(args, 0, fn)),
+        entity = str(args, 1, fn), ts = str(args, 2, fn),
+        tieBreak = str(args, 3, fn), gapSeconds = num(args, 4, fn).toLong))
+    },
+
+    // graft_candlestick(table, keysCsv, ts, tieCol, valueCol)
+    "graft_candlestick" -> { args =>
+      val fn = "graft_candlestick"
+      arity(args, fn, Set(5), "table, keysCsv, ts, tieCol, valueCol")
+      plan(TimeAgg.candlestick(table(str(args, 0, fn)),
+        keys = csv(args, 1, fn), ts = str(args, 2, fn),
+        tieBreak = str(args, 3, fn), value = str(args, 4, fn)))
+    },
+
+    // graft_topk(table, keysCsv, orderCsv, k [, rankName [, mode]]) —
+    // the bounded-heap TopKPerKey operator; orderCsv entries are
+    // 'col', 'col asc' or 'col desc'; mode is 'rownum' (default) or
+    // 'rank' (ties-aware)
+    "graft_topk" -> { args =>
+      val fn = "graft_topk"
+      arity(args, fn, Set(4, 5, 6),
+        "table, keysCsv, orderCsv, k[, rankName[, rownum|rank]]")
+      val mode = if (args.length == 6) str(args, 5, fn).toLowerCase match {
+        case "rownum" => graft.plans.TopKMode.RowNum
+        case "rank" => graft.plans.TopKMode.Ranked
+        case other => throw new IllegalArgumentException(
+          s"$fn: mode must be 'rownum' or 'rank', got '$other'")
+      } else graft.plans.TopKMode.RowNum
+      plan(graft.plans.TopKPerKey(table(str(args, 0, fn)),
+        keys = csv(args, 1, fn).map(col),
+        order = csv(args, 2, fn).map(orderCol(_, fn)),
+        k = num(args, 3, fn).toInt,
+        rankName = if (args.length >= 5) str(args, 4, fn) else "rnk",
+        mode = mode))
     })
+
+  /** 'col', 'col asc' or 'col desc' → a sort Column. */
+  private def orderCol(spec: String, fn: String): org.apache.spark.sql.Column =
+    spec.trim.split("\\s+") match {
+      case Array(n) => col(n)
+      case Array(n, dir) if dir.equalsIgnoreCase("asc") => col(n).asc
+      case Array(n, dir) if dir.equalsIgnoreCase("desc") => col(n).desc
+      case _ => throw new IllegalArgumentException(
+        s"$fn: bad order spec '$spec' (use 'col [asc|desc]')")
+    }
 }

@@ -1258,6 +1258,24 @@ object SparkEntry {
     "h17_bigram_stats" -> ((s, d) =>
       Curation.bigramStats(docs(s, d), "text", minCount = 5)),
 
+    // BPE merge-table training (Sennrich): one distributed word count
+    // (the only corpus-sized stage), merges learned on the capped
+    // model-sized word table — iterative argmax, so rows-only for the
+    // driver; the spec hash is the textbook example hand-computed
+    "h18_bpe_train" -> ((s, d) =>
+      Curation.bpeTrain(docs(s, d), "text", numMerges = 30,
+        topWords = 2000, minPairCount = 2)),
+
+    // corpus tokenization under the trained merges: a zero-shuffle
+    // codegen'd projection (native BpeSegment — no distinct-word join);
+    // iterative per-word merging, so rows-only for the driver
+    "h19_bpe_encode" -> ((s, d) => {
+      val merges = Curation.bpeMerges(
+        Curation.bpeTrain(docs(s, d), "text", numMerges = 30,
+          topWords = 2000, minPairCount = 2))
+      Curation.bpeEncode(docs(s, d), "doc_id", "text", merges)
+    }),
+
     // corpus-inspection: top-10 3-grams per language by document
     // frequency, through the custom TopKPerKey operator (bounded
     // per-key heaps — no per-language sort of the full n-gram table)
@@ -1540,6 +1558,43 @@ object SparkEntry {
           'user_id', 'ts,event_id')""")
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("ts").as("last_ts"), col("event_type").as("last_type"))
+    }),
+
+    "d7s_range_join_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      ev(s, d).filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+        .createOrReplaceTempView("graft_sql_clicks")
+      ev(s, d).filter(col("event_type") === "view")
+        .select("user_id", "ts")
+        .createOrReplaceTempView("graft_sql_views")
+      s.sql("""SELECT * FROM graft_range_join('graft_sql_clicks',
+          'graft_sql_views', 'user_id', 'user_id', 'ts', 'ts', 1800,
+          'n_prior_views')""")
+    }),
+
+    "b28s_uptime_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_uptime('graft_sql_events', 'user_id',
+          'ts', 'event_id', 1800)""")
+    }),
+
+    "b27s_candlestick_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      ev(s, d).withColumn("day", TimeAgg.dayKey(col("ts")))
+        .createOrReplaceTempView("graft_sql_events_day")
+      s.sql("""SELECT * FROM graft_candlestick('graft_sql_events_day',
+          'user_id,day', 'ts', 'event_id', 'value')""")
+    }),
+
+    "d8s_topk_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("graft_sql_seg_orders")
+      s.sql("""SELECT * FROM graft_topk('graft_sql_seg_orders',
+          'c_mktsegment', 'o_totalprice desc,o_orderkey asc', 3, 'rnk')""")
     })
   )
 
@@ -3252,7 +3307,11 @@ object SparkEntry {
       "d6s_asof_sql" -> "d6_asof_join",
       "d29s_asof_tolerance_sql" -> "d29_asof_tolerance",
       "b6s_gapfill_sql" -> "b6_gapfill_locf",
-      "c5s_dedup_latest_sql" -> "c5_dedup_upsert_latest"
+      "c5s_dedup_latest_sql" -> "c5_dedup_upsert_latest",
+      "d7s_range_join_sql" -> "d7_range_join",
+      "b28s_uptime_sql" -> "b28_uptime",
+      "b27s_candlestick_sql" -> "b27_candlestick",
+      "d8s_topk_sql" -> "d8_topk_native"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

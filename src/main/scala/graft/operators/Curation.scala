@@ -592,4 +592,122 @@ object Curation {
       .agg(count(lit(1)).as("n_grams"),
         Portable.fixedAvg(col("prob"), scale).as("avg_prob"),
         Portable.pround(min(col("prob")), scale).as("min_prob"))
+
+  // ───────────────────────── BPE tokenizer training ──────────────────
+
+  /** Train a BPE merge table (Sennrich et al. 2016) over the corpus:
+    * `(rank, left, right, pair_count)` — the learned vocabulary every
+    * LLM data pipeline ships to its tokenizer.
+    *
+    * Scale shape: the ONLY corpus-sized stage is one distributed
+    * word-frequency count (map-side combined; [[bigramStats]]'s h17
+    * exchange discipline). The count table is then capped at `topWords`
+    * by `(freq desc, word asc)` through a bounded-heap TakeOrdered —
+    * never a full sort — and the merge loop runs driver-side on that
+    * MODEL-SIZED table, exactly how production trainers work (word
+    * counts first, merges on the distinct-word multiset: merge cost is
+    * vocabulary-bounded and INDEPENDENT of corpus size, so 100 TB costs
+    * one count pass more than 100 GB, nothing else). The collect is the
+    * same model-sized-only discipline as [[trainCharLm]] and the PQ
+    * codebook training.
+    *
+    * Semantics (deterministic, engine-portable): words are
+    * whitespace-split lowercased tokens; a word's symbols are its code
+    * points plus the `</w>` marker; per round, pair counts are summed
+    * over adjacent POSITIONS weighted by word frequency (the reference
+    * algorithm's `get_stats`), the argmax breaks ties by `(count desc,
+    * left asc, right asc)`, and the winning pair is merged left to
+    * right in every word. Stops early when the best pair's count drops
+    * below `minPairCount` (merges learned from one occurrence
+    * generalize nothing). */
+  def bpeTrain(df: DataFrame, text: String, numMerges: Int,
+               topWords: Int = 65536, minPairCount: Long = 2): DataFrame = {
+    val spark = df.sparkSession
+    val capped = df
+      .select(explode(graft.functions.TextFunctions.tokens(
+        lower(col(text)))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__w").asc)
+      .limit(topWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val merges = bpeTrainLocal(capped, numMerges, minPairCount)
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r, c), i) => (i, l, r, c) }.toSeq
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** The exact merge loop on a word-frequency table — package-visible
+    * for property tests. */
+  private[graft] def bpeTrainLocal(wordCounts: Seq[(String, Long)],
+                                   numMerges: Int, minPairCount: Long)
+      : Seq[(String, String, Long)] = {
+    import scala.collection.mutable
+    val words = wordCounts.map { case (w, n) =>
+      val syms = mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        syms += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      syms += graft.functions.expressions.BpeCodec.Eow
+      (syms, n)
+    }
+    val out = mutable.ArrayBuffer[(String, String, Long)]()
+    var stop = false
+    while (!stop && out.size < numMerges) {
+      val counts = mutable.HashMap[(String, String), Long]()
+      for ((syms, n) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + n))
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        if (c < minPairCount) stop = true
+        else {
+          out += ((l, r, c))
+          for ((syms, _) <- words) {
+            var j = 0
+            while (j < syms.length - 1) {
+              if (syms(j) == l && syms(j + 1) == r) {
+                syms(j) = l + r
+                syms.remove(j + 1)
+              }
+              j += 1
+            }
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** A [[bpeTrain]] result as the ordered merge list [[bpeEncode]]
+    * consumes — model-sized collect. */
+  def bpeMerges(trained: DataFrame): Seq[(String, String)] =
+    trained.orderBy(col("rank").asc).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+
+  /** Tokenize the corpus under a FROZEN merge table: `(id, pieces,
+    * n_pieces)` with `pieces` the document's BPE symbols in order.
+    *
+    * A pure ZERO-SHUFFLE projection through the native codegen'd
+    * [[graft.functions.expressions.BpeSegment]] — no distinct-word
+    * join, no exchange; the merge table is model-sized and rides the
+    * plan once per task. The per-occurrence segmentation cost is what a
+    * distinct-word+join spelling would trade a corpus-wide shuffle for;
+    * on natural text (high word repetition, short words) the projection
+    * wins and keeps the stage in whole-stage codegen. */
+  def bpeEncode(df: DataFrame, id: String, text: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val codec = new graft.functions.expressions.BpeCodec(merges)
+    val pieces = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.BpeSegment(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          graft.functions.TextFunctions.tokens(lower(col(text)))), codec))
+    df.filter(col(id).isNotNull)
+      .select(col(id).as("doc_id"), pieces.as("pieces"))
+      .withColumn("n_pieces", size(col("pieces")))
+  }
 }

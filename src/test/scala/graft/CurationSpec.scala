@@ -453,4 +453,72 @@ class CurationSpec extends SparkSpec {
     assert(got(0) == ((1L, 2L, 0.75, 0.5))) // (0.5 + 1.0) / 2
     assert(got(1) == ((2L, 1L, 0.5, 0.5)))
   }
+
+  test("bpeTrain learns the textbook merges with deterministic tie-breaks") {
+    // Sennrich's worked example: {low×5, lower×2, newest×6, widest×3}.
+    // Round 1 pair counts peak at 9 shared by (e,s),(s,t),(t,</w>) —
+    // the (left, right) lexicographic tie-break picks (e,s); rounds 2/3
+    // cascade (es,t) then (est,</w>); round 4 ties (l,o)/(o,w) at 7 and
+    // picks (l,o); round 5 merges (lo,w).
+    val words =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = Curation.bpeTrain(docs, "text", numMerges = 5,
+      topWords = 100, minPairCount = 2)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq(
+      (0, "e", "s", 9L), (1, "es", "t", 9L), (2, "est", "</w>", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+  }
+
+  test("bpeTrain: minPairCount stops before one-occurrence merges") {
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val merges = Curation.bpeTrain(docs, "text", numMerges = 10,
+      topWords = 100, minPairCount = 2)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    // (a,b)=2 and (ab,</w>)=2 qualify; every cd pair occurs once
+    assert(merges == Seq((0, "a", "b", 2L), (1, "ab", "</w>", 2L)))
+  }
+
+  test("bpeEncode applies merges lowest-rank-first; unmerged pairs stay split") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w"))
+    val df = Seq((1L, "Lowest low"), (2L, ""), (3L, "zz")).toDF("doc_id", "text")
+    val got = Curation.bpeEncode(df, "doc_id", "text", merges)
+      .as[(Long, Seq[String], Int)].collect().sortBy(_._1)
+    // "lowest": e+s -> es+t -> est+</w> -> l+o -> lo+w leaves [low, est</w>];
+    // "low" has no (low,</w>) merge so the marker stays separate
+    assert(got(0) == ((1L, Seq("low", "est</w>", "low", "</w>"), 4)))
+    assert(got(1) == ((2L, Seq(), 0)))
+    assert(got(2) == ((3L, Seq("z", "z", "</w>"), 3)))
+  }
+
+  test("bpe round-trip: encoding a training word reconstructs word+</w>") {
+    val words = Seq("alpha", "alphabet", "better", "butter", "batter",
+      "banana", "bandana", "low", "lowest", "slow", "slower")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = Curation.bpeMerges(
+      Curation.bpeTrain(docs, "text", numMerges = 20, topWords = 100,
+        minPairCount = 2))
+    val got = Curation.bpeEncode(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String], Int)].collect()
+    got.foreach { case (id, pieces, n) =>
+      assert(pieces.length == n)
+      assert(pieces.mkString == words(id.toInt) + "</w>",
+        s"round-trip broke for ${words(id.toInt)}: $pieces")
+      assert(n <= words(id.toInt).length + 1)
+    }
+    // merges actually compress: at least one multi-char piece
+    assert(got.exists(_._2.exists(_.length > 1)))
+  }
+
+  test("bpeEncode with zero merges is characters plus the marker") {
+    val df = Seq((1L, "ab c")).toDF("doc_id", "text")
+    val got = Curation.bpeEncode(df, "doc_id", "text", Seq.empty)
+      .as[(Long, Seq[String], Int)].collect().head
+    assert(got == ((1L, Seq("a", "b", "</w>", "c", "</w>"), 5)))
+  }
 }

@@ -704,6 +704,17 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"))
     }
   }
+
+  test("BPE corpus encode is a zero-shuffle codegen'd projection") {
+    val df = graft.operators.Curation.bpeEncode(
+      Tables.documents(spark, sf), "doc_id", "text",
+      Seq(("e", "s"), ("es", "t"), ("t", "h")))
+    val plan = executed(df)
+    assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
+    assert(plan.contains("*("),
+      s"native BpeSegment fell out of codegen:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1)
+  }
 }
 
 /** Every declared query runs and the flagship returns rows. */

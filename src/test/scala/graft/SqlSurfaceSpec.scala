@@ -109,6 +109,81 @@ class SqlSurfaceSpec extends SparkSpec {
         Seq("user_id", "event_type"), Seq(col("ts"), col("event_id"))))
   }
 
+  test("graft_range_join == TemporalJoin.countPriorWithin") {
+    ready
+    val e = Tables.events(spark, sf)
+    e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts").createOrReplaceTempView("clicks")
+    e.filter(col("event_type") === "view")
+      .select("user_id", "ts").createOrReplaceTempView("views")
+    sameRows(
+      spark.sql(
+        """SELECT * FROM graft_range_join('clicks', 'views', 'user_id',
+          |  'user_id', 'ts', 'ts', 1800, 'n_prior_views')""".stripMargin),
+      TemporalJoin.countPriorWithin(
+        e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        e.filter(col("event_type") === "view").select("user_id", "ts"),
+        keys = ("user_id", "user_id"), times = ("ts", "ts"),
+        windowSeconds = 1800, countName = "n_prior_views"))
+  }
+
+  test("graft_uptime == TimeAgg.heartbeatUptime") {
+    ready
+    sameRows(
+      spark.sql(
+        "SELECT * FROM graft_uptime('ev', 'user_id', 'ts', 'event_id', 1800)"),
+      TimeAgg.heartbeatUptime(Tables.events(spark, sf), "user_id", "ts",
+        "event_id", 1800))
+  }
+
+  test("graft_candlestick == TimeAgg.candlestick") {
+    ready
+    Tables.events(spark, sf)
+      .withColumn("day", TimeAgg.dayKey(col("ts")))
+      .createOrReplaceTempView("ev_day")
+    sameRows(
+      spark.sql(
+        """SELECT * FROM graft_candlestick('ev_day', 'user_id,day', 'ts',
+          |  'event_id', 'value')""".stripMargin),
+      TimeAgg.candlestick(
+        Tables.events(spark, sf).withColumn("day", TimeAgg.dayKey(col("ts"))),
+        Seq("user_id", "day"), "ts", "event_id", "value"))
+  }
+
+  test("graft_topk == TopKPerKey in both modes; defaults apply") {
+    ready
+    Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .createOrReplaceTempView("ev_slim")
+    sameRows(
+      spark.sql(
+        """SELECT * FROM graft_topk('ev_slim', 'event_type',
+          |  'value desc,event_id asc', 5)""".stripMargin),
+      graft.plans.TopKPerKey(
+        Tables.events(spark, sf)
+          .select(col("event_type"), col("event_id"), col("value")),
+        keys = Seq(col("event_type")),
+        order = Seq(col("value").desc, col("event_id").asc),
+        k = 5, rankName = "rnk"))
+    // ties-aware mode over a coarse band
+    Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") / 100).as("band"))
+      .createOrReplaceTempView("ev_band")
+    sameRows(
+      spark.sql(
+        """SELECT * FROM graft_topk('ev_band', 'event_type', 'band desc',
+          |  2, 'rk', 'rank')""".stripMargin),
+      graft.plans.TopKPerKey(
+        Tables.events(spark, sf)
+          .select(col("event_type"), col("event_id"),
+            floor(col("value") / 100).as("band")),
+        keys = Seq(col("event_type")),
+        order = Seq(col("band").desc),
+        k = 2, rankName = "rk", mode = graft.plans.TopKMode.Ranked))
+  }
+
   test("argument errors fail loudly with the usage string") {
     ready
     val tooFew = intercept[Exception] {
@@ -120,5 +195,17 @@ class SqlSurfaceSpec extends SparkSpec {
         .collect()
     }
     assert(notLit.getMessage.contains("graft_retention"))
+    val badMode = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_topk('ev', 'event_type', 'value', 3, 'r', 'nope')")
+        .collect()
+    }
+    assert(badMode.getMessage.contains("rownum"))
+    val badOrder = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_topk('ev', 'event_type', 'value way up', 3)")
+        .collect()
+    }
+    assert(badOrder.getMessage.contains("order spec"))
   }
 }
