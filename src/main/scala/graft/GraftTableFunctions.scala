@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Incremental, Sessionize, TemporalJoin, TimeAgg}
+import graft.operators.{Curation, Incremental, Sessionize, TemporalJoin, TimeAgg}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -191,6 +191,30 @@ object GraftTableFunctions {
         k = num(args, 3, fn).toInt,
         rankName = if (args.length >= 5) str(args, 4, fn) else "rnk",
         mode = mode))
+    },
+
+    // graft_bpe_train(table, text, numMerges [, topWords [, minPairCount]])
+    // — runs the corpus word count EAGERLY at plan time (bpeTrain's
+    // merge loop needs the counts); the result relation is the
+    // model-sized merge table
+    "graft_bpe_train" -> { args =>
+      val fn = "graft_bpe_train"
+      arity(args, fn, Set(3, 4, 5),
+        "table, text, numMerges[, topWords[, minPairCount]]")
+      plan(Curation.bpeTrain(table(str(args, 0, fn)), str(args, 1, fn),
+        numMerges = num(args, 2, fn).toInt,
+        topWords = if (args.length >= 4) num(args, 3, fn).toInt else 65536,
+        minPairCount = if (args.length >= 5) num(args, 4, fn).toLong else 2L))
+    },
+
+    // graft_bpe_encode(table, id, text, mergesTable) — collects the
+    // MODEL-SIZED merges relation at plan time and encodes as the
+    // zero-shuffle BpeSegment projection
+    "graft_bpe_encode" -> { args =>
+      val fn = "graft_bpe_encode"
+      arity(args, fn, Set(4), "table, id, text, mergesTable")
+      plan(Curation.bpeEncode(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn), Curation.bpeMerges(table(str(args, 3, fn)))))
     })
 
   /** 'col', 'col asc' or 'col desc' → a sort Column. */

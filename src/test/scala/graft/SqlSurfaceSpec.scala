@@ -184,6 +184,26 @@ class SqlSurfaceSpec extends SparkSpec {
         k = 2, rankName = "rk", mode = graft.plans.TopKMode.Ranked))
   }
 
+  test("graft_bpe_train / graft_bpe_encode == Curation BPE pair") {
+    ready
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_sql")
+    val sqlTrained = spark.sql(
+      "SELECT * FROM graft_bpe_train('docs_sql', 'text', 10, 500, 2)")
+    val scTrained = graft.operators.Curation.bpeTrain(
+      Tables.documents(spark, sf), "text", numMerges = 10,
+      topWords = 500, minPairCount = 2)
+    sameRows(sqlTrained, scTrained)
+    sqlTrained.createOrReplaceTempView("merges_sql")
+    val sqlEnc = spark.sql(
+      """SELECT doc_id, n_pieces FROM graft_bpe_encode('docs_sql',
+        |  'doc_id', 'text', 'merges_sql')""".stripMargin)
+    val scEnc = graft.operators.Curation.bpeEncode(
+        Tables.documents(spark, sf), "doc_id", "text",
+        graft.operators.Curation.bpeMerges(scTrained))
+      .select("doc_id", "n_pieces")
+    sameRows(sqlEnc, scEnc)
+  }
+
   test("argument errors fail loudly with the usage string") {
     ready
     val tooFew = intercept[Exception] {
