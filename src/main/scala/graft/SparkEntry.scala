@@ -1389,6 +1389,19 @@ object SparkEntry {
         ev(s, d).select("user_id", "event_id", "value"),
         Seq("user_id"), "value", k = 3.0, scale = 2)),
 
+    // distribution drift between a reference and a current slice — the
+    // pre-training check when a new crawl lands: TV distance + worst
+    // bin over aligned fixed bins, exact-integer cross products (no
+    // float proportion sums), sketch-sized frames after the first pass
+    "dq4_drift" -> ((s, d) => {
+      val e = ev(s, d)
+      val cut = lit("2024-01-16").cast("timestamp")
+      DataQuality.distributionDrift(
+        e.filter(col("ts") < cut), e.filter(col("ts") >= cut),
+        Seq("event_type"), col("value"), lo = 0.0, hi = 500.0,
+        nBins = 20, scale = 6)
+    }),
+
     "h10_interdup" -> ((s, d) =>
       Dedup.sharedShingleRatio(docs(s, d), "doc_id", "text", 3)),
 
@@ -3199,6 +3212,36 @@ object SparkEntry {
          |SELECT d.user_id, event_id, value, med, mad
          |FROM dev d JOIN mad USING (user_id)
          |WHERE mad > 0 AND ad > 3.0 * mad""".stripMargin,
+
+    "dq4_drift" ->
+      s"""WITH b AS (
+         |  SELECT event_type, ts,
+         |    CASE WHEN value < 0.0 THEN 0
+         |         WHEN value >= 500.0 THEN 21
+         |         ELSE CAST(floor((value - 0.0) / 25.0) AS INT) + 1 END AS bucket
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT event_type, bucket, count(*) AS nr FROM b
+         |      WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1, 2),
+         |c AS (SELECT event_type, bucket, count(*) AS nc FROM b
+         |      WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1, 2),
+         |j AS (SELECT event_type, bucket, coalesce(nr, 0) AS rr,
+         |        coalesce(nc, 0) AS cc
+         |      FROM r FULL JOIN c USING (event_type, bucket)),
+         |t AS (SELECT event_type, rr, cc,
+         |        sum(rr) OVER (PARTITION BY event_type) AS tr,
+         |        sum(cc) OVER (PARTITION BY event_type) AS tc FROM j),
+         |a AS (SELECT event_type,
+         |        CAST(max(tr) AS BIGINT) AS n_ref,
+         |        CAST(max(tc) AS BIGINT) AS n_cur,
+         |        sum(abs(CAST(rr AS HUGEINT) * tc - CAST(cc AS HUGEINT) * tr)) AS s,
+         |        max(abs(CAST(rr AS HUGEINT) * tc - CAST(cc AS HUGEINT) * tr)) AS m
+         |      FROM t GROUP BY 1)
+         |SELECT event_type, n_ref, n_cur,
+         |  CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1.0
+         |    ELSE ${sqlPround("CAST(s AS DOUBLE) / (2.0 * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))", 6)} END AS tv_dist,
+         |  CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1.0
+         |    ELSE ${sqlPround("CAST(m AS DOUBLE) / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))", 6)} END AS max_bin_delta
+         |FROM a""".stripMargin,
 
     "dq1_checks" ->
       """SELECT 'not_null_user_id' AS check_name, count(*) AS n_violations, count(*) = 0 AS passed

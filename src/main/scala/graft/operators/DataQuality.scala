@@ -148,6 +148,87 @@ object DataQuality {
       .drop("__ad")
   }
 
+  /** Distribution-drift report between a REFERENCE batch and a CURRENT
+    * batch — the pre-training check an LLM data pipeline runs when a new
+    * crawl/source lands: has the value distribution shifted per key?
+    *
+    * Metrics per key group (both engine-portable — no libm, so no
+    * PSI/KL whose `ln` differs in the last ULP across runtimes):
+    *  - `tv_dist`: total-variation distance `0.5·Σ|p_b − q_b|` over the
+    *    aligned fixed bins — 0 for identical distributions, 1 for
+    *    disjoint ones; the standard L1 drift score.
+    *  - `max_bin_delta`: `max_b |p_b − q_b|` — localizes the worst bin.
+    *
+    * Exactness: proportions are never summed as floats. `|p−q|` is
+    * computed as the exact integer `|cnt_r·tot_c − cnt_c·tot_r|`
+    * (decimal(38) products — safe past 1e12-row sides), summed exactly,
+    * and divided ONCE at the end — so the result is bit-identical in
+    * any engine that can do integer arithmetic, and the DuckDB oracle
+    * reproduces it hash-exactly.
+    *
+    * Scale shape: each side reduces to its (keys, bin) counts in one
+    * map-combined pass (the b30 histogram discipline — under/overflow
+    * land in sentinel bins 0 and nBins+1); the full-outer bin join and
+    * the totals window run on SKETCH-SIZED frames (≤ nBins+2 rows per
+    * key per side), and the window + final agg share one keys-hash
+    * exchange. Keys present in only one side report with the other
+    * side's count 0 and tv_dist 1 (a vanished or brand-new key is
+    * maximal drift). */
+  def distributionDrift(ref: DataFrame, cur: DataFrame, keys: Seq[String],
+                        value: Column, lo: Double, hi: Double, nBins: Int,
+                        scale: Int = 6): DataFrame = {
+    require(nBins > 0 && hi > lo)
+    val width = (hi - lo) / nBins
+    val bucket = when(value < lit(lo), lit(0))
+      .when(value >= lit(hi), lit(nBins + 1))
+      .otherwise(floor((value - lit(lo)) / lit(width)).cast("int") + lit(1))
+    def counts(df: DataFrame, as: String) =
+      df.filter(value.isNotNull)
+        .groupBy(keys.map(col) :+ bucket.as("bucket"): _*)
+        .agg(count(lit(1)).as(as))
+    driftFromBins(counts(ref, "cnt_ref"), counts(cur, "cnt_cur"),
+      keys, scale)
+  }
+
+  /** The drift computation over pre-built bin-count frames
+    * `(keys..., bucket, cnt_ref)` / `(keys..., bucket, cnt_cur)` — the
+    * entry point for CONTINUOUSLY MAINTAINED histograms (the I19
+    * streaming bins feed this directly; bucketing conventions must
+    * match between the two sides, which [[distributionDrift]]
+    * guarantees by constructing both). */
+  def driftFromBins(refBins: DataFrame, curBins: DataFrame,
+                    keys: Seq[String], scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = refBins.join(curBins, keys :+ "bucket", "full_outer")
+      .select(keys.map(col) :+ col("bucket") :+
+        coalesce(col("cnt_ref"), lit(0L)).as("r") :+
+        coalesce(col("cnt_cur"), lit(0L)).as("c"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+    val dec = "decimal(19,0)"
+    val withTot = j
+      .withColumn("__tr", sum(col("r")).over(w))
+      .withColumn("__tc", sum(col("c")).over(w))
+      // exact integer |p−q| numerator over the common denominator tr·tc
+      .withColumn("__d", abs(col("r").cast(dec) * col("__tc").cast(dec) -
+        col("c").cast(dec) * col("__tr").cast(dec)))
+    // a key present in only ONE side (the other total 0) is maximal
+    // drift BY DEFINITION (a vanished or brand-new key): the cross
+    // products collapse to 0 there, so override rather than divide
+    val oneSided = col("n_ref") === 0L || col("n_cur") === 0L
+    val tr = greatest(col("n_ref"), lit(1L)).cast("double")
+    val tc = greatest(col("n_cur"), lit(1L)).cast("double")
+    withTot.groupBy(keys.map(col): _*)
+      .agg(max(col("__tr")).as("n_ref"), max(col("__tc")).as("n_cur"),
+        sum(col("__d")).as("__sum"), max(col("__d")).as("__max"))
+      .select(keys.map(col) :+ col("n_ref") :+ col("n_cur") :+
+        when(oneSided, lit(1.0)).otherwise(graft.functions.Portable.pround(
+          col("__sum").cast("double") / (lit(2.0) * tr * tc), scale))
+          .as("tv_dist") :+
+        when(oneSided, lit(1.0)).otherwise(graft.functions.Portable.pround(
+          col("__max").cast("double") / (tr * tc), scale))
+          .as("max_bin_delta"): _*)
+  }
+
   def report(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_.unionByName(_))
 }

@@ -96,4 +96,41 @@ class DataQualitySpec extends SparkSpec {
     // within-doc repeats collapse to ONE distinct shingle, shared nowhere
     assert(got(4L) == ((1L, 0L)))
   }
+
+  test("drift: identical distributions score 0; hand-computed TV; one-sided keys score 1") {
+    // key A: ref [10,10,30] vs cur [10,30,30] over bins(0,40,4):
+    // p = (2/3 @bin2, 1/3 @bin4), q = (1/3, 2/3) -> TV = 1/3, worst bin 1/3.
+    // key B identical both sides -> 0. key C only in ref -> 1 / n_cur=0.
+    val ref = Seq(("A", 10.0), ("A", 10.0), ("A", 30.0),
+      ("B", 5.0), ("B", 15.0), ("C", 7.0)).toDF("k", "v")
+    val cur = Seq(("A", 10.0), ("A", 30.0), ("A", 30.0),
+      ("B", 5.0), ("B", 15.0)).toDF("k", "v")
+    val got = DataQuality.distributionDrift(ref, cur, Seq("k"), col("v"),
+        lo = 0.0, hi = 40.0, nBins = 4, scale = 6)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 3L, 3L, 0.333333, 0.333333)))
+    assert(got("B") == (("B", 2L, 2L, 0.0, 0.0)))
+    assert(got("C") == (("C", 1L, 0L, 1.0, 1.0)))
+  }
+
+  test("drift is symmetric and lands in [0,1]; under/overflow bucketed not dropped") {
+    val ref = Seq(("A", -5.0), ("A", 100.0), ("A", 10.0)).toDF("k", "v")
+    val cur = Seq(("A", 10.0), ("A", 10.0), ("A", 100.0)).toDF("k", "v")
+    def tv(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      DataQuality.distributionDrift(a, b, Seq("k"), col("v"), 0.0, 40.0, 4)
+        .select("tv_dist").as[Double].head()
+    val f = tv(ref, cur); val g = tv(cur, ref)
+    // underflow (-5) and overflow (100) land in sentinel bins: the -5 vs
+    // extra 10 shift is visible -> TV = 1/3
+    assert(f == g && f == 0.333333)
+  }
+
+  test("driftFromBins: maintained histograms feed the same computation") {
+    val refBins = Seq(("A", 2, 2L), ("A", 4, 1L)).toDF("k", "bucket", "cnt_ref")
+    val curBins = Seq(("A", 2, 1L), ("A", 4, 2L)).toDF("k", "bucket", "cnt_cur")
+    val got = DataQuality.driftFromBins(refBins, curBins, Seq("k"))
+      .as[(String, Long, Long, Double, Double)].head()
+    assert(got == (("A", 3L, 3L, 0.333333, 0.333333)))
+  }
 }

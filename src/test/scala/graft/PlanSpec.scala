@@ -705,6 +705,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("drift: two count scans, bin-sized join, window+agg share the keys exchange") {
+    val plan = executed(SparkEntry.queries("dq4_drift")(spark, sf))
+      .split("== Initial Plan ==").head
+    // one scan per side (pushed ts filters), never re-read for totals
+    assert("FileScan parquet".r.findAllIn(plan).size == 2,
+      s"drift should scan events exactly twice (ref + cur):\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"bin join degenerated:\n$plan")
+    // everything after the two count passes is sketch-sized: the window
+    // and the final agg ride the same event_type hash family
+    assert(plan.contains("Window"), s"totals window missing:\n$plan")
+  }
+
   test("BPE corpus encode is a zero-shuffle codegen'd projection") {
     val df = graft.operators.Curation.bpeEncode(
       Tables.documents(spark, sf), "doc_id", "text",
