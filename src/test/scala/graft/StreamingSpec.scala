@@ -383,6 +383,43 @@ class StreamingSpec extends SparkSpec {
       direct.exceptAll(est).count() == 0)
   }
 
+  test("streaming drift: maintained bins + frozen reference reproduce batch drift") {
+    // the DQ4 continuous story: keep ONE maintained (event_type, day,
+    // bin) table current (the I19 stream — equality-proven above);
+    // drift then re-derives from the maintained table alone — raw
+    // events are never re-read when the drift report refreshes
+    import graft.operators.{DataQuality, Sketches}
+    import graft.streaming.IotStreamPipeline
+    import graft.streaming.IotStreamPipeline.HistBinOut
+    val in = Files.createTempDirectory("graft-drift-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "ts", "value")
+    val maintained = maintainedRows[HistBinOut](
+      IotStreamPipeline.histBinsStream(
+        spark.readStream.schema(ev.schema).parquet(in), 0.0, 600.0, 600),
+      r => (r.event_type, r.day, r.bin))(landTimeSplit(ev, in)).toDF()
+    val cutDay = "20240116"
+    def roll(cond: org.apache.spark.sql.Column, as: String) = maintained
+      .filter(cond).groupBy(col("event_type"), col("bin").as("bucket"))
+      .agg(sum(col("cnt")).as(as))
+    val streamDrift = DataQuality.driftFromBins(
+      roll(col("day") < cutDay, "cnt_ref"),
+      roll(col("day") >= cutDay, "cnt_cur"), Seq("event_type"))
+    // batch side: fresh bins over the same slices, same computation
+    val cut = lit("2024-01-16").cast("timestamp")
+    def bins(cond: org.apache.spark.sql.Column, as: String) =
+      Sketches.histBinCounts(ev.filter(cond), Seq("event_type"),
+          col("value"), 0.0, 600.0, 600)
+        .select(col("event_type"), col("__bin").as("bucket"),
+          col("__cnt").as(as))
+    val batchDrift = DataQuality.driftFromBins(
+      bins(col("ts") < cut, "cnt_ref"),
+      bins(col("ts") >= cut, "cnt_cur"), Seq("event_type"))
+    assert(streamDrift.count() > 0)
+    assert(streamDrift.exceptAll(batchDrift).count() == 0 &&
+      batchDrift.exceptAll(streamDrift).count() == 0)
+  }
+
   test("streaming time-weighted avg maintains the batch rollup across arrivals") {
     import graft.streaming.IotStreamPipeline
     import graft.streaming.IotStreamPipeline.TwaOut
