@@ -73,6 +73,30 @@ object Main {
     println(s"[ann] indexed=${Similarity.loadPqCodes(spark, s"$wh/ann").count()}" +
       s" queries=${hits.select("query_id").distinct().count()}" +
       s" hits=${hits.count()}")
+
+    // ---- tokenizer cycle (H18/H19): learn the BPE merge table on the
+    // committed corpus, encode it back, report the compression
+    import graft.operators.{Curation, DataQuality}
+    val corpus = spark.read.parquet(s"$wh/corpus")
+    val merges = Curation.bpeMerges(
+      Curation.bpeTrain(corpus, "text", numMerges = 50, topWords = 2000))
+    val encStats = Curation.bpeEncode(corpus, "doc_id", "text", merges)
+      .agg(count(lit(1)).as("docs"), sum(col("n_pieces")).as("pieces")).head()
+    println(s"[bpe] merges=${merges.size} docs=${encStats.getLong(0)}" +
+      s" pieces=${encStats.getLong(1)}")
+
+    // ---- drift check (DQ4): value-distribution shift between the
+    // staged window's first and second half, per event type
+    val cutTs = ev.agg(
+      org.apache.spark.sql.functions.expr(
+        "percentile_approx(cast(ts as double), 0.5)")).head().getDouble(0)
+    val worst = DataQuality.distributionDrift(
+        ev.filter(col("ts").cast("double") <= cutTs),
+        ev.filter(col("ts").cast("double") > cutTs),
+        Seq("event_type"), col("value"), lo = 0.0, hi = 500.0, nBins = 20)
+      .orderBy(col("tv_dist").desc).head()
+    println(s"[drift] worst_key=${worst.getString(0)}" +
+      s" tv=${worst.getDouble(3)} max_bin=${worst.getDouble(4)}")
     spark.stop()
   }
 }
