@@ -415,6 +415,16 @@ object ScaleProbe {
         "dq2_outliers" -> (() =>
           DataQuality.outliers(ev.select("user_id", "event_id", "value"),
             Seq("user_id"), "value", k = 3, scale = 2)),
+        // drift: each side reduces to (key, bin) counts map-side; all
+        // later stages are sketch-sized — the ratio tracks the scans
+        "dq4_drift" -> {
+          lazy val half = ev.agg(expr(
+            "percentile_approx(cast(ts as double), 0.5)")).head().getDouble(0)
+          () => DataQuality.distributionDrift(
+            ev.filter(col("ts").cast("double") <= half),
+            ev.filter(col("ts").cast("double") > half),
+            Seq("event_type"), col("value"), 0.0, 500.0, 20)
+        },
         // LTTB downsample: one window family per series + the bounded-
         // heap argmax — user count scales with m, points-per-series flat
         "b24_downsample_lttb" -> (() =>
