@@ -684,6 +684,13 @@ object ScaleProbe {
         // explode is what scales
         "f13_embedding_stats" -> (() =>
           Similarity.embeddingStats(emb, "vec_id", "embedding")),
+        // centroid drift: two (key, dim) fixed-sum passes — exchanges
+        // keys×dims-bounded; the explode scans are what scale
+        "f16_embedding_drift" -> (() =>
+          Similarity.embeddingDrift(
+            emb.filter(col("vec_id") % 2 === 0),
+            emb.filter(col("vec_id") % 2 === 1),
+            "label", "embedding")),
         // per-dim encode under a FROZEN calibration (the deployment
         // shape): pure projection, the ratio is scan+project scaling
         "f14_quantize_per_dim" -> {

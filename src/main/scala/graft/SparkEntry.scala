@@ -1324,6 +1324,16 @@ object SparkEntry {
           Similarity.embeddingStats(e, "vec_id", "embedding")))
     }),
 
+    // per-label centroid drift between two corpus slices — the
+    // vector-side DQ4: exact-integer L1/max shift over fixed-point dim
+    // sums, no cross-dim float summation (order-portable by design)
+    "f16_embedding_drift" -> ((s, d) => {
+      val e = embD(s, d)
+      Similarity.embeddingDrift(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        "label", "embedding")
+    }),
+
     // f8: search OVER the int8 index — the searcher sees only f7-style
     // codes + per-vector scale, dequantizes on the fly; exact top-k of
     // the quantized space, oracle-mirrored bit-for-bit
@@ -3101,6 +3111,39 @@ object SparkEntry {
          |FROM a""".stripMargin
     },
 
+    "f16_embedding_drift" -> {
+      val den = "CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) * 100000000.0"
+      s"""WITH e AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |xs AS (
+         |  SELECT vec_id, label, CAST(u.d AS INT) AS dim,
+         |    v[CAST(u.d AS INT) + 1] AS x
+         |  FROM e, LATERAL unnest(range(0, len(v))) AS u(d)),
+         |r AS (SELECT label, dim,
+         |        sum(CAST(floor(x * 100000000.0 + 0.5) AS BIGINT)) AS rs,
+         |        count(*) AS rn
+         |      FROM xs WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+         |c AS (SELECT label, dim,
+         |        sum(CAST(floor(x * 100000000.0 + 0.5) AS BIGINT)) AS cs,
+         |        count(*) AS cn
+         |      FROM xs WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+         |j AS (SELECT label, dim,
+         |        abs(CAST(rs AS HUGEINT) * cn - CAST(cs AS HUGEINT) * rn) AS d,
+         |        rn, cn
+         |      FROM r JOIN c USING (label, dim)),
+         |a AS (SELECT label, CAST(max(rn) AS BIGINT) AS n_ref,
+         |        CAST(max(cn) AS BIGINT) AS n_cur,
+         |        CAST(count(*) AS BIGINT) AS n_dims,
+         |        sum(d) AS l1, max(d) AS mx
+         |      FROM j GROUP BY 1)
+         |SELECT label, n_ref, n_cur, n_dims,
+         |  ${sqlPround(s"CAST(l1 AS DOUBLE) / ($den)", 6)} AS l1_shift,
+         |  ${sqlPround(s"CAST(mx AS DOUBLE) / ($den)", 6)} AS max_dim_shift
+         |FROM a""".stripMargin
+    },
+
     "f14_quantize_per_dim" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3229,18 +3272,25 @@ object SparkEntry {
          |      FROM r FULL JOIN c USING (event_type, bucket)),
          |t AS (SELECT event_type, rr, cc,
          |        sum(rr) OVER (PARTITION BY event_type) AS tr,
-         |        sum(cc) OVER (PARTITION BY event_type) AS tc FROM j),
+         |        sum(cc) OVER (PARTITION BY event_type) AS tc,
+         |        sum(rr) OVER (PARTITION BY event_type ORDER BY bucket
+         |          ROWS UNBOUNDED PRECEDING) AS crr,
+         |        sum(cc) OVER (PARTITION BY event_type ORDER BY bucket
+         |          ROWS UNBOUNDED PRECEDING) AS ccc FROM j),
          |a AS (SELECT event_type,
          |        CAST(max(tr) AS BIGINT) AS n_ref,
          |        CAST(max(tc) AS BIGINT) AS n_cur,
          |        sum(abs(CAST(rr AS HUGEINT) * tc - CAST(cc AS HUGEINT) * tr)) AS s,
-         |        max(abs(CAST(rr AS HUGEINT) * tc - CAST(cc AS HUGEINT) * tr)) AS m
+         |        max(abs(CAST(rr AS HUGEINT) * tc - CAST(cc AS HUGEINT) * tr)) AS m,
+         |        max(abs(CAST(crr AS HUGEINT) * tc - CAST(ccc AS HUGEINT) * tr)) AS ks
          |      FROM t GROUP BY 1)
          |SELECT event_type, n_ref, n_cur,
          |  CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1.0
          |    ELSE ${sqlPround("CAST(s AS DOUBLE) / (2.0 * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))", 6)} END AS tv_dist,
          |  CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1.0
-         |    ELSE ${sqlPround("CAST(m AS DOUBLE) / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))", 6)} END AS max_bin_delta
+         |    ELSE ${sqlPround("CAST(m AS DOUBLE) / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))", 6)} END AS max_bin_delta,
+         |  CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1.0
+         |    ELSE ${sqlPround("CAST(ks AS DOUBLE) / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))", 6)} END AS ks_stat
          |FROM a""".stripMargin,
 
     "dq1_checks" ->

@@ -152,12 +152,16 @@ object DataQuality {
     * batch — the pre-training check an LLM data pipeline runs when a new
     * crawl/source lands: has the value distribution shifted per key?
     *
-    * Metrics per key group (both engine-portable — no libm, so no
+    * Metrics per key group (all engine-portable — no libm, so no
     * PSI/KL whose `ln` differs in the last ULP across runtimes):
     *  - `tv_dist`: total-variation distance `0.5·Σ|p_b − q_b|` over the
     *    aligned fixed bins — 0 for identical distributions, 1 for
     *    disjoint ones; the standard L1 drift score.
     *  - `max_bin_delta`: `max_b |p_b − q_b|` — localizes the worst bin.
+    *  - `ks_stat`: the (binned) Kolmogorov–Smirnov statistic
+    *    `max_b |CDF_p(b) − CDF_q(b)` — sensitive to location shifts TV
+    *    smears across bins; the cumulative window orders by bin WITHIN
+    *    the same keys exchange, so it costs no extra shuffle.
     *
     * Exactness: proportions are never summed as floats. `|p−q|` is
     * computed as the exact integer `|cnt_r·tot_c − cnt_c·tot_r|`
@@ -205,12 +209,19 @@ object DataQuality {
         coalesce(col("cnt_cur"), lit(0L)).as("c"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
     val dec = "decimal(19,0)"
+    val wcum = w.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withTot = j
       .withColumn("__tr", sum(col("r")).over(w))
       .withColumn("__tc", sum(col("c")).over(w))
       // exact integer |p−q| numerator over the common denominator tr·tc
       .withColumn("__d", abs(col("r").cast(dec) * col("__tc").cast(dec) -
         col("c").cast(dec) * col("__tr").cast(dec)))
+      // exact integer |CDF_p−CDF_q| numerator: the CDF only moves at
+      // occupied bins, so cumulating over the joined frame is exact
+      .withColumn("__k", abs(
+        sum(col("r")).over(wcum).cast(dec) * col("__tc").cast(dec) -
+        sum(col("c")).over(wcum).cast(dec) * col("__tr").cast(dec)))
     // a key present in only ONE side (the other total 0) is maximal
     // drift BY DEFINITION (a vanished or brand-new key): the cross
     // products collapse to 0 there, so override rather than divide
@@ -219,14 +230,18 @@ object DataQuality {
     val tc = greatest(col("n_cur"), lit(1L)).cast("double")
     withTot.groupBy(keys.map(col): _*)
       .agg(max(col("__tr")).as("n_ref"), max(col("__tc")).as("n_cur"),
-        sum(col("__d")).as("__sum"), max(col("__d")).as("__max"))
+        sum(col("__d")).as("__sum"), max(col("__d")).as("__max"),
+        max(col("__k")).as("__ks"))
       .select(keys.map(col) :+ col("n_ref") :+ col("n_cur") :+
         when(oneSided, lit(1.0)).otherwise(graft.functions.Portable.pround(
           col("__sum").cast("double") / (lit(2.0) * tr * tc), scale))
           .as("tv_dist") :+
         when(oneSided, lit(1.0)).otherwise(graft.functions.Portable.pround(
           col("__max").cast("double") / (tr * tc), scale))
-          .as("max_bin_delta"): _*)
+          .as("max_bin_delta") :+
+        when(oneSided, lit(1.0)).otherwise(graft.functions.Portable.pround(
+          col("__ks").cast("double") / (tr * tc), scale))
+          .as("ks_stat"): _*)
   }
 
   def report(checks: Seq[DataFrame]): DataFrame =

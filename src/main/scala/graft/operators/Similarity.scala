@@ -380,6 +380,58 @@ object Similarity {
       .collect().map(r => r.getInt(0) -> r.getDouble(1))
       .sortBy(_._1).map(_._2)
 
+  /** Per-key embedding-CENTROID drift between a reference and a
+    * current batch — the vector-side counterpart of
+    * [[DataQuality.distributionDrift]]: when a new crawl, a re-scraped
+    * source, or a new encoder checkpoint lands, has each label's
+    * centroid moved?
+    *
+    * Metrics per key (engine-portable like all graft numerics):
+    *  - `l1_shift`: `Σ_d |mean_ref,d − mean_cur,d|` — the L1 norm of
+    *    the centroid displacement.
+    *  - `max_dim_shift`: the worst single dimension (localizes which
+    *    feature moved).
+    * Both avoid cross-dimension FLOAT sums entirely (float addition is
+    * order-sensitive and engines sum rows in different orders): the
+    * per-dim numerator is the exact integer `|sx_r·n_c − sx_c·n_r|`
+    * over fixed-point dim sums (the [[embeddingStats]] discipline),
+    * summed/maxed exactly as decimal(38), divided once. L2 would need a
+    * float sum of squares — L1+max is the portable pair, and for drift
+    * ALARMING purposes they bound each other (`max ≤ L2 ≤ L1`).
+    *
+    * Scale shape: each side reduces to (key, dim) fixed sums in one
+    * map-combined pass (exchange ≤ keys×dims rows however many vectors
+    * flow in); everything after is sketch-sized. Keys must appear in
+    * BOTH sides (inner join): centroid drift of a brand-new or
+    * vanished label is not defined — [[DataQuality.distributionDrift]]
+    * on the key column is the existence check. */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame, key: String,
+                     vec: String, scale: Int = 6): DataFrame = {
+    import graft.functions.Portable
+    def sums(df: DataFrame, sx: String, n: String) =
+      df.filter(col(vec).isNotNull)
+        .select(col(key), posexplode(col(vec)).as(Seq("dim", "x")))
+        .groupBy(col(key), col("dim"))
+        .agg(sum(Portable.toFixed(col("x"), 8)).as(sx),
+          count(lit(1)).as(n))
+    val dec = "decimal(19,0)"
+    val num = abs(col("rs").cast(dec) * col("cn").cast(dec) -
+      col("cs").cast(dec) * col("rn").cast(dec))
+    sums(ref, "rs", "rn").join(sums(cur, "cs", "cn"), Seq(key, "dim"))
+      .withColumn("__d", num)
+      .groupBy(col(key))
+      .agg(max(col("rn")).as("n_ref"), max(col("cn")).as("n_cur"),
+        count(lit(1)).as("n_dims"),
+        sum(col("__d")).as("__l1"), max(col("__d")).as("__mx"))
+      .select(col(key), col("n_ref"), col("n_cur"), col("n_dims"),
+        Portable.pround(col("__l1").cast("double") /
+          (col("n_ref").cast("double") * col("n_cur").cast("double")
+            * lit(1e8)), scale).as("l1_shift"),
+        Portable.pround(col("__mx").cast("double") /
+          (col("n_ref").cast("double") * col("n_cur").cast("double")
+            * lit(1e8)), scale).as("max_dim_shift"))
+  }
+
   /** Per-DIMENSION symmetric int8 quantization — the PTQ shape that
     * per-tensor [[quantizeInt8]] approximates: each dimension encodes
     * against ITS calibrated range (`scales`, from [[perDimScales]] over

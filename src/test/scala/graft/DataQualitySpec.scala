@@ -107,11 +107,12 @@ class DataQualitySpec extends SparkSpec {
       ("B", 5.0), ("B", 15.0)).toDF("k", "v")
     val got = DataQuality.distributionDrift(ref, cur, Seq("k"), col("v"),
         lo = 0.0, hi = 40.0, nBins = 4, scale = 6)
-      .as[(String, Long, Long, Double, Double)].collect()
+      .as[(String, Long, Long, Double, Double, Double)].collect()
       .map(r => r._1 -> r).toMap
-    assert(got("A") == (("A", 3L, 3L, 0.333333, 0.333333)))
-    assert(got("B") == (("B", 2L, 2L, 0.0, 0.0)))
-    assert(got("C") == (("C", 1L, 0L, 1.0, 1.0)))
+    // KS: CDF gap peaks at bin2 (|2/3 - 1/3| = 1/3), closes by bin4
+    assert(got("A") == (("A", 3L, 3L, 0.333333, 0.333333, 0.333333)))
+    assert(got("B") == (("B", 2L, 2L, 0.0, 0.0, 0.0)))
+    assert(got("C") == (("C", 1L, 0L, 1.0, 1.0, 1.0)))
   }
 
   test("drift is symmetric and lands in [0,1]; under/overflow bucketed not dropped") {
@@ -130,7 +131,7 @@ class DataQualitySpec extends SparkSpec {
     val refBins = Seq(("A", 2, 2L), ("A", 4, 1L)).toDF("k", "bucket", "cnt_ref")
     val curBins = Seq(("A", 2, 1L), ("A", 4, 2L)).toDF("k", "bucket", "cnt_cur")
     val got = DataQuality.driftFromBins(refBins, curBins, Seq("k"))
-      .as[(String, Long, Long, Double, Double)].head()
-    assert(got == (("A", 3L, 3L, 0.333333, 0.333333)))
+      .as[(String, Long, Long, Double, Double, Double)].head()
+    assert(got == (("A", 3L, 3L, 0.333333, 0.333333, 0.333333)))
   }
 }

@@ -410,6 +410,31 @@ class SimilaritySpec extends SparkSpec {
     assert(z.getDouble(1) == 0.0 && z.getString(2) == "0,0,0" && z.getDouble(3) == 0.0)
   }
 
+  test("embedding drift: hand-computed centroid shift; shared keys only") {
+    // label A: ref centroid (0.5, 0.5) from [(1,0),(0,1)]; cur centroid
+    // (1, 1) -> per-dim shift 0.5 each: l1 = 1.0, max = 0.5.
+    // label B identical both sides -> 0. label C one-sided -> dropped.
+    val ref = Seq(
+      (1L, Array(1.0, 0.0), "A"), (2L, Array(0.0, 1.0), "A"),
+      (3L, Array(0.2, 0.4), "B"), (4L, Array(0.9, 0.9), "C"))
+      .toDF("vec_id", "embedding", "label")
+    val cur = Seq(
+      (5L, Array(1.0, 1.0), "A"),
+      (6L, Array(0.2, 0.4), "B"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingDrift(ref, cur, "label", "embedding")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("A", "B"))
+    assert(got("A") == (("A", 2L, 1L, 2L, 1.0, 0.5)))
+    assert(got("B") == (("B", 1L, 1L, 2L, 0.0, 0.0)))
+    // symmetric
+    val swapped = Similarity.embeddingDrift(cur, ref, "label", "embedding")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(swapped("A")._5 == 1.0 && swapped("A")._6 == 0.5)
+  }
+
   test("per-dim quantization: outlier dimension no longer crushes the rest") {
     // dim0 is a 1000-wide outlier; dims 1-2 live in [0, 0.1]. Per-TENSOR
     // symmetric quantization puts the whole vector on dim0's grid
