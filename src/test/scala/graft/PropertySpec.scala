@@ -345,4 +345,66 @@ class PropertySpec extends SparkSpec {
         s"n=${rows.size} dim=$dim")
     }
   }
+
+  test("BPE: round-trip, monotone compression, and greedy-merge consistency on arbitrary corpora") {
+    import graft.operators.Curation
+    val word: Gen[String] = for {
+      n <- Gen.chooseNum(1, 8)
+      cs <- Gen.listOfN(n, Gen.alphaLowerChar)
+    } yield cs.mkString
+    samples(Gen.listOfN(30, word), 6).foreach { words =>
+      val counts = words.groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val merges = Curation.bpeTrainLocal(counts, numMerges = 15,
+        minPairCount = 2).map(m => (m._1, m._2))
+      val codec = new graft.functions.expressions.BpeCodec(merges)
+      words.foreach { w =>
+        // apply-time segmentation must reconstruct the word exactly...
+        val pieces = codec.segmentWord(w)
+        assert(pieces.mkString == w + "</w>", s"round-trip broke on '$w'")
+        // ...never expand it...
+        assert(pieces.length <= w.length + 1)
+        // ...and more merges never produce MORE pieces for any word
+        val fewer = new graft.functions.expressions.BpeCodec(
+          merges.take(merges.length / 2)).segmentWord(w)
+        assert(pieces.length <= fewer.length,
+          s"more merges grew '$w': ${fewer.toSeq} -> ${pieces.toSeq}")
+      }
+      // determinism: retraining on the same counts is identical
+      assert(Curation.bpeTrainLocal(counts, 15, 2).map(m => (m._1, m._2))
+        == merges)
+    }
+  }
+
+  test("drift: symmetric, within [0,1], zero iff identical, on arbitrary bin tables") {
+    import graft.operators.DataQuality
+    val binRow: Gen[(Int, Long)] = for {
+      b <- Gen.chooseNum(0, 9)
+      n <- Gen.chooseNum(1L, 50L)
+    } yield (b, n)
+    samples(Gen.zip(Gen.listOfN(6, binRow), Gen.listOfN(6, binRow)), 6)
+      .foreach { case (rbs, cbs) =>
+        val ref = rbs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+          .map { case (b, n) => ("K", b, n) }
+          .toDF("k", "bucket", "cnt_ref")
+        val cur = cbs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+          .map { case (b, n) => ("K", b, n) }
+          .toDF("k", "bucket", "cnt_cur")
+        def row(a: org.apache.spark.sql.DataFrame,
+                b: org.apache.spark.sql.DataFrame) =
+          DataQuality.driftFromBins(
+              a.toDF("k", "bucket", "cnt_ref"),
+              b.toDF("k", "bucket", "cnt_cur"), Seq("k"))
+            .select("tv_dist", "max_bin_delta", "ks_stat")
+            .as[(Double, Double, Double)].head()
+        val f = row(ref, cur.toDF("k", "bucket", "cnt_cur"))
+        val g = row(cur.toDF("k", "bucket", "cnt_ref"), ref)
+        assert(f == g, s"asymmetric: $f vs $g")
+        Seq(f._1, f._2, f._3).foreach(x => assert(x >= 0.0 && x <= 1.0))
+        assert(f._2 <= f._1 * 2 + 2e-6) // max bin <= 2*TV (6dp rounding slack)
+        // self-drift is exactly zero
+        val selfRow = row(ref, ref.toDF("k", "bucket", "cnt_cur"))
+        assert(selfRow == ((0.0, 0.0, 0.0)))
+      }
+  }
 }
