@@ -60,6 +60,8 @@ object GraftTableFunctions {
   private def num(args: Seq[Expression], i: Int, fn: String): Double =
     lit(args, i, fn) match {
       case n: java.lang.Number => n.doubleValue()
+      // SQL decimal literals ('0.0') carry Spark's Decimal, not a JVM Number
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
       case other => throw new IllegalArgumentException(
         s"$fn: argument ${i + 1} must be numeric, got $other")
     }
@@ -215,6 +217,26 @@ object GraftTableFunctions {
       arity(args, fn, Set(4), "table, id, text, mergesTable")
       plan(Curation.bpeEncode(table(str(args, 0, fn)), str(args, 1, fn),
         str(args, 2, fn), Curation.bpeMerges(table(str(args, 3, fn)))))
+    },
+
+    // graft_drift(refTable, curTable, keysCsv, valueCol, lo, hi, nBins)
+    "graft_drift" -> { args =>
+      val fn = "graft_drift"
+      arity(args, fn, Set(7), "refTable, curTable, keysCsv, valueCol, lo, hi, nBins")
+      plan(graft.operators.DataQuality.distributionDrift(
+        table(str(args, 0, fn)), table(str(args, 1, fn)),
+        keys = csv(args, 2, fn), value = col(str(args, 3, fn)),
+        lo = num(args, 4, fn), hi = num(args, 5, fn),
+        nBins = num(args, 6, fn).toInt))
+    },
+
+    // graft_embedding_drift(refTable, curTable, keyCol, vecCol)
+    "graft_embedding_drift" -> { args =>
+      val fn = "graft_embedding_drift"
+      arity(args, fn, Set(4), "refTable, curTable, keyCol, vecCol")
+      plan(graft.operators.Similarity.embeddingDrift(
+        table(str(args, 0, fn)), table(str(args, 1, fn)),
+        key = str(args, 2, fn), vec = str(args, 3, fn)))
     })
 
   /** 'col', 'col asc' or 'col desc' → a sort Column. */

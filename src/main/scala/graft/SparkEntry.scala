@@ -1618,6 +1618,27 @@ object SparkEntry {
         .createOrReplaceTempView("graft_sql_seg_orders")
       s.sql("""SELECT * FROM graft_topk('graft_sql_seg_orders',
           'c_mktsegment', 'o_totalprice desc,o_orderkey asc', 3, 'rnk')""")
+    }),
+
+    "dq4s_drift_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      val cut = lit("2024-01-16").cast("timestamp")
+      ev(s, d).filter(col("ts") < cut)
+        .createOrReplaceTempView("graft_sql_ev_ref")
+      ev(s, d).filter(col("ts") >= cut)
+        .createOrReplaceTempView("graft_sql_ev_cur")
+      s.sql("""SELECT * FROM graft_drift('graft_sql_ev_ref',
+          'graft_sql_ev_cur', 'event_type', 'value', 0.0, 500.0, 20)""")
+    }),
+
+    "f16s_embedding_drift_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      embD(s, d).filter(col("vec_id") % 2 === 0)
+        .createOrReplaceTempView("graft_sql_emb_ref")
+      embD(s, d).filter(col("vec_id") % 2 === 1)
+        .createOrReplaceTempView("graft_sql_emb_cur")
+      s.sql("""SELECT * FROM graft_embedding_drift('graft_sql_emb_ref',
+          'graft_sql_emb_cur', 'label', 'embedding')""")
     })
   )
 
@@ -3404,7 +3425,9 @@ object SparkEntry {
       "d7s_range_join_sql" -> "d7_range_join",
       "b28s_uptime_sql" -> "b28_uptime",
       "b27s_candlestick_sql" -> "b27_candlestick",
-      "d8s_topk_sql" -> "d8_topk_native"
+      "d8s_topk_sql" -> "d8_topk_native",
+      "dq4s_drift_sql" -> "dq4_drift",
+      "f16s_embedding_drift_sql" -> "f16_embedding_drift"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

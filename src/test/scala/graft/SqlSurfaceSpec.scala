@@ -204,6 +204,30 @@ class SqlSurfaceSpec extends SparkSpec {
     sameRows(sqlEnc, scEnc)
   }
 
+  test("graft_drift / graft_embedding_drift == the drift operators") {
+    ready
+    val e = Tables.events(spark, sf)
+    val cut = lit("2024-01-16").cast("timestamp")
+    e.filter(col("ts") < cut).createOrReplaceTempView("ev_ref")
+    e.filter(col("ts") >= cut).createOrReplaceTempView("ev_cur")
+    sameRows(
+      spark.sql("""SELECT * FROM graft_drift('ev_ref', 'ev_cur',
+          'event_type', 'value', 0.0, 500.0, 20)""".stripMargin),
+      graft.operators.DataQuality.distributionDrift(
+        e.filter(col("ts") < cut), e.filter(col("ts") >= cut),
+        Seq("event_type"), col("value"), 0.0, 500.0, 20))
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    emb.filter(col("vec_id") % 2 === 0).createOrReplaceTempView("emb_ref")
+    emb.filter(col("vec_id") % 2 === 1).createOrReplaceTempView("emb_cur")
+    sameRows(
+      spark.sql("""SELECT * FROM graft_embedding_drift('emb_ref',
+          'emb_cur', 'label', 'embedding')""".stripMargin),
+      graft.operators.Similarity.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "label", "embedding"))
+  }
+
   test("argument errors fail loudly with the usage string") {
     ready
     val tooFew = intercept[Exception] {
