@@ -322,6 +322,24 @@ object SparkEntry {
         Seq("event_type", "month"), 256)
     }),
 
+    // the inverse estimate off the SAME maintained bins as b31:
+    // approx_percentile_rank — fraction of observations ≤ each probe
+    // value, linear within the probe's bin; probe bin/frac fold to
+    // constants so the whole thing is one conditional agg over
+    // sketch-sized input (no window, raw rows never re-read)
+    "b33_cdf_rollup" -> ((s, d) => {
+      val bins = Sketches.histBinCounts(
+        ev(s, d).withColumn("day", TimeAgg.dayKey(col("ts"))),
+        Seq("event_type", "day"), col("value"),
+        lo = 0.0, hi = 600.0, nBins = 600)
+      val monthly = Sketches.histMerge(
+        bins.withColumn("month", substring(col("day"), 1, 6)),
+        Seq("event_type", "month"))
+      Sketches.histCdfFromBins(monthly, Seq("event_type", "month"),
+        Seq(("r_50_5", 50.5), ("r_120_25", 120.25), ("r_420", 420.0)),
+        lo = 0.0, hi = 600.0, nBins = 600)
+    }),
+
     "b10_distinct_kmv" -> ((s, d) =>
       Sketches.kmvDistinct(ev(s, d), col("event_id"), 256)),
 
@@ -976,6 +994,23 @@ object SparkEntry {
           coalesce(Portable.pround(col("o_totalprice"), 4), lit(0.0)).as("last_totalprice"))
     }),
 
+    // explicit Bloom semi-join reduction (D30): lineitem probes the
+    // urgent-orders KEY SKETCH before the join's shuffle, so exchange
+    // bytes track the match count, not the fact table; Bloom false
+    // positives are removed by the exact join — the oracle is the
+    // PLAIN join, proving result-identity
+    "d30_bloom_pruned_join" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+      Skew.bloomPrunedJoin(Tables.lineitem(s, d), urgent,
+          "l_orderkey", "o_orderkey")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(fixedSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "d7_range_join" -> ((s, d) => {
       val e = ev(s, d)
       TemporalJoin.countPriorWithin(
@@ -1274,6 +1309,39 @@ object SparkEntry {
         Curation.bpeTrain(docs(s, d), "text", numMerges = 30,
           topWords = 2000, minPairCount = 2))
       Curation.bpeEncode(docs(s, d), "doc_id", "text", merges)
+    }),
+
+    // HTML → text extraction: deterministic HTML wrapping (entity
+    // escapes + nav/footer chrome + script/style noise) is built
+    // in-query as the adversarial fixture, then htmlToText must drop
+    // the script/style PAYLOADS, strip tags, decode entities and
+    // collapse whitespace — recovering the wrapped text plus the
+    // chrome's visible words, byte-compared against the oracle
+    "h20_html_extract" -> ((s, d) => {
+      val esc = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+        .foldLeft(col("text")) { case (c, (ch, e)) =>
+          replace(c, lit(ch), lit(e)) }
+      val html = concat(
+        lit("<html><head><title>doc</title>" +
+          "<style>p{margin:0} body{color:#222}</style>" +
+          "<script type=\"text/javascript\">var tracker = \"do-not-ingest\";" +
+          "</script></head><body><!-- chrome --><nav>" +
+          "<a href=\"/\">Home</a> &gt; <a href=\"/docs\">Docs</a></nav><p>"),
+        esc,
+        lit("</p><footer>&copy; stats &amp; figures</footer></body></html>"))
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.htmlToText(html).as("extracted"))
+    }),
+
+    // fasttext-style quality-classifier distillation: train an
+    // integer-exact token-evidence model on the rule label (quality
+    // >= 0.5) over the even-doc_id half, score EVERY document with the
+    // broadcast model — training and scoring both oracle-reproduced
+    "h21_quality_classifier" -> ((s, d) => {
+      val label = TextFunctions.qualityScoreFromProfile(col("text"),
+        TextFunctions.textProfile(lower(col("text")))) >= 0.5
+      Curation.evidenceClassify(docs(s, d), "doc_id", "text", label,
+        trainFilter = col("doc_id") % 2 === 0, vocab = 256)
     }),
 
     // corpus-inspection: top-10 3-grams per language by document
@@ -2023,6 +2091,26 @@ object SparkEntry {
          |FROM c GROUP BY event_type, month""".stripMargin
     },
 
+    "b33_cdf_rollup" -> {
+      def rank(name: String, bx: Long, frac: Double): String = sqlPround(
+        s"(CAST(coalesce(sum(cnt) FILTER (WHERE bin < $bx), 0) AS DOUBLE)" +
+          s" + $frac * CAST(coalesce(sum(cnt) FILTER (WHERE bin = $bx), 0) AS DOUBLE))" +
+          s" / CAST(sum(cnt) AS DOUBLE)", 4) + s" AS $name"
+      s"""WITH bins AS (
+         |  SELECT event_type, strftime(ts, '%Y%m%d') AS day,
+         |    CAST(least(greatest(floor((value - 0.0) / 1.0), 0), 599) AS BIGINT) AS bin,
+         |    count(*) AS cnt
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+         |m AS (
+         |  SELECT event_type, substr(day, 1, 6) AS month, bin, sum(cnt) AS cnt
+         |  FROM bins GROUP BY 1, 2, 3)
+         |SELECT event_type, month,
+         |  ${rank("r_50_5", 50, 0.5)},
+         |  ${rank("r_120_25", 120, 0.25)},
+         |  ${rank("r_420", 420, 0.0)}
+         |FROM m GROUP BY event_type, month""".stripMargin
+    },
+
     "b30_histogram" ->
       """WITH b AS (
         |  SELECT event_type,
@@ -2598,6 +2686,14 @@ object SparkEntry {
          |FROM events e ASOF LEFT JOIN od o
          |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
 
+    "d30_bloom_pruned_join" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |  ${sqlFixedSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY 1""".stripMargin,
+
     "d29_asof_tolerance" ->
       s"""WITH od AS (
          |  SELECT * FROM orders
@@ -3073,6 +3169,65 @@ object SparkEntry {
                s"1.0 - CAST(len(list_distinct($shingle3)) AS DOUBLE) / " +
                "(CASE WHEN len(tok) < 3 THEN 1 ELSE len(tok) - 2 END)", 4)} AS repetition_ratio
          |FROM t""".stripMargin,
+
+    "h20_html_extract" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    '<html><head><title>doc</title><style>p{margin:0} body{color:#222}</style><script type="text/javascript">var tracker = "do-not-ingest";</script></head><body><!-- chrome --><nav><a href="/">Home</a> &gt; <a href="/docs">Docs</a></nav><p>'
+         |    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+         |    || '</p><footer>&copy; stats &amp; figures</footer></body></html>' AS html
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(html,
+         |    '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->',
+         |    ' ', 'g'), '<[^>]*>', ' ', 'g') AS s
+         |  FROM w),
+         |d AS (
+         |  SELECT doc_id, replace(replace(replace(replace(replace(replace(s,
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |    '&nbsp;', ' '), '&amp;', '&') AS s
+         |  FROM x)
+         |SELECT doc_id, trim(regexp_replace(s, '\\s+', ' ', 'g')) AS extracted
+         |FROM d""".stripMargin,
+
+    "h21_quality_classifier" -> {
+      val stop = TextFunctions.stopwordsEn.map("'" + _ + "'")
+        .mkString("[", ",", "]")
+      val quality = sqlPround(
+        """0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+          | + 0.3 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+          | + 0.3 * least(CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0)"""
+          .stripMargin.replace("\n", ""), 4)
+      s"""WITH t AS (${tokCte("documents", lower = true)}),
+         |m AS (
+         |  SELECT doc_id, text, tok, len(tok) AS n_tokens,
+         |    len(list_filter(tok, x -> list_contains($stop, x))) AS n_stopwords,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+         |  FROM t),
+         |lab AS (SELECT doc_id, tok, ($quality >= 0.5) AS y FROM m),
+         |occ AS (
+         |  SELECT doc_id, y, u.tk FROM lab, LATERAL unnest(tok) AS u(tk)),
+         |cnt AS (
+         |  SELECT tk, sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+         |    sum(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+         |  FROM occ WHERE doc_id % 2 = 0 GROUP BY 1),
+         |v AS (SELECT * FROM cnt ORDER BY pos + neg DESC, tk LIMIT 256),
+         |tt AS (
+         |  SELECT greatest(coalesce(sum(pos), 0), 1) AS pt,
+         |    greatest(coalesce(sum(neg), 0), 1) AS nt
+         |  FROM v),
+         |sc AS (
+         |  SELECT occ.doc_id, count(*) AS n_tok,
+         |    coalesce(sum(CAST(v.pos AS HUGEINT) * tt.nt
+         |      - CAST(v.neg AS HUGEINT) * tt.pt), 0) AS ev
+         |  FROM occ LEFT JOIN v ON occ.tk = v.tk CROSS JOIN tt
+         |  GROUP BY occ.doc_id)
+         |SELECT doc_id, n_tok,
+         |  ${sqlPround("CAST(ev AS DOUBLE) / (CAST((SELECT pt FROM tt) AS DOUBLE)" +
+             " * CAST((SELECT nt FROM tt) AS DOUBLE) * CAST(n_tok AS DOUBLE))", 6)} AS evidence,
+         |  CASE WHEN ev > 0 THEN 1 ELSE 0 END AS predicted
+         |FROM sc""".stripMargin
+    },
 
     "h12_top_ngrams" ->
       s"""WITH t AS (${tokCte("documents", lower = true)}),

@@ -174,6 +174,28 @@ object TextFunctions {
   def cleanText(text: Column): Column =
     trim(regexp_replace(regexp_replace(text, "<[^>]*>", " "), "\\s+", " "))
 
+  /** HTML → text extraction (the Common-Crawl-style ingest stage
+    * [[cleanText]]'s bare tag strip is not): script/style PAYLOADS and
+    * comments are dropped as blocks first — tag-stripping alone would
+    * leak JS/CSS bodies into the corpus — then remaining tags go to
+    * spaces, the five predefined XML entities plus `&nbsp;` decode
+    * (`&amp;` LAST, so double-escapes resolve one level, the standard
+    * order), and whitespace collapses. Regexes are lookaround- and
+    * backreference-free; `(?is)` + lazy `.*?` are RE2-supported, so the
+    * oracle engine agrees byte-for-byte. Unclosed script/style blocks
+    * fall through to the tag strip (payload kept) rather than eating
+    * the rest of the document. */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->",
+      " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** PII scrub patterns (shared with the oracle 1:1). */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val longNumRe = "[0-9]{7,}"

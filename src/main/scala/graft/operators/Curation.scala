@@ -185,8 +185,8 @@ object Curation {
     * to concurrent queries on the same session for the build's
     * duration; the caps are only ever RAISED, so a concurrent runtime
     * filter at worst gets more headroom, never less. */
-  private def withBloomCaps[T](spark: SparkSession, items: Long,
-                               bits: Long)(body: => T): T = {
+  private[operators] def withBloomCaps[T](spark: SparkSession, items: Long,
+                                          bits: Long)(body: => T): T = {
     val conf = spark.conf
     val saved = Seq(MaxItemsConf, MaxBitsConf).map(k => k -> conf.getOption(k))
     conf.set(MaxItemsConf, math.max(items, conf.get(MaxItemsConf).toLong))
@@ -710,4 +710,89 @@ object Curation {
       .select(col(id).as("doc_id"), pieces.as("pieces"))
       .withColumn("n_pieces", size(col("pieces")))
   }
+
+  /** Distill a boolean curation LABEL into a broadcastable linear
+    * token-evidence model — the fasttext-style quality-classifier role
+    * (train a cheap scorer on rule labels or human labels, then score
+    * the whole corpus with a projection-cheap pass). The model is
+    * `(tok, pos, neg)`: lowercased-token OCCURRENCE counts among
+    * label-true / label-false documents, capped to the `vocab` tokens
+    * with the highest total count (ties by token string, so the cap is
+    * deterministic on both engines). Everything integer-exact — no
+    * log-probabilities, so the oracle reproduces training bit-for-bit.
+    *
+    * Scale shape: one corpus scan, token counts collapse map-side, and
+    * the top-`vocab` cut runs over the VOCABULARY-sized distinct-token
+    * table (TakeOrdered — never a full sort of corpus rows). */
+  def trainEvidenceModel(docs: DataFrame, text: String, label: Column,
+                         vocab: Int): DataFrame =
+    docs
+      .select(label.as("__y"),
+        explode(graft.functions.TextFunctions.tokens(lower(col(text))))
+          .as("tok"))
+      .groupBy("tok")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("neg"))
+      .orderBy((col("pos") + col("neg")).desc, col("tok"))
+      .limit(vocab)
+
+  /** Score documents against a [[trainEvidenceModel]] model. Per token
+    * occurrence the integer evidence is `pos_t·NEG − neg_t·POS` (POS /
+    * NEG are the model's class totals), i.e. the exact
+    * common-denominator numerator of `p̂(t|keep) − p̂(t|drop)`; the doc
+    * evidence is its sum over occurrences (out-of-vocabulary tokens
+    * contribute 0), kept exact in decimal so `predicted = sign` never
+    * flips to float noise. The reported `evidence` column is the
+    * per-token mean `Σ/(POS·NEG·n_tok)`, rounded.
+    *
+    * Scale shape: the model is vocab-sized and BROADCAST; scoring is
+    * scan → explode → broadcast hash join → one doc-keyed partial-agg
+    * sum — a single shuffle of (doc_id, partial sums), never text. The
+    * same projection composes with `readStream` (stateless until the
+    * per-doc agg, which is streaming-legal under update mode). */
+  def evidenceScoreWith(docs: DataFrame, id: String, text: String,
+                        model: DataFrame, scale: Int = 6): DataFrame = {
+    // materialize the vocab-sized model ONCE (the bpeMerges/trainCharLm
+    // model-sized-collect discipline): the class totals come from the
+    // same rows, and the scoring plan then carries a local relation —
+    // one corpus scan total, not a re-run of training inside the join
+    val mrows = model
+      .select(col("tok"), col("pos").cast("long"), col("neg").cast("long"))
+      .collect()
+    // single-class (or empty) training degenerates every comparison;
+    // clamping the absent class to 1 keeps the scorer total and biased
+    // toward the one class seen — the honest failure mode
+    val posT = math.max(1L, mrows.map(_.getLong(1)).sum)
+    val negT = math.max(1L, mrows.map(_.getLong(2)).sum)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val local = mrows.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toDF("tok", "pos", "neg")
+    val dec = "decimal(38,0)"
+    val perTok = col("pos").cast(dec) * lit(negT).cast(dec) -
+      col("neg").cast(dec) * lit(posT).cast(dec)
+    docs
+      .select(col(id).as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(lower(col(text))))
+          .as("tok"))
+      .join(broadcast(local), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        coalesce(sum(perTok), lit(0L).cast(dec)).as("__ev"))
+      .select(col("doc_id"), col("n_tok"),
+        Portable.pround(col("__ev").cast("double") /
+          (lit(posT.toDouble) * lit(negT.toDouble) *
+            col("n_tok").cast("double")), scale).as("evidence"),
+        when(col("__ev") > lit(0L).cast(dec), 1).otherwise(0).as("predicted"))
+  }
+
+  /** Train on `trainFilter` docs, score ALL docs — the end-to-end
+    * distillation pipeline (H21). */
+  def evidenceClassify(docs: DataFrame, id: String, text: String,
+                       label: Column, trainFilter: Column, vocab: Int,
+                       scale: Int = 6): DataFrame =
+    evidenceScoreWith(docs, id, text,
+      trainEvidenceModel(docs.filter(trainFilter), text, label, vocab),
+      scale)
 }

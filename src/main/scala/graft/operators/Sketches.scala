@@ -246,4 +246,36 @@ object Sketches {
       .select(groupCols.map(col) ++
         ps.map { case (name, _) => col(s"__$name")("est").as(name) }: _*)
   }
+
+  /** Percentile RANK (CDF estimate) from a bins frame — the inverse of
+    * [[histPercentilesFromBins]] and the `approx_percentile_rank` half
+    * of the TimescaleDB percentile-aggregate contract: for each probe
+    * value x, the estimated fraction of observations ≤ x, linearly
+    * interpolated inside x's bin (the same within-bin-uniform model the
+    * percentile estimate uses, so rank(percentile(p)) ≈ p).
+    *
+    * Probes below `lo` rank 0 inside bin 0; probes at/above `hi` rank
+    * 1. The probe's bin index and in-bin fraction are compile-time
+    * constants, so the whole estimate is ONE conditional aggregation
+    * over the sketch-sized bins frame — no window, no raw-data re-read:
+    * it composes with [[histMerge]] rollups and the I19 continuously
+    * maintained bins exactly like the percentile estimate does. */
+  def histCdfFromBins(hist: DataFrame, groupCols: Seq[String],
+                      probes: Seq[(String, Double)], lo: Double, hi: Double,
+                      nBins: Int, scale: Int = 4): DataFrame = {
+    require(nBins > 0 && hi > lo && probes.nonEmpty)
+    val width = (hi - lo) / nBins
+    val aggs = probes.map { case (name, x) =>
+      val pos = (x - lo) / width
+      val bx = math.min(math.max(math.floor(pos), 0.0), (nBins - 1).toDouble)
+      val frac = math.min(math.max(pos - bx, 0.0), 1.0)
+      graft.functions.Portable.pround(
+        (coalesce(sum(when(col("__bin") < lit(bx.toLong), col("__cnt"))),
+            lit(0L)).cast("double") +
+          lit(frac) * coalesce(sum(when(col("__bin") === lit(bx.toLong),
+            col("__cnt"))), lit(0L)).cast("double")) /
+          sum(col("__cnt")).cast("double"), scale).as(name)
+    }
+    hist.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -59,4 +59,56 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
   }
+
+  /** Bloom SEMI-JOIN REDUCTION for a selective shuffle join: when the
+    * dim side is too big to broadcast as ROWS but its key SET fits a
+    * Bloom sketch, probe the fact side against the sketch BEFORE the
+    * join's shuffle — non-matching fact rows (the vast majority under a
+    * selective dim filter) never enter the exchange, so shuffle bytes
+    * track the MATCH count, not the fact count. False positives only
+    * leak extra rows into the shuffle; the exact join removes them, so
+    * the result is row-identical to the plain join.
+    *
+    * This is Spark's own runtime-filter idea made DETERMINISTIC: AQE's
+    * `InjectRuntimeFilter` fires only under creation-cost heuristics
+    * and caps the sketch at 2^26 bits; here the sketch is built
+    * explicitly (torrent-broadcast via [[graft.functions.expressions.BloomProbe]],
+    * so it can be arbitrarily large) and the pruning is guaranteed
+    * plan-shape, not a heuristic outcome.
+    *
+    * Only fact-side-discarding join types are legal (pruned fact rows
+    * must be rows the join would drop anyway): inner, left_semi,
+    * right_outer. Building the sketch runs 1–2 eager dim-sized jobs at
+    * CALL time (a count when `expectedItems <= 0`, then the build) —
+    * the model-build-then-apply seam, not a lazy query. */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                      dimKey: String, expectedItems: Long = -1L,
+                      bitsPerItem: Int = 16,
+                      how: String = "inner"): DataFrame = {
+    require(Set("inner", "leftsemi", "semi", "rightouter", "right")
+        .contains(how.toLowerCase.replace("_", "")),
+      s"bloom pruning drops fact rows; '$how' would change its result")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val spark = fact.sparkSession
+    val items = math.max(1000L,
+      if (expectedItems > 0) expectedItems else dim.count())
+    val bits = math.max(1L << 16, items * bitsPerItem.toLong)
+    val sketch = Curation.withBloomCaps(spark, items, bits) {
+      val bloomAgg = ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          ColumnBridge.catalystExpression(xxhash64(col(dimKey))),
+          org.apache.spark.sql.catalyst.expressions.Literal(items),
+          org.apache.spark.sql.catalyst.expressions.Literal(bits))
+          .toAggregateExpression())
+      dim.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    }
+    val pruned =
+      if (sketch == null) fact.filter(lit(false)) // empty dim: no matches
+      else {
+        val bc = spark.sparkContext.broadcast(sketch)
+        fact.filter(ColumnBridge.column(graft.functions.expressions.BloomProbe(
+          bc, ColumnBridge.expression(xxhash64(col(factKey))))))
+      }
+    pruned.join(dim, pruned(factKey) === dim(dimKey), how)
+  }
 }

@@ -521,4 +521,71 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Seq[String], Int)].collect().head
     assert(got == ((1L, Seq("a", "b", "</w>", "c", "</w>"), 5)))
   }
+
+  test("histCdfFromBins: ranks monotone in the probe, 1.0 at hi, inverse of the percentile estimate") {
+    import graft.operators.Sketches
+    val ev = graft.sources.Tables.events(spark, sf)
+    val bins = Sketches.histBinCounts(
+      ev, Seq("event_type"), col("value"), 0.0, 600.0, 600)
+    val cdf = Sketches.histCdfFromBins(bins, Seq("event_type"),
+      Seq(("a", 50.0), ("b", 150.0), ("c", 400.0), ("top", 600.0)),
+      0.0, 600.0, 600).collect()
+    assert(cdf.nonEmpty)
+    cdf.foreach { r =>
+      val Seq(a, b, c, top) = Seq("a", "b", "c", "top").map(r.getAs[Double])
+      assert(a <= b && b <= c && c <= top, s"CDF not monotone: $r")
+      assert(top == 1.0, s"rank at hi must be 1.0: $r")
+    }
+    // inverse consistency: rank(percentile(0.5)) == 0.5 up to the
+    // within-bin interpolation model (both estimates share it, so the
+    // round trip is tight — one bin's mass of slack)
+    val p50 = Sketches.histPercentilesFromBins(bins, Seq("event_type"),
+      Seq(("p50", 0.5)), 0.0, 600.0, 600)
+      .select("event_type", "p50").as[(String, Double)].collect()
+    p50.foreach { case (et, est) =>
+      val rank = Sketches.histCdfFromBins(
+        bins.filter(col("event_type") === et), Seq("event_type"),
+        Seq(("r", est)), 0.0, 600.0, 600)
+        .select("r").as[Double].head()
+      assert(math.abs(rank - 0.5) < 0.02,
+        s"rank(p50)=$rank for $et (p50 estimate $est)")
+    }
+  }
+
+  test("evidence classifier: separable corpus splits on sign, OOV-only docs score zero") {
+    val docs = Seq(
+      (0L, "good fine solid good"), (2L, "good nice fine"),
+      (4L, "good fine"), (6L, "zzz qqq zzz"),
+      (1L, "bad awful bad"), (3L, "zzz qqq"), (5L, "good solid nice"))
+      .toDF("doc_id", "text")
+    val label = col("text").contains("good")
+    val out = Curation.evidenceClassify(docs, "doc_id", "text", label,
+        trainFilter = col("doc_id") % 2 === 0, vocab = 16)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    // label-true docs carry positive evidence, including held-out 5
+    Seq(0L, 2L, 4L, 5L).foreach { id =>
+      assert(out(id)._4 == 1 && out(id)._3 > 0, s"doc $id: ${out(id)}")
+    }
+    // trained-negative vocabulary drives 3/6 negative
+    Seq(3L, 6L).foreach { id =>
+      assert(out(id)._4 == 0 && out(id)._3 < 0, s"doc $id: ${out(id)}")
+    }
+    // doc 1 is entirely out-of-vocabulary: exactly zero evidence, and
+    // the zero must not round to a predicted keep
+    assert(out(1L)._3 == 0.0 && out(1L)._4 == 0)
+  }
+
+  test("trainEvidenceModel: vocab cap keeps the highest-total tokens with deterministic ties") {
+    val docs = Seq(
+      (0L, "alpha alpha alpha beta beta gamma"),
+      (1L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val m = Curation.trainEvidenceModel(docs, "text", col("doc_id") === 0L,
+        vocab = 2)
+      .as[(String, Long, Long)].collect()
+    // totals: alpha 3, beta 3, gamma 2, delta 1 → cap keeps the tied
+    // 3s, alphabetical within the tie
+    assert(m.toSeq == Seq(("alpha", 3L, 0L), ("beta", 2L, 1L)))
+  }
 }

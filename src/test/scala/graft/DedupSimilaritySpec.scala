@@ -391,6 +391,27 @@ class SimilaritySpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0 && salted.exceptAll(plain).count() == 0)
   }
 
+  test("bloomPrunedJoin: row-identical to the plain join; empty dim empty; fact-preserving types rejected") {
+    import spark.implicits._
+    val fact = spark.range(5000)
+      .select(($"id" % 500).as("fk"), $"id".as("v"))
+    val dim = spark.range(50)
+      .select(($"id" * 7).as("dk"), concat(lit("n"), $"id").as("name"))
+    val got = graft.operators.Skew.bloomPrunedJoin(fact, dim, "fk", "dk")
+    val want = fact.join(dim, fact("fk") === dim("dk"))
+    // Bloom false positives must be invisible: the exact join removes
+    // them, so the pruned result is row-identical to the plain join
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(graft.operators.Skew.bloomPrunedJoin(
+      fact, dim.filter(lit(false)), "fk", "dk").count() == 0)
+    // pruning drops fact rows — a fact-preserving join type would
+    // change its result, so the operator must refuse
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.bloomPrunedJoin(fact, dim, "fk", "dk",
+        how = "left_outer")
+    }
+  }
+
   test("int8 quantization round-trips within the scale/254 error bound") {
     val emb = Tables0.embeddings(spark, sf)
     val got = Similarity.quantizeInt8(emb, "vec_id", "embedding")

@@ -729,6 +729,55 @@ class PlanSpec extends SparkSpec {
       s"native BpeSegment fell out of codegen:\n$plan")
     assert("FileScan parquet".r.findAllIn(plan).size == 1)
   }
+  test("bloom-pruned join: probe filters the fact side BEFORE the join, under forced SMJ") {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // dim "too big"
+      val df = SparkEntry.queries("d30_bloom_pruned_join")(spark, sf)
+      val plan = executed(df).split("== Initial Plan ==").head
+      assert(plan.contains("bloom_probe"),
+        s"d30 must probe the key sketch:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"d30's point is pruning a SHUFFLE join:\n$plan")
+      // the probe must sit on the scan side of the exchange: the filter
+      // string appears before the first join operator in the tree dump
+      assert(plan.indexOf("bloom_probe") > plan.indexOf("Join"),
+        s"probe must be below (after, in tree print) the join:\n$plan")
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("cdf rollup: windowless conditional agg over one scan; sketch-sized after the bins") {
+    val df = SparkEntry.queries("b33_cdf_rollup")(spark, sf)
+    val plan = executed(df).split("== Initial Plan ==").head
+    assert(!plan.contains("Window"),
+      s"b33 must not window — probe bins are constants:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"b33 must scan events once:\n$plan")
+  }
+
+  test("html extract: zero-shuffle codegen'd projection") {
+    val df = SparkEntry.queries("h20_html_extract")(spark, sf)
+    val plan = executed(df).split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), s"h20 must not shuffle:\n$plan")
+    assert(plan.contains("*("), s"h20 fell out of codegen:\n$plan")
+  }
+
+  test("quality classifier: model broadcast into the scoring scan, one corpus read in-plan") {
+    val df = SparkEntry.queries("h21_quality_classifier")(spark, sf)
+    val plan = executed(df).split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"h21 must broadcast the vocab-sized model:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"h21 must never shuffle-join the token stream:\n$plan")
+    // training ran once, eagerly, at model-collect time; the scoring
+    // plan itself reads the corpus exactly once
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"h21 scoring plan must scan documents once:\n$plan")
+  }
 }
 
 /** Every declared query runs and the flagship returns rows. */

@@ -49,6 +49,27 @@ class TextFunctionsSpec extends SparkSpec {
       .filter($"q" < 0 || $"q" > 1)
     assert(bad.count() == 0)
   }
+
+  test("htmlToText: drops script/style payloads, decodes entities one level, keeps unclosed payloads") {
+    val df = Seq(
+      "<html><head><style>body{color:red}</style><script>var s = 1;</script>" +
+        "</head><body><p>A &amp;amp; B &lt;tag&gt; &quot;q&quot; " +
+        "&#39;s&#39;&nbsp;end</p><!-- hidden chrome --></body></html>",
+      "no markup at   all",
+      "<script>unclosed payload stays",
+      "<SCRIPT>upper case</SCRIPT>kept").toDF("h")
+    val out = df.select(TextFunctions.htmlToText($"h").as("t"))
+      .as[String].collect()
+    // payloads gone, entities decoded exactly one level (&amp;amp; →
+    // &amp;), comment dropped, whitespace collapsed
+    assert(out(0) == "A &amp; B <tag> \"q\" 's' end", out(0))
+    assert(out(1) == "no markup at all")
+    // an unclosed block falls through to the tag strip: payload kept
+    // rather than eating the rest of the document
+    assert(out(2) == "unclosed payload stays")
+    // (?i) covers shouting markup
+    assert(out(3) == "kept")
+  }
 }
 
 class PortableSpec extends SparkSpec {
