@@ -124,6 +124,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("evidence classifier scores a document stream against a frozen model (== batch)") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.functions.col
+    // the H21 distillation, deployed: train once offline, score the
+    // incoming document stream — explode + stream-static broadcast
+    // join + per-doc agg (complete output), the LM-scoring shape
+    val dir = Files.createTempDirectory("graft-stream-evid").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    docs.coalesce(2).write.mode("overwrite").parquet(dir)
+    val label = graft.functions.TextFunctions.qualityScoreFromProfile(
+      col("text"), graft.functions.TextFunctions.textProfile(
+        org.apache.spark.sql.functions.lower(col("text")))) >= 0.5
+    val model = Curation.trainEvidenceModel(
+      docs.filter(col("doc_id") % 2 === 0), "text", label, vocab = 256)
+    val stream = Curation.evidenceScoreWith(
+      spark.readStream.schema(docs.schema).parquet(dir),
+      "doc_id", "text", model)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("evid_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("evid_stream")
+    val want = Curation.evidenceScoreWith(docs, "doc_id", "text", model)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("chunking streams as-is; per-batch CMS sketches merge to the batch matrix") {
     import graft.operators.{Curation, Sketches}
     // chunking is a stateless narrow projection → composes with
