@@ -43,7 +43,14 @@ object GraftExtensions {
     "simhash64" -> (args => SimHash64(args(0))),
     "simhash60" -> (args => SimHash60(args(0))),
     "ordered_pairs" -> (args => OrderedPairs(args(0))),
-    "text_profile" -> (args => TextProfile(args(0))))
+    "text_profile" -> (args => TextProfile(args(0))),
+    // composed from standard codegen'd expressions, so SQL users get
+    // the identical extraction the Scala htmlToText performs; the
+    // EAGER converter yields a plain catalyst tree (the lazy Column
+    // wrapper is unevaluable inside a SQL function registry entry)
+    "html_to_text" -> (args => org.apache.spark.sql.graft.ColumnBridge
+      .catalystExpression(graft.functions.TextFunctions.htmlToText(
+        org.apache.spark.sql.graft.ColumnBridge.column(args(0))))))
 
   /** Install the full surface (functions + strategy + optimizer rule)
     * on an existing session — parity with the `spark.sql.extensions`

@@ -237,6 +237,29 @@ object GraftTableFunctions {
       plan(graft.operators.Similarity.embeddingDrift(
         table(str(args, 0, fn)), table(str(args, 1, fn)),
         key = str(args, 2, fn), vec = str(args, 3, fn)))
+    },
+
+    // graft_bloom_join(fact, dim, factKey, dimKey [, bitsPerItem]) —
+    // builds the dim key sketch EAGERLY at plan time (the bpe_train
+    // contract) and returns the pruned inner join
+    "graft_bloom_join" -> { args =>
+      val fn = "graft_bloom_join"
+      arity(args, fn, Set(4, 5), "fact, dim, factKey, dimKey[, bitsPerItem]")
+      plan(graft.operators.Skew.bloomPrunedJoin(
+        table(str(args, 0, fn)), table(str(args, 1, fn)),
+        str(args, 2, fn), str(args, 3, fn),
+        bitsPerItem = if (args.length >= 5) num(args, 4, fn).toInt else 16))
+    },
+
+    // graft_evidence_score(table, id, text, modelTable) — scores
+    // against a (tok, pos, neg) model relation (trainEvidenceModel's
+    // output, typically a persisted table); the model is collected at
+    // plan time (model-sized, the bpe_encode contract)
+    "graft_evidence_score" -> { args =>
+      val fn = "graft_evidence_score"
+      arity(args, fn, Set(4), "table, id, text, modelTable")
+      plan(Curation.evidenceScoreWith(table(str(args, 0, fn)),
+        str(args, 1, fn), str(args, 2, fn), table(str(args, 3, fn))))
     })
 
   /** 'col', 'col asc' or 'col desc' → a sort Column. */

@@ -809,7 +809,56 @@ object ScaleProbe {
           perPS.join(thresh, Seq("l_partkey"))
             .filter(col("qty") > lit(2.0) * col("avg_qty"))
             .select(col("l_suppkey")).distinct()
-        }))
+        }),
+        // CDF rollup: shares b31's bins pipeline; the probe estimates
+        // fold to constants, so past the first exchange everything is
+        // sketch-sized — the ratio must track the bin-count scan
+        "b33_cdf_rollup" -> (() => {
+          val bins = Sketches.histBinCounts(
+            ev.withColumn("day", TimeAgg.dayKey(col("ts"))),
+            Seq("event_type", "day"), col("value"), 0.0, 600.0, 600)
+          Sketches.histCdfFromBins(
+            Sketches.histMerge(
+              bins.withColumn("month", substring(col("day"), 1, 6)),
+              Seq("event_type", "month")),
+            Seq("event_type", "month"),
+            Seq(("r_50_5", 50.5), ("r_120_25", 120.25), ("r_420", 420.0)),
+            0.0, 600.0, 600)
+        }),
+        // HTML extraction: zero-shuffle codegen'd projection — pure
+        // scan+project scaling like h19
+        "h20_html_extract" -> (() =>
+          docs.select(col("doc_id"),
+            graft.functions.TextFunctions.htmlToText(
+              concat(lit("<html><body><script>var x=1;</script><p>"),
+                col("text"), lit("</p></body></html>"))).as("extracted"))),
+        // evidence scoring under a FROZEN model (deployment shape):
+        // explode + broadcast join + doc-keyed agg — one shuffle whose
+        // bytes are (doc_id, partial sums), never text; the model
+        // trains once on the warm-up (dropped from timing)
+        "h21_quality_classifier" -> {
+          lazy val model = Curation.trainEvidenceModel(
+            docs.filter(col("doc_id") % 2 === 0),
+            "text", graft.functions.TextFunctions.qualityScoreFromProfile(
+              col("text"), graft.functions.TextFunctions.textProfile(
+                lower(col("text")))) >= 0.5, vocab = 256)
+          () => Curation.evidenceScoreWith(docs, "doc_id", "text", model)
+        },
+        // Bloom-pruned join: the fact scan + probe filter is the
+        // input-sized stage; the join's exchange carries only rows
+        // that pass the sketch — the ratio should track the scan, and
+        // shuffle bytes the (constant-selectivity) match count
+        "d30_bloom_pruned_join" -> (() =>
+          graft.operators.Skew.bloomPrunedJoin(
+            li.select("l_orderkey", "l_extendedprice", "l_discount"),
+            ords.filter(col("o_orderpriority") === "1-URGENT")
+              .select("o_orderkey", "o_orderdate"),
+            "l_orderkey", "o_orderkey")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(graft.functions.Portable.fixedSum(
+            col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))))
     }
 
     // total shuffle-WRITE bytes of the jobs `run` launches — the number

@@ -1707,6 +1707,43 @@ object SparkEntry {
         .createOrReplaceTempView("graft_sql_emb_cur")
       s.sql("""SELECT * FROM graft_embedding_drift('graft_sql_emb_ref',
           'graft_sql_emb_cur', 'label', 'embedding')""")
+    }),
+
+    "d30s_bloom_join_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_sql_lineitem")
+      Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+        .createOrReplaceTempView("graft_sql_urgent_orders")
+      s.sql(s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+          ${sqlFixedSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+          count(1) AS n_items
+        FROM graft_bloom_join('graft_sql_lineitem',
+          'graft_sql_urgent_orders', 'l_orderkey', 'o_orderkey')
+        GROUP BY date_format(o_orderdate, 'yyyy-MM')""")
+    }),
+
+    "h20s_html_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      docs(s, d).createOrReplaceTempView("graft_sql_documents")
+      s.sql("""SELECT doc_id, html_to_text(concat(
+          '<html><head><title>doc</title><style>p{margin:0} body{color:#222}</style><script type="text/javascript">var tracker = "do-not-ingest";</script></head><body><!-- chrome --><nav><a href="/">Home</a> &gt; <a href="/docs">Docs</a></nav><p>',
+          replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+          '</p><footer>&copy; stats &amp; figures</footer></body></html>'))
+          AS extracted
+        FROM graft_sql_documents""")
+    }),
+
+    "h21s_evidence_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      docs(s, d).createOrReplaceTempView("graft_sql_documents")
+      val label = TextFunctions.qualityScoreFromProfile(col("text"),
+        TextFunctions.textProfile(lower(col("text")))) >= 0.5
+      Curation.trainEvidenceModel(
+          docs(s, d).filter(col("doc_id") % 2 === 0), "text", label, 256)
+        .createOrReplaceTempView("graft_sql_evidence_model")
+      s.sql("""SELECT * FROM graft_evidence_score('graft_sql_documents',
+          'doc_id', 'text', 'graft_sql_evidence_model')""")
     })
   )
 
@@ -3582,7 +3619,10 @@ object SparkEntry {
       "b27s_candlestick_sql" -> "b27_candlestick",
       "d8s_topk_sql" -> "d8_topk_native",
       "dq4s_drift_sql" -> "dq4_drift",
-      "f16s_embedding_drift_sql" -> "f16_embedding_drift"
+      "f16s_embedding_drift_sql" -> "f16_embedding_drift",
+      "d30s_bloom_join_sql" -> "d30_bloom_pruned_join",
+      "h20s_html_sql" -> "h20_html_extract",
+      "h21s_evidence_sql" -> "h21_quality_classifier"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

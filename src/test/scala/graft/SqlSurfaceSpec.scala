@@ -228,6 +228,54 @@ class SqlSurfaceSpec extends SparkSpec {
         emb.filter(col("vec_id") % 2 === 1), "label", "embedding"))
   }
 
+  test("graft_bloom_join == Skew.bloomPrunedJoin == the plain SQL join") {
+    ready
+    Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_extendedprice")
+      .createOrReplaceTempView("li_slim")
+    Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderdate")
+      .createOrReplaceTempView("urgent")
+    val viaTvf = spark.sql(
+      """SELECT l_orderkey, o_orderdate FROM graft_bloom_join(
+        |'li_slim', 'urgent', 'l_orderkey', 'o_orderkey')""".stripMargin)
+    val plain = spark.sql(
+      """SELECT l_orderkey, o_orderdate FROM li_slim
+        |JOIN urgent ON l_orderkey = o_orderkey""".stripMargin)
+    sameRows(viaTvf, plain)
+  }
+
+  test("html_to_text scalar == TextFunctions.htmlToText") {
+    ready
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_html")
+    val viaSql = spark.sql(
+      """SELECT doc_id, html_to_text(concat('<p>', text,
+        |'</p><script>x</script>')) AS t FROM docs_html""".stripMargin)
+    val viaScala = Tables.documents(spark, sf).select(col("doc_id"),
+      graft.functions.TextFunctions.htmlToText(
+        concat(lit("<p>"), col("text"), lit("</p><script>x</script>")))
+        .as("t"))
+    sameRows(viaSql, viaScala)
+  }
+
+  test("graft_evidence_score == Curation.evidenceScoreWith off the same model table") {
+    ready
+    val docs = Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("docs_ev")
+    val model = graft.operators.Curation.trainEvidenceModel(
+      docs.filter(col("doc_id") % 2 === 0), "text",
+      graft.functions.TextFunctions.qualityScoreFromProfile(col("text"),
+        graft.functions.TextFunctions.textProfile(lower(col("text")))) >= 0.5,
+      vocab = 128)
+    model.createOrReplaceTempView("model_ev")
+    sameRows(
+      spark.sql("""SELECT * FROM graft_evidence_score('docs_ev',
+          'doc_id', 'text', 'model_ev')""".stripMargin),
+      graft.operators.Curation.evidenceScoreWith(docs, "doc_id", "text",
+        model))
+  }
+
   test("argument errors fail loudly with the usage string") {
     ready
     val tooFew = intercept[Exception] {
