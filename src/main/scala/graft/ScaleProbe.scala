@@ -810,6 +810,14 @@ object ScaleProbe {
             .filter(col("qty") > lit(2.0) * col("avg_qty"))
             .select(col("l_suppkey")).distinct()
         }),
+        // fuzzy pairs: per-gram buckets (capped), bucket-local
+        // levenshtein verify — the e2/e3 candidate-generation shape;
+        // the ratio should track the gram explode + bucket exchange
+        "e10_fuzzy_pairs" -> (() =>
+          Dedup.fuzzyPairs(
+            docs.select(col("doc_id"),
+              lower(substring(col("text"), 1, 24)).as("title")),
+            "doc_id", "title", maxDist = 2, q = 3, maxBucket = 100)),
         // CDF rollup: shares b31's bins pipeline; the probe estimates
         // fold to constants, so past the first exchange everything is
         // sketch-sized — the ratio must track the bin-count scan

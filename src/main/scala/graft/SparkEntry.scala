@@ -1048,6 +1048,16 @@ object SparkEntry {
     "e4_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDup(docs(s, d), "doc_id", "text", 12)),
 
+    // record linkage / fuzzy join (E10): edit-distance near-dups over a
+    // derived short key (title = lowered 24-char prefix) — q-gram
+    // bucket candidates, exact integer levenshtein verify, so the
+    // ENTIRE operator is oracle-reproducible
+    "e10_fuzzy_pairs" -> ((s, d) =>
+      Dedup.fuzzyPairs(
+        docs(s, d).select(col("doc_id"),
+          lower(substring(col("text"), 1, 24)).as("title")),
+        "doc_id", "title", maxDist = 2, q = 3, maxBucket = 100)),
+
     "e5_dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingNearDup(embD(s, d), "vec_id", "embedding", "label", 0.3)),
 
@@ -2864,6 +2874,23 @@ object SparkEntry {
          |WHERE n.doc % 10 = 0 AND o.doc % 10 <> 0
          |GROUP BY 1, 2""".stripMargin
     },
+
+    "e10_fuzzy_pairs" ->
+      s"""WITH t AS (SELECT doc_id, lower(substr(text, 1, 24)) AS k FROM documents),
+         |g AS (SELECT doc_id, k,
+         |  unnest(CASE WHEN len(k) < 3 THEN [k]
+         |    ELSE list_distinct(list_transform(generate_series(1, len(k) - 2),
+         |      i -> substr(k, i, 3))) END) AS gr
+         |  FROM t),
+         |b AS (SELECT gr, list({'doc': doc_id, 'k': k} ORDER BY doc_id) AS ds
+         |  FROM g GROUP BY 1 HAVING count(*) BETWEEN 2 AND 100),
+         |p AS (SELECT DISTINCT u1.a.doc AS doc_a, u2.bb.doc AS doc_b,
+         |    u1.a.k AS ka, u2.bb.k AS kb
+         |  FROM b, LATERAL unnest(ds) AS u1(a), LATERAL unnest(ds) AS u2(bb)
+         |  WHERE u1.a.doc < u2.bb.doc)
+         |SELECT doc_a, doc_b, levenshtein(ka, kb) AS edit_dist
+         |FROM p
+         |WHERE abs(len(ka) - len(kb)) <= 2 AND levenshtein(ka, kb) <= 2""".stripMargin,
 
     "e4_dedup_simhash" -> {
       // portable 60-bit simhash: per-token hash = first 15 md5 hex

@@ -277,6 +277,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** EDIT-DISTANCE near-dup pairs over a SHORT key column — the record-
+    * linkage / fuzzy-join primitive (matching titles, names, product
+    * labels; not document bodies — for those the shingle family above
+    * is the right tool): candidate pairs share at least one q-gram of
+    * the key, then the exact `levenshtein` (integer unit-cost edit
+    * distance — identical by definition in every engine, so the whole
+    * operator is oracle-reproducible) verifies `≤ maxDist` inside the
+    * bucket. Emits `(doc_a, doc_b, edit_dist)` with `doc_a < doc_b`.
+    *
+    * RECALL is complete when the shorter key has more than
+    * `maxDist · q` q-grams (i.e. `len ≥ q·(maxDist+1)`): ≤ maxDist
+    * edits can destroy at most `maxDist·q` grams, so one gram survives
+    * CONTENT-intact (shifts don't matter — buckets key on content, not
+    * position) and lands both keys in one bucket. Keys shorter than
+    * `q` bucket whole. A cheap length-band filter (`|len_a − len_b| ≤
+    * maxDist`, a levenshtein lower bound) prunes candidates before the
+    * dynamic-programming verify.
+    *
+    * Scale shape: the e2/e3 discipline — per-gram buckets assembled
+    * with one sort-free hash aggregation, expanded to ordered pairs
+    * natively, verification strictly bucket-local; `maxBucket` is the
+    * stop-gram valve (ubiquitous grams pair everything with
+    * everything; drop those buckets, recall rides the rarer grams). */
+  def fuzzyPairs(df: DataFrame, id: String, key: String, maxDist: Int,
+                 q: Int = 3, maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 0 && q >= 1)
+    val base = df.select(col(id).as("doc"), col(key).as("k"))
+      .filter(col("k").isNotNull)
+    val grams = base.withColumn("g", explode(
+      when(length(col("k")) < q, array(col("k")))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), length(col("k")) - (q - 1)),
+          i => col("k").substr(i, lit(q)))))))
+    grams.groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("doc"), col("k")))).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+      .select(explode(orderedPairs(col("ds"))).as("p"))
+      .select(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
+        col("p.a.k").as("k_a"), col("p.b.k").as("k_b"))
+      .distinct()
+      .filter(abs(length(col("k_a")) - length(col("k_b"))) <= maxDist)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("k_a"), col("k_b")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** Dedup cluster assignment: connected components over a near-dup
     * pair graph via iterative min-label propagation — every doc ends up
     * labelled with the smallest doc id reachable from it, i.e. the

@@ -391,6 +391,36 @@ class SimilaritySpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0 && salted.exceptAll(plain).count() == 0)
   }
 
+  test("fuzzyPairs: hand-checked edit distances, complete recall above the q-gram bound, stop-gram cap") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "acme widgets inc"), (2L, "acme widgets inc"),   // ed 0
+      (3L, "acme wdgets inc"),                              // ed 1 vs 1
+      (4L, "acme widgets corp"),                            // ed 3+ vs 1 (out)
+      (5L, "zz"), (6L, "zz"),                               // short-key whole-bucket
+      (7L, "completely different name")).toDF("doc_id", "title")
+    val got = graft.operators.Dedup
+      .fuzzyPairs(rows, "doc_id", "title", maxDist = 2, q = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((1L, 2L, 0)))
+    assert(got.contains((1L, 3L, 1)) && got.contains((2L, 3L, 1)))
+    assert(got.contains((5L, 6L, 0)))  // len < q buckets whole
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L), s"ed>2 leaked: $got")
+    assert(!got.exists(p => p._1 == 7L || p._2 == 7L))
+    // recall guarantee: brute-force truth == bucketed result for keys
+    // with ≥ q·(maxDist+1) grams (every key here but the short pair)
+    val brute = rows.as("a").join(rows.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+        levenshtein(col("a.title"), col("b.title")) <= 2)
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.title"), col("b.title")))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute, s"bucketed $got != brute $brute")
+    // the stop-gram valve: cap 1 drops every bucket, so no pairs
+    assert(graft.operators.Dedup.fuzzyPairs(rows, "doc_id", "title",
+      maxDist = 2, q = 3, maxBucket = 1).isEmpty)
+  }
+
   test("bloomPrunedJoin: row-identical to the plain join; empty dim empty; fact-preserving types rejected") {
     import spark.implicits._
     val fact = spark.range(5000)
