@@ -260,6 +260,63 @@ object GraftTableFunctions {
       arity(args, fn, Set(4), "table, id, text, modelTable")
       plan(Curation.evidenceScoreWith(table(str(args, 0, fn)),
         str(args, 1, fn), str(args, 2, fn), table(str(args, 3, fn))))
+    },
+
+    // graft_transitions(table, entity, ts, tieCol, typeCol) — C11
+    "graft_transitions" -> { args =>
+      val fn = "graft_transitions"
+      arity(args, fn, Set(5), "table, entity, ts, tieCol, typeCol")
+      plan(Sessionize.transitions(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn), str(args, 3, fn), str(args, 4, fn)))
+    },
+
+    // graft_attribution(table, entity, ts, tieCol, typeCol, touchCsv,
+    //                   conversionType, lookbackSeconds) — C12
+    "graft_attribution" -> { args =>
+      val fn = "graft_attribution"
+      arity(args, fn, Set(8),
+        "table, entity, ts, tieCol, typeCol, touchCsv, conversionType, lookbackSeconds")
+      plan(Sessionize.lastTouchAttribution(table(str(args, 0, fn)),
+        str(args, 1, fn), str(args, 2, fn), str(args, 3, fn),
+        str(args, 4, fn), csv(args, 5, fn), str(args, 6, fn),
+        num(args, 7, fn).toLong))
+    },
+
+    // graft_ewma(table, entity, orderCol, fixedCol, span, scale) — B34;
+    // fixedCol must already be a fixed-point integer series
+    "graft_ewma" -> { args =>
+      val fn = "graft_ewma"
+      arity(args, fn, Set(6), "table, entity, orderCol, fixedCol, span, scale")
+      plan(TimeAgg.ewma(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn), str(args, 3, fn),
+        span = num(args, 4, fn).toInt, scale = num(args, 5, fn).toInt))
+    },
+
+    // graft_autocorr(table, entity, orderCol, fixedCol, lag) — B35
+    "graft_autocorr" -> { args =>
+      val fn = "graft_autocorr"
+      arity(args, fn, Set(5), "table, entity, orderCol, fixedCol, lag")
+      plan(TimeAgg.autocorr(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn), str(args, 3, fn), k = num(args, 4, fn).toInt))
+    },
+
+    // graft_keyword_search(table, id, text, termsCsv, k) — H22
+    "graft_keyword_search" -> { args =>
+      val fn = "graft_keyword_search"
+      arity(args, fn, Set(5), "table, id, text, termsCsv, k")
+      plan(Curation.keywordSearch(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn), csv(args, 3, fn), k = num(args, 4, fn).toInt))
+    },
+
+    // graft_curriculum(table, orderCsv, phases) — K8; the distributed
+    // global rank runs its partition-count job EAGERLY at plan time
+    // (the bpe_train eager contract)
+    "graft_curriculum" -> { args =>
+      val fn = "graft_curriculum"
+      arity(args, fn, Set(3), "table, orderCsv, phases")
+      plan(Curation.curriculumPhases(table(str(args, 0, fn)),
+        csv(args, 1, fn).map(orderCol(_, fn)),
+        phases = num(args, 2, fn).toInt))
     })
 
   /** 'col', 'col asc' or 'col desc' → a sort Column. */

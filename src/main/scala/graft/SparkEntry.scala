@@ -261,6 +261,28 @@ object SparkEntry {
         periodStart = date_trunc("DAY", col("ts")), value = "value",
         scale = 4)),
 
+    // span-8 truncated EWMA (α = 1/2 ⇒ power-of-two integer weights)
+    // over the b21 daily fixed-point rollup — exact integer numerator/
+    // denominator, one division, one entity window
+    "b34_ewma" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+        .agg(sum(Portable.toFixed(col("value"), 4)).as("fs"))
+      TimeAgg.ewma(daily, "user_id", "day", "fs", span = 8, scale = 4)
+        .select(col("user_id"), col("day"),
+          (col("fs").cast("double") / lit(1e4)).as("value_sum"),
+          col("ewma"))
+    }),
+
+    // lag-1 autocorrelation of each user's daily series — the b22
+    // exact-sum corr over (current, previous) pairs from one lag window
+    "b35_autocorr" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+        .agg(sum(Portable.toFixed(col("value"), 4)).as("fs"))
+      TimeAgg.autocorr(daily, "user_id", "day", "fs", k = 1)
+    }),
+
     "b8_percentile_summary" -> ((s, d) =>
       ev(s, d).groupBy(col("event_type")).agg(
         Portable.pround(expr("percentile(value, 0.5D)"), 4).as("p50"),
@@ -467,6 +489,20 @@ object SparkEntry {
     // (user, day) map-side first, everything after is cohort-sized
     "c10_retention" -> ((s, d) =>
       operators.Sessionize.retentionCohorts(ev(s, d), "user_id", "ts")),
+
+    // Markov event-path bigrams: (prev type → type) transition counts
+    // along each user's ordered stream — one lag window, one agg
+    "c11_transitions" -> ((s, d) =>
+      Sessionize.transitions(ev(s, d), "user_id", "ts", "event_id",
+        "event_type")),
+
+    // last-touch attribution: each purchase credited to the most recent
+    // click/view within a 7-day lookback — one tagged window pass over
+    // the single stream (no events-vs-events self-join)
+    "c12_attribution" -> ((s, d) =>
+      Sessionize.lastTouchAttribution(ev(s, d), "user_id", "ts",
+        "event_id", "event_type", Seq("click", "view"), "purchase",
+        7L * 24 * 3600)),
 
     "c6_scd2_history" -> ((s, d) =>
       Incremental.scd2(
@@ -1298,6 +1334,13 @@ object SparkEntry {
     "h16_tfidf_terms" -> ((s, d) =>
       Curation.topTfidfTerms(docs(s, d), "doc_id", "text", 5)),
 
+    // conjunctive keyword search: docs containing ALL of
+    // {spark, window, merge}, ranked by the exact-integer tf-idf
+    // surrogate Σ tf·(N − df), top 20 with doc-id tie-break
+    "h22_keyword_search" -> ((s, d) =>
+      Curation.keywordSearch(docs(s, d), "doc_id", "text",
+        Seq("spark", "window", "merge"), 20)),
+
     // BPE-style adjacent-pair rank table: corpus bigram counts with a
     // support threshold (vocabulary^2-bounded, one map-combined shuffle)
     "h17_bigram_stats" -> ((s, d) =>
@@ -1515,6 +1558,22 @@ object SparkEntry {
     "k7_priority_sample" -> ((s, d) =>
       Curation.prioritySample(docs(s, d).select(col("doc_id"), col("lang")),
         Seq("lang"), col("doc_id"), 50, "|s1")),
+
+    // curriculum phases: corpus ranked easy→hard by the h1 quality
+    // score (desc, doc-id tie-break), cut into 10 exact-ntile phases —
+    // distributed two-phase global rank, no single-partition window
+    "k8_curriculum" -> ((s, d) => {
+      val scored = docs(s, d)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.textProfile(lower(col("text"))).as("p"))
+        .select(col("doc_id"),
+          TextFunctions.qualityScoreFromProfile(col("text"), col("p"))
+            .as("quality_score"))
+      Curation.curriculumPhases(scored,
+        Seq(col("quality_score").desc, col("doc_id").asc), phases = 10)
+        .select(col("doc_id"), col("quality_score"), col("rank"),
+          col("phase"))
+    }),
 
     "k2_quota_sample" -> ((s, d) =>
       Curation.quotaSample(
@@ -1754,6 +1813,59 @@ object SparkEntry {
         .createOrReplaceTempView("graft_sql_evidence_model")
       s.sql("""SELECT * FROM graft_evidence_score('graft_sql_documents',
           'doc_id', 'text', 'graft_sql_evidence_model')""")
+    }),
+
+    "b34s_ewma_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      ev(s, d).groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+        .agg(sum(Portable.toFixed(col("value"), 4)).as("fs"))
+        .createOrReplaceTempView("graft_sql_daily_fs")
+      s.sql("""SELECT user_id, day, CAST(fs AS DOUBLE) / 10000.0 AS value_sum,
+          ewma
+        FROM graft_ewma('graft_sql_daily_fs', 'user_id', 'day', 'fs', 8, 4)""")
+    }),
+
+    "b35s_autocorr_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      ev(s, d).groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+        .agg(sum(Portable.toFixed(col("value"), 4)).as("fs"))
+        .createOrReplaceTempView("graft_sql_daily_fs2")
+      s.sql("""SELECT * FROM graft_autocorr('graft_sql_daily_fs2',
+        'user_id', 'day', 'fs', 1)""")
+    }),
+
+    "c11s_transitions_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_transitions('graft_sql_events',
+        'user_id', 'ts', 'event_id', 'event_type')""")
+    }),
+
+    "c12s_attribution_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_attribution('graft_sql_events',
+        'user_id', 'ts', 'event_id', 'event_type', 'click,view',
+        'purchase', 604800)""")
+    }),
+
+    "h22s_keyword_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      docs(s, d).createOrReplaceTempView("graft_sql_documents")
+      s.sql("""SELECT * FROM graft_keyword_search('graft_sql_documents',
+        'doc_id', 'text', 'spark,window,merge', 20)""")
+    }),
+
+    "k8s_curriculum_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      docs(s, d)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.textProfile(lower(col("text"))).as("p"))
+        .select(col("doc_id"),
+          TextFunctions.qualityScoreFromProfile(col("text"), col("p"))
+            .as("quality_score"))
+        .createOrReplaceTempView("graft_sql_scored_docs")
+      s.sql("""SELECT doc_id, quality_score, rank, phase
+        FROM graft_curriculum('graft_sql_scored_docs',
+          'quality_score desc, doc_id asc', 10)""")
     })
   )
 
@@ -2058,6 +2170,52 @@ object SparkEntry {
          |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
          |       wr AS (PARTITION BY user_id ORDER BY day
          |              ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    "b34_ewma" -> {
+      // weights 2^(7-j) for lag j; term and weight drop together when
+      // the lag is absent — mirrored with per-term CASE on both sides
+      val lags = (1 to 7).map(j => s"lag(fs, $j) OVER w AS f$j")
+        .mkString(",\n         |    ")
+      val num = "CASE WHEN fs IS NOT NULL THEN 128 * fs ELSE 0 END" +
+        (1 to 7).map(j =>
+          s" + CASE WHEN f$j IS NOT NULL THEN ${1L << (7 - j)} * f$j ELSE 0 END").mkString
+      val den = "CASE WHEN fs IS NOT NULL THEN 128 ELSE 0 END" +
+        (1 to 7).map(j =>
+          s" + CASE WHEN f$j IS NOT NULL THEN ${1L << (7 - j)} ELSE 0 END").mkString
+      s"""WITH dly AS (
+         |  SELECT user_id, strftime(ts, '%Y%m%d') AS day,
+         |    sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS fs
+         |  FROM events GROUP BY 1, 2),
+         |l AS (
+         |  SELECT user_id, day, fs,
+         |    $lags
+         |  FROM dly WINDOW w AS (PARTITION BY user_id ORDER BY day))
+         |SELECT user_id, day, CAST(fs AS DOUBLE) / 10000.0 AS value_sum,
+         |  ${sqlPround(s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE) / 10000.0", 4)} AS ewma
+         |FROM l""".stripMargin
+    },
+
+    "b35_autocorr" -> {
+      val covN = "(CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+      val varA = "(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+      val varB = "(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))"
+      s"""WITH dly AS (
+         |  SELECT user_id, strftime(ts, '%Y%m%d') AS day,
+         |    sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS fs
+         |  FROM events GROUP BY 1, 2),
+         |p AS (
+         |  SELECT user_id, fs AS a,
+         |    lag(fs, 1) OVER (PARTITION BY user_id ORDER BY day) AS b
+         |  FROM dly),
+         |g AS (
+         |  SELECT user_id, count(*) AS n, sum(a) AS sa, sum(b) AS sb,
+         |    sum(a * a) AS saa, sum(b * b) AS sbb, sum(a * b) AS sab
+         |  FROM p WHERE b IS NOT NULL GROUP BY 1)
+         |SELECT user_id,
+         |  ${sqlPround(s"CASE WHEN n >= 2 AND $varA > 0 AND $varB > 0 THEN $covN / sqrt($varA * $varB) END", 6)} AS autocorr_1,
+         |  n AS n_pairs
+         |FROM g""".stripMargin
+    },
 
     "b22_regression" -> {
       val covN = "(CAST(n AS DOUBLE) * CAST(stv AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))"
@@ -2403,6 +2561,32 @@ object SparkEntry {
         |  count(*) AS n_entities
         |FROM a JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "c11_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type AS curr_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, curr_type, count(*) AS n_transitions,
+        |  count(DISTINCT user_id) AS n_entities
+        |FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "c12_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN epoch(ts) END IGNORE NULLS) OVER w AS tt,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN event_type END IGNORE NULLS) OVER w AS tty
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING))
+        |SELECT CASE WHEN tt IS NOT NULL AND epoch(ts) - tt <= 604800.0
+        |         THEN tty ELSE '(unattributed)' END AS touch_type,
+        |  count(*) AS n_conversions,
+        |  count(DISTINCT user_id) AS n_converters
+        |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
 
     "c6_scd2_history" ->
       """WITH o AS (
@@ -3201,6 +3385,27 @@ object SparkEntry {
          |  array_to_string(tok[s + 1 : s + 64], ' ') AS chunk_text
          |FROM n, LATERAL unnest(range(0, CAST(n AS BIGINT), 48)) AS u(s)""".stripMargin,
 
+    "h22_keyword_search" ->
+      """WITH e AS (
+        |  SELECT doc_id, u.term AS term
+        |  FROM documents,
+        |    LATERAL unnest(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 0)) AS u(term)),
+        |p AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM e
+        |  WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+        |d AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+        |s AS (
+        |  SELECT doc_id, count(DISTINCT term) AS hits,
+        |    CAST(sum(tf * ((SELECT count(*) FROM documents) - df)) AS BIGINT) AS score,
+        |    CAST(sum(tf) AS BIGINT) AS total_tf
+        |  FROM p JOIN d USING (term) GROUP BY 1)
+        |SELECT doc_id, score, total_tf,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        |FROM s WHERE hits = 3
+        |QUALIFY rnk <= 20""".stripMargin,
+
     "h16_tfidf_terms" ->
       """WITH e AS (
         |  SELECT doc_id, u.term AS term
@@ -3625,7 +3830,28 @@ object SparkEntry {
     "k7_priority_sample" ->
       """SELECT doc_id, lang FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang
-        |  ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '|s1')), doc_id) <= 50""".stripMargin
+        |  ORDER BY md5(concat(CAST(doc_id AS VARCHAR), '|s1')), doc_id) <= 50""".stripMargin,
+
+    "k8_curriculum" ->
+      s"""WITH t AS (${tokCte("documents", lower = false)}),
+         |m AS (
+         |  SELECT doc_id, text, len(tok) AS n_tokens,
+         |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |        x -> len(x) > 0 AND list_contains(${TextFunctions.stopwordsEn.map("'" + _ + "'").mkString("[", ",", "]")}, x))) AS n_stopwords,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id,
+         |    ${sqlPround(
+              """0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+                | + 0.3 * (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0))
+                | + 0.3 * least(CAST(n_stopwords AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0)"""
+                .stripMargin.replace("\n", ""), 4)} AS quality_score
+         |  FROM m)
+         |SELECT doc_id, quality_score,
+         |  row_number() OVER (ORDER BY quality_score DESC, doc_id) AS rank,
+         |  CAST(ntile(10) OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT) AS phase
+         |FROM s""".stripMargin
   )
 
   /** The SQL-TVF spellings share their Scala originals' oracles — one
@@ -3649,7 +3875,13 @@ object SparkEntry {
       "f16s_embedding_drift_sql" -> "f16_embedding_drift",
       "d30s_bloom_join_sql" -> "d30_bloom_pruned_join",
       "h20s_html_sql" -> "h20_html_extract",
-      "h21s_evidence_sql" -> "h21_quality_classifier"
+      "h21s_evidence_sql" -> "h21_quality_classifier",
+      "b34s_ewma_sql" -> "b34_ewma",
+      "b35s_autocorr_sql" -> "b35_autocorr",
+      "c11s_transitions_sql" -> "c11_transitions",
+      "c12s_attribution_sql" -> "c12_attribution",
+      "h22s_keyword_sql" -> "h22_keyword_search",
+      "k8s_curriculum_sql" -> "k8_curriculum"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

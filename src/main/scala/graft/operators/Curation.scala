@@ -795,4 +795,113 @@ object Curation {
     evidenceScoreWith(docs, id, text,
       trainEvidenceModel(docs.filter(trainFilter), text, label, vocab),
       scale)
+
+  /** Conjunctive keyword search over an inverted posting view (H22) —
+    * the corpus-inspection query every curation loop runs ("show me the
+    * docs about X and Y"): documents containing ALL `terms`, ranked by
+    * the EXACT-INTEGER tf-idf surrogate Σ_t tf_{d,t}·(N − df_t)
+    * (monotone in tf and in inverse document frequency; integer, so
+    * rank order — the thing a search result IS — cannot drift to float
+    * noise or libm `ln` ULPs across engines), top `k` with doc-id
+    * tie-break.
+    *
+    * Shape: tokenize+explode filtered to the query terms BEFORE the
+    * (doc, term) count (the posting build touches only matching
+    * tokens), df per term from the postings themselves (a
+    * vocabulary-|terms|-sized agg broadcast back), conjunction as
+    * `count(distinct term) = |terms|` on the doc-keyed agg, then
+    * TakeOrdered top-k (bounded heap, no global sort) and a rank window
+    * over the K-ROW result. Never an index scan per term + intersect
+    * loop — the one-pass grouped spelling is the scalable form. */
+  def keywordSearch(docs: DataFrame, id: String, text: String,
+                    terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "keywordSearch needs at least one term")
+    val q = terms.map(_.toLowerCase).distinct
+    val postings = docs
+      .select(col(id), explode(filter(split(lower(col(text)), "[^a-z0-9]+"),
+        t => length(t) > 0)).as("term"))
+      .filter(col("term").isin(q.map(x => x: Any): _*))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = postings
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .groupBy(col(id))
+      .agg(countDistinct(col("term")).as("__hits"),
+        sum(col("tf") * (col("__n") - col("df"))).as("score"),
+        sum(col("tf")).as("total_tf"))
+      .filter(col("__hits") === q.size)
+      .select(col(id), col("score"), col("total_tf"))
+      .orderBy(col("score").desc, col(id).asc)
+      .limit(k)
+    scored.withColumn("rnk", row_number().over(
+      Window.orderBy(col("score").desc, col(id).asc)))
+  }
+
+  /** EXACT distributed global rank — `row_number() OVER (ORDER BY …)`
+    * without the single-partition window that spelling forces: range-
+    * repartition on the order key (Spark's sampled range partitioner —
+    * the same machinery as a global sort), sort within partitions, then
+    * per-partition row counts (one tiny collect, numPartitions longs)
+    * become cumulative offsets added back in ONE mapPartitions pass.
+    * The classic two-phase distributed ranking; every stage is linear
+    * and no task ever holds more than its own partition.
+    *
+    * `order` must be a TOTAL order (include a unique tie-break) or
+    * ranks within ties are partition-placement-dependent. */
+  def globalRank(df: DataFrame, order: Seq[Column],
+                 rankName: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(rankName, org.apache.spark.sql.types.LongType))
+    // persist: the counts pass and the offset pass both read the sorted
+    // RDD — unpinned, the range-partition + sort would run twice
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator((i, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = offsets(i)
+      it.map { row =>
+        r += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
+      }
+    }
+    spark.createDataFrame(ranked, schema)
+  }
+
+  /** Curriculum ordering (K8) — rank the corpus easy→hard by a
+    * deterministic difficulty key and cut it into `phases` equal-count
+    * training phases with EXACT `ntile` semantics (bucket sizes differ
+    * by at most one, earlier buckets take the remainder — the standard
+    * SQL contract, so the assignment is oracle-checkable): phase 1 is
+    * what the first epoch sees, phase `phases` the last. Built on
+    * [[globalRank]], so no single-partition window anywhere; the ntile
+    * arithmetic is a codegen'd projection over the ranked frame.
+    *
+    * `order` must be total (tie-break on the id) — same contract as
+    * [[globalRank]]. */
+  def curriculumPhases(df: DataFrame, order: Seq[Column],
+                       phases: Int): DataFrame = {
+    require(phases >= 1, s"phases must be positive, got $phases")
+    val ranked = globalRank(df, order, "rank")
+    // ntile(B) over n rows at 1-based rank r: rem = n % B buckets of
+    // size q+1 first, then size-q buckets (q = n / B); n = max(rank)
+    // reads the persisted ranked RDD, not the input again
+    val n = ranked.agg(max(col("rank")).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("phase", {
+        val b = lit(phases.toLong); val r = col("rank")
+        val q = floor(col("__n") / b); val rem = col("__n") % b
+        val cut = rem * (q + lit(1L))
+        when(q === 0, r) // fewer rows than phases: one row per phase
+          .when(r <= cut, floor((r - 1) / (q + lit(1L))) + 1)
+          .otherwise(rem + floor((r - cut - 1) / q) + 1)
+      })
+      .drop("__n")
+  }
 }

@@ -145,4 +145,76 @@ object Sessionize {
           col("n_entities"))
     }.reduce(_ unionByName _)
   }
+
+  /** Event-path transition matrix (C11) — per-entity Markov bigrams:
+    * for each event, the (previous event type → this event type)
+    * transition along the entity's (ts, tieCol)-ordered stream, counted
+    * corpus-wide with how many distinct entities exhibited each
+    * transition. The product-analytics "user path" view (Amplitude
+    * Pathfinder / Mixpanel flows, first hop) and the raw material for
+    * Markov-chain attribution.
+    *
+    * Shape: one `lag` over the entity-partitioned window, then a hash
+    * agg on (prev, curr) — the per-entity distinct count rides the same
+    * agg as a count-distinct (Spark expands it to a two-phase partial
+    * agg keyed on (prev, curr, entity); both exchanges carry transition
+    * rows, never the raw stream twice). Each entity's first event has
+    * no predecessor and is excluded (a "(start)" pseudo-state would be
+    * a one-line `coalesce`, left out to keep the oracle obvious). */
+  def transitions(events: DataFrame, entity: String, ts: String,
+                  tieCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(col(ts), col(tieCol))
+    events
+      .select(col(entity), col(typeCol).as("curr_type"),
+        lag(col(typeCol), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("curr_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col(entity)).as("n_entities"))
+  }
+
+  /** Last-touch conversion attribution (C12) — for every conversion
+    * event, the most recent touch event (at or before it, same entity)
+    * within `lookbackSeconds`, rolled up to per-touch-type attributed
+    * conversion counts plus an `(unattributed)` row. The marketing-
+    * analytics core loop (GA4 last-click, Adjust last-touch); ties at
+    * the same timestamp resolve to the touch with the larger `tieCol`
+    * (latest-wins made total).
+    *
+    * NOT a d6 as-of join: touches and conversions ride ONE stream, so
+    * the operator is a single tagged window pass — `last(touch-struct,
+    * ignoreNulls)` over the entity-ordered stream carries (touch ts,
+    * touch type) onto each conversion row (the struct rides as one
+    * column, so the type can never pair with a different row's
+    * staleness time), then the lookback test and one small agg. One
+    * input-sized exchange (the entity window), one sketch-sized count
+    * agg; no self-join of events against events.
+    *
+    * Ordering contract: at identical (ts, tieCol) the window frame is
+    * rows-based, so touch/conversion interleavings at the exact same
+    * (ts, tieCol) key would be nondeterministic — `tieCol` must be
+    * unique per entity (an event id), the same totality contract as
+    * [[assign]]. */
+  def lastTouchAttribution(events: DataFrame, entity: String, ts: String,
+                           tieCol: String, typeCol: String,
+                           touchTypes: Seq[String], conversionType: String,
+                           lookbackSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(col(ts), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isTouch = col(typeCol).isin(touchTypes.map(x => x: Any): _*)
+    val touch = last(
+      when(isTouch, struct(col(ts).as("t"), col(typeCol).as("ty"))),
+      ignoreNulls = true).over(w)
+    events
+      .withColumn("__touch", touch)
+      .filter(col(typeCol) === conversionType)
+      .withColumn("touch_type",
+        when(col("__touch").isNotNull &&
+          col(ts).cast("double") - col("__touch.t").cast("double") <=
+            lookbackSeconds.toDouble,
+          col("__touch.ty")).otherwise(lit("(unattributed)")))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        countDistinct(col(entity)).as("n_converters"))
+  }
 }

@@ -459,4 +459,90 @@ object TimeAgg {
       .groupBy(col(entity), col(state))
       .agg(sum(col("__dur")).as("held_us"), count(lit(1)).as("n_entries"))
   }
+
+  /** Exponentially-weighted moving average (α = 1/2, span-bounded) over
+    * an already-fixed-point series — the dashboard smoothing curve
+    * (pandas `ewm(alpha=.5).mean()`, Influx `exponential_moving_average`)
+    * made ENGINE-PORTABLE: the classic recursive EWMA folds the entire
+    * history through float multiplies (never reproducible across
+    * engines), so this is the TRUNCATED form — the last `span`
+    * observations with integer weights 2^(span-1-j) for lag j (α = 1/2
+    * makes every weight a power of two). Numerator and present-weight
+    * denominator are EXACT integer sums of `span` lag terms; one IEEE
+    * division at the end. Truncation error vs the infinite EWMA is
+    * ≤ 2^-span of the weight mass — with span 8, under 0.4%, and the
+    * semantics are *stated* as span-bounded rather than pretending to
+    * the recursive curve.
+    *
+    * `fixed` must be an exact integer column (a [[graft.functions.Portable.toFixed]]
+    * daily sum — the b21 rollup discipline). Rows with fewer than `span`
+    * predecessors use exactly the weights of the lags present (the
+    * `adjust=True` pandas convention restricted to the window).
+    *
+    * Shape: `span` lags over ONE entity-partitioned window — one
+    * exchange, one sort, all codegen'd; no self-join, no UDF, state per
+    * row is `span` longs regardless of series length. */
+  def ewma(series: DataFrame, entity: String, order: String,
+           fixed: String, span: Int, scale: Int): DataFrame = {
+    require(span >= 1 && span <= 62, s"span must be in [1, 62], got $span")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entity)).orderBy(col(order))
+    val terms = (0 until span).map { j =>
+      val wt = 1L << (span - 1 - j)
+      val l = lag(col(fixed), j).over(w)
+      (when(l.isNotNull, l * lit(wt)).otherwise(lit(0L)),
+        when(l.isNotNull, lit(wt)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    series.withColumn("ewma",
+      graft.functions.Portable.pround(
+        num.cast("double") / den.cast("double") / lit(math.pow(10, scale)), scale))
+  }
+
+  /** Lag-k autocorrelation per entity over an ordered series — the
+    * seasonality/persistence probe (pandas `Series.autocorr(lag)`,
+    * statsmodels `acf`): Pearson correlation of the series against
+    * itself shifted by `k` positions. Formed EXACTLY: the (current,
+    * k-back) pairs come from one `lag` window, then the b22 five-sum
+    * discipline — n, Σa, Σb, Σa², Σb², Σab as decimal(38) (products of
+    * two fixed-point dailies can pass 2^63; decimal sums stay exact and
+    * order-independent) — and corr = (nΣab − ΣaΣb)/√((nΣa²−(Σa)²)(nΣb²−(Σb)²))
+    * with every float op after the exact sums correctly rounded, hence
+    * oracle-reproducible. Entities with < k+2 observations or a
+    * zero-variance side report NULL (undefined), with the pair count.
+    *
+    * Shape: one entity-partitioned lag window, then a hash agg on the
+    * entity — narrow between the two, ONE shuffle total (the window
+    * exchange is reused by the agg), never a self-join of the series. */
+  def autocorr(series: DataFrame, entity: String, order: String,
+               fixed: String, k: Int): DataFrame = {
+    require(k >= 1, s"lag must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entity)).orderBy(col(order))
+    val dec = "decimal(38,0)"
+    val pairs = series
+      .select(col(entity), col(fixed).as("__a"),
+        lag(col(fixed), k).over(w).as("__b"))
+      .filter(col("__b").isNotNull)
+    val g = pairs.groupBy(col(entity)).agg(
+      count(lit(1)).as("__n"),
+      sum(col("__a").cast(dec)).as("__sa"),
+      sum(col("__b").cast(dec)).as("__sb"),
+      sum((col("__a").cast(dec) * col("__a")).cast(dec)).as("__saa"),
+      sum((col("__b").cast(dec) * col("__b")).cast(dec)).as("__sbb"),
+      sum((col("__a").cast(dec) * col("__b")).cast(dec)).as("__sab"))
+    val n = col("__n").cast("double")
+    val sa = col("__sa").cast("double"); val sb = col("__sb").cast("double")
+    val saa = col("__saa").cast("double"); val sbb = col("__sbb").cast("double")
+    val sab = col("__sab").cast("double")
+    val covN = n * sab - sa * sb
+    val varA = n * saa - sa * sa
+    val varB = n * sbb - sb * sb
+    g.select(col(entity),
+      graft.functions.Portable.pround(
+        when(col("__n") >= 2 && varA > 0 && varB > 0,
+          covN / sqrt(varA * varB)), 6).as(s"autocorr_$k"),
+      col("__n").as("n_pairs"))
+  }
 }

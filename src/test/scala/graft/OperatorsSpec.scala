@@ -493,3 +493,122 @@ class MongoJsonSourceSpec extends SparkSpec {
     assert(staged.schema("value").dataType.typeName == "double")
   }
 }
+
+class EventAnalyticsR9Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("ewma: power-of-two weights over present lags, hand-computed") {
+    val df = Seq((1L, "d1", 100L), (1L, "d2", 200L), (1L, "d3", 400L))
+      .toDF("user_id", "day", "fs")
+    val got = TimeAgg.ewma(df, "user_id", "day", "fs", span = 3, scale = 0)
+      .select("day", "ewma").as[(String, Double)].collect().toMap
+    // weights 4,2,1 (newest first); partial windows use present weights;
+    // scale=0 ⇒ pround to whole units
+    assert(got("d1") == 100.0)                       // 400/4
+    assert(got("d2") == 167.0)                       // (4*200+2*100)/6 ≈ 166.67
+    assert(got("d3") == 300.0)                       // (4*400+2*200+100)/7
+  }
+
+  test("autocorr: exact corr over lagged pairs; degenerate cases null") {
+    val df = Seq(
+      (1L, "d1", 1L), (1L, "d2", 2L), (1L, "d3", 3L), (1L, "d4", 4L),
+      (2L, "d1", 5L), (2L, "d2", 5L), (2L, "d3", 5L), // zero variance
+      (3L, "d1", 1L), (3L, "d2", 9L))                  // one pair only
+      .toDF("user_id", "day", "fs")
+    val got = TimeAgg.autocorr(df, "user_id", "day", "fs", k = 1)
+      .select("user_id", "autocorr_1", "n_pairs")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2))).toMap
+    assert(got(1L) == (Some(1.0), 3L))      // perfectly linear
+    assert(got(2L) == (None, 2L))           // constant: undefined
+    assert(got(3L) == (None, 1L))           // n < 2: undefined
+  }
+
+  test("transitions: per-entity ordered bigrams with entity counts") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (1L, "2024-01-01 00:01:00", 2L, "click"),
+      (1L, "2024-01-01 00:02:00", 3L, "click"),
+      (2L, "2024-01-01 00:00:00", 4L, "view"),
+      (2L, "2024-01-01 00:05:00", 5L, "click"),
+      (3L, "2024-01-01 00:00:00", 6L, "purchase")) // single event: no pair
+      .toDF("user_id", "s", "event_id", "event_type")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val got = Sessionize.transitions(df, "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == Map(
+      ("view", "click") -> (2L, 2L),
+      ("click", "click") -> (1L, 1L)))
+  }
+
+  test("last-touch attribution: latest touch within lookback; stale and touchless unattributed") {
+    val df = Seq(
+      // u1: view then click then purchase — credited to the LATEST touch (click)
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (1L, "2024-01-01 00:30:00", 2L, "click"),
+      (1L, "2024-01-01 01:00:00", 3L, "purchase"),
+      // u2: touch 10 days before the purchase — outside the 7d lookback
+      (2L, "2024-01-01 00:00:00", 4L, "click"),
+      (2L, "2024-01-11 00:00:00", 5L, "purchase"),
+      // u3: no touch at all
+      (3L, "2024-01-01 00:00:00", 6L, "purchase"),
+      // u4: touch AFTER the purchase never credits it
+      (4L, "2024-01-01 00:00:00", 7L, "purchase"),
+      (4L, "2024-01-01 00:01:00", 8L, "view"))
+      .toDF("user_id", "s", "event_id", "event_type")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val got = Sessionize.lastTouchAttribution(df, "user_id", "ts", "event_id",
+        "event_type", Seq("click", "view"), "purchase", 7L * 24 * 3600)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      "click" -> (1L, 1L),
+      "(unattributed)" -> (3L, 3L)))
+  }
+}
+
+class SearchCurriculumSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keywordSearch: conjunction filters, exact-integer rank order, k cap") {
+    val df = Seq(
+      (1L, "spark spark merge window"),   // all 3 terms, tf=2+1+1
+      (2L, "spark merge window"),         // all 3, tf=1 each
+      (3L, "spark merge"),                // missing window: excluded
+      (4L, "window window window"),       // missing spark/merge: excluded
+      (5L, "spark merge window noise noise"))
+      .toDF("doc_id", "text")
+    val got = Curation.keywordSearch(df, "doc_id", "text",
+      Seq("spark", "window", "merge"), k = 2)
+      .select("doc_id", "score", "rnk").as[(Long, Long, Int)].collect()
+    // N=5; df(spark)=4, df(merge)=4, df(window)=4 → weight 1 per hit
+    // doc1 score = (2+1+1)*1 = 4; docs 2,5 score 3 — doc2 wins the tie
+    assert(got.toList == List((1L, 4L, 1), (2L, 3L, 2)))
+  }
+
+  test("globalRank: exact row_number over the total order, no window") {
+    val df = Seq((30, "c"), (10, "a"), (20, "b"), (10, "b")).toDF("v", "t")
+    val got = Curation.globalRank(df, Seq(col("v").asc, col("t").asc), "rank")
+      .select("v", "t", "rank").as[(Int, String, Long)].collect().toSet
+    assert(got == Set((10, "a", 1L), (10, "b", 2L), (20, "b", 3L), (30, "c", 4L)))
+  }
+
+  test("curriculumPhases: exact ntile bucket sizes, remainder to early phases") {
+    val df = (1 to 10).map(i => (i.toLong, 100 - i)).toDF("id", "score")
+    val got = Curation.curriculumPhases(df,
+        Seq(col("score").desc, col("id").asc), phases = 3)
+      .select("id", "rank", "phase").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // score desc == id asc here; n=10, B=3 → sizes 4,3,3
+    assert((1 to 10).forall(i => got(i.toLong)._1 == i.toLong))
+    assert((1 to 4).forall(i => got(i.toLong)._2 == 1L))
+    assert((5 to 7).forall(i => got(i.toLong)._2 == 2L))
+    assert((8 to 10).forall(i => got(i.toLong)._2 == 3L))
+    // more phases than rows: one row per phase, phase == rank
+    val tiny = Curation.curriculumPhases(
+        Seq((1L, 5), (2L, 4)).toDF("id", "score"),
+        Seq(col("score").desc, col("id").asc), phases = 5)
+      .select("id", "phase").as[(Long, Long)].collect().toMap
+    assert(tiny == Map(1L -> 1L, 2L -> 2L))
+  }
+}

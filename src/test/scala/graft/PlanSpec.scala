@@ -778,6 +778,36 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(plan).size == 1,
       s"h21 scoring plan must scan documents once:\n$plan")
   }
+
+  test("r9 batch-3 newcomers: b34/b35 two exchanges, c11/c12 one scan no self-join") {
+    // b34 ewma: the daily rollup agg + ONE entity window partitioning;
+    // all 8 lag terms ride a single window family
+    val b34 = executed(SparkEntry.queries("b34_ewma")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(b34).size == 1,
+      s"b34 must scan events once:\n$b34")
+    assert("(?<!Reused)Exchange hashpartitioning".r.findAllIn(b34).size == 2,
+      s"b34: rollup agg + entity window only:\n$b34")
+    assert("Window".r.findAllIn(b34).size == 1,
+      s"b34's lags must share one window:\n$b34")
+    // b35 autocorr: the entity agg rides the lag window's partitioning
+    // — still two exchanges, never a third for the grouped sums
+    val b35 = executed(SparkEntry.queries("b35_autocorr")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(b35).size == 1,
+      s"b35 must scan events once:\n$b35")
+    assert("(?<!Reused)Exchange hashpartitioning".r.findAllIn(b35).size == 2,
+      s"b35: daily rollup + shared entity exchange:\n$b35")
+    // c11/c12 are single-stream window passes: one scan, no
+    // events-vs-events join anywhere
+    for (q <- Seq("c11_transitions", "c12_attribution")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+        .split("== Initial Plan ==").head
+      assert("FileScan parquet".r.findAllIn(plan).size == 1,
+        s"$q must scan events once:\n$plan")
+      assert(!plan.contains("Join"), s"$q must not self-join events:\n$plan")
+    }
+  }
 }
 
 /** Every declared query runs and the flagship returns rows. */

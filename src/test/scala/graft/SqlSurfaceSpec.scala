@@ -300,4 +300,45 @@ class SqlSurfaceSpec extends SparkSpec {
     }
     assert(badOrder.getMessage.contains("order spec"))
   }
+
+  test("r9 batch-3 TVFs == their Scala operators") {
+    ready
+    sameRows(
+      spark.sql("""SELECT * FROM graft_transitions('ev', 'user_id', 'ts',
+        'event_id', 'event_type')"""),
+      Sessionize.transitions(Tables.events(spark, sf), "user_id", "ts",
+        "event_id", "event_type"))
+    sameRows(
+      spark.sql("""SELECT * FROM graft_attribution('ev', 'user_id', 'ts',
+        'event_id', 'event_type', 'click,view', 'purchase', 604800)"""),
+      Sessionize.lastTouchAttribution(Tables.events(spark, sf), "user_id",
+        "ts", "event_id", "event_type", Seq("click", "view"), "purchase",
+        604800L))
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+      .agg(sum(graft.functions.Portable.toFixed(col("value"), 4)).as("fs"))
+    daily.createOrReplaceTempView("daily_fs_tvf")
+    sameRows(
+      spark.sql(
+        "SELECT * FROM graft_ewma('daily_fs_tvf', 'user_id', 'day', 'fs', 8, 4)"),
+      TimeAgg.ewma(daily, "user_id", "day", "fs", span = 8, scale = 4))
+    sameRows(
+      spark.sql(
+        "SELECT * FROM graft_autocorr('daily_fs_tvf', 'user_id', 'day', 'fs', 1)"),
+      TimeAgg.autocorr(daily, "user_id", "day", "fs", k = 1))
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_tvf")
+    sameRows(
+      spark.sql("""SELECT * FROM graft_keyword_search('docs_tvf', 'doc_id',
+        'text', 'spark,window,merge', 10)"""),
+      graft.operators.Curation.keywordSearch(Tables.documents(spark, sf),
+        "doc_id", "text", Seq("spark", "window", "merge"), 10))
+    val scored = Tables.documents(spark, sf).select(col("doc_id"),
+      (col("doc_id") % 7).as("difficulty"))
+    scored.createOrReplaceTempView("scored_tvf")
+    sameRows(
+      spark.sql("""SELECT * FROM graft_curriculum('scored_tvf',
+        'difficulty asc, doc_id asc', 4)"""),
+      graft.operators.Curation.curriculumPhases(scored,
+        Seq(col("difficulty").asc, col("doc_id").asc), phases = 4))
+  }
 }
