@@ -44,6 +44,7 @@ object GraftExtensions {
     "simhash60" -> (args => SimHash60(args(0))),
     "ordered_pairs" -> (args => OrderedPairs(args(0))),
     "text_profile" -> (args => TextProfile(args(0))),
+    "nfc_normalize" -> (args => graft.functions.expressions.NfcNormalize(args(0))),
     // composed from standard codegen'd expressions, so SQL users get
     // the identical extraction the Scala htmlToText performs; the
     // EAGER converter yields a plain catalyst tree (the lazy Column

@@ -1341,6 +1341,22 @@ object SparkEntry {
       Curation.keywordSearch(docs(s, d), "doc_id", "text",
         Seq("spark", "window", "merge"), 20)),
 
+    // Unicode NFC canonicalization (native codegen'd expression): the
+    // corpus text is ASCII, so the query splices deterministic
+    // decomposed sequences (combining acute/ring/diaeresis + the
+    // U+212B Angstrom singleton) into each doc — the h20 adversarial-
+    // fixture discipline — and must compose them back
+    "h23_nfc_normalize" -> ((s, d) => {
+      val dirty = concat(
+        substring(col("text"), 1, 40),
+        lit(" cafe\u0301 A\u030Angstro\u0308m \u212B "),
+        substring(col("text"), 41, 20))
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.nfcNormalize(dirty).as("norm_text"),
+        (length(dirty) - length(TextFunctions.nfcNormalize(dirty)))
+          .as("n_composed"))
+    }),
+
     // BPE-style adjacent-pair rank table: corpus bigram counts with a
     // support threshold (vocabulary^2-bounded, one map-combined shuffle)
     "h17_bigram_stats" -> ((s, d) =>
@@ -1532,6 +1548,27 @@ object SparkEntry {
         Seq("event_type"), col("value"), lo = 0.0, hi = 500.0,
         nBins = 20, scale = 6)
     }),
+
+    // column-profile comparison between two lineitem slices: one row
+    // per numeric column — counts, nulls, min/max, exact fixed-point
+    // means, exact-cross-product mean shift
+    "dq5_profile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cut = lit("1995-07-01").cast("timestamp")
+      DataQuality.profileCompare(
+        li.filter(col("l_shipdate") < cut),
+        li.filter(col("l_shipdate") >= cut),
+        Seq(("l_quantity", 4), ("l_extendedprice", 4),
+          ("l_discount", 6), ("l_tax", 6)))
+    }),
+
+    // rebalance the corpus to a 2:1:1 en:de:fr token... row mix: the
+    // binding stratum fixes t, each stratum keeps exactly w·t rows by
+    // smallest-md5 order (deterministic uniform within stratum)
+    "k9_rebalance" -> ((s, d) =>
+      Curation.rebalanceMix(docs(s, d).select(col("doc_id"), col("lang")),
+        "lang", Map("en" -> 2L, "de" -> 1L, "fr" -> 1L),
+        col("doc_id"), "|mix1")),
 
     "h10_interdup" -> ((s, d) =>
       Dedup.sharedShingleRatio(docs(s, d), "doc_id", "text", 3)),
@@ -3700,6 +3737,60 @@ object SparkEntry {
          |SELECT d.user_id, event_id, value, med, mad
          |FROM dev d JOIN mad USING (user_id)
          |WHERE mad > 0 AND ad > 3.0 * mad""".stripMargin,
+
+    "dq5_profile" -> {
+      val cols = Seq(("l_quantity", 4), ("l_extendedprice", 4),
+        ("l_discount", 6), ("l_tax", 6))
+      def p(sc: Int) = s"${math.pow(10, sc).toLong}.0"
+      def prof(tag: String, src: String) = cols.map { case (c, sc) =>
+        s"""SELECT '$c' AS col_name, count($c) AS n_$tag,
+           |    CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_$tag,
+           |    min(CAST($c AS DOUBLE)) AS min_$tag,
+           |    max(CAST($c AS DOUBLE)) AS max_$tag,
+           |    sum(CAST(floor($c * ${p(sc)} + 0.5) AS BIGINT)) AS fs_$tag
+           |  FROM $src""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      val scaleRows = cols.map { case (c, sc) => s"('$c', ${p(sc)})" }
+        .mkString(", ")
+      s"""WITH rsrc AS (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-07-01'),
+         |csrc AS (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-07-01'),
+         |r AS (
+         |  ${prof("ref", "rsrc")}),
+         |c AS (
+         |  ${prof("cur", "csrc")}),
+         |s(col_name, p) AS (VALUES $scaleRows)
+         |SELECT col_name, n_ref, n_cur, nulls_ref, nulls_cur,
+         |  min_ref, min_cur, max_ref, max_cur,
+         |  CASE WHEN n_ref > 0 THEN ${sqlPround("CAST(fs_ref AS DOUBLE) / p / n_ref", 6)} END AS mean_ref,
+         |  CASE WHEN n_cur > 0 THEN ${sqlPround("CAST(fs_cur AS DOUBLE) / p / n_cur", 6)} END AS mean_cur,
+         |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN ${sqlPround(
+              "CAST(fs_cur * n_ref - fs_ref * n_cur AS DOUBLE) / p / n_ref / n_cur", 6)} END AS mean_shift
+         |FROM r JOIN c USING (col_name) JOIN s USING (col_name)""".stripMargin
+    },
+
+    "k9_rebalance" ->
+      """WITH w(lang, w) AS (VALUES ('en', 2), ('de', 1), ('fr', 1)),
+        |cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT min(coalesce(cnt.n, 0) // w.w) AS t
+        |      FROM w LEFT JOIN cnt USING (lang)),
+        |r AS (
+        |  SELECT d.lang, d.doc_id, w.w,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY md5(concat(CAST(d.doc_id AS VARCHAR), '|mix1')),
+        |               d.doc_id) AS rn
+        |  FROM documents d JOIN w USING (lang))
+        |SELECT lang, doc_id FROM r, t WHERE rn <= w * t.t""".stripMargin,
+
+    "h23_nfc_normalize" ->
+      s"""WITH x AS (
+         |  SELECT doc_id,
+         |    substr(text, 1, 40) || ' cafe' || chr(769) || ' A' || chr(778)
+         |      || 'ngstro' || chr(776) || 'm ' || chr(8491) || ' '
+         |      || substr(text, 41, 20) AS dirty
+         |  FROM documents)
+         |SELECT doc_id, nfc_normalize(dirty) AS norm_text,
+         |  length(dirty) - length(nfc_normalize(dirty)) AS n_composed
+         |FROM x""".stripMargin,
 
     "dq4_drift" ->
       s"""WITH b AS (

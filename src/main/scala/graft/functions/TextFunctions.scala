@@ -14,6 +14,16 @@ import org.apache.spark.sql.types.StringType
   */
 object TextFunctions {
 
+  /** Unicode NFC canonicalization (native codegen'd
+    * [[graft.functions.expressions.NfcNormalize]]) — run FIRST in any
+    * ingest that later hashes, shingles or dedups text: precomposed and
+    * decomposed spellings of the same visible string must collapse to
+    * one canonical form or every downstream equality silently misses. */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.NfcNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
   /** Whitespace tokenization (empty-token free). */
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)

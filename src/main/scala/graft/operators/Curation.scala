@@ -874,6 +874,48 @@ object Curation {
     spark.createDataFrame(ranked, schema)
   }
 
+  /** Mixture rebalancing to TARGET INTEGER WEIGHTS (K9) — corpus
+    * assembly's "make the training mix 6:3:1 en:de:fr" step: keep the
+    * LARGEST corpus whose per-stratum counts sit exactly in the target
+    * ratio. With weights w_s and counts n_s, the binding stratum gives
+    * t = min_s ⌊n_s / w_s⌋ and each stratum keeps exactly k_s = w_s·t
+    * rows — all integer arithmetic, so the selected SET is
+    * deterministic and oracle-reproducible (no float proportions whose
+    * rounding could disagree across engines). Within a stratum the
+    * k_s keepers are the smallest `md5(key ‖ salt)` values (the K7
+    * reproducible-uniform discipline): re-runs, retries and engines
+    * agree row-for-row, and the sample is uniform within each stratum.
+    *
+    * Shape: one stratum-count agg (sketch-sized), the binding-minimum
+    * as a one-row broadcast, and one rank window per stratum (the
+    * quotaSample shape) — input scanned once, one stratum-keyed
+    * exchange. Strata present in the data but absent from `weights`
+    * are dropped (weight 0); a weight for an absent stratum forces
+    * t = 0 and empties the output (the honest answer — the target mix
+    * is unsatisfiable). */
+  def rebalanceMix(df: DataFrame, stratum: String,
+                   weights: Map[String, Long], key: Column,
+                   salt: String): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "rebalanceMix needs positive integer weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF(stratum, "__w")
+    val counts = df.groupBy(col(stratum)).agg(count(lit(1)).as("__n"))
+    // t = min over weighted strata of floor(n/w); weights with no rows
+    // contribute floor(0/w) = 0 via the right join
+    val t = wdf.join(counts, Seq(stratum), "left")
+      .select(floor(coalesce(col("__n"), lit(0L)) / col("__w")).as("__t"))
+      .agg(min(col("__t")).as("__t"))
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(md5(concat(key.cast("string"), lit(salt))), key)
+    df.join(broadcast(wdf), Seq(stratum))
+      .crossJoin(broadcast(t))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__w") * col("__t"))
+      .drop("__w", "__t", "__rn")
+  }
+
   /** Curriculum ordering (K8) — rank the corpus easy→hard by a
     * deterministic difficulty key and cut it into `phases` equal-count
     * training phases with EXACT `ntile` semantics (bucket sizes differ

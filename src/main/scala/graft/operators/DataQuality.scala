@@ -246,4 +246,69 @@ object DataQuality {
 
   def report(checks: Seq[DataFrame]): DataFrame =
     checks.reduce(_.unionByName(_))
+
+  /** Column-profile comparison between a reference and a current batch
+    * (DQ5) — the SCHEMA-level companion to [[distributionDrift]]'s
+    * per-key value histograms: one row per numeric column with both
+    * sides' row count, null count, min/max, and exact fixed-point mean,
+    * plus the signed mean shift. The first thing an ingest gate checks
+    * when a new extract lands ("did a column go all-null? did the
+    * range explode? did the mean move?") before any per-key drill-down.
+    *
+    * Engine-portable by the Portable discipline: counts and fixed sums
+    * are exact integers; min/max are exact picks of input doubles; the
+    * means divide once (`fs / 10^s / n` — mirrored operation-for-
+    * operation in the oracle); the mean shift is computed from the
+    * EXACT cross product `fs_r·n_c − fs_c·n_r` in decimal(38) (never
+    * mean_r − mean_c, whose two roundings can straddle a pround
+    * boundary), divided once.
+    *
+    * Scale shape: ONE single-row global aggregate per side (map-side
+    * partial, the exchange carries one row), a stack()-unpivot to
+    * #columns rows, and a #columns-row join — input read once per
+    * side, everything after is column-count-sized. */
+  def profileCompare(ref: DataFrame, cur: DataFrame,
+                     numericCols: Seq[(String, Int)],
+                     scale: Int = 6): DataFrame = {
+    require(numericCols.nonEmpty, "profileCompare needs at least one column")
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val aggs = numericCols.flatMap { case (c, s) =>
+        Seq(count(col(c)).as(s"__n_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+          min(col(c).cast("double")).as(s"__min_$c"),
+          max(col(c).cast("double")).as(s"__max_$c"),
+          sum(graft.functions.Portable.toFixed(col(c), s)).as(s"__fs_$c"))
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = numericCols.map { case (c, _) =>
+        s"'$c', __n_$c, __nulls_$c, __min_$c, __max_$c, __fs_$c"
+      }.mkString(", ")
+      one.select(expr(
+        s"stack(${numericCols.size}, $stackArgs) AS " +
+          s"(col_name, n_$tag, nulls_$tag, min_$tag, max_$tag, __fs_$tag)"))
+    }
+    val session = ref.sparkSession
+    import session.implicits._
+    val scales = numericCols.toDF("col_name", "__scale")
+    val dec = "decimal(38,0)"
+    def mean(tag: String): Column = {
+      val p = pow(lit(10.0), col("__scale"))
+      graft.functions.Portable.pround(
+        col(s"__fs_$tag").cast("double") / p / col(s"n_$tag"), scale)
+    }
+    side(ref, "ref").join(side(cur, "cur"), Seq("col_name"), "full_outer")
+      .join(broadcast(scales), Seq("col_name"))
+      .select(col("col_name"),
+        col("n_ref"), col("n_cur"), col("nulls_ref"), col("nulls_cur"),
+        col("min_ref"), col("min_cur"), col("max_ref"), col("max_cur"),
+        when(col("n_ref") > 0, mean("ref")).as("mean_ref"),
+        when(col("n_cur") > 0, mean("cur")).as("mean_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          graft.functions.Portable.pround(
+            (col("__fs_cur").cast(dec) * col("n_ref").cast(dec) -
+              col("__fs_ref").cast(dec) * col("n_cur").cast(dec))
+              .cast("double")
+              / pow(lit(10.0), col("__scale"))
+              / col("n_ref") / col("n_cur"), scale)).as("mean_shift"))
+  }
 }

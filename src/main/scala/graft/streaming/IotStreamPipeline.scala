@@ -699,4 +699,117 @@ object IotStreamPipeline {
     * n_entities)` — batch C10's exact shape, spec-asserted equal). */
   def retentionCounts(spark: SparkSession, statePath: String): DataFrame =
     spark.read.parquet(s"$statePath/counts")
+
+  case class TransState(lastType: String, counts: Map[String, Long])
+  case class TransOut(user_id: Long, prev_type: String, curr_type: String,
+                      n: Long)
+
+  /** Continuous event-path transition maintenance (I25) — the streaming
+    * analog of [[graft.operators.Sessionize.transitions]]: state per
+    * entity is its last event type plus the per-(prev, curr) transition
+    * count map — bounded by the TYPE VOCABULARY squared, never by event
+    * count. Each batch folds its events in (ts, event_id) order (the
+    * exact order the batch lag window imposes) and only the pairs
+    * touched this batch re-emit their updated `(entity, prev, curr, n)`
+    * row for an idempotent keyed upsert ([[stateAggStream]]'s
+    * discipline); [[transitionTotals]] rolls the maintained table to
+    * batch C11's `(prev_type, curr_type, n_transitions, n_entities)`
+    * shape — maintained-table-sized, never raw events. Cross-batch
+    * ordering relies on the cursor-order delivery contract
+    * ([[scd2Stream]]). */
+  def transitionsStream(stage: DataFrame): DataFrame = {
+    val spark = stage.sparkSession
+    import spark.implicits._
+    val typed = stage
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[TransState]) =>
+          val evs = rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+          var st = state.getOption.getOrElse(TransState(null, Map.empty))
+          val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+          evs.foreach { case (_, _, _, ty) =>
+            if (st.lastType != null) {
+              val key = st.lastType + "\u0000" + ty
+              st = TransState(ty,
+                st.counts + (key -> (st.counts.getOrElse(key, 0L) + 1L)))
+              touched += key
+            } else st = TransState(ty, st.counts)
+          }
+          if (evs.isEmpty) Iterator.empty
+          else {
+            state.update(st)
+            touched.iterator.map { key =>
+              val Array(prev, curr) = key.split('\u0000')
+              TransOut(uid, prev, curr, st.counts(key))
+            }
+          }
+      }.toDF()
+  }
+
+  /** Roll the I25 maintained per-entity transition table to batch
+    * C11's corpus shape. */
+  def transitionTotals(maintained: DataFrame): DataFrame =
+    maintained.groupBy(col("prev_type"), col("curr_type"))
+      .agg(sum(col("n")).as("n_transitions"),
+        count(lit(1)).as("n_entities"))
+
+  case class AttrState(touchUs: Long, touchType: String)
+  case class AttrOut(user_id: Long, event_id: Long, touch_type: String)
+
+  /** Continuous last-touch attribution (I26) — the streaming analog of
+    * [[graft.operators.Sessionize.lastTouchAttribution]]: state per
+    * entity is ONLY the most recent touch `(µs, type)` — two fields,
+    * never event history. Each batch folds its events in (ts, event_id)
+    * order: touches update the state, conversions emit their
+    * attribution row `(entity, conversion event_id, credited type)`
+    * keyed on the conversion's event id — so at-least-once replays of a
+    * batch from the same state re-emit identical rows and the keyed
+    * upsert converges. The greedy forward fold computes exactly the
+    * batch operator's running `last(touch, ignoreNulls)` window.
+    * [[attributionTotals]] rolls the maintained table to batch C12's
+    * `(touch_type, n_conversions, n_converters)` shape. Cross-batch
+    * ordering relies on the cursor-order delivery contract
+    * ([[scd2Stream]]). */
+  def attributionStream(stage: DataFrame, touchTypes: Seq[String],
+                        conversionType: String,
+                        lookbackSeconds: Long): DataFrame = {
+    val spark = stage.sparkSession
+    import spark.implicits._
+    val touches = touchTypes.toSet
+    val lookbackUs = lookbackSeconds * 1000000L
+    val typed = stage
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[AttrState]) =>
+          val evs = rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+          var st = state.getOption.getOrElse(AttrState(Long.MinValue, null))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttrOut]
+          evs.foreach { case (_, ts, eid, ty) =>
+            val tu = ts.getTime * 1000L + ts.getNanos / 1000L % 1000L
+            if (touches(ty)) st = AttrState(tu, ty)
+            else if (ty == conversionType) {
+              val credited =
+                if (st.touchType != null && tu - st.touchUs <= lookbackUs)
+                  st.touchType
+                else "(unattributed)"
+              out += AttrOut(uid, eid, credited)
+            }
+          }
+          if (evs.nonEmpty) state.update(st)
+          out.iterator
+      }.toDF()
+  }
+
+  /** Roll the I26 maintained attribution table to batch C12's corpus
+    * shape. */
+  def attributionTotals(maintained: DataFrame): DataFrame =
+    maintained.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        countDistinct(col("user_id")).as("n_converters"))
 }

@@ -135,3 +135,92 @@ class DataQualitySpec extends SparkSpec {
     assert(got == (("A", 3L, 3L, 0.333333, 0.333333, 0.333333)))
   }
 }
+
+class ProfileCompareSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profileCompare: counts, nulls, extrema, exact means and shift") {
+    val ref = Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("v")
+    val cur = Seq(Some(2.0), Some(6.0)).toDF("v")
+    val r = DataQuality.profileCompare(ref, cur, Seq(("v", 4))).collect().head
+    assert(r.getAs[String]("col_name") == "v")
+    assert(r.getAs[Long]("n_ref") == 3L && r.getAs[Long]("n_cur") == 2L)
+    assert(r.getAs[Long]("nulls_ref") == 1L && r.getAs[Long]("nulls_cur") == 0L)
+    assert(r.getAs[Double]("min_ref") == 1.0 && r.getAs[Double]("max_cur") == 6.0)
+    assert(r.getAs[Double]("mean_ref") == 2.0)
+    assert(r.getAs[Double]("mean_cur") == 4.0)
+    assert(r.getAs[Double]("mean_shift") == 2.0)
+  }
+
+  test("profileCompare: an all-null side reports null mean, no crash") {
+    val ref = Seq(Option.empty[Double], None).toDF("v")
+    val cur = Seq(Some(5.0)).toDF("v")
+    val r = DataQuality.profileCompare(ref, cur, Seq(("v", 4))).collect().head
+    assert(r.getAs[Long]("n_ref") == 0L && r.getAs[Long]("nulls_ref") == 2L)
+    assert(r.isNullAt(r.fieldIndex("mean_ref")))
+    assert(r.isNullAt(r.fieldIndex("mean_shift")))
+    assert(r.getAs[Double]("mean_cur") == 5.0)
+  }
+}
+
+class NfcNormalizeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TextFunctions
+
+  test("nfcNormalize composes decomposed sequences and singletons; idempotent") {
+    val df = Seq(
+      "café",          // e + combining acute -> é
+      "Å",             // A + combining ring -> Å
+      "Å",              // Angstrom sign singleton -> Å (U+00C5)
+      "café",           // already NFC: unchanged
+      "plain ascii").toDF("t")
+    val got = df.select(TextFunctions.nfcNormalize(col("t")).as("n"))
+      .as[String].collect().toSeq
+    assert(got == Seq("café", "Å", "Å", "café", "plain ascii"))
+    // idempotent: normalizing the normalized column is a fixpoint
+    val twice = df.select(TextFunctions.nfcNormalize(
+      TextFunctions.nfcNormalize(col("t"))).as("n")).as[String].collect().toSeq
+    assert(twice == got)
+  }
+
+  test("nfc_normalize is SQL-registered and equals the Scala column") {
+    GraftExtensions.register(spark)
+    Seq("écolo", "x").toDF("t").createOrReplaceTempView("nfc_in")
+    val sql = spark.sql("SELECT nfc_normalize(t) AS n FROM nfc_in")
+      .as[String].collect().toSeq
+    assert(sql == Seq("écolo", "x"))
+  }
+}
+
+class RebalanceMixSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Curation
+
+  test("rebalanceMix keeps exactly w*t rows per stratum, deterministically") {
+    val df = (1 to 100).map(i => (i.toLong, if (i <= 60) "en" else if (i <= 90) "de" else "fr"))
+      .toDF("id", "lang")
+    // weights 3:2:1; t = min(60/3, 30/2, 10/1) = 10 -> keep 30/20/10
+    val got = Curation.rebalanceMix(df, "lang",
+      Map("en" -> 3L, "de" -> 2L, "fr" -> 1L), col("id"), "|s")
+    val byLang = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang == Map("en" -> 30L, "de" -> 20L, "fr" -> 10L))
+    // deterministic: the same call selects the same id set
+    val again = Curation.rebalanceMix(df, "lang",
+      Map("en" -> 3L, "de" -> 2L, "fr" -> 1L), col("id"), "|s")
+    assert(got.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+    // binding stratum fully consumed: all 10 fr rows kept
+    assert(got.filter(col("lang") === "fr").count() == 10L)
+  }
+
+  test("rebalanceMix: unweighted strata drop; absent-stratum weight empties the mix") {
+    val df = Seq((1L, "en"), (2L, "en"), (3L, "de")).toDF("id", "lang")
+    val dropped = Curation.rebalanceMix(df, "lang", Map("en" -> 1L),
+      col("id"), "|s")
+    assert(dropped.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+    // a target weight for a stratum with zero rows is unsatisfiable
+    val empty = Curation.rebalanceMix(df, "lang",
+      Map("en" -> 1L, "xx" -> 1L), col("id"), "|s")
+    assert(empty.count() == 0L)
+  }
+}

@@ -671,4 +671,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty)
   }
+  test("streaming transitions maintain the batch Markov bigrams across arrivals") {
+    import graft.streaming.IotStreamPipeline
+    import graft.streaming.IotStreamPipeline.TransOut
+    val in = Files.createTempDirectory("graft-trans-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+    val maintained = maintainedRows[TransOut](
+      IotStreamPipeline.transitionsStream(
+        spark.readStream.schema(ev.schema).parquet(in)),
+      r => (r.user_id, r.prev_type, r.curr_type))(landTimeSplit(ev, in)).toDF()
+    val got = IotStreamPipeline.transitionTotals(maintained)
+    val want = graft.operators.Sessionize.transitions(
+      graft.sources.Tables.events(spark, sf),
+      "user_id", "ts", "event_id", "event_type")
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("streaming attribution maintains the batch last-touch credit across arrivals") {
+    import graft.streaming.IotStreamPipeline
+    import graft.streaming.IotStreamPipeline.AttrOut
+    val in = Files.createTempDirectory("graft-attr-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+    val maintained = maintainedRows[AttrOut](
+      IotStreamPipeline.attributionStream(
+        spark.readStream.schema(ev.schema).parquet(in),
+        Seq("click", "view"), "purchase", 7L * 24 * 3600),
+      _.event_id)(landTimeSplit(ev, in)).toDF()
+    val got = IotStreamPipeline.attributionTotals(maintained)
+    val want = graft.operators.Sessionize.lastTouchAttribution(
+      graft.sources.Tables.events(spark, sf), "user_id", "ts", "event_id",
+      "event_type", Seq("click", "view"), "purchase", 7L * 24 * 3600)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // a same-state replay of the whole input re-emits identical rows —
+    // the keyed upsert converges (at-least-once delivery tolerated)
+    assert(maintained.groupBy("event_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
 }
