@@ -308,6 +308,49 @@ object GraftTableFunctions {
         str(args, 2, fn), csv(args, 3, fn), k = num(args, 4, fn).toInt))
     },
 
+    // graft_twa(table, entity, ts, tieCsv, value, bucketSeconds,
+    //           scale) — B36 interpolated time-weighted average
+    "graft_twa" -> { args =>
+      val fn = "graft_twa"
+      arity(args, fn, Set(7),
+        "table, entity, ts, tieCsv, value, bucketSeconds, scale")
+      plan(TimeAgg.twaInterpolated(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn), csv(args, 3, fn), str(args, 4, fn),
+        bucketSeconds = num(args, 5, fn).toLong,
+        scale = num(args, 6, fn).toInt))
+    },
+
+    // graft_rebalance(table, stratum, weightsCsv, keyCol, salt) — K9;
+    // weightsCsv entries are 'stratum:weight'
+    "graft_rebalance" -> { args =>
+      val fn = "graft_rebalance"
+      arity(args, fn, Set(5), "table, stratum, weightsCsv('s:w'), keyCol, salt")
+      val weights = csv(args, 2, fn).map { kv =>
+        kv.split(":") match {
+          case Array(k, v) if v.forall(_.isDigit) && v.nonEmpty => k -> v.toLong
+          case _ => throw new IllegalArgumentException(
+            s"$fn: weightsCsv entries must be 'stratum:weight', got '$kv'")
+        }
+      }.toMap
+      plan(Curation.rebalanceMix(table(str(args, 0, fn)), str(args, 1, fn),
+        weights, col(str(args, 3, fn)), str(args, 4, fn)))
+    },
+
+    // graft_profile(refTable, curTable, colsCsv('col:scale')) — DQ5
+    "graft_profile" -> { args =>
+      val fn = "graft_profile"
+      arity(args, fn, Set(3), "refTable, curTable, colsCsv('col:scale')")
+      val cols = csv(args, 2, fn).map { kv =>
+        kv.split(":") match {
+          case Array(k, v) if v.forall(_.isDigit) && v.nonEmpty => k -> v.toInt
+          case _ => throw new IllegalArgumentException(
+            s"$fn: colsCsv entries must be 'col:scale', got '$kv'")
+        }
+      }
+      plan(graft.operators.DataQuality.profileCompare(
+        table(str(args, 0, fn)), table(str(args, 1, fn)), cols))
+    },
+
     // graft_curriculum(table, orderCsv, phases) — K8; the distributed
     // global rank runs its partition-count job EAGERLY at plan time
     // (the bpe_train eager contract)

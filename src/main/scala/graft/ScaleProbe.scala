@@ -866,7 +866,76 @@ object ScaleProbe {
           .agg(graft.functions.Portable.fixedSum(
             col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
               .as("revenue"),
-            count(lit(1)).as("n_items"))))
+            count(lit(1)).as("n_items"))),
+        // interpolated TWA: entity window + per-segment bucket explode
+        // (output-spine-sized) + (entity, bucket) agg
+        "b36_twa_interpolated" -> (() =>
+          TimeAgg.twaInterpolated(ev, "user_id", "ts", Seq("event_id"),
+            "value", bucketSeconds = 6 * 3600, scale = 4)),
+        // EWMA: daily rollup agg + one entity window of `span` lags —
+        // both stages input-sized, the ratio tracks them
+        "b34_ewma" -> (() =>
+          TimeAgg.ewma(
+            ev.groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+              .agg(sum(graft.functions.Portable.toFixed(col("value"), 4))
+                .as("fs")),
+            "user_id", "day", "fs", span = 8, scale = 4)),
+        // autocorr: lag window + entity agg riding the same exchange
+        "b35_autocorr" -> (() =>
+          TimeAgg.autocorr(
+            ev.groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+              .agg(sum(graft.functions.Portable.toFixed(col("value"), 4))
+                .as("fs")),
+            "user_id", "day", "fs", k = 1)),
+        // transitions: one entity window + (prev, curr) count agg —
+        // the distinct-entity count is the widest stage
+        "c11_transitions" -> (() =>
+          Sessionize.transitions(ev, "user_id", "ts", "event_id",
+            "event_type")),
+        // attribution: one tagged entity window + sketch-sized agg
+        "c12_attribution" -> (() =>
+          Sessionize.lastTouchAttribution(ev, "user_id", "ts", "event_id",
+            "event_type", Seq("click", "view"), "purchase", 7L * 24 * 3600)),
+        // keyword search: postings build is term-filtered at the scan;
+        // everything after is match-sized
+        "h22_keyword_search" -> (() =>
+          Curation.keywordSearch(docs, "doc_id", "text",
+            Seq("spark", "window", "merge"), 20)),
+        // curriculum: range repartition + sort + two linear passes
+        // over the persisted sorted RDD — a distributed sort's scaling
+        "k8_curriculum" -> (() =>
+          Curation.curriculumPhases(
+            docs.select(col("doc_id"),
+              graft.functions.TextFunctions.qualityScoreFromProfile(
+                col("text"), graft.functions.TextFunctions.textProfile(
+                  lower(col("text")))).as("quality_score")),
+            Seq(col("quality_score").desc, col("doc_id").asc),
+            phases = 10)),
+        // rebalance: count agg + one rank window per stratum
+        "k9_rebalance" -> (() =>
+          Curation.rebalanceMix(docs.select(col("doc_id"), col("lang")),
+            "lang", Map("en" -> 2L, "de" -> 1L, "fr" -> 1L),
+            col("doc_id"), "|mix1")),
+        // NFC: pure zero-shuffle projection — scan+project scaling
+        "h23_nfc_normalize" -> (() =>
+          docs.select(col("doc_id"),
+            graft.functions.TextFunctions.nfcNormalize(
+              concat(col("text"), lit(" cafe\u0301 A\u030A")))
+              .as("norm_text"))),
+        // profile compare: one single-row agg per side — the exchange
+        // carries ONE row regardless of input
+        "dq5_profile" -> (() =>
+          graft.operators.DataQuality.profileCompare(
+            ev.filter(col("event_type") =!= "purchase"),
+            ev.filter(col("event_type") === "purchase"),
+            Seq(("value", 4)))),
+        // fuzzy pairs: q-gram bucketed candidates + bucket-local exact
+        // levenshtein — the e2/e3 bucket family's scaling
+        "e10_fuzzy_pairs" -> (() =>
+          Dedup.fuzzyPairs(
+            docs.select(col("doc_id"),
+              substring(col("text"), 1, 24).as("name")),
+            "doc_id", "name", maxDist = 2, q = 3, maxBucket = 100)))
     }
 
     // total shuffle-WRITE bytes of the jobs `run` launches — the number

@@ -261,6 +261,13 @@ object SparkEntry {
         periodStart = date_trunc("DAY", col("ts")), value = "value",
         scale = 4)),
 
+    // interpolated time-weighted average: the LOCF curve integrated
+    // per 6h bucket INCLUDING boundary-crossing hold segments — the
+    // cross-bucket TWA b19's per-bucket window drops
+    "b36_twa_interpolated" -> ((s, d) =>
+      TimeAgg.twaInterpolated(ev(s, d), "user_id", "ts",
+        Seq("event_id"), "value", bucketSeconds = 6 * 3600, scale = 4)),
+
     // span-8 truncated EWMA (α = 1/2 ⇒ power-of-two integer weights)
     // over the b21 daily fixed-point rollup — exact integer numerator/
     // denominator, one division, one entity window
@@ -1891,6 +1898,33 @@ object SparkEntry {
         'doc_id', 'text', 'spark,window,merge', 20)""")
     }),
 
+    "b36s_twa_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_twa('graft_sql_events', 'user_id',
+        'ts', 'event_id', 'value', 21600, 4)""")
+    }),
+
+    "k9s_rebalance_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      docs(s, d).select(col("doc_id"), col("lang"))
+        .createOrReplaceTempView("graft_sql_doc_langs")
+      s.sql("""SELECT * FROM graft_rebalance('graft_sql_doc_langs',
+        'lang', 'en:2,de:1,fr:1', 'doc_id', '|mix1')""")
+    }),
+
+    "dq5s_profile_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      val li = Tables.lineitem(s, d)
+      val cut = lit("1995-07-01").cast("timestamp")
+      li.filter(col("l_shipdate") < cut)
+        .createOrReplaceTempView("graft_sql_li_ref")
+      li.filter(col("l_shipdate") >= cut)
+        .createOrReplaceTempView("graft_sql_li_cur")
+      s.sql("""SELECT * FROM graft_profile('graft_sql_li_ref',
+        'graft_sql_li_cur',
+        'l_quantity:4,l_extendedprice:4,l_discount:6,l_tax:6')""")
+    }),
+
     "k8s_curriculum_sql" -> ((s, d) => {
       sqlSurface(s, d)
       docs(s, d)
@@ -2207,6 +2241,29 @@ object SparkEntry {
          |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
          |       wr AS (PARTITION BY user_id ORDER BY day
          |              ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    "b36_twa_interpolated" -> {
+      val w = 6L * 3600 * 1000000L
+      s"""WITH o AS (
+         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
+         |    lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+         |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+         |  FROM events),
+         |seg AS (SELECT * FROM o WHERE nxt IS NOT NULL AND nxt > tu),
+         |x AS (
+         |  SELECT user_id, v, tu, nxt, u.b AS b
+         |  FROM seg, LATERAL unnest(range(tu // $w, (nxt - 1) // $w + 1)) AS u(b)),
+         |c AS (
+         |  SELECT user_id, b,
+         |    least(nxt, (b + 1) * $w) - greatest(tu, b * $w) AS dur, v
+         |  FROM x)
+         |SELECT user_id, make_timestamp(b * $w) AS bucket,
+         |  ${sqlPround("CAST(sum(v * dur) AS DOUBLE) / 10000.0 / CAST(sum(dur) AS DOUBLE)", 4)} AS tw_avg,
+         |  CAST(sum(dur) AS BIGINT) AS covered_us,
+         |  count(*) AS n_segments
+         |FROM c GROUP BY 1, 2""".stripMargin
+    },
 
     "b34_ewma" -> {
       // weights 2^(7-j) for lag j; term and weight drop together when
@@ -3972,7 +4029,10 @@ object SparkEntry {
       "c11s_transitions_sql" -> "c11_transitions",
       "c12s_attribution_sql" -> "c12_attribution",
       "h22s_keyword_sql" -> "h22_keyword_search",
-      "k8s_curriculum_sql" -> "k8_curriculum"
+      "k8s_curriculum_sql" -> "k8_curriculum",
+      "b36s_twa_sql" -> "b36_twa_interpolated",
+      "k9s_rebalance_sql" -> "k9_rebalance",
+      "dq5s_profile_sql" -> "dq5_profile"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

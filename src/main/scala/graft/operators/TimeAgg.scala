@@ -328,6 +328,75 @@ object TimeAgg {
         count(lit(1)).as("n_readings"))
   }
 
+  /** TimescaleDB `interpolated_average` equivalent (B36) — the
+    * CROSS-BUCKET time-weighted average [[timeWeightedAvg]] cannot
+    * express: B19 partitions the window per bucket, so a reading that
+    * holds across a bucket boundary contributes nothing to either side
+    * (its closing segment is dropped) — exactly the hyperfunction gap
+    * `interpolated_average(tws, bucket, width, prev, next)` exists to
+    * close. Here the LOCF step curve is built ONCE over each entity's
+    * full series and integrated bucket-by-bucket: every hold segment
+    * `[t_i, t_{i+1})` is clipped to the buckets it crosses, so boundary
+    * readings contribute their exact sub-durations to BOTH sides.
+    * LOCF weighting (TimescaleDB `time_weight('LOCF')`); the 'Linear'
+    * variant integrates a per-segment ramp whose exact value needs a
+    * per-segment division — not portable-exact, deliberately out of
+    * scope.
+    *
+    * Exact by construction: clipped durations are integer µs
+    * (`div`-floor bucket indices — no float division near bucket
+    * boundaries), v·dur products sum in decimal(38) (the oracle's
+    * HUGEINT), one IEEE division at the end. The covered duration
+    * (`covered_us`) is reported — interpolated_average divides by the
+    * covered span, NOT the bucket width, so sparse buckets stay honest.
+    *
+    * Shape: ONE entity-partitioned lead window, a per-segment explode
+    * over the buckets it spans (output-spine-sized, the gapfill
+    * discipline — a segment emits one row per bucket it touches), one
+    * (entity, bucket) hash agg. Two exchanges, one scan, no self-join. */
+  def twaInterpolated(df: DataFrame, entity: String, ts: String,
+                      tieBreak: Seq[String], value: String,
+                      bucketSeconds: Long, scale: Int): DataFrame = {
+    require(bucketSeconds > 0, s"bucket width must be positive")
+    import org.apache.spark.sql.expressions.Window
+    // ordering by (__t, tieBreak) == (ts, tieBreak): unix_micros is
+    // strictly monotone in ts, and the projection must keep every
+    // window-ordering column alive
+    val w = Window.partitionBy(col(entity))
+      .orderBy((col("__t") +: tieBreak.map(col)): _*)
+    val wUs = bucketSeconds * 1000000L
+    val p = math.pow(10, scale)
+    val dec = "decimal(38,0)"
+    val seg = df
+      .select(col(entity) +: tieBreak.map(col) :+
+        unix_micros(col(ts)).as("__t") :+
+        graft.functions.Portable.toFixed(col(value), scale).as("__v"): _*)
+      .withColumn("__n", lead(col("__t"), 1).over(w))
+      // zero-length holds (same-µs readings) integrate to nothing and
+      // would make the bucket sequence DESCEND — drop them here
+      .filter(col("__n").isNotNull && col("__n") > col("__t"))
+    val perBucket = seg
+      .select(col(entity), col("__t"), col("__n"), col("__v"),
+        explode(sequence(
+          expr(s"__t div ${wUs}L"),
+          expr(s"(__n - 1) div ${wUs}L"))).as("__b"))
+      .withColumn("__dur",
+        least(col("__n"), (col("__b") + 1) * lit(wUs)) -
+          greatest(col("__t"), col("__b") * lit(wUs)))
+    perBucket
+      .groupBy(col(entity),
+        timestamp_micros(col("__b") * lit(wUs)).as("bucket"))
+      .agg(
+        sum((col("__v").cast(dec) * col("__dur")).cast(dec)).as("__num"),
+        sum(col("__dur")).as("covered_us"),
+        count(lit(1)).as("n_segments"))
+      .select(col(entity), col("bucket"),
+        graft.functions.Portable.pround(
+          col("__num").cast("double") / lit(p)
+            / col("covered_us").cast("double"), scale).as("tw_avg"),
+        col("covered_us"), col("n_segments"))
+  }
+
   /** TimescaleDB `stats_agg` → `slope()`/`intercept()`/`corr()`
     * equivalent: per-group least-squares regression of the reading
     * against elapsed seconds since the group's period start. Everything

@@ -612,3 +612,42 @@ class SearchCurriculumSpec extends SparkSpec {
     assert(tiny == Map(1L -> 1L, 2L -> 2L))
   }
 }
+
+class TwaInterpolatedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("twaInterpolated: boundary-crossing holds split exactly; zero-length holds drop") {
+    // 10s buckets; epoch seconds kept tiny so the µs math is readable
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq(
+      (1L, ts(2), 1L, 1.0),   // holds [2, 14): 8s in bucket0, 4s in bucket1
+      (1L, ts(14), 3L, 3.0),  // zero-length hold (superseded at the same µs)
+      (1L, ts(14), 4L, 9.0),  // holds [14, 26): 6s in bucket1, 6s in bucket2
+      (1L, ts(26), 5L, 5.0))  // last point: opens nothing
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = TimeAgg.twaInterpolated(df, "user_id", "ts", Seq("event_id"),
+        "value", bucketSeconds = 10, scale = 4)
+      .select(unix_micros(col("bucket")).as("b"), col("tw_avg"),
+        col("covered_us"), col("n_segments"))
+      .as[(Long, Double, Long, Long)].collect()
+      .map(r => r._1 / 10000000L -> (r._2, r._3, r._4)).toMap
+    assert(got(0L) == (1.0, 8000000L, 1L))
+    // bucket1 integrates BOTH sides of the boundary: 4s of 1.0 + 6s of 9.0
+    assert(got(1L) == (5.8, 10000000L, 2L))
+    assert(got(2L) == (9.0, 6000000L, 1L))
+  }
+
+  test("twaInterpolated == b19 when no hold crosses a bucket boundary") {
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // all activity inside one 1h bucket: the interpolated TWA must
+    // reduce to the plain per-bucket TWA
+    val df = Seq(
+      (1L, ts(100), 1L, 2.0), (1L, ts(200), 2L, 4.0), (1L, ts(400), 3L, 1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val interp = TimeAgg.twaInterpolated(df, "user_id", "ts", Seq("event_id"),
+        "value", bucketSeconds = 3600, scale = 4)
+      .select("tw_avg").as[Double].head()
+    // hand: (100s·2 + 200s·4)/300s = 10/3 ≈ 3.3333
+    assert(interp == 3.3333)
+  }
+}

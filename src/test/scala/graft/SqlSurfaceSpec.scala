@@ -341,4 +341,43 @@ class SqlSurfaceSpec extends SparkSpec {
       graft.operators.Curation.curriculumPhases(scored,
         Seq(col("difficulty").asc, col("doc_id").asc), phases = 4))
   }
+
+  test("graft_twa / graft_rebalance / graft_profile == their Scala operators") {
+    ready
+    sameRows(
+      spark.sql("""SELECT * FROM graft_twa('ev', 'user_id', 'ts',
+        'event_id', 'value', 21600, 4)"""),
+      TimeAgg.twaInterpolated(Tables.events(spark, sf), "user_id", "ts",
+        Seq("event_id"), "value", bucketSeconds = 21600, scale = 4))
+    val langs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    langs.createOrReplaceTempView("langs_tvf")
+    sameRows(
+      spark.sql("""SELECT * FROM graft_rebalance('langs_tvf', 'lang',
+        'en:2,de:1,fr:1', 'doc_id', '|s')"""),
+      graft.operators.Curation.rebalanceMix(langs, "lang",
+        Map("en" -> 2L, "de" -> 1L, "fr" -> 1L), col("doc_id"), "|s"))
+    val ev0 = Tables.events(spark, sf)
+    ev0.filter(col("event_type") =!= "purchase")
+      .createOrReplaceTempView("prof_ref_tvf")
+    ev0.filter(col("event_type") === "purchase")
+      .createOrReplaceTempView("prof_cur_tvf")
+    sameRows(
+      spark.sql(
+        "SELECT * FROM graft_profile('prof_ref_tvf', 'prof_cur_tvf', 'value:4')"),
+      graft.operators.DataQuality.profileCompare(
+        ev0.filter(col("event_type") =!= "purchase"),
+        ev0.filter(col("event_type") === "purchase"), Seq(("value", 4))))
+    // malformed weight/scale specs fail loudly with the usage string
+    val badW = intercept[Exception] {
+      spark.sql("""SELECT * FROM graft_rebalance('langs_tvf', 'lang',
+        'en=2', 'doc_id', '|s')""").collect()
+    }
+    assert(badW.getMessage.contains("stratum:weight"))
+    val badC = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_profile('prof_ref_tvf', 'prof_cur_tvf', 'value')")
+        .collect()
+    }
+    assert(badC.getMessage.contains("col:scale"))
+  }
 }

@@ -711,4 +711,37 @@ class StreamingSpec extends SparkSpec {
     assert(maintained.groupBy("event_id").count()
       .filter(col("count") > 1).count() == 0)
   }
+  test("streaming EWMA by composition: the maintained daily rollup feeds b34 unchanged (I27)") {
+    import graft.streaming.IotStreamPipeline
+    // the b34 smoothing needs no new streaming state: maintain the
+    // daily fixed sums as a plain update-mode agg (bounded by live
+    // (user, day) keys) and apply TimeAgg.ewma to the maintained table
+    // — the I23 composition discipline
+    val in = Files.createTempDirectory("graft-ewma-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+    val table = scala.collection.mutable.Map.empty[(Long, String), (Long, String, Long)]
+    val stream = spark.readStream.schema(ev.schema).parquet(in)
+      .groupBy(col("user_id"),
+        graft.operators.TimeAgg.dayKey(col("ts")).as("day"))
+      .agg(sum(graft.functions.Portable.toFixed(col("value"), 4)).as("fs"))
+    val q = stream.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          val k = (r.getLong(0), r.getString(1))
+          table(k) = (r.getLong(0), r.getString(1), r.getLong(2))
+        }
+      }.start()
+    try landTimeSplit(ev, in)(() => q.processAllAvailable()) finally q.stop()
+    val maintained = table.values.toSeq
+      .toDF("user_id", "day", "fs")
+    val got = graft.operators.TimeAgg.ewma(
+      maintained, "user_id", "day", "fs", span = 8, scale = 4)
+    val want = graft.operators.TimeAgg.ewma(
+      ev.groupBy(col("user_id"),
+          graft.operators.TimeAgg.dayKey(col("ts")).as("day"))
+        .agg(sum(graft.functions.Portable.toFixed(col("value"), 4)).as("fs")),
+      "user_id", "day", "fs", span = 8, scale = 4)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
 }
