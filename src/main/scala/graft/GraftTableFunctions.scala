@@ -308,6 +308,26 @@ object GraftTableFunctions {
         str(args, 2, fn), csv(args, 3, fn), k = num(args, 4, fn).toInt))
     },
 
+    // graft_top_paths(table, entity, ts, tieCol, typeCol, gapSeconds,
+    //                 maxSteps, k) — C13
+    "graft_top_paths" -> { args =>
+      val fn = "graft_top_paths"
+      arity(args, fn, Set(8),
+        "table, entity, ts, tieCol, typeCol, gapSeconds, maxSteps, k")
+      plan(Sessionize.topPaths(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn), str(args, 3, fn), str(args, 4, fn),
+        gapSeconds = num(args, 5, fn).toLong,
+        maxSteps = num(args, 6, fn).toInt, k = num(args, 7, fn).toInt))
+    },
+
+    // graft_stickiness(table, entity, ts) — C14
+    "graft_stickiness" -> { args =>
+      val fn = "graft_stickiness"
+      arity(args, fn, Set(3), "table, entity, ts")
+      plan(Sessionize.stickiness(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn)))
+    },
+
     // graft_twa(table, entity, ts, tieCsv, value, bucketSeconds,
     //           scale) — B36 interpolated time-weighted average
     "graft_twa" -> { args =>

@@ -867,6 +867,15 @@ object ScaleProbe {
             col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
               .as("revenue"),
             count(lit(1)).as("n_items"))),
+        // top paths: session window + bounded per-session arrays +
+        // path-count agg + TakeOrdered
+        "c13_top_paths" -> (() =>
+          Sessionize.topPaths(ev, "user_id", "ts", "event_id",
+            "event_type", gapSeconds = 1800, maxSteps = 5, k = 20)),
+        // stickiness: ledger collapse (the input-sized stage) + 7-way
+        // ledger explode + two keyed aggs
+        "c14_stickiness" -> (() =>
+          Sessionize.stickiness(ev, "user_id", "ts")),
         // interpolated TWA: entity window + per-segment bucket explode
         // (output-spine-sized) + (entity, bucket) agg
         "b36_twa_interpolated" -> (() =>

@@ -511,6 +511,18 @@ object SparkEntry {
         "event_id", "event_type", Seq("click", "view"), "purchase",
         7L * 24 * 3600)),
 
+    // top session paths: each 30-min session's ordered type sequence
+    // (first 5 steps, '(truncated)' beyond), top 20 by count
+    "c13_top_paths" -> ((s, d) =>
+      Sessionize.topPaths(ev(s, d), "user_id", "ts", "event_id",
+        "event_type", gapSeconds = 1800, maxSteps = 5, k = 20)),
+
+    // DAU / trailing-7d WAU / stickiness off the activity ledger —
+    // exact sliding distinct via a 7-way ledger explode, never a
+    // per-day rescan of raw events
+    "c14_stickiness" -> ((s, d) =>
+      Sessionize.stickiness(ev(s, d), "user_id", "ts")),
+
     "c6_scd2_history" -> ((s, d) =>
       Incremental.scd2(
         ev(s, d).select("user_id", "ts", "event_id", "event_type"),
@@ -1898,6 +1910,18 @@ object SparkEntry {
         'doc_id', 'text', 'spark,window,merge', 20)""")
     }),
 
+    "c13s_paths_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_top_paths('graft_sql_events',
+        'user_id', 'ts', 'event_id', 'event_type', 1800, 5, 20)""")
+    }),
+
+    "c14s_stickiness_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_stickiness('graft_sql_events',
+        'user_id', 'ts')""")
+    }),
+
     "b36s_twa_sql" -> ((s, d) => {
       sqlSurface(s, d)
       s.sql("""SELECT * FROM graft_twa('graft_sql_events', 'user_id',
@@ -2681,6 +2705,40 @@ object SparkEntry {
         |  count(*) AS n_conversions,
         |  count(DISTINCT user_id) AS n_converters
         |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+    "c13_top_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800.0
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS prev FROM events)),
+        |p AS (
+        |  SELECT CASE WHEN count(*) > 5 THEN
+        |      string_agg(event_type, '>' ORDER BY ts, event_id)
+        |        FILTER (WHERE rn <= 5) || '>(truncated)'
+        |    ELSE string_agg(event_type, '>' ORDER BY ts, event_id) END AS path
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+        |          ORDER BY ts, event_id) AS rn FROM s)
+        |  GROUP BY user_id, session_id)
+        |SELECT path, count(*) AS n_sessions,
+        |  row_number() OVER (ORDER BY count(*) DESC, path) AS rnk
+        |FROM p GROUP BY path
+        |QUALIFY rnk <= 20""".stripMargin,
+
+    "c14_stickiness" ->
+      s"""WITH a AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         |dau AS (SELECT day, count(*) AS dau FROM a GROUP BY 1),
+         |w AS (
+         |  SELECT DISTINCT user_id, day + CAST(u.o AS INTEGER) AS day
+         |  FROM a, LATERAL unnest(range(0, 7)) AS u(o)),
+         |wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1)
+         |SELECT day, dau, wau,
+         |  ${sqlPround("CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)", 4)} AS stickiness
+         |FROM dau JOIN wau USING (day)""".stripMargin,
 
     "c6_scd2_history" ->
       """WITH o AS (
@@ -4032,7 +4090,9 @@ object SparkEntry {
       "k8s_curriculum_sql" -> "k8_curriculum",
       "b36s_twa_sql" -> "b36_twa_interpolated",
       "k9s_rebalance_sql" -> "k9_rebalance",
-      "dq5s_profile_sql" -> "dq5_profile"
+      "dq5s_profile_sql" -> "dq5_profile",
+      "c13s_paths_sql" -> "c13_top_paths",
+      "c14s_stickiness_sql" -> "c14_stickiness"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

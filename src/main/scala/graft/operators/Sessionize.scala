@@ -217,4 +217,77 @@ object Sessionize {
       .agg(count(lit(1)).as("n_conversions"),
         countDistinct(col(entity)).as("n_converters"))
   }
+  /** Top session paths (C13) — the full-path companion to
+    * [[transitions]]' first hop (Amplitude Pathfinder / GA4 path
+    * exploration): each session's ordered event-type sequence joined
+    * into one path string, counted corpus-wide, top `k` by
+    * (count desc, path asc). Paths are truncated to `maxSteps` events
+    * (every path tool does — beyond a handful of steps paths are
+    * unique and the report is noise); `(truncated)` marks cut paths.
+    *
+    * Shape: [[assign]]'s one entity window, then ONE (entity, session)
+    * agg building the ordered step array via `array_sort` over
+    * (ts, tie, type) structs (map-side partial-aggregable — the
+    * per-session array is maxSteps-bounded after `slice`), a path-count
+    * agg, and a TakeOrdered top-k. No per-session re-sort job, no
+    * window over the whole corpus. */
+  def topPaths(events: DataFrame, entity: String, ts: String,
+               tieCol: String, typeCol: String, gapSeconds: Long,
+               maxSteps: Int, k: Int): DataFrame = {
+    require(maxSteps >= 1 && k >= 1)
+    val sessions = assign(events, entity, ts, tieCol, gapSeconds)
+    val perSession = sessions
+      .groupBy(col(entity), col("session_id"))
+      .agg(array_sort(collect_list(struct(
+        col(ts).as("t"), col(tieCol).as("i"), col(typeCol).as("y"))))
+        .as("__steps"))
+      .select(
+        concat_ws(">",
+          transform(slice(col("__steps"), 1, maxSteps), s => s.getField("y")))
+          .as("path"),
+        (size(col("__steps")) > maxSteps).as("__cut"))
+      .select(when(col("__cut"), concat(col("path"), lit(">(truncated)")))
+        .otherwise(col("path")).as("path"))
+    val counted = perSession.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+    counted.withColumn("rnk", row_number().over(
+      Window.orderBy(col("n_sessions").desc, col("path").asc)))
+  }
+
+  /** Engagement stickiness (C14) — per-day DAU, trailing-7-day WAU and
+    * the DAU/WAU ratio (the "how habitual is usage" metric every
+    * product dashboard carries): WAU(d) counts entities active on ANY
+    * of days [d−6, d]. Exact distinct over a sliding window WITHOUT a
+    * per-day distinct re-scan: the activity ledger (distinct (entity,
+    * day) — C10's input-sized collapse) explodes each active day to
+    * the 7 report days it covers, and a second distinct+count per
+    * report day finishes it — linear ×7, never day-count scans of the
+    * raw input. Report days with zero DAU (gap days inside the range)
+    * simply don't appear — the LOCF/gapfill layer (B6) is the spine's
+    * business, composably.
+    *
+    * Shape: one map-side distinct collapse (the only input-sized
+    * stage), a 7-way explode of the LEDGER (ledger-sized), two keyed
+    * aggs. The ratio divides two exact counts once. */
+  def stickiness(events: DataFrame, entity: String, ts: String,
+                 scale: Int = 4): DataFrame = {
+    val ledger = events
+      .select(col(entity), to_date(col(ts)).as("__day")).distinct()
+    val dau = ledger.groupBy(col("__day").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = ledger
+      .select(col(entity), explode(sequence(col("__day"),
+        date_add(col("__day"), 6))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    // inner join: a day with WAU coverage but no DAU row is a gap day
+    // (no activity that day) — dau 0 rows are the spine's business
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        graft.functions.Portable.pround(
+          col("dau").cast("double") / col("wau").cast("double"), scale)
+          .as("stickiness"))
+  }
 }

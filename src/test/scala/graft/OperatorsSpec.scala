@@ -651,3 +651,58 @@ class TwaInterpolatedSpec extends SparkSpec {
     assert(interp == 3.3333)
   }
 }
+
+class PathsStickinessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topPaths: ordered per-session sequences, truncation marker, rank") {
+    def t(m: Int) = s"2024-01-01 00:${f"$m%02d"}:00"
+    val df = (
+      // u1 session: v>c ; u2 session: v>c ; u3 session: v (single)
+      Seq((1L, t(0), 1L, "view"), (1L, t(1), 2L, "click"),
+        (2L, t(0), 3L, "view"), (2L, t(2), 4L, "click"),
+        (3L, t(0), 5L, "view")) ++
+      // u4: 7 events in one session -> truncated at 5
+      (0 until 7).map(i => (4L, t(i), 10L + i, "error")))
+      .toDF("user_id", "s", "event_id", "event_type")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val got = Sessionize.topPaths(df, "user_id", "ts", "event_id",
+        "event_type", gapSeconds = 1800, maxSteps = 5, k = 10)
+      .as[(String, Long, Int)].collect().toList
+    assert(got == List(
+      ("view>click", 2L, 1),
+      ("error>error>error>error>error>(truncated)", 1L, 2),
+      ("view", 1L, 3)))
+  }
+
+  test("topPaths: a gap splits the session and the path") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (1L, "2024-01-01 02:00:00", 2L, "click")) // 2h gap > 30min
+      .toDF("user_id", "s", "event_id", "event_type")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val got = Sessionize.topPaths(df, "user_id", "ts", "event_id",
+        "event_type", 1800, 5, 10)
+      .select("path").as[String].collect().toSet
+    assert(got == Set("view", "click"))
+  }
+
+  test("stickiness: trailing-7d WAU counts an entity once; ratio exact") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 11:00:00"), // dedups
+      (1L, "2024-01-03 10:00:00"),
+      (2L, "2024-01-03 10:00:00"))
+      .toDF("user_id", "s").withColumn("ts", col("s").cast("timestamp"))
+    val got = Sessionize.stickiness(df, "user_id", "ts")
+      .select(col("day").cast("string"), col("dau"), col("wau"),
+        col("stickiness"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // Jan 1: dau 1 (u1), wau window covers only Jan 1 activity -> 1
+    assert(got("2024-01-01") == (1L, 1L, 1.0))
+    // Jan 3: dau 2; u1 active Jan 1 AND Jan 3 counts ONCE in the window
+    assert(got("2024-01-03") == (2L, 2L, 1.0))
+    // gap days (Jan 2) have no DAU row
+    assert(!got.contains("2024-01-02"))
+  }
+}
