@@ -272,9 +272,19 @@ object Sessionize {
     * stage), a 7-way explode of the LEDGER (ledger-sized), two keyed
     * aggs. The ratio divides two exact counts once. */
   def stickiness(events: DataFrame, entity: String, ts: String,
-                 scale: Int = 4): DataFrame = {
-    val ledger = events
-      .select(col(entity), to_date(col(ts)).as("__day")).distinct()
+                 scale: Int = 4): DataFrame =
+    stickinessFromLedger(
+      events.select(col(entity), to_date(col(ts)).as("__day")).distinct(),
+      entity, scale)
+
+  /** The post-collapse stage of [[stickiness]], exposed so the I21
+    * maintained activity ledger (`retentionCycle`'s `active_days` —
+    * the SAME distinct (entity, __day) shape) feeds an always-current
+    * stickiness report without re-reading raw events — the
+    * [[cohortCounts]] seam discipline. `ledger` must be distinct
+    * `(entity, __day)` rows. */
+  def stickinessFromLedger(ledger: DataFrame, entity: String,
+                           scale: Int = 4): DataFrame = {
     val dau = ledger.groupBy(col("__day").as("day"))
       .agg(count(lit(1)).as("dau"))
     val wau = ledger

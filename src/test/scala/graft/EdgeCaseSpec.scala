@@ -257,4 +257,38 @@ class EdgeCaseSpec extends SparkSpec {
     val sess = Sessionize.summarize(oneEv, "user_id", "ts", "event_id", "value", 1800)
     assert(sess.count() == 1)
   }
+  test("r9 batch-3 operators return sane empties on empty input") {
+    val noEv = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    assert(Sessionize.transitions(noEv, "user_id", "ts", "event_id",
+      "event_type").count() == 0)
+    assert(Sessionize.lastTouchAttribution(noEv, "user_id", "ts",
+      "event_id", "event_type", Seq("click"), "purchase", 60L).count() == 0)
+    assert(Sessionize.topPaths(noEv, "user_id", "ts", "event_id",
+      "event_type", 1800, 5, 10).count() == 0)
+    assert(Sessionize.stickiness(noEv, "user_id", "ts").count() == 0)
+    assert(TimeAgg.twaInterpolated(noEv, "user_id", "ts", Seq("event_id"),
+      "value", 3600, 4).count() == 0)
+    val noSeries = Seq.empty[(Long, String, Long)].toDF("user_id", "day", "fs")
+    assert(TimeAgg.ewma(noSeries, "user_id", "day", "fs", 8, 4).count() == 0)
+    assert(TimeAgg.autocorr(noSeries, "user_id", "day", "fs", 1).count() == 0)
+    assert(Curation.keywordSearch(noDocs, "doc_id", "text",
+      Seq("x"), 5).count() == 0)
+    assert(Curation.curriculumPhases(
+      noDocs.select(col("doc_id")), Seq(col("doc_id").asc), 3).count() == 0)
+    val noLangs = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    assert(Curation.rebalanceMix(noLangs, "lang", Map("en" -> 1L),
+      col("doc_id"), "|s").count() == 0)
+    // a single event: no transition, no second day, one trivial path
+    val oneEv = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      1L, "view", 1.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    assert(Sessionize.transitions(oneEv, "user_id", "ts", "event_id",
+      "event_type").count() == 0)
+    assert(Sessionize.topPaths(oneEv, "user_id", "ts", "event_id",
+      "event_type", 1800, 5, 10).select("path").as[String].head() == "view")
+    val st = Sessionize.stickiness(oneEv, "user_id", "ts")
+      .select("dau", "wau").as[(Long, Long)].head()
+    assert(st == ((1L, 1L)))
+  }
 }

@@ -744,4 +744,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == want.count() && want.count() > 0)
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+  test("streaming stickiness by composition: the I21 ledger feeds C14 unchanged (I28)") {
+    import graft.streaming.IotStreamPipeline
+    // the maintained active_days ledger IS stickiness's input shape —
+    // the cohortCounts seam discipline: no new state, no raw re-read
+    val dir = Files.createTempDirectory("graft-stick").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val ev = graft.sources.Tables.events(spark, sf).select("user_id", "ts")
+    val q = IotStreamPipeline.maintainRetention(
+      spark.readStream.schema(ev.schema).parquet(s"$dir/in"),
+      s"$dir/state", s"$dir/ckpt").start()
+    try landTimeSplit(ev, s"$dir/in")(() => q.processAllAvailable())
+    finally q.stop()
+    val ledger = spark.read.parquet(s"$dir/state/active_days")
+    val got = graft.operators.Sessionize.stickinessFromLedger(
+      ledger, "user_id")
+    val want = graft.operators.Sessionize.stickiness(
+      graft.sources.Tables.events(spark, sf), "user_id", "ts")
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
 }
