@@ -51,7 +51,14 @@ object GraftExtensions {
     // wrapper is unevaluable inside a SQL function registry entry)
     "html_to_text" -> (args => org.apache.spark.sql.graft.ColumnBridge
       .catalystExpression(graft.functions.TextFunctions.htmlToText(
-        org.apache.spark.sql.graft.ColumnBridge.column(args(0))))))
+        org.apache.spark.sql.graft.ColumnBridge.column(args(0))))),
+    "canonicalize_url" -> (args => org.apache.spark.sql.graft.ColumnBridge
+      .catalystExpression(graft.functions.TextFunctions.canonicalizeUrl(
+        org.apache.spark.sql.graft.ColumnBridge.column(args(0))))),
+    "filter_lines" -> (args => org.apache.spark.sql.graft.ColumnBridge
+      .catalystExpression(graft.functions.TextFunctions.filterLines(
+        org.apache.spark.sql.graft.ColumnBridge.column(args(0)),
+        intArg(args(1), "filter_lines")))))
 
   /** Install the full surface (functions + strategy + optimizer rule)
     * on an existing session — parity with the `spark.sql.extensions`

@@ -113,6 +113,20 @@ object GraftTableFunctions {
         payload = csv(args, 6, fn), toleranceSeconds = tol))
     },
 
+    // graft_asof_forward(left, right, leftKey, rightKey, leftTime,
+    //                    rightTime, payloadCsv [, toleranceSeconds]) — D32
+    "graft_asof_forward" -> { args =>
+      val fn = "graft_asof_forward"
+      arity(args, fn, Set(7, 8),
+        "left, right, leftKey, rightKey, leftTime, rightTime, payloadCsv[, toleranceSeconds]")
+      val tol = if (args.length == 8) num(args, 7, fn) else -1.0
+      plan(TemporalJoin.asOfForward(
+        table(str(args, 0, fn)), table(str(args, 1, fn)),
+        keys = (str(args, 2, fn), str(args, 3, fn)),
+        times = (str(args, 4, fn), str(args, 5, fn)),
+        payload = csv(args, 6, fn), toleranceSeconds = tol))
+    },
+
     // graft_gapfill_locf(table, entity, bucket, stepSeconds,
     //                    fillZeroCsv, locfCsv)
     "graft_gapfill_locf" -> { args =>

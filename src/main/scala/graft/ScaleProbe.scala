@@ -867,6 +867,27 @@ object ScaleProbe {
             col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
               .as("revenue"),
             count(lit(1)).as("n_items"))),
+        // forward as-of: the d6 mirror — same one-shuffle tagged union
+        "d32_asof_forward" -> (() =>
+          TemporalJoin.asOfForward(ev.select("event_id", "user_id", "ts"),
+            Incremental.upsertLatest(
+              ords.select(col("o_custkey"), col("o_orderdate"),
+                col("o_orderkey")),
+              Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey"))),
+            keys = ("user_id", "o_custkey"), times = ("ts", "o_orderdate"),
+            payload = Seq("o_orderkey"))),
+        // URL canonicalization + line filter: zero-shuffle projections
+        "h24_url_canonical" -> (() =>
+          docs.select(col("doc_id"),
+            graft.functions.TextFunctions.canonicalizeUrl(
+              concat(lit("HTTPS://Example.COM:443/p/"),
+                col("doc_id").cast("string"),
+                lit("?utm_source=x&b=2&a=1#f"))).as("canonical_url"))),
+        "h25_line_filter" -> (() =>
+          docs.select(col("doc_id"),
+            graft.functions.TextFunctions.filterLines(
+              concat(lit("Home\n"), col("text"), lit("\nmenu\nok")), 3)
+              .as("f"))),
         // top paths: session window + bounded per-session arrays +
         // path-count agg + TakeOrdered
         "c13_top_paths" -> (() =>

@@ -1034,6 +1034,20 @@ object SparkEntry {
           coalesce(Portable.pround(col("o_totalprice"), 4), lit(0.0)).as("last_totalprice"))
     }),
 
+    // forward as-of: each event matched to the EARLIEST order at or
+    // after it (pandas merge_asof direction='forward') — the mirror
+    // one-shuffle tagged-union plan
+    "d32_asof_forward" -> ((s, d) => {
+      val oDedup = Incremental.upsertLatest(Tables.orders(s, d),
+        Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
+      TemporalJoin.asOfForward(ev(s, d), oDedup,
+          keys = ("user_id", "o_custkey"), times = ("ts", "o_orderdate"),
+          payload = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("next_orderkey"),
+          coalesce(Portable.pround(col("o_totalprice"), 4), lit(0.0)).as("next_totalprice"))
+    }),
+
     // d6 with the kdb-style staleness bound: an order older than 7
     // days is too stale to count as the customer's "current" order —
     // same one-shuffle tagged-union plan, the bound is a projection
@@ -1359,6 +1373,40 @@ object SparkEntry {
     "h22_keyword_search" -> ((s, d) =>
       Curation.keywordSearch(docs(s, d), "doc_id", "text",
         Seq("spark", "window", "merge"), 20)),
+
+    // URL canonicalization over deterministically-adversarial URLs
+    // (case-shifted schemes/hosts, default ports, tracking params out
+    // of order, fragments; one in three has no scheme → passthrough)
+    "h24_url_canonical" -> ((s, d) => {
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS://Example"))
+          .when(col("doc_id") % 3 === 1, lit("http://EXAMPLE"))
+          .otherwise(lit("no-scheme-example")),
+        (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0, lit(".COM:443"))
+          .when(col("doc_id") % 3 === 1, lit(".com:80"))
+          .otherwise(lit(".com")),
+        lit("/Path/"), col("doc_id").cast("string"),
+        lit("?utm_source=x&b=2&a=1&fbclid=zz&z="),
+        (col("doc_id") % 7).cast("string"), lit("#frag"))
+      docs(s, d).select(col("doc_id"), url.as("url"),
+        TextFunctions.canonicalizeUrl(url).as("canonical_url"))
+    }),
+
+    // line-level boilerplate filter: nav chrome, bare copyright lines
+    // and sub-3-token fragments drop; real prose survives
+    "h25_line_filter" -> ((s, d) => {
+      val lines = concat(
+        lit("Home\nAbout Us\nCopyright 2024 Example Corp\n"),
+        substring(col("text"), 1, 60), lit("\n"),
+        lit("menu\nshort line\n"),
+        substring(col("text"), 61, 60))
+      docs(s, d)
+        .select(col("doc_id"),
+          TextFunctions.filterLines(lines, minTokens = 3).as("f"))
+        .select(col("doc_id"), col("f.clean_text").as("clean_text"),
+          col("f.n_kept").as("n_kept"), col("f.n_dropped").as("n_dropped"))
+    }),
 
     // Unicode NFC canonicalization (native codegen'd expression): the
     // corpus text is ASCII, so the query splices deterministic
@@ -1908,6 +1956,23 @@ object SparkEntry {
       docs(s, d).createOrReplaceTempView("graft_sql_documents")
       s.sql("""SELECT * FROM graft_keyword_search('graft_sql_documents',
         'doc_id', 'text', 'spark,window,merge', 20)""")
+    }),
+
+    "d32s_asof_forward_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      Incremental.upsertLatest(Tables.orders(s, d),
+          Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
+        .createOrReplaceTempView("graft_sql_orders_dedup")
+      // D-suffixed literals: Spark SQL parses bare 10000.0 as DECIMAL
+      // (unlike the DataFrame API's double lit), which would silently
+      // retype the rounding to decimal
+      s.sql("""SELECT event_id, user_id, ts,
+          coalesce(o_orderkey, -1) AS next_orderkey,
+          coalesce(floor(o_totalprice * 10000.0D + 0.5D) / 10000.0D, 0.0D)
+            AS next_totalprice
+        FROM graft_asof_forward('graft_sql_events',
+          'graft_sql_orders_dedup', 'user_id', 'o_custkey', 'ts',
+          'o_orderdate', 'o_orderkey,o_totalprice')""")
     }),
 
     "c13s_paths_sql" -> ((s, d) => {
@@ -3069,6 +3134,16 @@ object SparkEntry {
          |FROM events e ASOF LEFT JOIN od o
          |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
 
+    "d32_asof_forward" ->
+      s"""WITH od AS (
+         |  SELECT * FROM orders
+         |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1)
+         |SELECT e.event_id, e.user_id, e.ts,
+         |  coalesce(o.o_orderkey, -1) AS next_orderkey,
+         |  coalesce(${sqlPround("o.o_totalprice", 4)}, 0.0) AS next_totalprice
+         |FROM events e ASOF LEFT JOIN od o
+         |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate""".stripMargin,
+
     "d30_bloom_pruned_join" ->
       s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
          |  ${sqlFixedSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
@@ -3896,6 +3971,72 @@ object SparkEntry {
         |  FROM documents d JOIN w USING (lang))
         |SELECT lang, doc_id FROM r, t WHERE rn <= w * t.t""".stripMargin,
 
+    "h24_url_canonical" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'HTTPS://Example'
+         |      WHEN 1 THEN 'http://EXAMPLE' ELSE 'no-scheme-example' END
+         |    || CAST(doc_id % 50 AS VARCHAR)
+         |    || CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN '.COM:443'
+         |         WHEN 1 THEN '.com:80' ELSE '.com' END
+         |    || '/Path/' || CAST(doc_id AS VARCHAR)
+         |    || '?utm_source=x&b=2&a=1&fbclid=zz&z='
+         |    || CAST(doc_id % 7 AS VARCHAR) || '#frag' AS url
+         |  FROM documents),
+         |p1 AS (
+         |  SELECT doc_id, url, trim(url) AS tu,
+         |    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS a
+         |  FROM u),
+         |p2 AS (
+         |  SELECT *, lower(regexp_extract(a, '^([^/?#]*)', 1)) AS hostport,
+         |    regexp_replace(a, '^[^/?#]*', '') AS pqf
+         |  FROM p1),
+         |p3 AS (
+         |  SELECT *,
+         |    CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+         |           THEN regexp_replace(hostport, ':80$$', '')
+         |         WHEN scheme = 'https' AND hostport LIKE '%:443'
+         |           THEN regexp_replace(hostport, ':443$$', '')
+         |         ELSE hostport END AS host,
+         |    regexp_extract(pqf, '^([^?#]*)', 1) AS path,
+         |    regexp_extract(pqf, '^[^?#]*\\?([^#]*)', 1) AS query
+         |  FROM p2),
+         |p4 AS (
+         |  SELECT *, array_to_string(list_sort(list_filter(
+         |      string_split(query, '&'),
+         |      x -> len(x) > 0 AND NOT regexp_matches(x,
+         |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid)='))), '&') AS kept
+         |  FROM p3)
+         |SELECT doc_id, url,
+         |  CASE WHEN len(scheme) > 0 THEN scheme || '://' || host || path
+         |    || CASE WHEN len(kept) > 0 THEN '?' || kept ELSE '' END
+         |  ELSE tu END AS canonical_url
+         |FROM p4""".stripMargin,
+
+    "h25_line_filter" -> {
+      val nav = TextFunctions.navLineRe
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'Home' || chr(10) || 'About Us' || chr(10)
+         |    || 'Copyright 2024 Example Corp' || chr(10)
+         |    || substr(text, 1, 60) || chr(10)
+         |    || 'menu' || chr(10) || 'short line' || chr(10)
+         |    || substr(text, 61, 60) AS t
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(t, chr(10)), l ->
+         |      len(list_filter(string_split_regex(trim(l), '\\s+'),
+         |          x -> len(x) > 0)) >= 3
+         |      AND NOT regexp_matches(lower(trim(l)), '$nav')) AS keep,
+         |    len(string_split(t, chr(10))) AS total
+         |  FROM u)
+         |SELECT doc_id, array_to_string(keep, chr(10)) AS clean_text,
+         |  len(keep) AS n_kept, total - len(keep) AS n_dropped
+         |FROM f""".stripMargin
+    },
+
     "h23_nfc_normalize" ->
       s"""WITH x AS (
          |  SELECT doc_id,
@@ -4092,7 +4233,8 @@ object SparkEntry {
       "k9s_rebalance_sql" -> "k9_rebalance",
       "dq5s_profile_sql" -> "dq5_profile",
       "c13s_paths_sql" -> "c13_top_paths",
-      "c14s_stickiness_sql" -> "c14_stickiness"
+      "c14s_stickiness_sql" -> "c14_stickiness",
+      "d32s_asof_forward_sql" -> "d32_asof_forward"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

@@ -220,4 +220,71 @@ object TextFunctions {
 
   def longNumCount(text: Column): Column =
     size(regexp_extract_all(text, lit(longNumRe), lit(0)))
+  /** URL canonicalization (H24) — the web-ingest normalization every
+    * crawl pipeline runs before URL-level dedup and domain accounting:
+    * the same resource arrives spelled a dozen ways (case-shifted
+    * scheme/host, explicit default ports, tracking params in random
+    * order, fragments). Deterministic, regex-only (no lookarounds —
+    * the RE2-based oracle mirrors each step 1:1):
+    *
+    *   1. scheme and host lowercase (path stays verbatim — it is
+    *      case-sensitive by spec);
+    *   2. explicit default ports drop (`:80` for http, `:443` for
+    *      https);
+    *   3. tracking params drop (`utm_*`, `fbclid`, `gclid`);
+    *   4. remaining query params sort bytewise and rejoin (order never
+    *      distinguishes resources);
+    *   5. the `#fragment` drops (never sent to the server).
+    *
+    * Inputs without a `scheme://` pass through trimmed — refusing to
+    * guess beats guessing wrong. A pure zero-shuffle projection. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val afterScheme = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(afterScheme, "^([^/?#]*)", 1))
+    val host = when(
+      scheme === "http" && hostPort.endsWith(":80"),
+      regexp_replace(hostPort, ":80$", ""))
+      .when(
+        scheme === "https" && hostPort.endsWith(":443"),
+        regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val pathQF = regexp_replace(afterScheme, "^[^/?#]*", "")
+    val path = regexp_extract(pathQF, "^([^?#]*)", 1)
+    val query = regexp_extract(pathQF, "^[^?#]*\\?([^#]*)", 1)
+    val kept = array_join(
+      array_sort(filter(split(query, "&"), p =>
+        length(p) > 0 && !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid)="))),
+      "&")
+    val canon = concat(scheme, lit("://"), host, path,
+      when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
+    when(length(scheme) > 0, canon).otherwise(u)
+  }
+
+  /** Line-level boilerplate filtering (H25) — the C4/RefinedWeb-style
+    * pass that strips navigation chrome and fragment lines BEFORE
+    * document-level quality scoring (a page whose text is 40% "Home |
+    * About | Contact" scores garbage on every downstream metric):
+    * a line survives when it has ≥ `minTokens` whitespace tokens AND
+    * does not open with a navigation keyword (home/menu/login/...,
+    * case-insensitive) AND is not a bare copyright line. Surviving
+    * lines rejoin with the newline preserved; `(kept, dropped)` counts
+    * ride along for the DQ report. Deterministic, regex-only,
+    * zero-shuffle. */
+  val navLineRe: String =
+    "^(home|about( us)?|contact( us)?|login|sign (in|up)|menu|search|" +
+      "privacy policy|terms of (use|service)|cookie policy|" +
+      "(all rights reserved|copyright).*)$"
+
+  def filterLines(text: Column, minTokens: Int): Column = {
+    val keep = filter(split(text, "\\n"), l => {
+      val t = trim(l)
+      size(tokens(t)) >= minTokens && !lower(t).rlike(navLineRe)
+    })
+    struct(
+      array_join(keep, "\n").as("clean_text"),
+      size(keep).as("n_kept"),
+      (size(split(text, "\\n")) - size(keep)).as("n_dropped"))
+  }
 }

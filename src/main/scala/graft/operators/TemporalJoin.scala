@@ -83,6 +83,61 @@ object TemporalJoin {
     bounded.select((leftCols ++ payload).map(col): _*)
   }
 
+  /** FORWARD as-of join (D32) — pandas `merge_asof(direction=
+    * 'forward')` / kdb reverse-`aj`: for every left row, the payload of
+    * the EARLIEST right row with `rightTime >= leftTime` and matching
+    * key — "the next reading after this order", "the first response
+    * after this request". The mirror image of [[asOf]] and the same
+    * one-shuffle tagged-union plan, with the window reversed: a running
+    * `first(ignoreNulls)` over `[current, unboundedFollowing)`, left
+    * rows sorted BEFORE right rows at equal timestamps so
+    * `rightTime == leftTime` matches.
+    *
+    * `toleranceSeconds ≥ 0` bounds how far in the FUTURE the match may
+    * lie — beyond it the payload reads null (the request-timeout
+    * semantics). `right` must be unique per (key, time), as in
+    * [[asOf]]. */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: (String, String),
+                  times: (String, String), payload: Seq[String],
+                  toleranceSeconds: Double = -1.0): DataFrame = {
+    val (lk, rk) = keys; val (lt, rt) = times
+    val leftCols = left.columns.toSeq
+    val out = Seq("__k", "__t", "__m", "__rt") ++ leftCols ++ payload
+    // left __m=0, right __m=1: at equal __t the left row comes FIRST,
+    // so its forward frame still sees the same-instant right row
+    val lTagged = payload.foldLeft(
+      left.withColumn("__k", col(lk)).withColumn("__t", col(lt))
+        .withColumn("__m", lit(0))
+        .withColumn("__rt", lit(null).cast(right.schema(rt).dataType)))((d, c) =>
+      d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    val rTagged = leftCols.foldLeft(
+      right.withColumn("__k", col(rk)).withColumn("__t", col(rt))
+        .withColumn("__m", lit(1)).withColumn("__rt", col(rt)))((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val unioned = lTagged.select(out.map(col): _*)
+      .unionByName(rTagged.select(out.map(col): _*))
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__m"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val packed = ("__rt" +: payload).map(col)
+    val carried = unioned
+      .withColumn("__c", when(col("__m") === 1, struct(packed: _*)))
+      .withColumn("__c", first(col("__c"), ignoreNulls = true).over(w))
+      .filter(col("__m") === 0)
+      .withColumn("__rt", col("__c").getField("__rt"))
+    val carriedP = payload.foldLeft(carried)((d, c) =>
+      d.withColumn(c, col("__c").getField(c)))
+    val bounded =
+      if (toleranceSeconds < 0) carriedP
+      else {
+        val fresh = col("__rt").isNotNull &&
+          col("__rt").cast("double") - col("__t").cast("double") <=
+            toleranceSeconds
+        payload.foldLeft(carriedP)((d, c) =>
+          d.withColumn(c, when(fresh, col(c))))
+      }
+    bounded.select((leftCols ++ payload).map(col): _*)
+  }
+
   /** Windowed range join, bucketed: for every left row, count right rows
     * with matching key and `rightTime ∈ (leftTime - windowSeconds,
     * leftTime]`.

@@ -116,3 +116,51 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got == "mail me at <EMAIL> or call <NUM> x")
   }
 }
+
+class AsOfForwardSpec extends SparkSpec {
+  import spark.implicits._
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOfForward picks the earliest right row at-or-after each left time") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"),  // next is 12:00
+      (1L, ts("2024-01-01 12:00:00"), "e2"),  // equal ts matches
+      (1L, ts("2024-01-01 13:00:00"), "e3"),  // after the last right row
+      (2L, ts("2024-01-01 10:00:00"), "e4")   // key with no right rows
+    ).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 200L)
+    ).toDF("k", "t", "pay")
+    val got = TemporalJoin.asOfForward(left, right, ("k", "k"), ("t", "t"),
+        Seq("pay"))
+      .select("ev", "pay").as[(String, Option[Long])].collect().toMap
+    assert(got == Map("e1" -> Some(200L), "e2" -> Some(200L),
+      "e3" -> None, "e4" -> None))
+  }
+
+  test("asOfForward tolerance: matches beyond the future bound null out") {
+    val left = Seq(
+      (1L, ts("2024-01-01 11:30:00"), "fresh"),    // 30 min before
+      (1L, ts("2024-01-01 09:00:00"), "boundary"), // exactly 3 h before
+      (1L, ts("2024-01-01 00:00:00"), "far"),      // 12 h before — beyond
+      (2L, ts("2024-01-01 10:00:00"), "nomatch")
+    ).toDF("k", "t", "ev")
+    val right = Seq((1L, ts("2024-01-01 12:00:00"), 100L)).toDF("k", "t", "pay")
+    val got = TemporalJoin.asOfForward(left, right, ("k", "k"), ("t", "t"),
+        Seq("pay"), toleranceSeconds = 3 * 3600.0)
+      .select("ev", "pay").as[(String, Option[Long])].collect().toMap
+    assert(got == Map("fresh" -> Some(100L), "boundary" -> Some(100L),
+      "far" -> None, "nomatch" -> None))
+    // a NULL payload field in the nearest right row must NOT fall
+    // through to a later row — the struct carry keeps the pair intact
+    val right2 = Seq(
+      (1L, ts("2024-01-01 12:00:00"), Option.empty[Long]),
+      (1L, ts("2024-01-01 13:00:00"), Some(999L))).toDF("k", "t", "pay")
+    val carried = TemporalJoin.asOfForward(
+        Seq((1L, ts("2024-01-01 11:00:00"), "x")).toDF("k", "t", "ev"),
+        right2, ("k", "k"), ("t", "t"), Seq("pay"))
+      .select("pay").as[Option[Long]].head()
+    assert(carried.isEmpty)
+  }
+}

@@ -157,3 +157,48 @@ class MultimodalSpec extends SparkSpec {
     assert(h1 == h2)
   }
 }
+
+class UrlLineFilterSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.TextFunctions
+
+  test("canonicalizeUrl: scheme/host case, default ports, tracking params, fragments") {
+    val cases = Seq(
+      ("HTTPS://Example.COM:443/Path/1?utm_source=x&b=2&a=1#f",
+        "https://example.com/Path/1?a=1&b=2"),
+      ("http://EXAMPLE.com:80/x?fbclid=z&gclid=q", "http://example.com/x"),
+      // non-default port survives; param order normalizes
+      ("https://h.com:8443/p?z=1&a=2", "https://h.com:8443/p?a=2&z=1"),
+      // path case preserved; no query -> no '?'
+      ("HTTP://H.com/CaseSensitive/Path", "http://h.com/CaseSensitive/Path"),
+      // no scheme: trimmed passthrough (refuse to guess)
+      ("  example.com/x?utm_source=1  ", "example.com/x?utm_source=1"))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextFunctions.canonicalizeUrl(col("u"))).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("filterLines: nav chrome, copyright lines and fragments drop; counts ride") {
+    val text = Seq(
+      "Home",
+      "this is a real sentence with plenty of words",
+      "Copyright 2024 Mega Corp",
+      "so is this one right here",
+      "ok").mkString("\n")
+    val r = Seq(text).toDF("t")
+      .select(TextFunctions.filterLines(col("t"), 3).as("f"))
+      .select("f.clean_text", "f.n_kept", "f.n_dropped")
+      .as[(String, Int, Int)].head()
+    assert(r._1 == "this is a real sentence with plenty of words\nso is this one right here")
+    assert(r._2 == 2 && r._3 == 3)
+  }
+
+  test("canonicalize_url and filter_lines are SQL-registered") {
+    GraftExtensions.register(spark)
+    Seq("HTTP://A.com:80/x?b=1&a=2#z").toDF("u").createOrReplaceTempView("url_in")
+    assert(spark.sql("SELECT canonicalize_url(u) FROM url_in")
+      .as[String].head() == "http://a.com/x?a=2&b=1")
+    assert(spark.sql("SELECT filter_lines('Home\nreal text with words here', 3).n_kept FROM url_in")
+      .as[Int].head() == 1)
+  }
+}
