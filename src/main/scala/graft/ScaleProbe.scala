@@ -867,6 +867,17 @@ object ScaleProbe {
             col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
               .as("revenue"),
             count(lit(1)).as("n_items"))),
+        // shard packing: one stratum window, running byte sum
+        "g6_shard_pack" -> (() =>
+          Multimodal.packShards(
+            docs.select(col("doc_id"), col("lang"),
+              length(col("text")).as("n_chars")),
+            Seq("lang"), "doc_id", col("n_chars"), shardBytes = 4096)),
+        // freshness: one map-combined grouped MAX — the cheapest pass
+        "dq6_freshness" -> (() =>
+          graft.operators.DataQuality.freshness(ev, Seq("event_type"),
+            "ts", lit("2024-02-01 00:00:00").cast("timestamp"),
+            3L * 24 * 3600, 10L * 24 * 3600)),
         // forward as-of: the d6 mirror — same one-shuffle tagged union
         "d32_asof_forward" -> (() =>
           TemporalJoin.asOfForward(ev.select("event_id", "user_id", "ts"),

@@ -1616,6 +1616,23 @@ object SparkEntry {
         nBins = 20, scale = 6)
     }),
 
+    // WebDataset-style shard packing: per-language byte-budget shards
+    // in doc-id order; per-item shard id + in-shard byte offset
+    "g6_shard_pack" -> ((s, d) =>
+      Multimodal.packShards(
+        docs(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("lang"), "doc_id", col("n_chars"), shardBytes = 4096)
+        .select(col("doc_id"), col("lang"), col("shard_id"),
+          col("shard_offset"), col("n_bytes"))),
+
+    // dbt-style source freshness: newest record per type vs a literal
+    // reference instant, warn/error thresholds
+    "dq6_freshness" -> ((s, d) =>
+      DataQuality.freshness(ev(s, d), Seq("event_type"), "ts",
+        lit("2024-02-01 00:00:00").cast("timestamp"),
+        warnAfterSeconds = 3L * 24 * 3600,
+        errorAfterSeconds = 10L * 24 * 3600)),
+
     // column-profile comparison between two lineitem slices: one row
     // per numeric column — counts, nulls, min/max, exact fixed-point
     // means, exact-cross-product mean shift
@@ -3927,6 +3944,36 @@ object SparkEntry {
          |SELECT d.user_id, event_id, value, med, mad
          |FROM dev d JOIN mad USING (user_id)
          |WHERE mad > 0 AND ad > 3.0 * mad""".stripMargin,
+
+    "g6_shard_pack" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_chars AS BIGINT) AS bfr
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, n_chars AS n_bytes,
+        |    CAST(floor(bfr / 4096) AS BIGINT) AS shard_id, bfr
+        |  FROM c)
+        |SELECT doc_id, lang, shard_id,
+        |  CAST(bfr - min(bfr) OVER (PARTITION BY lang, shard_id) AS BIGINT)
+        |    AS shard_offset,
+        |  n_bytes
+        |FROM s""".stripMargin,
+
+    "dq6_freshness" ->
+      """WITH m AS (
+        |  SELECT event_type, max(ts) AS max_loaded_at FROM events GROUP BY 1),
+        |l AS (
+        |  SELECT event_type, max_loaded_at,
+        |    (epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+        |     - epoch_us(CAST(max_loaded_at AS TIMESTAMP))) // 1000000 AS lag_seconds
+        |  FROM m)
+        |SELECT event_type, max_loaded_at, lag_seconds,
+        |  CASE WHEN lag_seconds > 864000 THEN 'error'
+        |       WHEN lag_seconds > 259200 THEN 'warn'
+        |       ELSE 'ok' END AS status
+        |FROM l""".stripMargin,
 
     "dq5_profile" -> {
       val cols = Seq(("l_quantity", 4), ("l_extendedprice", 4),

@@ -311,4 +311,26 @@ object DataQuality {
               / pow(lit(10.0), col("__scale"))
               / col("n_ref") / col("n_cur"), scale)).as("mean_shift"))
   }
+  /** Source FRESHNESS check (DQ6) — dbt's `source freshness` contract
+    * (warn_after / error_after on the newest loaded record): per key,
+    * the newest timestamp, its lag behind `asOf` (the run's reference
+    * instant — a LITERAL, passed in so re-runs and oracles see one
+    * instant, never wall-clock), and the resulting status. Exact µs
+    * integer lag; one map-combined grouped MAX — the cheapest possible
+    * pass over any table size. */
+  def freshness(df: DataFrame, keys: Seq[String], ts: String,
+                asOf: Column, warnAfterSeconds: Long,
+                errorAfterSeconds: Long): DataFrame = {
+    require(errorAfterSeconds >= warnAfterSeconds,
+      "error_after must be >= warn_after")
+    df.groupBy(keys.map(col): _*)
+      .agg(max(col(ts)).as("max_loaded_at"))
+      .withColumn("lag_seconds",
+        ((unix_micros(asOf) - unix_micros(col("max_loaded_at")))
+          / lit(1000000L)).cast("long"))
+      .withColumn("status",
+        when(col("lag_seconds") > errorAfterSeconds, lit("error"))
+          .when(col("lag_seconds") > warnAfterSeconds, lit("warn"))
+          .otherwise(lit("ok")))
+  }
 }

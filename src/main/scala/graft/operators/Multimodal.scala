@@ -148,4 +148,57 @@ object Multimodal {
       maxHamming, maxBucket)
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"))
+  /** WebDataset-style SHARD PACKING (G6) — lay media items head-to-tail
+    * in deterministic id order and assign each to a fixed-byte-budget
+    * shard, the layout multimodal training loaders stream (tar shards
+    * read sequentially, shuffled at the shard level): item i joins
+    * shard ⌊cumulative-bytes-before-i / shardBytes⌋, so shards fill
+    * greedily and an item that straddles a boundary starts the next
+    * fill window — a shard can exceed the budget by AT MOST its last
+    * item (items are atomic: an image cannot split the way K6's token
+    * sequences can; the exact never-exceed greedy is a prefix
+    * recurrence no window expresses — same analysis as
+    * [[graft.operators.Curation.packSequencesNoSplit]]).
+    *
+    * Returns per-item `(media_id, shard_id, shard_offset, n_bytes)` —
+    * `shard_offset` is the byte position within the shard's stream,
+    * exactly what a tar-index manifest records. [[shardManifest]]
+    * rolls it to the per-shard manifest.
+    *
+    * Shape: one stratum... one GLOBAL ordered window? No — shards are
+    * per-`stratum` (source/modality), the window partitions by it:
+    * one exchange, one sort, a running byte sum, two projections; the
+    * offset subtracts the shard's first cumulative position via a
+    * second window that rides the SAME stratum partitioning (no
+    * second exchange — ordering within the partition is reused). */
+  def packShards(media: DataFrame, stratum: Seq[String], id: String,
+                 bytes: org.apache.spark.sql.Column, shardBytes: Long): DataFrame = {
+    require(shardBytes > 0, s"shardBytes must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratum.map(col): _*).orderBy(col(id))
+    val cum = Window.partitionBy(stratum.map(col): _*).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = media
+      .withColumn("__b", bytes.cast("long"))
+      .withColumn("__before", sum(col("__b")).over(cum) - col("__b"))
+      .withColumn("shard_id", floor(col("__before") / lit(shardBytes)))
+    val shardStart = Window
+      .partitionBy((stratum.map(col) :+ col("shard_id")): _*)
+      .orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withCum
+      .withColumn("shard_offset",
+        col("__before") - first(col("__before")).over(shardStart))
+      .withColumn("n_bytes", col("__b"))
+      .drop("__b", "__before")
+  }
+
+  /** Per-shard manifest off [[packShards]]' output: item count, byte
+    * total, and the id range the shard covers — what the loader's
+    * index file holds. */
+  def shardManifest(packed: DataFrame, stratum: Seq[String],
+                    id: String): DataFrame =
+    packed.groupBy((stratum.map(col) :+ col("shard_id")): _*)
+      .agg(count(lit(1)).as("n_items"), sum(col("n_bytes")).as("bytes"),
+        min(col(id)).as("first_id"), max(col(id)).as("last_id"))
 }

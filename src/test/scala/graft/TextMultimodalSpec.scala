@@ -202,3 +202,46 @@ class UrlLineFilterSpec extends SparkSpec {
       .as[Int].head() == 1)
   }
 }
+
+class ShardFreshnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packShards: boundary-start assignment, in-shard offsets, manifest") {
+    val media = Seq(
+      (1L, "a", 3000L), (2L, "a", 2000L), (3L, "a", 4000L), (4L, "a", 100L),
+      (5L, "b", 10000L)) // oversized single item: its own shard span
+      .toDF("media_id", "src", "nb")
+    val packed = Multimodal.packShards(media, Seq("src"), "media_id",
+      col("nb"), shardBytes = 4096)
+    val got = packed.select("media_id", "shard_id", "shard_offset")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // cumulative-before: 0, 3000, 5000, 9000 -> shards 0,0,1,2
+    assert(got(1L) == (0L, 0L))
+    assert(got(2L) == (0L, 3000L)) // fills past the budget by its own size
+    assert(got(3L) == (1L, 0L))
+    assert(got(4L) == (2L, 0L))
+    assert(got(5L) == (0L, 0L))   // other stratum restarts at shard 0
+    val manifest = Multimodal.shardManifest(packed, Seq("src"), "media_id")
+      .select("src", "shard_id", "n_items", "bytes")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(manifest == Set(
+      ("a", 0L, 2L, 5000L), ("a", 1L, 1L, 4000L), ("a", 2L, 1L, 100L),
+      ("b", 0L, 1L, 10000L)))
+  }
+
+  test("freshness: ok/warn/error statuses at exact thresholds") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("fresh", ts("2024-01-31 00:00:00")),   // 1 day lag -> ok
+      ("warned", ts("2024-01-27 00:00:00")),  // 5 days -> warn
+      ("errored", ts("2024-01-10 00:00:00")), // 22 days -> error
+      ("boundary", ts("2024-01-29 00:00:00")) // exactly 3 days -> ok (>)
+    ).toDF("src", "ts")
+    val got = graft.operators.DataQuality.freshness(df, Seq("src"), "ts",
+        lit("2024-02-01 00:00:00").cast("timestamp"),
+        warnAfterSeconds = 3L * 24 * 3600, errorAfterSeconds = 10L * 24 * 3600)
+      .select("src", "status").as[(String, String)].collect().toMap
+    assert(got == Map("fresh" -> "ok", "warned" -> "warn",
+      "errored" -> "error", "boundary" -> "ok"))
+  }
+}
