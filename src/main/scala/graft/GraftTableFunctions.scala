@@ -385,6 +385,28 @@ object GraftTableFunctions {
         table(str(args, 0, fn)), table(str(args, 1, fn)), cols))
     },
 
+    // graft_shard_pack(table, stratumCsv, id, bytesCol, shardBytes) — G6
+    "graft_shard_pack" -> { args =>
+      val fn = "graft_shard_pack"
+      arity(args, fn, Set(5), "table, stratumCsv, id, bytesCol, shardBytes")
+      plan(graft.operators.Multimodal.packShards(table(str(args, 0, fn)),
+        csv(args, 1, fn), str(args, 2, fn), col(str(args, 3, fn)),
+        shardBytes = num(args, 4, fn).toLong))
+    },
+
+    // graft_freshness(table, keysCsv, ts, asOfTimestamp, warnSeconds,
+    //                 errorSeconds) — DQ6; asOf is a literal string
+    "graft_freshness" -> { args =>
+      val fn = "graft_freshness"
+      arity(args, fn, Set(6),
+        "table, keysCsv, ts, asOfTimestamp, warnSeconds, errorSeconds")
+      plan(graft.operators.DataQuality.freshness(table(str(args, 0, fn)),
+        csv(args, 1, fn), str(args, 2, fn),
+        org.apache.spark.sql.functions.lit(str(args, 3, fn)).cast("timestamp"),
+        warnAfterSeconds = num(args, 4, fn).toLong,
+        errorAfterSeconds = num(args, 5, fn).toLong))
+    },
+
     // graft_curriculum(table, orderCsv, phases) — K8; the distributed
     // global rank runs its partition-count job EAGERLY at plan time
     // (the bpe_train eager contract)

@@ -1975,6 +1975,21 @@ object SparkEntry {
         'doc_id', 'text', 'spark,window,merge', 20)""")
     }),
 
+    "g6s_shard_pack_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("graft_sql_doc_sizes")
+      s.sql("""SELECT doc_id, lang, shard_id, shard_offset, n_bytes
+        FROM graft_shard_pack('graft_sql_doc_sizes', 'lang', 'doc_id',
+          'n_chars', 4096)""")
+    }),
+
+    "dq6s_freshness_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_freshness('graft_sql_events',
+        'event_type', 'ts', '2024-02-01 00:00:00', 259200, 864000)""")
+    }),
+
     "d32s_asof_forward_sql" -> ((s, d) => {
       sqlSurface(s, d)
       Incremental.upsertLatest(Tables.orders(s, d),
@@ -4281,7 +4296,9 @@ object SparkEntry {
       "dq5s_profile_sql" -> "dq5_profile",
       "c13s_paths_sql" -> "c13_top_paths",
       "c14s_stickiness_sql" -> "c14_stickiness",
-      "d32s_asof_forward_sql" -> "d32_asof_forward"
+      "d32s_asof_forward_sql" -> "d32_asof_forward",
+      "g6s_shard_pack_sql" -> "g6_shard_pack",
+      "dq6s_freshness_sql" -> "dq6_freshness"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

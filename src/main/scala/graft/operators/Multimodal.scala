@@ -158,7 +158,10 @@ object Multimodal {
     * item (items are atomic: an image cannot split the way K6's token
     * sequences can; the exact never-exceed greedy is a prefix
     * recurrence no window expresses — same analysis as
-    * [[graft.operators.Curation.packSequencesNoSplit]]).
+    * [[graft.operators.Curation.packSequencesNoSplit]]). Shard ids are
+    * monotone but NOT necessarily dense: an item bigger than the
+    * budget skips the indices its bytes span — the manifest, not id
+    * density, is the loader's source of truth.
     *
     * Returns per-item `(media_id, shard_id, shard_offset, n_bytes)` —
     * `shard_offset` is the byte position within the shard's stream,

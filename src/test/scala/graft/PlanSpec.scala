@@ -506,6 +506,11 @@ class PlanSpec extends SparkSpec {
       .split("== Initial Plan ==").head
     assert(!plan.contains("Join"),
       s"as-of must not plan a join (no range explosion):\n$plan")
+    // the forward mirror keeps the same shape
+    val fwd = executed(SparkEntry.queries("d32_asof_forward")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!fwd.contains("Join"),
+      s"forward as-of must not plan a join:\n$fwd")
   }
 
   test("range join buckets into a hash equi-join, never nested-loop") {

@@ -407,4 +407,93 @@ class PropertySpec extends SparkSpec {
         assert(selfRow == ((0.0, 0.0, 0.0)))
       }
   }
+  test("ewma of a constant series is that constant, at any span") {
+    val cases = samples(for {
+      v <- Gen.chooseNum(-100000L, 100000L)
+      n <- Gen.choose(1, 12)
+      span <- Gen.choose(1, 10)
+    } yield (v, n, span), 12)
+    cases.foreach { case (v, n, span) =>
+      val df = (1 to n).map(i => (1L, f"d$i%03d", v)).toDF("e", "d", "fs")
+      val got = graft.operators.TimeAgg.ewma(df, "e", "d", "fs", span, 0)
+        .select("ewma").as[Double].collect()
+      assert(got.forall(_ == v.toDouble),
+        s"ewma of constant $v (n=$n span=$span) drifted: ${got.toList}")
+    }
+  }
+
+  test("autocorr is invariant under series reversal") {
+    // lag-1 pairs of the reversed series are the swapped pairs of the
+    // original; Pearson corr is symmetric in its arguments
+    val cases = samples(Gen.listOfN(8, Gen.chooseNum(-1000L, 1000L)), 10)
+    cases.filter(_.toSet.size > 2).foreach { xs =>
+      val fwd = xs.zipWithIndex.map { case (v, i) => (1L, f"d$i%03d", v) }
+        .toDF("e", "d", "fs")
+      val rev = xs.reverse.zipWithIndex.map { case (v, i) => (1L, f"d$i%03d", v) }
+        .toDF("e", "d", "fs")
+      def ac(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.TimeAgg.autocorr(df, "e", "d", "fs", 1)
+          .select("autocorr_1").collect().head.get(0)
+      assert(ac(fwd) == ac(rev), s"autocorr not reversal-invariant on $xs")
+    }
+  }
+
+  test("canonicalizeUrl is idempotent on arbitrary url-ish strings") {
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "Ftp")
+      host <- Gen.alphaLowerStr.map(h => "Host" + h.take(8) + ".COM")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.alphaNumStr.map(p => "/Pa" + p.take(6))
+      q <- Gen.oneOf("", "?b=2&a=1", "?utm_source=x&z=9", "?only=utm#f", "#frag")
+    } yield s"$scheme://$host$port$path$q"
+    val urls = samples(urlGen, 40)
+    val df = urls.toDF("u")
+      .select(graft.functions.TextFunctions.canonicalizeUrl(col("u")).as("c1"))
+      .select(col("c1"),
+        graft.functions.TextFunctions.canonicalizeUrl(col("c1")).as("c2"))
+    val rows = df.as[(String, String)].collect()
+    rows.foreach { case (c1, c2) =>
+      assert(c1 == c2, s"canonicalizeUrl not idempotent: '$c1' -> '$c2'")
+    }
+  }
+
+  test("filterLines is idempotent and never invents lines") {
+    val lineGen = Gen.oneOf(
+      Gen.const("Home"), Gen.const("short"),
+      Gen.alphaLowerStr.map(w => s"real words in a sentence $w"),
+      Gen.const("Copyright 2024 X"), Gen.const("about us"))
+    val docGen = Gen.listOfN(6, lineGen).map(_.mkString("\n"))
+    samples(docGen, 20).foreach { doc =>
+      val once = Seq(doc).toDF("t")
+        .select(graft.functions.TextFunctions.filterLines(col("t"), 3).as("f"))
+        .select("f.clean_text").as[String].head()
+      val twice = Seq(once).toDF("t")
+        .select(graft.functions.TextFunctions.filterLines(col("t"), 3).as("f"))
+        .select("f.clean_text").as[String].head()
+      assert(twice == once, s"filterLines not idempotent on: $doc")
+      val inLines = doc.split("\n").map(_.trim).toSet
+      assert(once.split("\n").filter(_.nonEmpty).forall(inLines.contains),
+        s"filterLines invented a line on: $doc")
+    }
+  }
+
+  test("packShards conserves bytes and keeps shard ids dense from zero") {
+    val gen = Gen.listOfN(12, Gen.chooseNum(1L, 5000L))
+    samples(gen, 10).foreach { sizes =>
+      val df = sizes.zipWithIndex.map { case (b, i) => (i.toLong, "s", b) }
+        .toDF("id", "src", "nb")
+      val packed = graft.operators.Multimodal.packShards(
+        df, Seq("src"), "id", col("nb"), shardBytes = 4096)
+      val manifest = graft.operators.Multimodal
+        .shardManifest(packed, Seq("src"), "id")
+        .select("shard_id", "bytes").as[(Long, Long)].collect().sortBy(_._1)
+      assert(manifest.map(_._2).sum == sizes.sum, "bytes not conserved")
+      // ids start at 0 and strictly increase; an item larger than the
+      // budget SKIPS the indices its bytes span (the manifest, not
+      // density, is the loader's source of truth)
+      assert(manifest.head._1 == 0L, "first shard must be 0")
+      assert(manifest.map(_._1).sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+        s"shard ids not increasing: ${manifest.map(_._1).toList}")
+    }
+  }
 }

@@ -764,4 +764,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == want.count() && want.count() > 0)
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+  test("streaming freshness by composition: maintained per-key max ts feeds DQ6 (I29)") {
+    // freshness is a grouped MAX — streaming-legal as a plain
+    // update-mode agg; the maintained (key, max ts) table feeds the
+    // same threshold projection as batch DQ6
+    val in = Files.createTempDirectory("graft-fresh-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+    val table = scala.collection.mutable.Map.empty[String, java.sql.Timestamp]
+    val stream = spark.readStream.schema(ev.schema).parquet(in)
+      .groupBy(col("event_type")).agg(max(col("ts")).as("max_loaded_at"))
+    val q = stream.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => table(r.getString(0)) = r.getTimestamp(1))
+      }.start()
+    try landTimeSplit(ev, in)(() => q.processAllAvailable()) finally q.stop()
+    val maintained = table.toSeq.toDF("event_type", "ts")
+    val got = graft.operators.DataQuality.freshness(maintained,
+      Seq("event_type"), "ts", lit("2024-02-01 00:00:00").cast("timestamp"),
+      3L * 24 * 3600, 10L * 24 * 3600)
+    val want = graft.operators.DataQuality.freshness(
+      graft.sources.Tables.events(spark, sf), Seq("event_type"), "ts",
+      lit("2024-02-01 00:00:00").cast("timestamp"),
+      3L * 24 * 3600, 10L * 24 * 3600)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
 }
