@@ -97,6 +97,33 @@ object Main {
       .orderBy(col("tv_dist").desc).head()
     println(s"[drift] worst_key=${worst.getString(0)}" +
       s" tv=${worst.getDouble(3)} max_bin=${worst.getDouble(4)}")
+
+    // ---- product analytics (C9/C11/C12/C14): funnel, top transition,
+    // last-touch attribution and stickiness over the staged events
+    val funnelTop = graft.operators.Sessionize.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), 3600L)
+      .orderBy(col("step")).collect()
+    val topTrans = graft.operators.Sessionize.transitions(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .orderBy(col("n_transitions").desc).head()
+    val attributed = graft.operators.Sessionize.lastTouchAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", Seq("click", "view"), "purchase",
+        7L * 24 * 3600)
+      .orderBy(col("n_conversions").desc).head()
+    println(s"[analytics] funnel=${funnelTop.map(r =>
+        s"${r.getString(1)}:${r.getLong(2)}").mkString(">")}" +
+      s" top_path_hop=${topTrans.getString(0)}>${topTrans.getString(1)}" +
+      s" top_credit=${attributed.getString(0)}:${attributed.getLong(1)}")
+
+    // ---- freshness gate (DQ6): the dbt source-freshness contract
+    // against the staged window's own end instant
+    val asOf = ev.agg(org.apache.spark.sql.functions.max(col("ts"))).head()
+      .getTimestamp(0)
+    val stale = DataQuality.freshness(ev, Seq("event_type"), "ts",
+        org.apache.spark.sql.functions.lit(asOf),
+        warnAfterSeconds = 24 * 3600, errorAfterSeconds = 7 * 24 * 3600)
+      .filter(col("status") =!= "ok").count()
+    println(s"[freshness] non_ok_sources=$stale")
     spark.stop()
   }
 }
