@@ -743,6 +743,17 @@ class StreamingSpec extends SparkSpec {
       "user_id", "day", "fs", span = 8, scale = 4)
     assert(got.count() == want.count() && want.count() > 0)
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // the SAME maintained rollup feeds b35 autocorrelation unchanged —
+    // one maintained table, two continuous analytics
+    val gotAc = graft.operators.TimeAgg.autocorr(
+      maintained, "user_id", "day", "fs", k = 1)
+    val wantAc = graft.operators.TimeAgg.autocorr(
+      ev.groupBy(col("user_id"),
+          graft.operators.TimeAgg.dayKey(col("ts")).as("day"))
+        .agg(sum(graft.functions.Portable.toFixed(col("value"), 4)).as("fs")),
+      "user_id", "day", "fs", k = 1)
+    assert(gotAc.exceptAll(wantAc).count() == 0 &&
+      wantAc.exceptAll(gotAc).count() == 0)
   }
   test("streaming stickiness by composition: the I21 ledger feeds C14 unchanged (I28)") {
     import graft.streaming.IotStreamPipeline
