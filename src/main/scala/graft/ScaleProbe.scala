@@ -867,6 +867,16 @@ object ScaleProbe {
             col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
               .as("revenue"),
             count(lit(1)).as("n_items"))),
+        // top gaps: lag window + bounded-heap TopKPerKey
+        "b37_top_gaps" -> (() =>
+          TimeAgg.topGaps(ev, "user_id", "ts", "event_id", k = 3)),
+        // asap: one fused multi-frame window + candidate-sized tail
+        "b38_asap_smooth" -> (() =>
+          TimeAgg.asapSmooth(
+            ev.groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+              .agg(sum(graft.functions.Portable.toFixed(col("value"), 4))
+                .as("fs")),
+            "user_id", "day", "fs", Seq(1, 2, 4, 8), 4)),
         // shard packing: one stratum window, running byte sum
         "g6_shard_pack" -> (() =>
           Multimodal.packShards(

@@ -261,6 +261,23 @@ object SparkEntry {
         periodStart = date_trunc("DAY", col("ts")), value = "value",
         scale = 4)),
 
+    // ASAP-style auto-smoothing of the daily series: dyadic window
+    // grid, exact-integer roughness argmin, chosen smoothed series out
+    "b38_asap_smooth" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+        .agg(sum(Portable.toFixed(col("value"), 4)).as("fs"))
+      TimeAgg.asapSmooth(daily, "user_id", "day", "fs",
+        windows = Seq(1, 2, 4, 8), scale = 4)
+    }),
+
+    // top-3 longest silences per user — lag window + the native
+    // bounded-heap TopKPerKey (partial cap before the exchange)
+    "b37_top_gaps" -> ((s, d) =>
+      TimeAgg.topGaps(ev(s, d), "user_id", "ts", "event_id", k = 3)
+        .select(col("user_id"), col("gap_start"), col("gap_end"),
+          col("gap_us"), col("rnk"))),
+
     // interpolated time-weighted average: the LOCF curve integrated
     // per 6h bucket INCLUDING boundary-crossing hold segments — the
     // cross-bucket TWA b19's per-bucket window drops
@@ -2362,6 +2379,64 @@ object SparkEntry {
          |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
          |       wr AS (PARTITION BY user_id ORDER BY day
          |              ROWS UNBOUNDED PRECEDING)""".stripMargin,
+
+    "b38_asap_smooth" -> {
+      val ws = Seq(1, 2, 4, 8)
+      val sumCols = ws.map { w =>
+        s"""sum(fs) OVER (PARTITION BY user_id ORDER BY day
+           |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS S$w,
+           |    count(*) OVER (PARTITION BY user_id ORDER BY day
+           |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS c$w"""
+          .stripMargin
+      }.mkString(",\n    ")
+      val unions = ws.map(w =>
+        s"SELECT user_id, day, $w AS w, S$w AS S, c$w AS cnt FROM s")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH dly AS (
+         |  SELECT user_id, strftime(ts, '%Y%m%d') AS day,
+         |    sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS fs
+         |  FROM events GROUP BY 1, 2),
+         |s AS (
+         |  SELECT user_id, day,
+         |    $sumCols
+         |  FROM dly),
+         |st AS (
+         |  $unions),
+         |f AS (SELECT * FROM st WHERE cnt = w),
+         |d AS (
+         |  SELECT user_id, day, w,
+         |    S - lag(S) OVER (PARTITION BY user_id, w ORDER BY day) AS dS
+         |  FROM f),
+         |g AS (
+         |  SELECT user_id, w, sum(dS * dS) AS ssq, count(*) AS n
+         |  FROM d WHERE dS IS NOT NULL GROUP BY 1, 2),
+         |win AS (
+         |  SELECT g.user_id, g.w FROM g WHERE NOT EXISTS (
+         |    SELECT 1 FROM g h WHERE h.user_id = g.user_id AND h.w <> g.w
+         |      AND (h.ssq * g.w * g.w * g.n < g.ssq * h.w * h.w * h.n
+         |        OR (h.ssq * g.w * g.w * g.n = g.ssq * h.w * h.w * h.n
+         |            AND h.w < g.w))))
+         |SELECT f.user_id, f.day, CAST(f.w AS BIGINT) AS "window",
+         |  ${sqlPround("CAST(f.S AS DOUBLE) / f.w / 10000.0", 4)} AS smoothed
+         |FROM f JOIN win ON f.user_id = win.user_id AND f.w = win.w""".stripMargin
+    },
+
+    "b37_top_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS gap_start,
+        |    ts AS gap_end
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, gap_start, gap_end,
+        |    epoch_us(CAST(gap_end AS TIMESTAMP))
+        |      - epoch_us(CAST(gap_start AS TIMESTAMP)) AS gap_us
+        |  FROM g WHERE gap_start IS NOT NULL)
+        |SELECT user_id, gap_start, gap_end, gap_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY gap_us DESC, gap_start) AS rnk
+        |FROM d QUALIFY rnk <= 3""".stripMargin,
 
     "b36_twa_interpolated" -> {
       val w = 6L * 3600 * 1000000L

@@ -328,6 +328,104 @@ object TimeAgg {
         count(lit(1)).as("n_readings"))
   }
 
+  /** ASAP-style automatic smoothing (B38) — the role of the TimescaleDB
+    * toolkit's `asap_smooth` (Rong & Bailis, VLDB'17: pick the moving-
+    * average window that makes a dashboard series maximally readable),
+    * SIMPLIFIED to its deterministic portable core: candidate windows
+    * are a fixed dyadic grid, the chosen window minimizes the mean
+    * squared first difference of the smoothed series (the paper's
+    * roughness), and the kurtosis-preservation side constraint is
+    * dropped (its float moments cannot be compared exactly across
+    * engines — the simplification is stated, not hidden).
+    *
+    * EXACT selection: per candidate W, only FULL windows contribute
+    * (trailing sum S over exactly W readings — integer), roughness
+    * numerators Σ(ΔS)² accumulate in decimal(38), and candidates
+    * compare by CROSS-MULTIPLICATION — W' beats W iff
+    * `ssq'·W²·n < ssq·W'²·n'` (metric = Σ(ΔS_W)²/(W²·n_W), cleared of
+    * divisions) with ties to the smaller window — so the argmin is
+    * bit-reproducible anywhere (the oracle mirrors it via HUGEINT and
+    * NOT EXISTS). Entities need ≥ 2 observations (no first difference
+    * exists otherwise — such entities are absent, by contract).
+    *
+    * Shape: ONE entity window pass computes every candidate's trailing
+    * sums as columns (all frames share the partition+order, Spark
+    * fuses them into one Window operator), a stack() unpivot, one
+    * (entity, W) lag window + roughness agg, a 4-rows-per-entity
+    * tournament anti-join, and the winner joins back to emit the
+    * chosen smoothed series. Every post-stack frame is series- or
+    * candidate-sized. */
+  def asapSmooth(series: DataFrame, entity: String, order: String,
+                 fixed: String, windows: Seq[Int] = Seq(1, 2, 4, 8),
+                 scale: Int = 4): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 1) &&
+      windows.distinct.size == windows.size, "windows must be distinct >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col(entity)).orderBy(col(order))
+    val sumCols = windows.flatMap { W =>
+      val f = w.rowsBetween(-(W - 1), 0)
+      Seq(sum(col(fixed)).over(f).as(s"__S$W"),
+        count(lit(1)).over(f).as(s"__c$W"))
+    }
+    val sums = series.select(
+      Seq(col(entity), col(order)) ++ sumCols: _*)
+    val stackArgs = windows
+      .map(W => s"${W}L, __S$W, __c$W").mkString(", ")
+    val stacked = sums
+      .select(col(entity), col(order), expr(
+        s"stack(${windows.size}, $stackArgs) AS (__w, __S, __cnt)"))
+      .filter(col("__cnt") === col("__w"))
+    val w2 = Window.partitionBy(col(entity), col("__w")).orderBy(col(order))
+    val diffs = stacked
+      .withColumn("__dS", col("__S") - lag(col("__S"), 1).over(w2))
+      .filter(col("__dS").isNotNull)
+    val g = diffs.groupBy(col(entity), col("__w"))
+      .agg(sum((col("__dS").cast(dec) * col("__dS")).cast(dec)).as("__ssq"),
+        count(lit(1)).as("__n"))
+    // tournament: W loses to any W' with strictly smaller cleared
+    // metric, or an equal metric at a smaller window
+    val a = g.alias("a"); val b = g.alias("b")
+    val ma = col("a.__ssq") * (col("b.__w") * col("b.__w") * col("b.__n")).cast(dec)
+    val mb = col("b.__ssq") * (col("a.__w") * col("a.__w") * col("a.__n")).cast(dec)
+    val winner = a.join(b,
+        col(s"a.$entity") === col(s"b.$entity") &&
+          col("a.__w") =!= col("b.__w") &&
+          (mb < ma || (mb === ma && col("b.__w") < col("a.__w"))),
+        "left_anti")
+      .select(col(entity), col("__w").as("window"))
+    stacked.join(winner,
+        Seq(entity)).filter(col("__w") === col("window"))
+      .select(col(entity), col(order), col("window"),
+        graft.functions.Portable.pround(
+          col("__S").cast("double") / col("window")
+            / lit(math.pow(10, scale)), scale).as("smoothed"))
+  }
+
+  /** Top silent gaps per entity (B37) — the sensor-diagnostics view
+    * behind every "when did this device go dark?" investigation: each
+    * entity's k LONGEST intervals between consecutive readings, with
+    * exact-µs bounds. One lag window builds the gap stream; the
+    * bounded-heap [[graft.plans.TopKPerKey]] picks the k largest per
+    * entity — a partial cap BEFORE the exchange, never a per-entity
+    * sort of the full gap history. Ties (equal gap lengths) break on
+    * the earlier start — deterministic, oracle-mirrorable. */
+  def topGaps(df: DataFrame, entity: String, ts: String,
+              tieBreak: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entity)).orderBy(col(ts), col(tieBreak))
+    val gaps = df
+      .select(col(entity), col(ts), col(tieBreak))
+      .withColumn("gap_start", lag(col(ts), 1).over(w))
+      .filter(col("gap_start").isNotNull)
+      .select(col(entity), col("gap_start"), col(ts).as("gap_end"),
+        (unix_micros(col(ts)) - unix_micros(col("gap_start"))).as("gap_us"))
+    graft.plans.TopKPerKey(gaps,
+      keys = Seq(col(entity)),
+      order = Seq(col("gap_us").desc, col("gap_start").asc),
+      k = k, rankName = "rnk")
+  }
+
   /** TimescaleDB `interpolated_average` equivalent (B36) — the
     * CROSS-BUCKET time-weighted average [[timeWeightedAvg]] cannot
     * express: B19 partitions the window per bucket, so a reading that

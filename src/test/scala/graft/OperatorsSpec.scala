@@ -706,3 +706,43 @@ class PathsStickinessSpec extends SparkSpec {
     assert(!got.contains("2024-01-02"))
   }
 }
+
+class GapsAsapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topGaps: k longest silences per entity, earlier-start tie-break") {
+    def t(h: Int) = s"2024-01-01 ${f"$h%02d"}:00:00"
+    val df = Seq(
+      (1L, t(0), 1L), (1L, t(1), 2L), (1L, t(5), 3L), (1L, t(6), 4L),
+      (1L, t(12), 5L), // gaps: 1h, 4h, 1h, 6h
+      (2L, t(0), 6L))  // single event: no gap
+      .toDF("user_id", "s", "event_id")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val got = TimeAgg.topGaps(df, "user_id", "ts", "event_id", k = 2)
+      .select(col("user_id"), col("gap_us"), col("rnk"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 6L * 3600000000L, 1), (1L, 4L * 3600000000L, 2)))
+  }
+
+  test("asapSmooth: a perfectly linear series ties every window -> W=1; pure alternation -> W=2") {
+    // linear: ΔS_W = W·d so the cleared metric is d² for every W —
+    // the tie chain resolves to the smallest window (no smoothing)
+    val lin = (1 to 9).map(i => (1L, f"d$i%02d", 100L * i)).toDF("e", "d", "fs")
+    val gotLin = TimeAgg.asapSmooth(lin, "e", "d", "fs", Seq(1, 2, 4, 8), 0)
+    assert(gotLin.select("window").distinct().as[Long].collect().toSeq == Seq(1L))
+    // raw values pass through unsmoothed at W=1
+    assert(gotLin.filter(col("d") === "d03").select("smoothed")
+      .as[Double].head() == 300.0)
+    // period-2 alternation: every even window's sums are constant
+    // (ssq = 0) — zero-roughness ties resolve to W=2
+    val alt = (1 to 10).map(i => (1L, f"d$i%02d", if (i % 2 == 0) 200L else 100L))
+      .toDF("e", "d", "fs")
+    val gotAlt = TimeAgg.asapSmooth(alt, "e", "d", "fs", Seq(1, 2, 4, 8), 0)
+    assert(gotAlt.select("window").distinct().as[Long].collect().toSeq == Seq(2L))
+    assert(gotAlt.select("smoothed").distinct().as[Double].collect().toSeq
+      == Seq(150.0))
+    // an entity with a single observation has no first difference: absent
+    val single = Seq((9L, "d01", 5L)).toDF("e", "d", "fs")
+    assert(TimeAgg.asapSmooth(single, "e", "d", "fs", Seq(1, 2), 0).count() == 0)
+  }
+}
