@@ -342,6 +342,30 @@ object GraftTableFunctions {
         str(args, 2, fn)))
     },
 
+    // graft_top_gaps(table, entity, ts, tieCol, k) — B37
+    "graft_top_gaps" -> { args =>
+      val fn = "graft_top_gaps"
+      arity(args, fn, Set(5), "table, entity, ts, tieCol, k")
+      plan(TimeAgg.topGaps(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn), str(args, 3, fn), k = num(args, 4, fn).toInt))
+    },
+
+    // graft_asap(table, entity, orderCol, fixedCol, windowsCsv, scale)
+    // — B38; windowsCsv is the dyadic candidate grid, e.g. '1,2,4,8'
+    "graft_asap" -> { args =>
+      val fn = "graft_asap"
+      arity(args, fn, Set(6),
+        "table, entity, orderCol, fixedCol, windowsCsv, scale")
+      val ws = csv(args, 4, fn).map { x =>
+        if (x.forall(_.isDigit) && x.nonEmpty) x.toInt
+        else throw new IllegalArgumentException(
+          s"$fn: windowsCsv entries must be integers, got '$x'")
+      }
+      plan(TimeAgg.asapSmooth(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn), str(args, 3, fn), windows = ws,
+        scale = num(args, 5, fn).toInt))
+    },
+
     // graft_twa(table, entity, ts, tieCsv, value, bucketSeconds,
     //           scale) — B36 interpolated time-weighted average
     "graft_twa" -> { args =>

@@ -2036,6 +2036,22 @@ object SparkEntry {
         'user_id', 'ts')""")
     }),
 
+    "b37s_top_gaps_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT user_id, gap_start, gap_end, gap_us, rnk
+        FROM graft_top_gaps('graft_sql_events', 'user_id', 'ts',
+          'event_id', 3)""")
+    }),
+
+    "b38s_asap_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      ev(s, d).groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+        .agg(sum(Portable.toFixed(col("value"), 4)).as("fs"))
+        .createOrReplaceTempView("graft_sql_daily_fs3")
+      s.sql("""SELECT * FROM graft_asap('graft_sql_daily_fs3',
+        'user_id', 'day', 'fs', '1,2,4,8', 4)""")
+    }),
+
     "b36s_twa_sql" -> ((s, d) => {
       sqlSurface(s, d)
       s.sql("""SELECT * FROM graft_twa('graft_sql_events', 'user_id',
@@ -4373,7 +4389,9 @@ object SparkEntry {
       "c14s_stickiness_sql" -> "c14_stickiness",
       "d32s_asof_forward_sql" -> "d32_asof_forward",
       "g6s_shard_pack_sql" -> "g6_shard_pack",
-      "dq6s_freshness_sql" -> "dq6_freshness"
+      "dq6s_freshness_sql" -> "dq6_freshness",
+      "b37s_top_gaps_sql" -> "b37_top_gaps",
+      "b38s_asap_sql" -> "b38_asap_smooth"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 
