@@ -380,4 +380,41 @@ class SqlSurfaceSpec extends SparkSpec {
     }
     assert(badC.getMessage.contains("col:scale"))
   }
+
+  test("r9 batch-4 TVFs == their Scala operators") {
+    ready
+    sameRows(
+      spark.sql(
+        "SELECT * FROM graft_top_gaps('ev', 'user_id', 'ts', 'event_id', 3)"),
+      TimeAgg.topGaps(Tables.events(spark, sf), "user_id", "ts",
+        "event_id", k = 3))
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        TimeAgg.dayKey(col("ts")).as("day"))
+      .agg(sum(graft.functions.Portable.toFixed(col("value"), 4)).as("fs"))
+    daily.createOrReplaceTempView("daily_asap_tvf")
+    sameRows(
+      spark.sql("""SELECT * FROM graft_asap('daily_asap_tvf', 'user_id',
+        'day', 'fs', '1,2,4,8', 4)"""),
+      TimeAgg.asapSmooth(daily, "user_id", "day", "fs", Seq(1, 2, 4, 8), 4))
+    val sizes = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    sizes.createOrReplaceTempView("sizes_tvf")
+    sameRows(
+      spark.sql("""SELECT * FROM graft_shard_pack('sizes_tvf', 'lang',
+        'doc_id', 'n_chars', 4096)"""),
+      graft.operators.Multimodal.packShards(sizes, Seq("lang"), "doc_id",
+        col("n_chars"), shardBytes = 4096))
+    sameRows(
+      spark.sql("""SELECT * FROM graft_freshness('ev', 'event_type', 'ts',
+        '2024-02-01 00:00:00', 259200, 864000)"""),
+      graft.operators.DataQuality.freshness(Tables.events(spark, sf),
+        Seq("event_type"), "ts",
+        lit("2024-02-01 00:00:00").cast("timestamp"), 259200L, 864000L))
+    val badW = intercept[Exception] {
+      spark.sql("""SELECT * FROM graft_asap('daily_asap_tvf', 'user_id',
+        'day', 'fs', '1,two', 4)""").collect()
+    }
+    assert(badW.getMessage.contains("integers"))
+  }
 }
