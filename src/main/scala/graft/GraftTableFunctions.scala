@@ -342,6 +342,14 @@ object GraftTableFunctions {
         str(args, 2, fn)))
     },
 
+    // graft_cohort_value(table, entity, ts, valueCol) — C15
+    "graft_cohort_value" -> { args =>
+      val fn = "graft_cohort_value"
+      arity(args, fn, Set(4), "table, entity, ts, valueCol")
+      plan(Sessionize.cohortValue(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn), str(args, 3, fn)))
+    },
+
     // graft_top_gaps(table, entity, ts, tieCol, k) — B37
     "graft_top_gaps" -> { args =>
       val fn = "graft_top_gaps"

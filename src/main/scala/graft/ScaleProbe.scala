@@ -909,6 +909,9 @@ object ScaleProbe {
             graft.functions.TextFunctions.filterLines(
               concat(lit("Home\n"), col("text"), lit("\nmenu\nok")), 3)
               .as("f"))),
+        // cohort LTV: one rollup + the anchored-exchange family
+        "c15_cohort_value" -> (() =>
+          Sessionize.cohortValue(ev, "user_id", "ts", "value")),
         // top paths: session window + bounded per-session arrays +
         // path-count agg + TakeOrdered
         "c13_top_paths" -> (() =>

@@ -528,6 +528,11 @@ object SparkEntry {
         "event_id", "event_type", Seq("click", "view"), "purchase",
         7L * 24 * 3600)),
 
+    // cohort LTV curve: per-(cohort, offset) exact value cells + the
+    // per-cohort cumulative — retention's revenue-weighted sibling
+    "c15_cohort_value" -> ((s, d) =>
+      Sessionize.cohortValue(ev(s, d), "user_id", "ts", "value")),
+
     // top session paths: each 30-min session's ordered type sequence
     // (first 5 steps, '(truncated)' beyond), top 20 by count
     "c13_top_paths" -> ((s, d) =>
@@ -2024,6 +2029,12 @@ object SparkEntry {
           'o_orderdate', 'o_orderkey,o_totalprice')""")
     }),
 
+    "c15s_cohort_value_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_cohort_value('graft_sql_events',
+        'user_id', 'ts', 'value')""")
+    }),
+
     "c13s_paths_sql" -> ((s, d) => {
       sqlSurface(s, d)
       s.sql("""SELECT * FROM graft_top_paths('graft_sql_events',
@@ -2893,6 +2904,24 @@ object SparkEntry {
         |  count(*) AS n_conversions,
         |  count(DISTINCT user_id) AS n_converters
         |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+    "c15_cohort_value" ->
+      """WITH dly AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS fv
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM dly GROUP BY 1),
+        |cells AS (
+        |  SELECT c.cohort_day,
+        |    CAST(date_diff('day', c.cohort_day, dly.day) AS INT) AS day_offset,
+        |    count(DISTINCT dly.user_id) AS n_entities,
+        |    CAST(sum(fv) AS BIGINT) AS rev
+        |  FROM dly JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, n_entities,
+        |  CAST(rev AS DOUBLE) / 10000.0 AS revenue,
+        |  CAST(sum(rev) OVER (PARTITION BY cohort_day ORDER BY day_offset
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 10000.0 AS cum_revenue
+        |FROM cells""".stripMargin,
 
     "c13_top_paths" ->
       """WITH s AS (
@@ -4391,6 +4420,7 @@ object SparkEntry {
       "g6s_shard_pack_sql" -> "g6_shard_pack",
       "dq6s_freshness_sql" -> "dq6_freshness",
       "b37s_top_gaps_sql" -> "b37_top_gaps",
+      "c15s_cohort_value_sql" -> "c15_cohort_value",
       "b38s_asap_sql" -> "b38_asap_smooth"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }

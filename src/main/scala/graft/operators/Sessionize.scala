@@ -87,6 +87,44 @@ object Sessionize {
       .agg(count(lit(1)).as("n_entities"))
   }
 
+  /** Cohort VALUE / LTV curve (C15) — retention's revenue-weighted
+    * sibling, the "how much is a cohort worth by day N" curve every
+    * growth dashboard carries: entities join the cohort of their first
+    * active day (C10's contract), each (cohort, offset) cell sums the
+    * cohort's value that day exactly (fixed-point), and a per-cohort
+    * cumulative over offsets yields the LTV curve. Returns
+    * `(cohort_day, day_offset, n_entities, revenue, cum_revenue)`.
+    *
+    * Scale shape: ONE input-sized stage (the per-(entity, day) value
+    * rollup — map-side combined), the same entity-anchored exchange
+    * discipline as [[retentionCohorts]] (cohort MIN and join-back share
+    * the exchange; the anchor keeps Catalyst from collapsing the
+    * rollup under the MIN and double-scanning), then everything is
+    * cohort-calendar-sized — including the cumulative window, which
+    * partitions by cohort over the final cells. */
+  def cohortValue(events: DataFrame, entity: String, ts: String,
+                  value: String, scale: Int = 4): DataFrame = {
+    val p = math.pow(10, scale)
+    val daily = events
+      .groupBy(col(entity), to_date(col(ts)).as("__day"))
+      .agg(sum(graft.functions.Portable.toFixed(col(value), scale))
+        .as("__fv"),
+        count(lit(1)).as("__n"))
+      .repartition(col(entity))
+    val cohorts = daily.groupBy(col(entity))
+      .agg(min(col("__day")).as("cohort_day"))
+    val cells = daily.join(cohorts, Seq(entity))
+      .groupBy(col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col(entity)).as("n_entities"),
+        sum(col("__fv")).as("__rev"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.select(col("cohort_day"), col("day_offset"), col("n_entities"),
+      (col("__rev").cast("double") / lit(p)).as("revenue"),
+      (sum(col("__rev")).over(w).cast("double") / lit(p)).as("cum_revenue"))
+  }
+
   /** Conversion funnel over an event stream (the ClickHouse
     * `windowFunnel` role, with the deterministic EARLIEST-CHAIN
     * semantics every SQL funnel uses): step 1 anchors at the entity's

@@ -746,3 +746,28 @@ class GapsAsapSpec extends SparkSpec {
     assert(TimeAgg.asapSmooth(single, "e", "d", "fs", Seq(1, 2), 0).count() == 0)
   }
 }
+
+class CohortValueSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cohortValue: exact cells and cumulative LTV per cohort") {
+    val df = Seq(
+      (1L, "2024-01-01 08:00:00", 10.0), (1L, "2024-01-01 09:00:00", 5.0),
+      (1L, "2024-01-03 08:00:00", 2.0),
+      (2L, "2024-01-01 10:00:00", 1.0),
+      (3L, "2024-01-03 10:00:00", 100.0))
+      .toDF("user_id", "s", "value")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val got = Sessionize.cohortValue(df, "user_id", "ts", "value")
+      .select(col("cohort_day").cast("string"), col("day_offset"),
+        col("n_entities"), col("revenue"), col("cum_revenue"))
+      .as[(String, Int, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // Jan-1 cohort: day 0 = u1 (15) + u2 (1); day 2 = u1 (2)
+    assert(got(("2024-01-01", 0)) == (2L, 16.0, 16.0))
+    assert(got(("2024-01-01", 2)) == (1L, 2.0, 18.0))
+    // Jan-3 cohort: its own curve starts at its own day 0
+    assert(got(("2024-01-03", 0)) == (1L, 100.0, 100.0))
+    assert(got.size == 3)
+  }
+}
