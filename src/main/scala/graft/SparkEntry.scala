@@ -1169,6 +1169,14 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5)
     }),
 
+    // k-NN majority-vote labeling: exact top-5 neighbors vote, ties
+    // to the smaller label — the weak-labeling baseline
+    "f17_knn_classify" -> ((s, d) => {
+      val e = embD(s, d)
+      Similarity.knnClassify(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "label", 5)
+    }),
+
     "f2_ann_lsh" -> ((s, d) => {
       val e = embD(s, d)
       // testdata embeddings are 64-dim; passing it skips the probe job
@@ -3494,6 +3502,34 @@ object SparkEntry {
           "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), (x, y) -> x + y)", 4)),
 
     "f1_ann_bruteforce" -> f1OracleSql,
+
+    "f17_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |         (a, b) -> a + b)) AS nrm,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, label, list_transform(v, x -> x / nrm) AS v FROM e
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id % 100 = 0
+        |), s AS (
+        |  SELECT query_id, c.vec_id AS nn_id, c.label AS lbl,
+        |    PROUND_DOT AS cosine
+        |  FROM q JOIN n c ON c.vec_id <> q.query_id
+        |), t AS (
+        |  SELECT query_id, lbl,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank
+        |  FROM s QUALIFY rank <= 5
+        |), v AS (
+        |  SELECT query_id, lbl AS predicted_label, count(*) AS votes
+        |  FROM t GROUP BY 1, 2)
+        |SELECT query_id, predicted_label, votes FROM v
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY votes DESC, predicted_label) = 1""".stripMargin
+        .replace("PROUND_DOT", sqlPround(
+          "list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]), (x, y) -> x + y)", 6)),
 
     "f12_ann_filtered" ->
       """WITH e AS (

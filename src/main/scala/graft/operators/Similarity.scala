@@ -84,6 +84,43 @@ object Similarity {
           graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6)),
       k)
 
+  /** k-NN majority-vote classification (F17) — the embedding-space
+    * weak labeler every curation pipeline eventually runs ("label the
+    * unlabeled pool from its nearest labeled neighbors"): each query's
+    * exact top-k cosine neighbors (the f1 brute-force contract —
+    * 6dp-rounded scores, id tie-break, self excluded) vote with their
+    * labels; the majority wins, ties to the smaller label — fully
+    * deterministic, hence oracle-reproducible, unlike distance-weighted
+    * votes whose float sums drift across engines. Exactness over the
+    * candidate set is the point here (this is the quality BASELINE the
+    * approximate searchers are judged against); at corpus scale swap
+    * the scorer for [[ivfPqTopKWith]] and keep the same vote tail.
+    *
+    * Shape: one broadcast of the query block + codegen'd dot products,
+    * the bounded-heap top-k, then a votes agg (≤ k rows per query) and
+    * a second 1-row heap — everything after scoring is query-sized. */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, id: String,
+                  vec: String, label: String, k: Int): DataFrame = {
+    val c = corpus.select(col(id).as("nn_id"), col(label).as("__lbl"),
+      l2normalize(col(vec)).as("cv"))
+    val q = normalizedQueries(queries, id, vec)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .withColumn("cosine",
+        graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6))
+    val top = graft.plans.TopKPerKey(scored,
+        keys = Seq(col("query_id")),
+        order = Seq(col("cosine").desc, col("nn_id").asc),
+        k = k, rankName = "rank")
+      .select("query_id", "__lbl")
+    val votes = top
+      .groupBy(col("query_id"), col("__lbl").as("predicted_label"))
+      .agg(count(lit(1)).as("votes"))
+    graft.plans.TopKPerKey(votes, keys = Seq(col("query_id")),
+        order = Seq(col("votes").desc, col("predicted_label").asc),
+        k = 1, rankName = "__r")
+      .drop("__r")
+  }
+
   /** FILTERED vector search — the production "metadata predicate +
     * top-k" shape: each query's neighbors come ONLY from corpus rows
     * sharing its `attr` value. The attribute IS the join key, so the
