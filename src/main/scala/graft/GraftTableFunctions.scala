@@ -342,6 +342,16 @@ object GraftTableFunctions {
         str(args, 2, fn)))
     },
 
+    // graft_knn_classify(corpus, queries, id, vec, label, k) — F17
+    "graft_knn_classify" -> { args =>
+      val fn = "graft_knn_classify"
+      arity(args, fn, Set(6), "corpus, queries, id, vec, label, k")
+      plan(graft.operators.Similarity.knnClassify(
+        table(str(args, 0, fn)), table(str(args, 1, fn)),
+        str(args, 2, fn), str(args, 3, fn), str(args, 4, fn),
+        k = num(args, 5, fn).toInt))
+    },
+
     // graft_cohort_value(table, entity, ts, valueCol) — C15
     "graft_cohort_value" -> { args =>
       val fn = "graft_cohort_value"

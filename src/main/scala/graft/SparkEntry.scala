@@ -2037,6 +2037,16 @@ object SparkEntry {
           'o_orderdate', 'o_orderkey,o_totalprice')""")
     }),
 
+    "f17s_knn_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      val e = embD(s, d)
+      e.createOrReplaceTempView("graft_sql_emb_corpus")
+      e.filter(col("vec_id") % 100 === 0)
+        .createOrReplaceTempView("graft_sql_emb_queries")
+      s.sql("""SELECT * FROM graft_knn_classify('graft_sql_emb_corpus',
+        'graft_sql_emb_queries', 'vec_id', 'embedding', 'label', 5)""")
+    }),
+
     "c15s_cohort_value_sql" -> ((s, d) => {
       sqlSurface(s, d)
       s.sql("""SELECT * FROM graft_cohort_value('graft_sql_events',
@@ -4457,6 +4467,7 @@ object SparkEntry {
       "dq6s_freshness_sql" -> "dq6_freshness",
       "b37s_top_gaps_sql" -> "b37_top_gaps",
       "c15s_cohort_value_sql" -> "c15_cohort_value",
+      "f17s_knn_sql" -> "f17_knn_classify",
       "b38s_asap_sql" -> "b38_asap_smooth"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }

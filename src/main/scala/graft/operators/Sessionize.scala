@@ -103,14 +103,24 @@ object Sessionize {
     * cohort-calendar-sized — including the cumulative window, which
     * partitions by cohort over the final cells. */
   def cohortValue(events: DataFrame, entity: String, ts: String,
-                  value: String, scale: Int = 4): DataFrame = {
+                  value: String, scale: Int = 4): DataFrame =
+    cohortValueFromDaily(
+      events.groupBy(col(entity), to_date(col(ts)).as("__day"))
+        .agg(sum(graft.functions.Portable.toFixed(col(value), scale))
+          .as("__fv")),
+      entity, scale)
+
+  /** The post-rollup stage of [[cohortValue]], exposed so a MAINTAINED
+    * per-(entity, day) fixed-value rollup (a plain update-mode
+    * streaming agg — daily sums are additive, Spark's state makes them
+    * exactly-once under the checkpoint) feeds an always-current LTV
+    * curve without re-reading raw events — the [[cohortCounts]] /
+    * [[stickinessFromLedger]] seam discipline. `daily` must be one row
+    * per (entity, __day) carrying the fixed-point sum `__fv`. */
+  def cohortValueFromDaily(dailyIn: DataFrame, entity: String,
+                           scale: Int = 4): DataFrame = {
     val p = math.pow(10, scale)
-    val daily = events
-      .groupBy(col(entity), to_date(col(ts)).as("__day"))
-      .agg(sum(graft.functions.Portable.toFixed(col(value), scale))
-        .as("__fv"),
-        count(lit(1)).as("__n"))
-      .repartition(col(entity))
+    val daily = dailyIn.repartition(col(entity))
     val cohorts = daily.groupBy(col(entity))
       .agg(min(col("__day")).as("cohort_day"))
     val cells = daily.join(cohorts, Seq(entity))

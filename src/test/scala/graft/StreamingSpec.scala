@@ -801,4 +801,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == want.count() && want.count() > 0)
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+  test("streaming LTV by composition: the maintained daily value rollup feeds C15 (I30)") {
+    // daily fixed sums are additive — a plain update-mode agg maintains
+    // them exactly-once under the checkpoint, and the LTV curve
+    // re-derives through the SAME post-rollup stage as batch
+    val in = Files.createTempDirectory("graft-ltv-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "value")
+    val table = scala.collection.mutable.Map
+      .empty[(Long, java.sql.Date), (Long, java.sql.Date, Long)]
+    val stream = spark.readStream.schema(ev.schema).parquet(in)
+      .groupBy(col("user_id"), to_date(col("ts")).as("__day"))
+      .agg(sum(graft.functions.Portable.toFixed(col("value"), 4)).as("__fv"))
+    val q = stream.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          table((r.getLong(0), r.getDate(1))) =
+            (r.getLong(0), r.getDate(1), r.getLong(2))
+        }
+      }.start()
+    try landTimeSplit(ev, in)(() => q.processAllAvailable()) finally q.stop()
+    val maintained = table.values.toSeq.toDF("user_id", "__day", "__fv")
+    val got = graft.operators.Sessionize.cohortValueFromDaily(
+      maintained, "user_id")
+    val want = graft.operators.Sessionize.cohortValue(
+      graft.sources.Tables.events(spark, sf), "user_id", "ts", "value")
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
 }
