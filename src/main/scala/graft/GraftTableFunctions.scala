@@ -92,6 +92,17 @@ object GraftTableFunctions {
         num(args, 5, fn).toLong))
     },
 
+    // graft_funnel_times(table, entity, ts, typeCol, stepsCsv,
+    //                    windowSeconds) — C16
+    "graft_funnel_times" -> { args =>
+      val fn = "graft_funnel_times"
+      arity(args, fn, Set(6),
+        "table, entity, ts, typeCol, stepsCsv, windowSeconds")
+      plan(Sessionize.funnelTimes(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn), str(args, 3, fn), csv(args, 4, fn),
+        num(args, 5, fn).toLong))
+    },
+
     // graft_retention(table, entity, ts)
     "graft_retention" -> { args =>
       val fn = "graft_retention"

@@ -909,6 +909,9 @@ object ScaleProbe {
             graft.functions.TextFunctions.filterLines(
               concat(lit("Home\n"), col("text"), lit("\nmenu\nok")), 3)
               .as("f"))),
+        // knn classify: broadcast query block + heap + vote tail
+        "f17_knn_classify" -> (() =>
+          Similarity.knnClassify(emb, q, "vec_id", "embedding", "label", 5)),
         // cohort LTV: one rollup + the anchored-exchange family
         "c15_cohort_value" -> (() =>
           Sessionize.cohortValue(ev, "user_id", "ts", "value")),

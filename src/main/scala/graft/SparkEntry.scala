@@ -511,6 +511,12 @@ object SparkEntry {
     // retention cohorts (funnel's companion): first-active-day cohort
     // x day-offset activity counts — activity collapses to distinct
     // (user, day) map-side first, everything after is cohort-sized
+    // funnel velocity: per-step completer counts + exact median/p90
+    // seconds from the anchor — C9's time-to-convert companion
+    "c16_funnel_times" -> ((s, d) =>
+      Sessionize.funnelTimes(ev(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 3600L)),
+
     "c10_retention" -> ((s, d) =>
       operators.Sessionize.retentionCohorts(ev(s, d), "user_id", "ts")),
 
@@ -2047,6 +2053,12 @@ object SparkEntry {
         'graft_sql_emb_queries', 'vec_id', 'embedding', 'label', 5)""")
     }),
 
+    "c16s_funnel_times_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_funnel_times('graft_sql_events',
+        'user_id', 'ts', 'event_type', 'view,click,purchase', 3600)""")
+    }),
+
     "c15s_cohort_value_sql" -> ((s, d) => {
       sqlSurface(s, d)
       s.sql("""SELECT * FROM graft_cohort_value('graft_sql_events',
@@ -2886,6 +2898,31 @@ object SparkEntry {
         |       (SELECT count(*) FROM s1) AS n_entities
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+    "c16_funnel_times" -> {
+      def agg(src: String, t: String, anchor: String) =
+        s"""SELECT count(*) AS n_entities,
+           |  ${sqlPround(s"quantile_cont(epoch($t) - epoch($anchor), 0.5)", 4)} AS median_s,
+           |  ${sqlPround(s"quantile_cont(epoch($t) - epoch($anchor), 0.9)", 4)} AS p90_s
+           |FROM $src""".stripMargin
+      s"""WITH s1 AS (
+         |  SELECT user_id, min(ts) AS t1 FROM events
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (
+         |  SELECT e.user_id, s1.t1, min(e.ts) AS t2
+         |  FROM events e JOIN s1 USING (user_id)
+         |  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+         |    AND e.ts <= s1.t1 + INTERVAL 3600 SECOND GROUP BY 1, 2),
+         |s3 AS (
+         |  SELECT e.user_id, s2.t1, min(e.ts) AS t3
+         |  FROM events e JOIN s2 USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+         |    AND e.ts <= s2.t1 + INTERVAL 3600 SECOND GROUP BY 1, 2)
+         |SELECT CAST(1 AS INT) AS step, 'view' AS step_name, a.*
+         |FROM (${agg("s1", "t1", "t1")}) a
+         |UNION ALL SELECT 2, 'click', a.* FROM (${agg("s2", "t2", "t1")}) a
+         |UNION ALL SELECT 3, 'purchase', a.* FROM (${agg("s3", "t3", "t1")}) a""".stripMargin
+    },
 
     "c10_retention" ->
       """WITH a AS (
@@ -4468,6 +4505,7 @@ object SparkEntry {
       "b37s_top_gaps_sql" -> "b37_top_gaps",
       "c15s_cohort_value_sql" -> "c15_cohort_value",
       "f17s_knn_sql" -> "f17_knn_classify",
+      "c16s_funnel_times_sql" -> "c16_funnel_times",
       "b38s_asap_sql" -> "b38_asap_smooth"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }

@@ -166,7 +166,23 @@ object Sessionize {
     * cost of a DFS round trip per step). */
   def funnel(events: DataFrame, entity: String, ts: String, typeCol: String,
              steps: Seq[String], windowSeconds: Long,
-             reliable: Boolean = false): DataFrame = {
+             reliable: Boolean = false): DataFrame =
+    funnelFrames(events, entity, ts, typeCol, steps, windowSeconds, reliable)
+      .map { case (step, name, f) =>
+        f.agg(count(lit(1)).as("n_entities"))
+          .select(lit(step).as("step"), lit(name).as("step_name"),
+            col("n_entities"))
+      }.reduce(_ unionByName _)
+
+  /** The per-step completion frames behind [[funnel]] — one
+    * `(step, name, frame)` per step, each frame holding
+    * `(entity, __t = completion ts, __anchor = step-1 ts)` for the
+    * entities whose chain reached that step. Shared by [[funnel]] and
+    * [[funnelTimes]] so the chain semantics cannot drift. */
+  private def funnelFrames(events: DataFrame, entity: String, ts: String,
+                           typeCol: String, steps: Seq[String],
+                           windowSeconds: Long,
+                           reliable: Boolean): Seq[(Int, String, DataFrame)] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     def pin(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = false)
@@ -187,12 +203,35 @@ object Sessionize {
         .select(col(entity), col("__t"), col("__anchor")))
       frames += ((i + 1, steps(i), cur))
     }
-    frames.map { case (step, name, f) =>
-      f.agg(count(lit(1)).as("n_entities"))
-        .select(lit(step).as("step"), lit(name).as("step_name"),
-          col("n_entities"))
-    }.reduce(_ unionByName _)
+    frames.toSeq
   }
+
+  /** Funnel VELOCITY (C16) — the time-to-convert readout next to C9's
+    * counts: per step, how many entities completed it and the exact
+    * interpolated median / p90 seconds from the ANCHOR (the step-1
+    * event) to that step's completion — "half the converters purchase
+    * within N minutes of first view". Times are µs-exact integer
+    * differences unscaled once; the percentiles are the B8 exact
+    * machinery (hash-proven ≡ `quantile_cont`), `pround`ed so the
+    * interpolation's last ULP cannot disagree cross-engine. Step 1 is
+    * the anchor itself (all zeros, kept for the complete readout).
+    * Same frames, same per-step grouped-MIN shape as [[funnel]]. */
+  def funnelTimes(events: DataFrame, entity: String, ts: String,
+                  typeCol: String, steps: Seq[String], windowSeconds: Long,
+                  reliable: Boolean = false): DataFrame =
+    funnelFrames(events, entity, ts, typeCol, steps, windowSeconds, reliable)
+      .map { case (step, name, f) =>
+        val secs = (unix_micros(col("__t")) - unix_micros(col("__anchor")))
+          .cast("double") / lit(1e6)
+        f.select(secs.as("__s"))
+          .agg(count(lit(1)).as("n_entities"),
+            graft.functions.Portable.pround(
+              percentile(col("__s"), lit(0.5)), 4).as("median_s"),
+            graft.functions.Portable.pround(
+              percentile(col("__s"), lit(0.9)), 4).as("p90_s"))
+          .select(lit(step).as("step"), lit(name).as("step_name"),
+            col("n_entities"), col("median_s"), col("p90_s"))
+      }.reduce(_ unionByName _)
 
   /** Event-path transition matrix (C11) — per-entity Markov bigrams:
     * for each event, the (previous event type → this event type)

@@ -771,3 +771,29 @@ class CohortValueSpec extends SparkSpec {
     assert(got.size == 3)
   }
 }
+
+class FunnelTimesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnelTimes: exact median/p90 seconds from anchor; empty steps null") {
+    def row(u: Long, s: String, t: String) = (u, s, t)
+    val df = Seq(
+      // u1 converts in 10 min, u2 in 30 min; neither purchases
+      row(1L, "2024-01-01 00:00:00", "view"),
+      row(1L, "2024-01-01 00:10:00", "click"),
+      row(2L, "2024-01-01 00:00:00", "view"),
+      row(2L, "2024-01-01 00:30:00", "click"))
+      .toDF("user_id", "s", "event_type")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val got = Sessionize.funnelTimes(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 3600L)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(1) == (2L, Some(0.0), Some(0.0)))
+    // interpolated: median of {600, 1800} = 1200; p90 = 600+0.8*1200
+    assert(got(2) == (2L, Some(1200.0), Some(1680.0)))
+    // nobody purchases: zero completers, null percentiles
+    assert(got(3) == (0L, None, None))
+  }
+}
