@@ -912,6 +912,10 @@ object ScaleProbe {
         // knn classify: broadcast query block + heap + vote tail
         "f17_knn_classify" -> (() =>
           Similarity.knnClassify(emb, q, "vec_id", "embedding", "label", 5)),
+        // funnel velocity: same step frames as c9 + exact percentiles
+        "c16_funnel_times" -> (() =>
+          Sessionize.funnelTimes(ev, "user_id", "ts", "event_type",
+            Seq("view", "click", "purchase"), 3600L)),
         // cohort LTV: one rollup + the anchored-exchange family
         "c15_cohort_value" -> (() =>
           Sessionize.cohortValue(ev, "user_id", "ts", "value")),
