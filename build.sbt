@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must pass through RAW (no "[info] " log prefix):
+// the bench driver machine-parses the ONE JSON line Bench prints on
+// stdout, and sbt's default LoggedOutput strategy decorates it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // `sbt run` tours both master DAGs (graft.Main); the other mains
 // (Verify/Bench/ScaleProbe) stay reachable via runMain
 Compile / run / mainClass := Some("graft.Main")

@@ -1476,11 +1476,19 @@ object SparkEntry {
     // corpus tokenization under the trained merges: a zero-shuffle
     // codegen'd projection (native BpeSegment — no distinct-word join);
     // iterative per-word merging, so rows-only for the driver
+    // the pieces array is flattened to ONE space-joined string for the
+    // dump: the driver's rows-only check loads the parquet into pandas
+    // and lexsorts every column, and list cells are unsortable there
+    // (the r9 h19 row errored exactly that way). Pieces never contain
+    // whitespace (tokens() splits on \s+), so the join is lossless.
     "h19_bpe_encode" -> ((s, d) => {
       val merges = Curation.bpeMerges(
         Curation.bpeTrain(docs(s, d), "text", numMerges = 30,
           topWords = 2000, minPairCount = 2))
       Curation.bpeEncode(docs(s, d), "doc_id", "text", merges)
+        .select(col("doc_id"),
+          concat_ws(" ", col("pieces")).as("pieces_str"),
+          col("n_pieces"))
     }),
 
     // HTML → text extraction: deterministic HTML wrapping (entity
