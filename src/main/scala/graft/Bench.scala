@@ -32,6 +32,19 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Pinned-state hygiene BETWEEN runs: several operators localCheckpoint
+    // or cache bounded intermediates (funnel steps, dedup cluster maps,
+    // ANN models) and correctly leave them alive for the caller — but a
+    // 196-query suite never reuses them, so over ~800 executions the
+    // block manager fills with dead pins and execution memory starves
+    // (the r9 driver artifact showed h4 at 19 s full-suite vs 0.26 s
+    // isolated). Releasing them makes every run measure the same
+    // cold-pin state an isolated run sees.
+    def releasePins(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     val results = selected.map { case (name, fn) =>
       val times = (0 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -41,7 +54,9 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        releasePins()
+        dt
       }.drop(1).sorted // drop the warm-up
       name -> times
     }
