@@ -551,6 +551,23 @@ object SparkEntry {
     "c14_stickiness" -> ((s, d) =>
       Sessionize.stickiness(ev(s, d), "user_id", "ts")),
 
+    // growth accounting: per-day new/retained/resurrected/churned user
+    // counts — one distinct collapse, ONE entity-keyed window whose
+    // class and churn contributions explode out of the same pass
+    "c17_growth" -> ((s, d) =>
+      Sessionize.growthAccounting(ev(s, d), "user_id", "ts")),
+
+    // longest consecutive-active-day streak per user: gaps-and-islands
+    // over the activity ledger, one entity partition family end to end
+    "c18_streaks" -> ((s, d) =>
+      Sessionize.activeStreaks(ev(s, d), "user_id", "ts")),
+
+    // RFM quartile segmentation: entity rollup + three exact-ntile
+    // passes (distributed two-phase global rank — never a
+    // single-partition window)
+    "c19_rfm" -> ((s, d) =>
+      Sessionize.rfm(ev(s, d), "user_id", "ts", "value")),
+
     "c6_scd2_history" -> ((s, d) =>
       Incremental.scd2(
         ev(s, d).select("user_id", "ts", "event_id", "event_type"),
@@ -1697,6 +1714,28 @@ object SparkEntry {
       Curation.rebalanceMix(docs(s, d).select(col("doc_id"), col("lang")),
         "lang", Map("en" -> 2L, "de" -> 1L, "fr" -> 1L),
         col("doc_id"), "|mix1")),
+
+    // rolling z-score volume anomalies per event type: trailing-7-row
+    // window stats, flag via the all-integer cross-multiplied test
+    "dq7_anomalies" -> ((s, d) =>
+      DataQuality.rollingAnomalies(ev(s, d), Seq("event_type"), "ts",
+        window = 7, minPrior = 3, z = 3)),
+
+    // Flesch reading ease with the vowel-group syllable proxy — the
+    // readability gate of corpus curation; zero-shuffle projection
+    "h26_readability" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_words"),
+        TextFunctions.sentenceCount(col("text")).as("n_sentences"),
+        TextFunctions.syllableCount(col("text")).as("n_syllables"),
+        TextFunctions.fleschScore(col("text")).as("flesch"))),
+
+    // temperature-flattened source mix (tau = 1/2): allocations
+    // proportional to isqrt(count), largest-remainder rounded, keepers
+    // by smallest md5 — all-integer, so the SET is deterministic
+    "k10_temperature_sample" -> ((s, d) =>
+      Curation.temperatureSample(docs(s, d), "source", col("doc_id"),
+        total = 200L, salt = "|temp1")),
 
     "h10_interdup" -> ((s, d) =>
       Dedup.sharedShingleRatio(docs(s, d), "doc_id", "text", 3)),
@@ -2985,6 +3024,127 @@ object SparkEntry {
         |  CAST(sum(rev) OVER (PARTITION BY cohort_day ORDER BY day_offset
         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 10000.0 AS cum_revenue
         |FROM cells""".stripMargin,
+
+    "c17_growth" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |t AS (SELECT user_id, day,
+        |        lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+        |        lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next
+        |      FROM a),
+        |mx AS (SELECT max(day) AS mx FROM a),
+        |contrib AS (
+        |  SELECT day,
+        |    CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS n_new,
+        |    CASE WHEN prev = day - 1 THEN 1 ELSE 0 END AS n_retained,
+        |    CASE WHEN prev IS NOT NULL AND prev < day - 1 THEN 1 ELSE 0 END AS n_resurrected,
+        |    0 AS n_churned
+        |  FROM t
+        |  UNION ALL
+        |  SELECT day + 1, 0, 0, 0,
+        |    CASE WHEN next IS NULL OR next > day + 1 THEN 1 ELSE 0 END
+        |  FROM t)
+        |SELECT day, CAST(sum(n_new) AS BIGINT) AS n_new,
+        |  CAST(sum(n_retained) AS BIGINT) AS n_retained,
+        |  CAST(sum(n_resurrected) AS BIGINT) AS n_resurrected,
+        |  CAST(sum(n_churned) AS BIGINT) AS n_churned
+        |FROM contrib, mx WHERE day <= mx.mx
+        |GROUP BY day
+        |HAVING sum(n_new) + sum(n_retained) + sum(n_resurrected)
+        |  + sum(n_churned) > 0""".stripMargin,
+
+    "c18_streaks" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |        CAST(day - DATE '1970-01-01' AS BIGINT)
+        |          - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |      FROM a),
+        |s AS (SELECT user_id, grp, count(*) AS streak_days,
+        |        min(day) AS streak_start, max(day) AS streak_end
+        |      FROM i GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY streak_days DESC, streak_start ASC) AS rn FROM s)
+        |SELECT user_id, CAST(streak_days AS BIGINT) AS streak_days,
+        |  streak_start, streak_end
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "c19_rfm" ->
+      """WITH r AS (
+        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS fv
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(last_day) AS mx FROM r),
+        |b AS (SELECT user_id,
+        |        CAST(date_diff('day', last_day, mx.mx) AS INT) AS recency_days,
+        |        frequency, fv
+        |      FROM r, mx),
+        |sc AS (SELECT user_id, recency_days, frequency, fv,
+        |        CAST(ntile(4) OVER (ORDER BY recency_days DESC, user_id ASC) AS BIGINT) AS r_score,
+        |        CAST(ntile(4) OVER (ORDER BY frequency ASC, user_id ASC) AS BIGINT) AS f_score,
+        |        CAST(ntile(4) OVER (ORDER BY fv ASC, user_id ASC) AS BIGINT) AS m_score
+        |      FROM b)
+        |SELECT user_id, recency_days, frequency,
+        |  CAST(fv AS DOUBLE) / 10000.0 AS monetary,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |    || CAST(m_score AS VARCHAR) AS segment
+        |FROM sc""".stripMargin,
+
+    "dq7_anomalies" ->
+      """WITH dly AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, day, cnt,
+        |        count(cnt) OVER w AS n,
+        |        sum(CAST(cnt AS HUGEINT)) OVER w AS ss,
+        |        sum(CAST(cnt AS HUGEINT) * cnt) OVER w AS q
+        |      FROM dly
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(n AS BIGINT) AS n_prior,
+        |  coalesce(n >= 3
+        |    AND (CAST(n AS HUGEINT) * cnt - ss) * (CAST(n AS HUGEINT) * cnt - ss)
+        |      > 9 * (CAST(n AS HUGEINT) * q - ss * ss), FALSE) AS is_anomaly
+        |FROM s""".stripMargin,
+
+    "h26_readability" -> {
+      val w = "CAST(greatest(len(tok), 1) AS DOUBLE)"
+      val snt = "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)"
+      val sy = "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)"
+      s"""WITH t AS (${tokCte("documents", lower = false)})
+         |SELECT doc_id, len(tok) AS n_words,
+         |  len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+         |  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables,
+         |  ${sqlPround(s"206.835 - 1.015 * ($w / $snt) - 84.6 * ($sy / $w)", 4)} AS flesch
+         |FROM t""".stripMargin
+    },
+
+    "k10_temperature_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |u AS (SELECT source, n,
+        |        CAST(CASE WHEN (f + 1) * (f + 1) <= n THEN f + 1
+        |                  WHEN f * f > n THEN f - 1 ELSE f END AS HUGEINT) AS u
+        |      FROM (SELECT source, n,
+        |              CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS f
+        |            FROM c)),
+        |tot AS (SELECT sum(u) AS uu FROM u),
+        |base AS (SELECT source, n, (200 * u) // uu AS b, (200 * u) % uu AS rem
+        |         FROM u, tot),
+        |lo AS (SELECT 200 - sum(b) AS l FROM base),
+        |bonus AS (SELECT source, n, b,
+        |            row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+        |          FROM base),
+        |alloc AS (SELECT source,
+        |            least(n, b + CASE WHEN rk <= (SELECT l FROM lo)
+        |                              THEN 1 ELSE 0 END) AS a
+        |          FROM bonus),
+        |r AS (SELECT d.*, row_number() OVER (PARTITION BY d.source
+        |        ORDER BY md5(CAST(d.doc_id AS VARCHAR) || '|temp1'),
+        |                 d.doc_id) AS rn
+        |      FROM documents d)
+        |SELECT r.source, r.doc_id, r.text, r.lang, r.n_chars
+        |FROM r JOIN alloc USING (source) WHERE rn <= a""".stripMargin,
 
     "c13_top_paths" ->
       """WITH s AS (

@@ -62,6 +62,33 @@ object TextFunctions {
       + lit(0.3) * least(stopRatio * lit(5.0), lit(1.0)), 4)
   }
 
+  /** Sentence count for readability scoring: runs of terminal
+    * punctuation (lookaround-free, RE2-shared with the oracle). */
+  def sentenceCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))
+
+  /** Syllable proxy: vowel GROUPS in the lowercased text. Groups never
+    * span whitespace, so one whole-text pass equals a per-word sum —
+    * the standard cheap heuristic (exact syllabification needs a
+    * dictionary; this is the deterministic, oracle-shared stand-in). */
+  def syllableCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+
+  /** Flesch reading ease (H26): `206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)` with the vowel-group syllable proxy —
+    * the readability gate of corpus curation (comprehensibility
+    * filtering). Zero-token/zero-sentence docs score against the
+    * greatest(…, 1) guards rather than NaN. The expression tree is
+    * mirrored operation-for-operation in the oracle, so the IEEE
+    * doubles agree bit-for-bit before the fixed-point round. */
+  def fleschScore(text: Column, scale: Int = 4): Column = {
+    val w = greatest(tokenCount(text), lit(1)).cast("double")
+    val s = greatest(sentenceCount(text), lit(1)).cast("double")
+    val sy = syllableCount(text).cast("double")
+    Portable.pround(
+      lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w), scale)
+  }
+
   /** Stopword-profile language ID: score = fraction of tokens found in
     * the language's function-word list; argmax with 'und' fallback.
     * N-gram-profile heuristic in the Cavnar-Trenkle spirit, restricted

@@ -927,6 +927,91 @@ object Curation {
     *
     * `order` must be total (tie-break on the id) — same contract as
     * [[globalRank]]. */
+  /** Temperature-flattened mixture sampling (K10) — the multilingual /
+    * multi-domain corpus trick (sample strata ∝ n^τ with τ < 1 so huge
+    * strata stop drowning small ones; τ = 1/2 here, the common
+    * UNIMAX-ish midpoint between proportional and uniform): draw
+    * `total` rows with per-stratum allocations ∝ isqrt(n_s),
+    * largest-remainder rounded. Everything is INTEGER arithmetic —
+    * isqrt is floor(√n) computed exactly (one correction step on the
+    * correctly-rounded double sqrt, valid through 2^52), allocations
+    * are BigInt floor-div + remainder ranks — so the selected SET is
+    * deterministic and oracle-reproducible; no float proportions whose
+    * last-ulp could flip a floor across engines. Within a stratum the
+    * keepers are the smallest `md5(key ‖ salt)` (the K7 reproducible-
+    * uniform discipline). A stratum smaller than its allocation
+    * contributes all its rows and the total comes up short — the
+    * honest answer (re-spreading the deficit would re-weight the mix).
+    *
+    * Scale shape: one stratum-count agg (sketch-sized) whose result is
+    * collected driver-side for the exact BigInt allocation (model-sized
+    * — same discipline as the BPE merge table), broadcast back, and
+    * ONE rank window per stratum over the input — input scanned once,
+    * one stratum-keyed exchange. */
+  def temperatureSample(df: DataFrame, stratum: String, key: Column,
+                        total: Long, salt: String): DataFrame = {
+    require(total >= 0, s"total must be non-negative, got $total")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def isqrt(n: Long): Long = {
+      var r = math.sqrt(n.toDouble).toLong
+      while ((r + 1) * (r + 1) <= n) r += 1
+      while (r * r > n) r -= 1
+      r
+    }
+    val counts = df.groupBy(col(stratum)).agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getAs[Long]("__n")))
+      .sortBy(_._1)
+    val u = counts.map { case (s, n) => (s, n, BigInt(isqrt(n))) }
+    val bigU = u.map(_._3).sum
+    val alloc: Seq[(String, Long)] =
+      if (bigU == 0) Seq.empty
+      else {
+        val t = BigInt(total)
+        val base = u.map { case (s, n, us) =>
+          (s, n, (t * us) / bigU, (t * us) % bigU) }
+        val leftover = (t - base.map(_._3).sum).toLong
+        val bonus = base.sortBy { case (s, _, _, rem) => (-rem, s) }
+          .take(leftover.toInt).map(_._1).toSet
+        base.map { case (s, n, b, _) =>
+          val a = b.toLong + (if (bonus(s)) 1L else 0L)
+          (s, math.min(n, a))
+        }.toSeq
+      }
+    val allocDf = alloc.toDF(stratum, "__alloc")
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(md5(concat(key.cast("string"), lit(salt))), key)
+    df.join(broadcast(allocDf), Seq(stratum))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__alloc"))
+      .drop("__alloc", "__rn")
+  }
+
+  /** Exact `ntile(buckets)` over a TOTAL `order` without a
+    * single-partition window: [[globalRank]] (range repartition +
+    * per-partition offsets) assigns the dense global rank, then the
+    * standard ntile arithmetic (first `n % B` buckets take the
+    * remainder) runs as a plain projection — the [[curriculumPhases]]
+    * machinery generalized to any bucket column. Adds `name` (1-based
+    * bucket), preserves all input columns. */
+  def exactNtile(df: DataFrame, order: Seq[Column], buckets: Int,
+                 name: String): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val ranked = globalRank(df, order, "__xnt_rank")
+    val n = ranked.agg(max(col("__xnt_rank")).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn(name, {
+        val b = lit(buckets.toLong); val r = col("__xnt_rank")
+        val q = floor(col("__n") / b); val rem = col("__n") % b
+        val cut = rem * (q + lit(1L))
+        when(q === 0, r)
+          .when(r <= cut, floor((r - 1) / (q + lit(1L))) + 1)
+          .otherwise(rem + floor((r - cut - 1) / q) + 1)
+      })
+      .drop("__n", "__xnt_rank")
+  }
+
   def curriculumPhases(df: DataFrame, order: Seq[Column],
                        phases: Int): DataFrame = {
     require(phases >= 1, s"phases must be positive, got $phases")

@@ -333,4 +333,64 @@ object DataQuality {
           .when(col("lag_seconds") > warnAfterSeconds, lit("warn"))
           .otherwise(lit("ok")))
   }
+
+  /** Rolling z-score anomaly flags over per-key daily volumes (DQ7) —
+    * the volume-monitoring check every ingest pipeline wants: a day is
+    * anomalous when its count deviates from the mean of the trailing
+    * `window` OBSERVED days (rows, not calendar days — zero-event days
+    * don't appear; densify through the gapfill layer first if absence
+    * itself should count) by more than `z` standard deviations. Exactness: the test
+    * `|x − μ| > z·σ` is never evaluated in floats — with prior-window
+    * count `n`, sum `S` and sum-of-squares `Q` it cross-multiplies to
+    * the all-integer `(n·x − S)² > z²·(n·Q − S²)` (decimal(38)
+    * products off decimal(19) operands — the b22/dq4 discipline), so
+    * the flag is bit-identical in any integer-capable engine and the
+    * DuckDB oracle reproduces it hash-exactly (HUGEINT).
+    *
+    * Days with fewer than `minPrior` prior points in the window report
+    * `is_anomaly = false` (not enough evidence — the honest default).
+    * Returns every (keys, day) row: `(keys..., day, cnt, n_prior,
+    * is_anomaly)`. */
+  def rollingAnomalies(events: DataFrame, keys: Seq[String], ts: String,
+                       window: Int = 7, minPrior: Int = 3,
+                       z: Int = 3): DataFrame =
+    anomaliesFromDaily(
+      events.groupBy(keys.map(col) :+ to_date(col(ts)).as("day"): _*)
+        .agg(count(lit(1)).as("cnt")),
+      keys, window, minPrior, z)
+
+  /** The post-rollup stage of [[rollingAnomalies]], exposed so a
+    * MAINTAINED per-(keys, day) count table (a plain update-mode
+    * streaming agg — daily counts are additive) feeds an always-current
+    * anomaly report without re-reading raw events (the
+    * [[driftFromBins]] seam discipline). `daily` must be one row per
+    * (keys..., day) carrying `cnt`.
+    *
+    * Scale shape: the input-sized stage is the daily rollup upstream;
+    * here everything is calendar-sized — one keys-hash exchange, one
+    * window pass computing all three trailing sums together. */
+  def anomaliesFromDaily(daily: DataFrame, keys: Seq[String],
+                         window: Int = 7, minPrior: Int = 3,
+                         z: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= minPrior && minPrior >= 1,
+      s"need window >= minPrior >= 1, got window=$window minPrior=$minPrior")
+    val dec = "decimal(19,0)"
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("day"))
+      .rowsBetween(-window, -1)
+    val x = col("cnt").cast(dec)
+    val stats = daily
+      .withColumn("__n", count(col("cnt")).over(w).cast(dec))
+      .withColumn("__s", sum(x).over(w).cast(dec))
+      .withColumn("__q", sum(x * x).over(w).cast(dec))
+    val lhs = {
+      val d = (col("__n") * x - col("__s")).cast(dec)
+      d * d
+    }
+    val rhs = lit(z.toLong * z) * (col("__n") * col("__q") -
+      col("__s").cast(dec) * col("__s").cast(dec))
+    stats.select(keys.map(col) :+ col("day") :+ col("cnt") :+
+      col("__n").cast("long").as("n_prior") :+
+      (col("__n") >= minPrior && lhs > rhs).as("is_anomaly"): _*)
+  }
 }

@@ -387,4 +387,158 @@ object Sessionize {
           col("dau").cast("double") / col("wau").cast("double"), scale)
           .as("stickiness"))
   }
+
+  /** Growth accounting (C17) — the standard user-growth decomposition
+    * every product dashboard carries (the "quick ratio" inputs): per
+    * day, how many active entities are NEW (first day ever), RETAINED
+    * (also active the previous day), RESURRECTED (previously active,
+    * but not yesterday), and how many CHURNED into the day (active
+    * yesterday, not today). Days with no activity and no churn don't
+    * appear (the gapfill layer's business, as with [[stickiness]]);
+    * churn attributable past the last observed day is clipped — the
+    * observation window can't distinguish churn from not-yet-arrived
+    * data. Returns `(day, n_new, n_retained, n_resurrected,
+    * n_churned)`. */
+  def growthAccounting(events: DataFrame, entity: String,
+                       ts: String): DataFrame =
+    growthFromLedger(
+      events.select(col(entity), to_date(col(ts)).as("__day")).distinct(),
+      entity)
+
+  /** The post-collapse stage of [[growthAccounting]], exposed so the
+    * I21 maintained activity ledger feeds an always-current growth
+    * report without re-reading raw events (the [[cohortCounts]] seam
+    * discipline). `ledger` must be distinct `(entity, __day)` rows.
+    *
+    * Scale shape: ONE entity-keyed exchange over the ledger (the
+    * anchor keeps its two consumers — the lag/lead window pipeline and
+    * the max-day scalar — on a ReusedExchange instead of re-collapsing
+    * the input twice, the c10 lesson), ONE window pass, and the
+    * classify-vs-churn rows come out of the SAME pass as a 2-way
+    * explode keyed on their report day — no second window, no
+    * self-join. Everything after the explode is calendar-sized. */
+  def growthFromLedger(ledger: DataFrame, entity: String): DataFrame = {
+    val anchored = ledger.repartition(col(entity))
+    val w = Window.partitionBy(col(entity)).orderBy(col("__day"))
+    val tagged = anchored.select(col(entity), col("__day"),
+      lag(col("__day"), 1).over(w).as("__prev"),
+      lead(col("__day"), 1).over(w).as("__next"))
+    // each active (entity, day) row contributes its class to `day` and,
+    // if its activity run ends here, one churn to `day + 1`
+    val contrib = tagged.select(explode(array(
+      struct(
+        col("__day").as("day"),
+        when(col("__prev").isNull, 1L).otherwise(0L).as("n_new"),
+        when(col("__prev") === date_sub(col("__day"), 1), 1L)
+          .otherwise(0L).as("n_retained"),
+        when(col("__prev").isNotNull &&
+          col("__prev") < date_sub(col("__day"), 1), 1L)
+          .otherwise(0L).as("n_resurrected"),
+        lit(0L).as("n_churned")),
+      struct(
+        date_add(col("__day"), 1).as("day"),
+        lit(0L).as("n_new"), lit(0L).as("n_retained"),
+        lit(0L).as("n_resurrected"),
+        when(col("__next").isNull ||
+          col("__next") > date_add(col("__day"), 1), 1L)
+          .otherwise(0L).as("n_churned"))
+    )).as("c")).select(col("c.*"))
+    val maxDay = anchored.agg(max(col("__day")).as("__max"))
+    contrib
+      .groupBy(col("day"))
+      .agg(sum(col("n_new")).as("n_new"),
+        sum(col("n_retained")).as("n_retained"),
+        sum(col("n_resurrected")).as("n_resurrected"),
+        sum(col("n_churned")).as("n_churned"))
+      // drop pure-churn rows past the calendar and day+1 echo rows that
+      // carried nothing (all-zero): the join is calendar-sized
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("__max") &&
+        (col("n_new") + col("n_retained") + col("n_resurrected") +
+          col("n_churned")) > 0)
+      .drop("__max")
+  }
+
+  /** Longest active-day streak per entity (C19) — the classic
+    * gaps-and-islands consecutive-day run: each entity's longest run of
+    * consecutive calendar days with activity, ties broken by the
+    * EARLIEST streak. Returns `(entity, streak_days, streak_start,
+    * streak_end)` — one row per entity.
+    *
+    * Scale shape: input collapses to the distinct (entity, day) ledger
+    * map-side first; the island key (`day − row_number`) is one
+    * entity-keyed window over the ledger, the island rollup and the
+    * per-entity argmax stay in the SAME entity hash-partition family —
+    * one shuffle end to end. */
+  def activeStreaks(events: DataFrame, entity: String,
+                    ts: String): DataFrame =
+    streaksFromLedger(
+      events.select(col(entity), to_date(col(ts)).as("__day")).distinct(),
+      entity)
+
+  /** The post-collapse stage of [[activeStreaks]] (the ledger seam).
+    * `ledger` must be distinct `(entity, __day)` rows. */
+  def streaksFromLedger(ledger: DataFrame, entity: String): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(col("__day"))
+    val islands = ledger
+      .withColumn("__grp",
+        datediff(col("__day"), lit("1970-01-01").cast("date")) -
+          row_number().over(w))
+      .groupBy(col(entity), col("__grp"))
+      .agg(count(lit(1)).as("streak_days"),
+        min(col("__day")).as("streak_start"),
+        max(col("__day")).as("streak_end"))
+    val pick = Window.partitionBy(col(entity))
+      .orderBy(col("streak_days").desc, col("streak_start").asc)
+    islands
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col(entity), col("streak_days"),
+        col("streak_start"), col("streak_end"))
+  }
+
+  /** RFM segmentation (C18) — the classic customer-value decomposition:
+    * per entity, Recency (days since last activity, relative to the
+    * dataset's last day), Frequency (event count) and Monetary
+    * (fixed-point value sum), each scored into exact quartiles (1–4, 4
+    * best) with `ntile` semantics over a TOTAL order (metric, then
+    * entity — so the assignment is deterministic and
+    * oracle-checkable). Returns `(entity, recency_days, frequency,
+    * monetary, r_score, f_score, m_score, segment)`.
+    *
+    * Scale shape: one input-sized grouped rollup (map-side combined),
+    * then three [[Curation.exactNtile]] passes over the ENTITY-sized
+    * rollup — each a distributed two-phase global rank (range
+    * repartition + per-partition offsets), never a single-partition
+    * window. */
+  def rfm(events: DataFrame, entity: String, ts: String, value: String,
+          scale: Int = 4): DataFrame = {
+    val p = math.pow(10, scale)
+    val rolled = events.groupBy(col(entity))
+      .agg(max(to_date(col(ts))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(graft.functions.Portable.toFixed(col(value), scale))
+          .as("__fv"))
+    val maxDay = rolled.agg(max(col("__last")).as("__max"))
+    val base = rolled.crossJoin(broadcast(maxDay))
+      .select(col(entity),
+        datediff(col("__max"), col("__last")).as("recency_days"),
+        col("frequency"),
+        (col("__fv").cast("double") / lit(p)).as("monetary"),
+        col("__fv"))
+    // quartile 4 = best: most recent / most frequent / highest value.
+    // ntile over (metric DESC worst-first, entity) puts the best in
+    // bucket 4; recency is inverted (larger = worse), so it orders ASC
+    // worst-last... i.e. DESC on recency puts the STALEST first.
+    val r = Curation.exactNtile(base,
+      Seq(col("recency_days").desc, col(entity).asc), 4, "r_score")
+    val f = Curation.exactNtile(r,
+      Seq(col("frequency").asc, col(entity).asc), 4, "f_score")
+    val m = Curation.exactNtile(f,
+      Seq(col("__fv").asc, col(entity).asc), 4, "m_score")
+    m.select(col(entity), col("recency_days"), col("frequency"),
+      col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+      concat(col("r_score").cast("string"), col("f_score").cast("string"),
+        col("m_score").cast("string")).as("segment"))
+  }
 }

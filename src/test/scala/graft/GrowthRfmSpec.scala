@@ -1,0 +1,203 @@
+package graft
+
+import graft.operators.{Curation, DataQuality, Sessionize}
+import org.apache.spark.sql.functions._
+
+/** Round-10 operator specs: growth accounting (C17), streaks (C18),
+  * RFM (C19), rolling anomalies (DQ7), readability (H26), temperature
+  * sampling (K10) — hand-computed fixtures. */
+class GrowthAccountingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    // u1 active Jan 1, 2, 5; u2 active Jan 2 only
+    (1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 09:00:00"),
+    (1L, "2024-01-02 11:00:00"), // same day dedups
+    (1L, "2024-01-05 10:00:00"),
+    (2L, "2024-01-02 10:00:00"))
+    .toDF("user_id", "s").withColumn("ts", col("s").cast("timestamp"))
+
+  test("growthAccounting: new/retained/resurrected/churned per day") {
+    val got = Sessionize.growthAccounting(df, "user_id", "ts")
+      .select(col("day").cast("string"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got("2024-01-01") == (1L, 0L, 0L, 0L)) // u1 new
+    assert(got("2024-01-02") == (1L, 1L, 0L, 0L)) // u2 new, u1 retained
+    // Jan 3: u1's run ended (gap) and u2's run ended -> 2 churn-ins
+    assert(got("2024-01-03") == (0L, 0L, 0L, 2L))
+    assert(got("2024-01-05") == (0L, 0L, 1L, 0L)) // u1 resurrects
+    // Jan 4 carried nothing; Jan 6 churn is past the observed calendar
+    assert(!got.contains("2024-01-04") && !got.contains("2024-01-06"))
+  }
+
+  test("growthAccounting: every active day decomposes exactly") {
+    val sf001 = graft.sources.Tables.events(spark, sf)
+    val got = Sessionize.growthAccounting(sf001, "user_id", "ts")
+    val ledger = sf001.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct().groupBy("d").count()
+    // per day: n_new + n_retained + n_resurrected == that day's actives
+    val mismatches = got.join(ledger, got("day") === ledger("d"), "left")
+      .filter(coalesce(col("count"), lit(0L)) =!=
+        col("n_new") + col("n_retained") + col("n_resurrected"))
+      .count()
+    assert(mismatches == 0)
+  }
+}
+
+class ActiveStreaksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("activeStreaks: longest run, ties to the earliest") {
+    val df = Seq(
+      // u1: Jan 1-3 (3 days), Jan 5-6 (2) -> 3-day streak
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-03"),
+      (1L, "2024-01-05"), (1L, "2024-01-06"),
+      // u2: Jan 1-2 and Jan 4-5, both length 2 -> earliest wins
+      (2L, "2024-01-01"), (2L, "2024-01-02"),
+      (2L, "2024-01-04"), (2L, "2024-01-05"))
+      .toDF("user_id", "s")
+      .withColumn("ts", concat(col("s"), lit(" 12:00:00")).cast("timestamp"))
+    val got = Sessionize.activeStreaks(df, "user_id", "ts")
+      .select(col("user_id"), col("streak_days"),
+        col("streak_start").cast("string"), col("streak_end").cast("string"))
+      .as[(Long, Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == (3L, "2024-01-01", "2024-01-03"))
+    assert(got(2L) == (2L, "2024-01-01", "2024-01-02"))
+  }
+}
+
+class RfmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rfm: deterministic quartiles, 4 = best on every axis") {
+    // u1: 1 event, most recent, lowest spend; u4: 4 events, stalest,
+    // highest spend — recency and frequency/monetary pull OPPOSITE ways
+    val rows =
+      Seq((1L, "2024-01-04", 1)) ++
+      (1 to 2).map(i => (2L, "2024-01-03", i)) ++
+      (1 to 3).map(i => (3L, "2024-01-02", i)) ++
+      (1 to 4).map(i => (4L, "2024-01-01", i))
+    val df = rows.toDF("user_id", "s", "i")
+      .withColumn("ts", concat(col("s"), lit(" 12:00:00")).cast("timestamp"))
+      .withColumn("value", col("user_id").cast("double") * 10.0)
+    val got = Sessionize.rfm(df, "user_id", "ts", "value")
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("segment"))
+      .as[(Long, Int, Long, Double, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(1L) == (0, 1L, 10.0, "411"))
+    assert(got(2L) == (1, 2L, 40.0, "322"))
+    assert(got(3L) == (2, 3L, 90.0, "233"))
+    assert(got(4L) == (3, 4L, 160.0, "144"))
+  }
+}
+
+class RollingAnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def daily(rows: Seq[(String, Int, Long)]) =
+    rows.toDF("k", "d", "cnt")
+      .withColumn("day", to_date(lit("2024-01-01")) + col("d"))
+      .select("k", "day", "cnt")
+
+  test("anomaliesFromDaily: zero-variance prior flags any deviation") {
+    val d = daily(Seq(("a", 0, 10L), ("a", 1, 10L), ("a", 2, 10L),
+      ("a", 3, 10L), ("a", 4, 100L), ("a", 5, 10L)))
+    val got = DataQuality.anomaliesFromDaily(d, Seq("k"))
+      .select(col("day").cast("string"), col("n_prior"), col("is_anomaly"))
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("2024-01-01") == (0L, false)) // no prior evidence
+    assert(got("2024-01-03") == (2L, false)) // below minPrior
+    assert(got("2024-01-04") == (3L, false)) // x == mu exactly
+    assert(got("2024-01-05") == (4L, true))  // sigma 0, x deviates
+    // day 6's prior now has variance (10,10,10,100): mu=32.5,
+    // sigma^2 = (4*13000-130^2)/16 = 2193.75 -> 3 sigma ~ 140 -> 10 ok
+    assert(got("2024-01-06") == (5L, false))
+  }
+
+  test("anomaliesFromDaily: boundary is strict (> z sigma, not >=)") {
+    // prior 8, 12, 10 -> n=3, S=30, Q=308; x s.t. (3x-30)^2 > 9*(924-900)
+    // -> (x-10)^2 > 24 -> x=15 flags (25>24), x=14 doesn't (16<24)
+    val d = daily(Seq(("a", 0, 8L), ("a", 1, 12L), ("a", 2, 10L),
+      ("a", 3, 15L), ("b", 0, 8L), ("b", 1, 12L), ("b", 2, 10L),
+      ("b", 3, 14L)))
+    val got = DataQuality.anomaliesFromDaily(d, Seq("k"))
+      .filter(col("day") === "2024-01-04")
+      .select(col("k"), col("is_anomaly")).as[(String, Boolean)]
+      .collect().toMap
+    assert(got("a") && !got("b"))
+  }
+}
+
+class ReadabilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fleschScore: hand-computed on a two-sentence doc") {
+    val df = Seq((1L, "The cat sat. The dog ran!")).toDF("doc_id", "text")
+    val got = df.select(
+      graft.functions.TextFunctions.tokenCount(col("text")).as("w"),
+      graft.functions.TextFunctions.sentenceCount(col("text")).as("s"),
+      graft.functions.TextFunctions.syllableCount(col("text")).as("sy"),
+      graft.functions.TextFunctions.fleschScore(col("text")).as("f"))
+      .as[(Int, Int, Int, Double)].head()
+    // 6 words, 2 sentences, 6 vowel groups:
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(got == ((6, 2, 6, 119.19)))
+  }
+
+  test("fleschScore: empty and unpunctuated text hit the guards") {
+    val df = Seq((1L, ""), (2L, "no terminal punctuation here"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      graft.functions.TextFunctions.fleschScore(col("text")).as("f"))
+      .as[(Long, Double)].collect().toMap
+    // empty: W=1, S=1, SY=0 -> 206.835 - 1.015 = 205.82
+    assert(got(1L) == 205.82)
+    // 4 words, S guard 1, 9 vowel groups (no-o, ter-mi-nal has a+i,
+    // punc-tu-a-tion u+ua+io, here e+e): verify it's finite and < 206
+    assert(got(2L) < 206.0)
+  }
+}
+
+class TemperatureSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (
+    (1 to 9).map(i => (s"a$i", "A")) ++
+    (1 to 4).map(i => (s"b$i", "B")) ++
+    Seq(("c1", "C")))
+    .toDF("doc_id", "source")
+
+  test("temperatureSample: isqrt-proportional allocation, exact total") {
+    // counts 9/4/1 -> isqrt 3/2/1, U=6; total 6 -> exactly 3/2/1
+    val got = Curation.temperatureSample(corpus, "source", col("doc_id"),
+      total = 6L, salt = "|t")
+    val bySrc = got.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    assert(bySrc == Map("A" -> 3L, "B" -> 2L, "C" -> 1L))
+  }
+
+  test("temperatureSample: exhausted strata shorten the total honestly") {
+    // total 20 -> raw shares 10/6/3 but B caps at 4 and C at 1
+    val got = Curation.temperatureSample(corpus, "source", col("doc_id"),
+      total = 20L, salt = "|t")
+    val bySrc = got.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    assert(bySrc("A") == 9L && bySrc("B") == 4L && bySrc("C") == 1L)
+  }
+
+  test("temperatureSample: same salt = same set; new salt reshuffles") {
+    val a = Curation.temperatureSample(corpus, "source", col("doc_id"),
+      6L, "|t").select("doc_id").as[String].collect().toSet
+    val b = Curation.temperatureSample(corpus, "source", col("doc_id"),
+      6L, "|t").select("doc_id").as[String].collect().toSet
+    assert(a == b)
+    val c = Curation.temperatureSample(corpus, "source", col("doc_id"),
+      6L, "|other-salt").select("doc_id").as[String].collect().toSet
+    assert(c.size == 6) // allocation unchanged even if the draw differs
+  }
+}
