@@ -52,6 +52,9 @@ object GraftExtensions {
     "html_to_text" -> (args => org.apache.spark.sql.graft.ColumnBridge
       .catalystExpression(graft.functions.TextFunctions.htmlToText(
         org.apache.spark.sql.graft.ColumnBridge.column(args(0))))),
+    "flesch_score" -> (args => org.apache.spark.sql.graft.ColumnBridge
+      .catalystExpression(graft.functions.TextFunctions.fleschScore(
+        org.apache.spark.sql.graft.ColumnBridge.column(args(0))))),
     "canonicalize_url" -> (args => org.apache.spark.sql.graft.ColumnBridge
       .catalystExpression(graft.functions.TextFunctions.canonicalizeUrl(
         org.apache.spark.sql.graft.ColumnBridge.column(args(0))))),

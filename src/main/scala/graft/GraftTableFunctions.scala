@@ -469,6 +469,52 @@ object GraftTableFunctions {
       plan(Curation.curriculumPhases(table(str(args, 0, fn)),
         csv(args, 1, fn).map(orderCol(_, fn)),
         phases = num(args, 2, fn).toInt))
+    },
+
+    // graft_growth(table, entity, ts) — C17
+    "graft_growth" -> { args =>
+      val fn = "graft_growth"
+      arity(args, fn, Set(3), "table, entity, ts")
+      plan(Sessionize.growthAccounting(table(str(args, 0, fn)),
+        str(args, 1, fn), str(args, 2, fn)))
+    },
+
+    // graft_streaks(table, entity, ts) — C18
+    "graft_streaks" -> { args =>
+      val fn = "graft_streaks"
+      arity(args, fn, Set(3), "table, entity, ts")
+      plan(Sessionize.activeStreaks(table(str(args, 0, fn)),
+        str(args, 1, fn), str(args, 2, fn)))
+    },
+
+    // graft_rfm(table, entity, ts, valueCol) — C19; the exact-ntile
+    // ranks run their partition-count jobs EAGERLY at plan time (the
+    // graft_curriculum contract)
+    "graft_rfm" -> { args =>
+      val fn = "graft_rfm"
+      arity(args, fn, Set(4), "table, entity, ts, valueCol")
+      plan(Sessionize.rfm(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn), str(args, 3, fn)))
+    },
+
+    // graft_anomalies(table, keysCsv, ts, window, minPrior, z) — DQ7
+    "graft_anomalies" -> { args =>
+      val fn = "graft_anomalies"
+      arity(args, fn, Set(6), "table, keysCsv, ts, window, minPrior, z")
+      plan(graft.operators.DataQuality.rollingAnomalies(
+        table(str(args, 0, fn)), csv(args, 1, fn), str(args, 2, fn),
+        window = num(args, 3, fn).toInt, minPrior = num(args, 4, fn).toInt,
+        z = num(args, 5, fn).toInt))
+    },
+
+    // graft_temperature_sample(table, stratum, keyCol, total, salt) —
+    // K10; the stratum-count allocation collects EAGERLY at plan time
+    "graft_temperature_sample" -> { args =>
+      val fn = "graft_temperature_sample"
+      arity(args, fn, Set(5), "table, stratum, keyCol, total, salt")
+      plan(Curation.temperatureSample(table(str(args, 0, fn)),
+        str(args, 1, fn), col(str(args, 2, fn)),
+        total = num(args, 3, fn).toLong, salt = str(args, 4, fn)))
     })
 
   /** 'col', 'col asc' or 'col desc' → a sort Column. */

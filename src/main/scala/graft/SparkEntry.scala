@@ -2124,6 +2124,46 @@ object SparkEntry {
         'user_id', 'ts')""")
     }),
 
+    "c17s_growth_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("SELECT * FROM graft_growth('graft_sql_events', 'user_id', 'ts')")
+    }),
+
+    "c18s_streaks_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("SELECT * FROM graft_streaks('graft_sql_events', 'user_id', 'ts')")
+    }),
+
+    "c19s_rfm_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_rfm('graft_sql_events', 'user_id',
+        'ts', 'value')""")
+    }),
+
+    "dq7s_anomalies_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_anomalies('graft_sql_events',
+        'event_type', 'ts', 7, 3, 3)""")
+    }),
+
+    "h26s_readability_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      docs(s, d).createOrReplaceTempView("graft_sql_documents")
+      s.sql("""SELECT doc_id,
+          size(filter(split(trim(text), '\\s+'), x -> length(x) > 0)) AS n_words,
+          size(regexp_extract_all(text, '[.!?]+', 0)) AS n_sentences,
+          size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS n_syllables,
+          flesch_score(text) AS flesch
+        FROM graft_sql_documents""")
+    }),
+
+    "k10s_temperature_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      docs(s, d).createOrReplaceTempView("graft_sql_documents")
+      s.sql("""SELECT * FROM graft_temperature_sample(
+        'graft_sql_documents', 'source', 'doc_id', 200, '|temp1')""")
+    }),
+
     "b37s_top_gaps_sql" -> ((s, d) => {
       sqlSurface(s, d)
       s.sql("""SELECT user_id, gap_start, gap_end, gap_us, rnk
@@ -4674,7 +4714,13 @@ object SparkEntry {
       "c15s_cohort_value_sql" -> "c15_cohort_value",
       "f17s_knn_sql" -> "f17_knn_classify",
       "c16s_funnel_times_sql" -> "c16_funnel_times",
-      "b38s_asap_sql" -> "b38_asap_smooth"
+      "b38s_asap_sql" -> "b38_asap_smooth",
+      "c17s_growth_sql" -> "c17_growth",
+      "c18s_streaks_sql" -> "c18_streaks",
+      "c19s_rfm_sql" -> "c19_rfm",
+      "dq7s_anomalies_sql" -> "dq7_anomalies",
+      "h26s_readability_sql" -> "h26_readability",
+      "k10s_temperature_sql" -> "k10_temperature_sample"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

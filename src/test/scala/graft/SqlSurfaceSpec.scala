@@ -417,4 +417,33 @@ class SqlSurfaceSpec extends SparkSpec {
     }
     assert(badW.getMessage.contains("integers"))
   }
+
+  test("r10 TVFs + flesch_score == their Scala operators") {
+    ready
+    sameRows(
+      spark.sql("SELECT * FROM graft_growth('ev', 'user_id', 'ts')"),
+      Sessionize.growthAccounting(Tables.events(spark, sf), "user_id", "ts"))
+    sameRows(
+      spark.sql("SELECT * FROM graft_streaks('ev', 'user_id', 'ts')"),
+      Sessionize.activeStreaks(Tables.events(spark, sf), "user_id", "ts"))
+    sameRows(
+      spark.sql("SELECT * FROM graft_rfm('ev', 'user_id', 'ts', 'value')"),
+      Sessionize.rfm(Tables.events(spark, sf), "user_id", "ts", "value"))
+    sameRows(
+      spark.sql(
+        "SELECT * FROM graft_anomalies('ev', 'event_type', 'ts', 7, 3, 3)"),
+      graft.operators.DataQuality.rollingAnomalies(
+        Tables.events(spark, sf), Seq("event_type"), "ts", 7, 3, 3))
+    val docsV = Tables.documents(spark, sf)
+    docsV.createOrReplaceTempView("docs_tvf")
+    sameRows(
+      spark.sql("""SELECT * FROM graft_temperature_sample('docs_tvf',
+        'source', 'doc_id', 20, '|t')"""),
+      graft.operators.Curation.temperatureSample(docsV, "source",
+        col("doc_id"), 20L, "|t"))
+    sameRows(
+      spark.sql("SELECT doc_id, flesch_score(text) AS f FROM docs_tvf"),
+      docsV.select(col("doc_id"),
+        graft.functions.TextFunctions.fleschScore(col("text")).as("f")))
+  }
 }
