@@ -829,4 +829,58 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == want.count() && want.count() > 0)
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+  test("streaming growth + streaks by composition: the I21 ledger feeds C17/C18 (I31)") {
+    import graft.streaming.IotStreamPipeline
+    // one maintained ledger, THREE continuous analytics (stickiness
+    // already rides it — I28): growth accounting and streaks re-derive
+    // through the same post-collapse seams as batch
+    val dir = Files.createTempDirectory("graft-growth").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    val ev = graft.sources.Tables.events(spark, sf).select("user_id", "ts")
+    val q = IotStreamPipeline.maintainRetention(
+      spark.readStream.schema(ev.schema).parquet(s"$dir/in"),
+      s"$dir/state", s"$dir/ckpt").start()
+    try landTimeSplit(ev, s"$dir/in")(() => q.processAllAvailable())
+    finally q.stop()
+    val ledger = spark.read.parquet(s"$dir/state/active_days")
+    val gotG = graft.operators.Sessionize.growthFromLedger(ledger, "user_id")
+    val wantG = graft.operators.Sessionize.growthAccounting(
+      graft.sources.Tables.events(spark, sf), "user_id", "ts")
+    assert(gotG.count() == wantG.count() && wantG.count() > 0)
+    assert(gotG.exceptAll(wantG).count() == 0 &&
+      wantG.exceptAll(gotG).count() == 0)
+    val gotS = graft.operators.Sessionize.streaksFromLedger(ledger, "user_id")
+    val wantS = graft.operators.Sessionize.activeStreaks(
+      graft.sources.Tables.events(spark, sf), "user_id", "ts")
+    assert(gotS.exceptAll(wantS).count() == 0 &&
+      wantS.exceptAll(gotS).count() == 0)
+  }
+  test("streaming anomalies by composition: maintained daily counts feed DQ7 (I32)") {
+    // daily counts are additive — a plain update-mode agg maintains
+    // them exactly-once; the anomaly test re-derives through the SAME
+    // calendar-sized post-rollup stage as batch
+    val in = Files.createTempDirectory("graft-anom-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_type")
+    val table = scala.collection.mutable.Map
+      .empty[(String, java.sql.Date), (String, java.sql.Date, Long)]
+    val stream = spark.readStream.schema(ev.schema).parquet(in)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = stream.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          table((r.getString(0), r.getDate(1))) =
+            (r.getString(0), r.getDate(1), r.getLong(2))
+        }
+      }.start()
+    try landTimeSplit(ev, in)(() => q.processAllAvailable()) finally q.stop()
+    val maintained = table.values.toSeq.toDF("event_type", "day", "cnt")
+    val got = graft.operators.DataQuality.anomaliesFromDaily(
+      maintained, Seq("event_type"))
+    val want = graft.operators.DataQuality.rollingAnomalies(
+      graft.sources.Tables.events(spark, sf), Seq("event_type"), "ts")
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
 }
