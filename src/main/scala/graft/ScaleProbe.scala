@@ -928,6 +928,32 @@ object ScaleProbe {
         // ledger explode + two keyed aggs
         "c14_stickiness" -> (() =>
           Sessionize.stickiness(ev, "user_id", "ts")),
+        // growth accounting: ledger collapse + anchored window +
+        // calendar-sized class/churn agg
+        "c17_growth" -> (() =>
+          Sessionize.growthAccounting(ev, "user_id", "ts")),
+        // streaks: map-combined ledger collapse + entity re-key +
+        // WindowGroupLimit argmax
+        "c18_streaks" -> (() =>
+          Sessionize.activeStreaks(ev, "user_id", "ts")),
+        // rfm: entity rollup + three two-phase global ranks over the
+        // ENTITY-sized frame
+        "c19_rfm" -> (() =>
+          Sessionize.rfm(ev, "user_id", "ts", "value")),
+        // rolling anomalies: daily rollup (input-sized) + calendar
+        // window; integer cross-multiplied test is projection-cheap
+        "dq7_anomalies" -> (() =>
+          DataQuality.rollingAnomalies(ev, Seq("event_type"), "ts")),
+        // readability: zero-shuffle projection (two regex passes)
+        "h26_readability" -> (() =>
+          docs.select(col("doc_id"),
+            graft.functions.TextFunctions.fleschScore(col("text"))
+              .as("flesch"))),
+        // temperature sample: stratum counts (collected model-sized) +
+        // one per-stratum rank window
+        "k10_temperature_sample" -> (() =>
+          Curation.temperatureSample(docs, "source", col("doc_id"),
+            total = 200L * m, salt = "|temp1")),
         // interpolated TWA: entity window + per-segment bucket explode
         // (output-spine-sized) + (entity, bucket) agg
         "b36_twa_interpolated" -> (() =>

@@ -383,6 +383,45 @@ class PlanSpec extends SparkSpec {
       s"c10's cohort min and join-back must share the anchored exchange:\n$c10")
   }
 
+  test("r10 event analytics keep their scale shapes: c17 one scan, c18 one exchange, dq7 two") {
+    // c17 growth: ONE events scan; the anchored ledger exchange is
+    // shared by the window pipeline and the max-day scalar (the c10
+    // ReusedExchange discipline); class+churn come out of one window
+    // pass, so exactly one Window operator
+    val c17 = executed(SparkEntry.queries("c17_growth")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(c17).size == 1,
+      s"c17 must scan events once:\n$c17")
+    assert(c17.contains("ReusedExchange"),
+      s"c17's window pass and max-day must share the anchored exchange:\n$c17")
+    assert("Window".r.findAllIn(c17).size == 1,
+      s"c17 must compute lag+lead in one window pass:\n$c17")
+    // c18 streaks: one scan; exactly the two exchanges the scale story
+    // wants — the (entity, day) distinct collapses MAP-SIDE before its
+    // shuffle (dup activity never ships), then the ledger re-keys on
+    // the entity once; islands rollup + argmax both ride that second
+    // exchange (hash(entity) satisfies the (entity, grp) clustering),
+    // and the argmax prunes through WindowGroupLimit (bounded, not a
+    // full per-entity sort-and-filter)
+    val c18 = executed(SparkEntry.queries("c18_streaks")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(c18).size == 1,
+      s"c18 must scan events once:\n$c18")
+    assert("(?<!Reused)Exchange hashpartitioning".r.findAllIn(c18).size == 2,
+      s"c18 must plan the map-combined distinct + entity re-key only:\n$c18")
+    assert(c18.contains("WindowGroupLimit"),
+      s"c18's argmax should prune through WindowGroupLimit:\n$c18")
+    // dq7 anomalies: one scan; the daily rollup exchanges on
+    // (key, day), the trailing window re-keys on the key alone —
+    // both calendar-sized
+    val dq7 = executed(SparkEntry.queries("dq7_anomalies")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(dq7).size == 1,
+      s"dq7 must scan events once:\n$dq7")
+    assert("(?<!Reused)Exchange hashpartitioning".r.findAllIn(dq7).size == 2,
+      s"dq7 should plan rollup + window exchanges only:\n$dq7")
+  }
+
   test("salted aggregation plans exactly two shuffle stages") {
     val plan = executed(SparkEntry.queries("b13_salted_agg_daily")(spark, sf))
       .split("== Initial Plan ==").head
