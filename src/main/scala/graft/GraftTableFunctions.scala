@@ -515,6 +515,14 @@ object GraftTableFunctions {
       plan(Curation.temperatureSample(table(str(args, 0, fn)),
         str(args, 1, fn), col(str(args, 2, fn)),
         total = num(args, 3, fn).toLong, salt = str(args, 4, fn)))
+    },
+
+    // graft_seasonal(table, key, ts, valueCol) — B39
+    "graft_seasonal" -> { args =>
+      val fn = "graft_seasonal"
+      arity(args, fn, Set(4), "table, key, ts, valueCol")
+      plan(TimeAgg.seasonalBaseline(table(str(args, 0, fn)),
+        str(args, 1, fn), str(args, 2, fn), str(args, 3, fn)))
     })
 
   /** 'col', 'col asc' or 'col desc' → a sort Column. */

@@ -944,6 +944,10 @@ object ScaleProbe {
         // window; integer cross-multiplied test is projection-cheap
         "dq7_anomalies" -> (() =>
           DataQuality.rollingAnomalies(ev, Seq("event_type"), "ts")),
+        // seasonal baseline: daily rollup + (key, dow) agg + join-back,
+        // everything after the rollup calendar-sized
+        "b39_seasonal" -> (() =>
+          TimeAgg.seasonalBaseline(ev, "event_type", "ts", "value")),
         // readability: zero-shuffle projection (two regex passes)
         "h26_readability" -> (() =>
           docs.select(col("doc_id"),

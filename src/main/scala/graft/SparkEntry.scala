@@ -1721,6 +1721,12 @@ object SparkEntry {
       DataQuality.rollingAnomalies(ev(s, d), Seq("event_type"), "ts",
         window = 7, minPrior = 3, z = 3)),
 
+    // weekly seasonal baseline + residuals: per (type, day-of-week)
+    // exact mean of daily fixed sums, residual from the exact cross
+    // product — "is this Sunday low for a Sunday?"
+    "b39_seasonal" -> ((s, d) =>
+      TimeAgg.seasonalBaseline(ev(s, d), "event_type", "ts", "value")),
+
     // Flesch reading ease with the vowel-group syllable proxy — the
     // readability gate of corpus curation; zero-shuffle projection
     "h26_readability" -> ((s, d) =>
@@ -2162,6 +2168,12 @@ object SparkEntry {
       docs(s, d).createOrReplaceTempView("graft_sql_documents")
       s.sql("""SELECT * FROM graft_temperature_sample(
         'graft_sql_documents', 'source', 'doc_id', 200, '|temp1')""")
+    }),
+
+    "b39s_seasonal_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_seasonal('graft_sql_events',
+        'event_type', 'ts', 'value')""")
     }),
 
     "b37s_top_gaps_sql" -> ((s, d) => {
@@ -3147,6 +3159,23 @@ object SparkEntry {
         |    AND (CAST(n AS HUGEINT) * cnt - ss) * (CAST(n AS HUGEINT) * cnt - ss)
         |      > 9 * (CAST(n AS HUGEINT) * q - ss * ss), FALSE) AS is_anomaly
         |FROM s""".stripMargin,
+
+    "b39_seasonal" ->
+      s"""WITH dly AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS fv
+         |  FROM events GROUP BY 1, 2),
+         |d AS (SELECT *,
+         |        CAST(((day - DATE '1970-01-01') % 7 + 7) % 7 AS INT) AS dow
+         |      FROM dly),
+         |b AS (SELECT event_type, dow, CAST(sum(fv) AS BIGINT) AS s,
+         |        count(*) AS n
+         |      FROM d GROUP BY 1, 2)
+         |SELECT d.event_type, d.day, d.dow,
+         |  CAST(fv AS DOUBLE) / 10000.0 AS value,
+         |  ${sqlPround("CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0", 4)} AS baseline,
+         |  ${sqlPround("CAST(CAST(n AS HUGEINT) * fv - s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0", 4)} AS residual
+         |FROM d JOIN b USING (event_type, dow)""".stripMargin,
 
     "h26_readability" -> {
       val w = "CAST(greatest(len(tok), 1) AS DOUBLE)"
@@ -4720,7 +4749,8 @@ object SparkEntry {
       "c19s_rfm_sql" -> "c19_rfm",
       "dq7s_anomalies_sql" -> "dq7_anomalies",
       "h26s_readability_sql" -> "h26_readability",
-      "k10s_temperature_sql" -> "k10_temperature_sample"
+      "k10s_temperature_sql" -> "k10_temperature_sample",
+      "b39s_seasonal_sql" -> "b39_seasonal"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

@@ -512,13 +512,25 @@ object Sessionize {
     * repartition + per-partition offsets), never a single-partition
     * window. */
   def rfm(events: DataFrame, entity: String, ts: String, value: String,
-          scale: Int = 4): DataFrame = {
+          scale: Int = 4): DataFrame =
+    rfmFromRollup(
+      events.groupBy(col(entity))
+        .agg(max(to_date(col(ts))).as("__last"),
+          count(lit(1)).as("frequency"),
+          sum(graft.functions.Portable.toFixed(col(value), scale))
+            .as("__fv")),
+      entity, scale)
+
+  /** The post-rollup stage of [[rfm]], exposed so a MAINTAINED
+    * per-entity rollup (max day / count / fixed sum are ALL additive —
+    * a plain update-mode streaming agg maintains them exactly-once)
+    * feeds an always-current segmentation without re-reading raw
+    * events (the [[cohortCounts]] seam discipline). `rolled` must be
+    * one row per entity carrying `__last` (date), `frequency` (long)
+    * and `__fv` (fixed-point long). */
+  def rfmFromRollup(rolled: DataFrame, entity: String,
+                    scale: Int = 4): DataFrame = {
     val p = math.pow(10, scale)
-    val rolled = events.groupBy(col(entity))
-      .agg(max(to_date(col(ts))).as("__last"),
-        count(lit(1)).as("frequency"),
-        sum(graft.functions.Portable.toFixed(col(value), scale))
-          .as("__fv"))
     val maxDay = rolled.agg(max(col("__last")).as("__max"))
     val base = rolled.crossJoin(broadcast(maxDay))
       .select(col(entity),

@@ -712,4 +712,57 @@ object TimeAgg {
           covN / sqrt(varA * varB)), 6).as(s"autocorr_$k"),
       col("__n").as("n_pairs"))
   }
+
+  /** Weekly seasonal baseline + residuals (B39) — the
+    * seasonal-decomposition first step every volume monitor needs
+    * before flagging ("Sunday is always low; is THIS Sunday low for a
+    * Sunday?"): per (key, day-of-week), the exact mean of the key's
+    * daily fixed-point sums; each day reports its value, its weekday
+    * baseline and the residual. Day-of-week is the pure-integer
+    * `pmod(days since 1970-01-01, 7)` (0 = Thursday) — no calendar
+    * function whose week-start convention could differ across engines.
+    * Exactness: the mean divides two exact integers ONCE, and the
+    * residual is computed from the exact cross product
+    * `(n·v − S) / n` (decimal(38) numerator — never value − mean,
+    * whose two roundings can straddle a pround boundary; the DQ5
+    * discipline). Returns `(key, day, dow, value, baseline,
+    * residual)`.
+    *
+    * Scale shape: the daily rollup is the only input-sized stage
+    * (map-combined); the (key, dow) baseline agg and the join-back are
+    * calendar-sized, one (key, dow) hash family. */
+  def seasonalBaseline(events: DataFrame, key: String, ts: String,
+                       value: String, scale: Int = 4): DataFrame =
+    seasonalFromDaily(
+      events.groupBy(col(key), to_date(col(ts)).as("day"))
+        .agg(sum(graft.functions.Portable.toFixed(col(value), scale))
+          .as("__fv")),
+      key, scale)
+
+  /** The post-rollup stage of [[seasonalBaseline]], exposed so a
+    * MAINTAINED per-(key, day) fixed-sum table (additive — a plain
+    * update-mode streaming agg) feeds an always-current seasonal
+    * report without re-reading raw events. `daily` must be one row per
+    * (key, day) carrying the fixed-point sum `__fv`. */
+  def seasonalFromDaily(daily: DataFrame, key: String,
+                        scale: Int = 4): DataFrame = {
+    val p = math.pow(10, scale)
+    val dec = "decimal(19,0)"
+    val dow = pmod(
+      datediff(col("day"), lit("1970-01-01").cast("date")), lit(7))
+    val withDow = daily.withColumn("dow", dow)
+    val base = withDow.groupBy(col(key), col("dow"))
+      .agg(sum(col("__fv")).as("__s"), count(lit(1)).as("__n"))
+    withDow.join(base, Seq(key, "dow"))
+      .select(col(key), col("day"), col("dow"),
+        (col("__fv").cast("double") / lit(p)).as("value"),
+        graft.functions.Portable.pround(
+          col("__s").cast("double") / col("__n").cast("double") / lit(p),
+          scale).as("baseline"),
+        graft.functions.Portable.pround(
+          (col("__n").cast(dec) * col("__fv").cast(dec) -
+            col("__s").cast(dec)).cast("double")
+            / col("__n").cast("double") / lit(p),
+          scale).as("residual"))
+  }
 }

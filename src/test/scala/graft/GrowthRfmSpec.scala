@@ -133,6 +133,41 @@ class RollingAnomalySpec extends SparkSpec {
   }
 }
 
+class SeasonalBaselineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("seasonalBaseline: same-weekday days share an exact mean; residuals close") {
+    val df = Seq(
+      // Jan 1 and Jan 8 2024 are both Mondays -> one dow group
+      ("a", "2024-01-01 10:00:00", 4.0), ("a", "2024-01-01 11:00:00", 6.0),
+      ("a", "2024-01-08 10:00:00", 20.0),
+      // Jan 3 is a Wednesday -> its own group
+      ("a", "2024-01-03 10:00:00", 7.0))
+      .toDF("k", "s", "value").withColumn("ts", col("s").cast("timestamp"))
+    val got = graft.operators.TimeAgg.seasonalBaseline(df, "k", "ts", "value")
+      .select(col("day").cast("string"), col("value"), col("baseline"),
+        col("residual"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // Mondays: daily sums 10 and 20, mean 15
+    assert(got("2024-01-01") == (10.0, 15.0, -5.0))
+    assert(got("2024-01-08") == (20.0, 15.0, 5.0))
+    // lone Wednesday: baseline = itself, residual 0
+    assert(got("2024-01-03") == (7.0, 7.0, 0.0))
+  }
+
+  test("seasonalBaseline: residuals sum to zero within every (key, dow) group") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val got = graft.operators.TimeAgg.seasonalBaseline(
+      ev, "event_type", "ts", "value")
+    // exact-cross-product residuals: sum over a dow group is 0/n -> 0
+    val bad = got.groupBy("event_type", "dow")
+      .agg(sum(col("residual")).as("rs"))
+      .filter(abs(col("rs")) > 1e-6).count()
+    assert(bad == 0)
+  }
+}
+
 class ReadabilitySpec extends SparkSpec {
   import spark.implicits._
 

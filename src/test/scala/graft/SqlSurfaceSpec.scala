@@ -445,5 +445,10 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql("SELECT doc_id, flesch_score(text) AS f FROM docs_tvf"),
       docsV.select(col("doc_id"),
         graft.functions.TextFunctions.fleschScore(col("text")).as("f")))
+    sameRows(
+      spark.sql(
+        "SELECT * FROM graft_seasonal('ev', 'event_type', 'ts', 'value')"),
+      TimeAgg.seasonalBaseline(Tables.events(spark, sf), "event_type",
+        "ts", "value"))
   }
 }

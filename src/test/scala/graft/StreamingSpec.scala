@@ -883,4 +883,61 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == want.count() && want.count() > 0)
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
+  test("streaming RFM + seasonal by composition: maintained rollups feed C19/B39 (I33/I34)") {
+    // RFM's rollup is (max day, count, fixed sum) — ALL additive, so a
+    // plain update-mode agg maintains it; segmentation re-derives
+    // through rfmFromRollup. The seasonal baseline rides the SAME
+    // daily-fixed-sum shape as I27/I30.
+    val in = Files.createTempDirectory("graft-rfm-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "value", "event_type")
+    val rfmTable = scala.collection.mutable.Map
+      .empty[Long, (Long, java.sql.Date, Long, Long)]
+    val rfmStream = spark.readStream.schema(ev.schema).parquet(in)
+      .groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(graft.functions.Portable.toFixed(col("value"), 4)).as("__fv"))
+    val q = rfmStream.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          rfmTable(r.getLong(0)) =
+            (r.getLong(0), r.getDate(1), r.getLong(2), r.getLong(3))
+        }
+      }.start()
+    try landTimeSplit(ev, in)(() => q.processAllAvailable()) finally q.stop()
+    val maintained = rfmTable.values.toSeq
+      .toDF("user_id", "__last", "frequency", "__fv")
+    val gotR = graft.operators.Sessionize.rfmFromRollup(maintained, "user_id")
+    val wantR = graft.operators.Sessionize.rfm(
+      graft.sources.Tables.events(spark, sf), "user_id", "ts", "value")
+    assert(gotR.count() == wantR.count() && wantR.count() > 0)
+    assert(gotR.exceptAll(wantR).count() == 0 &&
+      wantR.exceptAll(gotR).count() == 0)
+    // seasonal baseline off a maintained (key, day, fixed-sum) rollup
+    val dailyTable = scala.collection.mutable.Map
+      .empty[(String, java.sql.Date), (String, java.sql.Date, Long)]
+    val in2 = Files.createTempDirectory("graft-seas-in").toString
+    val dailyStream = spark.readStream.schema(ev.schema).parquet(in2)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(graft.functions.Portable.toFixed(col("value"), 4)).as("__fv"))
+    val q2 = dailyStream.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          dailyTable((r.getString(0), r.getDate(1))) =
+            (r.getString(0), r.getDate(1), r.getLong(2))
+        }
+      }.start()
+    try landTimeSplit(ev, in2)(() => q2.processAllAvailable())
+    finally q2.stop()
+    val maintainedDaily = dailyTable.values.toSeq
+      .toDF("event_type", "day", "__fv")
+    val gotS = graft.operators.TimeAgg.seasonalFromDaily(
+      maintainedDaily, "event_type")
+    val wantS = graft.operators.TimeAgg.seasonalBaseline(
+      graft.sources.Tables.events(spark, sf), "event_type", "ts", "value")
+    assert(gotS.count() == wantS.count() && wantS.count() > 0)
+    assert(gotS.exceptAll(wantS).count() == 0 &&
+      wantS.exceptAll(gotS).count() == 0)
+  }
 }
