@@ -523,6 +523,26 @@ object GraftTableFunctions {
       arity(args, fn, Set(4), "table, key, ts, valueCol")
       plan(TimeAgg.seasonalBaseline(table(str(args, 0, fn)),
         str(args, 1, fn), str(args, 2, fn), str(args, 3, fn)))
+    },
+
+    // graft_matryoshka(corpus, queries, id, vec, k, mDims, candidates)
+    // — F18
+    "graft_matryoshka" -> { args =>
+      val fn = "graft_matryoshka"
+      arity(args, fn, Set(7), "corpus, queries, id, vec, k, mDims, candidates")
+      plan(graft.operators.Similarity.matryoshkaTopK(
+        table(str(args, 0, fn)), table(str(args, 1, fn)),
+        str(args, 2, fn), str(args, 3, fn), k = num(args, 4, fn).toInt,
+        mDims = num(args, 5, fn).toInt,
+        candidates = num(args, 6, fn).toInt))
+    },
+
+    // graft_completeness(table, keysCsv, ts) — DQ8
+    "graft_completeness" -> { args =>
+      val fn = "graft_completeness"
+      arity(args, fn, Set(3), "table, keysCsv, ts")
+      plan(graft.operators.DataQuality.completeness(
+        table(str(args, 0, fn)), csv(args, 1, fn), str(args, 2, fn)))
     })
 
   /** 'col', 'col asc' or 'col desc' → a sort Column. */

@@ -948,6 +948,15 @@ object ScaleProbe {
         // everything after the rollup calendar-sized
         "b39_seasonal" -> (() =>
           TimeAgg.seasonalBaseline(ev, "event_type", "ts", "value")),
+        // per-key calendar completeness: distinct collapse + one agg —
+        // the spine never explodes
+        "dq8_completeness" -> (() =>
+          DataQuality.completeness(ev, Seq("event_type"), "ts")),
+        // matryoshka cascade: prefix dots corpus-wide, full dots only
+        // on the candidate-bounded survivors
+        "f18_ann_matryoshka" -> (() =>
+          Similarity.matryoshkaTopK(emb, q, "vec_id", "embedding",
+            k = 5, mDims = 16, candidates = 20)),
         // readability: zero-shuffle projection (two regex passes)
         "h26_readability" -> (() =>
           docs.select(col("doc_id"),

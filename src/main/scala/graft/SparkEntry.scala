@@ -1200,6 +1200,14 @@ object SparkEntry {
         "vec_id", "embedding", "label", 5)
     }),
 
+    // matryoshka cascade: coarse score on the 16-dim prefix, top-20
+    // survivors reranked with the exact full 64-dim cosine
+    "f18_ann_matryoshka" -> ((s, d) => {
+      val e = embD(s, d)
+      Similarity.matryoshkaTopK(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, mDims = 16, candidates = 20)
+    }),
+
     "f2_ann_lsh" -> ((s, d) => {
       val e = embD(s, d)
       // testdata embeddings are 64-dim; passing it skips the probe job
@@ -1727,6 +1735,11 @@ object SparkEntry {
     "b39_seasonal" -> ((s, d) =>
       TimeAgg.seasonalBaseline(ev(s, d), "event_type", "ts", "value")),
 
+    // per-key calendar completeness: expected = own first-to-last span,
+    // missing = expected - distinct present days; spine never explodes
+    "dq8_completeness" -> ((s, d) =>
+      DataQuality.completeness(ev(s, d), Seq("event_type"), "ts")),
+
     // Flesch reading ease with the vowel-group syllable proxy — the
     // readability gate of corpus curation; zero-shuffle projection
     "h26_readability" -> ((s, d) =>
@@ -2174,6 +2187,22 @@ object SparkEntry {
       sqlSurface(s, d)
       s.sql("""SELECT * FROM graft_seasonal('graft_sql_events',
         'event_type', 'ts', 'value')""")
+    }),
+
+    "f18s_matryoshka_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      val e = embD(s, d)
+      e.createOrReplaceTempView("graft_sql_emb")
+      e.filter(col("vec_id") % 100 === 0)
+        .createOrReplaceTempView("graft_sql_emb_q")
+      s.sql("""SELECT * FROM graft_matryoshka('graft_sql_emb',
+        'graft_sql_emb_q', 'vec_id', 'embedding', 5, 16, 20)""")
+    }),
+
+    "dq8s_completeness_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_completeness('graft_sql_events',
+        'event_type', 'ts')""")
     }),
 
     "b37s_top_gaps_sql" -> ((s, d) => {
@@ -3160,6 +3189,19 @@ object SparkEntry {
         |      > 9 * (CAST(n AS HUGEINT) * q - ss * ss), FALSE) AS is_anomaly
         |FROM s""".stripMargin,
 
+    "dq8_completeness" ->
+      """WITH a AS (
+        |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events),
+        |g AS (SELECT event_type, min(day) AS first_day, max(day) AS last_day,
+        |        count(*) AS n_present
+        |      FROM a GROUP BY 1)
+        |SELECT event_type, first_day, last_day,
+        |  CAST(date_diff('day', first_day, last_day) + 1 AS BIGINT) AS n_expected,
+        |  CAST(n_present AS BIGINT) AS n_present,
+        |  CAST(date_diff('day', first_day, last_day) + 1 - n_present AS BIGINT) AS n_missing,
+        |  date_diff('day', first_day, last_day) + 1 - n_present = 0 AS complete
+        |FROM g""".stripMargin,
+
     "b39_seasonal" ->
       s"""WITH dly AS (
          |  SELECT event_type, CAST(ts AS DATE) AS day,
@@ -3786,6 +3828,37 @@ object SparkEntry {
           "list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), (x, y) -> x + y)", 4)),
 
     "f1_ann_bruteforce" -> f1OracleSql,
+
+    "f18_ann_matryoshka" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x -> x / sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b))) AS fv,
+        |    list_transform(v[1:16], x -> x / sqrt(list_reduce(list_transform(v[1:16], y -> y * y), (a, b) -> a + b))) AS pv
+        |  FROM e
+        |), q AS (
+        |  SELECT vec_id AS query_id, fv AS qv, pv AS pq FROM n WHERE vec_id % 100 = 0
+        |), s AS (
+        |  SELECT query_id, c.vec_id AS nn_id, qv, c.fv AS cv,
+        |    PROUND_PREFIX AS coarse
+        |  FROM q JOIN n c ON c.vec_id <> q.query_id
+        |), t AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY coarse DESC, nn_id) AS crank
+        |  FROM s QUALIFY crank <= 20
+        |), r AS (
+        |  SELECT query_id, nn_id, PROUND_FULL AS cosine FROM t
+        |)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rank,
+        |  nn_id, cosine
+        |FROM r QUALIFY rank <= 5""".stripMargin
+        .replace("PROUND_PREFIX", sqlPround(
+          "list_reduce(list_transform(generate_series(1, len(pq)), i -> pq[i] * c.pv[i]), (x, y) -> x + y)", 6))
+        .replace("PROUND_FULL", sqlPround(
+          "list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i]), (x, y) -> x + y)", 6)),
 
     "f17_knn_classify" ->
       """WITH e AS (
@@ -4750,7 +4823,9 @@ object SparkEntry {
       "dq7s_anomalies_sql" -> "dq7_anomalies",
       "h26s_readability_sql" -> "h26_readability",
       "k10s_temperature_sql" -> "k10_temperature_sample",
-      "b39s_seasonal_sql" -> "b39_seasonal"
+      "b39s_seasonal_sql" -> "b39_seasonal",
+      "f18s_matryoshka_sql" -> "f18_ann_matryoshka",
+      "dq8s_completeness_sql" -> "dq8_completeness"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

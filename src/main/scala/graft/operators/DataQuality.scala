@@ -334,6 +334,36 @@ object DataQuality {
           .otherwise(lit("ok")))
   }
 
+  /** Calendar completeness check per key (DQ8) — the dbt-expectation
+    * "no missing days" test DQ1's row checks can't express: for each
+    * key, the expected day count is its OWN first-to-last calendar
+    * span (per-key, not global — a source onboarded in March isn't
+    * "missing" January), present = distinct active days, missing =
+    * expected − present. Returns `(keys..., first_day, last_day,
+    * n_expected, n_present, n_missing, complete)`.
+    *
+    * Deliberately NEVER materializes the calendar spine: the count
+    * arithmetic (span length vs distinct days) gives the same answer
+    * as a generate_series anti-join without the spine explode — the
+    * per-key report is one map-combined distinct + one agg. Which days
+    * are missing is the gapfill layer's business (B6/B37), composably. */
+  def completeness(events: DataFrame, keys: Seq[String],
+                   ts: String): DataFrame =
+    events
+      .select(keys.map(col) :+ to_date(col(ts)).as("__day"): _*)
+      .distinct()
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("__day")).as("first_day"),
+        max(col("__day")).as("last_day"),
+        count(lit(1)).as("n_present"))
+      .withColumn("n_expected",
+        (datediff(col("last_day"), col("first_day")) + 1).cast("long"))
+      .withColumn("n_missing", col("n_expected") - col("n_present"))
+      .withColumn("complete", col("n_missing") === 0L)
+      .select((keys.map(col) :+ col("first_day") :+ col("last_day") :+
+        col("n_expected") :+ col("n_present") :+ col("n_missing") :+
+        col("complete")): _*)
+
   /** Rolling z-score anomaly flags over per-key daily volumes (DQ7) —
     * the volume-monitoring check every ingest pipeline wants: a day is
     * anomalous when its count deviates from the mean of the trailing

@@ -121,6 +121,51 @@ object Similarity {
       .drop("__r")
   }
 
+  /** Matryoshka cascade search (F18) — the two-tier search pattern
+    * MRL-trained embeddings exist for (Kusupati et al., "Matryoshka
+    * Representation Learning": information concentrates in the leading
+    * dimensions, so a PREFIX of the vector is itself a usable
+    * embedding): score every candidate on the first `mDims` dimensions
+    * only (prefix re-normalized over itself — the MRL contract), keep
+    * the top `candidates` per query on that cheap coarse score, then
+    * rerank ONLY the survivors with the exact full-dimension cosine
+    * (the f1 contract: 6dp round, id tie-break, self excluded). Both
+    * tiers are total orders, so the result is fully deterministic and
+    * hash-checkable — this is a pruned cascade with stated recall
+    * behavior (a true neighbor outside the coarse top-`candidates` is
+    * missed; widen `candidates` to trade cost for recall), not a
+    * probabilistic sketch.
+    *
+    * Scale shape: the corpus-side work per row drops from d to mDims
+    * multiplies in the coarse stage (at 100 TB store only the prefix
+    * in the hot tier); the full-width dot runs on `candidates`-bounded
+    * survivors through the same bounded-heap tail as every searcher. */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, id: String,
+                     vec: String, k: Int, mDims: Int,
+                     candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    // accept float vectors: the cast mirrors the oracle's per-element
+    // CAST AS DOUBLE before any norm (no-op on already-double input)
+    def dv(c: Column) = c.cast("array<double>")
+    val c = corpus.select(col(id).as("nn_id"),
+      l2normalize(dv(col(vec))).as("cv"),
+      l2normalize(slice(dv(col(vec)), 1, mDims)).as("pv"))
+    val q = queries.select(col(id).as("query_id"),
+      l2normalize(dv(col(vec))).as("qv"),
+      l2normalize(slice(dv(col(vec)), 1, mDims)).as("pq"))
+    val coarse = graft.plans.TopKPerKey(
+      c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+        .withColumn("coarse",
+          graft.functions.Portable.pround(dot(col("pq"), col("pv")), 6)),
+      keys = Seq(col("query_id")),
+      order = Seq(col("coarse").desc, col("nn_id").asc),
+      k = candidates, rankName = "__crank")
+    topKPerQuery(
+      coarse.withColumn("cosine",
+        graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6)),
+      k)
+  }
+
   /** FILTERED vector search — the production "metadata predicate +
     * top-k" shape: each query's neighbors come ONLY from corpus rows
     * sharing its `attr` value. The attribute IS the join key, so the

@@ -198,6 +198,55 @@ class ReadabilitySpec extends SparkSpec {
   }
 }
 
+class MatryoshkaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matryoshkaTopK: candidates >= corpus collapses to exact brute force") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val got = graft.operators.Similarity.matryoshkaTopK(
+      emb, q, "vec_id", "embedding", k = 5, mDims = 16,
+      candidates = emb.count().toInt)
+    val want = graft.operators.Similarity.bruteForceTopK(
+      emb, q, "vec_id", "embedding", 5)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("matryoshkaTopK: a perfect prefix match survives a narrow cascade") {
+    // query == corpus row 2 on the prefix AND in full -> rank 1 even
+    // with the tightest legal candidate pool
+    def vec(seed: Int) = Array.tabulate(8)(i => (seed * 31 + i).toFloat)
+    val corpus = Seq((1L, vec(3)), (2L, vec(7)), (3L, vec(11)), (4L, vec(19)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((99L, vec(7))).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.matryoshkaTopK(
+        corpus, q, "vec_id", "embedding", k = 1, mDims = 4, candidates = 1)
+      .select("nn_id").as[Long].head()
+    assert(got == 2L)
+  }
+}
+
+class CompletenessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("completeness: per-key span, missing-day arithmetic, complete flag") {
+    val df = Seq(
+      ("a", "2024-01-01"), ("a", "2024-01-02"), ("a", "2024-01-04"),
+      ("b", "2024-02-10"))
+      .toDF("k", "s")
+      .withColumn("ts", concat(col("s"), lit(" 09:00:00")).cast("timestamp"))
+    val got = graft.operators.DataQuality.completeness(df, Seq("k"), "ts")
+      .select(col("k"), col("n_expected"), col("n_present"),
+        col("n_missing"), col("complete"))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got("a") == (4L, 3L, 1L, false)) // Jan 3 missing
+    assert(got("b") == (1L, 1L, 0L, true))  // single-day key complete
+  }
+}
+
 class TemperatureSampleSpec extends SparkSpec {
   import spark.implicits._
 

@@ -450,5 +450,20 @@ class SqlSurfaceSpec extends SparkSpec {
         "SELECT * FROM graft_seasonal('ev', 'event_type', 'ts', 'value')"),
       TimeAgg.seasonalBaseline(Tables.events(spark, sf), "event_type",
         "ts", "value"))
+    val embV = Tables.embeddings(spark, sf)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    embV.createOrReplaceTempView("emb_tvf")
+    embV.filter(col("vec_id") % 100 === 0)
+      .createOrReplaceTempView("emb_q_tvf")
+    sameRows(
+      spark.sql("""SELECT * FROM graft_matryoshka('emb_tvf', 'emb_q_tvf',
+        'vec_id', 'embedding', 5, 16, 20)"""),
+      graft.operators.Similarity.matryoshkaTopK(embV,
+        embV.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        5, 16, 20))
+    sameRows(
+      spark.sql("SELECT * FROM graft_completeness('ev', 'event_type', 'ts')"),
+      graft.operators.DataQuality.completeness(Tables.events(spark, sf),
+        Seq("event_type"), "ts"))
   }
 }
