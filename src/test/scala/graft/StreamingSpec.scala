@@ -854,6 +854,14 @@ class StreamingSpec extends SparkSpec {
       graft.sources.Tables.events(spark, sf), "user_id", "ts")
     assert(gotS.exceptAll(wantS).count() == 0 &&
       wantS.exceptAll(gotS).count() == 0)
+    // DQ8 completeness rides the same ledger: distinct (entity, day)
+    // IS its collapse stage, so the report re-derives maintained too
+    val gotC = graft.operators.DataQuality.completeness(
+      ledger.withColumnRenamed("__day", "ts"), Seq("user_id"), "ts")
+    val wantC = graft.operators.DataQuality.completeness(
+      graft.sources.Tables.events(spark, sf), Seq("user_id"), "ts")
+    assert(gotC.exceptAll(wantC).count() == 0 &&
+      wantC.exceptAll(gotC).count() == 0)
   }
   test("streaming anomalies by composition: maintained daily counts feed DQ7 (I32)") {
     // daily counts are additive — a plain update-mode agg maintains
