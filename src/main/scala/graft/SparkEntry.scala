@@ -2283,6 +2283,104 @@ object SparkEntry {
     """CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
       |ELSE list_transform(generate_series(1, len(tok) - 2), i -> array_to_string(tok[i:i+2], ' ')) END""".stripMargin
 
+  /** BPE oracles for h18/h19 — the full Sennrich training loop UNROLLED
+    * as `numMerges` chained CTE rounds (pair-count agg → argmax with
+    * the exact (count desc, left, right) tie-break → a RECURSIVE
+    * fixpoint of single-pass boundary-spaced `replace`, which equals
+    * the trainer's left-to-right in-place merge: within one round all
+    * new adjacencies involve the just-built symbol, so re-selecting the
+    * minimum drains the same pair first), then encoding as one
+    * recursive CTE applying the LOWEST-rank present merge per step
+    * (the BpeSegment apply loop: valid trained ranks guarantee newly
+    * created pairs rank higher, so min-rank re-selection matches the
+    * round structure exactly). Symbols are space-joined with sentinel
+    * boundary spaces — symbols come from whitespace-split tokens, so a
+    * space can never appear inside one, making `' l r '` containment
+    * and replacement exact. Both validated against the hand-computed
+    * Sennrich worked example before wiring. */
+  private def bpeRoundsSql(numMerges: Int, topWords: Int,
+                           minPair: Int): (String, String) = {
+    val rounds = (0 until numMerges).map { k =>
+      s"""pr$k AS (
+         |  SELECT sp[i] AS l, sp[i+1] AS r, sum(n) AS cnt
+         |  FROM (SELECT n, string_split(trim(s), ' ') AS sp FROM seg$k),
+         |       unnest(generate_series(1, len(sp) - 1)) AS g(i)
+         |  GROUP BY 1, 2),
+         |best$k AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM pr$k WHERE cnt >= $minPair
+         |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |app$k AS (
+         |  SELECT w, n, s, 0 AS st FROM seg$k
+         |  UNION ALL
+         |  SELECT a.w, a.n, replace(a.s, ' ' || b.l || ' ' || b.r || ' ',
+         |                           ' ' || b.l || b.r || ' '), a.st + 1
+         |  FROM app$k a, best$k b
+         |  WHERE contains(a.s, ' ' || b.l || ' ' || b.r || ' ')),
+         |seg${k + 1} AS MATERIALIZED (
+         |  SELECT w, n, s FROM app$k
+         |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY st DESC) = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val prefix =
+      s"""WITH RECURSIVE t AS (${tokCte("documents", lower = true)}),
+         |cap AS (
+         |  SELECT w, n FROM (
+         |    SELECT word AS w, CAST(count(*) AS BIGINT) AS n,
+         |      row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rk
+         |    FROM (SELECT unnest(tok) AS word FROM t) GROUP BY word)
+         |  WHERE rk <= $topWords),
+         |seg0 AS MATERIALIZED (
+         |  SELECT w, n,
+         |    ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' </w> ' AS s
+         |  FROM cap),
+         |$rounds""".stripMargin
+    val mergesBody = (0 until numMerges).map(k =>
+      s"""SELECT $k AS rank, l AS "left", r AS "right", cnt AS pair_count FROM best$k""")
+      .mkString(" UNION ALL ")
+    (prefix, mergesBody)
+  }
+
+  private lazy val h18OracleSql: String = {
+    val (prefix, mergesBody) = bpeRoundsSql(30, 2000, 2)
+    s"""$prefix
+       |SELECT CAST(rank AS INT) AS rank, "left", "right",
+       |  CAST(pair_count AS BIGINT) AS pair_count
+       |FROM ($mergesBody)""".stripMargin
+  }
+
+  /** h19's oracle leans on the standard BPE property that ENCODING a
+    * training word reproduces its training-final segmentation (both
+    * are "apply merge 0 to exhaustion, then merge 1, ..."; newly
+    * created pairs always rank above the merge that built them) — so
+    * for a vocabulary inside the training cap, `seg<numMerges>` IS the
+    * encode result and no second recursion is needed. The synthetic
+    * corpus has 31 distinct words at every SF, far under the 2000-word
+    * cap; a capped-out vocabulary would need a real encode recursion,
+    * which DuckDB 1.0 mis-plans (column pruning into a recursive CTE
+    * with a LATERAL silently stops the recursion — found while wiring
+    * this; the Spark side has no such restriction). A cap-miss cannot
+    * pass silently: missing words would LEFT-join to empty pieces and
+    * the hash compare would fail loudly. */
+  private lazy val h19OracleSql: String = {
+    val (prefix, _) = bpeRoundsSql(30, 2000, 2)
+    s"""$prefix,
+       |encf AS (
+       |  SELECT w AS word, trim(s) AS ps,
+       |    len(string_split(trim(s), ' ')) AS np
+       |  FROM seg30),
+       |expl AS (
+       |  SELECT doc_id, i AS ord, tok[i] AS word
+       |  FROM t, unnest(generate_series(1, len(tok))) AS g(i))
+       |SELECT t.doc_id,
+       |  coalesce(j.pieces_str, '') AS pieces_str,
+       |  CAST(coalesce(j.n_pieces, 0) AS INT) AS n_pieces
+       |FROM t LEFT JOIN (
+       |  SELECT doc_id, string_agg(ps, ' ' ORDER BY ord) AS pieces_str,
+       |    CAST(sum(np) AS BIGINT) AS n_pieces
+       |  FROM expl JOIN encf USING (word) GROUP BY doc_id) j USING (doc_id)"""
+      .stripMargin
+  }
+
   /** e2's oracle — also embedded as the pair source of e6's
     * connected-components oracle. */
   private lazy val e2OracleSql: String =
@@ -4203,6 +4301,9 @@ object SparkEntry {
          |  WHERE len(tok) >= 2)
          |SELECT first_tok, second_tok, count(*) AS n
          |FROM p GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+
+    "h18_bpe_train" -> h18OracleSql,
+    "h19_bpe_encode" -> h19OracleSql,
 
     "h9_repetition" ->
       s"""WITH t AS (${tokCte("documents", lower = true)})
