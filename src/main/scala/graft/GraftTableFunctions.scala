@@ -543,6 +543,17 @@ object GraftTableFunctions {
       arity(args, fn, Set(3), "table, keysCsv, ts")
       plan(graft.operators.DataQuality.completeness(
         table(str(args, 0, fn)), csv(args, 1, fn), str(args, 2, fn)))
+    },
+
+    // graft_scene_cuts(mediaTable, frameBytes, everyNth, cutHamming)
+    // — G7; mediaTable must carry (media_id, payload)
+    "graft_scene_cuts" -> { args =>
+      val fn = "graft_scene_cuts"
+      arity(args, fn, Set(4), "mediaTable, frameBytes, everyNth, cutHamming")
+      plan(graft.operators.Multimodal.sceneCuts(table(str(args, 0, fn)),
+        frameBytes = num(args, 1, fn).toInt,
+        everyNth = num(args, 2, fn).toInt,
+        cutHamming = num(args, 3, fn).toInt))
     })
 
   /** 'col', 'col asc' or 'col desc' → a sort Column. */

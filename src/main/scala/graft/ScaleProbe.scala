@@ -957,6 +957,12 @@ object ScaleProbe {
         "f18_ann_matryoshka" -> (() =>
           Similarity.matryoshkaTopK(emb, q, "vec_id", "embedding",
             k = 5, mDims = 16, candidates = 20)),
+        // scene cuts: codegen'd frame explode + signing, one media-keyed
+        // lag window
+        "g7_scene_cuts" -> (() =>
+          Multimodal.sceneCuts(
+            Multimodal.asMediaTable(docs, "doc_id", "text"),
+            frameBytes = 64, everyNth = 2, cutHamming = 20)),
         // readability: zero-shuffle projection (two regex passes)
         "h26_readability" -> (() =>
           docs.select(col("doc_id"),

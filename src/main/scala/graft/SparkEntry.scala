@@ -1318,6 +1318,13 @@ object SparkEntry {
         Multimodal.asMediaTable(docs(s, d), "doc_id", "text"),
         maxHamming = 12, maxBucket = 100)),
 
+    // scene-cut detection: per-frame perceptual hashes, consecutive
+    // sampled frames with hamming >= 20 flag a hard cut
+    "g7_scene_cuts" -> ((s, d) =>
+      Multimodal.sceneCuts(
+        Multimodal.asMediaTable(docs(s, d), "doc_id", "text"),
+        frameBytes = 64, everyNth = 2, cutHamming = 20)),
+
     "g4_mm_resize" -> ((s, d) =>
       Multimodal.resize(
         Multimodal.asMediaTable(docs(s, d), "doc_id", "text"), 8, 8)
@@ -2203,6 +2210,13 @@ object SparkEntry {
       sqlSurface(s, d)
       s.sql("""SELECT * FROM graft_completeness('graft_sql_events',
         'event_type', 'ts')""")
+    }),
+
+    "g7s_scene_cuts_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      Multimodal.asMediaTable(docs(s, d), "doc_id", "text")
+        .createOrReplaceTempView("graft_sql_media")
+      s.sql("SELECT * FROM graft_scene_cuts('graft_sql_media', 64, 2, 20)")
     }),
 
     "b37s_top_gaps_sql" -> ((s, d) => {
@@ -4115,6 +4129,34 @@ object SparkEntry {
         |  64 AS n_bytes
         |FROM f WHERE nf > 0""".stripMargin,
 
+    "g7_scene_cuts" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |f AS (SELECT doc_id, hx,
+        |        unnest(generate_series(0, CAST(floor(n / 64) AS BIGINT) - 1, 2)) AS fi
+        |      FROM b WHERE n >= 64),
+        |e AS (SELECT doc_id, fi, hx,
+        |        unnest(generate_series(0, 63)) AS i FROM f),
+        |s AS (
+        |  SELECT doc_id, fi, CAST(i % 60 AS INTEGER) AS j,
+        |    SUM(CAST(concat('0x', substr(hx, CAST(2 * (fi * 64 + i) + 1 AS INTEGER), 2)) AS BIGINT)) AS sb
+        |  FROM e GROUP BY 1, 2, 3),
+        |t AS (SELECT doc_id, fi, SUM(sb) AS total FROM s GROUP BY 1, 2),
+        |h AS (
+        |  SELECT s.doc_id, s.fi,
+        |    CAST(SUM(CASE WHEN 60 * sb > total
+        |                  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS ph
+        |  FROM s JOIN t USING (doc_id, fi) GROUP BY 1, 2),
+        |p AS (SELECT doc_id, fi, ph,
+        |        lag(ph) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+        |      FROM h)
+        |SELECT doc_id AS media_id, fi AS frame_idx,
+        |  bit_count(xor(ph, prev)) AS hamming,
+        |  bit_count(xor(ph, prev)) >= 20 AS is_cut
+        |FROM p WHERE prev IS NOT NULL""".stripMargin,
+
     "h1_text_quality" ->
       s"""WITH t AS (${tokCte("documents", lower = false)}),
          |m AS (
@@ -4926,7 +4968,8 @@ object SparkEntry {
       "k10s_temperature_sql" -> "k10_temperature_sample",
       "b39s_seasonal_sql" -> "b39_seasonal",
       "f18s_matryoshka_sql" -> "f18_ann_matryoshka",
-      "dq8s_completeness_sql" -> "dq8_completeness"
+      "dq8s_completeness_sql" -> "dq8_completeness",
+      "g7s_scene_cuts_sql" -> "g7_scene_cuts"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

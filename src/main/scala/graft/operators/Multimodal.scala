@@ -134,6 +134,39 @@ object Multimodal {
           org.apache.spark.sql.graft.ColumnBridge.expression(
             col("payload")), slots)).as("phash"))
 
+  /** Scene-cut detection over sampled frames (G7) — the shot-boundary
+    * pass of video curation ("split this clip at hard cuts before
+    * captioning/dedup"): each sampled frame ([[frameSample]]) signs
+    * through the SAME codegen'd perceptual-hash expression as G5, and
+    * a cut is declared between consecutive SAMPLED frames whose hash
+    * hamming distance reaches `cutHamming` (a hard cut decorrelates
+    * the block means; gradual fades need a real decoder — stated, the
+    * G2 stub discipline). Returns every consecutive frame pair:
+    * `(media_id, frame_idx, hamming, is_cut)` with `frame_idx` the
+    * LATER frame of the pair.
+    *
+    * Scale shape: frame explode + signing stay in whole-stage codegen
+    * (zero shuffle); the only exchange is the media-keyed lag window
+    * over (media, frame) rows — frames-per-media-bounded state, one
+    * partition family. */
+  def sceneCuts(media: DataFrame, frameBytes: Int, everyNth: Int,
+                cutHamming: Int, slots: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = frameSample(media, frameBytes, everyNth)
+    val hashed = frames.select(col("media_id"), col("frame_idx"),
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.expressions.PerceptualHash(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            col("frame_payload")), slots)).as("__ph"))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    hashed
+      .withColumn("__prev", lag(col("__ph"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("media_id"), col("frame_idx"),
+        bit_count(col("__ph").bitwiseXOR(col("__prev"))).as("hamming"))
+      .withColumn("is_cut", col("hamming") >= cutHamming)
+  }
+
   /** Near-duplicate media pairs by perceptual hash: [[perceptualHash]]
     * signatures through the shared hamming chunk-bucket machinery
     * ([[Dedup.simhashPairs]]) — bucket-local candidate generation,

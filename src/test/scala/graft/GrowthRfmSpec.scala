@@ -228,6 +228,33 @@ class MatryoshkaSpec extends SparkSpec {
   }
 }
 
+class SceneCutsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sceneCuts: identical frames no cut, flipped frame cuts, pairs are consecutive") {
+    // payload = 3 frames of 4 bytes: two identical low-byte frames,
+    // then one with a very different byte pattern
+    val quiet = Array[Byte](10, 10, 10, 10)
+    val loud = Array[Byte](120, 1, 1, 1)
+    val media = Seq((1L, quiet ++ quiet ++ loud))
+      .toDF("media_id", "payload")
+    val got = graft.operators.Multimodal.sceneCuts(media,
+        frameBytes = 4, everyNth = 1, cutHamming = 1, slots = 4)
+      .select(col("frame_idx"), col("hamming"), col("is_cut"))
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1)
+    assert(got.length == 2)
+    assert(got(0) == ((1L, 0, false))) // identical frames: hamming 0
+    assert(got(1)._1 == 2L && got(1)._2 > 0 && got(1)._3) // hard cut
+  }
+
+  test("sceneCuts: single-frame media emits no pairs") {
+    val media = Seq((1L, Array[Byte](1, 2, 3, 4)))
+      .toDF("media_id", "payload")
+    assert(graft.operators.Multimodal.sceneCuts(media, 4, 1, 1, 4)
+      .count() == 0)
+  }
+}
+
 class CompletenessSpec extends SparkSpec {
   import spark.implicits._
 
