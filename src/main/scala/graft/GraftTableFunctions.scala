@@ -554,6 +554,16 @@ object GraftTableFunctions {
         frameBytes = num(args, 1, fn).toInt,
         everyNth = num(args, 2, fn).toInt,
         cutHamming = num(args, 3, fn).toInt))
+    },
+
+    // graft_mmr(corpus, queries, id, vec, k, poolSize) — F19
+    "graft_mmr" -> { args =>
+      val fn = "graft_mmr"
+      arity(args, fn, Set(6), "corpus, queries, id, vec, k, poolSize")
+      plan(graft.operators.Similarity.mmrTopK(
+        table(str(args, 0, fn)), table(str(args, 1, fn)),
+        str(args, 2, fn), str(args, 3, fn), k = num(args, 4, fn).toInt,
+        poolSize = num(args, 5, fn).toInt))
     })
 
   /** 'col', 'col asc' or 'col desc' → a sort Column. */

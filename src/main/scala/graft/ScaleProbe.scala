@@ -963,6 +963,11 @@ object ScaleProbe {
           Multimodal.sceneCuts(
             Multimodal.asMediaTable(docs, "doc_id", "text"),
             frameBytes = 64, everyNth = 2, cutHamming = 20)),
+        // MMR rerank: pool build is the brute-force scan; the k greedy
+        // stages are query-keyed and pool-bounded
+        "f19_ann_mmr" -> (() =>
+          Similarity.mmrTopK(emb, q, "vec_id", "embedding",
+            k = 5, poolSize = 10)),
         // readability: zero-shuffle projection (two regex passes)
         "h26_readability" -> (() =>
           docs.select(col("doc_id"),

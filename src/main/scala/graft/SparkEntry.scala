@@ -1208,6 +1208,14 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, mDims = 16, candidates = 20)
     }),
 
+    // MMR-diversified top-5 from a 10-candidate pool: greedy
+    // (0.5 rel - 0.5 max-sim) picks, unrolled declaratively
+    "f19_ann_mmr" -> ((s, d) => {
+      val e = embD(s, d)
+      Similarity.mmrTopK(e, e.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, poolSize = 10)
+    }),
+
     "f2_ann_lsh" -> ((s, d) => {
       val e = embD(s, d)
       // testdata embeddings are 64-dim; passing it skips the probe job
@@ -2219,6 +2227,16 @@ object SparkEntry {
       s.sql("SELECT * FROM graft_scene_cuts('graft_sql_media', 64, 2, 20)")
     }),
 
+    "f19s_mmr_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      val e = embD(s, d)
+      e.createOrReplaceTempView("graft_sql_emb")
+      e.filter(col("vec_id") % 100 === 0)
+        .createOrReplaceTempView("graft_sql_emb_q")
+      s.sql("""SELECT * FROM graft_mmr('graft_sql_emb',
+        'graft_sql_emb_q', 'vec_id', 'embedding', 5, 10)""")
+    }),
+
     "b37s_top_gaps_sql" -> ((s, d) => {
       sqlSurface(s, d)
       s.sql("""SELECT user_id, gap_start, gap_end, gap_us, rnk
@@ -2352,6 +2370,73 @@ object SparkEntry {
       s"""SELECT $k AS rank, l AS "left", r AS "right", cnt AS pair_count FROM best$k""")
       .mkString(" UNION ALL ")
     (prefix, mergesBody)
+  }
+
+  /** f19's oracle: the MMR greedy UNROLLED as k argmax stages (the
+    * h18 unrolled-loop discipline — no recursion, so no DuckDB
+    * recursive-CTE quirks): pool top-`poolSize` per query, a
+    * MATERIALIZED pairwise-sim table, then per step an anti-join of
+    * the picked rows and a max-sim grouped argmax. λ = 0.5: both score
+    * multipliers are powers of two over the 6dp cosines, so the IEEE
+    * arithmetic matches Spark operand-for-operand. */
+  private lazy val f19OracleSql: String = {
+    val k = 5; val pool = 10
+    val dotQ = sqlPround(
+      "list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * c.v[i]), (x, y) -> x + y)", 6)
+    val dotS = sqlPround(
+      "list_reduce(list_transform(generate_series(1, len(a.cv)), i -> a.cv[i] * b.cv[i]), (x, y) -> x + y)", 6)
+    val steps = (2 to k).map { j =>
+      s"""selu${j - 1} AS (${(1 until j).map(i => s"SELECT query_id, nn_id FROM sel$i").mkString(" UNION ALL ")}),
+         |rem${j - 1} AS (
+         |  SELECT p.* FROM pool p ANTI JOIN selu${j - 1} u
+         |    ON p.query_id = u.query_id AND p.nn_id = u.nn_id),
+         |sc$j AS (
+         |  SELECT r.query_id, r.nn_id, r.cosine,
+         |    0.5 * r.cosine - 0.5 * max(s.sim) AS score
+         |  FROM rem${j - 1} r
+         |  JOIN selu${j - 1} u ON u.query_id = r.query_id
+         |  JOIN sims s ON s.query_id = r.query_id AND s.ia = r.nn_id
+         |    AND s.ib = u.nn_id
+         |  GROUP BY 1, 2, 3),
+         |sel$j AS (
+         |  SELECT query_id, nn_id, cosine, $j AS rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, nn_id ASC) AS rk FROM sc$j)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |         (a, b) -> a + b)) AS nrm,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id % 100 = 0
+       |), s0 AS (
+       |  SELECT query_id, c.vec_id AS nn_id, c.v AS cv,
+       |    $dotQ AS cosine
+       |  FROM q JOIN n c ON c.vec_id <> q.query_id
+       |), pool AS MATERIALIZED (
+       |  SELECT query_id, nn_id, cosine, cv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, nn_id ASC) AS pr FROM s0)
+       |  WHERE pr <= $pool
+       |), sims AS MATERIALIZED (
+       |  SELECT a.query_id, a.nn_id AS ia, b.nn_id AS ib,
+       |    $dotS AS sim
+       |  FROM pool a JOIN pool b
+       |    ON a.query_id = b.query_id AND a.nn_id <> b.nn_id
+       |), sel1 AS (
+       |  SELECT query_id, nn_id, cosine, 1 AS rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, nn_id ASC) AS rk FROM pool)
+       |  WHERE rk = 1),
+       |$steps
+       |SELECT query_id, rank, nn_id, cosine
+       |FROM (${(1 to k).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})"""
+      .stripMargin
   }
 
   private lazy val h18OracleSql: String = {
@@ -3941,6 +4026,8 @@ object SparkEntry {
 
     "f1_ann_bruteforce" -> f1OracleSql,
 
+    "f19_ann_mmr" -> f19OracleSql,
+
     "f18_ann_matryoshka" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -4969,7 +5056,8 @@ object SparkEntry {
       "b39s_seasonal_sql" -> "b39_seasonal",
       "f18s_matryoshka_sql" -> "f18_ann_matryoshka",
       "dq8s_completeness_sql" -> "dq8_completeness",
-      "g7s_scene_cuts_sql" -> "g7_scene_cuts"
+      "g7s_scene_cuts_sql" -> "g7_scene_cuts",
+      "f19s_mmr_sql" -> "f19_ann_mmr"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

@@ -166,6 +166,81 @@ object Similarity {
       k)
   }
 
+  /** MMR-diversified top-k (F19) — maximal marginal relevance
+    * (Carbonell & Goldstein '98), the diversity-aware rerank few-shot
+    * example selection and dedup-aware retrieval want ("the 5 nearest
+    * neighbors minus near-copies of each other"): greedily pick k of
+    * the `poolSize` nearest candidates, each step maximizing
+    * `(1−λ)·relevance − λ·max-similarity-to-already-selected` with a
+    * deterministic (score desc, id asc) tie-break. λ = 0.5 keeps the
+    * score arithmetic cross-engine exact (both multipliers are powers
+    * of two over the 6dp-rounded cosines, so the IEEE subtraction has
+    * identical operands in both engines) — the whole greedy is
+    * hash-checkable, mirrored step-for-step by an UNROLLED oracle.
+    *
+    * Spelled DECLARATIVELY — k unrolled argmax stages (bounded-heap
+    * top-1 per query + anti-join + a max-sim join against the selected
+    * set), not a per-group imperative loop: every stage is query-keyed
+    * and pool-bounded (`poolSize` ≤ tens), so the whole rerank rides
+    * one hash-partition family after the pool build, and the plan
+    * stays inspectable. The pool build itself is the f1 brute-force
+    * contract; swap in any searcher's candidates at scale. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, id: String,
+              vec: String, k: Int, poolSize: Int): DataFrame = {
+    require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
+    def dv(c: Column) = c.cast("array<double>")
+    val c = corpus.select(col(id).as("nn_id"),
+      l2normalize(dv(col(vec))).as("cv"))
+    val q = queries.select(col(id).as("query_id"),
+      l2normalize(dv(col(vec))).as("qv"))
+    // the pool is (queries × poolSize)-bounded and consumed by every
+    // one of the k unrolled stages — unpinned, each stage re-derives
+    // the whole corpus-scan subtree (measured 6.4 s vs 0.6 s at
+    // sf0.01); the lazy pin is the f4/funnel bounded-frame discipline
+    val pool = graft.plans.TopKPerKey(
+      c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+        .withColumn("cosine",
+          graft.functions.Portable.pround(dot(col("qv"), col("cv")), 6)),
+      keys = Seq(col("query_id")),
+      order = Seq(col("cosine").desc, col("nn_id").asc),
+      k = poolSize, rankName = "__pr")
+      .select(col("query_id"), col("nn_id"), col("cosine"), col("cv"))
+      .localCheckpoint(false)
+    var selected: DataFrame = null
+    var rem = pool
+    for (step <- 1 to k) {
+      val scored =
+        if (selected == null) rem.withColumn("score", col("cosine"))
+        else {
+          val selV = pool.join(
+            selected.select(col("query_id"), col("nn_id")),
+            Seq("query_id", "nn_id"))
+            .select(col("query_id"), col("cv").as("__sel_cv"))
+          rem.join(selV, Seq("query_id"))
+            .groupBy(col("query_id"), col("nn_id"), col("cosine"))
+            .agg(max(graft.functions.Portable.pround(
+              dot(col("cv"), col("__sel_cv")), 6)).as("__maxsim"))
+            .withColumn("score",
+              lit(0.5) * col("cosine") - lit(0.5) * col("__maxsim"))
+        }
+      // each pick is queries-sized and read by every LATER stage's
+      // anti-join and max-sim join — pinned for the same reason
+      val pick = graft.plans.TopKPerKey(scored,
+        keys = Seq(col("query_id")),
+        order = Seq(col("score").desc, col("nn_id").asc),
+        k = 1, rankName = "__r")
+        .select(col("query_id"), col("nn_id"), col("cosine"),
+          lit(step).as("rank"))
+        .localCheckpoint(false)
+      selected = if (selected == null) pick
+        else selected.unionByName(pick)
+      rem = rem.join(pick.select(col("query_id"), col("nn_id")),
+        Seq("query_id", "nn_id"), "left_anti")
+    }
+    selected.select(col("query_id"), col("rank"), col("nn_id"),
+      col("cosine"))
+  }
+
   /** FILTERED vector search — the production "metadata predicate +
     * top-k" shape: each query's neighbors come ONLY from corpus rows
     * sharing its `attr` value. The attribute IS the join key, so the

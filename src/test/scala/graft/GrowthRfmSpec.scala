@@ -255,6 +255,36 @@ class SceneCutsSpec extends SparkSpec {
   }
 }
 
+class MmrSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mmrTopK: first pick is the relevance argmax; near-dup second is skipped") {
+    // corpus: 2 = near-copy of 1 (both close to the query), 3 = diverse
+    // and slightly less relevant. Pure relevance ranks (1, 2, 3);
+    // MMR at lambda 0.5 must pick 1 then 3 (2's sim to 1 kills it).
+    val qv = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.10f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.11f, 0.0f, 0.0f)),
+      (3L, Array(0.80f, 0.0f, 0.60f, 0.0f)),
+      (4L, Array(0.10f, 0.0f, 0.0f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((99L, qv)).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.mmrTopK(corpus, q, "vec_id",
+        "embedding", k = 3, poolSize = 4)
+      .orderBy("rank").select("nn_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L, 2L) || got == Seq(1L, 3L, 4L),
+      s"diversity pick broken: $got")
+    // and the pure-relevance order confirms 2 was second before MMR
+    val rel = graft.operators.Similarity.bruteForceTopK(
+        corpus.withColumn("embedding", col("embedding").cast("array<double>")),
+        q.withColumn("embedding", col("embedding").cast("array<double>")),
+        "vec_id", "embedding", 2)
+      .orderBy("rank").select("nn_id").as[Long].collect().toSeq
+    assert(rel == Seq(1L, 2L))
+  }
+}
+
 class CompletenessSpec extends SparkSpec {
   import spark.implicits._
 
