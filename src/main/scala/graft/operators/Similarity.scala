@@ -206,20 +206,32 @@ object Similarity {
       k = poolSize, rankName = "__pr")
       .select(col("query_id"), col("nn_id"), col("cosine"), col("cv"))
       .localCheckpoint(false)
+    // pairwise sims computed ONCE (the oracle's sims-table shape,
+    // query×pool²-bounded) — the k max-sim stages then join this tiny
+    // frame by id instead of re-dotting vectors per step
+    val sims = pool.alias("a")
+      .join(pool.alias("b"), col("a.query_id") === col("b.query_id") &&
+        col("a.nn_id") =!= col("b.nn_id"))
+      .select(col("a.query_id").as("query_id"), col("a.nn_id").as("__ia"),
+        col("b.nn_id").as("__ib"),
+        graft.functions.Portable.pround(
+          dot(col("a.cv"), col("b.cv")), 6).as("__sim"))
+      .localCheckpoint(false)
     var selected: DataFrame = null
-    var rem = pool
+    var rem = pool.select("query_id", "nn_id", "cosine")
     for (step <- 1 to k) {
       val scored =
         if (selected == null) rem.withColumn("score", col("cosine"))
         else {
-          val selV = pool.join(
-            selected.select(col("query_id"), col("nn_id")),
-            Seq("query_id", "nn_id"))
-            .select(col("query_id"), col("cv").as("__sel_cv"))
-          rem.join(selV, Seq("query_id"))
-            .groupBy(col("query_id"), col("nn_id"), col("cosine"))
-            .agg(max(graft.functions.Portable.pround(
-              dot(col("cv"), col("__sel_cv")), 6)).as("__maxsim"))
+          rem
+            .join(sims, rem("query_id") === sims("query_id") &&
+              rem("nn_id") === sims("__ia"))
+            .join(selected.select(col("query_id").as("__sq"),
+              col("nn_id").as("__sn")),
+              sims("query_id") === col("__sq") &&
+                sims("__ib") === col("__sn"))
+            .groupBy(rem("query_id"), rem("nn_id"), rem("cosine"))
+            .agg(max(col("__sim")).as("__maxsim"))
             .withColumn("score",
               lit(0.5) * col("cosine") - lit(0.5) * col("__maxsim"))
         }
