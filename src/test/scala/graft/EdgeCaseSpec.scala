@@ -291,4 +291,56 @@ class EdgeCaseSpec extends SparkSpec {
       .select("dau", "wau").as[(Long, Long)].head()
     assert(st == ((1L, 1L)))
   }
+
+  test("r10 operators return sane results on empty and degenerate input") {
+    val noEv = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    assert(Sessionize.growthAccounting(noEv, "user_id", "ts").count() == 0)
+    assert(Sessionize.activeStreaks(noEv, "user_id", "ts").count() == 0)
+    assert(Sessionize.rfm(noEv, "user_id", "ts", "value").count() == 0)
+    assert(graft.operators.DataQuality.rollingAnomalies(
+      noEv, Seq("event_type"), "ts").count() == 0)
+    assert(graft.operators.DataQuality.completeness(
+      noEv, Seq("event_type"), "ts").count() == 0)
+    assert(TimeAgg.seasonalBaseline(noEv, "event_type", "ts", "value")
+      .count() == 0)
+    // temperature sampling: empty corpus and total 0 both yield empty
+    val noSrc = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(Curation.temperatureSample(noSrc, "source", col("doc_id"),
+      10L, "|s").count() == 0)
+    val oneSrc = Seq((1L, "a"), (2L, "a")).toDF("doc_id", "source")
+    assert(Curation.temperatureSample(oneSrc, "source", col("doc_id"),
+      0L, "|s").count() == 0)
+    // similarity: empty corpus/queries are empty results, not errors
+    val noVec = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.matryoshkaTopK(noVec, noVec,
+      "vec_id", "embedding", 5, 2, 5).count() == 0)
+    assert(graft.operators.Similarity.mmrTopK(noVec, noVec,
+      "vec_id", "embedding", 2, 3).count() == 0)
+    // a single user on a single day: new on its day, churn clipped,
+    // streak of one, complete calendar, quartiles all 1-ish but defined
+    val oneEv = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      1L, "view", 2.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val g = Sessionize.growthAccounting(oneEv, "user_id", "ts")
+      .select("n_new", "n_retained", "n_resurrected", "n_churned")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(g == Seq((1L, 0L, 0L, 0L)))
+    val sk = Sessionize.activeStreaks(oneEv, "user_id", "ts")
+      .select("streak_days").as[Long].head()
+    assert(sk == 1L)
+    val cm = graft.operators.DataQuality.completeness(
+        oneEv, Seq("event_type"), "ts")
+      .select("n_expected", "n_missing", "complete")
+      .as[(Long, Long, Boolean)].head()
+    assert(cm == ((1L, 0L, true)))
+    val rf = Sessionize.rfm(oneEv, "user_id", "ts", "value")
+      .select("recency_days", "frequency", "monetary", "segment")
+      .as[(Int, Long, Double, String)].head()
+    assert(rf == ((0, 1L, 2.0, "111")))
+    // scene cuts on an empty media table
+    val noMedia = Seq.empty[(Long, Array[Byte])].toDF("media_id", "payload")
+    assert(graft.operators.Multimodal.sceneCuts(noMedia, 4, 1, 1, 4)
+      .count() == 0)
+  }
 }
