@@ -115,6 +115,21 @@ object Main {
       s" top_path_hop=${topTrans.getString(0)}>${topTrans.getString(1)}" +
       s" top_credit=${attributed.getString(0)}:${attributed.getLong(1)}")
 
+    // ---- growth dashboard (C17/C18/C19, r10): the quick-ratio
+    // decomposition, longest streak and an RFM cell off the same events
+    val lastGrowth = graft.operators.Sessionize
+      .growthAccounting(ev, "user_id", "ts")
+      .orderBy(col("day").desc).head()
+    val topStreak = graft.operators.Sessionize
+      .activeStreaks(ev, "user_id", "ts")
+      .orderBy(col("streak_days").desc, col("user_id")).head()
+    val champions = graft.operators.Sessionize.rfm(ev, "user_id", "ts", "value")
+      .filter(col("segment") === "444").count()
+    println(s"[growth] last_day=${lastGrowth.getDate(0)}" +
+      s" new=${lastGrowth.getLong(1)} retained=${lastGrowth.getLong(2)}" +
+      s" resurrected=${lastGrowth.getLong(3)} churned=${lastGrowth.getLong(4)}" +
+      s" longest_streak=${topStreak.getLong(1)}d champions_444=$champions")
+
     // ---- freshness gate (DQ6): the dbt source-freshness contract
     // against the staged window's own end instant
     val asOf = ev.agg(org.apache.spark.sql.functions.max(col("ts"))).head()
