@@ -564,6 +564,14 @@ object GraftTableFunctions {
         table(str(args, 0, fn)), table(str(args, 1, fn)),
         str(args, 2, fn), str(args, 3, fn), k = num(args, 4, fn).toInt,
         poolSize = num(args, 5, fn).toInt))
+    },
+
+    // graft_instant_rate(table, key, ts, tieCol, valueCol) — B40
+    "graft_instant_rate" -> { args =>
+      val fn = "graft_instant_rate"
+      arity(args, fn, Set(5), "table, key, ts, tieCol, valueCol")
+      plan(TimeAgg.instantRate(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn), str(args, 3, fn), str(args, 4, fn)))
     })
 
   /** 'col', 'col asc' or 'col desc' → a sort Column. */

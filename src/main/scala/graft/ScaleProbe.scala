@@ -968,6 +968,9 @@ object ScaleProbe {
         "f19_ann_mmr" -> (() =>
           Similarity.mmrTopK(emb, q, "vec_id", "embedding",
             k = 5, poolSize = 10)),
+        // instant rate: one (ts desc) window + key agg
+        "b40_instant_rate" -> (() =>
+          TimeAgg.instantRate(ev, "user_id", "ts", "event_id", "value")),
         // readability: zero-shuffle projection (two regex passes)
         "h26_readability" -> (() =>
           docs.select(col("doc_id"),

@@ -1750,6 +1750,11 @@ object SparkEntry {
     "b39_seasonal" -> ((s, d) =>
       TimeAgg.seasonalBaseline(ev(s, d), "event_type", "ts", "value")),
 
+    // instantaneous counter delta/rate: the last two readings per user,
+    // reset-aware — TimescaleDB idelta_right/irate_right
+    "b40_instant_rate" -> ((s, d) =>
+      TimeAgg.instantRate(ev(s, d), "user_id", "ts", "event_id", "value")),
+
     // per-key calendar completeness: expected = own first-to-last span,
     // missing = expected - distinct present days; spine never explodes
     "dq8_completeness" -> ((s, d) =>
@@ -2235,6 +2240,12 @@ object SparkEntry {
         .createOrReplaceTempView("graft_sql_emb_q")
       s.sql("""SELECT * FROM graft_mmr('graft_sql_emb',
         'graft_sql_emb_q', 'vec_id', 'embedding', 5, 10)""")
+    }),
+
+    "b40s_instant_rate_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_instant_rate('graft_sql_events',
+        'user_id', 'ts', 'event_id', 'value')""")
     }),
 
     "b37s_top_gaps_sql" -> ((s, d) => {
@@ -3385,6 +3396,29 @@ object SparkEntry {
         |    AND (CAST(n AS HUGEINT) * cnt - ss) * (CAST(n AS HUGEINT) * cnt - ss)
         |      > 9 * (CAST(n AS HUGEINT) * q - ss * ss), FALSE) AS is_anomaly
         |FROM s""".stripMargin,
+
+    "b40_instant_rate" ->
+      s"""WITH r AS (
+         |  SELECT user_id, ts, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events),
+         |a AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN rn = 1 THEN ts END) AS last_ts,
+         |    max(CASE WHEN rn = 1 THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) END) AS vl,
+         |    max(CASE WHEN rn = 2 THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) END) AS vp,
+         |    max(CASE WHEN rn = 1 THEN epoch_us(ts) END) AS tl,
+         |    max(CASE WHEN rn = 2 THEN epoch_us(ts) END) AS tp
+         |  FROM r WHERE rn <= 2 GROUP BY 1)
+         |SELECT user_id, last_ts,
+         |  CASE WHEN vp IS NOT NULL THEN
+         |    CAST(CASE WHEN vl >= vp THEN vl - vp ELSE vl END AS DOUBLE) / 1000000.0
+         |  END AS idelta,
+         |  CASE WHEN vp IS NOT NULL AND tl > tp THEN
+         |    ${sqlPround("(CAST(CASE WHEN vl >= vp THEN vl - vp ELSE vl END AS DOUBLE) / 1000000.0) / (CAST(tl - tp AS DOUBLE) / 1000000.0)", 6)}
+         |  END AS irate_per_sec
+         |FROM a""".stripMargin,
 
     "dq8_completeness" ->
       """WITH a AS (
@@ -5057,7 +5091,8 @@ object SparkEntry {
       "f18s_matryoshka_sql" -> "f18_ann_matryoshka",
       "dq8s_completeness_sql" -> "dq8_completeness",
       "g7s_scene_cuts_sql" -> "g7_scene_cuts",
-      "f19s_mmr_sql" -> "f19_ann_mmr"
+      "f19s_mmr_sql" -> "f19_ann_mmr",
+      "b40s_instant_rate_sql" -> "b40_instant_rate"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

@@ -713,6 +713,49 @@ object TimeAgg {
       col("__n").as("n_pairs"))
   }
 
+  /** Instantaneous counter delta / rate (B40) — TimescaleDB
+    * `counter_agg`'s `idelta_right` / `irate_right` role, the "what is
+    * this gauge doing RIGHT NOW" companion to B18/B29's whole-window
+    * delta/rate: per key, the change between the LAST two readings
+    * (counter-reset-aware: a drop reports the post-reset reading, the
+    * B18 contract) and that change divided by the µs-exact elapsed
+    * seconds. One `(ts, tie)` window + one conditional agg per key —
+    * single hash-partition family; keys with one reading report NULLs
+    * (no pair, honestly absent semantics). Returns `(key, last_ts,
+    * idelta, irate_per_sec)`. */
+  def instantRate(events: DataFrame, key: String, ts: String,
+                  tieCol: String, value: String,
+                  scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = math.pow(10, scale)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col(tieCol).desc)
+    val top2 = events
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+    val agg = top2.groupBy(col(key))
+      .agg(
+        max(when(col("__rn") === 1, col(ts))).as("last_ts"),
+        max(when(col("__rn") === 1,
+          graft.functions.Portable.toFixed(col(value), scale)))
+          .as("__vl"),
+        max(when(col("__rn") === 2,
+          graft.functions.Portable.toFixed(col(value), scale)))
+          .as("__vp"),
+        max(when(col("__rn") === 1, unix_micros(col(ts)))).as("__tl"),
+        max(when(col("__rn") === 2, unix_micros(col(ts)))).as("__tp"))
+    val deltaFx = when(col("__vl") >= col("__vp"),
+      col("__vl") - col("__vp")).otherwise(col("__vl"))
+    agg.select(col(key), col("last_ts"),
+      when(col("__vp").isNotNull,
+        deltaFx.cast("double") / lit(p)).as("idelta"),
+      when(col("__vp").isNotNull && col("__tl") > col("__tp"),
+        graft.functions.Portable.pround(
+          (deltaFx.cast("double") / lit(p)) /
+            ((col("__tl") - col("__tp")).cast("double") / lit(1000000.0)),
+          scale)).as("irate_per_sec"))
+  }
+
   /** Weekly seasonal baseline + residuals (B39) — the
     * seasonal-decomposition first step every volume monitor needs
     * before flagging ("Sunday is always low; is THIS Sunday low for a

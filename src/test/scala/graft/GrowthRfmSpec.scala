@@ -255,6 +255,32 @@ class SceneCutsSpec extends SparkSpec {
   }
 }
 
+class InstantRateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("instantRate: last-two delta, reset-aware, single-reading NULLs") {
+    val df = Seq(
+      // u1: 10 -> 30 over 20s  => idelta 20, irate 1.0
+      (1L, "2024-01-01 00:00:00", 1L, 10.0),
+      (1L, "2024-01-01 00:00:20", 2L, 30.0),
+      // u2: counter reset 50 -> 5 => idelta = post-reset reading 5
+      (2L, "2024-01-01 00:00:00", 3L, 50.0),
+      (2L, "2024-01-01 00:00:10", 4L, 5.0),
+      // u3: one reading => NULLs
+      (3L, "2024-01-01 00:00:00", 5L, 7.0))
+      .toDF("user_id", "s", "event_id", "value")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val got = graft.operators.TimeAgg.instantRate(
+        df, "user_id", "ts", "event_id", "value")
+      .select(col("user_id"), col("idelta"), col("irate_per_sec"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got(1L) == ((Some(20.0), Some(1.0))))
+    assert(got(2L) == ((Some(5.0), Some(0.5))))
+    assert(got(3L) == ((None, None)))
+  }
+}
+
 class MmrSpec extends SparkSpec {
   import spark.implicits._
 
