@@ -563,6 +563,65 @@ object IotStreamPipeline {
       }.toDF()
   }
 
+  case class InstantRateState(prevFixed: Long, prevUs: Long,
+                              hasPrev: Boolean, lastFixed: Long,
+                              lastUs: Long, lastTs: java.sql.Timestamp)
+  case class InstantRateOut(user_id: Long, last_ts: java.sql.Timestamp,
+                            idelta: Option[Double],
+                            irate_per_sec: Option[Double])
+
+  /** Continuous instantaneous-rate maintenance (I35) — the streaming
+    * analog of [[graft.operators.TimeAgg.instantRate]]: state per key
+    * is exactly the LAST TWO readings (fixed-point values + µs
+    * timestamps — two rows, never event count), each batch folds its
+    * readings in (ts, event_id) order and the updated instant
+    * delta/rate row emits for an idempotent keyed upsert. The
+    * delta/rate arithmetic is operation-for-operation the batch
+    * operator's (fixed-point subtraction, one double division, the
+    * same `floor(x·10^s + 0.5)` round), so the maintained table equals
+    * batch B40 row-for-row (spec-asserted). Cross-batch ordering
+    * relies on the cursor-order delivery contract ([[scd2Stream]]). */
+  def instantRateStream(stage: DataFrame, scale: Int = 6): DataFrame = {
+    val spark = stage.sparkSession
+    import spark.implicits._
+    val p = math.pow(10, scale)
+    val typed = stage
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[InstantRateState, InstantRateOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[InstantRateState]) =>
+          val evs = rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+          var st = state.getOption.orNull
+          evs.foreach { case (_, ts, _, v) =>
+            val tu = ts.getTime * 1000L + ts.getNanos / 1000L % 1000L
+            val vf = math.floor(v * p + 0.5).toLong
+            st =
+              if (st == null) InstantRateState(0L, 0L, false, vf, tu, ts)
+              else InstantRateState(st.lastFixed, st.lastUs, true, vf, tu, ts)
+          }
+          if (st == null) Iterator.empty
+          else {
+            state.update(st)
+            val idelta = if (!st.hasPrev) None
+              else Some((if (st.lastFixed >= st.prevFixed)
+                st.lastFixed - st.prevFixed else st.lastFixed) / p)
+            Iterator.single(InstantRateOut(uid, st.lastTs, idelta,
+              irateOf(st, p)))
+          }
+      }.toDF()
+  }
+
+  private def irateOf(st: InstantRateState, p: Double): Option[Double] =
+    if (!st.hasPrev || st.lastUs <= st.prevUs) None
+    else {
+      val deltaFx = if (st.lastFixed >= st.prevFixed)
+        st.lastFixed - st.prevFixed else st.lastFixed
+      val x = (deltaFx / p) / ((st.lastUs - st.prevUs) / 1000000.0)
+      Some(math.floor(x * 1000000.0 + 0.5) / 1000000.0)
+    }
+
   case class FunnelProgState(anchorUs: Long, lastUs: Long, reached: Int)
   case class FunnelProgOut(user_id: Long, reached_step: Int, anchor_us: Long)
 

@@ -321,6 +321,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming instant rate maintains batch B40 across arrivals (I35)") {
+    import graft.streaming.IotStreamPipeline
+    import graft.streaming.IotStreamPipeline.InstantRateOut
+    val in = Files.createTempDirectory("graft-irate-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value")
+    val got = maintainedRows[InstantRateOut](
+      IotStreamPipeline.instantRateStream(
+        spark.readStream.schema(ev.schema).parquet(in)),
+      r => r.user_id)(landTimeSplit(ev, in)).toDF()
+    val want = graft.operators.TimeAgg.instantRate(
+      graft.sources.Tables.events(spark, sf),
+      "user_id", "ts", "event_id", "value")
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming state_agg maintains the batch rollup across arrivals") {
     import graft.streaming.IotStreamPipeline
     import graft.streaming.IotStreamPipeline.StateAggOut
