@@ -572,6 +572,14 @@ object GraftTableFunctions {
       arity(args, fn, Set(5), "table, key, ts, tieCol, valueCol")
       plan(TimeAgg.instantRate(table(str(args, 0, fn)), str(args, 1, fn),
         str(args, 2, fn), str(args, 3, fn), str(args, 4, fn)))
+    },
+
+    // graft_line_dedup(table, id, textCol, minDocs) — H27
+    "graft_line_dedup" -> { args =>
+      val fn = "graft_line_dedup"
+      arity(args, fn, Set(4), "table, id, textCol, minDocs")
+      plan(Curation.lineDedup(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn), minDocs = num(args, 3, fn).toLong))
     })
 
   /** 'col', 'col asc' or 'col desc' → a sort Column. */

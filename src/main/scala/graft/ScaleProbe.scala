@@ -971,6 +971,15 @@ object ScaleProbe {
         // instant rate: one (ts desc) window + key agg
         "b40_instant_rate" -> (() =>
           TimeAgg.instantRate(ev, "user_id", "ts", "event_id", "value")),
+        // cross-doc line dedup: posexplode + map-combined line counts +
+        // small-side anti join + per-doc ordered reassembly
+        "h27_line_dedup" -> (() =>
+          Curation.lineDedup(
+            docs.select(col("doc_id"),
+              concat_ws("\n", lit("Home | About | Contact"), col("text"),
+                concat(lit("ref: "), col("doc_id").cast("string")),
+                lit("(c) example corp")).as("text")),
+            "doc_id", "text", minDocs = 3)),
         // readability: zero-shuffle projection (two regex passes)
         "h26_readability" -> (() =>
           docs.select(col("doc_id"),

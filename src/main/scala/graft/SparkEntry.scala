@@ -1760,6 +1760,18 @@ object SparkEntry {
     "dq8_completeness" -> ((s, d) =>
       DataQuality.completeness(ev(s, d), Seq("event_type"), "ts")),
 
+    // cross-doc boilerplate-line removal: lines in >= 3 distinct docs
+    // drop, survivors reassemble in order — deterministic multi-line
+    // wrapping built in-query (the h20/h25 adversarial-fixture
+    // discipline: shared chrome + the doc body + a per-doc unique line)
+    "h27_line_dedup" -> ((s, d) => {
+      val wrapped = docs(s, d).select(col("doc_id"),
+        concat_ws("\n", lit("Home | About | Contact"), col("text"),
+          concat(lit("ref: "), col("doc_id").cast("string")),
+          lit("(c) example corp")).as("text"))
+      Curation.lineDedup(wrapped, "doc_id", "text", minDocs = 3)
+    }),
+
     // Flesch reading ease with the vowel-group syllable proxy — the
     // readability gate of corpus curation; zero-shuffle projection
     "h26_readability" -> ((s, d) =>
@@ -2246,6 +2258,17 @@ object SparkEntry {
       sqlSurface(s, d)
       s.sql("""SELECT * FROM graft_instant_rate('graft_sql_events',
         'user_id', 'ts', 'event_id', 'value')""")
+    }),
+
+    "h27s_line_dedup_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      docs(s, d).select(col("doc_id"),
+          concat_ws("\n", lit("Home | About | Contact"), col("text"),
+            concat(lit("ref: "), col("doc_id").cast("string")),
+            lit("(c) example corp")).as("text"))
+        .createOrReplaceTempView("graft_sql_wrapped_docs")
+      s.sql("""SELECT * FROM graft_line_dedup('graft_sql_wrapped_docs',
+        'doc_id', 'text', 3)""")
     }),
 
     "b37s_top_gaps_sql" -> ((s, d) => {
@@ -3449,6 +3472,26 @@ object SparkEntry {
          |  ${sqlPround("CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0", 4)} AS baseline,
          |  ${sqlPround("CAST(CAST(n AS HUGEINT) * fv - s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0", 4)} AS residual
          |FROM d JOIN b USING (event_type, dow)""".stripMargin,
+
+    "h27_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    'Home | About | Contact' || chr(10) || text || chr(10) ||
+        |    'ref: ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |    '(c) example corp' AS t
+        |  FROM documents),
+        |sp AS (SELECT doc_id, string_split(t, chr(10)) AS ls,
+        |         len(string_split(t, chr(10))) AS total FROM d),
+        |l AS (SELECT doc_id, u.i AS pos, ls[u.i] AS line
+        |      FROM sp, unnest(generate_series(1, len(ls))) AS u(i)),
+        |hot AS (SELECT line FROM l GROUP BY line
+        |        HAVING count(DISTINCT doc_id) >= 3),
+        |k AS (SELECT l.* FROM l ANTI JOIN hot USING (line)),
+        |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct,
+        |        count(*) AS nk FROM k GROUP BY 1)
+        |SELECT sp.doc_id, coalesce(r.ct, '') AS clean_text,
+        |  CAST(coalesce(r.nk, 0) AS BIGINT) AS n_kept,
+        |  CAST(sp.total - coalesce(r.nk, 0) AS BIGINT) AS n_dropped
+        |FROM sp LEFT JOIN r USING (doc_id)""".stripMargin,
 
     "h26_readability" -> {
       val w = "CAST(greatest(len(tok), 1) AS DOUBLE)"
@@ -5092,7 +5135,8 @@ object SparkEntry {
       "dq8s_completeness_sql" -> "dq8_completeness",
       "g7s_scene_cuts_sql" -> "g7_scene_cuts",
       "f19s_mmr_sql" -> "f19_ann_mmr",
-      "b40s_instant_rate_sql" -> "b40_instant_rate"
+      "b40s_instant_rate_sql" -> "b40_instant_rate",
+      "h27s_line_dedup_sql" -> "h27_line_dedup"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

@@ -507,6 +507,48 @@ object Curation {
     * for #source×lang strata, a driver-sized cliff the moment someone
     * strata-izes by a high-cardinality key (URL domain); the two-level
     * agg + broadcast scalar has no such cliff. */
+  /** Cross-document boilerplate-LINE removal (H27) — the corpus-
+    * statistical half of line filtering H25's per-line rules can't
+    * see (C4 drops "any line occurring in ≥ N documents"; nav chrome
+    * and cookie banners repeat VERBATIM across a crawl even when no
+    * keyword rule matches them): a line is boilerplate iff it appears
+    * in at least `minDocs` DISTINCT documents; every occurrence drops
+    * and the survivors reassemble in original order. Returns
+    * `(id, clean_text, n_kept, n_dropped)` — one row per input doc,
+    * all-dropped docs report an empty string honestly.
+    *
+    * Scale shape: one posexplode + a map-combined per-line
+    * distinct-doc count; the HOT set (lines at the threshold) is
+    * boilerplate-sized, so the anti join back is small-side; the
+    * ordered reassembly is an `array_sort(collect_list(struct(pos,
+    * line)))` per doc — grouped state bounded by the doc's own line
+    * count, no window. */
+  def lineDedup(df: DataFrame, id: String, text: String,
+                minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df
+      .select(col(id), posexplode(split(col(text), "\n"))
+        .as(Seq("__pos", "__line")))
+    val hot = lines.groupBy(col("__line"))
+      .agg(countDistinct(col(id)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__line"))
+    val kept = lines.join(hot, Seq("__line"), "left_anti")
+    val rebuilt = kept.groupBy(col(id))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(id),
+        size(split(col(text), "\n")).cast("long").as("__total"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   def sourceMix(df: DataFrame, groupCols: Seq[String], tokens: Column,
                 quality: Column): DataFrame = {
     val strata = df.groupBy(groupCols.map(col): _*)

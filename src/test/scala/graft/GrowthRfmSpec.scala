@@ -255,6 +255,31 @@ class SceneCutsSpec extends SparkSpec {
   }
 }
 
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lineDedup: cross-doc hot lines drop everywhere, order survives, all-dropped is empty") {
+    val df = Seq(
+      (1L, "NAV\nunique one\nNAV2"),
+      (2L, "NAV\nunique two\nNAV2"),
+      (3L, "NAV\nunique three\nNAV2"),
+      (4L, "NAV\nNAV2")) // nothing unique -> empty
+      .toDF("doc_id", "text")
+    val got = graft.operators.Curation.lineDedup(df, "doc_id", "text", 3)
+      .select("doc_id", "clean_text", "n_kept", "n_dropped")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == (("unique one", 1L, 2L)))
+    assert(got(2L) == (("unique two", 1L, 2L)))
+    assert(got(4L) == (("", 0L, 2L)))
+    // within-doc repeats of a non-hot line are kept at every position
+    val rep = Seq((1L, "a\nb\na"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val keep = graft.operators.Curation.lineDedup(rep, "doc_id", "text", 3)
+      .filter(col("doc_id") === 1L).select("clean_text").as[String].head()
+    assert(keep == "a\nb\na")
+  }
+}
+
 class InstantRateSpec extends SparkSpec {
   import spark.implicits._
 
