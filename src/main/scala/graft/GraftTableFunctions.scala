@@ -580,6 +580,16 @@ object GraftTableFunctions {
       arity(args, fn, Set(4), "table, id, textCol, minDocs")
       plan(Curation.lineDedup(table(str(args, 0, fn)), str(args, 1, fn),
         str(args, 2, fn), minDocs = num(args, 3, fn).toLong))
+    },
+
+    // graft_interval_lookup(facts, dim, valueCol, loCol, hiCol,
+    //                       bucketWidth) — D33
+    "graft_interval_lookup" -> { args =>
+      val fn = "graft_interval_lookup"
+      arity(args, fn, Set(6), "facts, dim, valueCol, loCol, hiCol, bucketWidth")
+      plan(TemporalJoin.intervalLookup(table(str(args, 0, fn)),
+        table(str(args, 1, fn)), str(args, 2, fn), str(args, 3, fn),
+        str(args, 4, fn), bucketWidth = num(args, 5, fn)))
     })
 
   /** 'col', 'col asc' or 'col desc' → a sort Column. */

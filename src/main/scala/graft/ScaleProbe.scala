@@ -971,6 +971,15 @@ object ScaleProbe {
         // instant rate: one (ts desc) window + key agg
         "b40_instant_rate" -> (() =>
           TimeAgg.instantRate(ev, "user_id", "ts", "event_id", "value")),
+        // interval lookup: bucketized equi-join, residual filter
+        "d33_interval_lookup" -> (() => {
+          import spark.implicits._
+          val bands = Seq(("bronze", 0.0, 50.0), ("silver", 50.0, 200.0),
+            ("gold", 200.0, 1000.0)).toDF("tier", "lo", "hi")
+          TemporalJoin.intervalLookup(
+            ev.select("event_id", "user_id", "value"),
+            bands, "value", "lo", "hi", 50.0)
+        }),
         // cross-doc line dedup: posexplode + map-combined line counts +
         // small-side anti join + per-doc ordered reassembly
         "h27_line_dedup" -> (() =>

@@ -1093,6 +1093,22 @@ object SparkEntry {
           coalesce(Portable.pround(col("o_totalprice"), 4), lit(0.0)).as("next_totalprice"))
     }),
 
+    // static-interval band lookup, bucketized: plans a hash equi-join
+    // where a bare BETWEEN forces a nested loop; the band table is the
+    // deterministic in-query fixture
+    "d33_interval_lookup" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("bronze", 0.0, 50.0), ("silver", 50.0, 200.0),
+        ("gold", 200.0, 1000.0))
+        .toDF("tier", "lo", "hi")
+      TemporalJoin.intervalLookup(
+          ev(s, d).select("event_id", "user_id", "value"),
+          bands, "value", "lo", "hi", bucketWidth = 50.0)
+        .select(col("event_id"), col("user_id"),
+          Portable.pround(col("value"), 4).as("value"), col("tier"))
+    }),
+
     // d6 with the kdb-style staleness bound: an order older than 7
     // days is too stale to count as the customer's "current" order —
     // same one-shuffle tagged-union plan, the bound is a projection
@@ -2258,6 +2274,19 @@ object SparkEntry {
       sqlSurface(s, d)
       s.sql("""SELECT * FROM graft_instant_rate('graft_sql_events',
         'user_id', 'ts', 'event_id', 'value')""")
+    }),
+
+    "d33s_interval_lookup_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      import s.implicits._
+      Seq(("bronze", 0.0, 50.0), ("silver", 50.0, 200.0),
+        ("gold", 200.0, 1000.0)).toDF("tier", "lo", "hi")
+        .createOrReplaceTempView("graft_sql_bands")
+      s.sql("""SELECT event_id, user_id, value, tier
+        FROM graft_interval_lookup('graft_sql_events', 'graft_sql_bands',
+          'value', 'lo', 'hi', 50.0)""")
+        .select(col("event_id"), col("user_id"),
+          Portable.pround(col("value"), 4).as("value"), col("tier"))
     }),
 
     "h27s_line_dedup_sql" -> ((s, d) => {
@@ -3894,6 +3923,15 @@ object SparkEntry {
          |FROM events e ASOF LEFT JOIN od o
          |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
 
+    "d33_interval_lookup" ->
+      s"""WITH bands(tier, lo, hi) AS (VALUES
+         |  ('bronze', 0.0, 50.0), ('silver', 50.0, 200.0),
+         |  ('gold', 200.0, 1000.0))
+         |SELECT event_id, user_id,
+         |  ${sqlPround("value", 4)} AS value, tier
+         |FROM events JOIN bands ON value >= lo AND value < hi"""
+        .stripMargin,
+
     "d32_asof_forward" ->
       s"""WITH od AS (
          |  SELECT * FROM orders
@@ -5136,7 +5174,8 @@ object SparkEntry {
       "g7s_scene_cuts_sql" -> "g7_scene_cuts",
       "f19s_mmr_sql" -> "f19_ann_mmr",
       "b40s_instant_rate_sql" -> "b40_instant_rate",
-      "h27s_line_dedup_sql" -> "h27_line_dedup"
+      "h27s_line_dedup_sql" -> "h27_line_dedup",
+      "d33s_interval_lookup_sql" -> "d33_interval_lookup"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

@@ -166,4 +166,33 @@ object TemporalJoin {
       .groupBy(leftCols.map(col): _*)
       .agg(count(col("__rt")).as(countName))
   }
+
+  /** Static-interval dimension lookup (D33) — the "which band does
+    * this value fall in" join (IP→geo ranges, price tiers, SLA bands):
+    * each fact row picks every dim interval with
+    * `lo <= value < hi`. Spelled BUCKETIZED so it plans a hash
+    * equi-join, never the BroadcastNestedLoopJoin a bare BETWEEN
+    * predicate forces (the NLJ re-scans the whole dim per fact row —
+    * at 100 TB the difference between a shuffle and a disaster): dim
+    * intervals explode to the fixed-width buckets they span, facts key
+    * to their own bucket, the residual range predicate filters
+    * in-bucket — a fact meets an interval in exactly ONE bucket (its
+    * own), so no dedup pass is needed. `bucketWidth` trades dim
+    * fan-out (span/width copies per interval) against per-bucket
+    * candidate count; the OUTPUT is width-independent, so the oracle
+    * is the plain range join. Overlapping intervals honestly produce
+    * one row each; facts outside every interval drop (inner). */
+  def intervalLookup(facts: DataFrame, dim: DataFrame, value: String,
+                     lo: String, hi: String,
+                     bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val dimB = dim.withColumn("__b", explode(sequence(
+      floor(col(lo) / bucketWidth).cast("long"),
+      floor(col(hi) / bucketWidth).cast("long"))))
+    facts
+      .withColumn("__b", floor(col(value) / bucketWidth).cast("long"))
+      .join(dimB, Seq("__b"))
+      .filter(col(value) >= col(lo) && col(value) < col(hi))
+      .drop("__b", lo, hi)
+  }
 }

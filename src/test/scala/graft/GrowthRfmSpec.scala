@@ -255,6 +255,29 @@ class SceneCutsSpec extends SparkSpec {
   }
 }
 
+class IntervalLookupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("intervalLookup: half-open bounds, multi-bucket spans match once, overlaps emit each") {
+    val facts = Seq((1L, 0.0), (2L, 49.9), (3L, 50.0), (4L, 175.0),
+      (5L, 9999.0)).toDF("id", "v")
+    val dim = Seq(
+      ("low", 0.0, 50.0),
+      ("wide", 0.0, 200.0), // spans 5 buckets at width 50 — matches once
+      ("mid", 50.0, 200.0))
+      .toDF("band", "lo", "hi")
+    val got = graft.operators.TemporalJoin.intervalLookup(
+        facts, dim, "v", "lo", "hi", bucketWidth = 50.0)
+      .select("id", "band").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted.toSeq }
+    assert(got(1L) == Seq("low", "wide"))
+    assert(got(2L) == Seq("low", "wide"))
+    assert(got(3L) == Seq("mid", "wide")) // hi is exclusive: not "low"
+    assert(got(4L) == Seq("mid", "wide"))
+    assert(!got.contains(5L)) // outside every band: dropped
+  }
+}
+
 class LineDedupSpec extends SparkSpec {
   import spark.implicits._
 

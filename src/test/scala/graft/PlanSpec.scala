@@ -422,6 +422,17 @@ class PlanSpec extends SparkSpec {
       s"dq7 should plan rollup + window exchanges only:\n$dq7")
   }
 
+  test("d33 interval lookup plans a hash join, never a nested loop") {
+    val d33 = executed(SparkEntry.queries("d33_interval_lookup")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!d33.contains("BroadcastNestedLoopJoin") &&
+      !d33.contains("CartesianProduct"),
+      s"bucketized interval lookup must stay an equi-join:\n$d33")
+    assert(d33.contains("Join"), s"expected a join operator:\n$d33")
+    assert("FileScan parquet".r.findAllIn(d33).size == 1,
+      s"one events scan:\n$d33")
+  }
+
   test("salted aggregation plans exactly two shuffle stages") {
     val plan = executed(SparkEntry.queries("b13_salted_agg_daily")(spark, sf))
       .split("== Initial Plan ==").head
