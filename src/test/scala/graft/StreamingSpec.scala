@@ -321,6 +321,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming interval lookup enriches like batch (stateless, I36)") {
+    // the bucketized band join is a stateless stream-static enrichment
+    // (the I5 shape): the dim explode + equi-join runs per micro-batch
+    // with zero stream state
+    val in = Files.createTempDirectory("graft-il-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "user_id", "value")
+    val bands = Seq(("bronze", 0.0, 50.0), ("silver", 50.0, 200.0),
+      ("gold", 200.0, 1000.0)).toDF("tier", "lo", "hi")
+    val outRows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = graft.operators.TemporalJoin.intervalLookup(
+        spark.readStream.schema(ev.schema).parquet(in),
+        bands, "value", "lo", "hi", 50.0)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        outRows ++= batch.select("event_id", "tier")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        ()
+      }.start()
+    try {
+      ev.coalesce(1).write.mode("overwrite").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.operators.TemporalJoin.intervalLookup(
+        ev, bands, "value", "lo", "hi", 50.0)
+      .select("event_id", "tier")
+      .as[(Long, String)].collect()
+    assert(outRows.sorted == want.toSeq.sorted && want.nonEmpty)
+  }
+
   test("streaming instant rate maintains batch B40 across arrivals (I35)") {
     import graft.streaming.IotStreamPipeline
     import graft.streaming.IotStreamPipeline.InstantRateOut
