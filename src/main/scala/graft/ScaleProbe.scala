@@ -971,6 +971,10 @@ object ScaleProbe {
         // instant rate: one (ts desc) window + key agg
         "b40_instant_rate" -> (() =>
           TimeAgg.instantRate(ev, "user_id", "ts", "event_id", "value")),
+        // keep-first span dedup: e7's shape + a span-keyed keeper agg
+        "e11_dedup_spans_keep_first" -> (() =>
+          Dedup.removeRepeatedSpans(docs, "doc_id", "text", 3,
+            keepFirst = true)),
         // interval lookup: bucketized equi-join, residual filter
         "d33_interval_lookup" -> (() => {
           import spark.implicits._

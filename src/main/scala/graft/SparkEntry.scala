@@ -1202,6 +1202,13 @@ object SparkEntry {
     "e7_dedup_spans" -> ((s, d) =>
       Dedup.removeRepeatedSpans(docs(s, d), "doc_id", "text", 3)),
 
+    // the Lee et al. exact-substring dedup POLICY: each duplicated
+    // span keeps its canonical first occurrence (min (doc, pos)),
+    // every other copy drops — dedup, not eradication
+    "e11_dedup_spans_keep_first" -> ((s, d) =>
+      Dedup.removeRepeatedSpans(docs(s, d), "doc_id", "text", 3,
+        keepFirst = true)),
+
     // F. similarity search
     "f1_ann_bruteforce" -> ((s, d) => {
       val e = embD(s, d)
@@ -4008,6 +4015,44 @@ object SparkEntry {
          |  SELECT DISTINCT doc_id, pos FROM (
          |    SELECT g.doc_id, unnest(generate_series(g.p, g.p + 2)) AS pos
          |    FROM g JOIN o USING (s) WHERE o.occ > 1)),
+         |tk0 AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tok)),
+         |    i -> {'pos': i - 1, 'w': tok[i]})) AS u
+         |  FROM t),
+         |tk AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM tk0),
+         |kept AS (
+         |  SELECT tk.doc_id, tk.pos, tk.w
+         |  FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.pos = tk.pos
+         |  WHERE cov.pos IS NULL),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(w, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY 1)
+         |SELECT t.doc_id, len(t.tok) AS n_tokens,
+         |  coalesce(agg.n_kept, 0) AS n_kept,
+         |  coalesce(agg.clean_text, '') AS clean_text
+         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "e11_dedup_spans_keep_first" ->
+      s"""WITH t AS (${tokCte("documents", lower = false)}),
+         |g0 AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(tok) - 2, 0)),
+         |    i -> {'p': i - 1, 's': array_to_string(tok[i:i+2], ' ')})) AS u
+         |  FROM t),
+         |g AS (SELECT doc_id, u.p AS p, u.s AS s FROM g0),
+         |o AS (SELECT s, count(*) AS occ FROM g GROUP BY 1),
+         |hot AS (SELECT g.doc_id, g.p, g.s FROM g JOIN o USING (s)
+         |        WHERE o.occ > 1),
+         |flag AS (
+         |  SELECT doc_id, p FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY s
+         |      ORDER BY doc_id, p) AS rn FROM hot)
+         |  WHERE rn > 1),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT doc_id, unnest(generate_series(p, p + 2)) AS pos
+         |    FROM flag)),
          |tk0 AS (
          |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tok)),
          |    i -> {'pos': i - 1, 'w': tok[i]})) AS u

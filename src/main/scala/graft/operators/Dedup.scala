@@ -513,7 +513,8 @@ object Dedup {
     * corpora whose spans are long enough (large k) to flip the
     * comparison. Mode equality is spec-asserted. */
   def removeRepeatedSpans(docs: DataFrame, id: String, text: String,
-                          k: Int, hashSpanKeys: Boolean = false): DataFrame = {
+                          k: Int, hashSpanKeys: Boolean = false,
+                          keepFirst: Boolean = false): DataFrame = {
     val toks = graft.functions.TextFunctions.tokens(col(text))
     // ids are keys: null-id rows are dropped up front — EVERY branch
     // then sits above the same isnotnull-filtered scan (the left join
@@ -541,8 +542,22 @@ object Dedup {
           .otherwise(emptyKeys)).as(Seq("p", "s")))
       .repartition(col("s"))
     val occ = grams.groupBy("s").agg(count(col("p")).as("occ"))
-    val covered = grams.join(occ, Seq("s"))
-      .filter(col("occ") > 1)
+    val hot = grams.join(occ, Seq("s")).filter(col("occ") > 1)
+    // keepFirst = the Lee et al. "Deduplicating Training Data" policy:
+    // each duplicated span KEEPS its canonical first occurrence (min
+    // (doc, p) — deterministic) and loses the rest; the default removes
+    // every occurrence (boilerplate eradication). The keeper agg is
+    // span-keyed and rides the same exchange as the occ count.
+    val flagged =
+      if (!keepFirst) hot
+      else {
+        val keeper = hot.groupBy(col("s"))
+          .agg(min(struct(col("doc"), col("p"))).as("__kp"))
+        hot.join(keeper, Seq("s"))
+          .filter(!(col("doc") === col("__kp.doc") &&
+            col("p") === col("__kp.p")))
+      }
+    val covered = flagged
       .select(col("doc"), explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
       .distinct()
       .withColumn("__cov", lit(1))

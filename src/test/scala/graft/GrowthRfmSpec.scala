@@ -255,6 +255,33 @@ class SceneCutsSpec extends SparkSpec {
   }
 }
 
+class KeepFirstSpanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keepFirst span dedup: canonical first occurrence survives, others drop") {
+    // "a b c" appears in docs 1, 2 and twice in 3 — only doc 1's copy
+    // (the min (doc, pos) occurrence) survives
+    val df = Seq(
+      (1L, "a b c x y z"),
+      (2L, "q a b c r s"),
+      (3L, "a b c t a b c"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.removeRepeatedSpans(
+        df, "doc_id", "text", 3, keepFirst = true)
+      .select("doc_id", "clean_text").as[(Long, String)]
+      .collect().toMap
+    assert(got(1L) == "a b c x y z")     // keeper intact
+    assert(got(2L) == "q r s")           // copy dropped
+    assert(got(3L) == "t")               // both copies dropped
+    // default policy removes the keeper too
+    val all = graft.operators.Dedup.removeRepeatedSpans(
+        df, "doc_id", "text", 3)
+      .select("doc_id", "clean_text").as[(Long, String)]
+      .collect().toMap
+    assert(all(1L) == "x y z")
+  }
+}
+
 class IntervalLookupSpec extends SparkSpec {
   import spark.implicits._
 
