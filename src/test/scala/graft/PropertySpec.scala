@@ -496,4 +496,98 @@ class PropertySpec extends SparkSpec {
         s"shard ids not increasing: ${manifest.map(_._1).toList}")
     }
   }
+
+  test("growth accounting decomposes every day exactly on arbitrary ledgers") {
+    import graft.operators.Sessionize
+    val ledgerGen = for {
+      n <- Gen.choose(1, 40)
+      pairs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 6L); d <- Gen.choose(0, 20)
+      } yield (u, d))
+    } yield pairs.distinct
+    samples(ledgerGen, 10).foreach { pairs =>
+      val ledger = pairs.toDF("user_id", "d")
+        .select(col("user_id"),
+          (to_date(lit("2024-01-01")) + col("d")).as("__day"))
+      val got = Sessionize.growthFromLedger(ledger, "user_id")
+      // per day: new + retained + resurrected == that day's actives
+      val actives = ledger.groupBy(col("__day").as("day"))
+        .agg(count(lit(1)).as("na"))
+      val bad = got.join(actives, Seq("day"), "left")
+        .filter(coalesce(col("na"), lit(0L)) =!=
+          col("n_new") + col("n_retained") + col("n_resurrected"))
+        .count()
+      assert(bad == 0, s"decomposition broke for $pairs")
+      // churn-ins never exceed the previous day's actives
+      val churnBad = got.select((col("day") - 1).as("pd"), col("n_churned"))
+        .join(actives.withColumnRenamed("day", "pd"), Seq("pd"), "left")
+        .filter(col("n_churned") > coalesce(col("na"), lit(0L)))
+        .count()
+      assert(churnBad == 0, s"churn exceeded prior actives for $pairs")
+    }
+  }
+
+  test("rolling anomaly flags are invariant under uniform count scaling") {
+    import graft.operators.DataQuality
+    // (n·x − S)² > z²(n·Q − S²) scales by c² on BOTH sides: multiplying
+    // every count by the same positive integer cannot flip a flag
+    val dailyGen = for {
+      n <- Gen.choose(4, 15)
+      cs <- Gen.listOfN(n, Gen.choose(1L, 1000L))
+    } yield cs
+    samples(dailyGen, 8).foreach { cs =>
+      def daily(scale: Long) = cs.zipWithIndex
+        .map { case (c, i) => ("k", i, c * scale) }
+        .toDF("k", "d", "cnt")
+        .select(col("k"), (to_date(lit("2024-01-01")) + col("d")).as("day"),
+          col("cnt"))
+      def flags(scale: Long) = DataQuality
+        .anomaliesFromDaily(daily(scale), Seq("k"))
+        .orderBy("day").select("is_anomaly").as[Boolean].collect().toSeq
+      assert(flags(1L) == flags(7L), s"scaling flipped a flag for $cs")
+    }
+  }
+
+  test("temperature sampling hits the exact total when no stratum caps") {
+    import graft.operators.Curation
+    val gen = for {
+      k <- Gen.choose(2, 5)
+      sizes <- Gen.listOfN(k, Gen.choose(20L, 60L))
+      total <- Gen.choose(1L, 15L) // well under every stratum size
+    } yield (sizes, total)
+    samples(gen, 6).foreach { case (sizes, total) =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, si) =>
+        (0L until n).map(i => (si * 1000L + i, s"s$si"))
+      }
+      val df = rows.toDF("doc_id", "source")
+      val got = Curation.temperatureSample(df, "source", col("doc_id"),
+        total, "|p").count()
+      assert(got == total, s"sizes=$sizes total=$total got=$got")
+    }
+  }
+
+  test("seasonal residual sums per (key, dow) stay inside the rounding envelope") {
+    import graft.operators.TimeAgg
+    val gen = for {
+      n <- Gen.choose(3, 30)
+      rows <- Gen.listOfN(n, for {
+        d <- Gen.choose(0, 40); v <- Gen.choose(-100000L, 100000L)
+      } yield (d, v))
+    } yield rows.groupBy(_._1).map { case (d, vs) => (d, vs.map(_._2).sum) }.toList
+    samples(gen, 8).foreach { rows =>
+      val daily = rows.toDF("d", "__fv")
+        .select(lit("k").as("k"),
+          (to_date(lit("2024-01-01")) + col("d")).as("day"), col("__fv"))
+      // the EXACT cross-product numerators sum to zero within a group;
+      // each emitted residual then rounds to 4dp, so the group sum is
+      // bounded by n·(half an ulp) — never by data magnitude
+      val bad = TimeAgg.seasonalFromDaily(daily, "k")
+        .groupBy("k", "dow")
+        .agg(sum(col("residual")).as("rs"), count(lit(1)).as("n"))
+        .filter(abs(col("rs")) >
+          col("n").cast("double") * lit(0.5e-4) + lit(1e-9))
+        .count()
+      assert(bad == 0, s"residual sum escaped the rounding envelope for $rows")
+    }
+  }
 }
