@@ -590,6 +590,26 @@ object GraftTableFunctions {
       plan(TemporalJoin.intervalLookup(table(str(args, 0, fn)),
         table(str(args, 1, fn)), str(args, 2, fn), str(args, 3, fn),
         str(args, 4, fn), bucketWidth = num(args, 5, fn)))
+    },
+
+    // graft_cusum(table, keysCsv, ts, slack, threshold) — DQ9
+    "graft_cusum" -> { args =>
+      val fn = "graft_cusum"
+      arity(args, fn, Set(5), "table, keysCsv, ts, slack, threshold")
+      plan(graft.operators.DataQuality.cusumChangepoints(
+        table(str(args, 0, fn)), csv(args, 1, fn), str(args, 2, fn),
+        slack = num(args, 3, fn).toInt,
+        threshold = num(args, 4, fn).toInt))
+    },
+
+    // graft_zorder(table, dimsCsv, bits) — K11; the per-dimension
+    // (min, max) collect runs EAGERLY at plan time (the
+    // graft_curriculum contract)
+    "graft_zorder" -> { args =>
+      val fn = "graft_zorder"
+      arity(args, fn, Set(3), "table, dimsCsv, bits")
+      plan(graft.operators.Layout.zorderKey(table(str(args, 0, fn)),
+        csv(args, 1, fn), bits = num(args, 2, fn).toInt))
     })
 
   /** 'col', 'col asc' or 'col desc' → a sort Column. */

@@ -944,6 +944,17 @@ object ScaleProbe {
         // window; integer cross-multiplied test is projection-cheap
         "dq7_anomalies" -> (() =>
           DataQuality.rollingAnomalies(ev, Seq("event_type"), "ts")),
+        // cusum changepoints: daily rollup (input-sized) + one
+        // keys-hash window family over the calendar-sized frame
+        "dq9_cusum" -> (() =>
+          DataQuality.cusumChangepoints(ev, Seq("event_type"), "ts",
+            slack = 0, threshold = 30)),
+        // z-order key: one (min,max) agg pass + a zero-shuffle
+        // literal-parameterized interleave projection
+        "k11_zorder" -> (() =>
+          Layout.zorderKey(li.select(col("l_orderkey"),
+            col("l_partkey"), col("l_suppkey")),
+            Seq("l_partkey", "l_suppkey"), bits = 8)),
         // seasonal baseline: daily rollup + (key, dow) agg + join-back,
         // everything after the rollup calendar-sized
         "b39_seasonal" -> (() =>

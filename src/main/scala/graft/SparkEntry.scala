@@ -1811,6 +1811,24 @@ object SparkEntry {
       Curation.temperatureSample(docs(s, d), "source", col("doc_id"),
         total = 200L, salt = "|temp1")),
 
+    // CUSUM drift changepoints per event type: daily rollup + ONE
+    // keys-hash window family (totals + prefix sums + running mins all
+    // ride the same exchange); the max-reset recurrence as all-integer
+    // N-scaled prefix arithmetic — mu is never formed
+    "dq9_cusum" -> ((s, d) =>
+      DataQuality.cusumChangepoints(ev(s, d), Seq("event_type"), "ts",
+        slack = 0, threshold = 30)),
+
+    // Z-order layout key over (l_partkey, l_suppkey): per-dim range
+    // buckets by integer floor-div off a driver-collected (min, max)
+    // pair, then the bit interleave — a zero-shuffle
+    // literal-parameterized projection, the lake CLUSTER BY key
+    "k11_zorder" -> ((s, d) =>
+      Layout.zorderKey(
+        Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+        Seq("l_partkey", "l_suppkey"), bits = 8)),
+
     "h10_interdup" -> ((s, d) =>
       Dedup.sharedShingleRatio(docs(s, d), "doc_id", "text", 3)),
 
@@ -2218,6 +2236,21 @@ object SparkEntry {
       sqlSurface(s, d)
       s.sql("""SELECT * FROM graft_anomalies('graft_sql_events',
         'event_type', 'ts', 7, 3, 3)""")
+    }),
+
+    "dq9s_cusum_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_cusum('graft_sql_events',
+        'event_type', 'ts', 0, 30)""")
+    }),
+
+    "k11s_zorder_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+        .createOrReplaceTempView("graft_sql_lineitem_zo")
+      s.sql("""SELECT * FROM graft_zorder('graft_sql_lineitem_zo',
+        'l_partkey,l_suppkey', 8)""")
     }),
 
     "h26s_readability_sql" -> ((s, d) => {
@@ -3455,6 +3488,54 @@ object SparkEntry {
         |    AND (CAST(n AS HUGEINT) * cnt - ss) * (CAST(n AS HUGEINT) * cnt - ss)
         |      > 9 * (CAST(n AS HUGEINT) * q - ss * ss), FALSE) AS is_anomaly
         |FROM s""".stripMargin,
+
+    // dq9: the same all-integer discipline — the max-reset CUSUM
+    // recurrence as N-scaled prefix sums + running mins (HUGEINT),
+    // mirroring DataQuality.cusumFromDaily operand for operand
+    "dq9_cusum" ->
+      """WITH dly AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, day, cnt,
+        |        CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) AS nd,
+        |        sum(CAST(cnt AS HUGEINT)) OVER (PARTITION BY event_type) AS tt
+        |      FROM dly),
+        |c AS (SELECT event_type, day, cnt, nd,
+        |        sum(nd * cnt - tt) OVER w AS cu,
+        |        sum(tt - nd * cnt) OVER w AS cv
+        |      FROM t
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT *, least(CAST(0 AS HUGEINT), min(cu) OVER w) AS mu,
+        |        least(CAST(0 AS HUGEINT), min(cv) OVER w) AS mv
+        |      FROM c
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+        |  cu - mu > nd * 30 AS alarm_up,
+        |  cv - mv > nd * 30 AS alarm_dn
+        |FROM m""".stripMargin,
+
+    // k11: the Z-value is pure integer arithmetic — range buckets by
+    // floor division (DuckDB `//`), then the explicit 8-bit interleave
+    // (bit b of dim i at position 2b + i), term for term the same sum
+    // Layout.zorderValue codegens
+    "k11_zorder" -> {
+      def terms(c: String, off: Int): String =
+        (0 until 8).map(b => s"((($c >> $b) & 1) << ${2 * b + off})")
+          .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT min(l_partkey) AS p0, max(l_partkey) AS p1,
+         |         min(l_suppkey) AS s0, max(l_suppkey) AS s1
+         |  FROM lineitem),
+         |k AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |        ((CAST(l_partkey AS BIGINT) - p0) * 256) // (p1 - p0 + 1) AS ba,
+         |        ((CAST(l_suppkey AS BIGINT) - s0) * 256) // (s1 - s0 + 1) AS bb
+         |      FROM lineitem, b)
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST(${terms("ba", 0)} + ${terms("bb", 1)} AS BIGINT) AS zval
+         |FROM k""".stripMargin
+    },
 
     "b40_instant_rate" ->
       s"""WITH r AS (
@@ -5220,7 +5301,9 @@ object SparkEntry {
       "f19s_mmr_sql" -> "f19_ann_mmr",
       "b40s_instant_rate_sql" -> "b40_instant_rate",
       "h27s_line_dedup_sql" -> "h27_line_dedup",
-      "d33s_interval_lookup_sql" -> "d33_interval_lookup"
+      "d33s_interval_lookup_sql" -> "d33_interval_lookup",
+      "dq9s_cusum_sql" -> "dq9_cusum",
+      "k11s_zorder_sql" -> "k11_zorder"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

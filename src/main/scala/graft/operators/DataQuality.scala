@@ -423,4 +423,78 @@ object DataQuality {
       col("__n").cast("long").as("n_prior") :+
       (col("__n") >= minPrior && lhs > rhs).as("is_anomaly"): _*)
   }
+
+  /** CUSUM changepoint / drift detection over per-key daily volumes
+    * (DQ9) — the sequential-drift monitor DQ7's rolling z-score is
+    * blind to: a slow sustained shift never leaves the trailing
+    * window's ±3σ band, while the cumulative sum of small same-sign
+    * deviations crosses any threshold eventually (Page 1954). Both
+    * one-sided statistics, against the key's OWN mean μ over the
+    * window under test (the self-calibrating spelling — the reference
+    * re-runs its agg models over a fixed backfill window the same
+    * way, `/root/reference/dags/iot_dwh_agg_transform_daily.py`):
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + x_t − μ − slack)   (upward drift)
+    *   S⁻_t = max(0, S⁻_{t−1} + μ − slack − x_t)   (downward drift)
+    *
+    * alarm when S > threshold. Exactness: μ = T/N is never formed —
+    * every S comparison is scaled by the key's day count N, turning
+    * the recurrences into all-integer prefix arithmetic via the
+    * classic max-reset identity `S_t = C_t − min(0, min_{j≤t} C_j)`
+    * with C_t = Σ_{i≤t}(N·x_i − T − N·slack): one cumulative sum +
+    * one running min per side, `N·S_t > N·threshold` the decision —
+    * decimal(38) products off decimal(19) operands (the b22/dq7
+    * discipline), bit-identical in any integer engine, DuckDB
+    * (HUGEINT) reproduces the flags hash-exactly.
+    *
+    * Returns every (keys, day) row: `(keys..., day, cnt, alarm_up,
+    * alarm_dn)`. Single-day keys never alarm (C_1 = −N·slack ≤ 0). */
+  def cusumChangepoints(events: DataFrame, keys: Seq[String], ts: String,
+                        slack: Int = 0, threshold: Int = 10): DataFrame =
+    cusumFromDaily(
+      events.groupBy(keys.map(col) :+ to_date(col(ts)).as("day"): _*)
+        .agg(count(lit(1)).as("cnt")),
+      keys, slack, threshold)
+
+  /** The post-rollup stage of [[cusumChangepoints]], exposed so a
+    * MAINTAINED per-(keys, day) count table (daily counts are
+    * additive — a plain update-mode streaming agg) feeds an
+    * always-current drift report without re-reading raw events (the
+    * [[anomaliesFromDaily]] seam discipline). `daily` must be one row
+    * per (keys..., day) carrying `cnt`.
+    *
+    * Scale shape: the input-sized stage is the daily rollup upstream;
+    * here everything is calendar-sized — ONE keys-hash exchange
+    * shared by the per-key totals (unbounded window) and the ordered
+    * prefix sums / running mins (same partitionBy ⇒ no re-shuffle),
+    * then a pure projection decides the flags. */
+  def cusumFromDaily(daily: DataFrame, keys: Seq[String],
+                     slack: Int = 0, threshold: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val dec = "decimal(19,0)"
+    val dec38 = "decimal(38,0)"
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = col("cnt").cast(dec)
+    val n = col("__nd").cast(dec)
+    // u_t = N·x_t − T − N·slack; C_t = Σu, up-side.  v_t = −u_t − 2·N·slack
+    // is the down-side increment; both prefix sums + running mins ride
+    // the SAME ordered window pass.
+    val stats = daily
+      .withColumn("__nd", count(lit(1)).over(wAll))
+      .withColumn("__t", sum(x).over(wAll).cast(dec))
+      .withColumn("__u", (n * x - col("__t") - n * lit(slack)).cast(dec38))
+      .withColumn("__v", (col("__t") - n * lit(slack) - n * x).cast(dec38))
+      .withColumn("__cu", sum(col("__u")).over(wOrd))
+      .withColumn("__cv", sum(col("__v")).over(wOrd))
+      .withColumn("__mu", least(lit(0).cast(dec38), min(col("__cu")).over(wOrd)))
+      .withColumn("__mv", least(lit(0).cast(dec38), min(col("__cv")).over(wOrd)))
+    val h = n.cast(dec38) * lit(threshold)
+    stats.select(keys.map(col) :+ col("day") :+ col("cnt") :+
+      (col("__cu") - col("__mu") > h).as("alarm_up") :+
+      (col("__cv") - col("__mv") > h).as("alarm_dn"): _*)
+  }
 }

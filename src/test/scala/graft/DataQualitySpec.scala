@@ -224,3 +224,78 @@ class RebalanceMixSpec extends SparkSpec {
     assert(empty.count() == 0L)
   }
 }
+
+/** DQ9 CUSUM changepoints. */
+class CusumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dailyOf(counts: Seq[Long], key: String = "k") = {
+    counts.zipWithIndex.map { case (c, i) =>
+      (key, java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"), c)
+    }.toDF("key", "day", "cnt")
+  }
+
+  test("cusum: sustained upward drift alarms exactly when the scaled statistic crosses") {
+    // counts 10×4 then 20×3, mu = 100/7; slack 2, threshold 10.
+    // Hand-rolled N-scaled recurrence: NS+ = 0,0,0,0,26,52,78 vs N·h = 70
+    // → alarm_up only on day 7; NS- peaks at 64 < 70 → alarm_dn never.
+    val got = DataQuality.cusumFromDaily(
+      dailyOf(Seq(10L, 10L, 10L, 10L, 20L, 20L, 20L)), Seq("key"),
+      slack = 2, threshold = 10)
+      .orderBy("day").as[(String, java.sql.Date, Long, Boolean, Boolean)]
+      .collect()
+    assert(got.map(_._4).toSeq ==
+      Seq(false, false, false, false, false, false, true))
+    assert(got.forall(!_._5))
+  }
+
+  test("cusum: the mirrored downward drop alarms alarm_dn only") {
+    val got = DataQuality.cusumFromDaily(
+      dailyOf(Seq(20L, 20L, 20L, 20L, 10L, 10L, 10L)), Seq("key"),
+      slack = 2, threshold = 10)
+      .orderBy("day").as[(String, java.sql.Date, Long, Boolean, Boolean)]
+      .collect()
+    assert(got.map(_._5).toSeq ==
+      Seq(false, false, false, false, false, false, true))
+    assert(got.forall(!_._4))
+  }
+
+  test("cusum: constant volume never alarms; threshold boundary is strict") {
+    val flat = DataQuality.cusumFromDaily(dailyOf(Seq.fill(6)(7L)),
+      Seq("key"), slack = 0, threshold = 1)
+    assert(flat.filter(col("alarm_up") || col("alarm_dn")).count() == 0L)
+    // counts (0,0,6): NS+ on day 3 is exactly 12 = N·4 — strict > means
+    // threshold 4 stays quiet and threshold 3 fires
+    val quiet = DataQuality.cusumFromDaily(dailyOf(Seq(0L, 0L, 6L)),
+      Seq("key"), slack = 0, threshold = 4)
+    assert(quiet.filter(col("alarm_up")).count() == 0L)
+    val fires = DataQuality.cusumFromDaily(dailyOf(Seq(0L, 0L, 6L)),
+      Seq("key"), slack = 0, threshold = 3)
+    assert(fires.filter(col("alarm_up")).as[(String, java.sql.Date, Long,
+      Boolean, Boolean)].collect().map(_._2.toString).toSeq ==
+      Seq("2024-01-03"))
+  }
+
+  test("cusum: end-to-end rollup groups by day and keys stay independent") {
+    val ev = Seq(
+      // key a: 2,2,4 events over three days — drifts up with slack 0
+      ("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 01:00:00"),
+      ("a", "2024-01-02 00:00:00"), ("a", "2024-01-02 01:00:00"),
+      ("a", "2024-01-03 00:00:00"), ("a", "2024-01-03 01:00:00"),
+      ("a", "2024-01-03 02:00:00"), ("a", "2024-01-03 03:00:00"),
+      // key b: constant 1/day — never alarms
+      ("b", "2024-01-01 00:00:00"), ("b", "2024-01-02 00:00:00"),
+      ("b", "2024-01-03 00:00:00"))
+      .toDF("key", "ts_s").withColumn("ts", to_timestamp(col("ts_s")))
+    // key a: N=3, T=8, u = 3x−8 → −2,−2,4; C: −2,−4,0; NS+: 0,0,4 vs
+    // N·h = 3 → alarm day 3 (threshold 1)
+    val got = DataQuality.cusumChangepoints(ev, Seq("key"), "ts",
+      slack = 0, threshold = 1)
+    val alarms = got.filter(col("alarm_up"))
+      .select(col("key"), col("day").cast("string")).as[(String, String)]
+      .collect().toSet
+    assert(alarms == Set(("a", "2024-01-03")))
+    assert(got.filter(col("key") === "b" && (col("alarm_up") ||
+      col("alarm_dn"))).count() == 0L)
+  }
+}

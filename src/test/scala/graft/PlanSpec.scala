@@ -422,6 +422,29 @@ class PlanSpec extends SparkSpec {
       s"dq7 should plan rollup + window exchanges only:\n$dq7")
   }
 
+  test("dq9 cusum: one scan, rollup + one shared window exchange; k11 zorder: zero exchanges") {
+    // dq9: the per-key totals (unordered frame) and the prefix
+    // sums / running mins (ordered frame) partition on the SAME keys —
+    // one window exchange after the daily rollup, never a re-shuffle
+    val dq9 = executed(SparkEntry.queries("dq9_cusum")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(dq9).size == 1,
+      s"dq9 must scan events once:\n$dq9")
+    assert("(?<!Reused)Exchange hashpartitioning".r.findAllIn(dq9).size == 2,
+      s"dq9 should plan rollup + window exchanges only:\n$dq9")
+    // k11: the (min, max) collect runs as its OWN tiny agg job at call
+    // time; the layout key itself is a literal-parameterized pure
+    // projection — one scan, no exchange, inside whole-stage codegen
+    val k11 = executed(SparkEntry.queries("k11_zorder")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(k11).size == 1,
+      s"k11 must scan lineitem once:\n$k11")
+    assert(!k11.contains("Exchange"),
+      s"k11's z-value projection must plan zero exchanges:\n$k11")
+    assert("""\*\(\d+\) Project""".r.findFirstIn(k11).isDefined,
+      s"k11's interleave must stay in whole-stage codegen ('*' marker):\n$k11")
+  }
+
   test("d33 interval lookup plans a hash join, never a nested loop") {
     val d33 = executed(SparkEntry.queries("d33_interval_lookup")(spark, sf))
       .split("== Initial Plan ==").head

@@ -465,5 +465,23 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_completeness('ev', 'event_type', 'ts')"),
       graft.operators.DataQuality.completeness(Tables.events(spark, sf),
         Seq("event_type"), "ts"))
+    sameRows(
+      spark.sql("SELECT * FROM graft_cusum('ev', 'event_type', 'ts', 0, 30)"),
+      graft.operators.DataQuality.cusumChangepoints(
+        Tables.events(spark, sf), Seq("event_type"), "ts", 0, 30))
+    val liZo = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"))
+    liZo.createOrReplaceTempView("li_zo_tvf")
+    sameRows(
+      spark.sql(
+        "SELECT * FROM graft_zorder('li_zo_tvf', 'l_partkey,l_suppkey', 8)"),
+      graft.operators.Layout.zorderKey(liZo,
+        Seq("l_partkey", "l_suppkey"), 8))
+    val badArity = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_cusum('ev', 'event_type', 'ts')")
+        .collect()
+    }
+    assert(badArity.getMessage.contains("graft_cusum"))
   }
 }
