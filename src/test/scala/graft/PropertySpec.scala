@@ -590,4 +590,50 @@ class PropertySpec extends SparkSpec {
       assert(bad == 0, s"residual sum escaped the rounding envelope for $rows")
     }
   }
+
+  test("cusum flags == the direct max-reset recurrence on arbitrary series") {
+    // the operator evaluates S_t = C_t − min(0, min_{j≤t} C_j) as
+    // window prefix sums; the textbook definition is the sequential
+    // recurrence S_t = max(0, S_{t−1} + increment). The identity (and
+    // the window plumbing) must agree on arbitrary counts — checked
+    // against an exact N-scaled BigInt simulation
+    val gen = Gen.listOfN(12, Gen.chooseNum(0L, 50L))
+    samples(gen, 10).foreach { counts =>
+      val slack = 1; val th = 5
+      val df = counts.zipWithIndex.map { case (c, i) =>
+        ("k", java.sql.Date.valueOf(f"2024-03-${i + 1}%02d"), c)
+      }.toDF("key", "day", "cnt")
+      val got = graft.operators.DataQuality
+        .cusumFromDaily(df, Seq("key"), slack, th)
+        .orderBy("day").select("alarm_up", "alarm_dn")
+        .as[(Boolean, Boolean)].collect().toList
+      val n = BigInt(counts.size); val t = BigInt(counts.sum)
+      var su = BigInt(0); var sv = BigInt(0)
+      val want = counts.map { x =>
+        su = (su + n * x - t - n * slack).max(BigInt(0))
+        sv = (sv + t - n * slack - n * x).max(BigInt(0))
+        (su > n * th, sv > n * th)
+      }
+      assert(got == want, s"counts=$counts")
+    }
+  }
+
+  test("zorderValue round-trips: every dimension recovers from the key") {
+    val gen = for {
+      a <- Gen.chooseNum(0L, 255L); b <- Gen.chooseNum(0L, 255L)
+      c <- Gen.chooseNum(0L, 255L)
+    } yield (a, b, c)
+    def extract(z: Long, i: Int, n: Int, bits: Int): Long =
+      (0 until bits).map(bb => ((z >> (bb * n + i)) & 1L) << bb).sum
+    samples(gen, 24).foreach { case (a, b, c) =>
+      val df = Seq((a, b, c)).toDF("a", "b", "c")
+      val z3 = df.select(graft.operators.Layout.zorderValue(
+        Seq(col("a"), col("b"), col("c")), 8).as("z")).as[Long].head()
+      assert(extract(z3, 0, 3, 8) == a && extract(z3, 1, 3, 8) == b &&
+        extract(z3, 2, 3, 8) == c, s"($a,$b,$c) -> $z3")
+      val z2 = df.select(graft.operators.Layout.zorderValue(
+        Seq(col("a"), col("b")), 8).as("z")).as[Long].head()
+      assert(extract(z2, 0, 2, 8) == a && extract(z2, 1, 2, 8) == b)
+    }
+  }
 }

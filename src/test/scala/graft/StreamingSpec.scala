@@ -351,6 +351,65 @@ class StreamingSpec extends SparkSpec {
     assert(outRows.sorted == want.toSeq.sorted && want.nonEmpty)
   }
 
+  test("streaming cusum by composition: maintained daily counts feed DQ9 (I37)") {
+    // same maintenance story as I32: daily counts are additive, a plain
+    // update-mode agg keeps them exactly-once; the CUSUM flags
+    // re-derive through the SAME calendar-sized cusumFromDaily stage
+    val in = Files.createTempDirectory("graft-cusum-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_type")
+    val table = scala.collection.mutable.Map
+      .empty[(String, java.sql.Date), (String, java.sql.Date, Long)]
+    val stream = spark.readStream.schema(ev.schema).parquet(in)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = stream.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          table((r.getString(0), r.getDate(1))) =
+            (r.getString(0), r.getDate(1), r.getLong(2))
+        }
+      }.start()
+    try landTimeSplit(ev, in)(() => q.processAllAvailable()) finally q.stop()
+    val maintained = table.values.toSeq.toDF("event_type", "day", "cnt")
+    val got = graft.operators.DataQuality.cusumFromDaily(
+      maintained, Seq("event_type"), slack = 0, threshold = 30)
+    val want = graft.operators.DataQuality.cusumChangepoints(
+      graft.sources.Tables.events(spark, sf), Seq("event_type"), "ts",
+      slack = 0, threshold = 30)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("streaming z-order keys enrich like batch (stateless, I38)") {
+    // with provided ranges the layout key is a pure projection — a
+    // stateless per-micro-batch enrichment (the I36 shape); collected
+    // ranges would come from a maintained stats table in production
+    val in = Files.createTempDirectory("graft-zo-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "user_id", "value")
+      .withColumn("vmilli", (col("value") * 1000).cast("long"))
+    val ranges = Some(Seq((0L, 999999L), (0L, 1999999L)))
+    val outRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.operators.Layout.zorderKey(
+        spark.readStream.schema(ev.schema).parquet(in),
+        Seq("user_id", "vmilli"), bits = 8, ranges = ranges)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        outRows ++= batch.select("event_id", "zval")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }.start()
+    try {
+      ev.coalesce(1).write.mode("overwrite").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.operators.Layout.zorderKey(ev,
+        Seq("user_id", "vmilli"), bits = 8, ranges = ranges)
+      .select("event_id", "zval").as[(Long, Long)].collect()
+    assert(outRows.sorted == want.toSeq.sorted && want.nonEmpty)
+  }
+
   test("streaming instant rate maintains batch B40 across arrivals (I35)") {
     import graft.streaming.IotStreamPipeline
     import graft.streaming.IotStreamPipeline.InstantRateOut
