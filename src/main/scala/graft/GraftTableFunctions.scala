@@ -602,6 +602,17 @@ object GraftTableFunctions {
         threshold = num(args, 4, fn).toInt))
     },
 
+    // graft_pagerank(edges, src, dst, iters) — H28; the iterative
+    // rounds run their node-sized localCheckpoint jobs eagerly at
+    // plan time (the bpe_train contract)
+    "graft_pagerank" -> { args =>
+      val fn = "graft_pagerank"
+      arity(args, fn, Set(4), "edges, src, dst, iters")
+      plan(graft.operators.Graphs.pageRank(table(str(args, 0, fn)),
+        str(args, 1, fn), str(args, 2, fn),
+        iters = num(args, 3, fn).toInt))
+    },
+
     // graft_zorder(table, dimsCsv, bits) — K11; the per-dimension
     // (min, max) collect runs EAGERLY at plan time (the
     // graft_curriculum contract)
@@ -610,6 +621,32 @@ object GraftTableFunctions {
       arity(args, fn, Set(3), "table, dimsCsv, bits")
       plan(graft.operators.Layout.zorderKey(table(str(args, 0, fn)),
         csv(args, 1, fn), bits = num(args, 2, fn).toInt))
+    },
+
+    // graft_components(edges, src, dst) — L1; the label-propagation
+    // iterations run eagerly at plan time (the graft_pagerank contract)
+    "graft_components" -> { args =>
+      val fn = "graft_components"
+      arity(args, fn, Set(3), "edges, src, dst")
+      plan(graft.operators.Graphs.connectedComponents(
+        table(str(args, 0, fn)), str(args, 1, fn), str(args, 2, fn)))
+    },
+
+    // graft_copurchase(table, basket, item, minSupport) — L2
+    "graft_copurchase" -> { args =>
+      val fn = "graft_copurchase"
+      arity(args, fn, Set(4), "table, basket, item, minSupport")
+      plan(graft.operators.Graphs.cooccurrence(table(str(args, 0, fn)),
+        str(args, 1, fn), str(args, 2, fn),
+        minSupport = num(args, 3, fn).toLong))
+    },
+
+    // graft_triangles(edges, src, dst) — L3
+    "graft_triangles" -> { args =>
+      val fn = "graft_triangles"
+      arity(args, fn, Set(3), "edges, src, dst")
+      plan(graft.operators.Graphs.triangles(
+        table(str(args, 0, fn)), str(args, 1, fn), str(args, 2, fn)))
     })
 
   /** 'col', 'col asc' or 'col desc' → a sort Column. */

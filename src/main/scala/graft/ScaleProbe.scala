@@ -949,6 +949,37 @@ object ScaleProbe {
         "dq9_cusum" -> (() =>
           DataQuality.cusumChangepoints(ev, Seq("event_type"), "ts",
             slack = 0, threshold = 30)),
+        // pagerank: edges partition once (pinned); each round is one
+        // co-partitioned join + one dst-keyed map-combined agg
+        "h28_link_rank" -> (() => {
+          val pairs = li.select(col("l_orderkey"), col("l_suppkey"))
+            .join(ords.select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+            .select((col("o_custkey") * 2).as("src"),
+              (col("l_suppkey") * 2 + 1).as("dst"))
+          Graphs.pageRank(pairs.unionByName(
+            pairs.select(col("dst").as("src"), col("src").as("dst"))),
+            "src", "dst", iters = 6)
+        }),
+        // co-purchase: one pinned basket-partitioned frame, a
+        // co-partitioned self-join, one pair-keyed count
+        "l2_copurchase" -> (() =>
+          Graphs.cooccurrence(li.select(col("l_orderkey"), col("l_partkey")),
+            "l_orderkey", "l_partkey", minSupport = 2L)),
+        // components: log-diameter label propagation over the
+        // support>=2 co-purchase graph, node-keyed shuffles only
+        "l1_components" -> (() =>
+          Graphs.connectedComponents(
+            Graphs.cooccurrence(li.select(col("l_orderkey"), col("l_partkey")),
+              "l_orderkey", "l_partkey", minSupport = 2L),
+            "item_a", "item_b")),
+        // triangles: degree-oriented wedges bound the two-path join to
+        // O(m^1.5) whatever the hub skew
+        "l3_triangles" -> (() =>
+          Graphs.triangles(
+            Graphs.cooccurrence(li.select(col("l_orderkey"), col("l_partkey")),
+              "l_orderkey", "l_partkey", minSupport = 2L),
+            "item_a", "item_b")),
         // z-order key: one (min,max) agg pass + a zero-shuffle
         // literal-parameterized interleave projection
         "k11_zorder" -> (() =>

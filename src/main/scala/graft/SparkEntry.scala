@@ -1819,6 +1819,53 @@ object SparkEntry {
       DataQuality.cusumChangepoints(ev(s, d), Seq("event_type"), "ts",
         slack = 0, threshold = 30)),
 
+    // link-graph importance (all-integer PageRank, 6 rounds) over the
+    // bidirectional customer<->supplier purchase graph — even node ids
+    // are customers (2k), odd are suppliers (2k+1); every arithmetic
+    // step is integer floor division, so ranks are oracle-exact
+    "h28_link_rank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      Graphs.pageRank(edges, "src", "dst", iters = 6)
+    }),
+
+    // item co-occurrence (bipartite projection): for every unordered
+    // part pair, the number of distinct orders containing both, kept
+    // at support >= 2 — one pinned basket-partitioned frame self-joined
+    // co-partitioned, then a pair-keyed count
+    "l2_copurchase" -> ((s, d) =>
+      Graphs.cooccurrence(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2L)),
+
+    // connected components over the support>=2 co-purchase graph (9
+    // components over 1880 part nodes at sf0.01) — the dedup-cluster
+    // min-label machinery as a first-class graph surface
+    "l1_components" -> ((s, d) =>
+      Graphs.connectedComponents(
+        Graphs.cooccurrence(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minSupport = 2L),
+        "item_a", "item_b")),
+
+    // per-node triangle counts over the support>=2 co-purchase graph —
+    // degree-oriented compact-forward wedges, enumeration order
+    // engine-private but the counts exact (the oracle enumerates by
+    // id order and must agree). The full support>=1 graph (1.2M edges
+    // / 60M wedges at sf0.1) runs the same plan in ~9.6 s — the
+    // registered query keeps the bench comparable round-over-round
+    "l3_triangles" -> ((s, d) =>
+      Graphs.triangles(
+        Graphs.cooccurrence(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minSupport = 2L),
+        "item_a", "item_b")),
+
     // Z-order layout key over (l_partkey, l_suppkey): per-dim range
     // buckets by integer floor-div off a driver-collected (min, max)
     // pair, then the bit interleave — a zero-shuffle
@@ -2242,6 +2289,51 @@ object SparkEntry {
       sqlSurface(s, d)
       s.sql("""SELECT * FROM graft_cusum('graft_sql_events',
         'event_type', 'ts', 0, 30)""")
+    }),
+
+    "h28s_link_rank_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .createOrReplaceTempView("graft_sql_purchase_edges")
+      s.sql("""SELECT * FROM graft_pagerank('graft_sql_purchase_edges',
+        'src', 'dst', 6)""")
+    }),
+
+    "l2s_copurchase_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .createOrReplaceTempView("graft_sql_li_baskets")
+      s.sql("""SELECT * FROM graft_copurchase('graft_sql_li_baskets',
+        'l_orderkey', 'l_partkey', 2)""")
+    }),
+
+    "l1s_components_sql" -> ((s, d) => {
+      // TVFs compose through views: l2's pair table feeds l1
+      sqlSurface(s, d)
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .createOrReplaceTempView("graft_sql_li_baskets")
+      s.sql("""SELECT * FROM graft_copurchase('graft_sql_li_baskets',
+          'l_orderkey', 'l_partkey', 2)""")
+        .createOrReplaceTempView("graft_sql_copair_edges")
+      s.sql("""SELECT * FROM graft_components('graft_sql_copair_edges',
+        'item_a', 'item_b')""")
+    }),
+
+    "l3s_triangles_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .createOrReplaceTempView("graft_sql_li_baskets")
+      s.sql("""SELECT * FROM graft_copurchase('graft_sql_li_baskets',
+          'l_orderkey', 'l_partkey', 2)""")
+        .createOrReplaceTempView("graft_sql_copair_edges")
+      s.sql("""SELECT * FROM graft_triangles('graft_sql_copair_edges',
+        'item_a', 'item_b')""")
     }),
 
     "k11s_zorder_sql" -> ((s, d) => {
@@ -3515,6 +3607,65 @@ object SparkEntry {
         |  cu - mu > nd * 30 AS alarm_up,
         |  cv - mv > nd * 30 AS alarm_dn
         |FROM m""".stripMargin,
+
+    // h28: the 6 damped-update rounds UNROLLED as chained CTEs (the
+    // h18 discipline) — every share is an integer floor division and
+    // every sum an integer sum, so the ranks match digit for digit
+    // (DuckDB promotes the running products to HUGEINT)
+    "h28_link_rank" -> {
+      val rounds = (1 to 6).map { k =>
+        s"""pr$k AS (SELECT n.node,
+           |    150000 + (85 * COALESCE(m.mass, 0)) // 100 AS pr
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(p.pr // d.od) AS mass
+           |    FROM e JOIN pr${k - 1} p ON p.node = e.src
+           |      JOIN d ON d.src = e.src
+           |    GROUP BY e.dst) m ON m.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s1
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT c * 2 AS src, s1 * 2 + 1 AS dst FROM p0
+         |      UNION ALL SELECT s1 * 2 + 1, c * 2 FROM p0),
+         |d AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+         |$rounds
+         |SELECT node, CAST(pr AS BIGINT) AS rank FROM pr6""".stripMargin
+    },
+
+    // l2: the bipartite projection is a plain within-basket self-join
+    // — distinct (order, part), pair by shared order with a < b, count
+    "l2_copurchase" -> copurchaseOracleSql(2),
+
+    // l1: connected components over l2's edges — DuckDB's recursive
+    // min-label closure (the e6 discipline) against the iterative
+    // Spark propagation; labels are min reachable ids in both
+    "l1_components" ->
+      s"""WITH RECURSIVE s AS (${copurchaseOracleSql(2)}),
+         |edges AS (SELECT item_a AS x, item_b AS y FROM s
+         |          UNION SELECT item_b, item_a FROM s),
+         |cc(id, label) AS (
+         |  SELECT DISTINCT x, x FROM edges
+         |  UNION
+         |  SELECT e.x, c.label FROM edges e JOIN cc c ON c.id = e.y)
+         |SELECT id AS node, min(label) AS component FROM cc
+         |GROUP BY id""".stripMargin,
+
+    // l3: triangle counts by ID-order enumeration (a<b<c appears
+    // exactly once as (a,b),(b,c),(a,c) since edges are canonical
+    // lo<hi) — Spark enumerates by DEGREE order; the counts agree
+    "l3_triangles" ->
+      s"""WITH e AS (SELECT item_a AS lo, item_b AS hi
+         |           FROM (${copurchaseOracleSql(2)})),
+         |t AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+         |      FROM e e1 JOIN e e2 ON e2.lo = e1.hi
+         |      JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+         |n AS (SELECT lo AS node FROM e UNION SELECT hi FROM e),
+         |pc AS (SELECT node, count(*) AS triangles
+         |       FROM (SELECT unnest([a, b, c]) AS node FROM t)
+         |       GROUP BY node)
+         |SELECT n.node, COALESCE(pc.triangles, CAST(0 AS BIGINT)) AS triangles
+         |FROM n LEFT JOIN pc ON pc.node = n.node""".stripMargin,
 
     // k11: the Z-value is pure integer arithmetic — range buckets by
     // floor division (DuckDB `//`), then the explicit 8-bit interleave
@@ -5303,7 +5454,11 @@ object SparkEntry {
       "h27s_line_dedup_sql" -> "h27_line_dedup",
       "d33s_interval_lookup_sql" -> "d33_interval_lookup",
       "dq9s_cusum_sql" -> "dq9_cusum",
-      "k11s_zorder_sql" -> "k11_zorder"
+      "k11s_zorder_sql" -> "k11_zorder",
+      "h28s_link_rank_sql" -> "h28_link_rank",
+      "l1s_components_sql" -> "l1_components",
+      "l2s_copurchase_sql" -> "l2_copurchase",
+      "l3s_triangles_sql" -> "l3_triangles"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 
@@ -5335,6 +5490,17 @@ object SparkEntry {
 
   /** e6's connected-components oracle, as a val so k5's leakage-safe
     * split can embed it as a subquery. */
+  /** l1/l2/l3 oracle base: the distinct (order, part) within-basket
+    * self-join, parameterized by the support floor. */
+  private def copurchaseOracleSql(minSupport: Int): String =
+    s"""SELECT item_a, item_b, support FROM (
+       |  SELECT a.it AS item_a, b.it AS item_b, count(*) AS support
+       |  FROM (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem) a
+       |  JOIN (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem) b
+       |    ON a.bk = b.bk AND a.it < b.it
+       |  GROUP BY 1, 2)
+       |WHERE support >= $minSupport""".stripMargin
+
   private lazy val e6OracleSql: String =
     s"""WITH RECURSIVE pairs AS ($e2OracleSql),
        |edges AS (

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph importance scoring (H28) — the PageRank-family quality
+  * prior corpus pipelines derive from a link graph (CC-Net /
+  * OpenWebText keep pages by inbound-link evidence; the same
+  * centrality ranks vendors in a purchase graph or screens in a
+  * navigation graph). The reference's warehouse has no iterative
+  * operator at all — this is the canonical one, spelled Spark-first:
+  * per iteration one edge⋈rank join + one destination-keyed
+  * aggregation, with the EDGE table hash-partitioned on `src` ONCE
+  * and lineage-pinned, so every iteration's join reuses the same
+  * co-partitioning and only the node-sized rank frame moves.
+  *
+  * Exactness: the textbook damped update
+  * `PR'(v) = (1−d)/N · S + d · Σ_{u→v} PR(u)/outdeg(u)` is evaluated
+  * in ALL-INTEGER micro-units (every node starts at `scale`; shares
+  * use integer floor division; the damping factor is the exact
+  * rational dampNum/dampDen) — deterministic, order-independent
+  * (integer sums), and reproduced digit-for-digit by an unrolled SQL
+  * oracle (the b22/dq9 discipline). The floored division leaks
+  * bounded mass per step, which is fine for a RANKING score —
+  * ordering, not probability conservation, is the contract.
+  *
+  * Dangling nodes (no out-edges) keep receiving the base share and
+  * simply stop forwarding — their mass is dropped, not
+  * redistributed (stated; uniform redistribution would add an
+  * all-nodes broadcast per iteration for no ranking benefit).
+  *
+  * Scale shape: edges partition once (input-sized, pinned); each
+  * iteration is one co-partitioned join + one dst-keyed map-combined
+  * agg + one node-sized left join — iteration cost is edge-bound,
+  * memory is node-bound, and ranks re-pin every other iteration so
+  * lineage stays constant-depth (localCheckpoint; on a real cluster
+  * prefer reliable checkpoint for long chains — executor loss
+  * otherwise restarts the query, the funnel caveat). */
+object Graphs {
+
+  def pageRank(edges: DataFrame, src: String, dst: String,
+               iters: Int = 6, scale: Long = 1000000L,
+               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    val spark = edges.sparkSession
+    val e0 = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    // outdeg rides ON the edge row (one setup join, amortized over
+    // every iteration — re-joining it per round costs iters extra
+    // edge-sized joins for a value that never changes)
+    val e = e0.join(
+        e0.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val baseShare = (dampDen - dampNum) * scale / dampDen
+    var pr = nodes.withColumn("pr", lit(scale))
+    for (i <- 1 to iters) {
+      val contribs = e
+        .join(pr.select(col("node").as("src"), col("pr").as("src_pr")), "src")
+        .select(col("dst"), expr("src_pr div outdeg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("mass"))
+      pr = nodes
+        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(baseShare) +
+            expr(s"(${dampNum}L * coalesce(mass, 0L)) div ${dampDen}L"))
+            .as("pr"))
+      // re-pin every other round: constant-depth lineage, node-sized
+      if (i % 2 == 0 || i == iters) pr = pr.localCheckpoint()
+    }
+    pr.select(col("node"), col("pr").as("rank"))
+  }
+
+  /** Connected components over an arbitrary edge table (L1) — each
+    * node labelled with the smallest node id reachable from it. This
+    * IS the dedup-cluster machinery ([[graft.operators.Dedup.clusters]]:
+    * seeded min-label propagation with path-halving pointer jumps,
+    * per-iteration lineage cuts, limit(1) convergence probe) exposed
+    * as a first-class graph surface — the near-dup graph is just one
+    * of its inputs (entity resolution, account linking, and corpus
+    * cluster analysis are the others). Iterations = O(log diameter);
+    * every shuffle is node-keyed. */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+                          maxIter: Int = 20): DataFrame =
+    Dedup.clusters(edges, src, dst, maxIter)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+
+  /** Item co-occurrence over a (basket, item) table (L2) — the
+    * bipartite projection behind "bought together" features and the
+    * co-citation edge sets corpus link analysis runs on: for every
+    * unordered item pair, the number of DISTINCT baskets containing
+    * both, kept at `minSupport`+.
+    *
+    * Scale shape: TWO shuffles total, no join — a per-basket
+    * `collect_set` (map-side partial, grouped state bounded by the
+    * basket's own distinct-item count) followed by an in-row
+    * sorted-array pair explode (`i < j` via posexplode + slice, all
+    * codegen'd) into the pair-keyed count. The natural self-join
+    * spelling costs a third input-sized exchange (self-join attribute
+    * dedup re-aliases the frame, so a pinned basket partitioning
+    * doesn't carry to both sides). A degenerate mega-basket
+    * contributes O(size²) pairs and no signal, so baskets above
+    * `maxBasket` distinct items drop entirely (the e3/g5
+    * bounded-bucket valve — stated, loud), which also bounds the
+    * grouped state and the explode fan-out. */
+  def cooccurrence(pairs: DataFrame, basket: String, item: String,
+                   minSupport: Long = 2L, maxBasket: Int = 1000): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    pairs
+      .select(col(basket).cast("long").as("bk"), col(item).cast("long").as("it"))
+      .groupBy("bk").agg(sort_array(collect_set(col("it"))).as("its"))
+      .filter(size(col("its")) >= 2 && size(col("its")) <= maxBasket)
+      .select(posexplode(col("its")).as(Seq("i", "item_a")), col("its"))
+      .select(col("item_a"), explode(
+        slice(col("its"), col("i") + lit(2),
+          size(col("its")) - col("i") - lit(1))).as("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  /** Per-node triangle participation counts (L3) — the local
+    * clustering signal that separates organically-linked neighborhoods
+    * from link-farm spam (farms are near-bipartite: high degree, no
+    * triangles) and weights community features.
+    *
+    * Algorithm: compact-forward / degree orientation (Latapy 2008;
+    * also Suri & Vassilvitskii WWW'11 for the MapReduce form). Each
+    * undirected edge orients from its lower (degree, id) endpoint to
+    * the higher, so every wedge pivots on a LOW-degree node and the
+    * two-path join is bounded by O(m^1.5) regardless of hub skew —
+    * the unoriented self-join would blow up Σ deg² on the hubs. Each
+    * triangle is then found exactly once (wedge u→v, u→w plus the
+    * oriented closure v→w), exploded to its three corners, and
+    * counted per node. Orientation changes ENUMERATION, not the count
+    * — the DuckDB oracle can enumerate by id order (a<b<c) and must
+    * agree exactly. Nodes in no triangle report 0 via the left join
+    * back to the node set. */
+  def triangles(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges
+      .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.select(col("lo").as("n")).union(e.select(col("hi").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val loFirst = e
+      .join(deg.select(col("n").as("lo"), col("deg").as("dlo")), Seq("lo"))
+      .join(deg.select(col("n").as("hi"), col("deg").as("dhi")), Seq("hi"))
+      .select(col("lo"), col("hi"),
+        (col("dlo") < col("dhi") ||
+          (col("dlo") === col("dhi") && col("lo") < col("hi"))).as("loFirst"))
+    val oriented = loFirst.select(
+        when(col("loFirst"), col("lo")).otherwise(col("hi")).as("u"),
+        when(col("loFirst"), col("hi")).otherwise(col("lo")).as("v"))
+      .repartition(col("u"))
+      .localCheckpoint()
+    val wedges = oriented.select(col("u"), col("v").as("w1"))
+      .join(oriented.select(col("u"), col("v").as("w2")), Seq("u"))
+      .filter(col("w1") < col("w2"))
+    // closure probe by the ID-canonical (min, max) spelling so the
+    // either-orientation match stays a single hash EQUI-join (an OR of
+    // the two orientations would fall back to a nested loop)
+    val tri = wedges.join(
+      oriented.select(least(col("u"), col("v")).as("w1"),
+        greatest(col("u"), col("v")).as("w2")),
+      Seq("w1", "w2"))
+      .select(col("u"), col("w1"), col("w2"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("w1"), col("w2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.select(col("n").as("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.Graphs
+import org.apache.spark.sql.functions._
+
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: hand-computed exact integer ranks on A<->B plus a feeder C") {
+    // edges A->B, B->A, C->A; scale 1e6, damp 85/100, base 150000.
+    // iter1: A = 150000 + 85%·(1e6 + 1e6) = 1850000, B = 1000000,
+    //        C = 150000 (no inbound)
+    // iter2: A = 150000 + 85%·(1000000 + 150000) = 1127500,
+    //        B = 150000 + 85%·1850000 = 1722500, C = 150000
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("s", "t")
+    val got = Graphs.pageRank(edges, "s", "t", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1127500L, 2L -> 1722500L, 3L -> 150000L))
+  }
+
+  test("pageRank: duplicate edges collapse; dangling sinks keep the base share") {
+    // A->B listed twice must count once (outdeg(A) = 1, not 2); B has
+    // no out-edges — its mass is dropped, it still receives A's share
+    val edges = Seq((1L, 2L), (1L, 2L)).toDF("s", "t")
+    val got = Graphs.pageRank(edges, "s", "t", iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 150000L, 2L -> 1000000L))
+    val got2 = Graphs.pageRank(edges, "s", "t", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // iter2: A gets nothing (B is dangling), B gets 85%·150000
+    assert(got2 == Map(1L -> 150000L, 2L -> 277500L))
+  }
+
+  test("pageRank: symmetric cycles are fixed points of the integer update") {
+    // in a 2-cycle each node forwards its whole rank — 150000 +
+    // (85·1000000) div 100 = 1000000 exactly, at every iteration
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("s", "t")
+    val got = Graphs.pageRank(edges, "s", "t", iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("connectedComponents: min-reachable-id labels on two islands plus a singleton edge") {
+    // island {1,2,3} (path), island {7,9} — labels are each island's min
+    val edges = Seq((2L, 1L), (2L, 3L), (9L, 7L)).toDF("a", "b")
+    val got = Graphs.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("cooccurrence: distinct-basket support, a<b canonical pairs, support floor") {
+    // baskets: 10 -> {1,2,3}, 20 -> {1,2}, 30 -> {2,1} (dup rows collapse),
+    // 40 -> {5}. (1,2) in three baskets, (1,3)/(2,3) once each
+    val rows = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 2L), (20L, 1L),
+      (30L, 1L), (30L, 2L), (30L, 2L), (40L, 5L)).toDF("bk", "it")
+    val all = Graphs.cooccurrence(rows, "bk", "it", minSupport = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(all == Set((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    val sup2 = Graphs.cooccurrence(rows, "bk", "it", minSupport = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sup2 == Set((1L, 2L, 3L)))
+  }
+
+  test("cooccurrence: the maxBasket valve drops mega-baskets entirely, loudly bounded") {
+    // basket 1 has 5 items (above the valve of 4) — contributes NOTHING;
+    // basket 2's pair survives
+    val rows = ((1 to 5).map(i => (1L, i.toLong)) ++ Seq((2L, 1L), (2L, 2L)))
+      .toDF("bk", "it")
+    val got = Graphs.cooccurrence(rows, "bk", "it",
+      minSupport = 1L, maxBasket = 4).as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L)))
+    intercept[IllegalArgumentException] {
+      Graphs.cooccurrence(rows, "bk", "it", maxBasket = 1)
+    }
+  }
+
+  test("triangles: per-node counts on K4 minus an edge, zeros reported, hub skew exact") {
+    // K4 on {1,2,3,4} minus edge (3,4): triangles (1,2,3) and (1,2,4);
+    // node 5 only touches 6 — both in no triangle. Edges arrive in
+    // mixed orientation and with duplicates.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 2L),
+      (2L, 1L), (5L, 6L)).toDF("a", "b")
+    val got = Graphs.triangles(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L,
+      5L -> 0L, 6L -> 0L))
+  }
+
+  test("triangles: a star has none; closing one spoke pair makes exactly one") {
+    // hub 1 with spokes 2..6 — zero triangles (the link-farm shape);
+    // adding (2,3) closes exactly the (1,2,3) triangle
+    val star = (2L to 6L).map(s => (1L, s)).toDF("a", "b")
+    assert(Graphs.triangles(star, "a", "b")
+      .agg(sum("triangles")).as[Long].head() == 0L)
+    val closed = ((2L to 6L).map(s => (1L, s)) :+ (2L, 3L)).toDF("a", "b")
+    val got = Graphs.triangles(closed, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L,
+      5L -> 0L, 6L -> 0L))
+  }
+
+  test("pageRank guards: iteration bounds and damping fail loudly") {
+    val edges = Seq((1L, 2L)).toDF("s", "t")
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(edges, "s", "t", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(edges, "s", "t", iters = 2, dampNum = 100L)
+    }
+  }
+}

@@ -886,6 +886,30 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("Join"), s"$q must not self-join events:\n$plan")
     }
   }
+
+  test("graph shapes: l2 two exchanges no join; l3/h28 equi-joins only, pinned inputs") {
+    // l2 co-occurrence: per-basket collect_set + in-row pair explode —
+    // exactly two shuffles (basket agg, pair count), NO join operator
+    // (the self-join spelling costs a third input-sized exchange)
+    val l2 = executed(SparkEntry.queries("l2_copurchase")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("(?<!Reused)Exchange hashpartitioning".r.findAllIn(l2).size == 2,
+      s"l2: basket agg + pair count only:\n$l2")
+    assert(!l2.contains("Join"), s"l2 must not self-join:\n$l2")
+    // l3 triangles + h28 pagerank: iterative/pinned graph ops — every
+    // join a hash/broadcast EQUI-join (degree orientation + canonical
+    // closure keys keep the wedge probe off nested loops), inputs
+    // pinned so no parquet re-scan survives in the executed plan
+    for (q <- Seq("l3_triangles", "h28_link_rank")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must keep equi-joins:\n$plan")
+      assert(!plan.contains("FileScan parquet"),
+        s"$q's executed plan must run off the pinned frames:\n$plan")
+    }
+  }
 }
 
 /** Every declared query runs and the flagship returns rows. */

@@ -618,6 +618,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pageRank == a direct BigInt simulation on arbitrary digraphs") {
+    // the distributed join/agg rounds must agree with a sequential
+    // exact-integer simulation of the same damped update
+    val edgeGen = Gen.listOfN(10, for {
+      s <- Gen.chooseNum(1L, 6L); t <- Gen.chooseNum(1L, 6L)
+    } yield (s, t))
+    samples(edgeGen, 8).foreach { raw =>
+      val edges = raw.distinct
+      if (edges.nonEmpty) {
+        val got = graft.operators.Graphs.pageRank(
+          edges.toDF("s", "t"), "s", "t", iters = 3)
+          .as[(Long, Long)].collect().toMap
+        val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+        val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+        var pr = nodes.map(_ -> BigInt(1000000)).toMap
+        for (_ <- 1 to 3) {
+          val mass = edges.groupBy(_._2).map { case (v, es) =>
+            v -> es.map(e => pr(e._1) / outdeg(e._1)).sum
+          }
+          pr = nodes.map(v =>
+            v -> (BigInt(150000) + 85 * mass.getOrElse(v, BigInt(0)) / 100))
+            .toMap
+        }
+        assert(got == pr.map { case (k, v) => k -> v.toLong },
+          s"edges=$edges")
+      }
+    }
+  }
+
+  test("triangles == brute-force corner counts on arbitrary graphs") {
+    // degree-oriented wedge enumeration must agree with the O(n^3)
+    // direct count whatever the orientation/duplicate/self-loop mix
+    val edgeGen = Gen.listOfN(14, for {
+      a <- Gen.chooseNum(1L, 8L); b <- Gen.chooseNum(1L, 8L)
+    } yield (a, b))
+    samples(edgeGen, 8).foreach { raw =>
+      val canon = raw.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      if (canon.nonEmpty) {
+        val got = graft.operators.Graphs.triangles(
+          raw.toDF("a", "b"), "a", "b").as[(Long, Long)].collect().toMap
+        val es = canon.toSet
+        val nodes = (canon.map(_._1) ++ canon.map(_._2)).distinct.sorted
+        val want = scala.collection.mutable.Map(nodes.map(_ -> 0L): _*)
+        for {
+          i <- nodes; j <- nodes if i < j && es((i, j))
+          k <- nodes if j < k && es((j, k)) && es((i, k))
+        } { want(i) += 1; want(j) += 1; want(k) += 1 }
+        assert(got == want.toMap, s"edges=$raw")
+      }
+    }
+  }
+
+  test("cooccurrence == brute-force distinct-basket pair counts") {
+    val rowGen = Gen.listOfN(20, for {
+      bk <- Gen.chooseNum(1L, 5L); it <- Gen.chooseNum(1L, 6L)
+    } yield (bk, it))
+    samples(rowGen, 8).foreach { raw =>
+      val got = graft.operators.Graphs.cooccurrence(
+        raw.toDF("bk", "it"), "bk", "it", minSupport = 1L)
+        .as[(Long, Long, Long)].collect().toSet
+      val byBk = raw.distinct.groupBy(_._1).values
+      val want = byBk.toSeq.flatMap { rows =>
+        val its = rows.map(_._2).sorted
+        for (x <- its; y <- its if x < y) yield (x, y)
+      }.groupBy(identity).map { case (p, occ) => (p._1, p._2, occ.size.toLong) }
+        .toSet
+      assert(got == want, s"rows=$raw")
+    }
+  }
+
   test("zorderValue round-trips: every dimension recovers from the key") {
     val gen = for {
       a <- Gen.chooseNum(0L, 255L); b <- Gen.chooseNum(0L, 255L)

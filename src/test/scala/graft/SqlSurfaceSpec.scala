@@ -478,6 +478,25 @@ class SqlSurfaceSpec extends SparkSpec {
         "SELECT * FROM graft_zorder('li_zo_tvf', 'l_partkey,l_suppkey', 8)"),
       graft.operators.Layout.zorderKey(liZo,
         Seq("l_partkey", "l_suppkey"), 8))
+    val edges = spark.createDataFrame(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))).toDF("src", "dst")
+    edges.createOrReplaceTempView("edges_tvf")
+    sameRows(
+      spark.sql("SELECT * FROM graft_pagerank('edges_tvf', 'src', 'dst', 4)"),
+      graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 4))
+    sameRows(
+      spark.sql("SELECT * FROM graft_components('edges_tvf', 'src', 'dst')"),
+      graft.operators.Graphs.connectedComponents(edges, "src", "dst"))
+    sameRows(
+      spark.sql("SELECT * FROM graft_triangles('edges_tvf', 'src', 'dst')"),
+      graft.operators.Graphs.triangles(edges, "src", "dst"))
+    val baskets = spark.createDataFrame(
+      Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L)))
+      .toDF("bk", "it")
+    baskets.createOrReplaceTempView("baskets_tvf")
+    sameRows(
+      spark.sql("SELECT * FROM graft_copurchase('baskets_tvf', 'bk', 'it', 2)"),
+      graft.operators.Graphs.cooccurrence(baskets, "bk", "it", minSupport = 2L))
     val badArity = intercept[Exception] {
       spark.sql("SELECT * FROM graft_cusum('ev', 'event_type', 'ts')")
         .collect()
