@@ -410,6 +410,40 @@ class StreamingSpec extends SparkSpec {
     assert(outRows.sorted == want.toSeq.sorted && want.nonEmpty)
   }
 
+  test("streaming link rank by composition: maintained edge set feeds H28 (I39)") {
+    // link/purchase graphs grow append-only; the maintained DISTINCT
+    // edge table is a plain streaming dropDuplicates (exactly-once
+    // append into a keyed sink), and the ranks re-derive through the
+    // SAME batch pageRank stage — the I37 composition discipline
+    val in = Files.createTempDirectory("graft-pr-in").toString
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges0 = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val maintained = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = spark.readStream.schema(edges0.schema).parquet(in)
+      .dropDuplicates("src", "dst")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          maintained += ((r.getLong(0), r.getLong(1))))
+        ()
+      }.start()
+    // arrivals split on the src key — every edge lands whole in one half
+    try landTimeSplit(edges0, in, tsCol = "src")(() => q.processAllAvailable())
+    finally q.stop()
+    val got = graft.operators.Graphs.pageRank(
+      maintained.toSeq.toDF("src", "dst"), "src", "dst", iters = 3)
+    val want = graft.operators.Graphs.pageRank(edges0, "src", "dst", iters = 3)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming instant rate maintains batch B40 across arrivals (I35)") {
     import graft.streaming.IotStreamPipeline
     import graft.streaming.IotStreamPipeline.InstantRateOut
