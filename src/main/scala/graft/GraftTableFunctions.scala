@@ -623,6 +623,22 @@ object GraftTableFunctions {
         csv(args, 1, fn), bits = num(args, 2, fn).toInt))
     },
 
+    // graft_k_anonymity(table, quasiCsv, k) — DQ10
+    "graft_k_anonymity" -> { args =>
+      val fn = "graft_k_anonymity"
+      arity(args, fn, Set(3), "table, quasiCsv, k")
+      plan(graft.operators.DataQuality.kAnonymity(table(str(args, 0, fn)),
+        csv(args, 1, fn), num(args, 2, fn).toLong))
+    },
+
+    // graft_l_diversity(table, quasiCsv, sensitive, l) — DQ11
+    "graft_l_diversity" -> { args =>
+      val fn = "graft_l_diversity"
+      arity(args, fn, Set(4), "table, quasiCsv, sensitive, l")
+      plan(graft.operators.DataQuality.lDiversity(table(str(args, 0, fn)),
+        csv(args, 1, fn), str(args, 2, fn), num(args, 3, fn).toLong))
+    },
+
     // graft_components(edges, src, dst) — L1; the label-propagation
     // iterations run eagerly at plan time (the graft_pagerank contract)
     "graft_components" -> { args =>

@@ -1819,6 +1819,24 @@ object SparkEntry {
       DataQuality.cusumChangepoints(ev(s, d), Seq("event_type"), "ts",
         slack = 0, threshold = 30)),
 
+    // k-anonymity audit over (nation, account-band) quasi-identifiers:
+    // equivalence classes under 5 members re-identify — one grouped
+    // count, the classes named for suppression/generalization
+    "dq10_k_anonymity" -> ((s, d) =>
+      DataQuality.kAnonymity(
+        Tables.customer(s, d).select(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).as("acct_band")),
+        Seq("c_nationkey", "acct_band"), k = 5L)),
+
+    // l-diversity audit: classes where the sensitive segment takes
+    // fewer than 3 distinct values leak even when k-anonymous
+    "dq11_l_diversity" -> ((s, d) =>
+      DataQuality.lDiversity(
+        Tables.customer(s, d).select(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).as("acct_band"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "acct_band"), "c_mktsegment", l = 3L)),
+
     // link-graph importance (all-integer PageRank, 6 rounds) over the
     // bidirectional customer<->supplier purchase graph — even node ids
     // are customers (2k), odd are suppliers (2k+1); every arithmetic
@@ -3607,6 +3625,21 @@ object SparkEntry {
         |  cu - mu > nd * 30 AS alarm_up,
         |  cv - mv > nd * 30 AS alarm_dn
         |FROM m""".stripMargin,
+
+    // dq10/dq11: plain grouped counts — the IEEE divide-then-floor is
+    // the same operation in both engines, banded BEFORE grouping
+    "dq10_k_anonymity" ->
+      """SELECT c_nationkey,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS acct_band,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 5""".stripMargin,
+
+    "dq11_l_diversity" ->
+      """SELECT c_nationkey,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS acct_band,
+        |  count(DISTINCT c_mktsegment) AS n_distinct
+        |FROM customer GROUP BY 1, 2
+        |HAVING count(DISTINCT c_mktsegment) < 3""".stripMargin,
 
     // h28: the 6 damped-update rounds UNROLLED as chained CTEs (the
     // h18 discipline) — every share is an integer floor division and

@@ -497,4 +497,34 @@ object DataQuality {
       (col("__cu") - col("__mu") > h).as("alarm_up") :+
       (col("__cv") - col("__mv") > h).as("alarm_dn"): _*)
   }
+
+  /** k-anonymity audit (DQ10) — the re-identification gate a training
+    * corpus needs BEYOND per-field PII scrubbing (H6 masks direct
+    * identifiers; a (nation, account-band) combination shared by two
+    * rows still singles people out — Sweeney 2002): every equivalence
+    * class over the quasi-identifier columns with FEWER than k members
+    * is a violation, returned with its size so the caller can suppress
+    * or generalize exactly those classes. ONE grouped count (map-side
+    * partial) — the same shape as any agg_daily, maintainable by the
+    * I32 additive-count discipline. */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasi.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
+
+  /** l-diversity audit (DQ11) — k-anonymity's complement (Machanavajjhala
+    * 2007): a class can be large yet still leak when every member
+    * shares the SAME sensitive value, so flag classes whose sensitive
+    * column takes fewer than l distinct values. One grouped
+    * count(distinct) — expands to the standard two-level agg. */
+  def lDiversity(df: DataFrame, quasi: Seq[String], sensitive: String,
+                 l: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasi.map(col): _*)
+      .agg(countDistinct(col(sensitive)).as("n_distinct"))
+      .filter(col("n_distinct") < l)
+  }
 }

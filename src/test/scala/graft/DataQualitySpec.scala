@@ -298,4 +298,35 @@ class CusumSpec extends SparkSpec {
     assert(got.filter(col("key") === "b" && (col("alarm_up") ||
       col("alarm_dn"))).count() == 0L)
   }
+
+  test("kAnonymity flags exactly the under-k classes with their sizes") {
+    // class (us, 1): 3 rows — safe at k=3; (us, 2): 2 rows and
+    // (de, 1): 1 row — violations; null quasi values form a class too
+    val rows = Seq(("us", 1L), ("us", 1L), ("us", 1L), ("us", 2L),
+      ("us", 2L), ("de", 1L)).toDF("nation", "band")
+    val got = DataQuality.kAnonymity(rows, Seq("nation", "band"), k = 3L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("us", 2L, 2L), ("de", 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      DataQuality.kAnonymity(rows, Seq.empty, k = 3L)
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.kAnonymity(rows, Seq("nation"), k = 1L)
+    }
+  }
+
+  test("lDiversity flags large-but-homogeneous classes kAnonymity passes") {
+    // class (us, 1): 3 rows but ONE distinct segment — k=3-anonymous
+    // yet 2-diversity fails; (us, 2) has two distinct segments — passes
+    val rows = Seq(("us", 1L, "A"), ("us", 1L, "A"), ("us", 1L, "A"),
+      ("us", 2L, "A"), ("us", 2L, "B")).toDF("nation", "band", "seg")
+    assert(DataQuality.kAnonymity(rows, Seq("nation", "band"), k = 3L)
+      .filter(col("nation") === "us" && col("band") === 1L).count() == 0L)
+    val got = DataQuality.lDiversity(rows, Seq("nation", "band"), "seg",
+      l = 2L).as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("us", 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      DataQuality.lDiversity(rows, Seq("nation"), "seg", l = 1L)
+    }
+  }
 }

@@ -490,6 +490,20 @@ class SqlSurfaceSpec extends SparkSpec {
     sameRows(
       spark.sql("SELECT * FROM graft_triangles('edges_tvf', 'src', 'dst')"),
       graft.operators.Graphs.triangles(edges, "src", "dst"))
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).as("acct_band"), col("c_mktsegment"))
+    cust.createOrReplaceTempView("cust_tvf")
+    sameRows(
+      spark.sql(
+        "SELECT * FROM graft_k_anonymity('cust_tvf', 'c_nationkey,acct_band', 5)"),
+      graft.operators.DataQuality.kAnonymity(cust,
+        Seq("c_nationkey", "acct_band"), k = 5L))
+    sameRows(
+      spark.sql("""SELECT * FROM graft_l_diversity('cust_tvf',
+        'c_nationkey,acct_band', 'c_mktsegment', 3)"""),
+      graft.operators.DataQuality.lDiversity(cust,
+        Seq("c_nationkey", "acct_band"), "c_mktsegment", l = 3L))
     val baskets = spark.createDataFrame(
       Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L)))
       .toDF("bk", "it")

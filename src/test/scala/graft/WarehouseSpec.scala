@@ -157,6 +157,36 @@ class WarehouseSpec extends SparkSpec {
       spark, wh, "day", keepFrom = "20240103").isEmpty)
   }
 
+  test("deleteKeys: doomed keys erased, cold partitions byte-untouched, emptied partitions dropped, re-run no-op") {
+    val wh = Files.createTempDirectory("graft-wh-erase").toString + "/t"
+    // day 01: users 1,2 — partial erase; day 02: user 3 only — FULL
+    // erase (the dynamic-overwrite silent-retention trap); day 03:
+    // cold, must stay byte-identical
+    Seq((1L, "20240101", 1.0), (2L, "20240101", 2.0),
+        (3L, "20240102", 3.0), (4L, "20240103", 4.0))
+      .toDF("user_id", "day", "v")
+      .write.partitionBy("day").parquet(wh)
+    val coldBefore = new java.io.File(wh, "day=20240103").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    val touched = Warehouse.deleteKeys(
+      Seq(1L, 3L, 99L).toDF("user_id"), wh, Seq("day"), Seq("user_id"))
+    assert(touched == Seq("day=20240101", "day=20240102"))
+    // erased everywhere; survivors intact
+    assert(spark.read.parquet(wh).select("user_id").as[Long]
+      .collect().sorted.toSeq == Seq(2L, 4L))
+    // the all-deleted partition's DIRECTORY is gone, not lingering
+    assert(!new java.io.File(wh, "day=20240102").exists())
+    // cold partition never opened or replaced
+    assert(new java.io.File(wh, "day=20240103").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap == coldBefore)
+    // idempotent: nothing left to find, nothing touched
+    assert(Warehouse.deleteKeys(
+      Seq(1L, 3L).toDF("user_id"), wh, Seq("day"), Seq("user_id")).isEmpty)
+    // deleting from a missing table is a loud no-op, not a crash
+    assert(Warehouse.deleteKeys(Seq(1L).toDF("user_id"),
+      wh + "-absent", Seq("day"), Seq("user_id")).isEmpty)
+  }
+
   test("refreshEnriched: incremental joined view == full re-join; replayed delta converges") {
     val wh = Files.createTempDirectory("graft-wh-enr").toString + "/t"
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("uid", "tier")
