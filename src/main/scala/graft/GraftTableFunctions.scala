@@ -602,15 +602,21 @@ object GraftTableFunctions {
         threshold = num(args, 4, fn).toInt))
     },
 
-    // graft_pagerank(edges, src, dst, iters) — H28; the iterative
-    // rounds run their node-sized localCheckpoint jobs eagerly at
-    // plan time (the bpe_train contract)
+    // graft_pagerank(edges, src, dst, iters[, weightCol, seedsTable])
+    // — H28/L4/L5; '' skips an optional ('' weight = unweighted, ''
+    // seeds = uniform restart); the iterative rounds run their
+    // node-sized localCheckpoint jobs eagerly at plan time (the
+    // bpe_train contract)
     "graft_pagerank" -> { args =>
       val fn = "graft_pagerank"
-      arity(args, fn, Set(4), "edges, src, dst, iters")
+      arity(args, fn, Set(4, 6),
+        "edges, src, dst, iters[, weightCol, seedsTable]")
+      val w = if (args.size > 4) Some(str(args, 4, fn)).filter(_.nonEmpty) else None
+      val s = if (args.size > 5) Some(str(args, 5, fn)).filter(_.nonEmpty) else None
       plan(graft.operators.Graphs.pageRank(table(str(args, 0, fn)),
         str(args, 1, fn), str(args, 2, fn),
-        iters = num(args, 3, fn).toInt))
+        iters = num(args, 3, fn).toInt,
+        weight = w, seeds = s.map(table)))
     },
 
     // graft_zorder(table, dimsCsv, bits) — K11; the per-dimension

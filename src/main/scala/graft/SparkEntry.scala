@@ -1852,6 +1852,38 @@ object SparkEntry {
       Graphs.pageRank(edges, "src", "dst", iters = 6)
     }),
 
+    // personalized PageRank (random walk with restart): seeds = nation-1
+    // suppliers, ranks = proximity to them in the purchase graph — the
+    // "related items" recommender read of the same iteration
+    "l4_personalized_rank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seedNodes = Tables.supplier(s, d)
+        .filter(col("s_nationkey") === 1)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      Graphs.pageRank(edges, "src", "dst", iters = 6, seeds = Some(seedNodes))
+    }),
+
+    // weighted PageRank: edge weight = lineitem multiplicity per
+    // (customer, supplier) pair, sources split rank proportionally —
+    // floored-share-then-weight keeps every term overflow-safe
+    "l5_weighted_rank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumn("w", lit(1L))
+      Graphs.pageRank(edges, "src", "dst", iters = 6, weight = Some("w"))
+    }),
+
     // item co-occurrence (bipartite projection): for every unordered
     // part pair, the number of distinct orders containing both, kept
     // at support >= 2 — one pinned basket-partitioned frame self-joined
@@ -2321,6 +2353,38 @@ object SparkEntry {
         .createOrReplaceTempView("graft_sql_purchase_edges")
       s.sql("""SELECT * FROM graft_pagerank('graft_sql_purchase_edges',
         'src', 'dst', 6)""")
+    }),
+
+    "l4s_personalized_rank_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .createOrReplaceTempView("graft_sql_purchase_edges")
+      Tables.supplier(s, d).filter(col("s_nationkey") === 1)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+        .createOrReplaceTempView("graft_sql_rank_seeds")
+      s.sql("""SELECT * FROM graft_pagerank('graft_sql_purchase_edges',
+        'src', 'dst', 6, '', 'graft_sql_rank_seeds')""")
+    }),
+
+    "l5s_weighted_rank_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      pairs.unionByName(
+          pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumn("w", lit(1L))
+        .createOrReplaceTempView("graft_sql_weighted_edges")
+      s.sql("""SELECT * FROM graft_pagerank('graft_sql_weighted_edges',
+        'src', 'dst', 6, 'w', '')""")
     }),
 
     "l2s_copurchase_sql" -> ((s, d) => {
@@ -3660,6 +3724,61 @@ object SparkEntry {
          |e AS (SELECT c * 2 AS src, s1 * 2 + 1 AS dst FROM p0
          |      UNION ALL SELECT s1 * 2 + 1, c * 2 FROM p0),
          |d AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+         |$rounds
+         |SELECT node, CAST(pr AS BIGINT) AS rank FROM pr6""".stripMargin
+    },
+
+    // l4: the seeded rounds — only seed nodes hold initial mass or
+    // receive the restart share; otherwise h28's arithmetic verbatim
+    "l4_personalized_rank" -> {
+      val rounds = (1 to 6).map { k =>
+        s"""pr$k AS (SELECT n.node, n.is_seed,
+           |    (CASE WHEN n.is_seed THEN 150000 ELSE 0 END)
+           |      + (85 * COALESCE(m.mass, 0)) // 100 AS pr
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(p.pr // d.od) AS mass
+           |    FROM e JOIN pr${k - 1} p ON p.node = e.src
+           |      JOIN d ON d.src = e.src
+           |    GROUP BY e.dst) m ON m.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s1
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT c * 2 AS src, s1 * 2 + 1 AS dst FROM p0
+         |      UNION ALL SELECT s1 * 2 + 1, c * 2 FROM p0),
+         |d AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+         |n0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |sd AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier
+         |       WHERE s_nationkey = 1),
+         |n AS (SELECT n0.node, sd.node IS NOT NULL AS is_seed
+         |      FROM n0 LEFT JOIN sd ON sd.node = n0.node),
+         |pr0 AS (SELECT node, is_seed,
+         |        CASE WHEN is_seed THEN CAST(1000000 AS BIGINT)
+         |             ELSE CAST(0 AS BIGINT) END AS pr FROM n),
+         |$rounds
+         |SELECT node, CAST(pr AS BIGINT) AS rank FROM pr6""".stripMargin
+    },
+
+    // l5: the weighted rounds — share floors BEFORE the weight
+    // multiply, term for term the Spark expression
+    "l5_weighted_rank" -> {
+      val rounds = (1 to 6).map { k =>
+        s"""pr$k AS (SELECT n.node,
+           |    150000 + (85 * COALESCE(m.mass, 0)) // 100 AS pr
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM((p.pr // d.tw) * e.w) AS mass
+           |    FROM e JOIN pr${k - 1} p ON p.node = e.src
+           |      JOIN d ON d.src = e.src
+           |    GROUP BY e.dst) m ON m.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pe AS (SELECT o_custkey AS c, l_suppkey AS s1
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (SELECT c * 2 AS src, s1 * 2 + 1 AS dst, count(*) AS w
+         |      FROM pe GROUP BY 1, 2
+         |      UNION ALL
+         |      SELECT s1 * 2 + 1, c * 2, count(*) FROM pe GROUP BY 1, 2),
+         |d AS (SELECT src, SUM(w) AS tw FROM e GROUP BY 1),
          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
          |$rounds
@@ -5491,7 +5610,9 @@ object SparkEntry {
       "h28s_link_rank_sql" -> "h28_link_rank",
       "l1s_components_sql" -> "l1_components",
       "l2s_copurchase_sql" -> "l2_copurchase",
-      "l3s_triangles_sql" -> "l3_triangles"
+      "l3s_triangles_sql" -> "l3_triangles",
+      "l4s_personalized_rank_sql" -> "l4_personalized_rank",
+      "l5s_weighted_rank_sql" -> "l5_weighted_rank"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

@@ -38,38 +38,71 @@ import org.apache.spark.sql.functions._
   * otherwise restarts the query, the funnel caveat). */
 object Graphs {
 
+  /** `weight`: integer edge weights (purchase counts, link
+    * multiplicities) — each source splits its rank proportionally:
+    * `contrib = (pr div total_w) · w`, floored BEFORE the weight
+    * multiply so the term never exceeds the unweighted share and
+    * stays overflow-safe; duplicate (src, dst) rows pre-sum their
+    * weights; non-positive weights are refused loudly.
+    *
+    * `seeds`: personalized PageRank (random walk with restart onto
+    * the seed set) — only seed nodes start with mass or receive the
+    * restart share, so ranks measure proximity TO the seeds: the
+    * "related items / similar customers" recommender read of the
+    * same iteration. Seeds absent from the graph contribute nothing
+    * (stated); the seed frame is node-sized, broadcast-joined once
+    * onto the node table as a flag. */
   def pageRank(edges: DataFrame, src: String, dst: String,
                iters: Int = 6, scale: Long = 1000000L,
-               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+               dampNum: Long = 85L, dampDen: Long = 100L,
+               weight: Option[String] = None,
+               seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
-    val spark = edges.sparkSession
-    val e0 = edges
-      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-      .distinct()
-      .repartition(col("src"))
+    val e0 = weight match {
+      case None => edges
+        .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+        .distinct()
+        .withColumn("w", lit(1L))
+      case Some(w) => edges
+        .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"),
+          col(w).cast("long").as("w"))
+        .groupBy("src", "dst").agg(sum("w").as("w"))
+    }
+    val ep = e0.repartition(col("src")).localCheckpoint()
+    require(weight.isEmpty || ep.filter(col("w") <= 0).isEmpty,
+      s"edge weights must be positive (column ${weight.orNull})")
+    // total outgoing weight rides ON the edge row (one setup join,
+    // amortized over every iteration — re-joining it per round costs
+    // iters extra edge-sized joins for a value that never changes)
+    val e = ep.join(
+        ep.groupBy("src").agg(sum("w").as("total_w")), "src")
       .localCheckpoint()
-    // outdeg rides ON the edge row (one setup join, amortized over
-    // every iteration — re-joining it per round costs iters extra
-    // edge-sized joins for a value that never changes)
-    val e = e0.join(
-        e0.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .localCheckpoint()
-    val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+    val nodes0 = ep.select(col("src").as("node"))
+      .union(ep.select(col("dst").as("node"))).distinct()
+    val nodes = seeds match {
+      case None => nodes0.withColumn("is_seed", lit(true)).localCheckpoint()
+      case Some(s) => nodes0.join(
+          broadcast(s.select(s.columns.head).toDF("node")
+            .select(col("node").cast("long").as("node")).distinct()
+            .withColumn("__s", lit(true))),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(false)).as("is_seed"))
+        .localCheckpoint()
+    }
     val baseShare = (dampDen - dampNum) * scale / dampDen
-    var pr = nodes.withColumn("pr", lit(scale))
+    var pr = nodes.withColumn("pr",
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)))
     for (i <- 1 to iters) {
       val contribs = e
         .join(pr.select(col("node").as("src"), col("pr").as("src_pr")), "src")
-        .select(col("dst"), expr("src_pr div outdeg").as("contrib"))
+        .select(col("dst"), expr("(src_pr div total_w) * w").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("mass"))
       pr = nodes
         .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (lit(baseShare) +
+        .select(col("node"), col("is_seed"),
+          (when(col("is_seed"), lit(baseShare)).otherwise(lit(0L)) +
             expr(s"(${dampNum}L * coalesce(mass, 0L)) div ${dampDen}L"))
             .as("pr"))
       // re-pin every other round: constant-depth lineage, node-sized

@@ -301,7 +301,7 @@ class CusumSpec extends SparkSpec {
 
   test("kAnonymity flags exactly the under-k classes with their sizes") {
     // class (us, 1): 3 rows — safe at k=3; (us, 2): 2 rows and
-    // (de, 1): 1 row — violations; null quasi values form a class too
+    // (de, 1): 1 row — violations
     val rows = Seq(("us", 1L), ("us", 1L), ("us", 1L), ("us", 2L),
       ("us", 2L), ("de", 1L)).toDF("nation", "band")
     val got = DataQuality.kAnonymity(rows, Seq("nation", "band"), k = 3L)

@@ -40,6 +40,39 @@ class GraphsSpec extends SparkSpec {
     assert(got == Map(1L -> 1000000L, 2L -> 1000000L))
   }
 
+  test("pageRank weighted: proportional splits, floored share before the weight, dup edges pre-sum") {
+    // A->B w=3, A->C w=1: A splits 3:1 — B gets (1e6 div 4)*3, C the rest
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("s", "t", "w")
+    val got = Graphs.pageRank(edges, "s", "t", iters = 1, weight = Some("w"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 150000L, 2L -> 787500L, 3L -> 362500L))
+    // the same edge listed twice pre-sums its weight (w=2+2 ≡ w=4 once)
+    val dup = Seq((1L, 2L, 2L), (1L, 2L, 2L), (1L, 3L, 4L)).toDF("s", "t", "w")
+    val got2 = Graphs.pageRank(dup, "s", "t", iters = 1, weight = Some("w"))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 150000L, 2L -> 575000L, 3L -> 575000L))
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(Seq((1L, 2L, 0L)).toDF("s", "t", "w"),
+        "s", "t", iters = 1, weight = Some("w"))
+    }
+  }
+
+  test("pageRank personalized: only seeds restart, ranks measure proximity to them") {
+    // 2-cycle with seed {A}: B's rank is pure A-proximity mass, A keeps
+    // the restart share plus what B returns
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("s", "t")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graphs.pageRank(edges, "s", "t", iters = 2,
+      seeds = Some(seeds)).as[(Long, Long)].collect().toMap
+    // iter1: A = 150000 + 0, B = 0 + 85%·1000000 = 850000
+    // iter2: A = 150000 + 85%·850000 = 872500, B = 0 + 85%·150000 = 127500
+    assert(got == Map(1L -> 872500L, 2L -> 127500L))
+    // a seed absent from the graph injects nothing: all ranks zero
+    val got2 = Graphs.pageRank(edges, "s", "t", iters = 2,
+      seeds = Some(Seq(99L).toDF("node"))).as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 0L, 2L -> 0L))
+  }
+
   test("connectedComponents: min-reachable-id labels on two islands plus a singleton edge") {
     // island {1,2,3} (path), island {7,9} — labels are each island's min
     val edges = Seq((2L, 1L), (2L, 3L), (9L, 7L)).toDF("a", "b")

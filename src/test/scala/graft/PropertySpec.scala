@@ -647,6 +647,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("weighted + seeded pageRank == the BigInt simulation with multiplicities") {
+    // raw duplicate rows with w=1 must pre-sum to multiplicities; seeds
+    // gate both the initial mass and the restart share
+    val edgeGen = Gen.listOfN(12, for {
+      s <- Gen.chooseNum(1L, 5L); t <- Gen.chooseNum(1L, 5L)
+    } yield (s, t))
+    samples(edgeGen, 6).foreach { raw =>
+      if (raw.nonEmpty) {
+        val seeds = raw.map(_._1).distinct.take(2)
+        val got = graft.operators.Graphs.pageRank(
+          raw.map(e => (e._1, e._2, 1L)).toDF("s", "t", "w"),
+          "s", "t", iters = 3, weight = Some("w"),
+          seeds = Some(seeds.toDF("node")))
+          .as[(Long, Long)].collect().toMap
+        val w = raw.groupBy(identity).map { case (e, occ) => e -> BigInt(occ.size) }
+        val tw = w.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+        val nodes = (raw.map(_._1) ++ raw.map(_._2)).distinct
+        val seedSet = seeds.toSet
+        var pr = nodes.map(v =>
+          v -> (if (seedSet(v)) BigInt(1000000) else BigInt(0))).toMap
+        for (_ <- 1 to 3) {
+          val mass = w.toSeq.groupBy(_._1._2).map { case (v, es) =>
+            v -> es.map { case ((s, _), wt) => (pr(s) / tw(s)) * wt }.sum
+          }
+          pr = nodes.map(v => v ->
+            ((if (seedSet(v)) BigInt(150000) else BigInt(0)) +
+              85 * mass.getOrElse(v, BigInt(0)) / 100)).toMap
+        }
+        assert(got == pr.map { case (k, v) => k -> v.toLong }, s"edges=$raw seeds=$seeds")
+      }
+    }
+  }
+
   test("triangles == brute-force corner counts on arbitrary graphs") {
     // degree-oriented wedge enumeration must agree with the O(n^3)
     // direct count whatever the orientation/duplicate/self-loop mix

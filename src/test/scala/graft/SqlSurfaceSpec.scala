@@ -484,6 +484,21 @@ class SqlSurfaceSpec extends SparkSpec {
     sameRows(
       spark.sql("SELECT * FROM graft_pagerank('edges_tvf', 'src', 'dst', 4)"),
       graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 4))
+    val seedsDf = spark.createDataFrame(Seq(Tuple1(1L))).toDF("node")
+    seedsDf.createOrReplaceTempView("seeds_tvf")
+    sameRows(
+      spark.sql("""SELECT * FROM graft_pagerank('edges_tvf', 'src', 'dst',
+        4, '', 'seeds_tvf')"""),
+      graft.operators.Graphs.pageRank(edges, "src", "dst", iters = 4,
+        seeds = Some(seedsDf)))
+    val wEdges = spark.createDataFrame(
+      Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L))).toDF("src", "dst", "w")
+    wEdges.createOrReplaceTempView("wedges_tvf")
+    sameRows(
+      spark.sql("""SELECT * FROM graft_pagerank('wedges_tvf', 'src', 'dst',
+        4, 'w', '')"""),
+      graft.operators.Graphs.pageRank(wEdges, "src", "dst", iters = 4,
+        weight = Some("w")))
     sameRows(
       spark.sql("SELECT * FROM graft_components('edges_tvf', 'src', 'dst')"),
       graft.operators.Graphs.connectedComponents(edges, "src", "dst"))
