@@ -509,9 +509,17 @@ object DataQuality {
     * I32 additive-count discipline. */
   def kAnonymity(df: DataFrame, quasi: Seq[String], k: Long): DataFrame = {
     require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    kAnonymityFromCounts(
+      df.groupBy(quasi.map(col): _*).agg(count(lit(1)).as("n")), k)
+  }
+
+  /** [[kAnonymity]] off MAINTAINED class counts (`quasi…, n`) — the
+    * counts are additive, so a plain update-mode streaming agg keeps
+    * them current (the I32/cusumFromDaily seam discipline) and the
+    * audit is a class-table-sized filter, never a raw re-read. */
+  def kAnonymityFromCounts(counts: DataFrame, k: Long): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    df.groupBy(quasi.map(col): _*).agg(count(lit(1)).as("n"))
-      .filter(col("n") < k)
+    counts.filter(col("n") < k)
   }
 
   /** l-diversity audit (DQ11) — k-anonymity's complement (Machanavajjhala

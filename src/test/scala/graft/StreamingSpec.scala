@@ -444,6 +444,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming k-anonymity by composition: maintained class counts feed DQ10 (I40)") {
+    // quasi-class counts are additive — a plain update-mode agg keeps
+    // them exactly-once; the audit re-derives through the SAME
+    // class-table-sized kAnonymityFromCounts stage
+    val in = Files.createTempDirectory("graft-kanon-in").toString
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+        floor(col("c_acctbal") / 1000).as("acct_band"))
+    val table = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Long, Long)]
+    val q = spark.readStream.schema(cust.schema).parquet(in)
+      .groupBy(col("c_nationkey"), col("acct_band"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          table((r.getLong(0), r.getLong(1))) =
+            (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        ()
+      }.start()
+    try landTimeSplit(cust, in, tsCol = "c_custkey")(() => q.processAllAvailable())
+    finally q.stop()
+    val got = graft.operators.DataQuality.kAnonymityFromCounts(
+      table.values.toSeq.toDF("c_nationkey", "acct_band", "n"), k = 5L)
+    val want = graft.operators.DataQuality.kAnonymity(
+      cust.drop("c_custkey"), Seq("c_nationkey", "acct_band"), k = 5L)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming instant rate maintains batch B40 across arrivals (I35)") {
     import graft.streaming.IotStreamPipeline
     import graft.streaming.IotStreamPipeline.InstantRateOut
