@@ -669,6 +669,70 @@ object GraftTableFunctions {
       arity(args, fn, Set(3), "edges, src, dst")
       plan(graft.operators.Graphs.triangles(
         table(str(args, 0, fn)), str(args, 1, fn), str(args, 2, fn)))
+    },
+
+    // graft_kcore(edges, src, dst, k) — L6; the peeling rounds run
+    // their convergence probes eagerly at plan time (the
+    // graft_pagerank contract)
+    "graft_kcore" -> { args =>
+      val fn = "graft_kcore"
+      arity(args, fn, Set(4), "edges, src, dst, k")
+      plan(graft.operators.Graphs.kcore(
+        table(str(args, 0, fn)), str(args, 1, fn), str(args, 2, fn),
+        k = num(args, 3, fn).toLong))
+    },
+
+    // graft_golden_record(table, key, ts, tieCol, fieldsCsv) — C20
+    "graft_golden_record" -> { args =>
+      val fn = "graft_golden_record"
+      arity(args, fn, Set(5), "table, key, ts, tieCol, fieldsCsv")
+      plan(graft.operators.Incremental.goldenRecord(
+        table(str(args, 0, fn)), str(args, 1, fn), str(args, 2, fn),
+        str(args, 3, fn), csv(args, 4, fn)))
+    },
+
+    // graft_benford(table, keysCsv, valueCol) — DQ12
+    "graft_benford" -> { args =>
+      val fn = "graft_benford"
+      arity(args, fn, Set(3), "table, keysCsv, valueCol")
+      plan(graft.operators.DataQuality.benford(
+        table(str(args, 0, fn)), csv(args, 1, fn), str(args, 2, fn)))
+    },
+
+    // graft_fd_check(table, detCsv, depCol) — DQ13
+    "graft_fd_check" -> { args =>
+      val fn = "graft_fd_check"
+      arity(args, fn, Set(3), "table, detCsv, depCol")
+      plan(graft.operators.DataQuality.fdViolations(
+        table(str(args, 0, fn)), csv(args, 1, fn), str(args, 2, fn)))
+    },
+
+    // graft_key_skew(table, key, topN) — DQ14
+    "graft_key_skew" -> { args =>
+      val fn = "graft_key_skew"
+      arity(args, fn, Set(3), "table, key, topN")
+      plan(graft.operators.DataQuality.keySkew(
+        table(str(args, 0, fn)), str(args, 1, fn),
+        topN = num(args, 2, fn).toInt))
+    },
+
+    // graft_neighbor_jaccard(edges, src, dst, threshold, maxDegree) — L7
+    "graft_neighbor_jaccard" -> { args =>
+      val fn = "graft_neighbor_jaccard"
+      arity(args, fn, Set(5), "edges, src, dst, threshold, maxDegree")
+      plan(graft.operators.Graphs.neighborJaccard(
+        table(str(args, 0, fn)), str(args, 1, fn), str(args, 2, fn),
+        threshold = num(args, 3, fn), maxDegree = num(args, 4, fn).toInt))
+    },
+
+    // graft_containment(docs, id, textCol, k, threshold, maxDocFreq) — E12
+    "graft_containment" -> { args =>
+      val fn = "graft_containment"
+      arity(args, fn, Set(6), "docs, id, textCol, k, threshold, maxDocFreq")
+      plan(graft.operators.Dedup.containmentPairs(
+        table(str(args, 0, fn)), str(args, 1, fn), str(args, 2, fn),
+        k = num(args, 3, fn).toInt, threshold = num(args, 4, fn),
+        maxDocFreq = num(args, 5, fn).toInt))
     })
 
   /** 'col', 'col asc' or 'col desc' → a sort Column. */

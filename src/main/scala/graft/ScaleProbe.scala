@@ -1113,7 +1113,49 @@ object ScaleProbe {
           Dedup.fuzzyPairs(
             docs.select(col("doc_id"),
               substring(col("text"), 1, 24).as("name")),
-            "doc_id", "name", maxDist = 2, q = 3, maxBucket = 100)))
+            "doc_id", "name", maxDist = 2, q = 3, maxBucket = 100)),
+        // k-core: per round one map-combined degree count + two
+        // edge-sized semi-joins; rounds data-bounded (early exit probe)
+        "l6_kcore" -> (() =>
+          Graphs.kcore(
+            Graphs.cooccurrence(li.select(col("l_orderkey"), col("l_partkey")),
+              "l_orderkey", "l_partkey", minSupport = 2L),
+            "item_a", "item_b", k = 2L)),
+        // golden record: one grouped max_by agg — combiner output on
+        // the wire, one candidate per (key, field) per mapper
+        "c20_golden_record" -> (() =>
+          Incremental.goldenRecord(
+            ev.select(col("user_id"), col("ts"), col("event_id"),
+              when(col("event_id") % 2 === 1, lit(null).cast("double"))
+                .otherwise(col("value")).as("value"),
+              when(col("event_id") % 2 === 0, lit(null).cast("string"))
+                .otherwise(col("event_type")).as("event_type")),
+            "user_id", "ts", "event_id", Seq("value", "event_type"))),
+        // benford: one scan + (keys, digit) count; report class-sized
+        "dq12_benford" -> (() =>
+          DataQuality.benford(
+            li.select(col("l_returnflag"), col("l_extendedprice")),
+            Seq("l_returnflag"), "l_extendedprice")),
+        // fd audit: one grouped count(distinct) two-level expansion
+        "dq13_fd_check" -> (() =>
+          DataQuality.fdViolations(
+            li.select(col("l_partkey"), col("l_returnflag")),
+            Seq("l_partkey"), "l_returnflag")),
+        // key skew: grouped count + bounded TakeOrdered + scalar join
+        "dq14_key_skew" -> (() =>
+          DataQuality.keySkew(ev.select(col("user_id")), "user_id",
+            topN = 20)),
+        // neighbor jaccard: the e2 bucket machinery with neighbors as
+        // the shingle space — hub valve bounds the pair expansion
+        "l7_neighbor_jaccard" -> (() =>
+          Graphs.neighborJaccard(
+            Graphs.cooccurrence(li.select(col("l_orderkey"), col("l_partkey")),
+              "l_orderkey", "l_partkey", minSupport = 2L),
+            "item_a", "item_b", threshold = 0.25, maxDegree = 200)),
+        // containment: e2's bucketed candidates + both-direction ratios
+        "e12_dedup_containment" -> (() =>
+          Dedup.containmentPairs(docs, "doc_id", "text", k = 3,
+            threshold = 0.5)))
     }
 
     // total shuffle-WRITE bytes of the jobs `run` launches — the number

@@ -1837,6 +1837,31 @@ object SparkEntry {
           col("c_mktsegment")),
         Seq("c_nationkey", "acct_band"), "c_mktsegment", l = 3L)),
 
+    // Benford first-digit audit of extended prices per return flag:
+    // digit counts vs the canonical log10(1+1/d) expectations — ALL in
+    // integer ppm off literal constants (engine log10 differs in the
+    // last ulp), 9-digit spine so the TV distance is the true one
+    "dq12_benford" -> ((s, d) =>
+      DataQuality.benford(
+        Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
+        Seq("l_returnflag"), "l_extendedprice")),
+
+    // functional-dependency audit: does l_partkey determine l_shipmode?
+    // every violating determinant reported with its distinct-dependent
+    // count and min/max repair evidence — the dbt-test BETWEEN columns
+    "dq13_fd_check" -> ((s, d) =>
+      DataQuality.fdViolations(
+        Tables.lineitem(s, d).select(col("l_partkey"), col("l_returnflag")),
+        Seq("l_partkey"), "l_returnflag")),
+
+    // key-distribution skew report over the event stream's device key:
+    // top-20 heavy keys with ppm shares + the HHI concentration index
+    // (all integer, decimal(38) cross products) — the pre-join skew
+    // DIAGNOSIS whose cure is J1's salting / AQE splits
+    "dq14_key_skew" -> ((s, d) =>
+      DataQuality.keySkew(ev(s, d).select(col("user_id")), "user_id",
+        topN = 20)),
+
     // link-graph importance (all-integer PageRank, 6 rounds) over the
     // bidirectional customer<->supplier purchase graph — even node ids
     // are customers (2k), odd are suppliers (2k+1); every arithmetic
@@ -1915,6 +1940,60 @@ object SparkEntry {
             .select(col("l_orderkey"), col("l_partkey")),
           "l_orderkey", "l_partkey", minSupport = 2L),
         "item_a", "item_b")),
+
+    // 2-core of the co-purchase graph — iterated peeling to fixpoint
+    // (monotone, so the oracle unrolls MORE rounds than convergence
+    // needs and the extras are no-ops; measured rounds: 1/4/6 at
+    // sf0.001/0.01/0.1, oracle unrolls 12). Survivors with in-core
+    // degree: the dense center pendant trees hang off
+    "l6_kcore" -> ((s, d) =>
+      Graphs.kcore(
+        Graphs.cooccurrence(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minSupport = 2L),
+        "item_a", "item_b", k = 2L)),
+
+    // neighborhood Jaccard over the support>=2 co-purchase graph:
+    // structurally-similar parts (shared basket-neighborhoods) — the
+    // E2 shingle machinery with neighbors as the shingle space
+    "l7_neighbor_jaccard" -> ((s, d) =>
+      Graphs.neighborJaccard(
+        Graphs.cooccurrence(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minSupport = 2L),
+        "item_a", "item_b", threshold = 0.25, maxDegree = 200)),
+
+    // asymmetric shingle containment (Broder): a short doc embedded in
+    // a long one scores ~0 on Jaccard but ~1 on containment — the
+    // fuzzy-subset complement of E7/E11's exact repeated spans; the
+    // prefix fixture is built in-query (the h20 discipline) so real
+    // subset pairs exist at every SF
+    "e12_dedup_containment" -> ((s, d) => {
+      val docsAndPrefixes = docs(s, d).select(col("doc_id"), col("text"))
+        .unionByName(docs(s, d).filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            // the first 15 tokens of every 20th doc as a new "doc"
+            concat_ws(" ",
+              slice(TextFunctions.tokens(col("text")), 1, 15)).as("text")))
+      Dedup.containmentPairs(docsAndPrefixes, "doc_id", "text", k = 3,
+        threshold = 0.5)
+    }),
+
+    // golden record (per-FIELD survivorship): sparse updates built
+    // in-query — value nulled on odd event ids, prop_k on even — so
+    // each field's latest non-null comes from a DIFFERENT source row
+    // than the latest row overall (the h20 in-query-fixture
+    // discipline); one grouped max_by aggregation, no window
+    "c20_golden_record" -> ((s, d) =>
+      Incremental.goldenRecord(
+        ev(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_id") % 2 === 1, lit(null).cast("double"))
+            .otherwise(col("value")).as("value"),
+          when(col("event_id") % 2 === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")).as("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("prop_k")),
+        key = "user_id", ts = "ts", tie = "event_id",
+        fields = Seq("value", "event_type", "prop_k"))),
 
     // Z-order layout key over (l_partkey, l_suppkey): per-dim range
     // buckets by integer floor-div off a driver-collected (min, max)
@@ -2416,6 +2495,75 @@ object SparkEntry {
         .createOrReplaceTempView("graft_sql_copair_edges")
       s.sql("""SELECT * FROM graft_triangles('graft_sql_copair_edges',
         'item_a', 'item_b')""")
+    }),
+
+    "l6s_kcore_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .createOrReplaceTempView("graft_sql_li_baskets")
+      s.sql("""SELECT * FROM graft_copurchase('graft_sql_li_baskets',
+          'l_orderkey', 'l_partkey', 2)""")
+        .createOrReplaceTempView("graft_sql_copair_edges")
+      s.sql("""SELECT * FROM graft_kcore('graft_sql_copair_edges',
+        'item_a', 'item_b', 2)""")
+    }),
+
+    "l7s_neighbor_jaccard_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .createOrReplaceTempView("graft_sql_li_baskets")
+      s.sql("""SELECT * FROM graft_copurchase('graft_sql_li_baskets',
+          'l_orderkey', 'l_partkey', 2)""")
+        .createOrReplaceTempView("graft_sql_copair_edges")
+      s.sql("""SELECT * FROM graft_neighbor_jaccard('graft_sql_copair_edges',
+        'item_a', 'item_b', 0.25, 200)""")
+    }),
+
+    "e12s_containment_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      docs(s, d).select(col("doc_id"), col("text"))
+        .unionByName(docs(s, d).filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat_ws(" ",
+              slice(TextFunctions.tokens(col("text")), 1, 15)).as("text")))
+        .createOrReplaceTempView("graft_sql_docs_prefixed")
+      s.sql("""SELECT * FROM graft_containment('graft_sql_docs_prefixed',
+        'doc_id', 'text', 3, 0.5, 100)""")
+    }),
+
+    "c20s_golden_record_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      ev(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_id") % 2 === 1, lit(null).cast("double"))
+            .otherwise(col("value")).as("value"),
+          when(col("event_id") % 2 === 0, lit(null).cast("string"))
+            .otherwise(col("event_type")).as("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+        .createOrReplaceTempView("graft_sql_sparse_events")
+      s.sql("""SELECT * FROM graft_golden_record('graft_sql_sparse_events',
+        'user_id', 'ts', 'event_id', 'value,event_type,prop_k')""")
+    }),
+
+    "dq12s_benford_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+        .createOrReplaceTempView("graft_sql_li_prices")
+      s.sql("""SELECT * FROM graft_benford('graft_sql_li_prices',
+        'l_returnflag', 'l_extendedprice')""")
+    }),
+
+    "dq13s_fd_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      Tables.lineitem(s, d).select(col("l_partkey"), col("l_returnflag"))
+        .createOrReplaceTempView("graft_sql_li_modes")
+      s.sql("""SELECT * FROM graft_fd_check('graft_sql_li_modes',
+        'l_partkey', 'l_returnflag')""")
+    }),
+
+    "dq14s_key_skew_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_key_skew('graft_sql_events',
+        'user_id', 20)""")
     }),
 
     "k11s_zorder_sql" -> ((s, d) => {
@@ -3704,6 +3852,154 @@ object SparkEntry {
         |  count(DISTINCT c_mktsegment) AS n_distinct
         |FROM customer GROUP BY 1, 2
         |HAVING count(DISTINCT c_mktsegment) < 3""".stripMargin,
+
+    // dq12: the leading digit via BIGINT→VARCHAR (no scientific
+    // notation, unlike DOUBLE→VARCHAR), ppm arithmetic all-integer off
+    // the SAME literal Benford constants as the Spark side — engine
+    // log10 never runs
+    "dq12_benford" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    CAST(substr(CAST(CAST(floor(abs(l_extendedprice)) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem WHERE abs(l_extendedprice) >= 1),
+        |c AS (SELECT l_returnflag, digit, count(*) AS n FROM v GROUP BY 1, 2),
+        |ks AS (SELECT DISTINCT l_returnflag FROM c),
+        |sp AS (SELECT l_returnflag, CAST(d AS INT) AS digit
+        |       FROM ks, (SELECT unnest(range(1, 10)) AS d) dd),
+        |f AS (SELECT sp.l_returnflag, sp.digit, COALESCE(c.n, 0) AS n
+        |      FROM sp LEFT JOIN c
+        |        ON c.l_returnflag = sp.l_returnflag AND c.digit = sp.digit),
+        |t AS (SELECT *, sum(n) OVER (PARTITION BY l_returnflag) AS total FROM f),
+        |e AS (SELECT l_returnflag, digit, n,
+        |        (n * 1000000) // total AS obs_ppm,
+        |        CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |          WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |          WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |          ELSE 45757 END AS benford_ppm
+        |      FROM t)
+        |SELECT l_returnflag, digit, CAST(n AS BIGINT) AS n,
+        |  CAST(obs_ppm AS BIGINT) AS obs_ppm,
+        |  CAST(benford_ppm AS BIGINT) AS benford_ppm,
+        |  CAST(sum(abs(obs_ppm - benford_ppm))
+        |    OVER (PARTITION BY l_returnflag) // 2 AS BIGINT) AS tv_ppm
+        |FROM e""".stripMargin,
+
+    // dq13: grouped count(distinct) with the dbt null convention
+    "dq13_fd_check" ->
+      """SELECT l_partkey, count(DISTINCT l_returnflag) AS n_dep,
+        |  count(*) AS n_rows, min(l_returnflag) AS dep_min,
+        |  max(l_returnflag) AS dep_max
+        |FROM lineitem WHERE l_returnflag IS NOT NULL
+        |GROUP BY 1 HAVING count(DISTINCT l_returnflag) > 1""".stripMargin,
+
+    // dq14: HUGEINT cross products mirror the decimal(38) Spark
+    // arithmetic; top-20 ties break by key on both sides
+    "dq14_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |s AS (SELECT CAST(sum(cnt) AS HUGEINT) AS total, count(*) AS n_keys,
+        |       sum(CAST(cnt AS HUGEINT) * cnt) AS ss FROM c),
+        |t AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 20)
+        |SELECT t.user_id, t.cnt,
+        |  CAST((CAST(t.cnt AS HUGEINT) * 1000000) // s.total AS BIGINT)
+        |    AS share_ppm,
+        |  s.n_keys AS n_keys, CAST(s.total AS BIGINT) AS total_rows,
+        |  CAST((s.ss * 1000000) // (s.total * s.total) AS BIGINT) AS hhi_ppm
+        |FROM t, s""".stripMargin,
+
+    // c20: arg_max over a HUGEINT (µs·10^10 + event_id) encode of the
+    // (ts, tie) struct order — DuckDB's arg_max skips NULL ordering
+    // rows, exactly the survivorship rule; the sparse-update fixture
+    // (value nulled on odd ids, event_type on even) is built in-query
+    // on BOTH sides
+    "c20_golden_record" ->
+      """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_id % 2 = 1 THEN NULL ELSE value END AS value,
+        |    CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_type END
+        |      AS event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+        |  FROM events)
+        |SELECT user_id,
+        |  arg_max(value, CASE WHEN value IS NOT NULL
+        |    THEN CAST(us AS HUGEINT) * 10000000000 + event_id END) AS value,
+        |  arg_max(event_type, CASE WHEN event_type IS NOT NULL
+        |    THEN CAST(us AS HUGEINT) * 10000000000 + event_id END) AS event_type,
+        |  arg_max(prop_k, CASE WHEN prop_k IS NOT NULL
+        |    THEN CAST(us AS HUGEINT) * 10000000000 + event_id END) AS prop_k,
+        |  max(ts) AS last_seen, count(*) AS n_rows
+        |FROM e GROUP BY 1""".stripMargin,
+
+    // l7: neighbor sets from the bidirectional closure of the canonical
+    // co-purchase edges; candidate pairs pivot on the shared neighbor
+    // (bucket size = its degree, capped like e2's stop shingles),
+    // sizes from the full distinct neighbor sets
+    "l7_neighbor_jaccard" -> {
+      val jac = sqlPround(
+        "CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)", 4)
+      s"""WITH s AS MATERIALIZED (${copurchaseOracleSql(2)}),
+         |ed AS (SELECT item_a AS x, item_b AS y FROM s
+         |       UNION SELECT item_b, item_a FROM s),
+         |sz AS (SELECT x, count(*) AS n FROM ed GROUP BY 1),
+         |keep AS (SELECT y FROM ed GROUP BY y HAVING count(*) <= 200),
+         |shared AS (
+         |  SELECT a.x AS node_a, b.x AS node_b, count(*) AS n_shared
+         |  FROM ed a JOIN ed b ON a.y = b.y AND a.x < b.x
+         |  JOIN keep k ON k.y = a.y
+         |  GROUP BY 1, 2)
+         |SELECT node_a, node_b, $jac AS jaccard
+         |FROM shared JOIN sz sa ON sa.x = node_a
+         |  JOIN sz sb ON sb.x = node_b
+         |WHERE $jac >= 0.25""".stripMargin
+    },
+
+    // e12: e2's oracle skeleton with the in-query prefix fixture
+    // (first 15 tokens of every 20th doc as a new doc) and the
+    // two-sided containment formulas in place of Jaccard
+    "e12_dedup_containment" -> {
+      val ca = sqlPround("CAST(n_shared AS DOUBLE) / sa.n_sh", 4)
+      val cb = sqlPround("CAST(n_shared AS DOUBLE) / sb.n_sh", 4)
+      s"""WITH tp AS (${tokCte("documents", lower = false)}),
+         |t0 AS (SELECT doc_id, text FROM documents
+         |       UNION ALL
+         |       SELECT doc_id + 1000000, array_to_string(tok[1:15], ' ')
+         |       FROM tp WHERE doc_id % 20 = 0),
+         |t AS (${tokCte("t0", lower = true)}),
+         |s AS (SELECT doc_id, $shingle3 AS shs FROM t),
+         |e AS (SELECT DISTINCT doc_id AS doc, unnest(shs) AS sh FROM s),
+         |sized AS (SELECT doc, count(*) AS n_sh FROM e GROUP BY 1),
+         |keep AS (SELECT sh FROM e GROUP BY sh HAVING count(*) <= 100),
+         |ek AS (SELECT e.* FROM e JOIN keep USING (sh)),
+         |shared AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared
+         |  FROM ek a JOIN ek b ON a.sh = b.sh AND a.doc < b.doc GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, $ca AS containment_a, $cb AS containment_b
+         |FROM shared JOIN sized sa ON sa.doc = doc_a
+         |  JOIN sized sb ON sb.doc = doc_b
+         |WHERE $ca >= 0.5 OR $cb >= 0.5""".stripMargin
+    },
+
+    // l6: 12 peeling rounds unrolled (the h18 discipline) — peeling is
+    // monotone, so rounds past the fixpoint are no-ops and the unroll
+    // only needs to be ≥ the convergence count (measured 1/4/6 at the
+    // three SFs)
+    "l6_kcore" -> {
+      // AS MATERIALIZED: each round references the previous ~3x; an
+      // inlining planner would otherwise expand 3^12 scan subtrees
+      val rounds = (1 to 12).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT n, count(*) AS deg FROM (
+           |    SELECT lo AS n FROM e${r - 1} UNION ALL SELECT hi FROM e${r - 1})
+           |  GROUP BY 1),
+           |k$r AS MATERIALIZED (SELECT n FROM d$r WHERE deg >= 2),
+           |e$r AS MATERIALIZED (SELECT e.lo, e.hi FROM e${r - 1} e
+           |  JOIN k$r a ON a.n = e.lo JOIN k$r b ON b.n = e.hi)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (SELECT item_a AS lo, item_b AS hi
+         |  FROM (${copurchaseOracleSql(2)})),
+         |$rounds
+         |SELECT n AS node, count(*) AS core_deg FROM (
+         |  SELECT lo AS n FROM e12 UNION ALL SELECT hi FROM e12)
+         |GROUP BY 1""".stripMargin
+    },
 
     // h28: the 6 damped-update rounds UNROLLED as chained CTEs (the
     // h18 discipline) — every share is an integer floor division and
@@ -5612,7 +5908,14 @@ object SparkEntry {
       "l2s_copurchase_sql" -> "l2_copurchase",
       "l3s_triangles_sql" -> "l3_triangles",
       "l4s_personalized_rank_sql" -> "l4_personalized_rank",
-      "l5s_weighted_rank_sql" -> "l5_weighted_rank"
+      "l5s_weighted_rank_sql" -> "l5_weighted_rank",
+      "l6s_kcore_sql" -> "l6_kcore",
+      "c20s_golden_record_sql" -> "c20_golden_record",
+      "dq12s_benford_sql" -> "dq12_benford",
+      "dq13s_fd_sql" -> "dq13_fd_check",
+      "dq14s_key_skew_sql" -> "dq14_key_skew",
+      "l7s_neighbor_jaccard_sql" -> "l7_neighbor_jaccard",
+      "e12s_containment_sql" -> "e12_dedup_containment"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality checks — the dbt schema-test surface (`unique`,
@@ -520,6 +521,129 @@ object DataQuality {
   def kAnonymityFromCounts(counts: DataFrame, k: Long): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     counts.filter(col("n") < k)
+  }
+
+  /** Benford's-law first-digit audit (DQ12) — the classic
+    * fabricated-numbers screen (Benford 1938; Nigrini's forensic
+    * accounting use): naturally-occurring magnitudes put digit d first
+    * with probability log10(1+1/d), while invented or truncated data
+    * doesn't. Per key and digit 1–9: observed count, observed share,
+    * the Benford expectation, and the per-key total-variation distance
+    * — ALL in integer parts-per-million off the canonical 6-dp Benford
+    * constants as literals (no engine log10 — JVM and libm disagree in
+    * the last ulp), so the report hash-reproduces anywhere. Rows with
+    * |value| < 1 carry no leading digit and are excluded (stated).
+    * Missing digits materialize as n=0 rows via a keys×9 spine, so the
+    * TV distance is the true one, not a sum over observed digits.
+    *
+    * Scale: one scan + one (keys, digit)-grouped count (map-side
+    * partial); the spine and window ride the keys exchange at ≤ 9 rows
+    * per key. Counts are additive → maintainable as an update-mode
+    * streaming agg through [[benfordFromCounts]] (the I32 seam). */
+  def benford(df: DataFrame, keys: Seq[String], value: String): DataFrame =
+    benfordFromCounts(
+      df.filter(abs(col(value)) >= 1)
+        .select(keys.map(col) :+ substring(floor(abs(col(value)))
+          .cast("long").cast("string"), 1, 1).cast("int").as("digit"): _*)
+        .groupBy((keys :+ "digit").map(col): _*).agg(count(lit(1)).as("n")),
+      keys)
+
+  /** Benford per-million expectations for digits 1..9 — the canonical
+    * log10(1+1/d) values at 6 dp, as literals so both engines use the
+    * SAME integers. */
+  val benfordPpm: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** [[benford]] off MAINTAINED (keys, digit, n) counts — additive, so
+    * a plain update-mode streaming agg keeps them current and the
+    * report re-derives class-table-sized (the kAnonymityFromCounts
+    * discipline). */
+  def benfordFromCounts(counts: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    // ONE consumer of the counts subtree: fold each key's digit counts
+    // into a map, derive total + TV in-row (≤ 9 elements per key —
+    // interpreted HOFs are fine at class-table size), explode the 9-row
+    // spine off the map. The join-on-a-spine spelling planned the RAW
+    // SCAN twice — the left-outer join's key null-filters make the two
+    // count subtrees non-identical, so not even ReusedExchange can save
+    // it (the c10 lesson, one step worse). `counts` must be unique per
+    // (keys, digit) — any grouped count is; map_from_entries refuses
+    // duplicates loudly.
+    val bArr = s"array(${benfordPpm.mkString("L, ")}L)"
+    counts
+      .groupBy(keys.map(col): _*)
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("digit"), col("n"))))).as("__m"))
+      .withColumn("__total", expr("aggregate(map_values(__m), 0L, (a, x) -> a + x)"))
+      .withColumn("tv_ppm", expr(
+        s"""aggregate(transform(sequence(1, 9), d ->
+           |  abs((coalesce(element_at(__m, d), 0L) * 1000000L) div __total
+           |      - element_at($bArr, d))),
+           |  0L, (a, x) -> a + x) div 2""".stripMargin))
+      .select(keys.map(col) :+ col("__m") :+ col("__total") :+ col("tv_ppm") :+
+        explode(sequence(lit(1), lit(9))).as("digit"): _*)
+      .select(keys.map(col) :+ col("digit") :+
+        coalesce(element_at(col("__m"), col("digit")), lit(0L)).as("n") :+
+        expr("(coalesce(element_at(__m, digit), 0L) * 1000000L) div __total")
+          .as("obs_ppm") :+
+        element_at(expr(bArr), col("digit")).as("benford_ppm") :+
+        col("tv_ppm"): _*)
+  }
+
+  /** Functional-dependency audit (DQ13) — does `det → dep` hold? The
+    * dbt-test-shaped relationship check BETWEEN columns: every
+    * determinant value mapping to MORE than one distinct dependent is
+    * a violation, reported with its row count and the min/max
+    * dependents as repair evidence. Null dependents are ignored
+    * (stated — dbt's null convention). One grouped count(distinct) —
+    * the standard two-level expansion, map-side combined. Maintainable
+    * from additive (det, dep) pair counts via [[fdFromPairCounts]]. */
+  def fdViolations(df: DataFrame, det: Seq[String], dep: String): DataFrame =
+    fdFromPairCounts(
+      df.filter(col(dep).isNotNull)
+        .groupBy((det :+ dep).map(col): _*).agg(count(lit(1)).as("n")),
+      det, dep)
+
+  /** [[fdViolations]] off MAINTAINED (det…, dep, n) pair counts — the
+    * pair counts are additive (update-mode streaming agg); the audit
+    * re-derives pair-table-sized. */
+  def fdFromPairCounts(pairCounts: DataFrame, det: Seq[String],
+                       dep: String): DataFrame = {
+    require(det.nonEmpty, "need at least one determinant column")
+    pairCounts.groupBy(det.map(col): _*)
+      .agg(count(lit(1)).as("n_dep"), sum(col("n")).as("n_rows"),
+        min(col(dep)).as("dep_min"), max(col(dep)).as("dep_max"))
+      .filter(col("n_dep") > 1)
+  }
+
+  /** Key-distribution skew report (DQ14) — the PRE-join diagnosis whose
+    * cure is J1's salting / AQE skew splits: the top-N heaviest keys
+    * with their parts-per-million share, plus the key count and the
+    * Herfindahl–Hirschman concentration index (Σ share² — the
+    * worst-partition predictor: a key at share p pins p of the build
+    * side onto one task whatever the parallelism). All integer — HHI
+    * in ppm via decimal(38) cross products, never a float sum. Top-N
+    * ties break by key for determinism. One grouped count + one
+    * sketch-sized sort/limit + one scalar cross join. */
+  def keySkew(df: DataFrame, key: String, topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      // anchor: consumed by the summary agg AND the top-N sort — the
+      // shared exchange keeps the raw scan single (PlanSpec FileScan==1)
+      .repartition(col(key))
+    val summary = counts.agg(
+      sum(col("cnt")).cast("decimal(38,0)").as("__total"),
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt").cast("decimal(38,0)") * col("cnt")).as("__ss"))
+    counts.orderBy(col("cnt").desc, col(key)).limit(topN)
+      .crossJoin(broadcast(summary))
+      .select(col(key), col("cnt"),
+        expr("CAST((CAST(cnt AS DECIMAL(38,0)) * 1000000) div __total AS BIGINT)")
+          .as("share_ppm"),
+        col("n_keys"),
+        col("__total").cast("long").as("total_rows"),
+        expr("CAST((__ss * 1000000) div (__total * __total) AS BIGINT)")
+          .as("hhi_ppm"))
   }
 
   /** l-diversity audit (DQ11) — k-anonymity's complement (Machanavajjhala

@@ -65,20 +65,36 @@ object Dedup {
     // modes).
     val keyOf: Column => Column =
       if (hashShingleKeys) hashKey60 else identity
-    // |A| rides along as 4 bytes per shuffled row, computed map-side
-    // from the same shingle array — the alternative (a separate sizes
-    // aggregation joined back) costs an extra aggregation plus two
-    // broadcast joins, or a second scan+shingle pass of the corpus.
-    // Shingle rows are distinct per doc by construction → size = |A|.
-    val tbl = shs.select(col("doc"), size(col("shs")).as("n_sh"),
-      explode(transform(col("shs"), keyOf)).as("sh"))
-    // candidate pairs via per-shingle doc buckets, NOT a self-join: the
-    // window-count + sort-merge-join spelling sorts the full shingle
-    // table by string key twice; collect_list is a sort-free hash agg
-    // and the pair expansion is declarative array work. Stop-shingle
-    // drop (df > maxDocFreq) becomes a bucket-size filter, which also
-    // bounds the O(m²) expansion per bucket under skew.
-    tbl.groupBy("sh")
+    sharedCountPairs(shs, maxDocFreq, keyOf)
+      .withColumn("jaccard", graft.functions.Portable.pround(
+        col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** The shared-element pair core under [[ngramJaccard]],
+    * [[containmentPairs]] and [[graft.operators.Graphs.neighborJaccard]]:
+    * from a `(doc, shs array)` frame, every doc pair sharing ≥ 1
+    * element with its shared count and BOTH set sizes —
+    * `(doc_a < doc_b, n_a, n_b, n_shared)`.
+    *
+    * |A| rides along as 4 bytes per shuffled row, computed map-side
+    * from the same element array — the alternative (a separate sizes
+    * aggregation joined back) costs an extra aggregation plus two
+    * broadcast joins, or a second scan+shingle pass of the corpus.
+    * Element rows are distinct per doc by construction → size = |A|.
+    * Candidate pairs come from per-element doc buckets, NOT a
+    * self-join: the window-count + sort-merge-join spelling sorts the
+    * full element table by key twice; collect_list is a sort-free hash
+    * agg and the pair expansion is declarative array work. The
+    * stop-element drop (df > maxDocFreq) is a bucket-size filter,
+    * which also bounds the O(m²) expansion per bucket under skew. */
+  private[operators] def sharedCountPairs(shs: DataFrame, maxDocFreq: Int,
+      keyOf: Column => Column = identity): DataFrame =
+    shs.select(col("doc"), size(col("shs")).as("n_sh"),
+        explode(transform(col("shs"), keyOf)).as("sh"))
+      .groupBy("sh")
       .agg(sort_array(collect_list(struct(col("doc"), col("n_sh")))).as("ds"))
       .filter(size(col("ds")).between(2, maxDocFreq))
       .select(explode(Dedup.orderedPairs(col("ds"))).as("p"))
@@ -89,11 +105,28 @@ object Dedup {
       .groupBy(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
         col("p.a.n_sh").as("n_a"), col("p.b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .withColumn("jaccard", graft.functions.Portable.pround(
-        col("n_shared").cast("double") /
-          (col("n_a") + col("n_b") - col("n_shared")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+
+  /** Asymmetric shingle CONTAINMENT pairs (E12, Broder 1997's `c(A,B)
+    * = |A∩B| / |A|`) — the near-dup relation Jaccard is blind to:
+    * a short document embedded verbatim-ish inside a long one scores
+    * `|A∩B|/|A∪B| ≈ |A|/|B| → 0` on Jaccard however perfect the
+    * overlap, while its containment is ≈ 1 (E7/E11 catch only EXACT
+    * repeated spans; this is their fuzzy-subset complement). Emits
+    * both directions' containments per unordered pair, kept when
+    * EITHER side clears `threshold`; same bucketed candidate
+    * machinery, size-carry and stop-shingle valve as E2 — one code
+    * path ([[sharedCountPairs]]), so the scale story cannot drift. */
+  def containmentPairs(docs: DataFrame, id: String, text: String, k: Int,
+                       threshold: Double, maxDocFreq: Int = 100): DataFrame = {
+    val shs = docs.select(col(id).as("doc"), shingles(col(text), k).as("shs"))
+    sharedCountPairs(shs, maxDocFreq)
+      .withColumn("containment_a", graft.functions.Portable.pround(
+        col("n_shared").cast("double") / col("n_a"), 4))
+      .withColumn("containment_b", graft.functions.Portable.pround(
+        col("n_shared").cast("double") / col("n_b"), 4))
+      .filter(col("containment_a") >= threshold ||
+        col("containment_b") >= threshold)
+      .select("doc_a", "doc_b", "containment_a", "containment_b")
   }
 
   /** Kirsch-Mitzenmacher hash family: hash_i(x) = (a_i·h1(x) + b_i·h2(x)

@@ -158,6 +158,91 @@ object Graphs {
       .filter(col("support") >= minSupport)
   }
 
+  /** Neighborhood Jaccard similarity (L7) — structural "similar items":
+    * for node pairs sharing ≥ 1 neighbor, `|N(a)∩N(b)| /
+    * |N(a)∪N(b)|` over the distinct undirected neighbor sets. The
+    * co-citation / co-purchase similarity read (two parts never bought
+    * together can still be perfect substitutes if the same baskets
+    * neighbor both) — and the one-round core of SimRank.
+    *
+    * This IS the E2 shingle machinery with neighbors as the shingle
+    * space ([[Dedup.sharedCountPairs]] — one code path): per-node
+    * sorted distinct neighbor array (sizes ride the shuffled row),
+    * candidate pairs pivot on the SHARED neighbor's bucket, hub
+    * neighbors above `maxDegree` drop before the O(m²) expansion (the
+    * stop-shingle valve — a node everyone neighbors carries no
+    * similarity signal, exactly like a stopword). */
+  def neighborJaccard(edges: DataFrame, src: String, dst: String,
+                      threshold: Double, maxDegree: Int = 200): DataFrame = {
+    val e = edges
+      .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val nbrs = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .groupBy(col("a").as("doc"))
+      .agg(sort_array(collect_set(col("b"))).as("shs"))
+    Dedup.sharedCountPairs(nbrs, maxDegree)
+      .withColumn("jaccard", graft.functions.Portable.pround(
+        col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("node_a"), col("doc_b").as("node_b"),
+        col("jaccard"))
+  }
+
+  /** k-core extraction (L6) — the maximal subgraph in which every node
+    * keeps degree ≥ k, by iterated peeling: drop nodes below k, which
+    * lowers neighbors' degrees, repeat to fixpoint (Seidman 1983;
+    * Matula & Beck JACM'83 for the peeling order). The dense-core
+    * screen on the same graphs L3 serves — a link farm survives a high
+    * k-core only by being genuinely densely interlinked, and an
+    * entity-resolution blocking graph's k-core is its high-confidence
+    * center. Returns surviving nodes with their IN-CORE degree.
+    *
+    * Scale shape: per round one map-combined degree count over the
+    * surviving edge set + two semi-joins (edge-sized, key-partitioned)
+    * — never all-pairs, never node-state beyond the degree agg; rounds
+    * are data-bounded (each prunes ≥ 1 node or stops) with the
+    * limit(1)-probe early exit and per-round lineage pins of the
+    * components machinery. Peeling is MONOTONE — once below k a node
+    * can never come back, so dropping is safe-by-construction and a
+    * fixpoint pass is idempotent (the oracle unrolls MORE rounds than
+    * convergence needs; the extras are no-ops, the h18 discipline). */
+  def kcore(edges: DataFrame, src: String, dst: String, k: Long,
+            maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    var e = edges
+      .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+      .localCheckpoint()
+    var it = 0
+    var done = e.isEmpty
+    while (!done && it < maxIter) {
+      it += 1
+      val deg = e.select(col("lo").as("n")).union(e.select(col("hi").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("n"))
+      val pruned = e
+        .join(keep.withColumnRenamed("n", "lo"), Seq("lo"), "left_semi")
+        .join(keep.withColumnRenamed("n", "hi"), Seq("hi"), "left_semi")
+        .select(col("lo"), col("hi"))
+        .localCheckpoint()
+      // convergence probe: any node below k this round? (aggregate-sized)
+      done = deg.filter(col("deg") < k).limit(1).isEmpty
+      e = pruned
+    }
+    require(done || e.select(col("lo").as("n")).union(e.select(col("hi").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k).limit(1).isEmpty,
+      s"k-core did not converge within $maxIter rounds (k=$k) — raise maxIter")
+    e.select(col("lo").as("n")).union(e.select(col("hi").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("core_deg"))
+      .select(col("n").as("node"), col("core_deg"))
+  }
+
   /** Per-node triangle participation counts (L3) — the local
     * clustering signal that separates organically-linked neighborhoods
     * from link-farm spam (farms are near-bipartite: high degree, no

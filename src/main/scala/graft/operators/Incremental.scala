@@ -40,6 +40,34 @@ object Incremental {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Per-FIELD survivorship merge (C20) — the golden record of MDM /
+    * entity resolution: [[upsertLatest]] keeps the latest ROW per key,
+    * but when updates are sparse (each row fills some fields and nulls
+    * the rest — the Mongo partial-document shape the reference's dlt
+    * extract lands), the latest row loses older non-null facts. Here
+    * each field independently keeps its LATEST NON-NULL value
+    * (`max_by` over (ts, tie) among that field's non-null rows — rows
+    * whose ordering expression is null are skipped by aggregate null
+    * semantics, which is exactly the survivorship rule), plus
+    * last-seen and row-count lineage columns.
+    *
+    * ONE grouped aggregation, map-side combined, no window and no
+    * per-key sort: state per (key, field) is a single (value, ts, tie)
+    * candidate, so the shuffle carries combiner output, not rows —
+    * the scale win over the row_number spelling. `tie` must make
+    * (ts, tie) unique per key or the pick is nondeterministic. */
+  def goldenRecord(df: DataFrame, key: String, ts: String, tie: String,
+                   fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "need at least one survivorship field")
+    val picks = fields.map { f =>
+      max_by(col(f), when(col(f).isNotNull,
+        struct(col(ts), col(tie)))).as(f)
+    }
+    df.groupBy(col(key)).agg(picks.head,
+      (picks.tail :+ max(col(ts)).as("last_seen") :+
+        count(lit(1)).as("n_rows")): _*)
+  }
+
   /** Type-2 slowly-changing-dimension history from a change stream —
     * the dbt SNAPSHOT (`strategy: check`) role the reference stack
     * reserves its snapshots dir for: one row per (key, state interval),

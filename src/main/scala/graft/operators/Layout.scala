@@ -94,4 +94,20 @@ object Layout {
     zorderKey(df, dims, bits, ranges)
       .repartitionByRange(numPartitions, col("zval"))
       .sortWithinPartitions(col("zval"))
+
+  /** Per-FILE min/max/count layout report (J13) — the measurement that
+    * closes the K11/J12 loop: row-group pruning is only as good as the
+    * per-file bounding boxes, and this report IS those boxes (what the
+    * lake formats keep in manifest metadata, derived here from the
+    * data so any layout can be audited). Read it after a rewrite to
+    * see whether clustering actually tightened the boxes a scan prunes
+    * on — the J12 spec does exactly that. One map-combined grouped agg
+    * over `input_file_name()`; output is file-count-sized. */
+  def fileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max")))
+    df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+  }
 }

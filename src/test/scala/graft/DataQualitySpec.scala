@@ -134,6 +134,53 @@ class DataQualitySpec extends SparkSpec {
       .as[(String, Long, Long, Double, Double, Double)].head()
     assert(got == (("A", 3L, 3L, 0.333333, 0.333333, 0.333333)))
   }
+
+  test("benford: hand ppm — sub-1 excluded, negatives by magnitude, 9-row spine with zeros") {
+    // values 1, 19 (digit 1), 23 (2), -35 (3), 900 (9); 0.5 excluded.
+    // total 5: obs_ppm d1=400000, d2=d3=d9=200000, rest 0.
+    // tv = (Σ|obs−benford| over ALL 9 digits) div 2 = 704366 div 2
+    val df = Seq(("X", 1.0), ("X", 19.0), ("X", 23.0), ("X", -35.0),
+      ("X", 900.0), ("X", 0.5)).toDF("k", "v")
+    val rows = DataQuality.benford(df, Seq("k"), "v")
+      .as[(String, Int, Long, Long, Long, Long)].collect()
+      .map { case (_, d, n, obs, exp, tv) => d -> ((n, obs, exp, tv)) }.toMap
+    assert(rows.size == 9, "one row per digit 1..9, zeros included")
+    assert(rows(1) == ((2L, 400000L, 301030L, 352183L)))
+    assert(rows(2) == ((1L, 200000L, 176091L, 352183L)))
+    assert(rows(9) == ((1L, 200000L, 45757L, 352183L)))
+    assert(rows(5) == ((0L, 0L, 79181L, 352183L)))
+  }
+
+  test("benfordFromCounts: maintained digit counts feed the same report") {
+    val df = Seq(("X", 1.0), ("X", 19.0), ("X", 23.0), ("X", -35.0),
+      ("X", 900.0), ("X", 0.5)).toDF("k", "v")
+    val counts = Seq(("X", 1, 2L), ("X", 2, 1L), ("X", 3, 1L), ("X", 9, 1L))
+      .toDF("k", "digit", "n")
+    val want = DataQuality.benford(df, Seq("k"), "v")
+    val got = DataQuality.benfordFromCounts(counts, Seq("k"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("fdViolations: only multi-dependent determinants, nulls ignored per the dbt convention") {
+    val df = Seq((1L, Some("x")), (1L, Some("x")), (2L, Some("x")),
+      (2L, Some("y")), (2L, None), (3L, None)).toDF("det", "dep")
+    val got = DataQuality.fdViolations(df, Seq("det"), "dep")
+      .as[(Long, Long, Long, String, String)].collect().toList
+    // det 1 is functional; det 3 has no non-null dependents; det 2
+    // violates with 2 distinct over 2 counted rows (the null dropped)
+    assert(got == List((2L, 2L, 2L, "x", "y")))
+  }
+
+  test("keySkew: ppm shares, HHI, deterministic top-N tie-break by key") {
+    // a×4, b×2, c×2, d×1 (total 9). topN=2 keeps a then b (b beats the
+    // tied c by key order). share a = 4e6 div 9, HHI = 25e6 div 81.
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") :+ "d")
+      .toDF("k")
+    val got = DataQuality.keySkew(df, "k", topN = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList.sorted
+    assert(got == List(("a", 4L, 444444L, 4L, 9L, 308641L),
+      ("b", 2L, 222222L, 4L, 9L, 308641L)))
+  }
 }
 
 class ProfileCompareSpec extends SparkSpec {

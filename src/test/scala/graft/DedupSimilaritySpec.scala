@@ -27,6 +27,35 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("containment: an embedded prefix scores ~1 one-sided where jaccard stays low") {
+    // doc 10 = the first 5 tokens of doc 1: every one of its 3
+    // shingles is in doc 1, so containment_b = 1.0 while jaccard =
+    // 3/7 — the subset relation jaccard under-reports
+    val docs = corpus.unionByName(
+      Seq((10L, "the quick brown fox jumps")).toDF("doc_id", "text"))
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5, 100)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((1L, 10L)) == ((0.4286, 1.0))) // pround(3/7, 4dp)
+    // the exact-dup pair is fully contained BOTH ways
+    assert(got((1L, 2L)) == ((1.0, 1.0)))
+    // unrelated doc 4 pairs with nobody
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("containment: threshold applies to EITHER side; the stop-shingle valve still bounds buckets") {
+    val docs = corpus.unionByName(
+      Seq((10L, "the quick brown fox jumps")).toDF("doc_id", "text"))
+    // threshold above both sides of the near-dup pair drops it but
+    // keeps the subset pair via its perfect side
+    val strict = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.99, 100)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(strict((1L, 10L)) && strict((1L, 2L)) && !strict((1L, 3L)))
+    // maxDocFreq = 1 drops every shared-shingle bucket entirely
+    assert(Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5, 1).isEmpty)
+  }
+
   test("minhash LSH: exact dups collide in every band") {
     val got = Dedup.minhashLsh(corpus, "doc_id", "text", 3, 4, 1)
       .filter($"doc_a" === 1L && $"doc_b" === 2L)

@@ -141,4 +141,58 @@ class GraphsSpec extends SparkSpec {
       Graphs.pageRank(edges, "s", "t", iters = 2, dampNum = 100L)
     }
   }
+
+  test("neighborJaccard: opposite square corners are perfect structural twins") {
+    // square 1-2-3-4-1: N(1) = N(3) = {2,4} and N(2) = N(4) = {1,3} —
+    // two node pairs at jaccard 1.0 that share NO edge; adjacent
+    // corners share no neighbor and never pair
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "t")
+    val got = Graphs.neighborJaccard(edges, "s", "t", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map((1L, 3L) -> 1.0, (2L, 4L) -> 1.0))
+  }
+
+  test("neighborJaccard: the maxDegree valve drops hub-pivoted buckets like stop shingles") {
+    // a 5-spoke star: every spoke pair shares only the hub; with the
+    // hub's degree above the cap no pair survives — a node everyone
+    // neighbors carries no similarity signal
+    val star = (1L to 5L).map(i => (0L, i)).toDF("s", "t")
+    assert(Graphs.neighborJaccard(star, "s", "t", 0.1, maxDegree = 4).isEmpty)
+    val open = Graphs.neighborJaccard(star, "s", "t", 0.1, maxDegree = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(open.length == 10 && open.forall(_._3 == 1.0)) // C(5,2) spoke pairs
+  }
+
+  test("kcore: cascading peel — a pendant chain falls in two rounds, the triangle survives") {
+    // triangle {1,2,3} + chain 3-4-5. Round 1: node 5 (deg 1) drops,
+    // which LOWERS 4 to deg 1; round 2 drops 4 — the cascade the
+    // one-shot degree filter would miss. Core = the triangle, each
+    // node at in-core degree 2.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "t")
+    val got = Graphs.kcore(edges, "s", "t", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kcore: duplicate and reversed edges canonicalize before degrees count") {
+    // 1-2 listed twice and once reversed is ONE edge: both endpoints
+    // are degree 1 and the 2-core is empty
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L)).toDF("s", "t")
+    assert(Graphs.kcore(edges, "s", "t", k = 2).isEmpty)
+    // k above every degree empties the core too
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "t")
+    assert(Graphs.kcore(tri, "s", "t", k = 3).isEmpty)
+  }
+
+  test("kcore: maxIter too small for the cascade fails loudly, never silently partial") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "t")
+    intercept[IllegalArgumentException] {
+      Graphs.kcore(edges, "s", "t", k = 2, maxIter = 1).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.kcore(edges, "s", "t", k = 0)
+    }
+  }
 }

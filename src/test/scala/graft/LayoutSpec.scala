@@ -75,6 +75,37 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("fileStats: the layout report shows z-ordered files own tighter boxes than row-major") {
+    // the J13 measurement closing the K11/J12 loop: write the same
+    // grid z-ordered and row-major, read the per-file min/max report
+    // back — every z-ordered file's y-box must be narrow while the
+    // row-major layout has full-height files
+    val grid = (for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y))
+      .toDF("x", "y")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-fs-z").toString
+    val rDir = java.nio.file.Files.createTempDirectory("graft-fs-r").toString
+    Layout.zorderLayout(grid, Seq("x", "y"), bits = 5, numPartitions = 4,
+      ranges = Some(Seq((0L, 31L), (0L, 31L)))).drop("zval")
+      .write.mode("overwrite").parquet(zDir)
+    grid.repartitionByRange(4, col("x"), col("y"))
+      .sortWithinPartitions(col("x"), col("y"))
+      .write.mode("overwrite").parquet(rDir)
+    def spans(dir: String): Seq[(Long, Long)] =
+      Layout.fileStats(spark.read.parquet(dir), Seq("x", "y"))
+        .select(col("x_max") - col("x_min"), col("y_max") - col("y_min"))
+        .as[(Long, Long)].collect().toSeq
+    val z = spans(zDir); val r = spans(rDir)
+    assert(z.length == 4 && r.length == 4)
+    // every z file: a quadrant-ish box (≤ 16 in y); row-major: x-sorted
+    // files span the FULL y axis
+    assert(z.forall(_._2 <= 16L), s"z boxes: $z")
+    assert(r.forall(_._2 == 31L), s"row-major boxes: $r")
+    // row counts conserve
+    val n = Layout.fileStats(spark.read.parquet(zDir), Seq("x"))
+      .agg(sum("n_rows")).as[Long].head()
+    assert(n == 32L * 32L)
+  }
+
   test("zorder guards: <2 dims and bit overflow fail loudly") {
     val df = Seq((1L, 2L)).toDF("x", "y")
     intercept[IllegalArgumentException] {

@@ -248,6 +248,36 @@ class IncrementalSpec extends SparkSpec {
     assert(got == Map(1 -> "z", 2 -> "c")) // v desc, then tag desc
   }
 
+  test("goldenRecord: each field keeps its own latest non-null; the latest row does not win") {
+    // u1's rows: (t1: v=10, tag='a'), (t2: v=null, tag='b'),
+    // (t3: v=20, tag=null). upsertLatest would return (20, null) —
+    // survivorship must merge to (20, 'b').
+    val df = Seq(
+      (1L, "2024-01-01 00:00:01", 101L, Option(10.0), Option("a")),
+      (1L, "2024-01-01 00:00:02", 102L, None, Option("b")),
+      (1L, "2024-01-01 00:00:03", 103L, Option(20.0), None),
+      (2L, "2024-01-01 00:00:01", 104L, None, None))
+      .toDF("k", "ts", "id", "v", "tag")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Incremental.goldenRecord(df, "k", "ts", "id",
+        Seq("v", "tag"))
+      .select("k", "v", "tag", "n_rows")
+      .as[(Long, Option[Double], Option[String], Long)].collect().toSet
+    assert(got == Set((1L, Some(20.0), Some("b"), 3L),
+      (2L, None, None, 1L)))   // an all-null key survives with nulls
+  }
+
+  test("goldenRecord: same-timestamp picks break by the tie column deterministically") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:01", 5L, Option("lo")),
+      (1L, "2024-01-01 00:00:01", 9L, Option("hi")))
+      .toDF("k", "ts", "id", "tag")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Incremental.goldenRecord(df, "k", "ts", "id", Seq("tag"))
+      .select("tag").as[String].head()
+    assert(got == "hi")
+  }
+
   test("snapshotDiff labels added/removed/changed and drops unchanged keys") {
     val before = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null.asInstanceOf[String]))
       .toDF("k", "state")

@@ -910,6 +910,47 @@ class PlanSpec extends SparkSpec {
         s"$q's executed plan must run off the pinned frames:\n$plan")
     }
   }
+
+  test("r10 audits: dq12/dq14 one scan with the counts subtree reused; dq13 one scan no window") {
+    // dq12 benford and dq14 key-skew both consume their grouped-count
+    // subtree TWICE (spine/summary + the report join) — the c10
+    // lesson: without exchange reuse the raw scan runs twice
+    val dq12 = executed(SparkEntry.queries("dq12_benford")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(dq12).size == 1,
+      s"dq12 must scan the input once (single-consumer map spine):\n$dq12")
+    assert(!dq12.contains("Join") && !dq12.contains("Window"),
+      s"dq12: no spine join, no window — map lookups in-row:\n$dq12")
+    // dq14: one scan + bounded TakeOrdered; the 1-row summary attaches
+    // via the scalar-broadcast nested loop (a broadcast of ONE row —
+    // the d18 grouped-vs-global shape), never a real cartesian
+    val dq14 = executed(SparkEntry.queries("dq14_key_skew")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(dq14).size == 1,
+      s"dq14 must scan the input once (counts exchange reused):\n$dq14")
+    assert(dq14.contains("TakeOrderedAndProject"),
+      s"dq14: top-N must stay a bounded TakeOrdered, not a global sort:\n$dq14")
+    assert(!dq14.contains("CartesianProduct"),
+      s"dq14: the summary join must broadcast:\n$dq14")
+    val dq13 = executed(SparkEntry.queries("dq13_fd_check")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(dq13).size == 1 &&
+      !dq13.contains("Window"),
+      s"dq13: one scan, grouped aggs only:\n$dq13")
+    // c20 golden record: ONE grouped aggregation, no window — and the
+    // load-bearing scale property: partial max_by runs MAP-SIDE, so the
+    // exchange carries one (value, ordering) candidate per (key, field)
+    // per mapper, not rows (struct-ordered max_by plans as
+    // SortAggregate; its per-partition group-key sort is the agg
+    // implementation, not a data sort)
+    val c20 = executed(SparkEntry.queries("c20_golden_record")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(c20).size == 1 &&
+      !c20.contains("Window"),
+      s"c20: one scan, one grouped agg, no window:\n$c20")
+    assert(c20.contains("partial_max_by"),
+      s"c20: max_by must combine map-side before the exchange:\n$c20")
+  }
 }
 
 /** Every declared query runs and the flagship returns rows. */

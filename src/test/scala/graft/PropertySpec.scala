@@ -618,6 +618,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kcore == the sequential peel on arbitrary graphs, for every k") {
+    // the distributed semi-join rounds must reach the same fixpoint as
+    // the textbook sequential peel (drop minimum-degree nodes below k
+    // until none remain)
+    val edgeGen = Gen.listOfN(14, for {
+      s <- Gen.chooseNum(1L, 8L); t <- Gen.chooseNum(1L, 8L)
+    } yield (s, t))
+    samples(edgeGen, 6).foreach { raw =>
+      val canon = raw.filter(e => e._1 != e._2)
+        .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      if (canon.nonEmpty) for (k <- 1L to 3L) {
+        val got = graft.operators.Graphs
+          .kcore(raw.toDF("s", "t"), "s", "t", k)
+          .as[(Long, Long)].collect().toMap
+        var e = canon
+        var changed = true
+        while (changed) {
+          val deg = (e.map(_._1) ++ e.map(_._2))
+            .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+          val keep = deg.filter(_._2 >= k).keySet
+          val pruned = e.filter(p => keep(p._1) && keep(p._2))
+          changed = pruned.size != e.size
+          e = pruned
+        }
+        val want = (e.map(_._1) ++ e.map(_._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+        assert(got == want, s"k=$k edges=$canon")
+      }
+    }
+  }
+
   test("pageRank == a direct BigInt simulation on arbitrary digraphs") {
     // the distributed join/agg rounds must agree with a sequential
     // exact-integer simulation of the same damped update

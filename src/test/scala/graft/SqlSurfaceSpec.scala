@@ -531,5 +531,42 @@ class SqlSurfaceSpec extends SparkSpec {
         .collect()
     }
     assert(badArity.getMessage.contains("graft_cusum"))
+    // r10 batch: kcore / golden_record / benford / fd_check / key_skew
+    sameRows(
+      spark.sql("SELECT * FROM graft_kcore('edges_tvf', 'src', 'dst', 2)"),
+      graft.operators.Graphs.kcore(edges, "src", "dst", k = 2L))
+    val sparseEv = spark.createDataFrame(Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L,
+        Option(1.5), Option("a")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 2L,
+        Option.empty[Double], Option("b"))))
+      .toDF("k", "ts", "id", "v", "tag")
+    sparseEv.createOrReplaceTempView("sparse_tvf")
+    sameRows(
+      spark.sql("""SELECT * FROM graft_golden_record('sparse_tvf',
+        'k', 'ts', 'id', 'v,tag')"""),
+      graft.operators.Incremental.goldenRecord(sparseEv, "k", "ts", "id",
+        Seq("v", "tag")))
+    val priced = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    priced.createOrReplaceTempView("priced_tvf")
+    sameRows(
+      spark.sql("""SELECT * FROM graft_benford('priced_tvf',
+        'l_returnflag', 'l_extendedprice')"""),
+      graft.operators.DataQuality.benford(priced, Seq("l_returnflag"),
+        "l_extendedprice"))
+    sameRows(
+      spark.sql("SELECT * FROM graft_fd_check('ev', 'user_id', 'event_type')"),
+      graft.operators.DataQuality.fdViolations(
+        Tables.events(spark, sf), Seq("user_id"), "event_type"))
+    sameRows(
+      spark.sql("SELECT * FROM graft_key_skew('ev', 'user_id', 10)"),
+      graft.operators.DataQuality.keySkew(
+        Tables.events(spark, sf), "user_id", topN = 10))
+    val badK = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_kcore('edges_tvf', 'src', 'dst')")
+        .collect()
+    }
+    assert(badK.getMessage.contains("graft_kcore"))
   }
 }

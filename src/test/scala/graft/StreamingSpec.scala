@@ -444,6 +444,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming graph analytics by composition: maintained edges feed L6/L7 (I44)") {
+    // the I39 discipline extended to the rest of the graph surface:
+    // ONE maintained distinct edge table (streaming dropDuplicates,
+    // exactly-once append) serves k-core AND neighbor-jaccard through
+    // the SAME batch stages — no per-operator streaming state at all
+    val in = Files.createTempDirectory("graft-gph-in").toString
+    val edges0 = graft.operators.Graphs.cooccurrence(
+        graft.sources.Tables.lineitem(spark, sf)
+          .select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 1L)
+      .select(col("item_a"), col("item_b"))
+    val maintained = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = spark.readStream.schema(edges0.schema).parquet(in)
+      .dropDuplicates("item_a", "item_b")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          maintained += ((r.getLong(0), r.getLong(1))))
+        ()
+      }.start()
+    try landTimeSplit(edges0, in, tsCol = "item_a")(() => q.processAllAvailable())
+    finally q.stop()
+    val me = maintained.toSeq.toDF("item_a", "item_b")
+    for ((got, want) <- Seq(
+      (graft.operators.Graphs.kcore(me, "item_a", "item_b", k = 2),
+        graft.operators.Graphs.kcore(edges0, "item_a", "item_b", k = 2)),
+      (graft.operators.Graphs.neighborJaccard(me, "item_a", "item_b", 0.5),
+        graft.operators.Graphs.neighborJaccard(edges0, "item_a", "item_b", 0.5)))) {
+      assert(got.count() == want.count() && want.count() > 0)
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    }
+  }
+
   test("streaming k-anonymity by composition: maintained class counts feed DQ10 (I40)") {
     // quasi-class counts are additive — a plain update-mode agg keeps
     // them exactly-once; the audit re-derives through the SAME
@@ -472,6 +505,75 @@ class StreamingSpec extends SparkSpec {
     val want = graft.operators.DataQuality.kAnonymity(
       cust.drop("c_custkey"), Seq("c_nationkey", "acct_band"), k = 5L)
     assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("streaming benford by composition: maintained digit counts feed DQ12 (I41)") {
+    // (key, digit) counts are additive — a plain update-mode agg
+    // maintains them exactly-once; the report re-derives through the
+    // SAME class-table-sized benfordFromCounts stage (the I40 shape)
+    val in = Files.createTempDirectory("graft-benford-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("ts"))
+    val digits = (df: org.apache.spark.sql.DataFrame) => df
+      .filter(abs(col("value")) >= 1)
+      .select(col("event_type"), substring(floor(abs(col("value")))
+        .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+    val maintained = maintainedRows[(String, Int, Long)](
+      digits(spark.readStream.schema(ev.schema).parquet(in))
+        .groupBy(col("event_type"), col("digit"))
+        .agg(count(lit(1)).as("n")),
+      r => (r._1, r._2)) { after => landTimeSplit(ev, in)(after) }
+    val got = graft.operators.DataQuality.benfordFromCounts(
+      maintained.toDF("event_type", "digit", "n"), Seq("event_type"))
+    val want = graft.operators.DataQuality.benford(
+      ev.drop("ts"), Seq("event_type"), "value")
+    assert(want.count() > 0 && got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("streaming FD audit by composition: maintained pair counts feed DQ13 (I42)") {
+    val in = Files.createTempDirectory("graft-fd-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val maintained = maintainedRows[(Long, String, Long)](
+      spark.readStream.schema(ev.schema).parquet(in)
+        .filter(col("event_type").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      r => (r._1, r._2)) { after => landTimeSplit(ev, in)(after) }
+    val got = graft.operators.DataQuality.fdFromPairCounts(
+      maintained.toDF("user_id", "event_type", "n"),
+      Seq("user_id"), "event_type")
+    val want = graft.operators.DataQuality.fdViolations(
+      ev.drop("ts"), Seq("user_id"), "event_type")
+    assert(want.count() > 0 && got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("streaming golden record: the max_by survivorship agg maintains batch C20 (I43)") {
+    // per-field latest-non-null is a commutative-monoid merge — the
+    // goldenRecord aggregation runs UNCHANGED as an update-mode
+    // streaming agg (the I17 declarative discipline, zero state code),
+    // emitted rows upsert keyed on the entity
+    val in = Files.createTempDirectory("graft-golden-in").toString
+    val sparse = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_id") % 2 === 1, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"),
+        when(col("event_id") % 2 === 0, lit(null).cast("string"))
+          .otherwise(col("event_type")).as("event_type"))
+    val maintained = maintainedRows[
+        (Long, Option[Double], Option[String], java.sql.Timestamp, Long)](
+      graft.operators.Incremental.goldenRecord(
+        spark.readStream.schema(sparse.schema).parquet(in),
+        "user_id", "ts", "event_id", Seq("value", "event_type")),
+      r => r._1) { after => landTimeSplit(sparse, in)(after) }
+    val got = maintained
+      .toDF("user_id", "value", "event_type", "last_seen", "n_rows")
+    val want = graft.operators.Incremental.goldenRecord(
+      sparse, "user_id", "ts", "event_id", Seq("value", "event_type"))
+    assert(want.count() > 0 && got.count() == want.count())
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
