@@ -1963,6 +1963,29 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2L),
         "item_a", "item_b", threshold = 0.25, maxDegree = 200)),
 
+    // multi-source BFS rings around the part-key seed set on the
+    // support>=2 co-purchase graph — hop distance from the "trusted
+    // core"; the keep/drop frontier is integer set algebra, so every
+    // depth is exact and the unrolled oracle reproduces them
+    "l8_bfs_depth" -> ((s, d) =>
+      Graphs.bfsDepth(
+        Graphs.cooccurrence(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minSupport = 2L),
+        "item_a", "item_b",
+        seeds = Tables.part(s, d).filter(col("p_partkey") % 50 === 0)
+          .select(col("p_partkey")),
+        maxDepth = 6)),
+
+    // item-item cosine over raw (basket, item) rows — L2's counts
+    // normalized by the exact integer cross-multiplied threshold
+    // (support^2*100 >= n_a*n_b), the collaborative-filtering score
+    "l9_item_cosine" -> ((s, d) =>
+      Graphs.cooccurrenceCosine(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2L,
+        thresholdNum = 1L, thresholdDen = 10L)),
+
     // asymmetric shingle containment (Broder): a short doc embedded in
     // a long one scores ~0 on Jaccard but ~1 on containment — the
     // fuzzy-subset complement of E7/E11's exact repeated spans; the
@@ -3950,6 +3973,54 @@ object SparkEntry {
          |FROM shared JOIN sz sa ON sa.x = node_a
          |  JOIN sz sb ON sb.x = node_b
          |WHERE $jac >= 0.25""".stripMargin
+    },
+
+    // l8: 6 BFS rounds unrolled (the h18/l6 discipline) — each round's
+    // settled set is the min-depth union of the previous set and the
+    // one-hop expansion of its frontier; BFS is monotone, so rounds
+    // past reachability are no-ops
+    "l8_bfs_depth" -> {
+      val rounds = (1 to 6).map { r =>
+        s"""v$r AS MATERIALIZED (SELECT node, min(depth) AS depth FROM (
+           |    SELECT node, depth FROM v${r - 1}
+           |    UNION ALL
+           |    SELECT e.dst, ${r} FROM e JOIN v${r - 1} p
+           |      ON p.node = e.src AND p.depth = ${r - 1})
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH s0 AS MATERIALIZED (${copurchaseOracleSql(2)}),
+         |e AS MATERIALIZED (SELECT item_a AS src, item_b AS dst FROM s0
+         |     UNION SELECT item_b, item_a FROM s0),
+         |sd AS (SELECT p_partkey AS node FROM part WHERE p_partkey % 50 = 0),
+         |v0 AS MATERIALIZED (
+         |  SELECT DISTINCT n.node, 0 AS depth
+         |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+         |  JOIN sd ON sd.node = n.node),
+         |$rounds
+         |SELECT node, CAST(depth AS BIGINT) AS depth FROM v6""".stripMargin
+    },
+
+    // l9: the same retained-basket set feeds BOTH the pair counts and
+    // the degrees (mirroring the operator's internal consistency);
+    // keep = HUGEINT cross-multiplication, cosine = one IEEE
+    // sqrt/divide over exact integers
+    "l9_item_cosine" -> {
+      val cos = sqlPround(
+        "CAST(support AS DOUBLE) / sqrt(CAST(da.nb AS DOUBLE) * CAST(db.nb AS DOUBLE))", 4)
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+         |bs AS (SELECT bk FROM e GROUP BY bk
+         |       HAVING count(*) BETWEEN 2 AND 1000),
+         |eb AS MATERIALIZED (SELECT e.* FROM e JOIN bs USING (bk)),
+         |deg AS (SELECT it, count(*) AS nb FROM eb GROUP BY 1),
+         |sup AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS support
+         |        FROM eb a JOIN eb b ON a.bk = b.bk AND a.it < b.it
+         |        GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT item_a, item_b, support, $cos AS cosine
+         |FROM sup JOIN deg da ON da.it = item_a
+         |  JOIN deg db ON db.it = item_b
+         |WHERE CAST(support AS HUGEINT) * support * 100
+         |  >= CAST(da.nb AS HUGEINT) * db.nb""".stripMargin
     },
 
     // e12: e2's oracle skeleton with the in-query prefix fixture

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph importance scoring (H28) — the PageRank-family quality
@@ -144,18 +144,135 @@ object Graphs {
     * bounded-bucket valve — stated, loud), which also bounds the
     * grouped state and the explode fan-out. */
   def cooccurrence(pairs: DataFrame, basket: String, item: String,
-                   minSupport: Long = 2L, maxBasket: Int = 1000): DataFrame = {
+                   minSupport: Long = 2L, maxBasket: Int = 1000): DataFrame =
+    pairCounts(basketArrays(pairs, basket, item, maxBasket))
+      .filter(col("support") >= minSupport)
+
+  /** Shared first stage of the bipartite projections: per-basket
+    * sorted distinct item arrays, degenerate baskets (singleton, or
+    * above the `maxBasket` valve) dropped. */
+  private def basketArrays(pairs: DataFrame, basket: String, item: String,
+                           maxBasket: Int): DataFrame = {
     require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
     pairs
       .select(col(basket).cast("long").as("bk"), col(item).cast("long").as("it"))
       .groupBy("bk").agg(sort_array(collect_set(col("it"))).as("its"))
       .filter(size(col("its")) >= 2 && size(col("its")) <= maxBasket)
+  }
+
+  /** Unordered within-basket pair counts off the arrays frame — the
+    * in-row `i < j` explode, all codegen'd, no self-join. */
+  private def pairCounts(arrays: DataFrame): DataFrame =
+    arrays
       .select(posexplode(col("its")).as(Seq("i", "item_a")), col("its"))
       .select(col("item_a"), explode(
         slice(col("its"), col("i") + lit(2),
           size(col("its")) - col("i") - lit(1))).as("item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
-      .filter(col("support") >= minSupport)
+
+  /** Item–item cosine similarity over basket co-occurrence (L9) — the
+    * normalized "customers who bought X also bought Y" score:
+    * `cos(a,b) = support(a,b) / sqrt(n_a · n_b)` where `n_x` counts the
+    * distinct RETAINED baskets containing x (the same valve-filtered
+    * basket set the pair counts see, so the ratio is internally
+    * consistent). Raw co-occurrence (L2) over-ranks popular items —
+    * two staples co-occur constantly by volume alone; the cosine
+    * denominator discounts exactly that, which is why item-item
+    * collaborative filtering normalizes this way (Linden et al., IEEE
+    * Internet Computing 2003).
+    *
+    * Exactness: the KEEP decision is the integer cross-multiplication
+    * `support²·den² ≥ n_a·n_b·num²` (decimal(38) — never a float
+    * threshold), so membership is bit-reproducible cross-engine; the
+    * reported cosine is one IEEE sqrt/divide over exact integers,
+    * `pround`ed. Scale shape: one arrays build (basket-keyed agg,
+    * map-side partial), pinned once for its TWO consumers (degrees +
+    * pair explode — unpinned, the basket agg runs twice), then
+    * pair-keyed count and two item-keyed degree joins — every
+    * exchange keyed, never all-pairs, `maxBasket` bounding the
+    * explode exactly as L2. */
+  def cooccurrenceCosine(pairs: DataFrame, basket: String, item: String,
+                         minSupport: Long = 2L, thresholdNum: Long = 1L,
+                         thresholdDen: Long = 5L,
+                         maxBasket: Int = 1000): DataFrame = {
+    require(thresholdNum >= 0 && thresholdDen > 0 && thresholdNum <= thresholdDen,
+      s"need 0 <= num <= den, got $thresholdNum/$thresholdDen")
+    val arrays = basketArrays(pairs, basket, item, maxBasket).localCheckpoint()
+    val deg = arrays.select(explode(col("its")).as("it"))
+      .groupBy("it").agg(count(lit(1)).as("nb"))
+    val sup = pairCounts(arrays).filter(col("support") >= minSupport)
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    sup
+      .join(deg.select(col("it").as("item_a"), col("nb").as("na")), "item_a")
+      .join(deg.select(col("it").as("item_b"), col("nb").as("nbb")), "item_b")
+      .filter(
+        d38(col("support")) * col("support") * lit(thresholdDen) * lit(thresholdDen) >=
+          d38(col("na")) * col("nbb") * lit(thresholdNum) * lit(thresholdNum))
+      .select(col("item_a"), col("item_b"), col("support"),
+        graft.functions.Portable.pround(
+          col("support").cast("double") /
+            sqrt(col("na").cast("double") * col("nbb").cast("double")),
+          4).as("cosine"))
+  }
+
+  /** Multi-source BFS hop distance (L8) — each reachable node's
+    * minimum hop count from a seed set, within `maxDepth`: the
+    * "distance to a trusted core" feature (link-graph quality tiers à
+    * la TrustRank, blast-radius analysis from a compromised account
+    * set, recall expansion rings around known-good items). Nodes
+    * farther than `maxDepth` (or unreachable) are absent — stated;
+    * emitting every node forces a full node join for rows that carry
+    * no signal. Seeds not present in the graph contribute nothing.
+    *
+    * Frontier BFS, the monotone min-relaxation: per round ONE
+    * src-keyed edge⋈frontier join (edges hash-partitioned on src ONCE
+    * and pinned — every round reuses the co-partitioning), a distinct,
+    * and an anti-join against the settled set; the frontier only
+    * shrinks mass-wise and the loop exits early on an empty round
+    * (aggregate-sized probe). Settled distances re-pin per round —
+    * node-sized, constant-depth lineage. Depths are exact by
+    * induction: a node first reached in round d has a d-hop path and,
+    * by the frontier construction, no shorter one — so the unrolled
+    * oracle (min over per-round candidate unions, the h18 discipline)
+    * reproduces them digit for digit. */
+  def bfsDepth(edges: DataFrame, src: String, dst: String, seeds: DataFrame,
+               maxDepth: Int = 10, directed: Boolean = false): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 30,
+      s"maxDepth must be in [1, 30], got $maxDepth")
+    val e0 = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = (if (directed) e0
+             else e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    val s0 = seeds.select(seeds.columns.head).toDF("node")
+      .select(col("node").cast("long").as("node")).distinct()
+    val inGraph = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var dist = inGraph.join(s0, Seq("node"), "left_semi")
+      .withColumn("depth", lit(0L))
+      .localCheckpoint()
+    var frontier = dist.select("node")
+    var d = 0
+    var done = frontier.isEmpty
+    while (!done && d < maxDepth) {
+      d += 1
+      val fresh = e
+        .join(frontier.select(col("node").as("src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("depth", lit(d.toLong))
+        .localCheckpoint() // pinned: the probe, the union and the next
+                           // round's join all read it
+      done = fresh.limit(1).isEmpty
+      if (!done) {
+        dist = dist.unionByName(fresh).localCheckpoint()
+        frontier = fresh.select("node")
+      }
+    }
+    dist
   }
 
   /** Neighborhood Jaccard similarity (L7) — structural "similar items":

@@ -195,4 +195,65 @@ class GraphsSpec extends SparkSpec {
       Graphs.kcore(edges, "s", "t", k = 0)
     }
   }
+
+  test("bfsDepth: exact hop rings on a path; multi-seed takes the nearer seed") {
+    // path 1-2-3-4-5, seed {1}: depths 0..4
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "t")
+    val one = Graphs.bfsDepth(path, "s", "t", Seq(1L).toDF("n"), maxDepth = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // seeds {1, 5}: every node takes the NEARER seed's ring
+    val two = Graphs.bfsDepth(path, "s", "t", Seq(1L, 5L).toDF("n"), maxDepth = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(two == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("bfsDepth: maxDepth truncates; unreachable and off-graph seeds are absent") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("s", "t")
+    // depth cap 2 from seed 1: node 4 (3 hops) and the {10,11}
+    // component are absent; seed 99 is not in the graph — ignored
+    val got = Graphs.bfsDepth(g, "s", "t", Seq(1L, 99L).toDF("n"), maxDepth = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    intercept[IllegalArgumentException] {
+      Graphs.bfsDepth(g, "s", "t", Seq(1L).toDF("n"), maxDepth = 0)
+    }
+  }
+
+  test("bfsDepth directed: edges only traverse forward; undirected reverses them") {
+    val g = Seq((1L, 2L), (2L, 3L)).toDF("s", "t")
+    val fwd = Graphs.bfsDepth(g, "s", "t", Seq(3L).toDF("n"),
+      maxDepth = 3, directed = true).as[(Long, Long)].collect().toMap
+    assert(fwd == Map(3L -> 0L))
+    val und = Graphs.bfsDepth(g, "s", "t", Seq(3L).toDF("n"), maxDepth = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(und == Map(3L -> 0L, 2L -> 1L, 1L -> 2L))
+  }
+
+  test("cooccurrenceCosine: hand-computed cosines; degrees count only retained baskets") {
+    // baskets: {1,2}, {1,2}, {1,3}, {3} — the singleton basket drops,
+    // so n1=3, n2=2, n3=1 (NOT 2); support(1,2)=2, support(1,3)=1
+    val rows = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 3L), (40L, 3L)).toDF("bk", "it")
+    val got = Graphs.cooccurrenceCosine(rows, "bk", "it", minSupport = 1L,
+      thresholdNum = 1L, thresholdDen = 5L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    // cos(1,2) = 2/sqrt(3·2) = 0.8165; cos(1,3) = 1/sqrt(3·1) = 0.5774
+    assert(got == Map((1L, 2L) -> (2L, 0.8165), (1L, 3L) -> (1L, 0.5774)))
+  }
+
+  test("cooccurrenceCosine: the integer cross-multiplied threshold is the keep gate") {
+    val rows = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 3L)).toDF("bk", "it")
+    // at 7/10: (1,2) keeps (4·100 ≥ 6·49); (1,3) drops (1·100 < 3·49)
+    val tight = Graphs.cooccurrenceCosine(rows, "bk", "it", minSupport = 1L,
+      thresholdNum = 7L, thresholdDen = 10L)
+      .select("item_a", "item_b").as[(Long, Long)].collect().toSet
+    assert(tight == Set((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Graphs.cooccurrenceCosine(rows, "bk", "it", thresholdNum = 6L,
+        thresholdDen = 5L)
+    }
+  }
 }

@@ -753,6 +753,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bfsDepth == brute-force shortest hops on arbitrary graphs") {
+    val edgeGen = Gen.listOfN(12, for {
+      a <- Gen.chooseNum(1L, 8L); b <- Gen.chooseNum(1L, 8L)
+    } yield (a, b))
+    samples(edgeGen, 6).foreach { raw =>
+      val edges = raw.filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val got = graft.operators.Graphs.bfsDepth(
+          edges.toDF("s", "t"), "s", "t", Seq(1L, 2L).toDF("n"), maxDepth = 10)
+          .as[(Long, Long)].collect().toMap
+        // brute force: Floyd-style BFS from the seed set over the
+        // undirected distinct edge set
+        val und = edges.flatMap(e => Seq(e, e.swap)).distinct
+          .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        var want = Map.empty[Long, Long]
+        var frontier = Set(1L, 2L).intersect(nodes)
+        frontier.foreach(n => want += n -> 0L)
+        var d = 0L
+        while (frontier.nonEmpty) {
+          d += 1
+          frontier = frontier.flatMap(n => und.getOrElse(n, Set.empty))
+            .diff(want.keySet)
+          frontier.foreach(n => want += n -> d)
+        }
+        assert(got == want, s"edges=$edges")
+      }
+    }
+  }
+
   test("zorderValue round-trips: every dimension recovers from the key") {
     val gen = for {
       a <- Gen.chooseNum(0L, 255L); b <- Gen.chooseNum(0L, 255L)
