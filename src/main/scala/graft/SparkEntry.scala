@@ -2018,6 +2018,18 @@ object SparkEntry {
         key = "user_id", ts = "ts", tie = "event_id",
         fields = Seq("value", "event_type", "prop_k"))),
 
+    // interval union / coverage: each event opens a pseudo-lease of
+    // ((event_id*7919) % 500000) seconds — overlapping leases merge,
+    // the union extent never double-counts; all µs integer arithmetic
+    "c21_interval_union" -> ((s, d) => {
+      val st = unix_micros(col("ts"))
+      Sessionize.intervalUnion(
+        ev(s, d).select(col("user_id"), st.as("ivs"),
+          (st + ((col("event_id") * 7919) % 500000) * lit(1000000L))
+            .as("ive")),
+        Seq("user_id"), col("ivs"), col("ive"))
+    }),
+
     // Z-order layout key over (l_partkey, l_suppkey): per-dim range
     // buckets by integer floor-div off a driver-collected (min, max)
     // pair, then the bit interleave — a zero-shuffle
@@ -4022,6 +4034,30 @@ object SparkEntry {
          |WHERE CAST(support AS HUGEINT) * support * 100
          |  >= CAST(da.nb AS HUGEINT) * db.nb""".stripMargin
     },
+
+    // c21: the same gaps-and-islands windows in DuckDB — running
+    // max(end) over preceding rows flags island starts, a running sum
+    // numbers them, per-island min/max rolls up; pure integer µs
+    "c21_interval_union" ->
+      """WITH iv AS (SELECT user_id AS k, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + ((event_id * 7919) % 500000) * 1000000 AS e FROM events),
+        |w AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |f AS (SELECT k, s, e,
+        |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS ni
+        |  FROM w),
+        |g AS (SELECT k, s, e, sum(ni) OVER (PARTITION BY k ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |pi AS (SELECT k, island, min(s) AS is_s, max(e) AS is_e,
+        |    count(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT k AS user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+        |  count(*) AS n_islands,
+        |  CAST(sum(is_e - is_s) AS BIGINT) AS covered,
+        |  CAST(max(is_e - is_s) AS BIGINT) AS max_island
+        |FROM pi GROUP BY 1""".stripMargin,
 
     // e12: e2's oracle skeleton with the in-query prefix fixture
     // (first 15 tokens of every 20th doc as a new doc) and the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -552,5 +552,58 @@ object Sessionize {
       col("monetary"), col("r_score"), col("f_score"), col("m_score"),
       concat(col("r_score").cast("string"), col("f_score").cast("string"),
         col("m_score").cast("string")).as("segment"))
+  }
+
+  /** Interval union / coverage (C21) — the classic "merge overlapping
+    * intervals" rollup: given CLOSED intervals `[start, end]` per key,
+    * report the interval count, the number of merged islands, the
+    * total covered extent (union measure — overlap never double-counts)
+    * and the longest island. The "total time actually on call" /
+    * machine-uptime-from-overlapping-leases / sensor-coverage question
+    * the raw sum of durations answers WRONG whenever intervals overlap.
+    *
+    * Units-agnostic: `start`/`end` are any numeric columns on a common
+    * axis (epoch-µs typical) and all outputs are exact integer
+    * arithmetic on them. Touching intervals (`start == prev end`)
+    * MERGE — closed-interval semantics, stated; zero-length intervals
+    * carry no extent but still bridge islands. `end < start` rows fail
+    * loudly in-pass (`raise_error` inside the projection — no extra
+    * validation scan of the input).
+    *
+    * Scale shape: gaps-and-islands in ONE key-hash exchange end to
+    * end — the running `max(end)` prefix window and the island-id
+    * running sum share one (key)-partitioned sort, and both downstream
+    * aggregations ((key, island) then (key)) ride the same hash
+    * family, so Spark inserts no further exchange. Per-key state is
+    * the sort buffer — AQE's sort-based window handles skewed keys. */
+  def intervalUnion(df: DataFrame, key: Seq[String], start: Column,
+                    end: Column): DataFrame = {
+    val checkedEnd = when(end < start, raise_error(concat(
+        lit("intervalUnion: end < start at key="),
+        concat_ws(",", key.map(k => col(k).cast("string")): _*))))
+      .otherwise(end)
+    val iv = df.select(key.map(col) :+ start.as("__s") :+
+      checkedEnd.as("__e"): _*)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("__s"), col("__e"))
+    val pmax = max(col("__e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    // the island-sum window consumes the flag, so it is a second
+    // Window op — but same partitioning + ordering, so it rides the
+    // already-exchanged, already-sorted partitions (no new exchange)
+    val flagged = iv
+      .withColumn("__ni",
+        (pmax.isNull || col("__s") > pmax).cast("long"))
+    val islands = flagged.withColumn("__island",
+      sum(col("__ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val perIsland = islands
+      .groupBy((key.map(col) :+ col("__island")): _*)
+      .agg(min(col("__s")).as("__is"), max(col("__e")).as("__ie"),
+        count(lit(1)).as("__n"))
+    perIsland.groupBy(key.map(col): _*)
+      .agg(sum(col("__n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is")).as("covered"),
+        max(col("__ie") - col("__is")).as("max_island"))
   }
 }

@@ -445,6 +445,19 @@ class PlanSpec extends SparkSpec {
       s"k11's interleave must stay in whole-stage codegen ('*' marker):\n$k11")
   }
 
+  test("c21 interval union: one scan, one key exchange, no join") {
+    // gaps-and-islands end to end in one hash(key) family: the window
+    // exchange is the ONLY shuffle — the (key, island) and (key)
+    // rollups both satisfy their clustering off hash(key)
+    val c21 = executed(SparkEntry.queries("c21_interval_union")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(c21).size == 1,
+      s"c21 must scan events once:\n$c21")
+    assert("(?<!Reused)Exchange hashpartitioning".r.findAllIn(c21).size == 1,
+      s"c21 must ride one key exchange end to end:\n$c21")
+    assert(!c21.contains("Join"), s"c21 must not plan a join:\n$c21")
+  }
+
   test("d33 interval lookup plans a hash join, never a nested loop") {
     val d33 = executed(SparkEntry.queries("d33_interval_lookup")(spark, sf))
       .split("== Initial Plan ==").head

@@ -164,3 +164,44 @@ class AsOfForwardSpec extends SparkSpec {
     assert(carried.isEmpty)
   }
 }
+
+class IntervalUnionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Sessionize
+
+  private def run(rows: Seq[(Long, Long, Long)]) =
+    Sessionize.intervalUnion(rows.toDF("k", "s", "e"),
+      Seq("k"), col("s"), col("e"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("overlapping intervals merge; the union extent never double-counts") {
+    // key 1: [0,10],[5,20],[30,40] → 2 islands, covered 20+10=30, max 20
+    val got = run(Seq((1L, 0L, 10L), (1L, 5L, 20L), (1L, 30L, 40L)))
+    assert(got == Map(1L -> ((3L, 2L, 30L, 20L))))
+  }
+
+  test("touching intervals merge (closed semantics); containment adds nothing") {
+    // [0,10] then [10,15] touch → ONE island of 15; [2,5] is contained
+    val got = run(Seq((2L, 0L, 10L), (2L, 10L, 15L), (2L, 2L, 5L)))
+    assert(got == Map(2L -> ((3L, 1L, 15L, 15L))))
+  }
+
+  test("zero-length intervals bridge islands but carry no extent") {
+    // [0,5], point [5,5], [5,9]: all one island, covered 9
+    val got = run(Seq((3L, 0L, 5L), (3L, 5L, 5L), (3L, 5L, 9L)))
+    assert(got == Map(3L -> ((3L, 1L, 9L, 9L))))
+    // a lone point island: covered 0
+    val pt = run(Seq((4L, 7L, 7L)))
+    assert(pt == Map(4L -> ((1L, 1L, 0L, 0L))))
+  }
+
+  test("keys do not interact; end < start fails loudly in-pass") {
+    val got = run(Seq((5L, 0L, 10L), (6L, 5L, 8L)))
+    assert(got == Map(5L -> ((1L, 1L, 10L, 10L)), 6L -> ((1L, 1L, 3L, 3L))))
+    val ex = intercept[Exception] {
+      run(Seq((7L, 10L, 3L)))
+    }
+    assert(ex.getMessage != null)
+  }
+}
