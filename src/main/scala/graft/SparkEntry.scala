@@ -2018,6 +2018,21 @@ object SparkEntry {
         key = "user_id", ts = "ts", tie = "event_id",
         fields = Seq("value", "event_type", "prop_k"))),
 
+    // CDC MERGE: the event stream read as a change log against the
+    // customer snapshot — per-user highest event_id wins, 'error'
+    // events are DELETE tombstones, unknown users insert
+    "j14_apply_cdc" -> ((s, d) =>
+      Incremental.applyCdc(
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")),
+        ev(s, d).select(col("user_id").as("c_custkey"), col("event_id"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+            .as("cdc_op"),
+          col("value").as("c_acctbal"),
+          col("event_type").as("c_mktsegment")),
+        key = Seq("c_custkey"), seq = "event_id", op = "cdc_op",
+        fields = Seq("c_acctbal", "c_mktsegment"))),
+
     // interval union / coverage: each event opens a pseudo-lease of
     // ((event_id*7919) % 500000) seconds — overlapping leases merge,
     // the union extent never double-counts; all µs integer arithmetic
@@ -4034,6 +4049,27 @@ object SparkEntry {
          |WHERE CAST(support AS HUGEINT) * support * 100
          |  >= CAST(da.nb AS HUGEINT) * db.nb""".stripMargin
     },
+
+    // j14: winning change per key by row_number, then the outer-join
+    // merge with tombstone filtering — the MERGE INTO semantics
+    "j14_apply_cdc" ->
+      """WITH w AS (
+        |  SELECT user_id AS ck, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value AS bal, event_type AS seg,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |l AS (SELECT * FROM w WHERE rn = 1),
+        |m AS (
+        |  SELECT COALESCE(l.ck, c.c_custkey) AS c_custkey, l.op,
+        |    CASE WHEN l.ck IS NOT NULL THEN l.bal
+        |         ELSE c.c_acctbal END AS c_acctbal,
+        |    CASE WHEN l.ck IS NOT NULL THEN l.seg
+        |         ELSE c.c_mktsegment END AS c_mktsegment
+        |  FROM customer c FULL OUTER JOIN l ON l.ck = c.c_custkey)
+        |SELECT c_custkey, c_acctbal, c_mktsegment FROM m
+        |WHERE op IS NULL OR op <> 'D'""".stripMargin,
 
     // c21: the same gaps-and-islands windows in DuckDB — running
     // max(end) over preceding rows flags island starts, a running sum

@@ -149,4 +149,60 @@ object Incremental {
     f.join(h, cond)
       .select(col("f.*") +: hCols.map(c => col(s"h.$c")): _*)
   }
+
+  /** Winning change per key from a CDC log (the first stage of
+    * [[applyCdc]], exposed as a seam): each key's highest-`seq` row
+    * with its op and payload. ONE grouped `max_by` — map-side
+    * combined, no window, and every aggregate is additive, so a plain
+    * update-mode streaming aggregation maintains it exactly (the I45
+    * continuous-CDC story). `seq` must be unique per key (a change
+    * log's LSN contract) or the pick is nondeterministic. */
+  def latestChange(changes: DataFrame, key: Seq[String], seq: String,
+                   op: String, fields: Seq[String]): DataFrame = {
+    val payload = struct((col(op).as("__op") +: col(seq).cast("long").as("__seq")
+      +: fields.map(col)): _*)
+    changes.groupBy(key.map(col): _*)
+      .agg(max_by(payload, col(seq).cast("long")).as("__w"))
+      .select(key.map(col) ++
+        Seq(col("__w.__op").as("__op"), col("__w.__seq").as("__seq")) ++
+        fields.map(f => col(s"__w.$f").as(f)): _*)
+  }
+
+  /** CDC changelog application (J14) — fold an ordered change stream
+    * of upserts and DELETE tombstones onto a base snapshot: the MERGE
+    * a lakehouse table format runs per commit (Delta/Iceberg/Hudi
+    * `MERGE INTO`; Debezium envelope semantics), spelled as ONE
+    * keyed outer join. Any change beats the snapshot row; among
+    * changes the highest `seq` wins; a winning `op == "D"` removes
+    * the key (tombstone), anything else upserts its payload. Keys
+    * only in the snapshot pass through; keys only in the change log
+    * insert.
+    *
+    * Scale shape: the change log collapses to one winning row per key
+    * BEFORE the join ([[latestChange]] — map-side combined, so the
+    * shuffle carries combiner output, not log rows), then one
+    * key-partitioned full-outer join against the snapshot. Change-set
+    * sized state, snapshot-sized output — the incremental-refresh
+    * cost model. */
+  def applyCdc(snapshot: DataFrame, changes: DataFrame, key: Seq[String],
+               seq: String, op: String, fields: Seq[String]): DataFrame =
+    applyCdcFrom(snapshot, latestChange(changes, key, seq, op, fields),
+      key, fields)
+
+  /** The merge stage of [[applyCdc]] (the seam a MAINTAINED
+    * latest-change table feeds without re-reading the log). `latest`
+    * must be one row per key carrying `__op` and the payload
+    * fields. */
+  def applyCdcFrom(snapshot: DataFrame, latest: DataFrame,
+                   key: Seq[String], fields: Seq[String]): DataFrame = {
+    val snap = snapshot.select(key.map(col) ++ fields.map(f =>
+      col(f).as(s"__snap_$f")): _*)
+    val chg = latest.select(key.map(col) ++ (col("__op") +:
+      fields.map(f => col(f).as(s"__chg_$f"))): _*)
+    snap.join(chg, key, "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(key.map(col) ++ fields.map(f =>
+        when(col("__op").isNotNull, col(s"__chg_$f"))
+          .otherwise(col(s"__snap_$f")).as(f)): _*)
+  }
 }

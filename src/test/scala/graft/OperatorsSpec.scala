@@ -267,6 +267,48 @@ class IncrementalSpec extends SparkSpec {
       (2L, None, None, 1L)))   // an all-null key survives with nulls
   }
 
+  test("applyCdc: highest-seq change wins, tombstones delete, unknown keys insert, untouched keys pass") {
+    val snap = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("k", "bal", "seg")
+    val chg = Seq(
+      (1L, 100L, "U", 11.0, "a2"),  // overwritten below by seq 200
+      (1L, 200L, "U", 12.0, "a3"),  // k=1 final upsert
+      (2L, 150L, "D", 0.0, "x"),    // k=2 tombstone
+      (9L, 50L, "I", 90.0, "new"))  // k=9 insert (op != D upserts)
+      .toDF("k", "seqn", "op", "bal", "seg")
+    val got = Incremental.applyCdc(snap, chg, Seq("k"), "seqn", "op",
+        Seq("bal", "seg"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(got == Set((1L, 12.0, "a3"), (3L, 30.0, "c"), (9L, 90.0, "new")))
+  }
+
+  test("applyCdc: a delete followed by a later upsert resurrects the key") {
+    val snap = Seq((1L, 1.0)).toDF("k", "v")
+    val chg = Seq((1L, 10L, "D", 0.0), (1L, 20L, "U", 5.0))
+      .toDF("k", "seqn", "op", "v")
+    val got = Incremental.applyCdc(snap, chg, Seq("k"), "seqn", "op", Seq("v"))
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 5.0)))
+    // and the reverse order of arrival rows changes nothing (seq wins)
+    val got2 = Incremental.applyCdc(snap,
+        Seq((1L, 20L, "U", 5.0), (1L, 10L, "D", 0.0)).toDF("k", "seqn", "op", "v"),
+        Seq("k"), "seqn", "op", Seq("v"))
+      .as[(Long, Double)].collect().toSet
+    assert(got2 == Set((1L, 5.0)))
+  }
+
+  test("applyCdcFrom == applyCdc off a maintained latest-change table (the seam)") {
+    val snap = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val chg = Seq((1L, 10L, "U", 9.0), (2L, 11L, "D", 0.0), (3L, 12L, "U", 3.0))
+      .toDF("k", "seqn", "op", "v")
+    val latest = Incremental.latestChange(chg, Seq("k"), "seqn", "op", Seq("v"))
+    val viaSeam = Incremental.applyCdcFrom(snap, latest, Seq("k"), Seq("v"))
+      .as[(Long, Double)].collect().toSet
+    val direct = Incremental.applyCdc(snap, chg, Seq("k"), "seqn", "op", Seq("v"))
+      .as[(Long, Double)].collect().toSet
+    assert(viaSeam == direct && direct == Set((1L, 9.0), (3L, 3.0)))
+  }
+
   test("goldenRecord: same-timestamp picks break by the tie column deterministically") {
     val df = Seq(
       (1L, "2024-01-01 00:00:01", 5L, Option("lo")),

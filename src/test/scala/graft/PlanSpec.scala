@@ -964,6 +964,24 @@ class PlanSpec extends SparkSpec {
     assert(c20.contains("partial_max_by"),
       s"c20: max_by must combine map-side before the exchange:\n$c20")
   }
+
+  test("j14 apply_cdc: log collapses map-side before ONE equi-join; no window") {
+    // the MERGE cost model: the change log reduces to one winning row
+    // per key BEFORE the join (partial max_by — the exchange carries
+    // combiner output, not log rows), then a single key-partitioned
+    // full-outer join against the snapshot
+    val plan = executed(SparkEntry.queries("j14_apply_cdc")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(plan).size == 2,
+      s"j14: one log scan + one snapshot scan:\n$plan")
+    assert(plan.contains("partial_max_by"),
+      s"j14: winning change must combine map-side before the exchange:\n$plan")
+    assert(!plan.contains("Window"),
+      s"j14: no window — the latest pick is a grouped max_by:\n$plan")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size == 1 &&
+      plan.contains("FullOuter"),
+      s"j14: exactly one full-outer equi-join:\n$plan")
+  }
 }
 
 /** Every declared query runs and the flagship returns rows. */

@@ -551,6 +551,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming CDC: maintained latest-change table feeds the J14 merge (I45)") {
+    // the winning-change-per-key stage of applyCdc is ONE grouped
+    // max_by — partial-aggregable, so an update-mode streaming agg
+    // maintains it exactly with zero user state code (the I17/I43
+    // declarative discipline); the snapshot merge then runs off the
+    // maintained table (applyCdcFrom) without ever re-reading the log
+    val in = Files.createTempDirectory("graft-cdc-in").toString
+    val chg = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id").as("k"), col("ts"),
+        col("event_id").as("seqn"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("value").as("bal"), col("event_type").as("seg"))
+    val snap = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("seg"))
+    val maintained = maintainedRows[(Long, String, Long, Double, String)](
+      graft.operators.Incremental.latestChange(
+        spark.readStream.schema(chg.schema).parquet(in),
+        Seq("k"), "seqn", "op", Seq("bal", "seg")),
+      r => r._1) { after => landTimeSplit(chg, in)(after) }
+    val got = graft.operators.Incremental.applyCdcFrom(snap,
+      maintained.toDF("k", "__op", "__seq", "bal", "seg"),
+      Seq("k"), Seq("bal", "seg"))
+    val want = graft.operators.Incremental.applyCdc(snap, chg.drop("ts"),
+      Seq("k"), "seqn", "op", Seq("bal", "seg"))
+    assert(want.count() > 0 && got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming golden record: the max_by survivorship agg maintains batch C20 (I43)") {
     // per-field latest-non-null is a commutative-monoid merge — the
     // goldenRecord aggregation runs UNCHANGED as an update-mode
