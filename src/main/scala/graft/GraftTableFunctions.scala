@@ -619,6 +619,17 @@ object GraftTableFunctions {
         weight = w, seeds = s.map(table)))
     },
 
+    // graft_hits(edges, src, dst, iters) — L10; the mutual-
+    // reinforcement rounds run eagerly at plan time (the
+    // graft_pagerank contract)
+    "graft_hits" -> { args =>
+      val fn = "graft_hits"
+      arity(args, fn, Set(4), "edges, src, dst, iters")
+      plan(graft.operators.Graphs.hits(table(str(args, 0, fn)),
+        str(args, 1, fn), str(args, 2, fn),
+        iters = num(args, 3, fn).toInt))
+    },
+
     // graft_zorder(table, dimsCsv, bits) — K11; the per-dimension
     // (min, max) collect runs EAGERLY at plan time (the
     // graft_curriculum contract)

@@ -1155,7 +1155,38 @@ object ScaleProbe {
         // containment: e2's bucketed candidates + both-direction ratios
         "e12_dedup_containment" -> (() =>
           Dedup.containmentPairs(docs, "doc_id", "text", k = 3,
-            threshold = 0.5)))
+            threshold = 0.5)),
+        // bfs: frontier-sized join per round, visited-set anti-join;
+        // rounds data-bounded (empty-frontier probe)
+        "l8_bfs_depth" -> (() =>
+          Graphs.bfsDepth(
+            Graphs.cooccurrence(li.select(col("l_orderkey"), col("l_partkey")),
+              "l_orderkey", "l_partkey", minSupport = 2L),
+            "item_a", "item_b",
+            li.select(col("l_partkey").as("node")).limit(50))),
+        // item cosine: L2's two-shuffle pair machinery + a bucket-local
+        // degree join
+        "l9_item_cosine" -> (() =>
+          Graphs.cooccurrenceCosine(li.select(col("l_orderkey"), col("l_partkey")),
+            "l_orderkey", "l_partkey", minSupport = 2L,
+            thresholdNum = 1L, thresholdDen = 10L)),
+        // hits: per half-round one edge join + map-combined sum + a
+        // one-row scalar-broadcast renorm — iteration cost edge-bound
+        "l10_hits" -> (() =>
+          Graphs.hits(ev.select((col("user_id") * 2).as("src"),
+              ((col("event_id") % 997) * 2 + 1).as("dst")),
+            "src", "dst", iters = 4)),
+        // cdc merge: log collapses map-side to one winning row per key
+        // before ONE full-outer snapshot join
+        "j14_apply_cdc" -> (() =>
+          Incremental.applyCdc(
+            cust.select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")),
+            ev.select(col("user_id").as("c_custkey"), col("event_id"),
+              when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+                .as("cdc_op"),
+              col("value").as("c_acctbal"), col("event_type").as("c_mktsegment")),
+            key = Seq("c_custkey"), seq = "event_id", op = "cdc_op",
+            fields = Seq("c_acctbal", "c_mktsegment"))))
     }
 
     // total shuffle-WRITE bytes of the jobs `run` launches — the number

@@ -1986,6 +1986,20 @@ object SparkEntry {
         "l_orderkey", "l_partkey", minSupport = 2L,
         thresholdNum = 1L, thresholdDen = 10L)),
 
+    // HITS hubs & authorities (4 rounds, all-integer with exact SUM
+    // renormalization) over the DIRECTED customer->supplier purchase
+    // graph: hub = curates well (customer breadth), authority = is
+    // bought well (supplier pull) — the two-sided importance PageRank's
+    // single score conflates
+    "l10_hits" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      Graphs.hits(edges, "src", "dst", iters = 4)
+    }),
+
     // asymmetric shingle containment (Broder): a short doc embedded in
     // a long one scores ~0 on Jaccard but ~1 on containment — the
     // fuzzy-subset complement of E7/E11's exact repeated spans; the
@@ -2514,6 +2528,18 @@ object SparkEntry {
         .createOrReplaceTempView("graft_sql_weighted_edges")
       s.sql("""SELECT * FROM graft_pagerank('graft_sql_weighted_edges',
         'src', 'dst', 6, 'w', '')""")
+    }),
+
+    "l10s_hits_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .createOrReplaceTempView("graft_sql_directed_edges")
+      s.sql("""SELECT * FROM graft_hits('graft_sql_directed_edges',
+        'src', 'dst', 4)""")
     }),
 
     "l2s_copurchase_sql" -> ((s, d) => {
@@ -4048,6 +4074,41 @@ object SparkEntry {
          |  JOIN deg db ON db.it = item_b
          |WHERE CAST(support AS HUGEINT) * support * 100
          |  >= CAST(da.nb AS HUGEINT) * db.nb""".stripMargin
+    },
+
+    // l10: the HITS rounds unrolled — each half-round is the edge join
+    // + grouped sum + the exact HUGEINT sum-renormalization, term for
+    // term the Spark integer arithmetic
+    "l10_hits" -> {
+      // every round CTE is MATERIALIZED: inlined, each reference
+      // re-evaluates its whole upstream chain — exponential over 8
+      // half-rounds
+      def norm(pre: String, c: String) =
+        s"""MATERIALIZED (SELECT node, CAST(CAST($c AS HUGEINT) * 1000000
+           |    // (SELECT SUM(CAST($c AS HUGEINT)) FROM $pre)
+           |    AS BIGINT) AS $c FROM $pre)""".stripMargin
+      val rounds = (1 to 4).map { k =>
+        s"""a${k}r AS MATERIALIZED (SELECT n.node, COALESCE(m.mass, 0) AS auth
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(h.hub) AS mass
+           |    FROM e JOIN h${k - 1} h ON h.node = e.src
+           |    GROUP BY 1) m ON m.node = n.node),
+           |a$k AS ${norm(s"a${k}r", "auth")},
+           |h${k}r AS MATERIALIZED (SELECT n.node, COALESCE(m.mass, 0) AS hub
+           |  FROM n LEFT JOIN (
+           |    SELECT e.src AS node, SUM(a.auth) AS mass
+           |    FROM e JOIN a$k a ON a.node = e.dst
+           |    GROUP BY 1) m ON m.node = n.node),
+           |h$k AS ${norm(s"h${k}r", "hub")}""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s1
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS MATERIALIZED (SELECT c * 2 AS src, s1 * 2 + 1 AS dst FROM p0),
+         |n AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM n),
+         |$rounds
+         |SELECT h4.node, h4.hub, a4.auth
+         |FROM h4 JOIN a4 ON a4.node = h4.node""".stripMargin
     },
 
     // j14: winning change per key by row_number, then the outer-join
@@ -6058,6 +6119,7 @@ object SparkEntry {
       "dq13s_fd_sql" -> "dq13_fd_check",
       "dq14s_key_skew_sql" -> "dq14_key_skew",
       "l7s_neighbor_jaccard_sql" -> "l7_neighbor_jaccard",
+      "l10s_hits_sql" -> "l10_hits",
       "e12s_containment_sql" -> "e12_dedup_containment"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }

@@ -417,4 +417,68 @@ object Graphs {
       .join(perNode, Seq("node"), "left")
       .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
+
+  /** HITS hubs & authorities (L10) — Kleinberg's mutual-reinforcement
+    * ranking over a DIRECTED graph: an authority is pointed at by good
+    * hubs, a hub points at good authorities. Where PageRank measures
+    * one global importance, HITS separates "curates well" from "is
+    * cited well" — the catalog/recommender read of the purchase graph
+    * (customers as hubs over supplier authorities).
+    *
+    * All-integer like [[pageRank]] so ranks are oracle-exact: each
+    * half-round is one edge join + a grouped sum, then a SUM
+    * normalization back to `scale` total mass by integer floor
+    * division (`(x·scale) div total` — the L2 norm of the textbook is
+    * float; sum normalization keeps the same fixpoint direction with
+    * exact arithmetic and bounds every value by `scale`, so products
+    * stay far inside BIGINT). Nodes with no in-edges hold authority 0,
+    * no out-edges hub 0; the final row carries both scores.
+    *
+    * Scale shape: edges partition once (pinned); per round two
+    * co-partitioned joins + two dst/src-keyed map-combined sums; the
+    * normalizer is a ONE-ROW global aggregate attached by scalar
+    * broadcast (never a real cartesian). Scores re-pin every round —
+    * constant-depth lineage (localCheckpoint; prefer reliable
+    * checkpoint on a long-chain cluster run, the pageRank caveat). */
+  def hits(edges: DataFrame, src: String, dst: String,
+           iters: Int = 4, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val e = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    def renorm(df: DataFrame, c: String): DataFrame = {
+      val total = df.agg(sum(col(c)).as("__t"))
+      // the multiply runs in decimal(38,0): pre-norm mass is bounded by
+      // scale·N, so (mass·scale) can pass 2^63 on a big graph long
+      // before the normalized result (< scale) does
+      df.crossJoin(broadcast(total))
+        .select(col("node"),
+          expr(s"CAST((CAST($c AS DECIMAL(38,0)) * ${scale}L)" +
+            s" div CAST(__t AS DECIMAL(38,0)) AS BIGINT)").as(c))
+    }
+    var hub = nodes.withColumn("hub", lit(scale))
+    var auth: DataFrame = null
+    for (i <- 1 to iters) {
+      val aMass = e
+        .join(hub.select(col("node").as("src"), col("hub").as("h")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("auth"))
+      auth = renorm(
+        nodes.join(aMass, Seq("node"), "left")
+          .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth")),
+        "auth").localCheckpoint()
+      val hMass = e
+        .join(auth.select(col("node").as("dst"), col("auth").as("a")), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("hub"))
+      hub = renorm(
+        nodes.join(hMass, Seq("node"), "left")
+          .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub")),
+        "hub").localCheckpoint()
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("hub"), col("auth"))
+  }
 }

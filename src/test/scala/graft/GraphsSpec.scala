@@ -18,6 +18,53 @@ class GraphsSpec extends SparkSpec {
     assert(got == Map(1L -> 1127500L, 2L -> 1722500L, 3L -> 150000L))
   }
 
+  test("hits: hand-computed exact integer hubs/authorities on a 2-hub 2-authority graph") {
+    // edges 1->3, 2->3, 2->4; scale 1e6, one round:
+    //   auth raw: 3 = h(1)+h(2) = 2e6, 4 = h(2) = 1e6, total 3e6
+    //   auth: 3 = (2e6·1e6) div 3e6 = 666666, 4 = 333333
+    //   hub raw: 1 = a(3) = 666666, 2 = a(3)+a(4) = 999999,
+    //            total 1666665
+    //   hub: 1 = 666666e6 div 1666665 = 400000 (exact),
+    //        2 = 999999e6 div 1666665 = 600000 (exact)
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("s", "t")
+    val got = Graphs.hits(edges, "s", "t", iters = 1)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((400000L, 0L)), 2L -> ((600000L, 0L)),
+      3L -> ((0L, 666666L)), 4L -> ((0L, 333333L))))
+  }
+
+  test("hits: mutual reinforcement orders hubs by authority quality, not just degree") {
+    // hubs 1 and 2 both have out-degree 2, but hub 2 points at the
+    // strong authority (5, cited by everyone) twice-removed — after
+    // convergence rounds the hub covering the consensus authority
+    // outranks the one spending an edge on a singleton; duplicate
+    // edges collapse; a pure authority has hub 0 and vice versa
+    val edges = Seq(
+      (1L, 5L), (1L, 6L),        // hub 1: consensus + fringe
+      (2L, 5L), (2L, 7L),        // hub 2: consensus + fringe
+      (3L, 5L), (3L, 5L),        // hub 3: consensus only (dup edge)
+      (4L, 6L))                  // hub 4: fringe only
+      .toDF("s", "t")
+    val got = Graphs.hits(edges, "s", "t", iters = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // authorities: 5 (three hubs) > 6 (two) > 7 (one)
+    assert(got(5L)._2 > got(6L)._2 && got(6L)._2 > got(7L)._2)
+    // hubs: 1 and 2 tie by symmetry... no — 6 is cited by {1,4},
+    // 7 by {2} only, so hub 1 > hub 2 > hub 4; hub 3 rides the top
+    // authority alone
+    assert(got(1L)._1 > got(2L)._1 && got(2L)._1 > got(4L)._1)
+    // pure authorities have hub 0; pure hubs have authority 0
+    assert(got(5L)._1 == 0L && got(1L)._2 == 0L)
+    // renormalization keeps total mass at ~scale (floor loss < nodes)
+    val hubSum = got.values.map(_._1).sum
+    val authSum = got.values.map(_._2).sum
+    assert(hubSum > 1000000L - 7 && hubSum <= 1000000L)
+    assert(authSum > 1000000L - 7 && authSum <= 1000000L)
+  }
+
   test("pageRank: duplicate edges collapse; dangling sinks keep the base share") {
     // A->B listed twice must count once (outdeg(A) = 1, not 2); B has
     // no out-edges — its mass is dropped, it still receives A's share
