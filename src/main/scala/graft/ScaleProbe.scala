@@ -1176,6 +1176,17 @@ object ScaleProbe {
           Graphs.hits(ev.select((col("user_id") * 2).as("src"),
               ((col("event_id") % 997) * 2 + 1).as("dst")),
             "src", "dst", iters = 4)),
+        // rolling percentile: one raw collapse to pinned bins, then
+        // sketch-sized fan-out/merge/estimate
+        "b41_rolling_pctl" -> (() => {
+          val bins = Sketches.histBinCounts(
+            ev.withColumn("day", TimeAgg.dayKey(col("ts"))),
+            Seq("event_type", "day"), col("value"), 0.0, 600.0, 600)
+          Sketches.histPercentilesFromBins(
+            Sketches.histRollingBins(bins, Seq("event_type"), "day", 7),
+            Seq("event_type", "day"), Seq(("p50", 0.5), ("p90", 0.9)),
+            0.0, 600.0, 600)
+        }),
         // cdc merge: log collapses map-side to one winning row per key
         // before ONE full-outer snapshot join
         "j14_apply_cdc" -> (() =>

@@ -327,6 +327,22 @@ object SparkEntry {
     // count addition — exact by associativity — and re-estimated with
     // b12's formula, never re-reading raw data (TimescaleDB
     // percentile_agg -> rollup() -> approx_percentile)
+    // rolling(percentile_agg): trailing-7-day p50/p90 per (type, day)
+    // off the SAME per-day bins B31 persists — the bins fan out x7
+    // in-row (never a range join), so the window estimates re-derive
+    // sketch-sized and raw readings are read once
+    "b41_rolling_pctl" -> ((s, d) => {
+      val bins = Sketches.histBinCounts(
+        ev(s, d).withColumn("day", TimeAgg.dayKey(col("ts"))),
+        Seq("event_type", "day"), col("value"),
+        lo = 0.0, hi = 600.0, nBins = 600)
+      Sketches.histPercentilesFromBins(
+        Sketches.histRollingBins(bins, Seq("event_type"), "day", window = 7),
+        Seq("event_type", "day"),
+        Seq(("p50", 0.5), ("p90", 0.9)),
+        lo = 0.0, hi = 600.0, nBins = 600)
+    }),
+
     "b31_percentile_rollup" -> ((s, d) => {
       val bins = Sketches.histBinCounts(
         ev(s, d).withColumn("day", TimeAgg.dayKey(col("ts"))),
@@ -3443,6 +3459,36 @@ object SparkEntry {
          |  ${pick("p95", 0.95)},
          |  ${pick("p99", 0.99)}
          |FROM c GROUP BY event_type""".stripMargin
+    },
+
+    // b41: the same day bins, trailing-7-day merge by a date-diff
+    // band join (correctness spelling; the engine side fans out x7
+    // in-row instead), then b31's percentile pick per (type, day)
+    "b41_rolling_pctl" -> {
+      def pick(name: String, p: Double): String =
+        s"min_by(${sqlPround(s"0.0 + (bin + (ceil(n * $p) - (cum - cnt)) / cnt) * 1.0", 4)}, bin) " +
+          s"FILTER (WHERE cum >= ceil(n * $p)) AS $name"
+      s"""WITH bins AS MATERIALIZED (
+         |  SELECT event_type, strftime(ts, '%Y%m%d') AS day,
+         |    CAST(least(greatest(floor((value - 0.0) / 1.0), 0), 599) AS BIGINT) AS bin,
+         |    count(*) AS cnt
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+         |a AS (SELECT DISTINCT event_type, day FROM bins),
+         |r AS (
+         |  SELECT b.event_type, a.day, b.bin, sum(b.cnt) AS cnt
+         |  FROM bins b JOIN a ON a.event_type = b.event_type
+         |    AND CAST(strptime(a.day, '%Y%m%d') AS DATE)
+         |        - CAST(strptime(b.day, '%Y%m%d') AS DATE) BETWEEN 0 AND 6
+         |  GROUP BY 1, 2, 3),
+         |c AS (
+         |  SELECT *, sum(cnt) OVER (PARTITION BY event_type, day) AS n,
+         |    sum(cnt) OVER (PARTITION BY event_type, day ORDER BY bin
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM r)
+         |SELECT event_type, day,
+         |  ${pick("p50", 0.5)},
+         |  ${pick("p90", 0.9)}
+         |FROM c GROUP BY event_type, day""".stripMargin
     },
 
     "b31_percentile_rollup" -> {

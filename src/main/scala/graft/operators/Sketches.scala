@@ -216,6 +216,45 @@ object Sketches {
     bins.groupBy(coarseCols.map(col) :+ col("__bin"): _*)
       .agg(sum(col("__cnt")).as("__cnt"))
 
+  /** ROLLING-window bin merge (B41): for every (keys, day) present in
+    * a per-day [[histBinCounts]] frame, the bins of the trailing
+    * `window` days merged — TimescaleDB's
+    * `rolling(percentile_agg) OVER (ORDER BY day RANGE '7 days')`
+    * accessor pattern, feeding [[histPercentilesFromBins]] for
+    * trailing-window percentiles that never re-read raw data (and ride
+    * the I19 MAINTAINED bins table unchanged — the streaming story).
+    *
+    * Spelled as a fixed fan-out, not a range join: each bin row of day
+    * d contributes to anchors d..d+window−1 via an in-row calendar
+    * explode (×window, sketch-sized), then one grouped sum; anchors
+    * with no rows of their own are dropped by a semi-join against the
+    * observed (keys, day) set — a range join here would fall to a
+    * nested loop, and a window-function spelling would sort raw-sized
+    * partitions. `day` is a yyyyMMdd string key (the TimeAgg.dayKey
+    * convention). */
+  def histRollingBins(bins: DataFrame, keys: Seq[String], day: String,
+                      window: Int): DataFrame = {
+    require(window >= 1 && window <= 366,
+      s"window must be in [1, 366] days, got $window")
+    // bins feed TWO consumers (the fan-out and the anchor set) and the
+    // semi-join's null filter defeats ReusedExchange — without a pin
+    // the whole upstream (raw-sized when bins come fresh from
+    // histBinCounts) runs twice, the c10 lesson. The pinned frame is
+    // sketch-sized by contract.
+    val b = bins.localCheckpoint()
+    val anchors = b.select((keys :+ day).map(col): _*).distinct()
+    b
+      .withColumn("__anchor", explode(transform(
+        sequence(lit(0), lit(window - 1)),
+        i => date_format(date_add(to_date(col(day), "yyyyMMdd"), i),
+          "yyyyMMdd"))))
+      .groupBy(keys.map(col) ++ Seq(col("__anchor"), col("__bin")): _*)
+      .agg(sum(col("__cnt")).as("__cnt"))
+      .join(anchors.withColumnRenamed(day, "__anchor"),
+        keys :+ "__anchor", "left_semi")
+      .withColumnRenamed("__anchor", day)
+  }
+
   /** The estimate stage of [[histPercentiles]] over an existing bins
     * frame (fresh from [[histBinCounts]] or merged via [[histMerge]]).
     * All window work runs on ≤ nBins rows per group — never raw

@@ -150,6 +150,39 @@ class CurationSpec extends SparkSpec {
       direct.exceptAll(rolled).count() == 0)
   }
 
+  test("histRollingBins: trailing window merges across a gap, anchors only on observed days") {
+    import graft.operators.Sketches
+    // day bins: key g, days 0101 (bin 1: 2), 0103 (bin 1: 1, bin 5: 4),
+    // 0110 (bin 2: 3). Window 3:
+    //   anchor 0101 <- {0101}           = bin1:2
+    //   anchor 0103 <- {0101, 0103}     = bin1:3, bin5:4
+    //   anchor 0110 <- {0110}           = bin2:3 (0103 is 7 days back)
+    // 0102, 0104, 0105 are NOT anchors — never observed
+    val bins = Seq(
+      ("g", "20240101", 1L, 2L), ("g", "20240103", 1L, 1L),
+      ("g", "20240103", 5L, 4L), ("g", "20240110", 2L, 3L))
+      .toDF("g", "day", "__bin", "__cnt")
+    val rows = Sketches.histRollingBins(bins, Seq("g"), "day", window = 3)
+      .select($"day", $"__bin", $"__cnt")
+      .as[(String, Long, Long)].collect().toSet
+    assert(rows == Set(
+      ("20240101", 1L, 2L),
+      ("20240103", 1L, 3L), ("20240103", 5L, 4L),
+      ("20240110", 2L, 3L)))
+    // window = 1 is the identity on the bins frame
+    val id = Sketches.histRollingBins(bins, Seq("g"), "day", window = 1)
+      .select($"g", $"day", $"__bin", $"__cnt")
+    val want = bins.select($"g", $"day", $"__bin", $"__cnt")
+    assert(id.exceptAll(want).count() == 0 && want.exceptAll(id).count() == 0)
+    // month-boundary carry: a 0131 bin reaches the 0201 anchor
+    val feb = Seq(("g", "20240131", 1L, 1L), ("g", "20240201", 1L, 1L))
+      .toDF("g", "day", "__bin", "__cnt")
+    val gotFeb = Sketches.histRollingBins(feb, Seq("g"), "day", window = 3)
+      .filter($"day" === "20240201")
+      .select($"__cnt").as[Long].collect()
+    assert(gotFeb.sum == 2L)
+  }
+
   test("KMV rollup: merged day sketches == month-grain sketch; estimates accurate") {
     import graft.operators.{Sketches, TimeAgg}
     val ev = graft.sources.Tables.events(spark, sf)

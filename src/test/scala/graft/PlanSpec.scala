@@ -965,6 +965,24 @@ class PlanSpec extends SparkSpec {
       s"c20: max_by must combine map-side before the exchange:\n$c20")
   }
 
+  test("b41 rolling percentile: one raw scan; trailing merge is an in-row fan-out, not a range join") {
+    // the bins collapse to sketch size in ONE pass over raw; the x7
+    // calendar explode + grouped sum + semi-join + percentile windows
+    // all run on bins-sized frames — and no nested-loop join sneaks in
+    // where a range-join spelling would have put one
+    val plan = executed(SparkEntry.queries("b41_rolling_pctl")(spark, sf))
+      .split("== Initial Plan ==").head
+    // the bins pin absorbs the one raw scan (a single linear
+    // histBinCounts plan); both consumers read the pinned sketch-sized
+    // frame — zero parquet scans in the executed estimate plan (the f4
+    // discipline)
+    assert("FileScan parquet".r.findAllIn(plan).size == 0,
+      s"b41 must read raw events only inside the bins pin:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"b41: the trailing window must not plan a nested-loop range join:\n$plan")
+  }
+
   test("j14 apply_cdc: log collapses map-side before ONE equi-join; no window") {
     // the MERGE cost model: the change log reduces to one winning row
     // per key BEFORE the join (partial max_by — the exchange carries

@@ -713,6 +713,36 @@ class StreamingSpec extends SparkSpec {
       direct.exceptAll(est).count() == 0)
   }
 
+  test("streaming rolling percentiles: maintained bins feed B41 unchanged (I46)") {
+    // the I23 composition discipline: the ONE maintained (type, day,
+    // bin) table already carries everything the trailing-window
+    // estimate needs — histRollingBins + histPercentilesFromBins run
+    // off it as sketch-sized post-rollup stages, raw never re-read
+    import graft.operators.Sketches
+    import graft.streaming.IotStreamPipeline
+    import graft.streaming.IotStreamPipeline.HistBinOut
+    val in = Files.createTempDirectory("graft-rollpctl-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_type", "ts", "value")
+    val maintained = maintainedRows[HistBinOut](
+      IotStreamPipeline.histBinsStream(
+        spark.readStream.schema(ev.schema).parquet(in), 0.0, 600.0, 600),
+      r => (r.event_type, r.day, r.bin))(landTimeSplit(ev, in)).toDF()
+      .select(col("event_type"), col("day"),
+        col("bin").as("__bin"), col("cnt").as("__cnt"))
+    val ps = Seq(("p50", 0.5), ("p90", 0.9))
+    def rolling(bins: org.apache.spark.sql.DataFrame) =
+      Sketches.histPercentilesFromBins(
+        Sketches.histRollingBins(bins, Seq("event_type"), "day", window = 7),
+        Seq("event_type", "day"), ps, 0.0, 600.0, 600)
+    val got = rolling(maintained)
+    val want = rolling(Sketches.histBinCounts(
+      ev.withColumn("day", graft.operators.TimeAgg.dayKey(col("ts"))),
+      Seq("event_type", "day"), col("value"), 0.0, 600.0, 600))
+    assert(want.count() > 0 && got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming drift: maintained bins + frozen reference reproduce batch drift") {
     // the DQ4 continuous story: keep ONE maintained (event_type, day,
     // bin) table current (the I19 stream — equality-proven above);
