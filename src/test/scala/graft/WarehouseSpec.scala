@@ -251,4 +251,66 @@ class WarehouseSpec extends SparkSpec {
     // the layout loses no rows
     assert(spark.read.parquet(s"$base/z").count() == 10000)
   }
+
+  test("versioned commits: time travel reproduces every snapshot; append references, never rewrites (J15)") {
+    import graft.sources.Versioned
+    val t = Files.createTempDirectory("graft-vt").toString + "/t"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v").as[(Long, Double)].collect().toSet
+    val v1 = Versioned.commit(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), t)
+    val v2 = Versioned.commit(Seq((3L, 3.0)).toDF("id", "v"), t, append = true)
+    val v3 = Versioned.commit(Seq((9L, 9.0)).toDF("id", "v"), t)
+    assert((v1, v2, v3) == ((1L, 2L, 3L)))
+    assert(Versioned.versions(spark, t) == Seq(1L, 2L, 3L))
+    assert(rows(Versioned.readAt(spark, t, 1)) == Set((1L, 1.0), (2L, 2.0)))
+    assert(rows(Versioned.readAt(spark, t, 2)) ==
+      Set((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    assert(rows(Versioned.readAt(spark, t, 3)) == Set((9L, 9.0)))
+    assert(rows(Versioned.readLatest(spark, t)) == Set((9L, 9.0)))
+  }
+
+  test("versioned rollback is metadata-only and preserves history; orphan data stays invisible") {
+    import graft.sources.Versioned
+    val t = Files.createTempDirectory("graft-vt-rb").toString + "/t"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSet
+    Versioned.commit(Seq(1L, 2L).toDF("id"), t)
+    Versioned.commit(Seq(3L).toDF("id"), t)
+    // a crashed commit: data files land but no manifest publishes —
+    // readers and versions() never see them
+    Seq(99L).toDF("id").write.parquet(s"$t/data/commit-v000000099")
+    assert(Versioned.versions(spark, t) == Seq(1L, 2L))
+    assert(rows(Versioned.readLatest(spark, t)) == Set(3L))
+    // rollback to v1: new version, v1's exact files, nothing moved
+    val nv = Versioned.rollback(spark, t, 1L)
+    assert(nv == 3L && rows(Versioned.readLatest(spark, t)) == Set(1L, 2L))
+    // history intact: the rolled-past version still reads
+    assert(rows(Versioned.readAt(spark, t, 2L)) == Set(3L))
+    // roll FORWARD is another rollback
+    Versioned.rollback(spark, t, 2L)
+    assert(rows(Versioned.readLatest(spark, t)) == Set(3L))
+  }
+
+  test("versioned expiry deletes only files no surviving manifest references") {
+    import graft.sources.Versioned
+    val t = Files.createTempDirectory("graft-vt-exp").toString + "/t"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSet
+    Versioned.commit(Seq(1L).toDF("id"), t)                 // v1
+    Versioned.commit(Seq(2L).toDF("id"), t, append = true)  // v2 shares v1's files
+    Versioned.commit(Seq(9L).toDF("id"), t)                 // v3 fresh state
+    val (droppedM, deletedF) = Versioned.expireVersions(spark, t, keepLast = 2)
+    assert(droppedM == 1 && deletedF == 0,
+      "v1's files are shared by surviving v2 — nothing may be deleted")
+    // v1 gone, v2 still COMPLETE (the shared files survived), v3 intact
+    intercept[IllegalArgumentException](Versioned.readAt(spark, t, 1L))
+    assert(rows(Versioned.readAt(spark, t, 2L)) == Set(1L, 2L))
+    assert(rows(Versioned.readAt(spark, t, 3L)) == Set(9L))
+    // now expire down to v3 only: v1/v2's files are unreferenced and go
+    val (dm2, df2) = Versioned.expireVersions(spark, t, keepLast = 1)
+    assert(dm2 == 1 && df2 > 0)
+    assert(rows(Versioned.readLatest(spark, t)) == Set(9L))
+    // idempotent re-run touches nothing
+    assert(Versioned.expireVersions(spark, t, keepLast = 1) == ((0, 0)))
+  }
 }
