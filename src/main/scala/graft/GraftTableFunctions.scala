@@ -307,6 +307,18 @@ object GraftTableFunctions {
         num(args, 7, fn).toLong))
     },
 
+    // graft_multi_touch(table, entity, ts, tieCol, typeCol, touchCsv,
+    //                   conversionType, valueCol, lookbackSeconds) — C22
+    "graft_multi_touch" -> { args =>
+      val fn = "graft_multi_touch"
+      arity(args, fn, Set(9),
+        "table, entity, ts, tieCol, typeCol, touchCsv, conversionType, valueCol, lookbackSeconds")
+      plan(Sessionize.multiTouchAttribution(table(str(args, 0, fn)),
+        str(args, 1, fn), str(args, 2, fn), str(args, 3, fn),
+        str(args, 4, fn), csv(args, 5, fn), str(args, 6, fn),
+        str(args, 7, fn), num(args, 8, fn).toLong))
+    },
+
     // graft_ewma(table, entity, orderCol, fixedCol, span, scale) — B34;
     // fixedCol must already be a fixed-point integer series
     "graft_ewma" -> { args =>

@@ -2066,6 +2066,15 @@ object SparkEntry {
     // interval union / coverage: each event opens a pseudo-lease of
     // ((event_id*7919) % 500000) seconds — overlapping leases merge,
     // the union extent never double-counts; all µs integer arithmetic
+    // multi-touch attribution: linear/first/last/U-shape credit in
+    // exact µ¢ over ONE entity-keyed range-window pass (no self-join);
+    // every conversion's credit reconciles to round(value·100)·10^6
+    // under every model by construction
+    "c22_multi_touch" -> ((s, d) =>
+      Sessionize.multiTouchAttribution(ev(s, d), "user_id", "ts",
+        "event_id", "event_type", Seq("click", "view"), "purchase",
+        "value", 7L * 24 * 3600)),
+
     "c21_interval_union" -> ((s, d) => {
       val st = unix_micros(col("ts"))
       Sessionize.intervalUnion(
@@ -2956,6 +2965,87 @@ object SparkEntry {
       .stripMargin
   }
 
+  /** c22's oracle — the same one-window multi-touch pairing, with the
+    * integral splits spelled through DuckDB's `//` (== Spark's `div`
+    * on the non-negative operands the operator contracts). */
+  private lazy val c22OracleSql: String = {
+    val types = Seq("click", "view")
+    val touchIn = types.map("'" + _ + "'").mkString("(", ", ", ")")
+    val key = s"CASE WHEN event_type IN $touchIn THEN " +
+      "printf('%020d|%020d|%s', t, event_id, event_type) END"
+    val cnts = types.zipWithIndex.map { case (ty, i) =>
+      s"sum(CASE WHEN event_type = '$ty' THEN 1 ELSE 0 END) OVER win AS c$i"
+    }.mkString(",\n    ")
+    val per = (types.zipWithIndex.map { case (ty, i) =>
+      s"SELECT '$ty' AS ty, c$i AS cnt, u, n, fty, lty FROM c"
+    } :+ "SELECT '(unattributed)' AS ty, CAST(0 AS BIGINT) AS cnt, u, n, fty, lty FROM c")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id,
+       |    event_type,
+       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) * 1000000 AS u
+       |  FROM events
+       |  WHERE event_type IN ('click', 'view', 'purchase')),
+       |w AS (
+       |  SELECT *,
+       |    $cnts,
+       |    min($key) OVER win AS fk,
+       |    max($key) OVER win AS lk
+       |  FROM e
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY t
+       |    RANGE BETWEEN ${7L * 24 * 3600 * 1000000L} PRECEDING AND CURRENT ROW)),
+       |c AS (
+       |  SELECT u, ${types.indices.map(i => s"c$i").mkString(", ")},
+       |    ${types.indices.map(i => s"c$i").mkString(" + ")} AS n,
+       |    substr(fk, 43) AS fty, substr(lk, 43) AS lty
+       |  FROM w WHERE event_type = 'purchase'),
+       |per AS (
+       |  $per),
+       |k2 AS (
+       |  SELECT ty, cnt, u, n, fty, lty,
+       |    CASE WHEN n > 0 THEN u // n ELSE 0 END AS linbase,
+       |    (u * 2) // 5 AS fsh,
+       |    u - ((u * 2) // 5) * 2 AS midtot,
+       |    CASE WHEN n > 2 THEN (u - ((u * 2) // 5) * 2) // (n - 2)
+       |      ELSE 0 END AS midbase
+       |  FROM per),
+       |cr AS (
+       |  SELECT ty,
+       |    CASE WHEN ty = '(unattributed)'
+       |        THEN CASE WHEN n = 0 THEN u ELSE 0 END
+       |      WHEN n = 0 THEN 0
+       |      ELSE cnt * linbase
+       |        + CASE WHEN fty = ty THEN u - linbase * n ELSE 0 END
+       |    END AS lin,
+       |    CASE WHEN ty = '(unattributed)'
+       |        THEN CASE WHEN n = 0 THEN u ELSE 0 END
+       |      WHEN fty = ty THEN u ELSE 0 END AS fir,
+       |    CASE WHEN ty = '(unattributed)'
+       |        THEN CASE WHEN n = 0 THEN u ELSE 0 END
+       |      WHEN lty = ty THEN u ELSE 0 END AS las,
+       |    CASE WHEN ty = '(unattributed)'
+       |        THEN CASE WHEN n = 0 THEN u ELSE 0 END
+       |      WHEN n = 0 THEN 0
+       |      WHEN n = 1 THEN CASE WHEN fty = ty THEN u ELSE 0 END
+       |      WHEN n = 2 THEN
+       |        (CASE WHEN lty = ty THEN u // 2 ELSE 0 END)
+       |        + (CASE WHEN fty = ty THEN u - u // 2 ELSE 0 END)
+       |      ELSE
+       |        (CASE WHEN fty = ty THEN fsh + (midtot - midbase * (n - 2))
+       |          ELSE 0 END)
+       |        + (CASE WHEN lty = ty THEN fsh ELSE 0 END)
+       |        + (cnt - (CASE WHEN fty = ty THEN 1 ELSE 0 END)
+       |           - (CASE WHEN lty = ty THEN 1 ELSE 0 END)) * midbase
+       |    END AS pos
+       |  FROM k2)
+       |SELECT ty AS touch_type,
+       |  CAST(sum(lin) AS BIGINT) AS linear_ucents,
+       |  CAST(sum(fir) AS BIGINT) AS first_ucents,
+       |  CAST(sum(las) AS BIGINT) AS last_ucents,
+       |  CAST(sum(pos) AS BIGINT) AS position_ucents
+       |FROM cr GROUP BY 1""".stripMargin
+  }
+
   private lazy val h18OracleSql: String = {
     val (prefix, mergesBody) = bpeRoundsSql(30, 2000, 2)
     s"""$prefix
@@ -3831,6 +3921,8 @@ object SparkEntry {
         |  count(*) AS n_conversions,
         |  count(DISTINCT user_id) AS n_converters
         |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+    "c22_multi_touch" -> c22OracleSql,
 
     "c15_cohort_value" ->
       """WITH dly AS (

@@ -304,6 +304,124 @@ object Sessionize {
       .agg(count(lit(1)).as("n_conversions"),
         countDistinct(col(entity)).as("n_converters"))
   }
+
+  /** Multi-touch attribution (C22) — the four standard credit models
+    * (linear, first-touch, last-touch, U-shaped 40/20/40) computed
+    * TOGETHER over one pass, in exact integer micro-cents so the split
+    * is deterministic and mass-conserving (every conversion's credit
+    * sums back to exactly `round(value·100)·10^6` µ¢ under every
+    * model — float splits can't promise that).
+    *
+    * Per conversion: its touch set is every `touchTypes` event of the
+    * same entity within `[conv_ts - lookback, conv_ts]`. Credit:
+    *  - linear: each touch gets `U div n`; the EARLIEST touch also
+    *    takes the remainder.
+    *  - first / last: the earliest / latest touch takes all of `U`.
+    *  - position (U-shape): first gets 40% (`(U·2) div 5`), last 40%,
+    *    the `n−2` middles split the remaining ≥20% evenly, remainder
+    *    to the first touch; `n==2` → floor-half to last, rest to
+    *    first; `n==1` → all to the only touch.
+    * Conversions with NO in-window touch credit `(unattributed)`.
+    *
+    * Shape — the [[lastTouchAttribution]] discipline, not a self-join:
+    * touches and conversions ride ONE stream; per-type in-window touch
+    * counts are range-window sums and the earliest/latest touch is the
+    * min/max of a zero-padded `(ts, tie, type)` key string over the
+    * same frame, so the whole pairing costs ONE entity-keyed exchange.
+    * The per-model, per-type split is then pure in-row integer
+    * arithmetic on those counts, and the output agg is
+    * (|touchTypes|+1)-sized. No events×events join, no unbounded
+    * collect_list state.
+    *
+    * Contracts: `tieCol` unique per entity and non-negative numeric
+    * (it is zero-padded into the ordering key); `valueCol` non-negative
+    * (integral `div` == floor only then — both engines agree);
+    * timestamps after 1970 (µs field zero-padded). Scale note: summed
+    * credits are µ¢ longs — overflow needs ~4.6e9 conversions of $20,
+    * the [[graft.functions.Portable]] pick-your-scale caveat.
+    *
+    * Reference analog: the examples layer's campaign roll-ups
+    * (reference dbt examples join events to outcomes per user); the
+    * model set is the GA4/Adjust attribution menu. */
+  def multiTouchAttribution(events: DataFrame, entity: String, ts: String,
+                            tieCol: String, typeCol: String,
+                            touchTypes: Seq[String], conversionType: String,
+                            valueCol: String,
+                            lookbackSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      "conversionType must not also be a touch type")
+    val tUs = unix_micros(col(ts))
+    val w = Window.partitionBy(col(entity)).orderBy(tUs)
+      .rangeBetween(-lookbackSeconds * 1000000L, 0L)
+    val isTouch = col(typeCol).isin(touchTypes.map(x => x: Any): _*)
+    val touchKey = when(isTouch, format_string("%020d|%020d|%s",
+      tUs, col(tieCol).cast("long"), col(typeCol)))
+    val cntCols = touchTypes.zipWithIndex.map { case (ty, i) =>
+      s"__c$i" -> sum(when(col(typeCol) === ty, 1L).otherwise(0L)).over(w)
+    }
+    val base = events
+      .filter(col(typeCol).isin((touchTypes :+ conversionType).map(x => x: Any): _*))
+    val withWins = cntCols.foldLeft(base) { case (df, (nm, c)) =>
+      df.withColumn(nm, c)
+    }
+      .withColumn("__f", min(touchKey).over(w))
+      .withColumn("__l", max(touchKey).over(w))
+      .filter(col(typeCol) === conversionType)
+    // all integer from here: U µ¢, n touches, per-type counts
+    val U = (graft.functions.Portable.toFixed(col(valueCol), 2) * 1000000L)
+      .as("__u")
+    val n = touchTypes.indices.map(i => col(s"__c$i"))
+      .reduce(_ + _).as("__n")
+    val fty = substring(col("__f"), 43, 1 << 20) // past "%020d|%020d|"
+    val lty = substring(col("__l"), 43, 1 << 20)
+    val conv = withWins.select(Seq(col(entity), U, n,
+      fty.as("__fty"), lty.as("__lty")) ++
+      touchTypes.indices.map(i => col(s"__c$i")): _*)
+    val u = col("__u")
+    val nn = col("__n")
+    def ind(c: Column): Column = when(c, 1L).otherwise(0L)
+    val linBase = expr("__u div __n")
+    val linRem = u - linBase * nn
+    val fsh = expr("(__u * 2) div 5")
+    val midTotal = u - fsh * 2L
+    val m = nn - 2L
+    val midBase = expr(s"(__u - ((__u * 2) div 5) * 2) div (__n - 2)")
+    val midRem = midTotal - midBase * m
+    val lastHalf = expr("__u div 2")
+    val perType = touchTypes.zipWithIndex.map { case (ty, i) =>
+      val cnt = col(s"__c$i")
+      val isF = col("__fty") === ty
+      val isL = col("__lty") === ty
+      val lin = cnt * linBase + when(isF, linRem).otherwise(0L)
+      val fir = when(isF, u).otherwise(0L)
+      val las = when(isL, u).otherwise(0L)
+      val midCnt = cnt - ind(isF) - ind(isL)
+      val pos = when(nn === 1L, fir)
+        .when(nn === 2L,
+          when(isL, lastHalf).otherwise(0L) + when(isF, u - lastHalf).otherwise(0L))
+        .otherwise(when(isF, fsh + midRem).otherwise(0L)
+          + when(isL, fsh).otherwise(0L) + midCnt * midBase)
+      struct(lit(ty).as("touch_type"),
+        when(nn > 0L, lin).otherwise(0L).as("lin"),
+        when(nn > 0L, fir).otherwise(0L).as("fir"),
+        when(nn > 0L, las).otherwise(0L).as("las"),
+        when(nn > 0L, pos).otherwise(0L).as("pos"))
+    }
+    val unattr = struct(lit("(unattributed)").as("touch_type"),
+      when(nn === 0L, u).otherwise(0L).as("lin"),
+      when(nn === 0L, u).otherwise(0L).as("fir"),
+      when(nn === 0L, u).otherwise(0L).as("las"),
+      when(nn === 0L, u).otherwise(0L).as("pos"))
+    conv
+      .select(explode(array(perType :+ unattr: _*)).as("__cr"))
+      .groupBy(col("__cr.touch_type").as("touch_type"))
+      .agg(sum(col("__cr.lin")).as("linear_ucents"),
+        sum(col("__cr.fir")).as("first_ucents"),
+        sum(col("__cr.las")).as("last_ucents"),
+        sum(col("__cr.pos")).as("position_ucents"))
+  }
+
   /** Top session paths (C13) — the full-path companion to
     * [[transitions]]' first hop (Amplitude Pathfinder / GA4 path
     * exploration): each session's ordered event-type sequence joined

@@ -637,6 +637,61 @@ class EventAnalyticsR9Spec extends SparkSpec {
       "click" -> (1L, 1L),
       "(unattributed)" -> (3L, 3L)))
   }
+
+  test("multi-touch attribution: hand-computed 4-model µ¢ splits, mass conserved") {
+    val df = Seq(
+      // u1: view, click, view → purchase $10; n=3, first=view, last=view
+      (1L, "2024-01-01 00:00:00", 1L, "view", 0.0),
+      (1L, "2024-01-01 00:10:00", 2L, "click", 0.0),
+      (1L, "2024-01-01 00:20:00", 3L, "view", 0.0),
+      (1L, "2024-01-01 01:00:00", 4L, "purchase", 10.0),
+      // u2: single click → $5 (n=1: every model gives it all)
+      (2L, "2024-01-01 00:00:00", 5L, "click", 0.0),
+      (2L, "2024-01-01 00:30:00", 6L, "purchase", 5.0),
+      // u3: touchless $2 → (unattributed)
+      (3L, "2024-01-01 00:00:00", 7L, "purchase", 2.0),
+      // u4: click then view → $1 (n=2: floor-half to last, rest first)
+      (4L, "2024-01-01 00:00:00", 8L, "click", 0.0),
+      (4L, "2024-01-01 00:01:00", 9L, "view", 0.0),
+      (4L, "2024-01-01 00:02:00", 10L, "purchase", 1.0),
+      // u5: touch 10 days stale → (unattributed) $3
+      (5L, "2024-01-01 00:00:00", 11L, "view", 0.0),
+      (5L, "2024-01-11 00:00:00", 12L, "purchase", 3.0),
+      // u6: touch AFTER the purchase never credits → (unattributed) $4
+      (6L, "2024-01-01 00:00:00", 13L, "purchase", 4.0),
+      (6L, "2024-01-01 00:01:00", 14L, "view", 0.0),
+      // u7: touch at the EXACT purchase instant counts (range frame
+      // includes the current timestamp) → click takes the $1
+      (7L, "2024-01-01 00:00:00", 15L, "click", 0.0),
+      (7L, "2024-01-01 00:00:00", 16L, "purchase", 1.0))
+      .toDF("user_id", "s", "event_id", "event_type", "value")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val got = Sessionize.multiTouchAttribution(df, "user_id", "ts",
+        "event_id", "event_type", Seq("click", "view"), "purchase",
+        "value", 7L * 24 * 3600)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // u1 (U=1e9): linear base 333333333 rem 1→first(view);
+    //   pos: fsh=4e8 to first+last (both view), the 1 middle (click) 2e8
+    val want = Map(
+      "click" -> (333333333L + 500000000L + 50000000L + 100000000L, // linear
+        500000000L + 100000000L + 100000000L,                        // first
+        500000000L + 100000000L,                                     // last
+        200000000L + 500000000L + 50000000L + 100000000L),           // position
+      "view" -> (666666667L + 50000000L,
+        1000000000L,
+        1000000000L + 100000000L,
+        800000000L + 50000000L),
+      "(unattributed)" -> (900000000L, 900000000L, 900000000L, 900000000L))
+    assert(got == want, s"got $got")
+    // mass conservation: every model sums to Σ round(value·100)·10^6
+    val total = 2600000000L
+    Seq(1, 2, 3, 4).foreach { i =>
+      val s = got.values.map(v => i match {
+        case 1 => v._1; case 2 => v._2; case 3 => v._3; case 4 => v._4 }).sum
+      assert(s == total, s"model $i sums to $s, want $total")
+    }
+  }
 }
 
 class SearchCurriculumSpec extends SparkSpec {

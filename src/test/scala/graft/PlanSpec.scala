@@ -1000,6 +1000,22 @@ class PlanSpec extends SparkSpec {
       plan.contains("FullOuter"),
       s"j14: exactly one full-outer equi-join:\n$plan")
   }
+
+  test("c22 multi-touch: one scan, one entity window, no self-join") {
+    // the four credit models ride ONE range-window pass: an
+    // events×events pairing join here would be the c10-lesson double
+    // scan one step worse (quadratic per entity, not just re-read)
+    val plan = executed(SparkEntry.queries("c22_multi_touch")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"c22: events must be scanned once:\n$plan")
+    assert(!plan.contains("Join"),
+      s"c22: touch pairing must not plan a self-join:\n$plan")
+    val exchanges = "(?<!Reused)Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2,
+      s"c22: entity window + (|types|+1)-sized final agg = 2 exchanges, "
+        + s"got $exchanges:\n$plan")
+  }
 }
 
 /** Every declared query runs and the flagship returns rows. */

@@ -314,6 +314,13 @@ class SqlSurfaceSpec extends SparkSpec {
       Sessionize.lastTouchAttribution(Tables.events(spark, sf), "user_id",
         "ts", "event_id", "event_type", Seq("click", "view"), "purchase",
         604800L))
+    sameRows(
+      spark.sql("""SELECT * FROM graft_multi_touch('ev', 'user_id', 'ts',
+        'event_id', 'event_type', 'click,view', 'purchase', 'value',
+        604800)"""),
+      Sessionize.multiTouchAttribution(Tables.events(spark, sf), "user_id",
+        "ts", "event_id", "event_type", Seq("click", "view"), "purchase",
+        "value", 604800L))
     val daily = Tables.events(spark, sf)
       .groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
       .agg(sum(graft.functions.Portable.toFixed(col("value"), 4)).as("fs"))
