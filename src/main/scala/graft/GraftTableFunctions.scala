@@ -652,6 +652,16 @@ object GraftTableFunctions {
         csv(args, 1, fn), bits = num(args, 2, fn).toInt))
     },
 
+    // graft_ab_test(table, entity, typeCol, conversionType, valueCol) — DQ15
+    "graft_ab_test" -> { args =>
+      val fn = "graft_ab_test"
+      arity(args, fn, Set(5),
+        "table, entity, typeCol, conversionType, valueCol")
+      plan(graft.operators.DataQuality.abTest(table(str(args, 0, fn)),
+        str(args, 1, fn), str(args, 2, fn), str(args, 3, fn),
+        str(args, 4, fn)))
+    },
+
     // graft_k_anonymity(table, quasiCsv, k) — DQ10
     "graft_k_anonymity" -> { args =>
       val fn = "graft_k_anonymity"

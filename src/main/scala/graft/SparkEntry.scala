@@ -1878,6 +1878,13 @@ object SparkEntry {
       DataQuality.keySkew(ev(s, d).select(col("user_id")), "user_id",
         topN = 20)),
 
+    // A/B readout: md5-parity arms over users, conversion chi-square
+    // + per-user-value Welch t² — integer sums up to ONE final double
+    // step per statistic, so both engines agree to the bit
+    "dq15_ab_test" -> ((s, d) =>
+      DataQuality.abTest(ev(s, d), "user_id", "event_type", "purchase",
+        "value")),
+
     // link-graph importance (all-integer PageRank, 6 rounds) over the
     // bidirectional customer<->supplier purchase graph — even node ids
     // are customers (2k), odd are suppliers (2k+1); every arithmetic
@@ -4120,6 +4127,70 @@ object SparkEntry {
         |  s.n_keys AS n_keys, CAST(s.total AS BIGINT) AS total_rows,
         |  CAST((s.ss * 1000000) // (s.total * s.total) AS BIGINT) AS hhi_ppm
         |FROM t, s""".stripMargin,
+
+    // dq15: same per-user → per-arm integer rollup; each statistic is
+    // exact integer algebra until one mirrored double expression
+    "dq15_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS sv
+        |  FROM events GROUP BY 1),
+        |pa AS (
+        |  SELECT *, CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 32, 1)
+        |    IN ('0','2','4','6','8','a','c','e') THEN 'A' ELSE 'B' END AS arm
+        |  FROM pu),
+        |one AS (
+        |  SELECT
+        |    sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN arm = 'A' THEN cv ELSE 0 END) AS xa,
+        |    sum(CASE WHEN arm = 'B' THEN cv ELSE 0 END) AS xb,
+        |    sum(CASE WHEN arm = 'A' THEN sv ELSE 0 END) AS sa,
+        |    sum(CASE WHEN arm = 'B' THEN sv ELSE 0 END) AS sb,
+        |    sum(CASE WHEN arm = 'A' THEN sv * sv ELSE 0 END) AS qa,
+        |    sum(CASE WHEN arm = 'B' THEN sv * sv ELSE 0 END) AS qb
+        |  FROM pa),
+        |m AS (
+        |  SELECT *,
+        |    CAST(sa AS DOUBLE) / 100.0 / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE) AS mb,
+        |    (CAST(qa AS DOUBLE) / 100.0 / 100.0
+        |      - (CAST(sa AS DOUBLE) / 100.0) * (CAST(sa AS DOUBLE) / 100.0)
+        |        / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) AS va,
+        |    (CAST(qb AS DOUBLE) / 100.0 / 100.0
+        |      - (CAST(sb AS DOUBLE) / 100.0) * (CAST(sb AS DOUBLE) / 100.0)
+        |        / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) AS vb,
+        |    (na + nb) * (xa * (nb - xb) - xb * (na - xa))
+        |      * (xa * (nb - xb) - xb * (na - xa)) AS chinum,
+        |    na * nb * (xa + xb) * (na + nb - xa - xb) AS chiden
+        |  FROM one),
+        |m2 AS (
+        |  SELECT *, va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) AS se2
+        |  FROM m)
+        |SELECT 'conversion' AS metric,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(xa AS BIGINT) AS x_a, CAST(xb AS BIGINT) AS x_b,
+        |  CASE WHEN na > 0 THEN floor(CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 END AS mean_a,
+        |  CASE WHEN nb > 0 THEN floor(CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 END AS mean_b,
+        |  CASE WHEN chiden <> 0 THEN
+        |    floor(CAST(chinum AS DOUBLE) / CAST(chiden AS DOUBLE)
+        |      * 1000000.0 + 0.5) / 1000000.0 END AS stat
+        |FROM m2
+        |UNION ALL
+        |SELECT 'value_per_user',
+        |  CAST(na AS BIGINT), CAST(nb AS BIGINT),
+        |  CAST(sa AS BIGINT), CAST(sb AS BIGINT),
+        |  CASE WHEN na > 0 THEN floor(ma * 1000000.0 + 0.5) / 1000000.0 END,
+        |  CASE WHEN nb > 0 THEN floor(mb * 1000000.0 + 0.5) / 1000000.0 END,
+        |  CASE WHEN na > 1 AND nb > 1 AND se2 > 0.0 THEN
+        |    floor((ma - mb) * (ma - mb) / se2 * 1000000.0 + 0.5) / 1000000.0
+        |  END
+        |FROM m2""".stripMargin,
 
     // c20: arg_max over a HUGEINT (µs·10^10 + event_id) encode of the
     // (ts, tie) struct order — DuckDB's arg_max skips NULL ordering

@@ -659,4 +659,86 @@ object DataQuality {
       .agg(countDistinct(col(sensitive)).as("n_distinct"))
       .filter(col("n_distinct") < l)
   }
+
+  /** A/B experiment readout (DQ15) — deterministic hash-split arms plus
+    * the two standard test statistics, computed so a single-node engine
+    * reproduces every bit:
+    *
+    *  - arm: last hex digit of `md5(entity)` even → 'A', odd → 'B' —
+    *    the standard deterministic bucketing (same user always lands in
+    *    the same arm, no RNG, engine-portable).
+    *  - `conversion` row: per-arm user and converter counts and the
+    *    2×2 chi-square statistic, whose numerator and denominator are
+    *    EXACT integer products (one final double division + [[
+    *    graft.functions.Portable.pround]]).
+    *  - `value_per_user` row: per-arm mean/variance of each user's
+    *    total converted fixed-point value and Welch's t² (t squared —
+    *    sqrt-free, so no libm disagreement), every intermediate a
+    *    double derived from exact long sums through one fixed op
+    *    order.
+    *
+    * Shape: one scan → one entity-keyed agg (the only input-sized
+    * exchange) → a 2-row arm agg → a 1-row pivot emitting both metric
+    * rows. Degenerate splits (zero/all converters, zero variance)
+    * yield NULL statistics rather than lying. Scale note: the exact
+    * integer chi-square products hold to ~10^4 users per arm at cent
+    * scale 2 (then switch the numerator to DECIMAL — the
+    * [[graft.functions.Portable]] pick-your-scale caveat). */
+  def abTest(events: DataFrame, entity: String, typeCol: String,
+             conversionType: String, valueCol: String,
+             scale: Int = 2): DataFrame = {
+    import graft.functions.Portable
+    val isConv = col(typeCol) === conversionType
+    val perUser = events.groupBy(col(entity))
+      .agg(max(when(isConv, 1L).otherwise(0L)).as("cv"),
+        sum(when(isConv, Portable.toFixed(col(valueCol), scale))
+          .otherwise(0L)).as("sv"))
+      .withColumn("arm",
+        when(substring(md5(col(entity).cast("string")), 32, 1)
+          .isin("0", "2", "4", "6", "8", "a", "c", "e"), "A").otherwise("B"))
+    val one = perUser.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === "A", col("cv")).otherwise(0L)).as("xa"),
+      sum(when(col("arm") === "B", col("cv")).otherwise(0L)).as("xb"),
+      sum(when(col("arm") === "A", col("sv")).otherwise(0L)).as("sa"),
+      sum(when(col("arm") === "B", col("sv")).otherwise(0L)).as("sb"),
+      sum(when(col("arm") === "A", col("sv") * col("sv")).otherwise(0L))
+        .as("qa"),
+      sum(when(col("arm") === "B", col("sv") * col("sv")).otherwise(0L))
+        .as("qb"))
+    val chiNum = expr(
+      "(na + nb) * (xa * (nb - xb) - xb * (na - xa)) * (xa * (nb - xb) - xb * (na - xa))")
+    val chiDen = expr("na * nb * (xa + xb) * (na + nb - xa - xb)")
+    val chi2 = when(chiDen =!= 0L,
+      Portable.pround(chiNum.cast("double") / chiDen.cast("double"), 6))
+    val p = lit(math.pow(10, scale))
+    def mean(s: String, n: String): Column =
+      col(s).cast("double") / p / col(n).cast("double")
+    def variance(q: String, s: String, n: String): Column =
+      (col(q).cast("double") / p / p
+        - (col(s).cast("double") / p) * (col(s).cast("double") / p)
+          / col(n).cast("double")) / (col(n).cast("double") - lit(1.0))
+    val ma = mean("sa", "na"); val mb = mean("sb", "nb")
+    val va = variance("qa", "sa", "na"); val vb = variance("qb", "sb", "nb")
+    val se2 = va / col("na").cast("double") + vb / col("nb").cast("double")
+    val t2 = when(col("na") > 1L && col("nb") > 1L && se2 > lit(0.0),
+      Portable.pround((ma - mb) * (ma - mb) / se2, 6))
+    val convRow = struct(lit("conversion").as("metric"),
+      col("na").as("n_a"), col("nb").as("n_b"),
+      col("xa").as("x_a"), col("xb").as("x_b"),
+      when(col("na") > 0L, Portable.pround(
+        col("xa").cast("double") / col("na").cast("double"), 6)).as("mean_a"),
+      when(col("nb") > 0L, Portable.pround(
+        col("xb").cast("double") / col("nb").cast("double"), 6)).as("mean_b"),
+      chi2.as("stat"))
+    val valueRow = struct(lit("value_per_user").as("metric"),
+      col("na").as("n_a"), col("nb").as("n_b"),
+      col("sa").as("x_a"), col("sb").as("x_b"),
+      when(col("na") > 0L, Portable.pround(ma, 6)).as("mean_a"),
+      when(col("nb") > 0L, Portable.pround(mb, 6)).as("mean_b"),
+      t2.as("stat"))
+    one.select(explode(array(convRow, valueRow)).as("__m"))
+      .select(col("__m.*"))
+  }
 }

@@ -376,4 +376,48 @@ class CusumSpec extends SparkSpec {
       DataQuality.lDiversity(rows, Seq("nation"), "seg", l = 1L)
     }
   }
+
+  test("abTest: hand-computed arms, chi-square and Welch t², degenerate NULLs") {
+    // md5 last-hex-digit arms for ids 1..8: A = {2,4,6}, B = {1,3,5,7,8}
+    def e(u: Long, ty: String, v: Double) = (u, ty, v)
+    val rows = Seq(
+      e(2, "purchase", 10.0), e(4, "purchase", 20.0), e(4, "purchase", 10.0),
+      e(6, "view", 99.0), // non-conversion value never counts
+      e(1, "purchase", 10.0), e(3, "view", 0.0), e(5, "click", 0.0),
+      e(7, "purchase", 30.0), e(8, "purchase", 20.0))
+      .toDF("user_id", "event_type", "value")
+    val got = DataQuality.abTest(rows, "user_id", "event_type", "purchase",
+        "value")
+      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // A: n=3 x=2 s=4000¢ q=10e6; B: n=5 x=3 s=6000¢ q=14e6
+    val conv = got("conversion")
+    assert((conv._2, conv._3, conv._4, conv._5) == ((3L, 5L, 2L, 3L)))
+    assert(conv._6.contains(0.666667) && conv._7.contains(0.6))
+    // chi2 = (8)·(2·2 − 3·1)² / (3·5·5·3) = 8/225
+    assert(conv._8.contains(math.floor(8.0 / 225.0 * 1e6 + 0.5) / 1e6))
+    val vpu = got("value_per_user")
+    assert((vpu._2, vpu._3, vpu._4, vpu._5) == ((3L, 5L, 4000L, 6000L)))
+    assert(vpu._6.contains(13.333333) && vpu._7.contains(12.0))
+    // Welch t² from the same exact sums, replayed in-order here
+    val ma = 4000.0 / 100.0 / 3.0; val mb = 6000.0 / 100.0 / 5.0
+    val va = (10e6 / 100.0 / 100.0 - (4000.0 / 100.0) * (4000.0 / 100.0) / 3.0) / 2.0
+    val vb = (14e6 / 100.0 / 100.0 - (6000.0 / 100.0) * (6000.0 / 100.0) / 5.0) / 4.0
+    val t2 = (ma - mb) * (ma - mb) / (va / 3.0 + vb / 5.0)
+    assert(vpu._8.contains(math.floor(t2 * 1e6 + 0.5) / 1e6))
+    // every user converted → chi-square denominator 0 → NULL stat
+    val allConv = Seq(e(1, "purchase", 1.0), e(2, "purchase", 1.0))
+      .toDF("user_id", "event_type", "value")
+    val degen = DataQuality.abTest(allConv, "user_id", "event_type",
+        "purchase", "value")
+      .filter(col("metric") === "conversion").select("stat")
+      .as[Option[Double]].head()
+    assert(degen.isEmpty)
+    // single-user arms → Welch t² needs n>1 per arm → NULL stat
+    val tiny = DataQuality.abTest(allConv, "user_id", "event_type",
+        "purchase", "value")
+      .filter(col("metric") === "value_per_user").select("stat")
+      .as[Option[Double]].head()
+    assert(tiny.isEmpty)
+  }
 }

@@ -1001,6 +1001,15 @@ class PlanSpec extends SparkSpec {
       s"j14: exactly one full-outer equi-join:\n$plan")
   }
 
+  test("dq15 ab_test: one scan, one input-sized exchange, no window/join") {
+    val plan = executed(SparkEntry.queries("dq15_ab_test")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"dq15: events must be scanned once:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"dq15: per-user rollup + arm pivot needs no join or window:\n$plan")
+  }
+
   test("c22 multi-touch: one scan, one entity window, no self-join") {
     // the four credit models ride ONE range-window pass: an
     // events×events pairing join here would be the c10-lesson double

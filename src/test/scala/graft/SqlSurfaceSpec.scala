@@ -526,6 +526,11 @@ class SqlSurfaceSpec extends SparkSpec {
         'c_nationkey,acct_band', 'c_mktsegment', 3)"""),
       graft.operators.DataQuality.lDiversity(cust,
         Seq("c_nationkey", "acct_band"), "c_mktsegment", l = 3L))
+    sameRows(
+      spark.sql("""SELECT * FROM graft_ab_test('ev', 'user_id',
+        'event_type', 'purchase', 'value')"""),
+      graft.operators.DataQuality.abTest(Tables.events(spark, sf),
+        "user_id", "event_type", "purchase", "value"))
     val baskets = spark.createDataFrame(
       Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L)))
       .toDF("bk", "it")
