@@ -652,6 +652,38 @@ object GraftTableFunctions {
         csv(args, 1, fn), bits = num(args, 2, fn).toInt))
     },
 
+    // graft_kmeans(table, id, vec, k, iters) — F20
+    "graft_kmeans" -> { args =>
+      val fn = "graft_kmeans"
+      arity(args, fn, Set(5), "table, id, vec, k, iters")
+      plan(graft.operators.Similarity.kmeansAssign(table(str(args, 0, fn)),
+        str(args, 1, fn), str(args, 2, fn), num(args, 3, fn).toInt,
+        num(args, 4, fn).toInt))
+    },
+
+    // graft_semdedup(table, id, vec, k, iters, thresholdNum,
+    //                thresholdDen) — F21
+    "graft_semdedup" -> { args =>
+      val fn = "graft_semdedup"
+      arity(args, fn, Set(7),
+        "table, id, vec, k, iters, thresholdNum, thresholdDen")
+      plan(graft.operators.Similarity.semDedup(table(str(args, 0, fn)),
+        str(args, 1, fn), str(args, 2, fn), num(args, 3, fn).toInt,
+        num(args, 4, fn).toInt, num(args, 5, fn).toLong,
+        num(args, 6, fn).toLong))
+    },
+
+    // graft_dsir(table, id, text, targetPredicateSql, n) — K12; the
+    // predicate is any boolean SQL expression over the table's columns
+    "graft_dsir" -> { args =>
+      val fn = "graft_dsir"
+      arity(args, fn, Set(5), "table, id, text, targetPredicateSql, n")
+      plan(Curation.dsirSelect(table(str(args, 0, fn)), str(args, 1, fn),
+        str(args, 2, fn),
+        org.apache.spark.sql.functions.expr(str(args, 3, fn)),
+        num(args, 4, fn).toInt))
+    },
+
     // graft_ab_test(table, entity, typeCol, conversionType, valueCol) — DQ15
     "graft_ab_test" -> { args =>
       val fn = "graft_ab_test"

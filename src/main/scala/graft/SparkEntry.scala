@@ -1255,6 +1255,19 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, poolSize = 10)
     }),
 
+    // integer-exact Lloyd clustering: every centroid update and
+    // assignment is long arithmetic, so the oracle replays the SAME
+    // 2-round training bit-for-bit (unrolled CTE rounds)
+    "f20_kmeans" -> ((s, d) =>
+      Similarity.kmeansAssign(embD(s, d), "vec_id", "embedding",
+        k = 8, iters = 2)),
+
+    // SemDeDup: dedup INSIDE f20's cells with the exact integer
+    // cosine gate (dot²·den² vs num²·|a|²·|b|², decimal(38)/HUGEINT)
+    "f21_semdedup" -> ((s, d) =>
+      Similarity.semDedup(embD(s, d), "vec_id", "embedding",
+        k = 8, iters = 2, thresholdNum = 3, thresholdDen = 10)),
+
     "f2_ann_lsh" -> ((s, d) => {
       val e = embD(s, d)
       // testdata embeddings are 64-dim; passing it skips the probe job
@@ -1826,6 +1839,13 @@ object SparkEntry {
     "k10_temperature_sample" -> ((s, d) =>
       Curation.temperatureSample(docs(s, d), "source", col("doc_id"),
         total = 200L, salt = "|temp1")),
+
+    // DSIR importance selection: keep the 40 docs most like the
+    // src0-3 target slice under the char-trigram likelihood RATIO —
+    // rational probabilities end-to-end (no logs), deterministic cut
+    "k12_dsir_select" -> ((s, d) =>
+      Curation.dsirSelect(docs(s, d), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2", "src3"), n = 40)),
 
     // CUSUM drift changepoints per event type: daily rollup + ONE
     // keys-hash window family (totals + prefix sums + running mins all
@@ -2971,6 +2991,71 @@ object SparkEntry {
        |FROM (${(1 to k).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})"""
       .stripMargin
   }
+
+  /** Shared f20/f21 oracle prefix: the integer Lloyd loop UNROLLED as
+    * `iters` CTE rounds (the l6/l8/h18 discipline) — fixed-point(6)
+    * vectors, argmin by the `dist·k + cell` integer encode (== the
+    * Spark side's (dist, cell) struct min for non-negative dists),
+    * floor-division centroid updates via the exact non-negative-residue
+    * identity, empty cells carrying the previous centroid. Ends with
+    * `af(vec_id, cell)` + `v(vec_id, fv)` in scope. */
+  private def kmeansPrefixSql(k: Int, iters: Int): String = {
+    def dist(fv: String, cv: String): String =
+      s"list_reduce(list_transform(generate_series(1, len($fv)), " +
+        s"i -> ($fv[i] - $cv[i]) * ($fv[i] - $cv[i])), (a, b) -> a + b)"
+    def assignCte(name: String, centsCte: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, CAST(min(dist * $k + cell) % $k AS INT) AS cell
+         |  FROM (SELECT v.vec_id, c.cell, ${dist("v.fv", "c.cv")} AS dist
+         |        FROM v CROSS JOIN $centsCte c)
+         |  GROUP BY vec_id)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""${assignCte(s"a$r", s"c${r - 1}")},
+         |u$r AS (
+         |  SELECT a.cell, g.i AS pos, sum(v.fv[g.i]) AS s, count(*) AS n
+         |  FROM a$r a JOIN v USING (vec_id),
+         |    unnest(generate_series(1, len(v.fv))) AS g(i)
+         |  GROUP BY 1, 2),
+         |c$r AS MATERIALIZED (
+         |  SELECT p.cell, coalesce(w.cv, p.cv) AS cv
+         |  FROM c${r - 1} p LEFT JOIN (
+         |    SELECT cell, list((s - ((s % n + n) % n)) // n ORDER BY pos) AS cv
+         |    FROM u$r GROUP BY 1) w USING (cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+       |     for x in embedding] AS fv
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, fv AS cv
+       |  FROM (SELECT vec_id, fv FROM v ORDER BY vec_id LIMIT $k)),
+       |$rounds,
+       |${assignCte("af", s"c$iters")}""".stripMargin
+  }
+
+  private lazy val f20OracleSql: String =
+    s"""${kmeansPrefixSql(8, 2)}
+       |SELECT vec_id, cell FROM af""".stripMargin
+
+  private lazy val f21OracleSql: String =
+    s"""${kmeansPrefixSql(8, 2)},
+       |w2 AS (
+       |  SELECT af.vec_id, af.cell, v.fv,
+       |    list_reduce(list_transform(v.fv, x -> x * x), (a, b) -> a + b)
+       |      AS n2
+       |  FROM af JOIN v USING (vec_id)),
+       |p AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib, b.cell AS cell,
+       |    list_reduce(list_transform(generate_series(1, len(a.fv)),
+       |      i -> a.fv[i] * b.fv[i]), (x, y) -> x + y) AS dot,
+       |    a.n2 AS na2, b.n2 AS nb2
+       |  FROM w2 a JOIN w2 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT ib AS vec_id, min(ia) AS kept_by, min(cell) AS cell
+       |FROM p
+       |WHERE dot > 0
+       |  AND CAST(dot AS HUGEINT) * dot * 100 >= CAST(9 AS HUGEINT) * na2 * nb2
+       |GROUP BY 1""".stripMargin
 
   /** c22's oracle — the same one-window multi-touch pairing, with the
     * integral splits spelled through DuckDB's `//` (== Spark's `div`
@@ -4634,6 +4719,41 @@ object SparkEntry {
          |FROM t""".stripMargin
     },
 
+    // k12: both char-trigram models rebuilt in SQL (the h14 gram CTE),
+    // fixed-point means, one final mirrored ratio + round
+    "k12_dsir_select" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, u.g AS g
+        |  FROM documents,
+        |    unnest([substring(text, i, 3)
+        |            for i in generate_series(1, greatest(length(text) - 2, 0))]) AS u(g)
+        |  WHERE doc_id IS NOT NULL),
+        |ct AS (SELECT g, count(*) AS c FROM g
+        |       WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1),
+        |pt AS (SELECT ct.g, CAST(ct.c AS DOUBLE) / x.cp AS prob
+        |       FROM ct JOIN (SELECT substring(g, 1, 2) AS p, sum(c) AS cp
+        |                     FROM ct GROUP BY 1) x
+        |         ON substring(ct.g, 1, 2) = x.p),
+        |cs AS (SELECT g, count(*) AS c FROM g GROUP BY 1),
+        |ps AS (SELECT cs.g, CAST(cs.c AS DOUBLE) / y.cp AS prob
+        |       FROM cs JOIN (SELECT substring(g, 1, 2) AS p, sum(c) AS cp
+        |                     FROM cs GROUP BY 1) y
+        |         ON substring(cs.g, 1, 2) = y.p),
+        |sc AS (
+        |  SELECT doc_id,
+        |    count(pt.prob) AS n_target_grams,
+        |    CAST(coalesce(sum(CAST(floor(pt.prob * 1000000.0 + 0.5) AS BIGINT)), 0) AS DOUBLE)
+        |      / 1000000.0 / count(*) AS at,
+        |    CAST(coalesce(sum(CAST(floor(ps.prob * 1000000.0 + 0.5) AS BIGINT)), 0) AS DOUBLE)
+        |      / 1000000.0 / count(*) AS a_s
+        |  FROM g LEFT JOIN pt USING (g) LEFT JOIN ps USING (g)
+        |  GROUP BY 1)
+        |SELECT doc_id, n_target_grams,
+        |  floor(at / a_s * 1000000.0 + 0.5) / 1000000.0 AS importance
+        |FROM sc
+        |ORDER BY importance DESC NULLS LAST, doc_id
+        |LIMIT 40""".stripMargin,
+
     "k10_temperature_sample" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
         |u AS (SELECT source, n,
@@ -5280,6 +5400,10 @@ object SparkEntry {
     "f1_ann_bruteforce" -> f1OracleSql,
 
     "f19_ann_mmr" -> f19OracleSql,
+
+    "f20_kmeans" -> f20OracleSql,
+
+    "f21_semdedup" -> f21OracleSql,
 
     "f18_ann_matryoshka" ->
       """WITH e AS (

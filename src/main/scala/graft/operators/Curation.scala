@@ -635,6 +635,61 @@ object Curation {
         Portable.fixedAvg(col("prob"), scale).as("avg_prob"),
         Portable.pround(min(col("prob")), scale).as("min_prob"))
 
+  /** DSIR-style importance selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how much more it looks like a TARGET slice than
+    * like the raw corpus — the likelihood ratio under two hashed-gram
+    * language models — and keep the top `n`.
+    *
+    * Kept oracle-exact the [[ngramLmScore]] way: both models are
+    * [[trainCharLm]] char-`gramN` transition tables (rational
+    * count/count probabilities — no logs, so no libm divergence);
+    * per-doc means are over ALL the doc's grams (an out-of-target-vocab
+    * gram contributes zero target mass — the matched-only mean would
+    * rank a one-gram accidental match above a true target doc), go
+    * through fixed-point sums, and the ratio is one final double
+    * division + pround. Selection is deterministic:
+    * `(importance DESC, id ASC)`; zero-target-vocab docs score 0.
+    *
+    * Scale shape: two vocab-sized model builds (each one corpus scan +
+    * map-combined gram agg — train-once artifacts a deployment
+    * persists), then ONE scoring scan with two broadcast probes, one
+    * doc-keyed agg, and a bounded TakeOrdered — never a global sort.
+    * The paper's sampled variant replaces the top-n with
+    * Gumbel-perturbed keys; top-n is the deterministic special case
+    * (τ→0), chosen so the cut is engine-reproducible. */
+  def dsirSelect(docs: DataFrame, id: String, text: String,
+                 targetFilter: Column, n: Int, gramN: Int = 3,
+                 scale: Int = 6): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = docs.filter(col(id).isNotNull)
+    val mt = trainCharLm(base.filter(targetFilter), text, gramN)
+      .select(col("g"), col("prob").as("__pt"))
+    val ms = trainCharLm(base, text, gramN)
+      .select(col("g"), col("prob").as("__ps"))
+    val p = math.pow(10, scale)
+    // mean over ALL of the doc's grams, out-of-target-vocab grams
+    // contributing ZERO mass — a doc matching few target grams must
+    // be penalized, not judged on its matches alone (the matched-only
+    // mean would rank a 1-gram accidental match above a true target
+    // doc)
+    def fixedMean(c: Column): Column =
+      coalesce(sum(Portable.toFixed(c, scale)), lit(0L)).cast("double") /
+        lit(p) / count(lit(1))
+    base
+      .select(col(id).as("doc_id"), explode(charNgrams(col(text), gramN)).as("g"))
+      .join(broadcast(mt), Seq("g"), "left")
+      .join(broadcast(ms), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("__pt")).as("n_target_grams"),
+        fixedMean(col("__pt")).as("__at"),
+        fixedMean(col("__ps")).as("__as"))
+      .select(col("doc_id"), col("n_target_grams"),
+        Portable.pround(col("__at") / col("__as"), scale).as("importance"))
+      .orderBy(col("importance").desc_nulls_last, col("doc_id").asc)
+      .limit(n)
+  }
+
   // ───────────────────────── BPE tokenizer training ──────────────────
 
   /** Train a BPE merge table (Sennrich et al. 2016) over the corpus:

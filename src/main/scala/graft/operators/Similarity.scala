@@ -467,6 +467,119 @@ object Similarity {
     cents
   }
 
+  // ───────────────────── integer-exact k-means (F20/F21) ─────────────
+
+  /** Fixed-point view of the corpus: `(nn_id, fv array<long>)`. */
+  private def fixedCorpus(emb: DataFrame, id: String, vec: String,
+                          scale: Int): DataFrame =
+    emb.select(col(id).as("nn_id"),
+      transform(col(vec), x =>
+        graft.functions.Portable.toFixed(x.cast("double"), scale)).as("fv"))
+
+  /** Squared-L2 argmin cell over literal fixed-point centroids — all
+    * long arithmetic, ties to the lowest cell index (struct ordering). */
+  private def bestCellFixed(fv: Column,
+                            cents: Array[Array[Long]]): Column = {
+    val scored = cents.zipWithIndex.map { case (cv, j) =>
+      val dist = aggregate(
+        zip_with(fv, typedlit(cv.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      struct(dist.as("d"), lit(j).as("j"))
+    }
+    array_min(array(scored.toIndexedSeq: _*))("j")
+  }
+
+  /** Train integer-exact Lloyd centroids over the fixed corpus: seeds
+    * are the `k` lowest-id vectors, per-iteration updates are exact
+    * long sums + floor division (empty cells keep their centroid) —
+    * every quantity an integer, so the trained centroids and every
+    * assignment are bit-reproducible in ANY engine (the [[
+    * trainCentroidsNormed]] double path is for in-engine IVF use; this
+    * one is the oracle-exact clustering surface). Model-sized driver
+    * state only: k seeds + k×dim update sums per iteration. */
+  private[graft] def kmeansCentroidsFixed(fx: DataFrame, k: Int,
+                                          iters: Int): Array[Array[Long]] = {
+    var cents: Array[Array[Long]] = fx.orderBy("nn_id").limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    if (cents.isEmpty) return cents
+    for (_ <- 0 until iters) {
+      val sums = fx
+        .withColumn("cell", bestCellFixed(col("fv"), cents))
+        .select(col("cell"), posexplode(col("fv")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        sums.get(j) match {
+          case Some(rows) =>
+            rows.sortBy(_._2).map(r => Math.floorDiv(r._3, r._4)).toArray
+          case None => old
+        }
+      }
+    }
+    cents
+  }
+
+  /** k-means cluster assignment (F20) — `(id, cell)` under
+    * [[kmeansCentroidsFixed]] centroids: the SemDeDup / semantic-
+    * clustering partitioner (Abbas et al. 2023 cluster first, dedup
+    * within cells). One corpus scan per Lloyd iteration plus one for
+    * the final assignment — `cacheCorpus` pins the fixed-point
+    * projection so the iterations re-read block storage, the
+    * [[ivfTopK]] iterative-ML discipline. */
+  def kmeansAssign(emb: DataFrame, id: String, vec: String, k: Int,
+                   iters: Int, scale: Int = 6,
+                   cacheCorpus: Boolean = true): DataFrame = {
+    require(k >= 1 && iters >= 0)
+    val fx0 = fixedCorpus(emb, id, vec, scale)
+    val fx = if (cacheCorpus) fx0.localCheckpoint() else fx0
+    val cents = kmeansCentroidsFixed(fx, k, iters)
+    fx.select(col("nn_id").as(id),
+      bestCellFixed(col("fv"), cents).cast("int").as("cell"))
+  }
+
+  /** SemDeDup (F21, Abbas et al. 2023): cluster with [[kmeansAssign]],
+    * then inside each cell drop every vector that has a LOWER-id
+    * neighbor with cosine ≥ `thresholdNum/thresholdDen` — reported as
+    * `(id, kept_by, cell)` with `kept_by` its lowest-id in-cell
+    * near-neighbor (greedy; `kept_by` may itself be dropped — feed the
+    * pairs through [[Dedup.clusters]] when canonical survivors are
+    * needed). The cosine gate is EXACT integer arithmetic: `dot > 0 ∧
+    * dot²·den² ≥ num²·|a|²·|b|²` over fixed-point longs widened to
+    * decimal(38) — no sqrt, no float compare, oracle-reproducible.
+    *
+    * Scale shape: the pair expansion is an equi-join on `cell` (never
+    * a cross product — the e5 bucketed discipline, with k sized so
+    * cells bound the quadratic term), and the corpus is scanned
+    * through the SAME pinned fixed-point projection the trainer used. */
+  def semDedup(emb: DataFrame, id: String, vec: String, k: Int,
+               iters: Int, thresholdNum: Long, thresholdDen: Long,
+               scale: Int = 6): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen > 0)
+    val fx = fixedCorpus(emb, id, vec, scale).localCheckpoint()
+    val cents = kmeansCentroidsFixed(fx, k, iters)
+    val assigned = fx.select(col("nn_id"), col("fv"),
+      bestCellFixed(col("fv"), cents).cast("int").as("cell"))
+    def sq(c: Column): Column =
+      aggregate(zip_with(c, c, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val a = assigned.select(col("cell"), col("nn_id").as("ia"),
+      col("fv").as("fa"), sq(col("fv")).as("na2"))
+    val b = assigned.select(col("cell"), col("nn_id").as("ib"),
+      col("fv").as("fb"), sq(col("fv")).as("nb2"))
+    val dot = aggregate(zip_with(col("fa"), col("fb"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    a.join(b, Seq("cell"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("__dot", dot)
+      .filter(col("__dot") > 0L &&
+        d38(col("__dot")) * col("__dot") * lit(thresholdDen * thresholdDen)
+          >= d38(lit(thresholdNum * thresholdNum)) * col("na2") * col("nb2"))
+      .groupBy(col("ib").as(id))
+      .agg(min(col("ia")).as("kept_by"), min(col("cell")).as("cell"))
+  }
+
   /** `cacheCorpus` materializes the normalized vectors once and shares
     * them between the Lloyd iterations and the search pass — the
     * standard iterative-ML pattern: each extra training iteration then

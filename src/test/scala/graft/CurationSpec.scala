@@ -487,6 +487,26 @@ class CurationSpec extends SparkSpec {
     assert(got(1) == ((2L, 1L, 0.5, 0.5)))
   }
 
+  test("dsirSelect: likelihood-ratio ranking, OOV grams penalize, zero-match scores 0") {
+    // target model (source t): "aaaa" → aaa:2, P(aaa)=1
+    // source model (all): aaa:3 aab:1 bbb:2 → P(aaa)=.75 P(aab)=.25 P(bbb)=1
+    val docs = Seq((1L, "aaaa", "t"), (2L, "aaab", "s"), (3L, "bbbb", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.dsirSelect(docs, "doc_id", "text",
+        col("source") === "t", n = 3)
+      .as[(Long, Long, Double)].collect()
+    // d1: at=1, as=.75 → 1.333333; d2: one OOV target gram halves the
+    // target mass → at=.5, as=.5 → 1.0 (the matched-only mean would
+    // have inflated it to 2.0); d3: zero target mass → 0
+    assert(got.toSeq == Seq((1L, 2L, 1.333333), (2L, 1L, 1.0),
+      (3L, 0L, 0.0)))
+    // the cut keeps the top n by (importance desc, id asc)
+    val cut = Curation.dsirSelect(docs, "doc_id", "text",
+        col("source") === "t", n = 2)
+      .as[(Long, Long, Double)].collect().map(_._1).toSeq
+    assert(cut == Seq(1L, 2L))
+  }
+
   test("bpeTrain learns the textbook merges with deterministic tie-breaks") {
     // Sennrich's worked example: {low×5, lower×2, newest×6, widest×3}.
     // Round 1 pair counts peak at 9 shared by (e,s),(s,t),(t,</w>) —

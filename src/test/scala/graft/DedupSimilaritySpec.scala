@@ -712,6 +712,46 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.count() == 0)
     assert(lsh.count() > 0)
   }
+
+  test("kmeansAssign: hand-rolled 2-round Lloyd with cross-round reassignment") {
+    // 1-D fixed(6): seeds c0=[0] c1=[1e6]; round 1 puts v1 with c1 and
+    // pulls c1 to 7333333 (floor of 22e6/3); round 2 REASSIGNS v1 to
+    // c0 (1e12 < 6333333²) — the fixture fails on any one-round
+    // shortcut or on a truncating (non-floor) centroid divide
+    val emb = Seq((0L, Seq(0.0)), (1L, Seq(1.0)), (2L, Seq(10.0)),
+      (3L, Seq(11.0))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+        k = 2, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1))
+    // duplicate seeds: equidistant ties go to the LOWEST cell, the
+    // emptied duplicate cell keeps its centroid instead of NaN-ing
+    val dup = Seq((0L, Seq(0.0)), (1L, Seq(0.0)), (2L, Seq(5.0)))
+      .toDF("vec_id", "embedding")
+    val got2 = Similarity.kmeansAssign(dup, "vec_id", "embedding",
+        k = 3, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got2 == Map(0L -> 0, 1L -> 0, 2L -> 2))
+  }
+
+  test("semDedup: exact cosine gate drops in-cell near-dups only") {
+    // single cell (k=1): v1 is v0's near-dup (cos≈0.99995 ≥ 0.95);
+    // v2 orthogonal and v3 anti-parallel survive (dot ≤ 0 gate)
+    val emb = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.01)),
+      (2L, Seq(0.0, 1.0)), (3L, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(emb, "vec_id", "embedding", k = 1,
+        iters = 0, thresholdNum = 19, thresholdDen = 20)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 0L, 0)))
+    // chain contract: kept_by is the LOWEST-id in-cell neighbor
+    val tri = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.005)),
+      (2L, Seq(1.0, 0.01))).toDF("vec_id", "embedding")
+    val got2 = Similarity.semDedup(tri, "vec_id", "embedding", k = 1,
+        iters = 0, thresholdNum = 19, thresholdDen = 20)
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(got2 == Seq((1L, 0L, 0), (2L, 0L, 0)))
+  }
 }
 
 /** Test-local loader that applies the double cast used by SparkEntry. */

@@ -531,6 +531,25 @@ class SqlSurfaceSpec extends SparkSpec {
         'event_type', 'purchase', 'value')"""),
       graft.operators.DataQuality.abTest(Tables.events(spark, sf),
         "user_id", "event_type", "purchase", "value"))
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_tvf")
+    sameRows(
+      spark.sql("""SELECT * FROM graft_dsir('docs_tvf', 'doc_id', 'text',
+        'source IN (''src0'', ''src1'')', 10)"""),
+      graft.operators.Curation.dsirSelect(Tables.documents(spark, sf),
+        "doc_id", "text", col("source").isin("src0", "src1"), n = 10))
+    val embd = Tables.embeddings(spark, sf)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    embd.createOrReplaceTempView("embd_tvf")
+    sameRows(
+      spark.sql(
+        "SELECT * FROM graft_kmeans('embd_tvf', 'vec_id', 'embedding', 4, 1)"),
+      graft.operators.Similarity.kmeansAssign(embd, "vec_id", "embedding",
+        k = 4, iters = 1))
+    sameRows(
+      spark.sql("""SELECT * FROM graft_semdedup('embd_tvf', 'vec_id',
+        'embedding', 4, 1, 3, 10)"""),
+      graft.operators.Similarity.semDedup(embd, "vec_id", "embedding",
+        k = 4, iters = 1, thresholdNum = 3, thresholdDen = 10))
     val baskets = spark.createDataFrame(
       Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L)))
       .toDF("bk", "it")
