@@ -1197,7 +1197,34 @@ object ScaleProbe {
                 .as("cdc_op"),
               col("value").as("c_acctbal"), col("event_type").as("c_mktsegment")),
             key = Seq("c_custkey"), seq = "event_id", op = "cdc_op",
-            fields = Seq("c_acctbal", "c_mktsegment"))))
+            fields = Seq("c_acctbal", "c_mktsegment"))),
+        // multi-touch: ONE entity range-window pass + in-row splits —
+        // the probe catches any self-join regression (quadratic per
+        // entity) the PlanSpec guard also forbids
+        "c22_multi_touch" -> (() =>
+          Sessionize.multiTouchAttribution(ev, "user_id", "ts",
+            "event_id", "event_type", Seq("click", "view"), "purchase",
+            "value", 7L * 24 * 3600)),
+        // ab test: per-user rollup (the one input-sized exchange) + a
+        // 2-row arm pivot
+        "dq15_ab_test" -> (() =>
+          DataQuality.abTest(ev, "user_id", "event_type", "purchase",
+            "value")),
+        // dsir: two vocab-sized model builds + one broadcast-probe
+        // scoring scan + bounded TakeOrdered
+        "k12_dsir_select" -> (() =>
+          Curation.dsirSelect(docs, "doc_id", "text",
+            col("source").isin("src0", "src1", "src2", "src3"), n = 40)),
+        // kmeans: per-iteration corpus scans off the pinned fixed
+        // projection; update state model-sized
+        "f20_kmeans" -> (() =>
+          Similarity.kmeansAssign(emb, "vec_id",
+            "embedding", k = 8, iters = 2)),
+        // semdedup: cell-bucketed pair join — quadratic ONLY within a
+        // cell, k bounds the largest cell's mass
+        "f21_semdedup" -> (() =>
+          Similarity.semDedup(emb, "vec_id", "embedding",
+            k = 8, iters = 2, thresholdNum = 3, thresholdDen = 10)))
     }
 
     // total shuffle-WRITE bytes of the jobs `run` launches — the number

@@ -539,6 +539,16 @@ object Similarity {
       bestCellFixed(col("fv"), cents).cast("int").as("cell"))
   }
 
+  /** Assignment under FROZEN [[kmeansCentroidsFixed]] centroids — a
+    * pure stateless projection, so it runs unchanged on a stream (the
+    * I18 frozen-model discipline: retraining is a batch event, arrivals
+    * between retrains are encoded under the pinned model). */
+  def kmeansAssignWith(emb: DataFrame, id: String, vec: String,
+                       cents: Array[Array[Long]],
+                       scale: Int = 6): DataFrame =
+    fixedCorpus(emb, id, vec, scale).select(col("nn_id").as(id),
+      bestCellFixed(col("fv"), cents).cast("int").as("cell"))
+
   /** SemDeDup (F21, Abbas et al. 2023): cluster with [[kmeansAssign]],
     * then inside each cell drop every vector that has a LOWER-id
     * neighbor with cosine ≥ `thresholdNum/thresholdDen` — reported as

@@ -1044,6 +1044,73 @@ class StreamingSpec extends SparkSpec {
     assert(maintained.groupBy("event_id").count()
       .filter(col("count") > 1).count() == 0)
   }
+  test("streaming multi-touch off the maintained event ledger == batch C22 (I47)") {
+    // c22's range-window pairing needs each conversion's 7-day touch
+    // history, so the streaming story is the I28 ledger composition:
+    // maintain a keyed (event_id-deduped) ledger of JUST the touch +
+    // conversion types and run the batch operator off it — in
+    // production the ledger is TTL-evicted past the lookback, which
+    // cannot change any credit by construction (the window never
+    // reaches further back)
+    val in = Files.createTempDirectory("graft-mt-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val table = scala.collection.mutable.Map
+      .empty[Long, (Long, java.sql.Timestamp, Long, String, Double)]
+    val q = spark.readStream.schema(ev.schema).parquet(in)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          table(r.getLong(2)) = (r.getLong(0), r.getTimestamp(1),
+            r.getLong(2), r.getString(3), r.getDouble(4))
+        }
+      }.start()
+    try landTimeSplit(ev, in)(() => q.processAllAvailable()) finally q.stop()
+    val ledger = table.values.toSeq
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    def credit(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sessionize.multiTouchAttribution(df, "user_id",
+        "ts", "event_id", "event_type", Seq("click", "view"), "purchase",
+        "value", 7L * 24 * 3600)
+    val got = credit(ledger)
+    val want = credit(ev)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("streaming kmeans assignment under a frozen model == batch F20 (I48)") {
+    // the I18 discipline: centroids train in batch; arrivals between
+    // retrains are assigned by the SAME stateless fixed-point argmin
+    // projection, so the maintained assignment table equals a fresh
+    // batch run at every point
+    val in = Files.createTempDirectory("graft-km-in").toString
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val fx = emb.select(col("vec_id").as("nn_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => graft.functions.Portable.toFixed(x, 6)).as("fv"))
+    val cents = graft.operators.Similarity.kmeansCentroidsFixed(fx,
+      k = 8, iters = 2)
+    val table = scala.collection.mutable.Map.empty[Long, (Long, Int)]
+    val q = graft.operators.Similarity.kmeansAssignWith(
+        spark.readStream.schema(emb.schema).parquet(in),
+        "vec_id", "embedding", cents)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          table(r.getLong(0)) = (r.getLong(0), r.getInt(1))
+        }
+      }.start()
+    try landTimeSplit(emb, in, tsCol = "vec_id")(() => q.processAllAvailable())
+    finally q.stop()
+    val got = table.values.toSeq.toDF("vec_id", "cell")
+    val want = graft.operators.Similarity.kmeansAssign(emb, "vec_id",
+      "embedding", k = 8, iters = 2)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming EWMA by composition: the maintained daily rollup feeds b34 unchanged (I27)") {
     import graft.streaming.IotStreamPipeline
     // the b34 smoothing needs no new streaming state: maintain the
