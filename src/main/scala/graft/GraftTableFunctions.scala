@@ -652,6 +652,15 @@ object GraftTableFunctions {
         csv(args, 1, fn), bits = num(args, 2, fn).toInt))
     },
 
+    // graft_rank_eval(truthTable, candTable, k) — F22; both tables are
+    // (query_id, rank, nn_id, …) ranked frames with ranks <= k
+    "graft_rank_eval" -> { args =>
+      val fn = "graft_rank_eval"
+      arity(args, fn, Set(3), "truthTable, candTable, k")
+      plan(graft.operators.Similarity.rankEval(table(str(args, 0, fn)),
+        table(str(args, 1, fn)), num(args, 2, fn).toInt))
+    },
+
     // graft_kmeans(table, id, vec, k, iters) — F20
     "graft_kmeans" -> { args =>
       val fn = "graft_kmeans"

@@ -1312,6 +1312,19 @@ object SparkEntry {
     // recall@5 of the approximate searchers (f2 LSH, f3 trained IVF)
     // against the exact baseline (f1) — the per-query index-quality
     // report, oracle-checked end-to-end rather than a spec assertion
+    // rank-aware eval of the LSH searcher vs exact truth: recall@5 +
+    // MRR + NDCG@5 (binary relevance, ppm literal log2 weights) — the
+    // position-sensitive report f4's recall-only row can't give
+    "f22_ann_rank_eval" -> ((s, d) => {
+      val normed = Similarity.normalized(embD(s, d), "vec_id", "embedding")
+        .localCheckpoint()
+      val q = normed.filter(col("nn_id") % 100 === 0)
+        .select(col("nn_id").as("query_id"), col("cv").as("qv"))
+      Similarity.rankEval(
+        Similarity.bruteForceTopKNormed(normed, q, 5),
+        Similarity.lshTopKNormed(normed, q, 5, 8, 64), 5)
+    }),
+
     "f4_ann_recall" -> ((s, d) => {
       // ONE materialized normalized corpus feeds all four searchers AND
       // the IVF training loop — before this seam each searcher re-planned
@@ -3056,6 +3069,27 @@ object SparkEntry {
        |WHERE dot > 0
        |  AND CAST(dot AS HUGEINT) * dot * 100 >= CAST(9 AS HUGEINT) * na2 * nb2
        |GROUP BY 1""".stripMargin
+
+  /** f22's oracle — f1 (exact) and f2 (LSH) embedded whole, the same
+    * ppm literal log2 weight tables indexed per candidate rank. */
+  private lazy val f22OracleSql: String = {
+    val w = Similarity.RankEvalW.take(5).mkString("[", ", ", "]")
+    val cw = Similarity.RankEvalCumW.take(5).mkString("[", ", ", "]")
+    s"""SELECT t.query_id, count(*) AS n_true, count(c.rank) AS n_hit,
+       |  ${sqlPround("CAST(count(c.rank) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS recall,
+       |  CASE WHEN min(c.rank) IS NOT NULL
+       |    THEN ${sqlPround("1.0 / CAST(min(c.rank) AS DOUBLE)", 6)}
+       |    ELSE 0.0 END AS mrr,
+       |  CASE WHEN count(c.rank) > 0
+       |    THEN ${sqlPround(
+      s"CAST(sum(($w)[c.rank]) AS DOUBLE) / CAST(($cw)[count(*)] AS DOUBLE)",
+      6)}
+       |    ELSE 0.0 END AS ndcg
+       |FROM ($f1OracleSql) t
+       |LEFT JOIN ($f2OracleSql) c
+       |  ON c.query_id = t.query_id AND c.nn_id = t.nn_id
+       |GROUP BY 1""".stripMargin
+  }
 
   /** c22's oracle — the same one-window multi-touch pairing, with the
     * integral splits spelled through DuckDB's `//` (== Spark's `div`
@@ -5404,6 +5438,8 @@ object SparkEntry {
     "f20_kmeans" -> f20OracleSql,
 
     "f21_semdedup" -> f21OracleSql,
+
+    "f22_ann_rank_eval" -> f22OracleSql,
 
     "f18_ann_matryoshka" ->
       """WITH e AS (

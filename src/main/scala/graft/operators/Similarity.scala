@@ -590,6 +590,60 @@ object Similarity {
       .agg(min(col("ia")).as("kept_by"), min(col("cell")).as("cell"))
   }
 
+  /** NDCG position weights `1/log2(i+1)` for ranks 1..10, in exact ppm
+    * LITERALS (the Benford literal-constants discipline: engine log2
+    * implementations differ in the last ulp, a shared integer table
+    * cannot), plus their prefix sums for the ideal DCG. */
+  private[graft] val RankEvalW: Seq[Long] = Seq(
+    1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+  private[graft] val RankEvalCumW: Seq[Long] =
+    RankEvalW.scanLeft(0L)(_ + _).tail
+
+  /** Rank-aware retrieval evaluation (F22) — the index-quality report
+    * every ANN deployment runs before switching searchers: per query,
+    * recall@k, MRR (reciprocal of the best candidate rank that hits
+    * the truth set; 0 when nothing hits) and NDCG@k (binary relevance
+    * = membership in the exact top-k; DCG in exact ppm integers off
+    * [[RankEvalW]], ideal DCG the prefix sum at n_true) of a candidate
+    * ranking against an exact truth ranking. Both inputs are
+    * `(query_id, rank, nn_id, …)` frames with ranks ≤ k — the f1/f2
+    * contract. Complements f4's recall-only report with the
+    * position-sensitive metrics.
+    *
+    * Shape: one equi-join on (query, item) + one query-keyed agg —
+    * both sides are k-bounded per query, so the whole report is
+    * query-set-sized regardless of corpus size. */
+  def rankEval(truth: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= RankEvalW.length,
+      s"k must be in 1..${RankEvalW.length}, got $k")
+    import graft.functions.Portable
+    val w = typedlit(RankEvalW.take(k))
+    val cw = typedlit(RankEvalCumW.take(k))
+    val t = truth.select(col("query_id"), col("nn_id"))
+    val c = cand.select(col("query_id"), col("nn_id"),
+      col("rank").as("__cr"))
+    t.join(c, Seq("query_id", "nn_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_true"),
+        count(col("__cr")).as("n_hit"),
+        min(col("__cr")).as("__minr"),
+        // try_element_at, NOT element_at: the element_at(Column, Any)
+        // overload mis-evaluates a NULL ordinal (returns an arbitrary
+        // element instead of NULL), silently crediting every miss
+        sum(try_element_at(w, col("__cr").cast("int"))).as("__dcg"))
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+        Portable.pround(col("n_hit").cast("double")
+          / col("n_true").cast("double"), 4).as("recall"),
+        when(col("__minr").isNotNull,
+          Portable.pround(lit(1.0) / col("__minr").cast("double"), 6))
+          .otherwise(lit(0.0)).as("mrr"),
+        when(col("n_hit") > 0L,
+          Portable.pround(col("__dcg").cast("double")
+            / try_element_at(cw, col("n_true").cast("int")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("ndcg"))
+  }
+
   /** `cacheCorpus` materializes the normalized vectors once and shares
     * them between the Lloyd iterations and the search pass — the
     * standard iterative-ML pattern: each extra training iteration then

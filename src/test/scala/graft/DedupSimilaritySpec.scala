@@ -713,6 +713,31 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.count() > 0)
   }
 
+  test("rankEval: hand-computed recall/MRR/NDCG incl. the null-ordinal trap") {
+    val truth = Seq((100L, 1, 204L), (100L, 2, 32L), (100L, 3, 143L),
+      (100L, 4, 410L), (100L, 5, 135L),
+      (200L, 1, 7L), (200L, 2, 8L),
+      (300L, 1, 70L))
+      .toDF("query_id", "rank", "nn_id")
+    val cand = Seq(
+      // q100: one hit at rank 1 of five true — NDCG must be
+      // 1000000/2948460, NOT credit the four misses (the
+      // element_at-null-ordinal bug this fixture was built against)
+      (100L, 1, 204L), (100L, 2, 187L), (100L, 3, 250L),
+      // q200: both hit, REVERSED order — binary relevance: still 1.0
+      (200L, 1, 8L), (200L, 2, 7L),
+      // q300: miss entirely
+      (300L, 1, 99L))
+      .toDF("query_id", "rank", "nn_id")
+    val got = Similarity.rankEval(truth, cand, 5)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(100L) == ((100L, 5L, 1L, 0.2,
+      1.0, math.floor(1000000.0 / 2948460.0 * 1e6 + 0.5) / 1e6)))
+    assert(got(200L) == ((200L, 2L, 2L, 1.0, 1.0, 1.0)))
+    assert(got(300L) == ((300L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("kmeansAssign: hand-rolled 2-round Lloyd with cross-round reassignment") {
     // 1-D fixed(6): seeds c0=[0] c1=[1e6]; round 1 puts v1 with c1 and
     // pulls c1 to 7333333 (floor of 22e6/3); round 2 REASSIGNS v1 to

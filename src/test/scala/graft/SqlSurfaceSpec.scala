@@ -550,6 +550,16 @@ class SqlSurfaceSpec extends SparkSpec {
         'embedding', 4, 1, 3, 10)"""),
       graft.operators.Similarity.semDedup(embd, "vec_id", "embedding",
         k = 4, iters = 1, thresholdNum = 3, thresholdDen = 10))
+    val qset = embd.filter(col("vec_id") % 100 === 0)
+    val bf5 = graft.operators.Similarity.bruteForceTopK(embd, qset,
+      "vec_id", "embedding", 5)
+    val lsh5 = graft.operators.Similarity.lshTopK(embd, qset, "vec_id",
+      "embedding", 5, 8, 64)
+    bf5.createOrReplaceTempView("truth_tvf")
+    lsh5.createOrReplaceTempView("cand_tvf")
+    sameRows(
+      spark.sql("SELECT * FROM graft_rank_eval('truth_tvf', 'cand_tvf', 5)"),
+      graft.operators.Similarity.rankEval(bf5, lsh5, 5))
     val baskets = spark.createDataFrame(
       Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L)))
       .toDF("bk", "it")
