@@ -783,6 +783,117 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("multiTouchAttribution == a sequential reference on arbitrary event streams") {
+    // reference: per conversion, gather the in-window touch multiset
+    // and split U by the four models with the documented remainder
+    // rules — any drift in window bounds, tie-breaks, or integer
+    // splits shows up as a mismatch; mass conservation is implied
+    val evGen = for {
+      nu <- Gen.choose(1, 4)
+      evs <- Gen.listOfN(nu * 6, for {
+        u <- Gen.choose(1L, nu.toLong)
+        off <- Gen.choose(0L, 300L)
+        ty <- Gen.oneOf("click", "view", "purchase")
+        v <- Gen.choose(0, 5000).map(_ / 100.0)
+      } yield (u, off, ty, v))
+    } yield evs
+    val lookback = 100L
+    samples(evGen, 12).foreach { evs0 =>
+      val evs = evs0.zipWithIndex.map { case ((u, off, ty, v), i) =>
+        (u, off * 1000000L, i.toLong, ty, v)
+      }
+      // sequential reference over (user, tsUs, id, type, value)
+      val credits = scala.collection.mutable.Map
+        .empty[String, Array[Long]].withDefault(_ => Array.fill(4)(0L))
+      def add(ty: String, m: Int, amt: Long): Unit = {
+        val a = credits.getOrElseUpdate(ty, Array.fill(4)(0L)); a(m) += amt
+      }
+      evs.groupBy(_._1).values.foreach { userEvs =>
+        val touches = userEvs.filter(e => e._4 == "click" || e._4 == "view")
+        userEvs.filter(_._4 == "purchase").foreach { conv =>
+          val win = touches.filter(t =>
+            t._2 <= conv._2 && conv._2 - t._2 <= lookback * 1000000L)
+          val u = math.floor(conv._5 * 100 + 0.5).toLong * 1000000L
+          val n = win.size
+          if (n == 0) (0 to 3).foreach(m => add("(unattributed)", m, u))
+          else {
+            val first = win.minBy(t => (t._2, t._3))
+            val last = win.maxBy(t => (t._2, t._3))
+            val base = u / n
+            win.foreach(t => add(t._4, 0, base)); add(first._4, 0, u - base * n)
+            add(first._4, 1, u); add(last._4, 2, u)
+            if (n == 1) add(first._4, 3, u)
+            else if (n == 2) { add(last._4, 3, u / 2); add(first._4, 3, u - u / 2) }
+            else {
+              val fsh = u * 2 / 5; val midTot = u - 2 * fsh; val m2 = n - 2
+              val midBase = midTot / m2
+              add(first._4, 3, fsh + (midTot - midBase * m2))
+              add(last._4, 3, fsh)
+              win.filterNot(t => t._3 == first._3 || t._3 == last._3)
+                .foreach(t => add(t._4, 3, midBase))
+            }
+          }
+        }
+      }
+      val df = evs.toDF("user_id", "us", "event_id", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("us")))
+      val got = graft.operators.Sessionize.multiTouchAttribution(df,
+          "user_id", "ts", "event_id", "event_type", Seq("click", "view"),
+          "purchase", "value", lookback)
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+      val want = credits.toMap.map { case (k, v) => k -> v.toSeq }
+      // the operator emits every declared type row (possibly zero);
+      // compare on the union with zero-fill
+      val keys = got.keySet ++ want.keySet
+      keys.foreach { k =>
+        assert(got.getOrElse(k, Seq(0L, 0L, 0L, 0L))
+          == want.getOrElse(k, Seq(0L, 0L, 0L, 0L)),
+          s"type $k: got ${got.get(k)} want ${want.get(k)} over $evs")
+      }
+    }
+  }
+
+  test("kmeansAssign == a sequential Lloyd reference on arbitrary vector sets") {
+    val vecGen = for {
+      n <- Gen.choose(1, 10)
+      dim <- Gen.choose(1, 3)
+      vs <- Gen.listOfN(n,
+        Gen.listOfN(dim, Gen.choose(-500, 500).map(_ / 100.0)))
+      k <- Gen.choose(1, 3)
+      iters <- Gen.choose(0, 2)
+    } yield (vs, k, iters)
+    samples(vecGen, 12).foreach { case (vs, k, iters) =>
+      val fixed = vs.map(_.map(x => math.floor(x * 1e6 + 0.5).toLong).toArray)
+      def assign(cents: Seq[Array[Long]]): Seq[Int] =
+        fixed.map { fv =>
+          cents.zipWithIndex.map { case (cv, j) =>
+            (fv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+          }.min._2
+        }
+      var cents: Seq[Array[Long]] = fixed.take(k)
+      for (_ <- 0 until iters) {
+        val byCell = assign(cents).zip(fixed).groupBy(_._1)
+        cents = cents.zipWithIndex.map { case (old, j) =>
+          byCell.get(j) match {
+            case Some(rows) =>
+              val n = rows.size
+              old.indices.map(p =>
+                Math.floorDiv(rows.map(_._2(p)).sum, n.toLong)).toArray
+            case None => old
+          }
+        }
+      }
+      val want = assign(cents).zipWithIndex.map { case (c, i) => (i.toLong, c) }.toMap
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val got = graft.operators.Similarity.kmeansAssign(df, "vec_id",
+          "embedding", k, iters)
+        .as[(Long, Int)].collect().toMap
+      assert(got == want, s"k=$k iters=$iters vs=$vs")
+    }
+  }
+
   test("zorderValue round-trips: every dimension recovers from the key") {
     val gen = for {
       a <- Gen.chooseNum(0L, 255L); b <- Gen.chooseNum(0L, 255L)
