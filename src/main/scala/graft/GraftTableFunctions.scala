@@ -652,6 +652,15 @@ object GraftTableFunctions {
         csv(args, 1, fn), bits = num(args, 2, fn).toInt))
     },
 
+    // graft_kmv_setops(tableA, tableB, keyA, keyB, k) — B42
+    "graft_kmv_setops" -> { args =>
+      val fn = "graft_kmv_setops"
+      arity(args, fn, Set(5), "tableA, tableB, keyA, keyB, k")
+      plan(graft.operators.Sketches.kmvSetOps(table(str(args, 0, fn)),
+        table(str(args, 1, fn)), col(str(args, 2, fn)),
+        col(str(args, 3, fn)), num(args, 4, fn).toInt))
+    },
+
     // graft_rank_eval(truthTable, candTable, k) — F22; both tables are
     // (query_id, rank, nn_id, …) ranked frames with ranks <= k
     "graft_rank_eval" -> { args =>

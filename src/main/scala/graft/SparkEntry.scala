@@ -384,6 +384,17 @@ object SparkEntry {
         Seq("event_type", "month"), 256)
     }),
 
+    // KMV set algebra (the θ-sketch role): distinct clickers vs
+    // viewers — each side's estimate, the union, and the MinHash
+    // Jaccard × union intersection estimate, all md5-deterministic
+    // so the oracle reproduces every digit (HLL set ops can't be
+    // checked; these can)
+    "b42_distinct_setops" -> ((s, d) =>
+      Sketches.kmvSetOps(
+        ev(s, d).filter(col("event_type") === "click"),
+        ev(s, d).filter(col("event_type") === "view"),
+        col("user_id"), col("user_id"), k = 256)),
+
     // the inverse estimate off the SAME maintained bins as b31:
     // approx_percentile_rank — fraction of observations ≤ each probe
     // value, linear within the probe's bin; probe bin/frac fold to
@@ -3070,6 +3081,39 @@ object SparkEntry {
        |  AND CAST(dot AS HUGEINT) * dot * 100 >= CAST(9 AS HUGEINT) * na2 * nb2
        |GROUP BY 1""".stripMargin
 
+  /** b42's oracle — the same bottom-k/union/overlap algebra in SQL. */
+  private lazy val b42OracleSql: String = {
+    def hcte(ty: String): String =
+      s"""SELECT h FROM (SELECT DISTINCT
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events WHERE event_type = '$ty') ORDER BY h LIMIT 256"""
+        .stripMargin
+    def est(kc: String, hc: String): String =
+      s"CASE WHEN $kc < 256 THEN CAST($kc AS DOUBLE) " +
+        s"ELSE 255.0 * 1152921504606846976.0 / CAST($hc AS DOUBLE) END"
+    s"""WITH ha AS (${hcte("click")}),
+       |hb AS (${hcte("view")}),
+       |hu AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+       |       ORDER BY h LIMIT 256),
+       |st AS (SELECT
+       |  (SELECT count(*) FROM ha) AS ka, (SELECT max(h) FROM ha) AS h_a,
+       |  (SELECT count(*) FROM hb) AS kb, (SELECT max(h) FROM hb) AS h_b,
+       |  (SELECT count(*) FROM hu) AS ku, (SELECT max(h) FROM hu) AS h_u,
+       |  (SELECT count(*) FROM hu JOIN ha USING (h) JOIN hb USING (h))
+       |    AS novl)
+       |SELECT ka AS k_used_a, ${sqlPround(est("ka", "h_a"), 2)} AS est_a,
+       |  kb AS k_used_b, ${sqlPround(est("kb", "h_b"), 2)} AS est_b,
+       |  ku AS k_used_union, ${sqlPround(est("ku", "h_u"), 2)} AS est_union,
+       |  novl AS n_overlap,
+       |  CASE WHEN ku > 0 THEN ${sqlPround(
+      "CAST(novl AS DOUBLE) / CAST(ku AS DOUBLE)", 6)} ELSE 0.0 END
+       |    AS jaccard,
+       |  CASE WHEN ku > 0 THEN ${sqlPround(
+      s"CAST(novl AS DOUBLE) / CAST(ku AS DOUBLE) * (${est("ku", "h_u")})",
+      2)} ELSE 0.0 END AS est_intersection
+       |FROM st""".stripMargin
+  }
+
   /** f22's oracle — f1 (exact) and f2 (LSH) embedded whole, the same
     * ppm literal log2 weight tables indexed per candidate rank. */
   private lazy val f22OracleSql: String = {
@@ -3903,6 +3947,8 @@ object SparkEntry {
               "CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE) " +
               "ELSE 255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END", 2)} AS est_distinct
          |FROM mk WHERE r <= 256 GROUP BY event_type, month""".stripMargin,
+
+    "b42_distinct_setops" -> b42OracleSql,
 
     "b10_distinct_kmv" ->
       s"""WITH h AS (SELECT DISTINCT

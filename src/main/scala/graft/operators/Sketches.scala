@@ -82,6 +82,57 @@ object Sketches {
             .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
               col("kth_hash").cast("double")), 2).as("est_distinct"): _*)
 
+  /** KMV set operations (B42) — the θ-sketch role: estimated distinct
+    * cardinalities of two key sets, their UNION, and their
+    * INTERSECTION, from bottom-k sketches alone. Union is exact KMV
+    * algebra (bottom-k of a union == bottom-k of the merged bottom-k
+    * sets); intersection is the classic MinHash route — the overlap
+    * share inside the union's bottom-k estimates Jaccard, times the
+    * union estimate. Deterministic md5 hashing (the [[kmvDistinct]]
+    * family), so every estimate is oracle-reproducible bit-for-bit —
+    * the engine-private HLL set ops can't be checked, these can.
+    *
+    * Shape: one scan per input collapsing map-side to a distinct
+    * bottom-k (TakeOrdered, k-bounded); sketches are pinned
+    * (sketch-sized) and every later stage — merge, overlap join,
+    * one-row stats — is k-sized. Error: ~1/√k on each estimate, the
+    * intersection compounding union × Jaccard (document k per use). */
+  def kmvSetOps(a: DataFrame, b: DataFrame, keyA: Column, keyB: Column,
+                k: Int = 256): DataFrame = {
+    require(k >= 2)
+    import graft.functions.Portable.pround
+    def bottom(df: DataFrame, key: Column): DataFrame =
+      df.select(portableHash(key).as("h")).distinct()
+        .orderBy("h").limit(k).localCheckpoint()
+    val sa = bottom(a, keyA)
+    val sb = bottom(b, keyB)
+    val su = sa.union(sb).distinct().orderBy("h").limit(k).localCheckpoint()
+    def est(kUsed: Column, kth: Column): Column =
+      when(kUsed < k, kUsed.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60))
+          / kth.cast("double"))
+    val eu = est(col("ku"), col("hu"))
+    sa.agg(count(lit(1)).as("ka"), max(col("h")).as("ha"))
+      .crossJoin(sb.agg(count(lit(1)).as("kb"), max(col("h")).as("hb")))
+      .crossJoin(su.agg(count(lit(1)).as("ku"), max(col("h")).as("hu")))
+      .crossJoin(su.join(sa, Seq("h")).join(sb, Seq("h"))
+        .agg(count(lit(1)).as("novl")))
+      .select(
+        col("ka").as("k_used_a"),
+        pround(est(col("ka"), col("ha")), 2).as("est_a"),
+        col("kb").as("k_used_b"),
+        pround(est(col("kb"), col("hb")), 2).as("est_b"),
+        col("ku").as("k_used_union"),
+        pround(eu, 2).as("est_union"),
+        col("novl").as("n_overlap"),
+        when(col("ku") > 0L, pround(
+          col("novl").cast("double") / col("ku").cast("double"), 6))
+          .otherwise(lit(0.0)).as("jaccard"),
+        when(col("ku") > 0L, pround(
+          col("novl").cast("double") / col("ku").cast("double") * eu, 2))
+          .otherwise(lit(0.0)).as("est_intersection"))
+  }
+
   /** COUNT-MIN sketch over a key column: a `depth × width` counter
     * matrix where row i counts keys by `hash_i(key) mod width`. Like
     * [[kmvDistinct]] (and unlike HLL/t-digest), the layout is fully

@@ -68,6 +68,33 @@ class CurationSpec extends SparkSpec {
     assert(exact == 100.0)
   }
 
+  test("kmvSetOps: exact under k, overlap estimates within bounds, disjoint zero") {
+    import graft.operators.Sketches
+    // A = 1..100, B = 51..150, both under k → every stat EXACT
+    val a = spark.range(1, 101).toDF("v")
+    val b = spark.range(51, 151).toDF("v")
+    val r = Sketches.kmvSetOps(a, b, col("v"), col("v"), k = 256)
+      .as[(Long, Double, Long, Double, Long, Double, Long, Double, Double)]
+      .head()
+    assert(r._1 == 100L && r._2 == 100.0)
+    assert(r._3 == 100L && r._4 == 100.0)
+    assert(r._5 == 150L && r._6 == 150.0)
+    assert(r._7 == 50L) // true intersection, exact under k
+    assert(r._8 == math.floor(50.0 / 150.0 * 1e6 + 0.5) / 1e6)
+    assert(r._9 == 50.0)
+    // disjoint sets → zero overlap, zero intersection estimate
+    val d = Sketches.kmvSetOps(spark.range(0, 500).toDF("v"),
+        spark.range(1000, 1500).toDF("v"), col("v"), col("v"), k = 256)
+      .select("n_overlap", "est_intersection").as[(Long, Double)].head()
+    assert(d._1 == 0L && d._2 == 0.0)
+    // over-k regime: 10k vs 10k with 5k shared — estimates within 4σ-ish
+    val big = Sketches.kmvSetOps(spark.range(0, 10000).toDF("v"),
+        spark.range(5000, 15000).toDF("v"), col("v"), col("v"), k = 256)
+      .select("est_union", "est_intersection").as[(Double, Double)].head()
+    assert(math.abs(big._1 - 15000) / 15000 < 0.25, s"union=${big._1}")
+    assert(math.abs(big._2 - 5000) / 5000 < 0.5, s"inter=${big._2}")
+  }
+
   test("count-min estimates never undercount; exact at generous width") {
     import graft.operators.Sketches
     // zipf-ish: key k appears 1000/k times, 200 keys, ~5900 items

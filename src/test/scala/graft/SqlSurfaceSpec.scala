@@ -560,6 +560,17 @@ class SqlSurfaceSpec extends SparkSpec {
     sameRows(
       spark.sql("SELECT * FROM graft_rank_eval('truth_tvf', 'cand_tvf', 5)"),
       graft.operators.Similarity.rankEval(bf5, lsh5, 5))
+    val clickers = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+    val viewers = Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+    clickers.createOrReplaceTempView("clk_tvf")
+    viewers.createOrReplaceTempView("vw_tvf")
+    sameRows(
+      spark.sql("""SELECT * FROM graft_kmv_setops('clk_tvf', 'vw_tvf',
+        'user_id', 'user_id', 256)"""),
+      graft.operators.Sketches.kmvSetOps(clickers, viewers,
+        col("user_id"), col("user_id"), k = 256))
     val baskets = spark.createDataFrame(
       Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L)))
       .toDF("bk", "it")
