@@ -737,6 +737,15 @@ object GraftTableFunctions {
         table(str(args, 0, fn)), str(args, 1, fn), str(args, 2, fn)))
     },
 
+    // graft_communities(edges, src, dst, iters) — L11
+    "graft_communities" -> { args =>
+      val fn = "graft_communities"
+      arity(args, fn, Set(4), "edges, src, dst, iters")
+      plan(graft.operators.Graphs.labelPropagation(
+        table(str(args, 0, fn)), str(args, 1, fn), str(args, 2, fn),
+        num(args, 3, fn).toInt))
+    },
+
     // graft_copurchase(table, basket, item, minSupport) — L2
     "graft_copurchase" -> { args =>
       val fn = "graft_copurchase"

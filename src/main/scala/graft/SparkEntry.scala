@@ -1995,6 +1995,16 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2L),
         "item_a", "item_b")),
 
+    // synchronous LPA communities over the same co-purchase graph:
+    // 4 all-integer rounds (most-frequent neighbor label, ties to the
+    // smallest), oracle replays the rounds verbatim
+    "l11_communities" -> ((s, d) =>
+      Graphs.labelPropagation(
+        Graphs.cooccurrence(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey", minSupport = 2L),
+        "item_a", "item_b", iters = 4)),
+
     // per-node triangle counts over the support>=2 co-purchase graph —
     // degree-oriented compact-forward wedges, enumeration order
     // engine-private but the counts exact (the oracle enumerates by
@@ -4676,6 +4686,28 @@ object SparkEntry {
          |  SELECT e.x, c.label FROM edges e JOIN cc c ON c.id = e.y)
          |SELECT id AS node, min(label) AS component FROM cc
          |GROUP BY id""".stripMargin,
+
+    // l11: the 4 LPA rounds unrolled; per round the argmax is a
+    // row_number pick by (count desc, label asc) — same total order
+    // as the engine's (c, -label) struct max
+    "l11_communities" -> {
+      def round(r: Int): String =
+        s"""r$r AS (
+           |  SELECT e.a, l.label, count(*) AS c
+           |  FROM edges e JOIN l${r - 1} l ON l.node = e.b
+           |  GROUP BY 1, 2),
+           |l$r AS MATERIALIZED (
+           |  SELECT a AS node, label FROM (
+           |    SELECT a, label, row_number() OVER (PARTITION BY a
+           |      ORDER BY c DESC, label ASC) AS rn FROM r$r)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH s AS (${copurchaseOracleSql(2)}),
+         |edges AS (SELECT item_a AS a, item_b AS b FROM s
+         |          UNION SELECT item_b, item_a FROM s),
+         |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM edges),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT node, label AS community FROM l4""".stripMargin
+    },
 
     // l3: triangle counts by ID-order enumeration (a<b<c appears
     // exactly once as (a,b),(b,c),(a,c) since edges are canonical

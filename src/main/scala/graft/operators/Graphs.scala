@@ -125,6 +125,43 @@ object Graphs {
     Dedup.clusters(edges, src, dst, maxIter)
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
 
+  /** Synchronous label-propagation communities (L11, Raghavan et al.
+    * 2007) — the modularity-free community detector that complements
+    * [[connectedComponents]] (which merges everything reachable):
+    * labels start as node ids; each round EVERY node adopts its
+    * neighbors' most frequent label, ties to the smallest label — all
+    * integer, so a fixed `iters` unrolling is bit-reproducible in any
+    * engine (the L4/L10 oracle discipline). Self-loops are dropped;
+    * nodes with no remaining neighbors do not appear (stated).
+    * Synchronous updates can oscillate on bipartite structures — the
+    * fixed-iteration contract reports round-`iters` labels, which is
+    * exactly what the oracle replays; at 100 TB each round is one
+    * edge-sized join + one (node, label)-keyed count + one bounded
+    * argmax, all node/edge-keyed exchanges off a pinned edge list. */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+                       iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val und = edges
+      .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val e = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .repartition(col("a")).localCheckpoint()
+    var lab = e.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    for (i <- 1 to iters) {
+      val counts = e
+        .join(lab.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc) as one struct max — no window
+      lab = counts.groupBy(col("a"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("a").as("node"), (-col("m.nl")).as("label"))
+      if (i % 2 == 0 || i == iters) lab = lab.localCheckpoint()
+    }
+    lab.select(col("node"), col("label").as("community"))
+  }
+
   /** Item co-occurrence over a (basket, item) table (L2) — the
     * bipartite projection behind "bought together" features and the
     * co-citation edge sets corpus link analysis runs on: for every

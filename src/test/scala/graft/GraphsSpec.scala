@@ -303,4 +303,26 @@ class GraphsSpec extends SparkSpec {
         thresholdDen = 5L)
     }
   }
+
+  test("labelPropagation: bridged cliques keep distinct communities, hand-replayed") {
+    // two triangles joined by one bridge (3–10): sync LPA with the
+    // (most frequent, ties→smallest) rule, 4 rounds hand-computed —
+    // the bridge must NOT merge them (connectedComponents would)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+      .toDF("src", "dst")
+    val got = Graphs.labelPropagation(edges, "src", "dst", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L), s"got $got")
+    // one component — the contrast that makes LPA worth having
+    val cc = Graphs.connectedComponents(edges, "src", "dst")
+      .select("component").distinct().count()
+    assert(cc == 1L)
+    // self-loops drop; a node with only a self-loop is absent
+    val selfy = Graphs.labelPropagation(
+      Seq((5L, 5L), (1L, 2L)).toDF("src", "dst"), "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(!selfy.contains(5L) && selfy.keySet == Set(1L, 2L))
+  }
 }
