@@ -100,12 +100,22 @@ object Sketches {
   def kmvSetOps(a: DataFrame, b: DataFrame, keyA: Column, keyB: Column,
                 k: Int = 256): DataFrame = {
     require(k >= 2)
-    import graft.functions.Portable.pround
     def bottom(df: DataFrame, key: Column): DataFrame =
       df.select(portableHash(key).as("h")).distinct()
         .orderBy("h").limit(k).localCheckpoint()
-    val sa = bottom(a, keyA)
-    val sb = bottom(b, keyB)
+    kmvSetOpsFromSketches(bottom(a, keyA), bottom(b, keyB), k)
+  }
+
+  /** The [[kmvSetOps]] algebra off PRE-BUILT single-column `h` sketch
+    * frames — the maintained-sketch seam (I49): a streaming job keeps
+    * each side's bottom-k current (KMV union is lossless, so
+    * incremental maintenance is just re-bottoming the union of old
+    * sketch + new arrivals' hashes), and this computes the same report
+    * off the maintained tables. */
+  def kmvSetOpsFromSketches(sa: DataFrame, sb: DataFrame,
+                            k: Int): DataFrame = {
+    require(k >= 2)
+    import graft.functions.Portable.pround
     val su = sa.union(sb).distinct().orderBy("h").limit(k).localCheckpoint()
     def est(kUsed: Column, kth: Column): Column =
       when(kUsed < k, kUsed.cast("double"))

@@ -510,6 +510,9 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_components('edges_tvf', 'src', 'dst')"),
       graft.operators.Graphs.connectedComponents(edges, "src", "dst"))
     sameRows(
+      spark.sql("SELECT * FROM graft_communities('edges_tvf', 'src', 'dst', 4)"),
+      graft.operators.Graphs.labelPropagation(edges, "src", "dst", iters = 4))
+    sameRows(
       spark.sql("SELECT * FROM graft_triangles('edges_tvf', 'src', 'dst')"),
       graft.operators.Graphs.triangles(edges, "src", "dst"))
     val cust = Tables.customer(spark, sf)

@@ -1111,6 +1111,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming KMV set-ops off maintained bottom-k sketches == batch B42 (I49)") {
+    // KMV union is lossless, so per-side maintenance is just
+    // re-bottoming (old sketch ∪ new arrivals' hashes) each batch —
+    // k longs of state per side; the report then runs off the
+    // maintained tables through the same algebra seam
+    import graft.operators.Sketches
+    val in = Files.createTempDirectory("graft-kmv-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+    val k = 256
+    val skA = scala.collection.mutable.SortedSet.empty[Long]
+    val skB = scala.collection.mutable.SortedSet.empty[Long]
+    val q = spark.readStream.schema(ev.schema).parquet(in)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), Sketches.portableHash(col("user_id")).as("h"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          (if (r.getString(0) == "click") skA else skB) += r.getLong(1)
+        }
+        while (skA.size > k) skA -= skA.last
+        while (skB.size > k) skB -= skB.last
+      }.start()
+    try landTimeSplit(ev, in)(() => q.processAllAvailable()) finally q.stop()
+    val got = Sketches.kmvSetOpsFromSketches(
+      skA.toSeq.toDF("h"), skB.toSeq.toDF("h"), k)
+    val want = Sketches.kmvSetOps(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "view"),
+      col("user_id"), col("user_id"), k)
+    assert(got.count() == 1L)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming EWMA by composition: the maintained daily rollup feeds b34 unchanged (I27)") {
     import graft.streaming.IotStreamPipeline
     // the b34 smoothing needs no new streaming state: maintain the
