@@ -319,6 +319,17 @@ object GraftTableFunctions {
         str(args, 7, fn), num(args, 8, fn).toLong))
     },
 
+    // graft_markov_attribution(table, entity, ts, tieCol, typeCol,
+    //                          touchCsv, conversionType) — C23
+    "graft_markov_attribution" -> { args =>
+      val fn = "graft_markov_attribution"
+      arity(args, fn, Set(7),
+        "table, entity, ts, tieCol, typeCol, touchCsv, conversionType")
+      plan(Sessionize.markovAttribution(table(str(args, 0, fn)),
+        str(args, 1, fn), str(args, 2, fn), str(args, 3, fn),
+        str(args, 4, fn), csv(args, 5, fn), str(args, 6, fn)))
+    },
+
     // graft_ewma(table, entity, orderCol, fixedCol, span, scale) — B34;
     // fixedCol must already be a fixed-point integer series
     "graft_ewma" -> { args =>

@@ -2136,6 +2136,13 @@ object SparkEntry {
         "event_id", "event_type", Seq("click", "view"), "purchase",
         "value", 7L * 24 * 3600)),
 
+    // Markov removal-effect attribution: per-entity journey chains →
+    // transition matrix → 12 all-integer value-iteration rounds per
+    // scenario; the oracle unrolls the SAME rounds
+    "c23_markov_attribution" -> ((s, d) =>
+      Sessionize.markovAttribution(ev(s, d), "user_id", "ts",
+        "event_id", "event_type", Seq("click", "view"), "purchase")),
+
     "c21_interval_union" -> ((s, d) => {
       val st = unix_micros(col("ts"))
       Sessionize.intervalUnion(
@@ -3145,6 +3152,75 @@ object SparkEntry {
        |GROUP BY 1""".stripMargin
   }
 
+  /** c23's oracle — the same journey chain in SQL windows, then the
+    * 12 value-iteration rounds UNROLLED per scenario (full + one
+    * removal per channel) on the tiny transition matrix; terminals
+    * resolve through the same (conv→1e6, else 0) default the driver
+    * solve uses. */
+  private lazy val c23OracleSql: String = {
+    val types = Seq("click", "view")
+    val conv = "purchase"
+    val iters = 12
+    def rounds(tag: String, mcte: String): String = {
+      val zero = s"""p_${tag}_0 AS (
+         |  SELECT '' AS state, CAST(0 AS BIGINT) AS p WHERE 1 = 0)""".stripMargin
+      val rs = (1 to iters).map { r =>
+        s"""p_${tag}_$r AS (
+           |  SELECT m.src AS state,
+           |    CAST(sum(m.c * (CASE WHEN p.state IS NOT NULL THEN p.p
+           |      WHEN m.dst = '$conv' THEN 1000000 ELSE 0 END)) AS BIGINT)
+           |      // CAST(sum(m.c) AS BIGINT) AS p
+           |  FROM $mcte m LEFT JOIN p_${tag}_${r - 1} p ON p.state = m.dst
+           |  GROUP BY m.src)""".stripMargin
+      }
+      (zero +: rs).mkString(",\n")
+    }
+    val removals = types.map { ch =>
+      s"""m_rm_$ch AS MATERIALIZED (
+         |  SELECT src, CASE WHEN dst = '$ch' THEN '(null)' ELSE dst END AS dst,
+         |    CAST(sum(c) AS BIGINT) AS c
+         |  FROM m_full GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val fin = types.map { ch =>
+      s"""SELECT '$ch' AS channel,
+         |  coalesce((SELECT p FROM p_full_$iters WHERE state = '(start)'), 0) AS pf,
+         |  coalesce((SELECT p FROM p_rm${ch}_$iters WHERE state = '(start)'), 0) AS pr"""
+        .stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id, event_type FROM events
+       |  WHERE event_type IN (${(types :+ conv).map("'" + _ + "'").mkString(", ")})),
+       |k AS (
+       |  SELECT *, coalesce(sum(CASE WHEN event_type = '$conv' THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM e),
+       |k2 AS (SELECT user_id, ts, event_id, event_type FROM k WHERE cb = 0),
+       |t0 AS (
+       |  SELECT event_type AS curr,
+       |    coalesce(lag(event_type) OVER w, '(start)') AS prev,
+       |    lead(event_type) OVER w AS nxt
+       |  FROM k2 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |trans AS (
+       |  SELECT prev AS src, curr AS dst FROM t0
+       |  UNION ALL
+       |  SELECT curr, '(null)' FROM t0 WHERE nxt IS NULL AND curr <> '$conv'),
+       |m_full AS MATERIALIZED (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM trans GROUP BY 1, 2),
+       |$removals,
+       |${rounds("full", "m_full")},
+       |${types.map(ch => rounds(s"rm$ch", s"m_rm_$ch")).mkString(",\n")},
+       |fin AS (
+       |  $fin),
+       |re AS (SELECT channel, pf, pr, greatest(pf - pr, 0) AS re FROM fin),
+       |tt AS (SELECT sum(re) AS t FROM re)
+       |SELECT channel, pf AS p_full_ppm, pr AS p_removed_ppm,
+       |  re AS removal_effect_ppm,
+       |  CAST(CASE WHEN t > 0 THEN (re * 1000000) // t
+       |    ELSE 0 END AS BIGINT) AS share_ppm
+       |FROM re, tt""".stripMargin
+  }
+
   /** c22's oracle — the same one-window multi-touch pairing, with the
     * integral splits spelled through DuckDB's `//` (== Spark's `div`
     * on the non-negative operands the operator contracts). */
@@ -4105,6 +4181,8 @@ object SparkEntry {
         |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
 
     "c22_multi_touch" -> c22OracleSql,
+
+    "c23_markov_attribution" -> c23OracleSql,
 
     "c15_cohort_value" ->
       """WITH dly AS (

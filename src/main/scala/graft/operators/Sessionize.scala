@@ -422,6 +422,90 @@ object Sessionize {
         sum(col("__cr.pos")).as("position_ucents"))
   }
 
+  /** Markov-chain (removal-effect) attribution (C23) — the
+    * data-driven attribution model beside C12's last-touch and C22's
+    * positional heuristics (Anderl et al. 2016; GA's former
+    * "data-driven" model): build the first-order journey chain per
+    * entity (START → touches in order → CONV at the first conversion,
+    * or NULL when the journey ends unconverted), count the transition
+    * matrix, and score each channel by its REMOVAL EFFECT — how much
+    * the START→CONV absorption probability drops when every edge into
+    * the channel is redirected to NULL.
+    *
+    * Determinism: the absorption probabilities are computed by `iters`
+    * fixed value-iteration rounds in integer ppm with floor division
+    * (the L4/L10 all-integer discipline) — the oracle replays the same
+    * rounds on the same matrix, so every digit matches. Fixed-point
+    * caveat: `iters` bounds journey-length contributions (12 rounds
+    * cover chains ≤ 12 hops; longer mass is truncated toward 0 on BOTH
+    * sides identically).
+    *
+    * Shape: one scan, ONE entity-keyed window family (first-conversion
+    * cut + lag/lead chain building ride the same exchange), a
+    * (states²)-bounded count agg, and a model-sized driver solve over
+    * the tiny matrix — the [[Curation.bpeTrain]] collect discipline
+    * (the matrix is (|touchTypes|+3)², independent of corpus size). */
+  def markovAttribution(events: DataFrame, entity: String, ts: String,
+                        tieCol: String, typeCol: String,
+                        touchTypes: Seq[String], conversionType: String,
+                        iters: Int = 12): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType))
+    require(iters >= 1 && iters <= 50)
+    val spark = events.sparkSession
+    val w = Window.partitionBy(col(entity)).orderBy(col(ts), col(tieCol))
+    val isConv = col(typeCol) === conversionType
+    val convsBefore = sum(when(isConv, 1L).otherwise(0L))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val chained = events
+      .filter(col(typeCol).isin((touchTypes :+ conversionType).map(x => x: Any): _*))
+      .withColumn("__cb", coalesce(convsBefore, lit(0L)))
+      .filter(col("__cb") === 0L) // through the FIRST conversion only
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+    val trans = chained.select(
+      explode(concat(
+        array(struct(coalesce(col("__prev"), lit("(start)")).as("src"),
+          col(typeCol).as("dst"))),
+        when(col("__next").isNull && !isConv,
+          array(struct(col(typeCol).as("src"), lit("(null)").as("dst"))))
+          .otherwise(array().cast("array<struct<src:string,dst:string>>"))))
+        .as("t"))
+      .groupBy(col("t.src").as("src"), col("t.dst").as("dst"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // absorption probability from START in ppm, `iters` fixed rounds
+    def solve(cnt: Map[(String, String), Long]): Long = {
+      val srcs = cnt.keys.map(_._1).toSet
+      val bySrc = cnt.groupBy(_._1._1)
+      var p = Map.empty[String, Long]
+        .withDefault(s => if (s == conversionType) 1000000L else 0L)
+      for (_ <- 0 until iters) {
+        p = srcs.map { s =>
+          val row = bySrc(s)
+          val tot = row.values.sum
+          s -> row.iterator.map { case ((_, d), n) => n * p(d) }.sum / tot
+        }.toMap.withDefault(s => if (s == conversionType) 1000000L else 0L)
+      }
+      p("(start)")
+    }
+    val pFull = solve(trans)
+    val rows = touchTypes.map { ch =>
+      val removed = trans.groupBy { case ((s, d), _) =>
+        (s, if (d == ch) "(null)" else d)
+      }.map { case (k, vs) => k -> vs.values.sum }
+      val pRem = solve(removed)
+      val re = math.max(pFull - pRem, 0L)
+      (ch, pFull, pRem, re)
+    }
+    val reTot = rows.map(_._4).sum
+    import spark.implicits._
+    rows.map { case (ch, pf, pr, re) =>
+      (ch, pf, pr, re, if (reTot > 0) re * 1000000L / reTot else 0L)
+    }.toDF("channel", "p_full_ppm", "p_removed_ppm",
+      "removal_effect_ppm", "share_ppm")
+  }
+
   /** Top session paths (C13) — the full-path companion to
     * [[transitions]]' first hop (Amplitude Pathfinder / GA4 path
     * exploration): each session's ordered event-type sequence joined

@@ -638,6 +638,32 @@ class EventAnalyticsR9Spec extends SparkSpec {
       "(unattributed)" -> (3L, 3L)))
   }
 
+  test("markov attribution: hand-solved removal effects on a 4-journey fixture") {
+    // journeys: u1 click→CONV; u2 view→NULL; u3 click→view→CONV;
+    // u4 CONV with no touch. Absorption (ppm): p(view)=1/2,
+    // p(click)=3/4, p(start)=3/4. Remove click → p(start)=3/8;
+    // remove view → p(start)=1/2. RE = (375000, 250000), shares 60/40.
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "click"),
+      (1L, "2024-01-01 00:01:00", 2L, "purchase"),
+      (2L, "2024-01-01 00:00:00", 3L, "view"),
+      (3L, "2024-01-01 00:00:00", 4L, "click"),
+      (3L, "2024-01-01 00:01:00", 5L, "view"),
+      (3L, "2024-01-01 00:02:00", 6L, "purchase"),
+      (4L, "2024-01-01 00:00:00", 7L, "purchase"),
+      // post-conversion events never join the journey
+      (1L, "2024-01-01 00:02:00", 8L, "view"))
+      .toDF("user_id", "s", "event_id", "event_type")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val got = Sessionize.markovAttribution(df, "user_id", "ts",
+        "event_id", "event_type", Seq("click", "view"), "purchase")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got == Map(
+      "click" -> (750000L, 375000L, 375000L, 600000L),
+      "view" -> (750000L, 500000L, 250000L, 400000L)), s"got $got")
+  }
+
   test("multi-touch attribution: hand-computed 4-model µ¢ splits, mass conserved") {
     val df = Seq(
       // u1: view, click, view → purchase $10; n=3, first=view, last=view

@@ -321,6 +321,11 @@ class SqlSurfaceSpec extends SparkSpec {
       Sessionize.multiTouchAttribution(Tables.events(spark, sf), "user_id",
         "ts", "event_id", "event_type", Seq("click", "view"), "purchase",
         "value", 604800L))
+    sameRows(
+      spark.sql("""SELECT * FROM graft_markov_attribution('ev', 'user_id',
+        'ts', 'event_id', 'event_type', 'click,view', 'purchase')"""),
+      Sessionize.markovAttribution(Tables.events(spark, sf), "user_id",
+        "ts", "event_id", "event_type", Seq("click", "view"), "purchase"))
     val daily = Tables.events(spark, sf)
       .groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
       .agg(sum(graft.functions.Portable.toFixed(col("value"), 4)).as("fs"))
