@@ -1224,7 +1224,37 @@ object ScaleProbe {
         // cell, k bounds the largest cell's mass
         "f21_semdedup" -> (() =>
           Similarity.semDedup(emb, "vec_id", "embedding",
-            k = 8, iters = 2, thresholdNum = 3, thresholdDen = 10)))
+            k = 8, iters = 2, thresholdNum = 3, thresholdDen = 10)),
+        // markov attribution: one entity window family + states²
+        // count agg; the solve is matrix-sized driver work
+        "c23_markov_attribution" -> (() =>
+          Sessionize.markovAttribution(ev, "user_id", "ts", "event_id",
+            "event_type", Seq("click", "view"), "purchase")),
+        // LPA communities: per-round one edge join + (node, label)
+        // count + bounded argmax off the pinned edge list
+        "l11_communities" -> (() =>
+          Graphs.labelPropagation(
+            Graphs.cooccurrence(li.select(col("l_orderkey"), col("l_partkey")),
+              "l_orderkey", "l_partkey", minSupport = 2L),
+            "item_a", "item_b", iters = 4)),
+        // kmv set ops: two map-combined bottom-k collapses; the rest
+        // is k-sized
+        "b42_distinct_setops" -> (() =>
+          Sketches.kmvSetOps(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "view"),
+            col("user_id"), col("user_id"), k = 256)),
+        // rank eval: truth + candidate both k-bounded per query; the
+        // searchers dominate, the report is query-set-sized
+        "f22_ann_rank_eval" -> (() => {
+          val normed = Similarity.normalized(emb, "vec_id", "embedding")
+            .localCheckpoint()
+          val q = normed.filter(col("nn_id") % 100 === 0)
+            .select(col("nn_id").as("query_id"), col("cv").as("qv"))
+          Similarity.rankEval(
+            Similarity.bruteForceTopKNormed(normed, q, 5),
+            Similarity.lshTopKNormed(normed, q, 5, 8, 64), 5)
+        }))
     }
 
     // total shuffle-WRITE bytes of the jobs `run` launches — the number

@@ -1077,6 +1077,17 @@ class StreamingSpec extends SparkSpec {
     val want = credit(ev)
     assert(got.count() == want.count() && want.count() > 0)
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // the SAME ledger feeds C23's Markov model unchanged (one
+    // maintained table, two continuous attribution reports) — with
+    // the caveat that Markov journeys span full history, so THIS
+    // composition keeps the whole filtered ledger (no TTL)
+    def markov(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sessionize.markovAttribution(df, "user_id", "ts",
+        "event_id", "event_type", Seq("click", "view"), "purchase")
+    val gotM = markov(ledger)
+    val wantM = markov(ev)
+    assert(gotM.exceptAll(wantM).count() == 0 &&
+      wantM.exceptAll(gotM).count() == 0)
   }
 
   test("streaming kmeans assignment under a frozen model == batch F20 (I48)") {
