@@ -2296,6 +2296,86 @@ object SparkEntry {
       s.sql("SELECT * FROM graft_retention('graft_sql_events', 'user_id', 'ts')")
     }),
 
+    "c22s_multi_touch_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_multi_touch('graft_sql_events',
+        'user_id', 'ts', 'event_id', 'event_type', 'click,view',
+        'purchase', 'value', 604800)""")
+    }),
+
+    "c23s_markov_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_markov_attribution('graft_sql_events',
+        'user_id', 'ts', 'event_id', 'event_type', 'click,view',
+        'purchase')""")
+    }),
+
+    "dq15s_ab_test_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_ab_test('graft_sql_events', 'user_id',
+        'event_type', 'purchase', 'value')""")
+    }),
+
+    "k12s_dsir_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      docs(s, d).createOrReplaceTempView("graft_sql_documents")
+      s.sql("""SELECT * FROM graft_dsir('graft_sql_documents', 'doc_id',
+        'text', 'source IN (''src0'', ''src1'', ''src2'', ''src3'')',
+        40)""")
+    }),
+
+    "f20s_kmeans_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      embD(s, d).createOrReplaceTempView("graft_sql_emb")
+      s.sql("""SELECT * FROM graft_kmeans('graft_sql_emb', 'vec_id',
+        'embedding', 8, 2)""")
+    }),
+
+    "f21s_semdedup_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      embD(s, d).createOrReplaceTempView("graft_sql_emb")
+      s.sql("""SELECT * FROM graft_semdedup('graft_sql_emb', 'vec_id',
+        'embedding', 8, 2, 3, 10)""")
+    }),
+
+    "f22s_rank_eval_sql" -> ((s, d) => {
+      // TVFs compose through views: truth + candidate rankings feed
+      // the evaluator (the l1s composition discipline)
+      sqlSurface(s, d)
+      val e = embD(s, d)
+      val normed = Similarity.normalized(e, "vec_id", "embedding")
+        .localCheckpoint()
+      val q = normed.filter(col("nn_id") % 100 === 0)
+        .select(col("nn_id").as("query_id"), col("cv").as("qv"))
+      Similarity.bruteForceTopKNormed(normed, q, 5)
+        .createOrReplaceTempView("graft_sql_truth")
+      Similarity.lshTopKNormed(normed, q, 5, 8, 64)
+        .createOrReplaceTempView("graft_sql_cand")
+      s.sql("""SELECT * FROM graft_rank_eval('graft_sql_truth',
+        'graft_sql_cand', 5)""")
+    }),
+
+    "b42s_kmv_setops_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      ev(s, d).filter(col("event_type") === "click")
+        .createOrReplaceTempView("graft_sql_clickers")
+      ev(s, d).filter(col("event_type") === "view")
+        .createOrReplaceTempView("graft_sql_viewers")
+      s.sql("""SELECT * FROM graft_kmv_setops('graft_sql_clickers',
+        'graft_sql_viewers', 'user_id', 'user_id', 256)""")
+    }),
+
+    "l11s_communities_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .createOrReplaceTempView("graft_sql_li_baskets")
+      s.sql("""SELECT * FROM graft_copurchase('graft_sql_li_baskets',
+          'l_orderkey', 'l_partkey', 2)""")
+        .createOrReplaceTempView("graft_sql_copair_edges")
+      s.sql("""SELECT * FROM graft_communities('graft_sql_copair_edges',
+        'item_a', 'item_b', 4)""")
+    }),
+
     "d5s_sessionize_sql" -> ((s, d) => {
       sqlSurface(s, d)
       s.sql("""SELECT * FROM graft_sessionize('graft_sql_events',
@@ -6645,7 +6725,16 @@ object SparkEntry {
       "dq14s_key_skew_sql" -> "dq14_key_skew",
       "l7s_neighbor_jaccard_sql" -> "l7_neighbor_jaccard",
       "l10s_hits_sql" -> "l10_hits",
-      "e12s_containment_sql" -> "e12_dedup_containment"
+      "e12s_containment_sql" -> "e12_dedup_containment",
+      "c22s_multi_touch_sql" -> "c22_multi_touch",
+      "c23s_markov_sql" -> "c23_markov_attribution",
+      "dq15s_ab_test_sql" -> "dq15_ab_test",
+      "k12s_dsir_sql" -> "k12_dsir_select",
+      "f20s_kmeans_sql" -> "f20_kmeans",
+      "f21s_semdedup_sql" -> "f21_semdedup",
+      "f22s_rank_eval_sql" -> "f22_ann_rank_eval",
+      "b42s_kmv_setops_sql" -> "b42_distinct_setops",
+      "l11s_communities_sql" -> "l11_communities"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 
