@@ -696,16 +696,19 @@ object DataQuality {
       .withColumn("arm",
         when(substring(md5(col(entity).cast("string")), 32, 1)
           .isin("0", "2", "4", "6", "8", "a", "c", "e"), "A").otherwise("B"))
+    // coalesce: an EMPTY input reports 0-user arms with NULL stats,
+    // not a NULL-count row (the columnChecks empty-input hygiene)
+    def z(c: Column): Column = coalesce(c, lit(0L))
     val one = perUser.agg(
-      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
-      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"),
-      sum(when(col("arm") === "A", col("cv")).otherwise(0L)).as("xa"),
-      sum(when(col("arm") === "B", col("cv")).otherwise(0L)).as("xb"),
-      sum(when(col("arm") === "A", col("sv")).otherwise(0L)).as("sa"),
-      sum(when(col("arm") === "B", col("sv")).otherwise(0L)).as("sb"),
-      sum(when(col("arm") === "A", col("sv") * col("sv")).otherwise(0L))
+      z(sum(when(col("arm") === "A", 1L).otherwise(0L))).as("na"),
+      z(sum(when(col("arm") === "B", 1L).otherwise(0L))).as("nb"),
+      z(sum(when(col("arm") === "A", col("cv")).otherwise(0L))).as("xa"),
+      z(sum(when(col("arm") === "B", col("cv")).otherwise(0L))).as("xb"),
+      z(sum(when(col("arm") === "A", col("sv")).otherwise(0L))).as("sa"),
+      z(sum(when(col("arm") === "B", col("sv")).otherwise(0L))).as("sb"),
+      z(sum(when(col("arm") === "A", col("sv") * col("sv")).otherwise(0L)))
         .as("qa"),
-      sum(when(col("arm") === "B", col("sv") * col("sv")).otherwise(0L))
+      z(sum(when(col("arm") === "B", col("sv") * col("sv")).otherwise(0L)))
         .as("qb"))
     val chiNum = expr(
       "(na + nb) * (xa * (nb - xb) - xb * (na - xa)) * (xa * (nb - xb) - xb * (na - xa))")

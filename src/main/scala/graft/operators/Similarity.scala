@@ -535,9 +535,19 @@ object Similarity {
     val fx0 = fixedCorpus(emb, id, vec, scale)
     val fx = if (cacheCorpus) fx0.localCheckpoint() else fx0
     val cents = kmeansCentroidsFixed(fx, k, iters)
-    fx.select(col("nn_id").as(id),
-      bestCellFixed(col("fv"), cents).cast("int").as("cell"))
+    kmeansAssignFixed(fx, id, cents)
   }
+
+  /** Shared empty-safe assignment tail: no centroids (an empty
+    * training corpus) means no cells — an empty typed frame, not an
+    * unresolvable zero-width argmin. */
+  private def kmeansAssignFixed(fx: DataFrame, id: String,
+                                cents: Array[Array[Long]]): DataFrame =
+    if (cents.isEmpty)
+      fx.select(col("nn_id").as(id), lit(0).cast("int").as("cell"))
+        .filter(lit(false))
+    else fx.select(col("nn_id").as(id),
+      bestCellFixed(col("fv"), cents).cast("int").as("cell"))
 
   /** Assignment under FROZEN [[kmeansCentroidsFixed]] centroids — a
     * pure stateless projection, so it runs unchanged on a stream (the
@@ -546,8 +556,7 @@ object Similarity {
   def kmeansAssignWith(emb: DataFrame, id: String, vec: String,
                        cents: Array[Array[Long]],
                        scale: Int = 6): DataFrame =
-    fixedCorpus(emb, id, vec, scale).select(col("nn_id").as(id),
-      bestCellFixed(col("fv"), cents).cast("int").as("cell"))
+    kmeansAssignFixed(fixedCorpus(emb, id, vec, scale), id, cents)
 
   /** SemDeDup (F21, Abbas et al. 2023): cluster with [[kmeansAssign]],
     * then inside each cell drop every vector that has a LOWER-id
@@ -569,6 +578,9 @@ object Similarity {
     require(thresholdNum > 0 && thresholdDen > 0)
     val fx = fixedCorpus(emb, id, vec, scale).localCheckpoint()
     val cents = kmeansCentroidsFixed(fx, k, iters)
+    if (cents.isEmpty)
+      return fx.select(col("nn_id").as(id), col("nn_id").as("kept_by"),
+        lit(0).cast("int").as("cell")).filter(lit(false))
     val assigned = fx.select(col("nn_id"), col("fv"),
       bestCellFixed(col("fv"), cents).cast("int").as("cell"))
     def sq(c: Column): Column =

@@ -343,4 +343,59 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.operators.Multimodal.sceneCuts(noMedia, 4, 1, 1, 4)
       .count() == 0)
   }
+
+  test("r11 operators return sane empties and singletons on degenerate input") {
+    val noEv = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    // attribution family: no conversions → no credit rows at all
+    assert(Sessionize.multiTouchAttribution(noEv, "user_id", "ts",
+      "event_id", "event_type", Seq("click", "view"), "purchase",
+      "value", 60L).count() == 0)
+    // markov: empty matrix → zero probabilities, shares all zero
+    val mk = Sessionize.markovAttribution(noEv, "user_id", "ts",
+      "event_id", "event_type", Seq("click", "view"), "purchase")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(mk == Set(("click", 0L, 0L, 0L, 0L), ("view", 0L, 0L, 0L, 0L)))
+    // ab test: no events → one empty-arm row pair with NULL stats
+    val ab = graft.operators.DataQuality.abTest(noEv, "user_id",
+      "event_type", "purchase", "value")
+      .select("n_a", "n_b", "stat")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(ab.length == 2 && ab.forall(r => r._1 == 0L && r._2 == 0L
+      && r._3.isEmpty))
+    // dsir on an empty corpus: nothing to rank
+    assert(graft.operators.Curation.dsirSelect(noDocs, "doc_id", "text",
+      lit(true), n = 5).count() == 0)
+    // kmeans/semdedup on an empty corpus: no seeds, no cells, no rows
+    val noEmb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.kmeansAssign(noEmb, "vec_id",
+      "embedding", k = 4, iters = 2).count() == 0)
+    assert(graft.operators.Similarity.semDedup(noEmb, "vec_id",
+      "embedding", k = 4, iters = 1, 3, 10).count() == 0)
+    // a single vector is its own cluster and never a duplicate
+    val one = Seq((5L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.kmeansAssign(one, "vec_id",
+      "embedding", k = 4, iters = 2)
+      .as[(Long, Int)].collect().toSeq == Seq((5L, 0)))
+    assert(graft.operators.Similarity.semDedup(one, "vec_id",
+      "embedding", k = 2, iters = 1, 3, 10).count() == 0)
+    // rank eval with an empty candidate: zero recall/mrr/ndcg rows
+    val truth = Seq((1L, 1, 10L)).toDF("query_id", "rank", "nn_id")
+    val noCand = Seq.empty[(Long, Int, Long)].toDF("query_id", "rank", "nn_id")
+    val re = graft.operators.Similarity.rankEval(truth, noCand, 5)
+      .select("n_hit", "recall", "mrr", "ndcg")
+      .as[(Long, Double, Double, Double)].head()
+    assert(re == ((0L, 0.0, 0.0, 0.0)))
+    // kmv set ops on two empty sides: zero everything, no div-by-zero
+    val so = graft.operators.Sketches.kmvSetOps(
+      noEv.select(col("user_id")), noEv.select(col("user_id")),
+      col("user_id"), col("user_id"), k = 16)
+      .select("k_used_union", "est_union", "jaccard", "est_intersection")
+      .as[(Long, Double, Double, Double)].head()
+    assert(so == ((0L, 0.0, 0.0, 0.0)))
+    // LPA on an empty edge table
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.Graphs.labelPropagation(noEdges, "src", "dst",
+      iters = 2).count() == 0)
+  }
 }
