@@ -1010,6 +1010,50 @@ class PlanSpec extends SparkSpec {
       s"dq15: per-user rollup + arm pivot needs no join or window:\n$plan")
   }
 
+  test("k12 dsir: ONE scoring scan, both model probes broadcast, bounded cut") {
+    // the two trainCharLm models pin eagerly (vocab-sized
+    // localCheckpoints — the train-once artifacts), so the SCORING
+    // plan is what executes per deployment batch: one corpus scan,
+    // two broadcast probes (never a gram-stream shuffle against the
+    // models), and a bounded TakeOrdered cut — no global sort
+    val plan = executed(SparkEntry.queries("k12_dsir_select")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"k12: scoring reads the corpus once (models are pinned):\n$plan")
+    // each model contributes its vocab-sized prefix join + a scoring
+    // probe — ALL of them must broadcast; a shuffled join would mean
+    // the gram stream is being exchanged against a model
+    assert("(?<!Broadcast)HashJoin|SortMergeJoin".r.findAllIn(plan).isEmpty,
+      s"k12: every model join must broadcast, none shuffled:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"k12: both model probes must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k12: the top-n cut must be a bounded TakeOrdered:\n$plan")
+    assert(!plan.contains("Window"), s"k12: no window:\n$plan")
+  }
+
+  test("b42 kmv set ops: the report reads pinned sketches only") {
+    // both bottom-k collapses pin eagerly (k-sized localCheckpoints);
+    // the executed report plan must touch NO raw input — every stage
+    // after the pins is k-bounded sketch algebra
+    val plan = executed(SparkEntry.queries("b42_distinct_setops")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(plan).isEmpty,
+      s"b42: the one-row report must never re-read raw input:\n$plan")
+    assert(!plan.contains("Window"),
+      s"b42: no window anywhere in the sketch algebra:\n$plan")
+  }
+
+  test("l11 communities: rounds plan equi-joins only, no window") {
+    val plan = executed(SparkEntry.queries("l11_communities")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Window"),
+      s"l11: per-round argmax is a struct max agg, not a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"l11: label joins must stay equi-joins:\n$plan")
+  }
+
   test("c22 multi-touch: one scan, one entity window, no self-join") {
     // the four credit models ride ONE range-window pass: an
     // events×events pairing join here would be the c10-lesson double
