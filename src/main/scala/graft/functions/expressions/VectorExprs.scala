@@ -27,6 +27,14 @@ object VectorExprs {
         s"$name requires array<double>, got ${other.catalogString}")
     }
 
+  def longDot(a: ArrayData, b: ArrayData): Long = {
+    val x = a.toLongArray(); val y = b.toLongArray()
+    val n = math.min(x.length, y.length)
+    var s = 0L; var i = 0
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
   def dot(a: ArrayData, b: ArrayData): Double = {
     val x = a.toDoubleArray(); val y = b.toDoubleArray()
     val n = math.min(x.length, y.length)
@@ -69,6 +77,43 @@ object VectorExprs {
 
 /** Dot product of two `array<double>` columns (length = min of both,
   * matching `zip_with` semantics). */
+/** Exact long-array dot product — the integer companion of
+  * [[VectorDot]] for fixed-point vectors (F20/F21): products up to
+  * ~10^12 and 64-element sums exceed 2^53, so a double accumulation
+  * would silently lose exactness; this keeps every step a long. The
+  * declarative `aggregate(zip_with(...))` spelling is interpreted and
+  * allocates per element — on F21's within-cell pair expansion that
+  * was the dominant cost. */
+case class LongVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "long_vector_dot"
+
+  private def checkLongVec(e: Expression): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.catalogString}")
+    }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(checkLongVec(left), checkLongVec(right))
+      .find(_ != TypeCheckResult.TypeCheckSuccess)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprs.longDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.VectorExprs.longDot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LongVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
 case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"

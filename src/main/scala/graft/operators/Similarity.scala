@@ -476,14 +476,23 @@ object Similarity {
       transform(col(vec), x =>
         graft.functions.Portable.toFixed(x.cast("double"), scale)).as("fv"))
 
+  private def longDotCol(x: Column, y: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.LongVectorDot(
+        org.apache.spark.sql.graft.ColumnBridge.expression(x),
+        org.apache.spark.sql.graft.ColumnBridge.expression(y)))
+
   /** Squared-L2 argmin cell over literal fixed-point centroids — all
-    * long arithmetic, ties to the lowest cell index (struct ordering). */
+    * long arithmetic, ties to the lowest cell index (struct ordering).
+    * The row's own ‖a‖² is constant across cells, so the ranking key
+    * is `‖c‖² − 2·a·c` (exact integers — argmin and ties unchanged),
+    * which makes each cell's score ONE native codegen'd long dot
+    * instead of an interpreted per-element HOF chain. */
   private def bestCellFixed(fv: Column,
                             cents: Array[Array[Long]]): Column = {
     val scored = cents.zipWithIndex.map { case (cv, j) =>
-      val dist = aggregate(
-        zip_with(fv, typedlit(cv.toSeq), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      val nc2 = cv.map(x => x * x).sum
+      val dist = lit(nc2) - longDotCol(fv, typedlit(cv.toSeq)) * 2L
       struct(dist.as("d"), lit(j).as("j"))
     }
     array_min(array(scored.toIndexedSeq: _*))("j")
@@ -583,14 +592,15 @@ object Similarity {
         lit(0).cast("int").as("cell")).filter(lit(false))
     val assigned = fx.select(col("nn_id"), col("fv"),
       bestCellFixed(col("fv"), cents).cast("int").as("cell"))
-    def sq(c: Column): Column =
-      aggregate(zip_with(c, c, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    // native codegen'd long dot — the HOF spelling is interpreted and
+    // dominated the pair expansion (measured 3.6 s → 1.8 s at sf0.1);
+    // doubles can't sub in (products overflow 2^53)
+    def ldot(x: Column, y: Column): Column = longDotCol(x, y)
     val a = assigned.select(col("cell"), col("nn_id").as("ia"),
-      col("fv").as("fa"), sq(col("fv")).as("na2"))
+      col("fv").as("fa"), ldot(col("fv"), col("fv")).as("na2"))
     val b = assigned.select(col("cell"), col("nn_id").as("ib"),
-      col("fv").as("fb"), sq(col("fv")).as("nb2"))
-    val dot = aggregate(zip_with(col("fa"), col("fb"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+      col("fv").as("fb"), ldot(col("fv"), col("fv")).as("nb2"))
+    val dot = ldot(col("fa"), col("fb"))
     def d38(c: Column): Column = c.cast("decimal(38,0)")
     a.join(b, Seq("cell"))
       .filter(col("ia") < col("ib"))
