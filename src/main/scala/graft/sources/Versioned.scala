@@ -162,4 +162,19 @@ object Versioned {
       f.delete(new org.apache.hadoop.fs.Path(manifestPath(path, v)), false))
     (dead.size, doomed.size)
   }
+
+  /** Change data feed between two committed versions (the Delta CDF /
+    * Iceberg changelog role): keyed diff of `readAt(fromV)` vs
+    * `readAt(toV)` through the SAME snapshot-diff machinery the C8
+    * operator ships — `(key…, change ∈ I/U/D, per-attr before/after)`.
+    * Because snapshots are immutable file lists, the feed for a fixed
+    * (fromV, toV) pair is reproducible forever — the property log-based
+    * CDC can't give you once the log is compacted. One full-outer
+    * keyed join of two explicit file lists; pushdown and pruning reach
+    * both scans unchanged. */
+  def changesBetween(spark: SparkSession, path: String, fromV: Long,
+                     toV: Long, key: Seq[String],
+                     attrs: Seq[String]): DataFrame =
+    graft.operators.Incremental.snapshotDiff(
+      readAt(spark, path, fromV), readAt(spark, path, toV), key, attrs)
 }

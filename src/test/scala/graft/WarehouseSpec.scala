@@ -269,6 +269,31 @@ class WarehouseSpec extends SparkSpec {
     assert(rows(Versioned.readLatest(spark, t)) == Set((9L, 9.0)))
   }
 
+  test("versioned change feed: keyed diff between any two snapshots, reproducible (J15)") {
+    import graft.sources.Versioned
+    val t = Files.createTempDirectory("graft-vt-cdf").toString + "/t"
+    Versioned.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), t)
+    Versioned.commit(Seq((1L, "a"), (2L, "B"), (5L, "e")).toDF("id", "s"), t)
+    def feed() = Versioned.changesBetween(spark, t, 1L, 2L,
+        Seq("id"), Seq("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(feed() == Set(
+      (2L, "changed", Some("b"), Some("B")),
+      (3L, "removed", Some("c"), None),
+      (5L, "added", None, Some("e"))))
+    // later commits cannot change the (1→2) feed — snapshots are
+    // immutable file lists, so the changelog replays forever
+    Versioned.commit(Seq((9L, "z")).toDF("id", "s"), t)
+    assert(feed() == Set(
+      (2L, "changed", Some("b"), Some("B")),
+      (3L, "removed", Some("c"), None),
+      (5L, "added", None, Some("e"))))
+    // identical snapshots → empty feed
+    assert(Versioned.changesBetween(spark, t, 2L, 2L, Seq("id"), Seq("s"))
+      .count() == 0)
+  }
+
   test("versioned rollback is metadata-only and preserves history; orphan data stays invisible") {
     import graft.sources.Versioned
     val t = Files.createTempDirectory("graft-vt-rb").toString + "/t"
