@@ -130,6 +130,22 @@ object Main {
       s" resurrected=${lastGrowth.getLong(3)} churned=${lastGrowth.getLong(4)}" +
       s" longest_streak=${topStreak.getLong(1)}d champions_444=$champions")
 
+    // ---- attribution models side by side (C12/C22/C23, r11): the
+    // same conversions credited three ways — last-touch counts,
+    // position-model µ¢ splits, and the Markov removal-effect shares;
+    // the disagreement between them IS the demo
+    val mt = graft.operators.Sessionize.multiTouchAttribution(ev,
+        "user_id", "ts", "event_id", "event_type", Seq("click", "view"),
+        "purchase", "value", 7L * 24 * 3600)
+      .orderBy(col("touch_type")).collect()
+    val mk = graft.operators.Sessionize.markovAttribution(ev, "user_id",
+        "ts", "event_id", "event_type", Seq("click", "view"), "purchase")
+      .orderBy(col("channel")).collect()
+    println(s"[attribution] position=${mt.map(r =>
+        s"${r.getString(0)}:${r.getLong(4) / 1000000}").mkString(",")}" +
+      s" markov_share=${mk.map(r =>
+        s"${r.getString(0)}:${r.getLong(4) / 10000}%").mkString(",")}")
+
     // ---- freshness gate (DQ6): the dbt source-freshness contract
     // against the staged window's own end instant
     val asOf = ev.agg(org.apache.spark.sql.functions.max(col("ts"))).head()
