@@ -664,9 +664,22 @@ object Curation {
     require(n >= 1, s"n must be >= 1, got $n")
     val base = docs.filter(col(id).isNotNull)
     val mt = trainCharLm(base.filter(targetFilter), text, gramN)
-      .select(col("g"), col("prob").as("__pt"))
     val ms = trainCharLm(base, text, gramN)
-      .select(col("g"), col("prob").as("__ps"))
+    dsirScoreWith(base, id, text, mt, ms, gramN, scale)
+      .orderBy(col("importance").desc_nulls_last, col("doc_id").asc)
+      .limit(n)
+  }
+
+  /** [[dsirSelect]]'s scoring pass against PRE-TRAINED target/source
+    * [[trainCharLm]] models — the deployment seam (train once on the
+    * reference slices, score every arriving batch; the I10/I18
+    * frozen-model discipline): one scan, two broadcast probes, one
+    * doc-keyed agg, no state. */
+  def dsirScoreWith(docs: DataFrame, id: String, text: String,
+                    targetModel: DataFrame, sourceModel: DataFrame,
+                    gramN: Int = 3, scale: Int = 6): DataFrame = {
+    val mt = targetModel.select(col("g"), col("prob").as("__pt"))
+    val ms = sourceModel.select(col("g"), col("prob").as("__ps"))
     val p = math.pow(10, scale)
     // mean over ALL of the doc's grams, out-of-target-vocab grams
     // contributing ZERO mass — a doc matching few target grams must
@@ -676,7 +689,7 @@ object Curation {
     def fixedMean(c: Column): Column =
       coalesce(sum(Portable.toFixed(c, scale)), lit(0L)).cast("double") /
         lit(p) / count(lit(1))
-    base
+    docs.filter(col(id).isNotNull)
       .select(col(id).as("doc_id"), explode(charNgrams(col(text), gramN)).as("g"))
       .join(broadcast(mt), Seq("g"), "left")
       .join(broadcast(ms), Seq("g"), "left")
@@ -686,8 +699,6 @@ object Curation {
         fixedMean(col("__ps")).as("__as"))
       .select(col("doc_id"), col("n_target_grams"),
         Portable.pround(col("__at") / col("__as"), scale).as("importance"))
-      .orderBy(col("importance").desc_nulls_last, col("doc_id").asc)
-      .limit(n)
   }
 
   // ───────────────────────── BPE tokenizer training ──────────────────

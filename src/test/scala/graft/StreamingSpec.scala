@@ -1155,6 +1155,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming DSIR scoring under frozen models == batch scores (I50)") {
+    // the K12 deployment mode: both char-LM models train once in
+    // batch (vocab-sized pinned artifacts), every arriving micro-batch
+    // is scored by the SAME stateless broadcast-probe pass
+    import graft.operators.Curation
+    val in = Files.createTempDirectory("graft-dsir-in").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text", "source")
+    val mt = Curation.trainCharLm(
+      docs.filter(col("source").isin("src0", "src1")), "text", 3)
+    val ms = Curation.trainCharLm(docs, "text", 3)
+    val table = scala.collection.mutable.Map.empty[Long, (Long, Long, Double)]
+    val q = Curation.dsirScoreWith(
+        spark.readStream.schema(docs.schema).parquet(in),
+        "doc_id", "text", mt, ms)
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          table(r.getLong(0)) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        }
+      }.start()
+    try landTimeSplit(docs, in, tsCol = "doc_id")(() => q.processAllAvailable())
+    finally q.stop()
+    val got = table.values.toSeq.toDF("doc_id", "n_target_grams", "importance")
+    val want = Curation.dsirScoreWith(docs, "doc_id", "text", mt, ms)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming EWMA by composition: the maintained daily rollup feeds b34 unchanged (I27)") {
     import graft.streaming.IotStreamPipeline
     // the b34 smoothing needs no new streaming state: maintain the
