@@ -1929,6 +1929,19 @@ object SparkEntry {
       DataQuality.abTest(ev(s, d), "user_id", "event_type", "purchase",
         "value")),
 
+    // SEASONAL-baseline anomalies: a reading flags against its OWN
+    // (event_type, hour-of-day) stratum rather than a global or
+    // per-entity distribution — the diurnal-regime flag dq2 misses
+    // (a 3am reading that is normal at 3pm). Pure composition: the
+    // stratum key is a projected column into dq2's exact z²-cleared-
+    // of-divisions test, so the flag stays bit-identical cross-engine
+    // and the plan stays the one aggregate-join-back exchange family
+    "dq16_seasonal_outliers" -> ((s, d) =>
+      DataQuality.outliers(
+        ev(s, d).select(col("event_type"), hour(col("ts")).as("hod"),
+          col("event_id"), col("value")),
+        Seq("event_type", "hod"), "value", k = 3, scale = 2)),
+
     // link-graph importance (all-integer PageRank, 6 rounds) over the
     // bidirectional customer<->supplier purchase graph — even node ids
     // are customers (2k), odd are suppliers (2k+1); every arithmetic
@@ -4524,6 +4537,23 @@ object SparkEntry {
         |    floor((ma - mb) * (ma - mb) / se2 * 1000000.0 + 0.5) / 1000000.0
         |  END
         |FROM m2""".stripMargin,
+
+    // dq16: dq2's exact z² test with the (event_type, hour-of-day)
+    // stratum key projected in — flag bit-identical cross-engine
+    "dq16_seasonal_outliers" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(hour(ts) AS INT) AS hod, event_id, value,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vf
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, hod, count(*) AS n,
+        |    sum(CAST(vf AS HUGEINT)) AS s,
+        |    sum(CAST(vf AS HUGEINT) * CAST(vf AS HUGEINT)) AS q
+        |  FROM v GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT v.event_type, v.hod, v.event_id, v.value
+        |FROM v JOIN st USING (event_type, hod)
+        |WHERE (CAST(vf AS HUGEINT) * n - s) * (CAST(vf AS HUGEINT) * n - s)
+        |      > 9 * (n * q - s * s)""".stripMargin,
 
     // c20: arg_max over a HUGEINT (µs·10^10 + event_id) encode of the
     // (ts, tie) struct order — DuckDB's arg_max skips NULL ordering

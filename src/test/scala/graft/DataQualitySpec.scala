@@ -420,4 +420,22 @@ class CusumSpec extends SparkSpec {
       .as[Option[Double]].head()
     assert(tiny.isEmpty)
   }
+
+  test("seasonal stratum flags a regime anomaly the global key misses") {
+    // sensor s: hod=3 readings hug 10, hod=15 readings hug 100 — a 100
+    // at hod=3 is wildly anomalous for 3am but unremarkable globally
+    // (the global variance is dominated by the regime split itself)
+    val rows = (Seq.tabulate(8)(i => ("s", 3, i.toLong, 10.0 + i * 0.01)) ++
+      Seq.tabulate(8)(i => ("s", 15, 100L + i, 100.0 + i * 0.01)) :+
+      (("s", 3, 999L, 100.0))) // the 3am spike
+      .toDF("event_type", "hod", "event_id", "value")
+    val seasonal = DataQuality.outliers(
+      rows, Seq("event_type", "hod"), "value", k = 3, scale = 2)
+      .select("event_id").as[Long].collect().toSet
+    assert(seasonal == Set(999L))
+    val global = DataQuality.outliers(
+      rows, Seq("event_type"), "value", k = 3, scale = 2)
+      .select("event_id").as[Long].collect().toSet
+    assert(!global.contains(999L)) // regime split hides it globally
+  }
 }
