@@ -530,6 +530,17 @@ object GraftTableFunctions {
         z = num(args, 5, fn).toInt))
     },
 
+    // graft_outliers(table, keysCsv, valueCol, k, scale) — the DQ2/DQ16
+    // exact z²-test family; project a stratum column (e.g. hour-of-day)
+    // into the table for the seasonal-baseline spelling
+    "graft_outliers" -> { args =>
+      val fn = "graft_outliers"
+      arity(args, fn, Set(5), "table, keysCsv, valueCol, k, scale")
+      plan(graft.operators.DataQuality.outliers(
+        table(str(args, 0, fn)), csv(args, 1, fn), str(args, 2, fn),
+        k = num(args, 3, fn).toInt, scale = num(args, 4, fn).toInt))
+    },
+
     // graft_temperature_sample(table, stratum, keyCol, total, salt) —
     // K10; the stratum-count allocation collects EAGERLY at plan time
     "graft_temperature_sample" -> { args =>

@@ -446,6 +446,16 @@ class SqlSurfaceSpec extends SparkSpec {
         "SELECT * FROM graft_anomalies('ev', 'event_type', 'ts', 7, 3, 3)"),
       graft.operators.DataQuality.rollingAnomalies(
         Tables.events(spark, sf), Seq("event_type"), "ts", 7, 3, 3))
+    // the seasonal (dq16) spelling: stratum column projected in a view
+    Tables.events(spark, sf)
+      .select(col("event_type"), hour(col("ts")).as("hod"),
+        col("event_id"), col("value"))
+      .createOrReplaceTempView("ev_hod")
+    sameRows(
+      spark.sql(
+        "SELECT * FROM graft_outliers('ev_hod', 'event_type,hod', 'value', 3, 2)"),
+      graft.operators.DataQuality.outliers(
+        spark.table("ev_hod"), Seq("event_type", "hod"), "value", 3, 2))
     val docsV = Tables.documents(spark, sf)
     docsV.createOrReplaceTempView("docs_tvf")
     sameRows(
