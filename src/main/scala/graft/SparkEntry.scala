@@ -3332,7 +3332,8 @@ object SparkEntry {
     s"""WITH e AS (
        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id,
        |    event_type,
-       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) * 1000000 AS u
+       |    CAST(floor(coalesce(value, 0.0) * 100.0 + 0.5) AS BIGINT)
+       |      * 1000000 AS u
        |  FROM events
        |  WHERE event_type IN ('click', 'view', 'purchase')),
        |w AS (
@@ -4496,8 +4497,8 @@ object SparkEntry {
         |    sum(CASE WHEN arm = 'B' THEN cv ELSE 0 END) AS xb,
         |    sum(CASE WHEN arm = 'A' THEN sv ELSE 0 END) AS sa,
         |    sum(CASE WHEN arm = 'B' THEN sv ELSE 0 END) AS sb,
-        |    sum(CASE WHEN arm = 'A' THEN sv * sv ELSE 0 END) AS qa,
-        |    sum(CASE WHEN arm = 'B' THEN sv * sv ELSE 0 END) AS qb
+        |    sum(CASE WHEN arm = 'A' THEN CAST(sv AS HUGEINT) * sv ELSE 0 END) AS qa,
+        |    sum(CASE WHEN arm = 'B' THEN CAST(sv AS HUGEINT) * sv ELSE 0 END) AS qb
         |  FROM pa),
         |m AS (
         |  SELECT *,

@@ -697,8 +697,17 @@ object Curation {
       .agg(count(col("__pt")).as("n_target_grams"),
         fixedMean(col("__pt")).as("__at"),
         fixedMean(col("__ps")).as("__as"))
+      // __as = 0 happens only under FROZEN models (a doc whose grams
+      // are all absent from the source model — novel-language/OOV
+      // batches; joint training sees every gram, so there __as > 0 by
+      // construction). The unguarded IEEE ratio would yield NaN/Inf
+      // that desc_nulls_last ordering quietly buries; such docs score
+      // 0 — the same "no evidence → no importance" contract as
+      // zero-target-vocab docs.
       .select(col("doc_id"), col("n_target_grams"),
-        Portable.pround(col("__at") / col("__as"), scale).as("importance"))
+        when(col("__as") > 0,
+          Portable.pround(col("__at") / col("__as"), scale))
+          .otherwise(lit(0.0)).as("importance"))
   }
 
   // ───────────────────────── BPE tokenizer training ──────────────────

@@ -132,15 +132,23 @@ object DataQuality {
     *
     * Shape: two grouped percentile passes + the flag join back, all
     * hash-partitioned on the group key (one exchange family — the
-    * aggregate-join-back shape of [[outliers]]/d12). Exact percentiles
-    * buffer a group's values; at 100 TB-per-group cardinalities swap
-    * the median for B12's bounded-memory histogram percentile. */
+    * aggregate-join-back shape of [[outliers]]/d12). The key-anchored
+    * `repartition` is load-bearing (the c10 pattern): without it the
+    * median aggregate, the deviation join, the MAD aggregate and the
+    * flag join-back each re-derive the raw frame, scanning the source
+    * up to 4×. Anchored, every consumer hangs off the SAME key-keyed
+    * exchange (ReusedExchanges; one FileScan, PlanSpec-asserted) and
+    * none of the downstream joins/aggs shuffles again. Exact
+    * percentiles buffer a group's values; at 100 TB-per-group
+    * cardinalities swap the median for B12's bounded-memory histogram
+    * percentile. */
   def outliersMad(df: DataFrame, keys: Seq[String], value: String,
                   k: Double, scale: Int): DataFrame = {
     val pr = graft.functions.Portable.pround(_: Column, scale)
-    val med = df.groupBy(keys.map(col): _*)
+    val anchored = df.repartition(keys.map(col): _*)
+    val med = anchored.groupBy(keys.map(col): _*)
       .agg(pr(percentile(col(value), lit(0.5))).as("med"))
-    val dev = df.join(med, keys)
+    val dev = anchored.join(med, keys)
       .withColumn("__ad", abs(col(value) - col("med")))
     val mad = dev.groupBy(keys.map(col): _*)
       .agg(pr(percentile(col("__ad"), lit(0.5))).as("mad"))
@@ -680,10 +688,13 @@ object DataQuality {
     * Shape: one scan → one entity-keyed agg (the only input-sized
     * exchange) → a 2-row arm agg → a 1-row pivot emitting both metric
     * rows. Degenerate splits (zero/all converters, zero variance)
-    * yield NULL statistics rather than lying. Scale note: the exact
-    * integer chi-square products hold to ~10^4 users per arm at cent
-    * scale 2 (then switch the numerator to DECIMAL — the
-    * [[graft.functions.Portable]] pick-your-scale caveat). */
+    * yield NULL statistics rather than lying. Exactness: the squared
+    * value sums (qa/qb) and the chi-square numerator/denominator
+    * accumulate in decimal(38,0) — the [[outliers]] discipline — so
+    * the statistics stay exact to ~10^18-scale per-arm counts/values
+    * (64-bit longs would silently wrap around 10^4 users per arm at
+    * cent scale; the DuckDB oracle's HUGEINT sums match decimal(38,0)
+    * range bit-for-bit). */
   def abTest(events: DataFrame, entity: String, typeCol: String,
              conversionType: String, valueCol: String,
              scale: Int = 2): DataFrame = {
@@ -699,6 +710,9 @@ object DataQuality {
     // coalesce: an EMPTY input reports 0-user arms with NULL stats,
     // not a NULL-count row (the columnChecks empty-input hygiene)
     def z(c: Column): Column = coalesce(c, lit(0L))
+    val zero38 = lit(0).cast("decimal(38,0)")
+    def zd(c: Column): Column = coalesce(c, zero38)
+    val svd = col("sv").cast("decimal(38,0)")
     val one = perUser.agg(
       z(sum(when(col("arm") === "A", 1L).otherwise(0L))).as("na"),
       z(sum(when(col("arm") === "B", 1L).otherwise(0L))).as("nb"),
@@ -706,13 +720,18 @@ object DataQuality {
       z(sum(when(col("arm") === "B", col("cv")).otherwise(0L))).as("xb"),
       z(sum(when(col("arm") === "A", col("sv")).otherwise(0L))).as("sa"),
       z(sum(when(col("arm") === "B", col("sv")).otherwise(0L))).as("sb"),
-      z(sum(when(col("arm") === "A", col("sv") * col("sv")).otherwise(0L)))
+      zd(sum(when(col("arm") === "A", svd * svd).otherwise(zero38)))
         .as("qa"),
-      z(sum(when(col("arm") === "B", col("sv") * col("sv")).otherwise(0L)))
+      zd(sum(when(col("arm") === "B", svd * svd).otherwise(zero38)))
         .as("qb"))
-    val chiNum = expr(
-      "(na + nb) * (xa * (nb - xb) - xb * (na - xa)) * (xa * (nb - xb) - xb * (na - xa))")
-    val chiDen = expr("na * nb * (xa + xb) * (na + nb - xa - xb)")
+    // decimal(38,0) algebra — exact where long products wrap (~10^4
+    // users/arm); the chi-square delta term is factored once so the
+    // two squared copies stay textually identical for the optimizer
+    val chiD =
+      "(CAST(xa AS DECIMAL(38,0)) * (nb - xb) - CAST(xb AS DECIMAL(38,0)) * (na - xa))"
+    val chiNum = expr(s"CAST(na + nb AS DECIMAL(38,0)) * $chiD * $chiD")
+    val chiDen =
+      expr("CAST(na AS DECIMAL(38,0)) * nb * (xa + xb) * (na + nb - xa - xb)")
     val chi2 = when(chiDen =!= 0L,
       Portable.pround(chiNum.cast("double") / chiDen.cast("double"), 6))
     val p = lit(math.pow(10, scale))

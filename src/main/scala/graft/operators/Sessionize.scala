@@ -335,7 +335,11 @@ object Sessionize {
     *
     * Contracts: `tieCol` unique per entity and non-negative numeric
     * (it is zero-padded into the ordering key); `valueCol` non-negative
-    * (integral `div` == floor only then — both engines agree);
+    * (integral `div` == floor only then — both engines agree), and a
+    * NULL `valueCol` on a conversion row counts as 0 value (the row
+    * still attributes — a NULL must not null-propagate through every
+    * credit expression and silently drop the conversion from all four
+    * models, which would break mass conservation without an error);
     * timestamps after 1970 (µs field zero-padded). Scale note: summed
     * credits are µ¢ longs — overflow needs ~4.6e9 conversions of $20,
     * the [[graft.functions.Portable]] pick-your-scale caveat.
@@ -369,7 +373,8 @@ object Sessionize {
       .withColumn("__l", max(touchKey).over(w))
       .filter(col(typeCol) === conversionType)
     // all integer from here: U µ¢, n touches, per-type counts
-    val U = (graft.functions.Portable.toFixed(col(valueCol), 2) * 1000000L)
+    val U = (graft.functions.Portable.toFixed(
+        coalesce(col(valueCol), lit(0.0)), 2) * 1000000L)
       .as("__u")
     val n = touchTypes.indices.map(i => col(s"__c$i"))
       .reduce(_ + _).as("__n")

@@ -580,13 +580,29 @@ object Similarity {
     * Scale shape: the pair expansion is an equi-join on `cell` (never
     * a cross product — the e5 bucketed discipline, with k sized so
     * cells bound the quadratic term), and the corpus is scanned
-    * through the SAME pinned fixed-point projection the trainer used. */
+    * through the SAME pinned fixed-point projection the trainer used.
+    * Pass `k ≤ 0` for the AUTO regime, k = ⌈√n⌉ — the paper's
+    * corpus-proportional cluster count, which keeps the per-cell pair
+    * term bounded without caller tuning (fixed k lets cells grow with
+    * the corpus); explicit positive k remains the caller override. */
   def semDedup(emb: DataFrame, id: String, vec: String, k: Int,
                iters: Int, thresholdNum: Long, thresholdDen: Long,
                scale: Int = 6): DataFrame = {
     require(thresholdNum > 0 && thresholdDen > 0)
     val fx = fixedCorpus(emb, id, vec, scale).localCheckpoint()
-    val cents = kmeansCentroidsFixed(fx, k, iters)
+    // k ≤ 0 → AUTO: k = ⌈√n⌉ (the Abbas et al. regime — cluster count
+    // grows with the corpus). Fixed k makes cells grow linearly with
+    // the corpus and the in-cell pair term quadratically (the r10 F21
+    // probe: 4.66× at 16× data under k=8); k = √n balances the assign
+    // term (n·k) against the pair term (n²/k) at n^1.5 each, so
+    // neither explodes as the corpus scales. The count is one
+    // calibration job over the already-pinned fixed projection (the
+    // k11 min/max-collect discipline); explicit k stays the override
+    // and the oracle replays whichever k ran.
+    val kEff =
+      if (k > 0) k
+      else math.max(1, math.ceil(math.sqrt(fx.count().toDouble)).toInt)
+    val cents = kmeansCentroidsFixed(fx, kEff, iters)
     if (cents.isEmpty)
       return fx.select(col("nn_id").as(id), col("nn_id").as("kept_by"),
         lit(0).cast("int").as("cell")).filter(lit(false))

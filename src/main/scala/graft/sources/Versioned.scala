@@ -166,7 +166,9 @@ object Versioned {
   /** Change data feed between two committed versions (the Delta CDF /
     * Iceberg changelog role): keyed diff of `readAt(fromV)` vs
     * `readAt(toV)` through the SAME snapshot-diff machinery the C8
-    * operator ships — `(key…, change ∈ I/U/D, per-attr before/after)`.
+    * operator ships — `(key…, change ∈ added/changed/removed,
+    * per-attr before/after)`, the snapshotDiff vocabulary
+    * (WarehouseSpec-asserted).
     * Because snapshots are immutable file lists, the feed for a fixed
     * (fromV, toV) pair is reproducible forever — the property log-based
     * CDC can't give you once the log is compacted. One full-outer

@@ -425,7 +425,12 @@ class CusumSpec extends SparkSpec {
     // sensor s: hod=3 readings hug 10, hod=15 readings hug 100 — a 100
     // at hod=3 is wildly anomalous for 3am but unremarkable globally
     // (the global variance is dominated by the regime split itself)
-    val rows = (Seq.tabulate(8)(i => ("s", 3, i.toLong, 10.0 + i * 0.01)) ++
+    // 12 baseline readings: a lone spike among n identical-ish points
+    // caps at z = sqrt(n) under population variance, so n must exceed
+    // k^2 = 9 for the flag to be reachable (sqrt(12) = 3.46 > 3; the
+    // original 8-point fixture capped at sqrt(8) = 2.83 and could
+    // never fire).
+    val rows = (Seq.tabulate(12)(i => ("s", 3, i.toLong, 10.0 + i * 0.01)) ++
       Seq.tabulate(8)(i => ("s", 15, 100L + i, 100.0 + i * 0.01)) :+
       (("s", 3, 999L, 100.0))) // the 3am spike
       .toDF("event_type", "hod", "event_id", "value")

@@ -777,6 +777,23 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
     assert(got2 == Seq((1L, 0L, 0), (2L, 0L, 0)))
   }
+
+  test("semDedup auto-k (k<=0) == explicit k=ceil(sqrt(n)) — corpus-scaled clustering") {
+    // 60 embeddings → auto k = ceil(sqrt(60)) = 8; the auto path must
+    // be byte-equal to the caller passing that k explicitly (same
+    // deterministic trainer, same cells, same pairs)
+    val emb = Tables0.embeddings(spark, sf).limit(60)
+      .localCheckpoint() // limit is non-deterministic across jobs — pin ONE sample
+    val n = emb.count()
+    val kExp = math.ceil(math.sqrt(n.toDouble)).toInt
+    val auto = Similarity.semDedup(emb, "vec_id", "embedding", k = 0,
+        iters = 2, thresholdNum = 4, thresholdDen = 5)
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    val expl = Similarity.semDedup(emb, "vec_id", "embedding", k = kExp,
+        iters = 2, thresholdNum = 4, thresholdDen = 5)
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(auto == expl, s"auto-k must replay k=$kExp: $auto vs $expl")
+  }
 }
 
 /** Test-local loader that applies the double cast used by SparkEntry. */

@@ -718,6 +718,32 @@ class EventAnalyticsR9Spec extends SparkSpec {
       assert(s == total, s"model $i sums to $s, want $total")
     }
   }
+
+  test("multi-touch attribution: NULL-value conversion counts as 0, not dropped") {
+    // a NULL value must not null-propagate through every credit
+    // expression and silently erase the conversion from all four
+    // models — it attributes with 0 mass (contract in the docstring)
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "click", Some(0.0)),
+      (1L, "2024-01-01 00:05:00", 2L, "purchase", None: Option[Double]),
+      (2L, "2024-01-01 00:00:00", 3L, "view", Some(0.0)),
+      (2L, "2024-01-01 00:05:00", 4L, "purchase", Some(3.0)))
+      .toDF("user_id", "s", "event_id", "event_type", "value")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val got = Sessionize.multiTouchAttribution(df, "user_id", "ts",
+        "event_id", "event_type", Seq("click", "view"), "purchase",
+        "value", 7L * 24 * 3600)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // u1's NULL-$ conversion lands on click with 0 µ¢ in all models —
+    // the click row EXISTS (it would vanish entirely pre-fix);
+    // u2's $3 = 300¢ = 3e8 µ¢ rides view untouched in every model
+    assert(got == Map(
+      "click" -> (0L, 0L, 0L, 0L),
+      "view" -> (300000000L, 300000000L, 300000000L, 300000000L),
+      "(unattributed)" -> (0L, 0L, 0L, 0L)),
+      s"got $got")
+  }
 }
 
 class SearchCurriculumSpec extends SparkSpec {

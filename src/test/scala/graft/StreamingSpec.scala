@@ -1182,6 +1182,15 @@ class StreamingSpec extends SparkSpec {
     val want = Curation.dsirScoreWith(docs, "doc_id", "text", mt, ms)
     assert(got.count() == want.count() && want.count() > 0)
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // frozen-model OOV contract: a doc whose grams are ALL absent from
+    // the SOURCE model (novel language the frozen LM never saw) scores
+    // 0.0 — not NULL/NaN that desc_nulls_last would silently bury
+    val oov = Curation.dsirScoreWith(
+      Seq((999L, "ΩΩΩΩΩΩ")).toDF("doc_id", "text"),
+      "doc_id", "text", mt, ms)
+    val r = oov.collect()
+    assert(r.length == 1 && !r.head.isNullAt(2) && r.head.getDouble(2) == 0.0,
+      s"OOV doc under frozen models must score 0.0, got ${r.toSeq}")
   }
 
   test("streaming EWMA by composition: the maintained daily rollup feeds b34 unchanged (I27)") {
