@@ -847,6 +847,47 @@ object GraftTableFunctions {
         table(str(args, 0, fn)), str(args, 1, fn), str(args, 2, fn),
         k = num(args, 3, fn).toInt, threshold = num(args, 4, fn),
         maxDocFreq = num(args, 5, fn).toInt))
+    },
+
+    // ── versioned-table READ side (J15) — time travel belongs in FROM
+    // clauses where pruning/pushdown compose with the outer query; the
+    // WRITE side (commit/rollback/vacuum) is CALL graft.* procedures
+    // (graft.sql.GraftCatalog). One code path with the Scala API.
+
+    // graft_read_at(path, version) — VERSION AS OF
+    "graft_read_at" -> { args =>
+      val fn = "graft_read_at"
+      arity(args, fn, Set(2), "path, version")
+      plan(graft.sources.Versioned.readAt(SparkSession.active,
+        str(args, 0, fn), num(args, 1, fn).toLong))
+    },
+
+    // graft_read_latest(path)
+    "graft_read_latest" -> { args =>
+      val fn = "graft_read_latest"
+      arity(args, fn, Set(1), "path")
+      plan(graft.sources.Versioned.readLatest(SparkSession.active,
+        str(args, 0, fn)))
+    },
+
+    // graft_versions(path) — the committed version ids
+    "graft_versions" -> { args =>
+      val fn = "graft_versions"
+      arity(args, fn, Set(1), "path")
+      val s = SparkSession.active
+      import s.implicits._
+      plan(graft.sources.Versioned.versions(s, str(args, 0, fn))
+        .toDF("version"))
+    },
+
+    // graft_changes_between(path, from_v, to_v, keyCsv, attrsCsv) —
+    // the Delta-CDF role: keyed diff of two immutable snapshots
+    "graft_changes_between" -> { args =>
+      val fn = "graft_changes_between"
+      arity(args, fn, Set(5), "path, fromV, toV, keyCsv, attrsCsv")
+      plan(graft.sources.Versioned.changesBetween(SparkSession.active,
+        str(args, 0, fn), num(args, 1, fn).toLong, num(args, 2, fn).toLong,
+        csv(args, 3, fn), csv(args, 4, fn)))
     })
 
   /** 'col', 'col asc' or 'col desc' → a sort Column. */
