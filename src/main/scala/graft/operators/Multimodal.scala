@@ -11,9 +11,12 @@ import org.apache.spark.sql.types._
   * Spark-side plumbing (schema, partition-preserving mapPartitions,
   * batched featurize signature) is real and tested; the actual media
   * DECODE step is STUBBED with a deterministic fake (this container has
-  * no image/audio codecs), clearly marked below. Swapping the stub for a
-  * real decoder (e.g. javax.imageio / ffmpeg bindings on executors)
-  * changes only `decodeStub`.
+  * no image/audio codecs), clearly marked below. A real decoder
+  * (javax.imageio / ffmpeg bindings on executors) plugs in through the
+  * [[Multimodal.MediaDecoder]] seam — an explicit parameter of
+  * [[Multimodal.featurize]]/[[Multimodal.resize]] defaulting to
+  * [[Multimodal.StubDecoder]] — without touching any operator, schema
+  * or plan (seam proven by a second fake decoder in MultimodalSpec).
   */
 object Multimodal {
 
@@ -39,24 +42,56 @@ object Multimodal {
           .cast(IntegerType).as("height"),
         length(col(payloadSource)).cast(LongType).as("nBytes")).as("meta"))
 
-  /** ===== STUB ===== deterministic fake decode: real implementation
-    * would decode `payload` with a codec; the fake derives a fixed-size
-    * feature from the bytes so the distributed plumbing is testable.
-    * Accumulation is integer (exact, order-independent), scaled once at
-    * the end — so the feature values are bit-reproducible by the SQL
-    * oracle, not just approximately equal. */
-  private def decodeStub(payload: Array[Byte], dim: Int): Array[Double] = {
-    val sums = new Array[Long](dim)
-    var i = 0
-    while (i < payload.length) { sums(i % dim) += (payload(i) & 0xFF); i += 1 }
-    sums.map(_ / 255.0)
+  /** The decoder SEAM — the one surface a real deployment swaps: a
+    * javax.imageio / ffmpeg / model-server-backed implementation drops
+    * in here and the plan machinery (schema, partition-preserving
+    * mapPartitions batches, metadata plumbing, phash/dedup downstream)
+    * is untouched. Contract: MUST be `Serializable` (instances ship
+    * inside executor closures) and must open codec/model handles
+    * LAZILY per JVM (`@transient lazy val` or first-use init inside
+    * the method), never in the constructor — the driver-side instance
+    * is only a serialization template. Implementations must be
+    * deterministic per payload if downstream hashes are compared
+    * across runs. */
+  trait MediaDecoder extends Serializable {
+    /** Decode `payload` and emit a fixed-`dim` feature vector (the
+      * codec + feature-extract step of a real pipeline). */
+    def decode(payload: Array[Byte], dim: Int): Array[Double]
+    /** Decode, rescale to w×h, re-encode. */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
+
+  /** ===== STUB ===== deterministic fake decoder (the default: this
+    * container has no media codecs). The fake derives features/resizes
+    * from raw bytes so the distributed plumbing is testable, with
+    * integer accumulation (exact, order-independent, scaled once) so
+    * every value is bit-reproducible by the SQL oracle — not just
+    * approximately equal. A real decoder swaps in through the
+    * [[MediaDecoder]] seam without touching any operator. */
+  object StubDecoder extends MediaDecoder {
+    override def decode(payload: Array[Byte], dim: Int): Array[Double] = {
+      val sums = new Array[Long](dim)
+      var i = 0
+      while (i < payload.length) { sums(i % dim) += (payload(i) & 0xFF); i += 1 }
+      sums.map(_ / 255.0)
+    }
+    override def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](w * h)
+      var i = 0
+      while (i < payload.length) {
+        out(i % out.length) = (out(i % out.length) + payload(i)).toByte; i += 1
+      }
+      out
+    }
   }
 
   /** Batched featurization: mapPartitions so any per-batch model/codec
     * init cost is amortized per partition (the Scala analog of a
     * `mapInPandas` batch UDF). Partitioning of the input is preserved;
-    * nothing is collected to the driver. */
-  def featurize(media: DataFrame, dim: Int): Dataset[MediaFeature] = {
+    * nothing is collected to the driver. The decoder rides the closure
+    * ([[MediaDecoder]] seam — pass a real codec in production). */
+  def featurize(media: DataFrame, dim: Int,
+                decoder: MediaDecoder = StubDecoder): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
@@ -64,33 +99,23 @@ object Multimodal {
         // per-partition init (model load / codec handle) happens here once
         val crc = new java.util.zip.CRC32()
         it.map { case (id, bytes) =>
-          val feat = decodeStub(bytes, dim)
+          val feat = decoder.decode(bytes, dim)
           crc.reset(); crc.update(bytes)
           MediaFeature(id, feat, crc.getValue)
         }
       }
   }
 
-  /** ===== STUB ===== deterministic fake resize: a real implementation
-    * decodes, rescales and re-encodes; the fake folds the payload bytes
-    * onto a w×h grid so output size/meta behave like a real resize. */
-  private def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val out = new Array[Byte](w * h)
-    var i = 0
-    while (i < payload.length) {
-      out(i % out.length) = (out(i % out.length) + payload(i)).toByte; i += 1
-    }
-    out
-  }
-
   /** Resize pass: mapPartitions (codec handle init amortized per
-    * partition), payload replaced, metadata struct updated in place. */
-  def resize(media: DataFrame, w: Int, h: Int): Dataset[MediaRow] = {
+    * partition), payload replaced, metadata struct updated in place.
+    * Decoder-pluggable like [[featurize]]. */
+  def resize(media: DataFrame, w: Int, h: Int,
+             decoder: MediaDecoder = StubDecoder): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.map { r =>
-        val p = resizeStub(r.payload, w, h)
+        val p = decoder.resize(r.payload, w, h)
         MediaRow(r.media_id, p, MediaMeta(r.meta.mediaType, w, h, p.length.toLong))
       }
     }

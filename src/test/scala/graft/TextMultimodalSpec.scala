@@ -108,6 +108,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.featurize(media, 16).head().feature.length == 16)
   }
 
+  test("MediaDecoder seam: a second decoder swaps in without touching plan machinery") {
+    // a trivially different fake decoder — constant features, payload
+    // truncation for resize — proves the seam: same schemas, same
+    // distributed shape, different payload-level results; the default
+    // (StubDecoder) path is byte-identical to the pre-seam behavior
+    // (the G-family oracle queries gate that)
+    object FlatDecoder extends Multimodal.MediaDecoder {
+      override def decode(p: Array[Byte], dim: Int): Array[Double] =
+        Array.fill(dim)(p.length.toDouble)
+      override def resize(p: Array[Byte], w: Int, h: Int): Array[Byte] =
+        java.util.Arrays.copyOf(p, w * h)
+    }
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "abcd" * 10), (2L, "zz")).toDF("id", "t"), "id", "t")
+    val flat = Multimodal.featurize(media, 4, FlatDecoder).collect()
+      .map(m => m.media_id -> m.feature.toSeq).toMap
+    assert(flat == Map(1L -> Seq(40.0, 40.0, 40.0, 40.0),
+      2L -> Seq(2.0, 2.0, 2.0, 2.0)))
+    // checksum is decoder-INDEPENDENT (it hashes the raw payload):
+    // identical between decoders, so index bookkeeping survives a swap
+    val stubSums = Multimodal.featurize(media, 4).collect()
+      .map(m => m.media_id -> m.checksum).toMap
+    val flatSums = Multimodal.featurize(media, 4, FlatDecoder).collect()
+      .map(m => m.media_id -> m.checksum).toMap
+    assert(stubSums == flatSums)
+    val rz = Multimodal.resize(media, 3, 2, FlatDecoder).collect()
+      .map(r => r.media_id ->
+        ((r.meta.width, r.meta.height, r.payload.toSeq))).toMap
+    assert(rz(2L) == ((3, 2, "zz".getBytes("UTF-8").toSeq ++ Seq[Byte](0, 0, 0, 0))))
+  }
+
   test("resize replaces payload and metadata with the target geometry") {
     import spark.implicits._
     val media = Multimodal.asMediaTable(
