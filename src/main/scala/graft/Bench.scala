@@ -81,7 +81,21 @@ object Bench {
     val top5 = results.sortBy(r => -median(r._2)).take(5)
       .map { case (k, ts) => s"\"" + k + "\":" + median(ts) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"n_queries":${results.size},"top5_med":$top5,"failed":$errs,"sf":"$sfDir"}""")
+    // in-suite inflation visibility (the r10 d6 disease: 19 s median
+    // in-suite vs 0.9 s isolated): a query whose suite median is far
+    // above its own suite MIN was starved by suite state, not by its
+    // plan — surface the worst offenders machine-readably so a one-off
+    // artifact number is never mistaken for an operator cost. Floor at
+    // 0.25 s so micro-query jitter doesn't register.
+    val inflated = results
+      .map { case (k, ts) => (k, median(ts), math.max(ts.min, 0.25)) }
+      .filter { case (_, med, base) => med > 2.0 * base }
+      .sortBy { case (_, med, base) => -(med / base) }
+    val inflStr = inflated.take(5)
+      .map { case (k, med, base) =>
+        s"\"" + k + "\":" + (math.round(med / base * 100.0) / 100.0) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"n_queries":${results.size},"top5_med":$top5,"n_inflated":${inflated.size},"top_inflated_med_over_min":$inflStr,"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

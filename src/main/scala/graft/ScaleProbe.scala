@@ -1225,6 +1225,13 @@ object ScaleProbe {
         "f21_semdedup" -> (() =>
           Similarity.semDedup(emb, "vec_id", "embedding",
             k = 8, iters = 2, thresholdNum = 3, thresholdDen = 10)),
+        // semdedup AUTO-k (k = ceil(sqrt(n))): cluster count grows with
+        // the corpus, so cell mass — and the in-cell pair term — stays
+        // bounded as the data scales (fixed k=8 probed 4.66x at 16x;
+        // the r11 auto regime is the paper's)
+        "f21_semdedup_auto" -> (() =>
+          Similarity.semDedup(emb, "vec_id", "embedding",
+            k = 0, iters = 2, thresholdNum = 3, thresholdDen = 10)),
         // markov attribution: one entity window family + states²
         // count agg; the solve is matrix-sized driver work
         "c23_markov_attribution" -> (() =>

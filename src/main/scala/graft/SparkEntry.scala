@@ -1763,6 +1763,16 @@ object SparkEntry {
         ev(s, d).select("user_id", "event_id", "value"),
         Seq("user_id"), "value", k = 3.0, scale = 2)),
 
+    // dq3's UNBOUNDED-cardinality spelling: both medians estimated
+    // from B12's fixed-bin histograms — O(nBins) state per group
+    // however large the group, where the exact percentile buffers
+    // every value (the B8→B12 trade applied to the robust outlier)
+    "dq3b_mad_hist" -> ((s, d) =>
+      DataQuality.outliersMadFromBins(
+        ev(s, d).select("user_id", "event_id", "value"),
+        Seq("user_id"), "value", k = 3.0, lo = 0.0, hi = 600.0,
+        nBins = 600)),
+
     // distribution drift between a reference and a current slice — the
     // pre-training check when a new crawl lands: TV distance + worst
     // bin over aligned fixed bins, exact-integer cross products (no
@@ -6382,6 +6392,43 @@ object SparkEntry {
          |SELECT d.user_id, event_id, value, med, mad
          |FROM dev d JOIN mad USING (user_id)
          |WHERE mad > 0 AND ad > 3.0 * mad""".stripMargin,
+
+    // dq3b: the same flag algebra with BOTH medians replayed through
+    // the b12 fixed-bin pick (lo 0, width 1, 600 bins, clamped edges)
+    "dq3b_mad_hist" -> {
+      def pick(as: String): String =
+        s"min_by(${sqlPround("0.0 + (bin + (ceil(n * 0.5) - (cum - cnt)) / cnt) * 1.0", 4)}, bin) " +
+          s"FILTER (WHERE cum >= ceil(n * 0.5)) AS $as"
+      s"""WITH h AS (
+         |  SELECT user_id,
+         |    CAST(least(greatest(floor((value - 0.0) / 1.0), 0), 599) AS BIGINT) AS bin,
+         |    count(*) AS cnt
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *, sum(cnt) OVER (PARTITION BY user_id) AS n,
+         |    sum(cnt) OVER (PARTITION BY user_id ORDER BY bin
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM h),
+         |med AS (SELECT user_id, ${pick("med")} FROM c GROUP BY 1),
+         |dev AS (
+         |  SELECT e.user_id, event_id, value, med, abs(value - med) AS ad
+         |  FROM events e JOIN med USING (user_id)
+         |  WHERE value IS NOT NULL),
+         |h2 AS (
+         |  SELECT user_id,
+         |    CAST(least(greatest(floor((ad - 0.0) / 1.0), 0), 599) AS BIGINT) AS bin,
+         |    count(*) AS cnt
+         |  FROM dev GROUP BY 1, 2),
+         |c2 AS (
+         |  SELECT *, sum(cnt) OVER (PARTITION BY user_id) AS n,
+         |    sum(cnt) OVER (PARTITION BY user_id ORDER BY bin
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM h2),
+         |mad AS (SELECT user_id, ${pick("mad")} FROM c2 GROUP BY 1)
+         |SELECT d.user_id, event_id, value, med, mad
+         |FROM dev d JOIN mad USING (user_id)
+         |WHERE mad > 0 AND ad > 3.0 * mad""".stripMargin
+    },
 
     "g6_shard_pack" ->
       """WITH c AS (

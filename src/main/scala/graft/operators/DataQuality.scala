@@ -157,6 +157,38 @@ object DataQuality {
       .drop("__ad")
   }
 
+  /** [[outliersMad]] at UNBOUNDED per-group cardinality: both medians
+    * come from [[Sketches.histPercentiles]]'s fixed-bin estimate
+    * instead of Spark's exact `percentile` (which buffers every value
+    * of a group in executor memory — at 100 TB-per-group that is an
+    * OOM, the B8→B12 trade restated). State per group is O(nBins)
+    * however large the group; the estimate's error is bounded by the
+    * bin width, which is the right robust-outlier trade (a flag
+    * threshold of k·MAD does not care about a half-bin shift of the
+    * median).
+    *
+    * Same single-exchange-family shape as [[outliersMad]] (anchored
+    * repartition; the two bin aggregates are SKETCH-sized above the
+    * shared exchange, so re-deriving them per consumer costs shuffle
+    * reads, not raw scans). The deviation histogram spans [0, hi−lo] —
+    * the largest |v − median| possible when values live in [lo, hi).
+    * Estimates are `pround`ed inside histPercentiles, so flags are
+    * bit-reproducible cross-engine (oracle-checked as dq3b). */
+  def outliersMadFromBins(df: DataFrame, keys: Seq[String], value: String,
+                          k: Double, lo: Double, hi: Double,
+                          nBins: Int): DataFrame = {
+    val anchored = df.repartition(keys.map(col): _*)
+    val med = Sketches.histPercentiles(anchored, keys, col(value),
+      Seq(("med", 0.5)), lo, hi, nBins)
+    val dev = anchored.join(med, keys)
+      .withColumn("__ad", abs(col(value) - col("med")))
+    val mad = Sketches.histPercentiles(dev, keys, col("__ad"),
+      Seq(("mad", 0.5)), 0.0, hi - lo, nBins)
+    dev.join(mad, keys)
+      .filter(col("mad") > 0 && col("__ad") > lit(k) * col("mad"))
+      .drop("__ad")
+  }
+
   /** Distribution-drift report between a REFERENCE batch and a CURRENT
     * batch — the pre-training check an LLM data pipeline runs when a new
     * crawl/source lands: has the value distribution shifted per key?

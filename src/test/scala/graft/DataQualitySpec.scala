@@ -421,6 +421,22 @@ class CusumSpec extends SparkSpec {
     assert(tiny.isEmpty)
   }
 
+  test("outliersMadFromBins: bounded-bin flags == exact flags on integral values; zero-MAD silent") {
+    // the estimated medians shift within a bin (6.0 vs exact 5.5) but
+    // a 3·MAD flag doesn't care — a lone 500 among 1..9 flags under
+    // BOTH spellings; group g2 is constant → MAD 0 → nothing flagged
+    val rows = ((1 to 9).map(i => ("g1", i.toLong, i.toDouble)) :+
+      (("g1", 99L, 500.0))) ++ (1 to 5).map(i => ("g2", 100L + i, 7.0))
+    val df = rows.toDF("event_type", "event_id", "value")
+    val bounded = DataQuality.outliersMadFromBins(df, Seq("event_type"),
+        "value", k = 3.0, lo = 0.0, hi = 600.0, nBins = 600)
+      .select("event_id").as[Long].collect().toSet
+    val exact = DataQuality.outliersMad(df, Seq("event_type"),
+        "value", k = 3.0, scale = 2)
+      .select("event_id").as[Long].collect().toSet
+    assert(bounded == Set(99L) && exact == bounded)
+  }
+
   test("seasonal stratum flags a regime anomaly the global key misses") {
     // sensor s: hod=3 readings hug 10, hod=15 readings hug 100 — a 100
     // at hod=3 is wildly anomalous for 3am but unremarkable globally
