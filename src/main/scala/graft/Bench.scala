@@ -15,6 +15,15 @@ object Bench {
       // the correctness gate
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.graft.rewriteTopK", "true")
+      // the app/SQL status stores are live even with the UI disabled
+      // (they feed the REST/history surface) and default to retaining
+      // 1000 executions / 100k tasks of metrics — across a ~1100-
+      // execution suite that is real driver-heap ballast on the 8g
+      // fork; a bench keeps only a handful for post-mortem
+      .config("spark.sql.ui.retainedExecutions", "16")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Per query: one UNTIMED warm-up (codegen/file-index caches — the
@@ -40,10 +49,21 @@ object Bench {
     // (the r9 driver artifact showed h4 at 19 s full-suite vs 0.26 s
     // isolated). Releasing them makes every run measure the same
     // cold-pin state an isolated run sees.
+    // Broadcast blocks (every broadcast join ships one) are only
+    // reclaimed when the driver-side Broadcast object is GC'd and the
+    // ContextCleaner notices — across ~1100 sequential executions the
+    // un-collected blocks sit in the protected storage half of unified
+    // memory and starve the sort-heaviest queries (the r10 d6/dq3
+    // artifact). A driver GC per query keeps the block manager at the
+    // same near-empty state an isolated run sees; SPARK_GRAFT_GC=0
+    // opts out (measured overhead is tens of ms per query at an 8g
+    // heap — noise next to the queries it un-poisons).
+    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_GC", "1") == "1"
     def releasePins(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      if (gcEvery) System.gc()
     }
     val results = selected.map { case (name, fn) =>
       val times = (0 to runs).map { _ =>

@@ -768,6 +768,15 @@ object GraftTableFunctions {
         num(args, 3, fn).toInt))
     },
 
+    // graft_modularity(edges, src, dst, labels, node, community) — L12
+    "graft_modularity" -> { args =>
+      val fn = "graft_modularity"
+      arity(args, fn, Set(6), "edges, src, dst, labels, node, community")
+      plan(graft.operators.Graphs.modularity(
+        table(str(args, 0, fn)), str(args, 1, fn), str(args, 2, fn),
+        table(str(args, 3, fn)), str(args, 4, fn), str(args, 5, fn)))
+    },
+
     // graft_copurchase(table, basket, item, minSupport) — L2
     "graft_copurchase" -> { args =>
       val fn = "graft_copurchase"

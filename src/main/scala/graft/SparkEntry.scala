@@ -2028,6 +2028,18 @@ object SparkEntry {
           "l_orderkey", "l_partkey", minSupport = 2L),
         "item_a", "item_b", iters = 4)),
 
+    // modularity of those communities — exact integer per-community
+    // report (no division anywhere: q_num/q_den columns), closing the
+    // did-LPA-find-structure loop; the edge list is pinned so the
+    // label rounds and the score read ONE co-purchase collapse
+    "l12_modularity" -> ((s, d) => {
+      val edges = Graphs.cooccurrence(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2L).localCheckpoint()
+      Graphs.modularity(edges, "item_a", "item_b",
+        Graphs.labelPropagation(edges, "item_a", "item_b", iters = 4))
+    }),
+
     // per-node triangle counts over the support>=2 co-purchase graph —
     // degree-oriented compact-forward wedges, enumeration order
     // engine-private but the counts exact (the oracle enumerates by
@@ -2397,6 +2409,20 @@ object SparkEntry {
         .createOrReplaceTempView("graft_sql_copair_edges")
       s.sql("""SELECT * FROM graft_communities('graft_sql_copair_edges',
         'item_a', 'item_b', 4)""")
+    }),
+
+    "l12s_modularity_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .createOrReplaceTempView("graft_sql_li_baskets")
+      s.sql("""SELECT * FROM graft_copurchase('graft_sql_li_baskets',
+          'l_orderkey', 'l_partkey', 2)""").localCheckpoint()
+        .createOrReplaceTempView("graft_sql_mod_edges")
+      s.sql("""SELECT * FROM graft_communities('graft_sql_mod_edges',
+          'item_a', 'item_b', 4)""")
+        .createOrReplaceTempView("graft_sql_mod_labels")
+      s.sql("""SELECT * FROM graft_modularity('graft_sql_mod_edges',
+        'item_a', 'item_b', 'graft_sql_mod_labels', 'node', 'community')""")
     }),
 
     "d5s_sessionize_sql" -> ((s, d) => {
@@ -4908,6 +4934,44 @@ object SparkEntry {
          |SELECT node, label AS community FROM l4""".stripMargin
     },
 
+    // l12: the same unrolled LPA rounds, then the exact modularity
+    // algebra — q_num = 4m·L_c − D_c², q_den = 4m², no division
+    "l12_modularity" -> {
+      def round(r: Int): String =
+        s"""r$r AS (
+           |  SELECT e.a, l.label, count(*) AS c
+           |  FROM edges e JOIN l${r - 1} l ON l.node = e.b
+           |  GROUP BY 1, 2),
+           |l$r AS MATERIALIZED (
+           |  SELECT a AS node, label FROM (
+           |    SELECT a, label, row_number() OVER (PARTITION BY a
+           |      ORDER BY c DESC, label ASC) AS rn FROM r$r)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH s AS MATERIALIZED (${copurchaseOracleSql(2)}),
+         |edges AS (SELECT item_a AS a, item_b AS b FROM s
+         |          UNION SELECT item_b, item_a FROM s),
+         |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM edges),
+         |${(1 to 4).map(round).mkString(",\n")},
+         |ce AS (SELECT item_a AS a, item_b AS b FROM s),
+         |m AS (SELECT count(*) AS m FROM ce),
+         |deg AS (SELECT n, count(*) AS deg FROM (
+         |          SELECT a AS n FROM ce UNION ALL SELECT b FROM ce)
+         |        GROUP BY 1),
+         |dc AS (SELECT l.label AS community, count(*) AS n_nodes,
+         |         sum(deg) AS d_c
+         |       FROM deg JOIN l4 l ON l.node = deg.n GROUP BY 1),
+         |lc AS (SELECT la.label AS community, count(*) AS l_c
+         |       FROM ce JOIN l4 la ON la.node = ce.a
+         |                JOIN l4 lb ON lb.node = ce.b
+         |       WHERE la.label = lb.label GROUP BY 1)
+         |SELECT dc.community, n_nodes,
+         |  COALESCE(l_c, CAST(0 AS BIGINT)) AS l_c,
+         |  CAST(d_c AS BIGINT) AS d_c,
+         |  CAST(4 * m.m * COALESCE(l_c, 0) - d_c * d_c AS BIGINT) AS q_num,
+         |  CAST(4 * m.m * m.m AS BIGINT) AS q_den
+         |FROM dc LEFT JOIN lc USING (community), m""".stripMargin
+    },
+
     // l3: triangle counts by ID-order enumeration (a<b<c appears
     // exactly once as (a,b),(b,c),(a,c) since edges are canonical
     // lo<hi) — Spark enumerates by DEGREE order; the counts agree
@@ -6812,7 +6876,8 @@ object SparkEntry {
       "f21s_semdedup_sql" -> "f21_semdedup",
       "f22s_rank_eval_sql" -> "f22_ann_rank_eval",
       "b42s_kmv_setops_sql" -> "b42_distinct_setops",
-      "l11s_communities_sql" -> "l11_communities"
+      "l11s_communities_sql" -> "l11_communities",
+      "l12s_modularity_sql" -> "l12_modularity"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

@@ -162,6 +162,67 @@ object Graphs {
     lab.select(col("node"), col("label").as("community"))
   }
 
+  /** Newman modularity report per community (L12) — the quality score
+    * that closes the [[labelPropagation]] loop: did the labels find
+    * real structure, or did they converge onto noise? For an
+    * undirected graph with m edges, `Q = Σ_c [L_c/m − (D_c/2m)²]` with
+    * `L_c` the edges INSIDE community c and `D_c` its degree mass —
+    * positive when communities are denser inside than a degree-
+    * preserving random rewire would be (Newman 2006; the same score
+    * Louvain greedily maximizes).
+    *
+    * Emitted EXACTLY, with no division anywhere: per community
+    * `(community, n_nodes, l_c, d_c, q_num, q_den)` where
+    * `q_num = 4m·L_c − D_c²` and `q_den = 4m²`, so
+    * `Q = Σ q_num / q_den` is recoverable to full precision and every
+    * column hash-matches cross-engine (a ppm floor-division spelling
+    * would hinge on floor-vs-truncate and decimal-rounding corners for
+    * NEGATIVE contributions — integers sidestep all of it). Scale
+    * caveat: BIGINT products wrap past m ≈ 1.5e9 edges
+    * (4m·L_c ≤ 4m²); beyond that widen to decimal(38,0) — the
+    * [[graft.functions.Portable]] pick-your-scale caveat.
+    *
+    * `edges` must be the canonical undirected form (one row per
+    * unordered pair — [[cooccurrence]]'s output shape); `labels` is
+    * any `(node, community)` assignment ([[labelPropagation]],
+    * [[connectedComponents]] relabeled, or an external table).
+    * Shape: two node-keyed equi-joins to tag edge endpoints + one
+    * degree agg + one community agg — node/edge-bound shuffles, a
+    * community-sized output, one broadcast 1-row m. Nodes the edge
+    * list covers but `labels` misses are dropped (their mass is
+    * unassignable); self-loops are excluded by the canonical contract. */
+  def modularity(edges: DataFrame, src: String, dst: String,
+                 labels: DataFrame, node: String = "node",
+                 community: String = "community"): DataFrame = {
+    val e = edges
+      .select(col(src).cast("long").as("__a"), col(dst).cast("long").as("__b"))
+      .filter(col("__a") =!= col("__b"))
+    val la = labels.select(col(node).cast("long").as("__a"),
+      col(community).as("__ca"))
+    val lb = labels.select(col(node).cast("long").as("__b"),
+      col(community).as("__cb"))
+    val mRow = e.agg(count(lit(1)).as("__m"))
+    val lc = e.join(la, "__a").join(lb, "__b")
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as(community))
+      .agg(count(lit(1)).as("l_c"))
+    val deg = e.select(col("__a").as("__n"))
+      .unionAll(e.select(col("__b").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__deg"))
+    val dc = deg
+      .join(labels.select(col(node).cast("long").as("__n"),
+        col(community)), "__n")
+      .groupBy(col(community))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("__deg")).as("d_c"))
+    dc.join(lc, Seq(community), "left")
+      .crossJoin(broadcast(mRow))
+      .select(col(community), col("n_nodes"),
+        coalesce(col("l_c"), lit(0L)).as("l_c"), col("d_c"),
+        (lit(4L) * col("__m") * coalesce(col("l_c"), lit(0L))
+          - col("d_c") * col("d_c")).as("q_num"),
+        (lit(4L) * col("__m") * col("__m")).as("q_den"))
+  }
+
   /** Item co-occurrence over a (basket, item) table (L2) — the
     * bipartite projection behind "bought together" features and the
     * co-citation edge sets corpus link analysis runs on: for every

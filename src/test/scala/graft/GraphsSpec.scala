@@ -325,4 +325,32 @@ class GraphsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(!selfy.contains(5L) && selfy.keySet == Set(1L, 2L))
   }
+
+  test("modularity: hand-computed exact q_num/q_den on bridged triangles; degenerate splits") {
+    // two triangles + one bridge: m = 7; communities {1,2,3} / {10,11,12}
+    // each have L_c = 3 internal edges and degree mass D_c = 7
+    // (bridge endpoints 3 and 10 carry degree 3) →
+    // q_num = 4·7·3 − 7² = 35, q_den = 4·49 = 196; Q = 70/196 ≈ 0.357
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+      .toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 3L), (11L, 3L), (12L, 3L)).toDF("node", "community")
+    val got = Graphs.modularity(edges, "src", "dst", labels)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 3L, 7L, 35L, 196L),
+      (3L, 3L, 3L, 7L, 35L, 196L)), s"got $got")
+    // everything in ONE community: Q = 0 exactly (4m·m − (2m)² = 0) —
+    // and a NEGATIVE contribution when a "community" is two nodes the
+    // graph never connects (L_c = 0 → q_num = −D_c²)
+    val one = labels.withColumn("community", lit(9L))
+    val q1 = Graphs.modularity(edges, "src", "dst", one)
+      .select("q_num").as[Long].collect().toSeq
+    assert(q1 == Seq(4L * 7 * 7 - 14L * 14), s"got $q1") // == 0
+    val cross = Seq((1L, 1L), (10L, 1L)).toDF("node", "community")
+    val qx = Graphs.modularity(edges, "src", "dst", cross)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // deg(1) = 2, deg(10) = 3 → D_c = 5, L_c = 0 → q_num = −25
+    assert(qx == Set((1L, 2L, 0L, 5L, -25L, 196L)), s"got $qx")
+  }
 }
