@@ -768,6 +768,15 @@ object GraftTableFunctions {
         num(args, 3, fn).toInt))
     },
 
+    // graft_soft_dedup(docs, id, pairs, a, b) — E13
+    "graft_soft_dedup" -> { args =>
+      val fn = "graft_soft_dedup"
+      arity(args, fn, Set(5), "docs, id, pairs, a, b")
+      plan(graft.operators.Dedup.softDedupWeights(
+        table(str(args, 0, fn)), str(args, 1, fn),
+        table(str(args, 2, fn)), str(args, 3, fn), str(args, 4, fn)))
+    },
+
     // graft_modularity(edges, src, dst, labels, node, community) — L12
     "graft_modularity" -> { args =>
       val fn = "graft_modularity"

@@ -1223,6 +1223,15 @@ object SparkEntry {
         Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.25, 100),
         "doc_a", "doc_b")),
 
+    // SOFT dedup: keep every copy, weight by 1/cluster_size in exact
+    // ppm so a sampler sees each duplicated CONTENT with mass ~1
+    // (the dedup-as-reweighting regime — hard dedup discards
+    // intra-cluster variation that can carry signal)
+    "e13_soft_dedup" -> ((s, d) =>
+      Dedup.softDedupWeights(docs(s, d), "doc_id",
+        Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.25, 100),
+        "doc_a", "doc_b")),
+
     // exact repeated-span REMOVAL (the transform h10 only measures):
     // every 3-token span occurring >1 time corpus-wide is deleted and
     // the text rebuilt from surviving tokens (Lee et al. ACL'22)
@@ -2409,6 +2418,15 @@ object SparkEntry {
         .createOrReplaceTempView("graft_sql_copair_edges")
       s.sql("""SELECT * FROM graft_communities('graft_sql_copair_edges',
         'item_a', 'item_b', 4)""")
+    }),
+
+    "e13s_soft_dedup_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      docs(s, d).createOrReplaceTempView("graft_sql_docs")
+      Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.25, 100)
+        .createOrReplaceTempView("graft_sql_dup_pairs")
+      s.sql("""SELECT * FROM graft_soft_dedup('graft_sql_docs', 'doc_id',
+        'graft_sql_dup_pairs', 'doc_a', 'doc_b')""")
     }),
 
     "l12s_modularity_sql" -> ((s, d) => {
@@ -5578,6 +5596,19 @@ object SparkEntry {
          |FROM documents d LEFT JOIN ($e6OracleSql) cc ON cc.doc_id = d.doc_id
          |WHERE cc.cluster_id IS NULL OR cc.cluster_id = d.doc_id""".stripMargin,
 
+    "e13_soft_dedup" ->
+      s"""WITH cc AS ($e6OracleSql),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size
+         |       FROM cc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+         |  coalesce(sz.cluster_size, CAST(1 AS BIGINT)) AS cluster_size,
+         |  CAST(1000000 // coalesce(sz.cluster_size, 1) AS BIGINT)
+         |    AS weight_ppm
+         |FROM documents d
+         |LEFT JOIN cc ON cc.doc_id = d.doc_id
+         |LEFT JOIN sz ON sz.cluster_id = cc.cluster_id""".stripMargin,
+
     "k5_split_leakage_safe" ->
       s"""WITH a AS (
          |  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS sk
@@ -6877,7 +6908,8 @@ object SparkEntry {
       "f22s_rank_eval_sql" -> "f22_ann_rank_eval",
       "b42s_kmv_setops_sql" -> "b42_distinct_setops",
       "l11s_communities_sql" -> "l11_communities",
-      "l12s_modularity_sql" -> "l12_modularity"
+      "l12s_modularity_sql" -> "l12_modularity",
+      "e13s_soft_dedup_sql" -> "e13_soft_dedup"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

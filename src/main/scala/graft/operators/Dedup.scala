@@ -450,6 +450,45 @@ object Dedup {
       .drop("__cl")
   }
 
+  /** SOFT dedup (E13): instead of DROPPING near-duplicates
+    * ([[applyClusters]]), weight every document by the inverse of its
+    * duplicate-cluster size — `weight_ppm = 10^6 div cluster_size` —
+    * so a downstream sampler (K7/K10) sees each duplicated CONTENT
+    * with total mass ~1 however many copies exist. This is the
+    * dedup-as-reweighting regime (e.g. SoftDeDup, Xue et al. 2024;
+    * and the D4 pipeline's cluster-proportional downsampling): hard
+    * dedup discards intra-cluster variation (formatting, boilerplate
+    * deltas) that can carry signal; soft dedup keeps every copy but
+    * makes the epoch-level token distribution match the deduped one
+    * in expectation. Unclustered docs weigh exactly 10^6; the ppm
+    * integer `div` floors identically cross-engine.
+    *
+    * Output: `(id, cluster_id, cluster_size, weight_ppm)` for EVERY
+    * doc (cluster_id = own id when unclustered) — join it to the
+    * corpus and feed the weight to any sampler.
+    *
+    * Scale shape: clustering is [[clusters]]' pair-graph-sized label
+    * propagation; the size rollup is cluster-count-sized and the
+    * final join back to docs is one id-keyed equi-join (broadcast-able
+    * next to the corpus, same `broadcastClusters` dial as
+    * [[applyClusters]]). */
+  def softDedupWeights(docs: DataFrame, id: String, pairs: DataFrame,
+                       a: String, b: String,
+                       broadcastClusters: Boolean = true): DataFrame = {
+    val cl = clusters(pairs, a, b)
+    val sized = cl.join(
+      cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz")),
+      Seq("cluster_id"))
+      .select(col("doc_id").as(id), col("cluster_id"), col("__sz"))
+    val dim = if (broadcastClusters) broadcast(sized) else sized
+    docs.select(col(id)).join(dim, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("cluster_id"), col(id)).as("cluster_id"),
+        coalesce(col("__sz"), lit(1L)).as("cluster_size"),
+        expr("CAST(1000000 div coalesce(__sz, 1) AS BIGINT)")
+          .as("weight_ppm"))
+  }
+
   /** Inter-document span duplication: for each doc, the fraction of its
     * distinct k-shingles that occur in at least one OTHER document —
     * sub-document-granularity duplication that document-level dedup

@@ -265,6 +265,24 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 7L, 9L))
   }
 
+  test("softDedupWeights: ppm mass 1/cluster_size, singletons weigh exactly 1e6") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"),
+      (9L, "c")).toDF("doc_id", "text")
+    // near-dup pairs chain {1,2,3} and pair {4,5}; 9 unclustered
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.softDedupWeights(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L), (3L, 1L, 3L, 333333L),
+      (4L, 4L, 2L, 500000L), (5L, 4L, 2L, 500000L),
+      (9L, 9L, 1L, 1000000L)), s"got $got")
+    // the sampler-facing invariant: every cluster's total mass is
+    // within one floor-ULP of 1e6 — duplicated content never
+    // outweighs unique content however many copies land
+    val mass = got.groupBy(_._2).map { case (_, rs) => rs.toSeq.map(_._4).sum }
+    assert(mass.forall(m => m >= 999999L && m <= 1000000L), s"mass $mass")
+  }
+
   test("two-hop propagation: same components, fewer iterations on a path graph") {
     // a 10-node path is the adversarial shape for one-hop min
     // propagation (iterations ~ diameter); pointer jumping must halve

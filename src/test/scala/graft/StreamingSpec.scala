@@ -475,6 +475,18 @@ class StreamingSpec extends SparkSpec {
       assert(got.count() == want.count() && want.count() > 0)
       assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
     }
+    // I51: modularity rides the same maintained edge table — LPA
+    // labels + the exact integer score, batch stages unchanged
+    val labels = graft.operators.Graphs.labelPropagation(
+      me, "item_a", "item_b", iters = 2).localCheckpoint()
+    val gotQ = graft.operators.Graphs.modularity(me, "item_a", "item_b", labels)
+    val wantQ = graft.operators.Graphs.modularity(
+      edges0, "item_a", "item_b",
+      graft.operators.Graphs.labelPropagation(edges0, "item_a", "item_b",
+        iters = 2))
+    assert(gotQ.count() == wantQ.count() && wantQ.count() > 0)
+    assert(gotQ.exceptAll(wantQ).count() == 0
+      && wantQ.exceptAll(gotQ).count() == 0)
   }
 
   test("streaming k-anonymity by composition: maintained class counts feed DQ10 (I40)") {
