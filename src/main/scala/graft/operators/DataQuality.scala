@@ -130,29 +130,25 @@ object DataQuality {
     * readings AT the median) flag nothing — the standard MAD
     * degeneracy, by contract.
     *
-    * Shape: two grouped percentile passes + the flag join back, all
-    * hash-partitioned on the group key (one exchange family — the
-    * aggregate-join-back shape of [[outliers]]/d12). The key-anchored
-    * `repartition` is load-bearing (the c10 pattern): without it the
-    * median aggregate, the deviation join, the MAD aggregate and the
-    * flag join-back each re-derive the raw frame, scanning the source
-    * up to 4×. Anchored, every consumer hangs off the SAME key-keyed
-    * exchange (ReusedExchanges; one FileScan, PlanSpec-asserted) and
-    * none of the downstream joins/aggs shuffles again. Exact
-    * percentiles buffer a group's values; at 100 TB-per-group
-    * cardinalities swap the median for B12's bounded-memory histogram
-    * percentile. */
+    * Shape: ONE scan, ONE keys-hash exchange, ZERO joins — both
+    * medians are unordered-frame WINDOW aggregates over the same
+    * partitioning (median → deviation → MAD → flag is a straight
+    * pipeline on the shuffled partition, the second window riding the
+    * first's exchange and sort). The earlier aggregate-and-join-back
+    * spelling could not reach one scan: the med/MAD branches prune to
+    * (keys, value) while the flag branch carries every output column,
+    * so the "shared" anchor canonicalizes into two DIFFERENT exchanges
+    * and the source is scanned per shape (found by the PlanSpec guard
+    * in the r11 full-suite run). Window percentiles buffer a group's
+    * values exactly like the aggregate form; at 100 TB-per-group
+    * cardinalities use [[outliersMadFromBins]]. */
   def outliersMad(df: DataFrame, keys: Seq[String], value: String,
                   k: Double, scale: Int): DataFrame = {
     val pr = graft.functions.Portable.pround(_: Column, scale)
-    val anchored = df.repartition(keys.map(col): _*)
-    val med = anchored.groupBy(keys.map(col): _*)
-      .agg(pr(percentile(col(value), lit(0.5))).as("med"))
-    val dev = anchored.join(med, keys)
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("med", pr(percentile(col(value), lit(0.5)).over(w)))
       .withColumn("__ad", abs(col(value) - col("med")))
-    val mad = dev.groupBy(keys.map(col): _*)
-      .agg(pr(percentile(col("__ad"), lit(0.5))).as("mad"))
-    dev.join(mad, keys)
+      .withColumn("mad", pr(percentile(col("__ad"), lit(0.5)).over(w)))
       .filter(col("mad") > 0 && col("__ad") > lit(k) * col("mad"))
       .drop("__ad")
   }

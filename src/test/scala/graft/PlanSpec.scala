@@ -1001,17 +1001,20 @@ class PlanSpec extends SparkSpec {
       s"j14: exactly one full-outer equi-join:\n$plan")
   }
 
-  test("dq3 mad outliers: one scan; median, MAD and join-back share the anchored exchange") {
-    // Without the key anchor, Catalyst re-derives the deviation frame
-    // under the MAD aggregate AND the flag join-back — the raw events
-    // scan planned up to 4×. Anchored (the c10 pattern), every
-    // consumer rides ReusedExchange off the one key-keyed shuffle.
+  test("dq3 mad outliers: one scan, one keys exchange, no join — the window pipeline") {
+    // The aggregate-and-join-back spelling could never reach one scan:
+    // the med/MAD branches prune to (keys, value) while the flag
+    // branch keeps all columns, so the anchor canonicalizes into TWO
+    // exchanges (caught by this guard in the r11 full-suite run). The
+    // window spelling is a straight pipeline on one shuffled frame.
     val plan = executed(SparkEntry.queries("dq3_mad_outliers")(spark, sf))
       .split("== Initial Plan ==").head
     assert("FileScan parquet".r.findAllIn(plan).size == 1,
       s"dq3: events must be scanned once:\n$plan")
-    assert(plan.contains("ReusedExchange"),
-      s"dq3: median/MAD/join-back must share the anchored exchange:\n$plan")
+    assert(!plan.contains("Join"),
+      s"dq3: median/MAD/flag need no join:\n$plan")
+    assert("(?<!Reused)Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"dq3: one keys-hash exchange feeds both windows:\n$plan")
   }
 
   test("dq15 ab_test: one scan, one input-sized exchange, no window/join") {
