@@ -163,23 +163,34 @@ object DataQuality {
     * threshold of k·MAD does not care about a half-bin shift of the
     * median).
     *
-    * Same single-exchange-family shape as [[outliersMad]] (anchored
-    * repartition; the two bin aggregates are SKETCH-sized above the
-    * shared exchange, so re-deriving them per consumer costs shuffle
-    * reads, not raw scans). The deviation histogram spans [0, hi−lo] —
-    * the largest |v − median| possible when values live in [lo, hi).
-    * Estimates are `pround`ed inside histPercentiles, so flags are
-    * bit-reproducible cross-engine (oracle-checked as dq3b). */
+    * Scale shape — deliberately DIFFERENT from [[outliersMad]]'s
+    * one-shuffle window pipeline: the input is NEVER shuffled at all.
+    * Three read passes over the source — two COLUMN-PRUNED sketch
+    * passes (the bin counts partial-aggregate map-side and shuffle
+    * only groups × bins rows) and one full-width output pass — with
+    * the group-count-sized median/MAD tables broadcast back
+    * (`broadcastStats = false` for key cardinalities past broadcast
+    * range — the joins then shuffle on the keys like any equi-join).
+    * At 100 TB two extra pruned parquet passes are far cheaper than
+    * one input-sized exchange. The deviation histogram spans
+    * [0, hi−lo] — the largest |v − median| possible when values live
+    * in [lo, hi). Estimates are `pround`ed inside histPercentiles, so
+    * flags are bit-reproducible cross-engine (oracle-checked as
+    * dq3b). */
   def outliersMadFromBins(df: DataFrame, keys: Seq[String], value: String,
-                          k: Double, lo: Double, hi: Double,
-                          nBins: Int): DataFrame = {
-    val anchored = df.repartition(keys.map(col): _*)
-    val med = Sketches.histPercentiles(anchored, keys, col(value),
-      Seq(("med", 0.5)), lo, hi, nBins)
-    val dev = anchored.join(med, keys)
+                          k: Double, lo: Double, hi: Double, nBins: Int,
+                          broadcastStats: Boolean = true): DataFrame = {
+    def bc(stats: DataFrame): DataFrame =
+      if (broadcastStats) broadcast(stats) else stats
+    // the median table is GROUP-COUNT-sized — pin it (the model-sized
+    // pin discipline) so its sketch pass runs once instead of being
+    // re-derived under both the MAD branch and the output branch
+    val med = bc(Sketches.histPercentiles(df, keys, col(value),
+      Seq(("med", 0.5)), lo, hi, nBins).localCheckpoint())
+    val dev = df.join(med, keys)
       .withColumn("__ad", abs(col(value) - col("med")))
-    val mad = Sketches.histPercentiles(dev, keys, col("__ad"),
-      Seq(("mad", 0.5)), 0.0, hi - lo, nBins)
+    val mad = bc(Sketches.histPercentiles(dev, keys, col("__ad"),
+      Seq(("mad", 0.5)), 0.0, hi - lo, nBins))
     dev.join(mad, keys)
       .filter(col("mad") > 0 && col("__ad") > lit(k) * col("mad"))
       .drop("__ad")

@@ -1017,6 +1017,19 @@ class PlanSpec extends SparkSpec {
       s"dq3: one keys-hash exchange feeds both windows:\n$plan")
   }
 
+  test("dq3b bounded mad: never shuffles the input — two pruned passes, stats broadcast") {
+    // the bins spelling trades passes for shuffles: bin counts
+    // partial-aggregate map-side (the only hash exchanges are
+    // groups×bins-sized), the group-count-sized med table is pinned
+    // once and both stat tables ride BroadcastExchanges back
+    val plan = executed(SparkEntry.queries("dq3b_mad_hist")(spark, sf))
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(plan).size <= 2,
+      s"dq3b: at most the MAD pass + the output pass read the source:\n$plan")
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      s"dq3b: med and mad tables must broadcast back:\n$plan")
+  }
+
   test("dq15 ab_test: one scan, one input-sized exchange, no window/join") {
     val plan = executed(SparkEntry.queries("dq15_ab_test")(spark, sf))
       .split("== Initial Plan ==").head
