@@ -768,6 +768,16 @@ object GraftTableFunctions {
         num(args, 3, fn).toInt))
     },
 
+    // graft_weighted_thin(table, keyCol, weightPpmCol[, salt]) — K13
+    "graft_weighted_thin" -> { args =>
+      val fn = "graft_weighted_thin"
+      arity(args, fn, Set(3, 4), "table, keyCol, weightPpmCol[, salt]")
+      plan(graft.operators.Curation.weightedThin(
+        table(str(args, 0, fn)), col(str(args, 1, fn)),
+        col(str(args, 2, fn)),
+        salt = if (args.length > 3) str(args, 3, fn) else ""))
+    },
+
     // graft_soft_dedup(docs, id, pairs, a, b) — E13
     "graft_soft_dedup" -> { args =>
       val fn = "graft_soft_dedup"

@@ -1232,6 +1232,18 @@ object SparkEntry {
         Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.25, 100),
         "doc_a", "doc_b")),
 
+    // the sampler that CONSUMES those weights: deterministic
+    // hash-vs-ppm thinning — replay-stable, thins a soft-dedup-
+    // weighted corpus to the deduped distribution in expectation
+    "k13_weighted_thin" -> ((s, d) => {
+      val w = Dedup.softDedupWeights(docs(s, d), "doc_id",
+        Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.25, 100),
+        "doc_a", "doc_b")
+      Curation.weightedThin(
+        docs(s, d).select("doc_id", "lang", "source").join(w, "doc_id"),
+        col("doc_id"), col("weight_ppm"))
+    }),
+
     // exact repeated-span REMOVAL (the transform h10 only measures):
     // every 3-token span occurring >1 time corpus-wide is deleted and
     // the text rebuilt from surviving tokens (Lee et al. ACL'22)
@@ -2427,6 +2439,17 @@ object SparkEntry {
         .createOrReplaceTempView("graft_sql_dup_pairs")
       s.sql("""SELECT * FROM graft_soft_dedup('graft_sql_docs', 'doc_id',
         'graft_sql_dup_pairs', 'doc_a', 'doc_b')""")
+    }),
+
+    "k13s_weighted_thin_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      docs(s, d).select("doc_id", "lang", "source")
+        .join(Dedup.softDedupWeights(docs(s, d), "doc_id",
+          Dedup.ngramJaccard(docs(s, d), "doc_id", "text", 3, 0.25, 100),
+          "doc_a", "doc_b"), "doc_id")
+        .createOrReplaceTempView("graft_sql_weighted_docs")
+      s.sql("""SELECT * FROM graft_weighted_thin('graft_sql_weighted_docs',
+        'doc_id', 'weight_ppm')""")
     }),
 
     "l12s_modularity_sql" -> ((s, d) => {
@@ -5596,6 +5619,24 @@ object SparkEntry {
          |FROM documents d LEFT JOIN ($e6OracleSql) cc ON cc.doc_id = d.doc_id
          |WHERE cc.cluster_id IS NULL OR cc.cluster_id = d.doc_id""".stripMargin,
 
+    "k13_weighted_thin" ->
+      s"""WITH cc AS ($e6OracleSql),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size
+         |       FROM cc GROUP BY 1),
+         |w AS (
+         |  SELECT d.doc_id, d.lang, d.source,
+         |    coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+         |    coalesce(sz.cluster_size, CAST(1 AS BIGINT)) AS cluster_size,
+         |    CAST(1000000 // coalesce(sz.cluster_size, 1) AS BIGINT)
+         |      AS weight_ppm
+         |  FROM documents d
+         |  LEFT JOIN cc ON cc.doc_id = d.doc_id
+         |  LEFT JOIN sz ON sz.cluster_id = cc.cluster_id)
+         |SELECT doc_id, lang, source, cluster_id, cluster_size, weight_ppm
+         |FROM w
+         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |        AS BIGINT) % 1000000 < weight_ppm""".stripMargin,
+
     "e13_soft_dedup" ->
       s"""WITH cc AS ($e6OracleSql),
          |sz AS (SELECT cluster_id, count(*) AS cluster_size
@@ -6909,7 +6950,8 @@ object SparkEntry {
       "b42s_kmv_setops_sql" -> "b42_distinct_setops",
       "l11s_communities_sql" -> "l11_communities",
       "l12s_modularity_sql" -> "l12_modularity",
-      "e13s_soft_dedup_sql" -> "e13_soft_dedup"
+      "e13s_soft_dedup_sql" -> "e13_soft_dedup",
+      "k13s_weighted_thin_sql" -> "k13_weighted_thin"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

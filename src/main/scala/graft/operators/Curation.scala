@@ -293,6 +293,26 @@ object Curation {
       k = n, rankName = "__rk")
       .drop("__rk", "__pri")
 
+  /** Deterministic weighted Bernoulli THINNING (K13) — the sampler
+    * that CONSUMES per-row ppm weights (E13's soft-dedup
+    * `weight_ppm`, a quality score scaled to ppm, a source-mix
+    * allocation): keep a row iff
+    * `hash60(key ‖ salt) mod 10^6 < weight_ppm`. No RNG — the keep
+    * decision is a pure function of (key, salt), so replays, retries
+    * and incremental re-runs keep EXACTLY the same rows (the K1
+    * hash-sample discipline, generalized from a constant rate to a
+    * per-row weight), while across many rows the kept mass converges
+    * to Σ weight/10^6 — e.g. a soft-dedup-weighted corpus thins to
+    * the deduped token distribution in expectation. `weight_ppm ≥
+    * 10^6` always keeps; `≤ 0` always drops; changing `salt` redraws
+    * the whole sample. Pure codegen'd filter — zero shuffles, zero
+    * state; scales with the scan alone. */
+  def weightedThin(df: DataFrame, key: Column, weightPpm: Column,
+                   salt: String = ""): DataFrame =
+    df.filter(
+      graft.operators.Sketches.portableHash(
+        concat(key.cast("string"), lit(salt))) % lit(1000000L) < weightPpm)
+
   /** Sliding-window token CHUNKING with overlap — the
     * context-window-preparation step between curation and packing in a
     * training pipeline: each document's token stream is cut into

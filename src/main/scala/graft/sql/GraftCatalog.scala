@@ -117,8 +117,10 @@ object GraftCatalog {
   private val okRow = Seq(row(u8("ok")))
 
   /** Run `sql` with `names(i)` visible as temp views over `frames(i)`,
-    * restoring/removing the views afterwards (a caller's same-named
-    * temp view survives the call). */
+    * dropping the views afterwards. The names (`__raw`, `__fact`,
+    * `__dim`) are RESERVED by this surface: a pre-existing same-named
+    * caller view is clobbered and then dropped — the dbt convention of
+    * a model's source relations being owned by the framework. */
   private def withViews(spark: SparkSession, names: Seq[String],
                         frames: Seq[org.apache.spark.sql.DataFrame],
                         sql: String): org.apache.spark.sql.DataFrame = {

@@ -45,6 +45,34 @@ class CurationSpec extends SparkSpec {
     assert(c.subsetOf(a))
   }
 
+  test("weightedThin: ppm weights gate deterministically; mass converges; salt redraws") {
+    val df = spark.range(10000).toDF("id")
+    // degenerate weights: >= 1e6 always keeps, <= 0 always drops
+    assert(Curation.weightedThin(df, $"id", lit(1000000L)).count() == 10000L)
+    assert(Curation.weightedThin(df, $"id", lit(0L)).count() == 0L)
+    // constant half-weight: kept mass ~ sum(weight)/1e6, reproducible
+    val a = Curation.weightedThin(df, $"id", lit(500000L))
+      .as[Long].collect().toSet
+    val b = Curation.weightedThin(df, $"id", lit(500000L))
+      .as[Long].collect().toSet
+    assert(a == b && math.abs(a.size - 5000) < 300)
+    // a lower weight keeps a SUBSET of a higher weight (same hash,
+    // tighter gate) — staged thinning stays consistent
+    val c = Curation.weightedThin(df, $"id", lit(250000L))
+      .as[Long].collect().toSet
+    assert(c.subsetOf(a) && math.abs(c.size - 2500) < 250)
+    // changing the salt redraws: same expected mass, different rows
+    val s = Curation.weightedThin(df, $"id", lit(500000L), salt = "v2")
+      .as[Long].collect().toSet
+    assert(s != a && math.abs(s.size - 5000) < 300)
+    // per-row weights: the e13 shape — weight column drives each row
+    val wdf = df.withColumn("w",
+      when($"id" % 2 === 0, 1000000L).otherwise(0L))
+    val kept = Curation.weightedThin(wdf, $"id", $"w")
+      .select("id").as[Long].collect()
+    assert(kept.length == 5000 && kept.forall(_ % 2 == 0))
+  }
+
   test("quota sample keeps exactly n best rows per stratum") {
     val df = Seq(
       ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.7),
