@@ -750,6 +750,14 @@ object GraftTableFunctions {
         csv(args, 1, fn), str(args, 2, fn), num(args, 3, fn).toLong))
     },
 
+    // graft_t_closeness(table, quasiCsv, sensitive, t) — DQ17
+    "graft_t_closeness" -> { args =>
+      val fn = "graft_t_closeness"
+      arity(args, fn, Set(4), "table, quasiCsv, sensitive, t")
+      plan(graft.operators.DataQuality.tCloseness(table(str(args, 0, fn)),
+        csv(args, 1, fn), str(args, 2, fn), num(args, 3, fn)))
+    },
+
     // graft_components(edges, src, dst) — L1; the label-propagation
     // iterations run eagerly at plan time (the graft_pagerank contract)
     "graft_components" -> { args =>

@@ -1928,6 +1928,16 @@ object SparkEntry {
           col("c_mktsegment")),
         Seq("c_nationkey", "acct_band"), "c_mktsegment", l = 3L)),
 
+    // t-closeness: classes whose sensitive DISTRIBUTION diverges from
+    // the table's (TV > t) — leak k-anonymity and l-diversity both
+    // miss; exact-integer TV, one rounded division at the end
+    "dq17_t_closeness" -> ((s, d) =>
+      DataQuality.tCloseness(
+        Tables.customer(s, d).select(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).as("acct_band"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "acct_band"), "c_mktsegment", t = 0.3)),
+
     // Benford first-digit audit of extended prices per return flag:
     // digit counts vs the canonical log10(1+1/d) expectations — ALL in
     // integer ppm off literal constants (engine log10 differs in the
@@ -2903,6 +2913,16 @@ object SparkEntry {
       sqlSurface(s, d)
       s.sql("""SELECT * FROM graft_key_skew('graft_sql_events',
         'user_id', 20)""")
+    }),
+
+    "dq17s_t_closeness_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      Tables.customer(s, d).select(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).as("acct_band"),
+          col("c_mktsegment"))
+        .createOrReplaceTempView("graft_sql_cust_bands")
+      s.sql("""SELECT * FROM graft_t_closeness('graft_sql_cust_bands',
+        'c_nationkey,acct_band', 'c_mktsegment', 0.3)""")
     }),
 
     "k11s_zorder_sql" -> ((s, d) => {
@@ -4497,6 +4517,36 @@ object SparkEntry {
         |  count(DISTINCT c_mktsegment) AS n_distinct
         |FROM customer GROUP BY 1, 2
         |HAVING count(DISTINCT c_mktsegment) < 3""".stripMargin,
+
+    // dq17: the same exact-integer TV algebra — HUGEINT products, the
+    // absent-value tail folded closed, ONE rounded double division
+    "dq17_t_closeness" ->
+      s"""WITH cv AS (
+         |  SELECT c_nationkey,
+         |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS acct_band,
+         |    c_mktsegment AS v, count(*) AS ncv
+         |  FROM customer GROUP BY 1, 2, 3),
+         |gv AS (SELECT c_mktsegment AS v, count(*) AS nv
+         |       FROM customer GROUP BY 1),
+         |tt AS (SELECT count(*) AS n FROM customer),
+         |e AS (
+         |  SELECT cv.*, gv.nv, tt.n,
+         |    sum(ncv) OVER (PARTITION BY c_nationkey, acct_band) AS nc,
+         |    sum(nv) OVER (PARTITION BY c_nationkey, acct_band) AS sv
+         |  FROM cv JOIN gv USING (v), tt),
+         |a AS (
+         |  SELECT c_nationkey, acct_band,
+         |    max(nc) AS n_c, max(sv) AS svv, max(n) AS nn,
+         |    sum(abs(CAST(ncv AS HUGEINT) * n - CAST(nv AS HUGEINT) * nc))
+         |      AS nump
+         |  FROM e GROUP BY 1, 2),
+         |r AS (
+         |  SELECT c_nationkey, acct_band, CAST(n_c AS BIGINT) AS n_c,
+         |    ${sqlPround(
+             "CAST(nump + CAST(n_c AS HUGEINT) * (nn - svv) AS DOUBLE) / (2.0 * CAST(n_c AS DOUBLE) * CAST(nn AS DOUBLE))",
+             6)} AS tv
+         |  FROM a)
+         |SELECT * FROM r WHERE tv > 0.3""".stripMargin,
 
     // dq12: the leading digit via BIGINT→VARCHAR (no scientific
     // notation, unlike DOUBLE→VARCHAR), ppm arithmetic all-integer off
@@ -6951,7 +7001,8 @@ object SparkEntry {
       "l11s_communities_sql" -> "l11_communities",
       "l12s_modularity_sql" -> "l12_modularity",
       "e13s_soft_dedup_sql" -> "e13_soft_dedup",
-      "k13s_weighted_thin_sql" -> "k13_weighted_thin"
+      "k13s_weighted_thin_sql" -> "k13_weighted_thin",
+      "dq17s_t_closeness_sql" -> "dq17_t_closeness"
     ).map { case (mirror, orig) => mirror -> base(orig) }
   }
 

@@ -707,6 +707,58 @@ object DataQuality {
       .filter(col("n_distinct") < l)
   }
 
+  /** t-closeness audit (DQ17) — the third leg of the anonymity
+    * trilogy (Li et al., ICDE 2007), beside [[kAnonymity]] and
+    * [[lDiversity]]: a class can be k-anonymous AND l-diverse yet
+    * still leak when its sensitive DISTRIBUTION diverges from the
+    * table's (90% one diagnosis where the population carries 10% —
+    * an attacker learns plenty without pinning the exact value).
+    * Flags classes whose total-variation distance from the global
+    * sensitive distribution exceeds `t`.
+    *
+    * Exact-integer TV (the DQ4 discipline — proportions are never
+    * summed as floats): with class counts n_cv, class size n_c,
+    * global counts n_v, total n,
+    * `TV = [Σ_{v∈class} |n_cv·n − n_v·n_c| + n_c·(n − Σ_{v∈class} n_v)]
+    *       / (2·n_c·n)` —
+    * the absent-value tail (p_c(v)=0) folds into one closed term, so
+    * the per-class sum runs over the class's OWN values only, never a
+    * classes × vocabulary spine. Products in decimal(38,0)/HUGEINT,
+    * ONE double division + pround at the end — bit-identical
+    * cross-engine.
+    *
+    * Shape: one scan → (quasi, sensitive) counts (map-side combined,
+    * sketch-sized) → broadcast of the sensitive-cardinality global
+    * counts + 1-row total → one class-partitioned window + class agg,
+    * all sketch-sized after the first aggregate. */
+  def tCloseness(df: DataFrame, quasi: Seq[String], sensitive: String,
+                 t: Double, scale: Int = 6): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(t > 0.0 && t < 1.0, s"t must be in (0, 1), got $t")
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val cv = df.groupBy(quasi.map(col) :+ col(sensitive): _*)
+      .agg(count(lit(1)).as("__ncv"))
+    val gv = df.groupBy(col(sensitive)).agg(count(lit(1)).as("__nv"))
+    val tot = df.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(quasi.map(col): _*)
+    val e = cv.join(broadcast(gv), Seq(sensitive))
+      .crossJoin(broadcast(tot))
+      .withColumn("__nc", sum(col("__ncv")).over(w))
+      .withColumn("__sv", sum(col("__nv")).over(w))
+    val a = e.groupBy(quasi.map(col): _*)
+      .agg(max(col("__nc")).as("n_c"), max(col("__sv")).as("__svv"),
+        max(col("__n")).as("__nn"),
+        sum(abs(d38(col("__ncv")) * col("__n")
+          - d38(col("__nv")) * col("__nc"))).as("__nump"))
+    a.select(quasi.map(col) :+ col("n_c") :+
+        graft.functions.Portable.pround(
+          (col("__nump") + d38(col("n_c")) * (col("__nn") - col("__svv")))
+            .cast("double")
+            / (lit(2.0) * col("n_c").cast("double")
+               * col("__nn").cast("double")), scale).as("tv"): _*)
+      .filter(col("tv") > t)
+  }
+
   /** A/B experiment readout (DQ15) — deterministic hash-split arms plus
     * the two standard test statistics, computed so a single-node engine
     * reproduces every bit:

@@ -377,6 +377,32 @@ class CusumSpec extends SparkSpec {
     }
   }
 
+  test("tCloseness: hand TV with the folded absent-value tail; matching class silent") {
+    // global: 4×A + 4×B (p = 1/2 each — the classes SUM to the
+    // population, so the fixture balances c2/c3 against c1). c1 =
+    // 2A+2B matches the population exactly → TV 0, silent. c2 = 2A:
+    // present |2·8 − 4·2| = 8, absent-B tail n_c·(n − Σ n_v) =
+    // 2·(8−4) = 8 → TV = 16 / (2·2·8) = 0.5 exactly; c3 = 2B mirrors
+    val rows = Seq(("c1", "A"), ("c1", "A"), ("c1", "B"), ("c1", "B"),
+      ("c2", "A"), ("c2", "A"), ("c3", "B"), ("c3", "B"))
+      .toDF("grp", "diag")
+    val got = DataQuality.tCloseness(rows, Seq("grp"), "diag", t = 0.4)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("c2", 2L, 0.5), ("c3", 2L, 0.5)), s"got $got")
+    // threshold is strict: t = 0.5 must NOT flag the exact-0.5 class
+    assert(DataQuality.tCloseness(rows, Seq("grp"), "diag", t = 0.5)
+      .count() == 0L)
+    // three-value global, class missing two of them: n=9 (3A+3B+3C),
+    // c3 = 3C → present |3·9 − 3·3| = 18, absent tail 3·(9−3) = 18,
+    // TV = 36/(2·3·9) = 0.666667 (pround at 6)
+    val tri = Seq(("x", "A"), ("x", "B"), ("x", "A"), ("x", "B"),
+      ("x", "A"), ("x", "B"), ("c3", "C"), ("c3", "C"), ("c3", "C"))
+      .toDF("grp", "diag")
+    val t3 = DataQuality.tCloseness(tri, Seq("grp"), "diag", t = 0.6)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(t3 == Seq(("c3", 3L, 0.666667)), s"got $t3")
+  }
+
   test("abTest: hand-computed arms, chi-square and Welch t², degenerate NULLs") {
     // md5 last-hex-digit arms for ids 1..8: A = {2,4,6}, B = {1,3,5,7,8}
     def e(u: Long, ty: String, v: Double) = (u, ty, v)
