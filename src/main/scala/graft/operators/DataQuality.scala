@@ -732,14 +732,30 @@ object DataQuality {
     * counts + 1-row total → one class-partitioned window + class agg,
     * all sketch-sized after the first aggregate. */
   def tCloseness(df: DataFrame, quasi: Seq[String], sensitive: String,
-                 t: Double, scale: Int = 6): DataFrame = {
+                 t: Double, scale: Int = 6): DataFrame =
+    // the counts table is classes×values-sized — pin it (the
+    // model-sized pin discipline) so the global rollup, the total and
+    // the class window all read ONE raw scan's collapse
+    tClosenessFromCounts(
+      df.groupBy(quasi.map(col) :+ col(sensitive): _*)
+        .agg(count(lit(1)).as("__ncv")).localCheckpoint(),
+      quasi, sensitive, t, scale)
+
+  /** [[tCloseness]] from a maintained `(quasi…, sensitive, __ncv)`
+    * COUNTS table — the [[kAnonymityFromCounts]] seam: class-value
+    * counts are additive, so a streaming update-mode aggregate keeps
+    * them exactly-once and this audit re-derives from the maintained
+    * state through the SAME algebra as batch (they cannot drift). The
+    * global per-value counts and the total are ROLLUPS of the input —
+    * derived here, never a second raw scan. */
+  def tClosenessFromCounts(cv: DataFrame, quasi: Seq[String],
+                           sensitive: String, t: Double,
+                           scale: Int = 6): DataFrame = {
     require(quasi.nonEmpty, "need at least one quasi-identifier column")
     require(t > 0.0 && t < 1.0, s"t must be in (0, 1), got $t")
     def d38(c: Column): Column = c.cast("decimal(38,0)")
-    val cv = df.groupBy(quasi.map(col) :+ col(sensitive): _*)
-      .agg(count(lit(1)).as("__ncv"))
-    val gv = df.groupBy(col(sensitive)).agg(count(lit(1)).as("__nv"))
-    val tot = df.agg(count(lit(1)).as("__n"))
+    val gv = cv.groupBy(col(sensitive)).agg(sum(col("__ncv")).as("__nv"))
+    val tot = cv.agg(sum(col("__ncv")).as("__n"))
     val w = Window.partitionBy(quasi.map(col): _*)
     val e = cv.join(broadcast(gv), Seq(sensitive))
       .crossJoin(broadcast(tot))

@@ -520,6 +520,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming t-closeness by composition: maintained class-value counts feed DQ17 (I52)") {
+    // (quasi, sensitive) counts are additive — the same update-mode
+    // maintenance as I40; the audit re-derives through the
+    // sketch-sized tClosenessFromCounts stage (global counts and the
+    // total are ROLLUPS of the maintained table, never a raw rescan)
+    val in = Files.createTempDirectory("graft-tclose-in").toString
+    val cust = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        floor(col("c_acctbal") / 1000).as("acct_band"),
+        col("c_mktsegment"))
+    val table = scala.collection.mutable.Map
+      .empty[(Long, Long, String), (Long, Long, String, Long)]
+    val q = spark.readStream.schema(cust.schema).parquet(in)
+      .groupBy(col("c_nationkey"), col("acct_band"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("__ncv"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          table((r.getLong(0), r.getLong(1), r.getString(2))) =
+            (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))
+        }
+        ()
+      }.start()
+    try landTimeSplit(cust, in, tsCol = "c_custkey")(() => q.processAllAvailable())
+    finally q.stop()
+    val got = graft.operators.DataQuality.tClosenessFromCounts(
+      table.values.toSeq
+        .toDF("c_nationkey", "acct_band", "c_mktsegment", "__ncv"),
+      Seq("c_nationkey", "acct_band"), "c_mktsegment", t = 0.3)
+    val want = graft.operators.DataQuality.tCloseness(
+      cust.drop("c_custkey"), Seq("c_nationkey", "acct_band"),
+      "c_mktsegment", t = 0.3)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming benford by composition: maintained digit counts feed DQ12 (I41)") {
     // (key, digit) counts are additive — a plain update-mode agg
     // maintains them exactly-once; the report re-derives through the
