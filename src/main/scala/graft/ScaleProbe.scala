@@ -780,12 +780,45 @@ object ScaleProbe {
         // mass, never query × corpus
         "f12_ann_filtered" -> (() =>
           Similarity.filteredTopK(emb, q, "vec_id", "embedding", "label", 5)),
-        // MAD outliers: two grouped percentile passes + flag join-back,
-        // one hash-partition family
+        // MAD outliers: one scan, one keys exchange, zero joins — the
+        // r11 window pipeline
         "dq3_mad_outliers" -> (() =>
           graft.operators.DataQuality.outliersMad(
             ev.select("user_id", "event_id", "value"),
             Seq("user_id"), "value", 3.0, 2)),
+        // bounded-bin MAD: the input is never shuffled — two pruned
+        // passes, group-count-sized stats broadcast back
+        "dq3b_mad_hist" -> (() =>
+          graft.operators.DataQuality.outliersMadFromBins(
+            ev.select("user_id", "event_id", "value"),
+            Seq("user_id"), "value", 3.0, 0.0, 600.0, 600)),
+        // t-closeness: map-combined class-value counts, broadcast
+        // global counts; sketch-sized after the first aggregate
+        "dq17_t_closeness" -> (() =>
+          graft.operators.DataQuality.tCloseness(
+            ev.select(col("event_type"),
+              (col("user_id") % 1000).as("band"), col("event_type").as("v")),
+            Seq("event_type", "band"), "v", t = 0.3)),
+        // soft dedup: the E2 pair machinery + pair-graph clustering +
+        // one id-keyed join back
+        "e13_soft_dedup" -> (() =>
+          Dedup.softDedupWeights(docs, "doc_id",
+            Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.25, 100),
+            "doc_a", "doc_b")),
+        // weighted thinning alone: a pure codegen'd filter over a
+        // constant-weight column — must scale with the scan
+        "k13_weighted_thin" -> (() =>
+          graft.operators.Curation.weightedThin(
+            docs.withColumn("w", lit(500000L)), col("doc_id"), col("w"))),
+        // modularity: endpoint-tag joins + degree agg + community agg
+        // over the co-purchase graph and its LPA labels
+        "l12_modularity" -> (() => {
+          val edges = Graphs.cooccurrence(
+            li.select(col("l_orderkey"), col("l_partkey")),
+            "l_orderkey", "l_partkey", minSupport = 2L).localCheckpoint()
+          Graphs.modularity(edges, "item_a", "item_b",
+            Graphs.labelPropagation(edges, "item_a", "item_b", iters = 4))
+        }),
         // Q6: pure scan+filter+agg — must scale with the SCAN alone
         // (shuffle stays one row per task)
         "d26_forecast_revenue" -> (() =>
