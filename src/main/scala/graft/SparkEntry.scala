@@ -4519,16 +4519,19 @@ object SparkEntry {
         |HAVING count(DISTINCT c_mktsegment) < 3""".stripMargin,
 
     // dq17: the same exact-integer TV algebra — HUGEINT products, the
-    // absent-value tail folded closed, ONE rounded double division
+    // absent-value tail folded closed, ONE rounded double division.
+    // NULL-sensitive rows excluded everywhere (class counts, global
+    // counts, total) — the engine's documented drop contract
     "dq17_t_closeness" ->
       s"""WITH cv AS (
          |  SELECT c_nationkey,
          |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS acct_band,
          |    c_mktsegment AS v, count(*) AS ncv
-         |  FROM customer GROUP BY 1, 2, 3),
+         |  FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2, 3),
          |gv AS (SELECT c_mktsegment AS v, count(*) AS nv
-         |       FROM customer GROUP BY 1),
-         |tt AS (SELECT count(*) AS n FROM customer),
+         |       FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1),
+         |tt AS (SELECT count(*) AS n FROM customer
+         |       WHERE c_mktsegment IS NOT NULL),
          |e AS (
          |  SELECT cv.*, gv.nv, tt.n,
          |    sum(ncv) OVER (PARTITION BY c_nationkey, acct_band) AS nc,

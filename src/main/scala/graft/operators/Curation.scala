@@ -305,7 +305,14 @@ object Curation {
     * to Σ weight/10^6 — e.g. a soft-dedup-weighted corpus thins to
     * the deduped token distribution in expectation. `weight_ppm ≥
     * 10^6` always keeps; `≤ 0` always drops; changing `salt` redraws
-    * the whole sample. Pure codegen'd filter — zero shuffles, zero
+    * the whole sample. NULL contract (r11 advice): a NULL `key` or a
+    * NULL `weightPpm` DROPS the row — the filter predicate evaluates
+    * NULL, and SQL filters drop NULL — including rows whose weight
+    * would otherwise be an always-keep `≥ 10^6`. This matches the K1
+    * hashSample discipline (a row that cannot be deterministically
+    * re-drawn on replay must not be kept by accident); coalesce the
+    * key to a sentinel upstream if NULL keys should participate.
+    * Pure codegen'd filter — zero shuffles, zero
     * state; scales with the scan alone. */
   def weightedThin(df: DataFrame, key: Column, weightPpm: Column,
                    salt: String = ""): DataFrame =

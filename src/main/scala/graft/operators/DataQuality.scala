@@ -747,13 +747,24 @@ object DataQuality {
     * them exactly-once and this audit re-derives from the maintained
     * state through the SAME algebra as batch (they cannot drift). The
     * global per-value counts and the total are ROLLUPS of the input —
-    * derived here, never a second raw scan. */
-  def tClosenessFromCounts(cv: DataFrame, quasi: Seq[String],
+    * derived here, never a second raw scan.
+    *
+    * NULL contract: rows with a NULL sensitive value are EXCLUDED from
+    * the audit entirely — from the class counts, the global counts AND
+    * the total n (the [[kAnonymity]] documented-drop discipline). The
+    * r11 advice found the previous shape dropped them only from the
+    * equi-join (null != null) while n and the absent-value tail still
+    * carried the null mass, silently inflating every class's TV by the
+    * global null fraction; the explicit filter makes the distribution
+    * under audit "the distribution of OBSERVED sensitive values",
+    * stated rather than accidental. */
+  def tClosenessFromCounts(cv0: DataFrame, quasi: Seq[String],
                            sensitive: String, t: Double,
                            scale: Int = 6): DataFrame = {
     require(quasi.nonEmpty, "need at least one quasi-identifier column")
     require(t > 0.0 && t < 1.0, s"t must be in (0, 1), got $t")
     def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val cv = cv0.filter(col(sensitive).isNotNull)
     val gv = cv.groupBy(col(sensitive)).agg(sum(col("__ncv")).as("__nv"))
     val tot = cv.agg(sum(col("__ncv")).as("__n"))
     val w = Window.partitionBy(quasi.map(col): _*)
@@ -797,11 +808,16 @@ object DataQuality {
     * rows. Degenerate splits (zero/all converters, zero variance)
     * yield NULL statistics rather than lying. Exactness: the squared
     * value sums (qa/qb) and the chi-square numerator/denominator
-    * accumulate in decimal(38,0) — the [[outliers]] discipline — so
-    * the statistics stay exact to ~10^18-scale per-arm counts/values
-    * (64-bit longs would silently wrap around 10^4 users per arm at
-    * cent scale; the DuckDB oracle's HUGEINT sums match decimal(38,0)
-    * range bit-for-bit). */
+    * accumulate in decimal(38,0) — the [[outliers]] discipline. The
+    * SUMS stay exact to ~10^18-scale per-arm counts/values (64-bit
+    * longs would silently wrap around 10^4 users per arm at cent
+    * scale; the DuckDB oracle's HUGEINT sums match decimal(38,0)
+    * range bit-for-bit) — but the chi-square NUMERATOR grows like
+    * ~2·n^5 ((na+nb)·delta², delta ~ n²), so its decimal(38,0)
+    * headroom is ~4·10^7 users per arm, not 10^18. Past that the
+    * product overflows: NULL stat under non-ANSI evaluation, an
+    * ARITHMETIC_OVERFLOW error under ANSI (Spark 4's default) —
+    * loud either way, never silently wrong. */
   def abTest(events: DataFrame, entity: String, typeCol: String,
              conversionType: String, valueCol: String,
              scale: Int = 2): DataFrame = {

@@ -63,13 +63,23 @@ class GraftCatalog extends ProcedureCatalog {
     catalogName = name
   override def name(): String = catalogName
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    // every procedure lives at the catalog ROOT — a namespaced lookup
+    // (`graft.foo.merge_upsert`) must not silently resolve as if the
+    // namespace were absent (r11 advice)
+    if (ident.namespace().nonEmpty)
+      throw new IllegalArgumentException(
+        s"graft procedures live at the catalog root; " +
+          s"no namespace '${ident.namespace().mkString(".")}'")
     val key = ident.name().toLowerCase(Locale.ROOT)
     GraftCatalog.procedures.getOrElse(key, throw new IllegalArgumentException(
       s"unknown graft procedure '$key' " +
         s"(have: ${GraftCatalog.procedures.keys.toSeq.sorted.mkString(", ")})"))
   }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    GraftCatalog.procedures.keys.toArray.sorted
+    // root namespace only; SHOW PROCEDURES IN graft.<anything> is empty
+    // rather than a phantom copy of the root listing (r11 advice)
+    if (namespace.nonEmpty) Array.empty
+    else GraftCatalog.procedures.keys.toArray.sorted
       .map(Identifier.of(Array.empty[String], _))
 }
 
@@ -118,12 +128,19 @@ object GraftCatalog {
 
   /** Run `sql` with `names(i)` visible as temp views over `frames(i)`,
     * dropping the views afterwards. The names (`__raw`, `__fact`,
-    * `__dim`) are RESERVED by this surface: a pre-existing same-named
-    * caller view is clobbered and then dropped — the dbt convention of
-    * a model's source relations being owned by the framework. */
+    * `__dim`) are RESERVED by this surface — and FAIL FAST if the
+    * caller already owns a same-named temp view: the previous
+    * clobber-and-drop silently destroyed the caller's view (r11
+    * advice). An error names the collision; the caller renames theirs.
+    */
   private def withViews(spark: SparkSession, names: Seq[String],
                         frames: Seq[org.apache.spark.sql.DataFrame],
                         sql: String): org.apache.spark.sql.DataFrame = {
+    names.foreach { n =>
+      require(!spark.catalog.tableExists(n),
+        s"temp view name '$n' is reserved by graft CALL procedures and " +
+          s"already exists in this session — drop or rename it first")
+    }
     names.zip(frames).foreach { case (n, f) => f.createOrReplaceTempView(n) }
     // spark.sql analyzes EAGERLY — the view subtrees are inlined into
     // the returned plan, so dropping the views immediately is safe

@@ -403,6 +403,24 @@ class CusumSpec extends SparkSpec {
     assert(t3 == Seq(("c3", 3L, 0.666667)), s"got $t3")
   }
 
+  test("tCloseness: NULL sensitive rows excluded everywhere (r11 advice)") {
+    // same balanced fixture + null-sensitive litter in every class:
+    // the audit must behave as if the null rows were never there —
+    // previously n and the absent-value tail kept the null mass while
+    // the equi-join dropped it, inflating every class's TV
+    val clean = Seq(("c1", "A"), ("c1", "A"), ("c1", "B"), ("c1", "B"),
+      ("c2", "A"), ("c2", "A"), ("c3", "B"), ("c3", "B"))
+    val littered = clean ++ Seq(("c1", null), ("c2", null), ("c4", null))
+    val got = DataQuality.tCloseness(littered.toDF("grp", "diag"),
+      Seq("grp"), "diag", t = 0.4).as[(String, Long, Double)].collect().toSet
+    val want = DataQuality.tCloseness(clean.toDF("grp", "diag"),
+      Seq("grp"), "diag", t = 0.4).as[(String, Long, Double)].collect().toSet
+    assert(got == want, s"got $got want $want")
+    // c1 still matches the population exactly → silent; c4 (nulls
+    // only) has no observed sensitive values → no row, not a crash
+    assert(!got.exists(_._1 == "c1") && !got.exists(_._1 == "c4"))
+  }
+
   test("abTest: hand-computed arms, chi-square and Welch t², degenerate NULLs") {
     // md5 last-hex-digit arms for ids 1..8: A = {2,4,6}, B = {1,3,5,7,8}
     def e(u: Long, ty: String, v: Double) = (u, ty, v)

@@ -163,4 +163,42 @@ class SqlWriteSurfaceSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft_read_latest('$t')")
       .as[(Long, Double)].collect().toSet == Set((1L, 1.0)))
   }
+
+  test("reserved view names fail fast instead of clobbering (r11 advice)") {
+    ready
+    val wh = Files.createTempDirectory("graft-sqlw-resv").toString + "/agg"
+    Seq((1L, "20240101", 1L, 1.0))
+      .toDF("id", "day", "load_ts", "v").createOrReplaceTempView("rawr")
+    // caller owns a temp view named __raw: the CALL must refuse, and
+    // the caller's view must survive untouched
+    Seq(42L).toDF("mine").createOrReplaceTempView("__raw")
+    val e = intercept[Exception] {
+      spark.sql(s"""CALL graft.refresh_aggregate('rawr', '$wh', 'day',
+        'load_ts', 'wm', 'SELECT day, max(load_ts) AS wm FROM __raw GROUP BY day')""")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    assert(spark.sql("SELECT mine FROM __raw").as[Long].head() == 42L)
+    spark.catalog.dropTempView("__raw")
+  }
+
+  test("procedures live at the catalog root only (r11 advice)") {
+    ready
+    val cat = new graft.sql.GraftCatalog
+    cat.initialize("graft", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.emptyMap()))
+    import org.apache.spark.sql.connector.catalog.Identifier
+    assert(cat.listProcedures(Array.empty).nonEmpty)
+    // a namespaced listing is EMPTY, not a phantom copy of the root
+    assert(cat.listProcedures(Array("anything")).isEmpty)
+    // a namespaced load refuses rather than resolving as the root
+    val e = intercept[IllegalArgumentException] {
+      cat.loadProcedure(Identifier.of(Array("bogus"), "compact"))
+    }
+    assert(e.getMessage.contains("namespace"), e.getMessage)
+    // SQL spelling: CALL through a namespace fails loudly
+    val e2 = intercept[Exception] {
+      spark.sql("CALL graft.bogus.compact('/tmp/x', 'day')")
+    }
+    assert(e2.getMessage != null)
+  }
 }
