@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable
+import graft.functions.Portable.{fixedSum, pround, sqlPround}
+import graft.operators.{Curation, DataQuality, Sessionize, TimeAgg}
+import graft.sources.Tables
+
+import java.nio.file.{Files, Paths}
+import scala.util.Random
+
+/** Randomized-parameter oracle fuzzing (r11 verdict next-round #6).
+  *
+  * The fixed-fixture oracle gate ([[Verify]]) proved blind to boundary
+  * drift once: the DQ16 fixture bug survived nine rounds because its
+  * parameters never moved. This harness re-runs the SAME
+  * Spark-vs-DuckDB comparison with parameters DRAWN at random from a
+  * logged seed — bucket widths, percentiles, k/l/t thresholds, gap
+  * seconds, sample rates, chunk geometry, token budgets — so each
+  * round exercises fresh boundaries of ~11 operator families.
+  *
+  * Drift-proof oracles: each fuzz oracle is the CANONICAL
+  * [[SparkEntry.oracleSql]] text with the drawn parameter substituted
+  * into the one literal it replaces (`sub` requires the pattern to be
+  * present — a refactor that breaks the tie fails loudly here), so the
+  * fuzzed pair can never quietly test different semantics than the
+  * gated pair. Output layout is Verify's exactly: one parquet dir per
+  * draw + `oracle_sql.json`, checked by `tools/check_oracle.py`.
+  *
+  * Run: `sbt "runMain graft.Fuzz SF_DIR OUT_DIR"`, then
+  * `python3 tools/check_oracle.py SF_DIR OUT_DIR`. Knobs:
+  * `SPARK_GRAFT_FUZZ_SEED` (default 20260815 — logged in the stdout
+  * JSON line and in `fuzz_params.json`), `SPARK_GRAFT_FUZZ_DRAWS`
+  * (default 22, round-robin over the families so every family gets
+  * ≥ 2 draws at the default). */
+object Fuzz {
+
+  /** Parameter-substituted copy of a canonical oracle: loud when the
+    * anchor text is gone (the canonical SQL changed shape). */
+  private def sub(sql: String, from: String, to: String): String = {
+    require(sql.contains(from),
+      s"fuzz oracle anchor '$from' not found in canonical SQL — retie it")
+    sql.replace(from, to)
+  }
+  private def canonical(name: String): String = SparkEntry.oracleSql(name)
+
+  final case class Draw(family: String, params: String,
+                        fn: (SparkSession, String) => DataFrame,
+                        oracle: String)
+
+  /** One draw per family per call — all randomness flows through `r`. */
+  private def families: Seq[(String, Random => Draw)] = Seq(
+    "b5_bucket" -> { r =>
+      val w = 1 + r.nextInt(12) // bucket width, hours
+      Draw("b5_bucket", s"w=${w}h",
+        (s, d) => Tables.events(s, d).groupBy(col("user_id"),
+            TimeAgg.timeBucket(col("ts"), w * 3600).cast("string").as("bucket"))
+          .agg(count(lit(1)).as("n_events"), fixedSum(col("value"), 4).as("value_sum")),
+        sub(canonical("b5_agg_hourly_bucket"),
+          "INTERVAL '4 hours'", s"INTERVAL '$w hours'"))
+    },
+    "b8_pctl" -> { r =>
+      val pct = 5 + r.nextInt(91) // percentile in [5, 95]
+      val p = "0.%02d".format(pct)
+      Draw("b8_pctl", s"p=$p",
+        (s, d) => Tables.events(s, d).groupBy(col("event_type")).agg(
+          pround(expr(s"percentile(value, ${p}D)"), 4).as("pq"),
+          count(lit(1)).as("n_events")),
+        s"""SELECT event_type, ${sqlPround(s"quantile_cont(value, $p)", 4)} AS pq,
+           |  count(*) AS n_events FROM events GROUP BY 1""".stripMargin)
+    },
+    "d4_topk" -> { r =>
+      val k = 1 + r.nextInt(10)
+      Draw("d4_topk", s"k=$k",
+        (s, d) => {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("c_mktsegment"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          Tables.orders(s, d)
+            .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+            .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+            .withColumn("rnk", row_number().over(w))
+            .filter(col("rnk") <= k)
+        },
+        sub(canonical("d4_topk_per_group"), "rnk <= 3", s"rnk <= $k"))
+    },
+    "d5_gap" -> { r =>
+      val g = 300 + r.nextInt(6901) // session gap seconds in [300, 7200]
+      Draw("d5_gap", s"gap=${g}s",
+        (s, d) => Sessionize.summarize(Tables.events(s, d),
+          "user_id", "ts", "event_id", "value", g),
+        sub(canonical("d5_sessionize"), "> 1800", s"> $g"))
+    },
+    "dq10_k" -> { r =>
+      val k = 2 + r.nextInt(19)
+      val div = Seq(500, 1000, 2000)(r.nextInt(3)) // quasi band width
+      Draw("dq10_k", s"k=$k,band=$div",
+        (s, d) => DataQuality.kAnonymity(
+          Tables.customer(s, d).select(col("c_nationkey"),
+            floor(col("c_acctbal") / div).as("acct_band")),
+          Seq("c_nationkey", "acct_band"), k = k.toLong),
+        sub(sub(canonical("dq10_k_anonymity"),
+          "/ 1000", s"/ $div"), "count(*) < 5", s"count(*) < $k"))
+    },
+    "dq11_l" -> { r =>
+      val l = 2 + r.nextInt(4)
+      Draw("dq11_l", s"l=$l",
+        (s, d) => DataQuality.lDiversity(
+          Tables.customer(s, d).select(col("c_nationkey"),
+            floor(col("c_acctbal") / 1000).as("acct_band"),
+            col("c_mktsegment")),
+          Seq("c_nationkey", "acct_band"), "c_mktsegment", l = l.toLong),
+        sub(canonical("dq11_l_diversity"), "< 3", s"< $l"))
+    },
+    "dq17_t" -> { r =>
+      val t = (5 + r.nextInt(56)) / 100.0 // TV threshold in [0.05, 0.60]
+      val ts = "%.2f".format(t)
+      Draw("dq17_t", s"t=$ts",
+        (s, d) => DataQuality.tCloseness(
+          Tables.customer(s, d).select(col("c_nationkey"),
+            floor(col("c_acctbal") / 1000).as("acct_band"),
+            col("c_mktsegment")),
+          Seq("c_nationkey", "acct_band"), "c_mktsegment", t = t),
+        sub(canonical("dq17_t_closeness"), "tv > 0.3", s"tv > $ts"))
+    },
+    "k1_rate" -> { r =>
+      val rate = 1 + r.nextInt(99) // keep-rate per 100 buckets
+      Draw("k1_rate", s"rate=$rate",
+        (s, d) => Curation.hashSample(Tables.documents(s, d),
+            col("doc_id"), rate)
+          .select(col("doc_id"), col("lang"),
+            Curation.hashBucket(col("doc_id"), 100).as("bucket")),
+        sub(canonical("k1_hash_sample"), "% 100 < 37", s"% 100 < $rate"))
+    },
+    "k7_quota" -> { r =>
+      val n = 5 + r.nextInt(96)
+      val salt = "|f" + r.nextInt(1000)
+      Draw("k7_quota", s"n=$n,salt=$salt",
+        (s, d) => Curation.prioritySample(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("lang"), col("doc_id"), n, salt),
+        sub(sub(canonical("k7_priority_sample"),
+          "'|s1'", s"'$salt'"), "<= 50", s"<= $n"))
+    },
+    "h15_chunk" -> { r =>
+      val chunk = 16 + r.nextInt(113) // [16, 128]
+      val overlap = r.nextInt(chunk / 2 + 1)
+      val step = chunk - overlap
+      Draw("h15_chunk", s"chunk=$chunk,overlap=$overlap",
+        (s, d) => Curation.chunkTokens(Tables.documents(s, d),
+          "doc_id", "text", chunk, overlap),
+        // written fresh (not text-substituted): chunk/step literals
+        // appear multiple times and can collide with each other
+        s"""WITH t AS (${SparkEntry.tokCte("documents", lower = false)}),
+           |n AS (SELECT doc_id, tok, len(tok) AS n FROM t WHERE len(tok) > 0)
+           |SELECT doc_id, s // $step AS chunk_id, s AS start_token,
+           |  least($chunk, n - s) AS n_tokens,
+           |  array_to_string(tok[s + 1 : s + $chunk], ' ') AS chunk_text
+           |FROM n, LATERAL unnest(range(0, CAST(n AS BIGINT), $step)) AS u(s)"""
+          .stripMargin)
+    },
+    "k4_budget" -> { r =>
+      val b = 500 + r.nextInt(19501) // token budget [500, 20000]
+      Draw("k4_budget", s"budget=$b",
+        (s, d) => Curation.tokenBudgetSample(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("text"),
+              graft.functions.TextFunctions.textProfile(lower(col("text"))).as("p"))
+            .select(col("doc_id"), col("lang"),
+              col("p.n_tokens").cast("long").as("n_tokens"),
+              graft.functions.TextFunctions
+                .qualityScoreFromProfile(col("text"), col("p"))
+                .as("quality_score")),
+          Seq("lang"), col("n_tokens"), col("quality_score"), col("doc_id"),
+          budget = b.toLong),
+        sub(canonical("k4_token_budget"), "<= 3000", s"<= $b"))
+    })
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val seed = sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEED", "20260815").toLong
+    val draws = sys.env.getOrElse("SPARK_GRAFT_FUZZ_DRAWS", "22").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.graft.rewriteTopK", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+
+    val rng = new Random(seed)
+    val fams = families
+    // round-robin so every family is hit; each draw gets fresh randomness
+    val cases = (0 until draws).map { i =>
+      val (fam, gen) = fams(i % fams.size)
+      val d = gen(rng)
+      (f"fz$i%02d_$fam", d)
+    }
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    cases.foreach { case (name, d) =>
+      try d.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[fuzz] $name (${d.params}) failed: ${e.getMessage}")
+      }
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    // same JSON escaping as Verify — control chars would break json.load
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val oracleJson = cases
+      .map { case (n, d) => s"${q(n)}: ${q(d.oracle)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+    val paramsJson = cases
+      .map { case (n, d) => s"${q(n)}: ${q(d.params)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/fuzz_params.json"),
+      s"""{"seed": $seed, "draws": $draws, "params": $paramsJson}""")
+    val errs = failed.map(q).mkString("[", ",", "]")
+    println(s"""{"metric":"fuzz","seed":$seed,"draws":$draws,"failed":$errs,"params":$paramsJson,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

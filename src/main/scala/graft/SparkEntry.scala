@@ -3090,7 +3090,7 @@ object SparkEntry {
 
   /** Tokenizer CTE fragment shared by text oracles (mirrors
     * TextFunctions.tokens 1:1). */
-  private def tokCte(src: String, lower: Boolean): String = {
+  private[graft] def tokCte(src: String, lower: Boolean): String = {
     val t = if (lower) "lower(text)" else "text"
     s"SELECT *, list_filter(string_split_regex(trim($t), '\\s+'), x -> len(x) > 0) AS tok FROM $src"
   }
@@ -3567,6 +3567,20 @@ object SparkEntry {
        |GROUP BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = baseOracleSql ++ sqlMirrorOracles
+
+  /** Documented reasons for the (deliberately) oracle-less queries —
+    * Verify dumps this beside oracle_sql.json so every future
+    * correctness artifact is self-explaining instead of carrying a
+    * bare `no_oracle` (r11 verdict next-round #8). A `queries` entry
+    * with neither an oracle nor a reason is a registration BUG;
+    * Verify fails loudly on it. */
+  def noOracleReasons: Map[String, String] = Map(
+    "b9_approx_distinct" ->
+      ("no_oracle_by_design: HLL sketch registers are engine-private " +
+        "(Spark HLL++ vs DuckDB HLL hash differently), so no cross-engine " +
+        "hash can exist; bounded instead by ScalaTest — <5% relative " +
+        "error vs exact countDistinct, plus the portable KMV twin " +
+        "b10_distinct_kmv IS hash-matched"))
 
   private lazy val baseOracleSql: Map[String, String] = Map(
 

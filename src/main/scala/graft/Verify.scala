@@ -54,6 +54,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // every oracle-less query must carry a documented reason — a bare
+    // gap is a registration bug, not a policy; the reasons ship beside
+    // the SQL so the correctness artifact's `no_oracle` rows are
+    // self-explaining (r11 verdict #8)
+    val unexplained = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- SparkEntry.noOracleReasons.keySet
+    require(unexplained.isEmpty,
+      s"queries with neither oracle nor documented reason: $unexplained")
+    val reasons = SparkEntry.noOracleReasons
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/no_oracle_reasons.json"), reasons)
     spark.stop()
   }
 }

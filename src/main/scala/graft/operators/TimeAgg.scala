@@ -29,8 +29,20 @@ object TimeAgg {
     * to `widthSeconds` buckets. Mirrors the reference generator's 4h/15m
     * Mongo document bucketing (reference:
     * shared/mongodb/initdb.d/generator.py:12 `bucket_interval = "4h"`). */
-  def timeBucket(ts: Column, widthSeconds: Long): Column =
-    timestamp_seconds(floor(unix_timestamp(ts) / widthSeconds) * widthSeconds)
+  def timeBucket(ts: Column, widthSeconds: Long): Column = {
+    // Bucket ORIGIN is 2000-01-03 00:00:00 UTC — TimescaleDB's
+    // time_bucket origin (Monday-aligned so week-multiples start
+    // Mondays; DuckDB's time_bucket matches). Epoch-origin flooring
+    // agrees with it only for widths dividing the 946857600 s offset
+    // (1 h, 4 h, 1 day all do) — the r12 oracle FUZZER caught the
+    // divergence at a 10-hour width, which eleven rounds of the fixed
+    // 4-hour fixture never could. floor() runs on DOUBLE so pre-origin
+    // timestamps round toward -inf, not toward zero.
+    val origin = 946857600L
+    timestamp_seconds(
+      floor((unix_timestamp(ts) - origin) / widthSeconds).cast("long")
+        * widthSeconds + origin)
+  }
 
   /** Grouped rollup over an entity + period key: the generic form of the
     * reference's daily/weekly/monthly steps/sleeps models. */

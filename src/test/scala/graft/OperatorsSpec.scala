@@ -21,11 +21,26 @@ class TimeAggSpec extends SparkSpec {
       .head().getString(0) == "2024-01-08 Monday")
   }
 
-  test("timeBucket floors to arbitrary widths") {
+  test("timeBucket floors to arbitrary widths from the 2000-01-03 origin") {
     val df = Seq("2024-01-01 05:59:59").toDF("s")
       .select(col("s").cast("timestamp").as("ts"))
     assert(df.select(TimeAgg.timeBucket($"ts", 4 * 3600).cast("string"))
       .head().getString(0) == "2024-01-01 04:00:00")
+    // widths that do NOT divide the origin offset take the
+    // TimescaleDB/DuckDB alignment, not epoch alignment: 10 h buckets
+    // from 2000-01-03 00:00 put 2024-05-01 03:00 in the bucket that
+    // STARTS 2024-05-01 00:00 (epoch alignment would say 02:00) —
+    // the r12 fuzzer-caught divergence, pinned here
+    val d2 = Seq("2024-05-01 03:00:00").toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+    assert(d2.select(TimeAgg.timeBucket($"ts", 10 * 3600).cast("string"))
+      .head().getString(0) == "2024-05-01 00:00:00")
+    // pre-origin timestamps floor toward -inf (no truncation-to-zero):
+    // 2000-01-01 sits 48 h before the origin → bucket starts -50 h
+    val d3 = Seq("2000-01-01 00:00:00").toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+    assert(d3.select(TimeAgg.timeBucket($"ts", 10 * 3600).cast("string"))
+      .head().getString(0) == "1999-12-31 22:00:00")
   }
 
   test("bounded gapfill: full spine, leading null locf, trailing carry, range filter") {

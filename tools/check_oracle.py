@@ -19,6 +19,10 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+try:
+    no_oracle_reasons = json.load(open(f"{out_dir}/no_oracle_reasons.json"))
+except FileNotFoundError:
+    no_oracle_reasons = {}
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -69,7 +73,8 @@ for name in sorted(os.listdir(out_dir)):
 for n, r in passes:
     print(f"PASS {n} ({r} rows)")
 for n, r in skips:
-    print(f"SKIP {n} (rows-only, {r} rows)")
+    why = no_oracle_reasons.get(n, "UNDOCUMENTED — add to SparkEntry.noOracleReasons")
+    print(f"SKIP {n} (rows-only, {r} rows) — {why}")
 for n, msg in fails:
     print(f"FAIL {n}: {msg}")
 print(f"\n{len(passes)} pass, {len(skips)} rows-only, {len(fails)} fail")
