@@ -32,8 +32,8 @@ import scala.util.Random
   * `python3 tools/check_oracle.py SF_DIR OUT_DIR`. Knobs:
   * `SPARK_GRAFT_FUZZ_SEED` (default 20260815 — logged in the stdout
   * JSON line and in `fuzz_params.json`), `SPARK_GRAFT_FUZZ_DRAWS`
-  * (default 22, round-robin over the families so every family gets
-  * ≥ 2 draws at the default). */
+  * (default 30, round-robin over the 15 families so every family gets
+  * 2 draws at the default). */
 object Fuzz {
 
   /** Parameter-substituted copy of a canonical oracle: loud when the
@@ -160,6 +160,76 @@ object Fuzz {
            |FROM n, LATERAL unnest(range(0, CAST(n AS BIGINT), $step)) AS u(s)"""
           .stripMargin)
     },
+    "d7_window" -> { r =>
+      val m = 5 + r.nextInt(116) // range-join window, minutes
+      Draw("d7_window", s"window=${m}min",
+        (s, d) => {
+          val e = Tables.events(s, d)
+          graft.operators.TemporalJoin.countPriorWithin(
+            e.filter(col("event_type") === "click")
+              .select("event_id", "user_id", "ts"),
+            e.filter(col("event_type") === "view").select("user_id", "ts"),
+            keys = ("user_id", "user_id"), times = ("ts", "ts"),
+            windowSeconds = m * 60L, countName = "n_prior_views")
+        },
+        sub(canonical("d7_range_join"),
+          "INTERVAL 30 MINUTE", s"INTERVAL $m MINUTE"))
+    },
+    "d29_tol" -> { r =>
+      val t = 1 + r.nextInt(30) // as-of tolerance, days
+      Draw("d29_tol", s"tol=${t}d",
+        (s, d) => {
+          val oDedup = graft.operators.Incremental.upsertLatest(
+            Tables.orders(s, d),
+            Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
+          graft.operators.TemporalJoin.asOf(Tables.events(s, d), oDedup,
+              keys = ("user_id", "o_custkey"), times = ("ts", "o_orderdate"),
+              payload = Seq("o_orderkey", "o_totalprice"),
+              toleranceSeconds = t * 86400.0)
+            .select(col("event_id"), col("user_id"), col("ts"),
+              coalesce(col("o_orderkey"), lit(-1L)).as("last_orderkey"),
+              coalesce(Portable.pround(col("o_totalprice"), 4), lit(0.0))
+                .as("last_totalprice"))
+        },
+        sub(canonical("d29_asof_tolerance"),
+          "INTERVAL 7 DAY", s"INTERVAL $t DAY")) // both CASE arms
+    },
+    "b30_bins" -> { r =>
+      // bin count restricted to divisors of the 500-wide domain so the
+      // bin width literal is exact in both engines
+      val n = Seq(5, 10, 20, 25, 50)(r.nextInt(5))
+      val width = 500 / n
+      Draw("b30_bins", s"bins=$n",
+        (s, d) => graft.operators.Sketches.histogram(Tables.events(s, d),
+          Seq("event_type"), col("value"),
+          lo = 0.0, hi = 500.0, nBuckets = n),
+        sub(sub(sub(canonical("b30_histogram"),
+          "/ 25.0", s"/ $width.0"),
+          ">= 500.0 THEN 21", s">= 500.0 THEN ${n + 1}"),
+          "range(0, 22)", s"range(0, ${n + 2})"))
+    },
+    "b21_frame" -> { r =>
+      val win = 2 + r.nextInt(29) // moving-average frame, rows
+      Draw("b21_frame", s"frame=$win",
+        (s, d) => {
+          import org.apache.spark.sql.expressions.Window
+          val daily = Tables.events(s, d)
+            .groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+            .agg(sum(Portable.toFixed(col("value"), 4)).as("fs"))
+          val w7 = Window.partitionBy("user_id").orderBy("day")
+            .rowsBetween(-(win - 1), Window.currentRow)
+          val wr = Window.partitionBy("user_id").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          daily.select(col("user_id"), col("day"),
+            (col("fs").cast("double") / lit(1e4)).as("value_sum"),
+            pround(sum(col("fs")).over(w7).cast("double") / lit(1e4)
+              / count(lit(1)).over(w7), 4).as("mov_avg_7d"),
+            (sum(col("fs")).over(wr).cast("double") / lit(1e4))
+              .as("running_total"))
+        },
+        sub(canonical("b21_moving_avg"),
+          "6 PRECEDING", s"${win - 1} PRECEDING"))
+    },
     "k4_budget" -> { r =>
       val b = 500 + r.nextInt(19501) // token budget [500, 20000]
       Draw("k4_budget", s"budget=$b",
@@ -180,7 +250,7 @@ object Fuzz {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val seed = sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEED", "20260815").toLong
-    val draws = sys.env.getOrElse("SPARK_GRAFT_FUZZ_DRAWS", "22").toInt
+    val draws = sys.env.getOrElse("SPARK_GRAFT_FUZZ_DRAWS", "30").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
