@@ -1253,18 +1253,19 @@ object ScaleProbe {
         "f20_kmeans" -> (() =>
           Similarity.kmeansAssign(emb, "vec_id",
             "embedding", k = 8, iters = 2)),
-        // semdedup: cell-bucketed pair join — quadratic ONLY within a
-        // cell, k bounds the largest cell's mass
+        // semdedup — the GATED shape (AUTO-k since r12: k = ceil(
+        // sqrt(n)), so cluster count grows with the corpus and the
+        // in-cell pair term stays bounded; 64x probed 24.2x)
         "f21_semdedup" -> (() =>
           Similarity.semDedup(emb, "vec_id", "embedding",
-            k = 8, iters = 2, thresholdNum = 3, thresholdDen = 10)),
-        // semdedup AUTO-k (k = ceil(sqrt(n))): cluster count grows with
-        // the corpus, so cell mass — and the in-cell pair term — stays
-        // bounded as the data scales (fixed k=8 probed 4.66x at 16x;
-        // the r11 auto regime is the paper's)
-        "f21_semdedup_auto" -> (() =>
-          Similarity.semDedup(emb, "vec_id", "embedding",
             k = 0, iters = 2, thresholdNum = 3, thresholdDen = 10)),
+        // the fixed-k EXHIBIT: cells grow linearly with the corpus and
+        // in-cell pairs quadratically — 261x at 64x data, the r12
+        // measurement that moved the gated query to auto. Kept in the
+        // probe registry so the regression direction stays visible.
+        "f21_semdedup_fixedk" -> (() =>
+          Similarity.semDedup(emb, "vec_id", "embedding",
+            k = 8, iters = 2, thresholdNum = 3, thresholdDen = 10)),
         // markov attribution: one entity window family + states²
         // count agg; the solve is matrix-sized driver work
         "c23_markov_attribution" -> (() =>

@@ -1296,9 +1296,12 @@ object SparkEntry {
 
     // SemDeDup: dedup INSIDE f20's cells with the exact integer
     // cosine gate (dot²·den² vs num²·|a|²·|b|², decimal(38)/HUGEINT)
+    // AUTO-k (k = ⌈√n⌉): the gated path IS the scale path — the r12
+    // 64× probe read fixed k=8 at 261× (cells grow with the corpus,
+    // in-cell pairs quadratically) vs 24× under auto
     "f21_semdedup" -> ((s, d) =>
       Similarity.semDedup(embD(s, d), "vec_id", "embedding",
-        k = 8, iters = 2, thresholdNum = 3, thresholdDen = 10)),
+        k = 0, iters = 2, thresholdNum = 3, thresholdDen = 10)),
 
     "f2_ann_lsh" -> ((s, d) => {
       val e = embD(s, d)
@@ -2401,7 +2404,7 @@ object SparkEntry {
       sqlSurface(s, d)
       embD(s, d).createOrReplaceTempView("graft_sql_emb")
       s.sql("""SELECT * FROM graft_semdedup('graft_sql_emb', 'vec_id',
-        'embedding', 8, 2, 3, 10)""")
+        'embedding', 0, 2, 3, 10)""")
     }),
 
     "f22s_rank_eval_sql" -> ((s, d) => {
@@ -3230,13 +3233,14 @@ object SparkEntry {
     * floor-division centroid updates via the exact non-negative-residue
     * identity, empty cells carrying the previous centroid. Ends with
     * `af(vec_id, cell)` + `v(vec_id, fv)` in scope. */
-  private def kmeansPrefixSql(k: Int, iters: Int): String = {
+  private def kmeansPrefixSql(kSql: String, iters: Int,
+                              preCte: String = ""): String = {
     def dist(fv: String, cv: String): String =
       s"list_reduce(list_transform(generate_series(1, len($fv)), " +
         s"i -> ($fv[i] - $cv[i]) * ($fv[i] - $cv[i])), (a, b) -> a + b)"
     def assignCte(name: String, centsCte: String): String =
       s"""$name AS (
-         |  SELECT vec_id, CAST(min(dist * $k + cell) % $k AS INT) AS cell
+         |  SELECT vec_id, CAST(min(dist * ($kSql) + cell) % ($kSql) AS INT) AS cell
          |  FROM (SELECT v.vec_id, c.cell, ${dist("v.fv", "c.cv")} AS dist
          |        FROM v CROSS JOIN $centsCte c)
          |  GROUP BY vec_id)""".stripMargin
@@ -3253,24 +3257,30 @@ object SparkEntry {
          |    SELECT cell, list((s - ((s % n + n) % n)) // n ORDER BY pos) AS cv
          |    FROM u$r GROUP BY 1) w USING (cell))""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS MATERIALIZED (
+    s"""WITH ${preCte}v AS MATERIALIZED (
        |  SELECT vec_id,
        |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
        |     for x in embedding] AS fv
        |  FROM embeddings),
        |c0 AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, fv AS cv
-       |  FROM (SELECT vec_id, fv FROM v ORDER BY vec_id LIMIT $k)),
+       |  FROM (SELECT vec_id, fv FROM v ORDER BY vec_id LIMIT ($kSql))),
        |$rounds,
        |${assignCte("af", s"c$iters")}""".stripMargin
   }
 
   private lazy val f20OracleSql: String =
-    s"""${kmeansPrefixSql(8, 2)}
+    s"""${kmeansPrefixSql("8", 2)}
        |SELECT vec_id, cell FROM af""".stripMargin
 
+  /** f21 runs the AUTO-k regime (k = ⌈√n⌉ — Abbas et al.'s
+    * corpus-proportional cluster count, the 100 TB path: the r12 64×
+    * probe read fixed k=8 at 261× vs auto at 24×), so the oracle
+    * derives the SAME k from its own corpus count. */
   private lazy val f21OracleSql: String =
-    s"""${kmeansPrefixSql(8, 2)},
+    s"""${kmeansPrefixSql("SELECT k FROM kk", 2,
+         "kk AS MATERIALIZED (SELECT greatest(1, CAST(ceil(sqrt(count(*))) " +
+           "AS BIGINT)) AS k FROM embeddings),\n")},
        |w2 AS (
        |  SELECT af.vec_id, af.cell, v.fv,
        |    list_reduce(list_transform(v.fv, x -> x * x), (a, b) -> a + b)

@@ -535,9 +535,12 @@ object Graphs {
     * Scale shape: edges partition once (pinned); per round two
     * co-partitioned joins + two dst/src-keyed map-combined sums; the
     * normalizer is a ONE-ROW global aggregate attached by scalar
-    * broadcast (never a real cartesian). Scores re-pin every round —
-    * constant-depth lineage (localCheckpoint; prefer reliable
-    * checkpoint on a long-chain cluster run, the pageRank caveat). */
+    * broadcast (never a real cartesian). The PRE-normalization mass
+    * frame (node-sized) pins each half-round and both the normalizer
+    * total and the normalized score derive from that one pinned copy —
+    * every piece of per-round work runs exactly once and lineage stays
+    * constant-depth (localCheckpoint; prefer reliable checkpoint on a
+    * long-chain cluster run, the pageRank caveat). */
   def hits(edges: DataFrame, src: String, dst: String,
            iters: Int = 4, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
