@@ -32,7 +32,7 @@ import scala.util.Random
   * `python3 tools/check_oracle.py SF_DIR OUT_DIR`. Knobs:
   * `SPARK_GRAFT_FUZZ_SEED` (default 20260815 — logged in the stdout
   * JSON line and in `fuzz_params.json`), `SPARK_GRAFT_FUZZ_DRAWS`
-  * (default 30, round-robin over the 15 families so every family gets
+  * (default 34, round-robin over the 17 families so every family gets
   * 2 draws at the default). */
 object Fuzz {
 
@@ -230,6 +230,51 @@ object Fuzz {
         sub(canonical("b21_moving_avg"),
           "6 PRECEDING", s"${win - 1} PRECEDING"))
     },
+    "e2_thr" -> { r =>
+      val thr = (2 + r.nextInt(11)) * 5 / 100.0 // jaccard threshold [0.10, 0.60]
+      val ts = "%.2f".format(thr)
+      val mdf = Seq(50, 100, 200)(r.nextInt(3)) // stop-shingle doc freq
+      Draw("e2_thr", s"thr=$ts,maxDocFreq=$mdf",
+        (s, d) => graft.operators.Dedup.ngramJaccard(
+          Tables.documents(s, d), "doc_id", "text", 3, thr, mdf),
+        sub(sub(canonical("e2_dedup_ngram_jaccard"),
+          ">= 0.25", s">= $ts"),
+          "HAVING count(*) <= 100", s"HAVING count(*) <= $mdf"))
+    },
+    "e3_bands" -> { r =>
+      // LSH geometry: bands×rowsPerBand signature, n = b·rp ≤ 16 (the
+      // K-M hash family the canonical query uses). The oracle is BUILT
+      // from the drawn dims with the same Scala K-M constants, the
+      // exact construction the canonical e3 oracle uses.
+      val rp = Seq(2, 4, 8)(r.nextInt(3))
+      val nb = 1 + r.nextInt(16 / rp)
+      val n = nb * rp
+      import graft.operators.Dedup
+      def mh(i: Int): String =
+        s"list_min(list_transform(h, x -> (${Dedup.kmA(i)} * CAST(concat('0x', x[1:7]) AS BIGINT)" +
+          s" + ${Dedup.kmB(i)} * CAST(concat('0x', x[9:15]) AS BIGINT)" +
+          s" + ${Dedup.kmC(i)}) % ${Dedup.KmP}))"
+      val sigCols = (0 until n).map(i => s"  ${mh(i)} AS mh$i").mkString(",\n")
+      val bands = (0 until nb).map { b =>
+        val cols = (0 until rp).map(j => s"mh${b * rp + j}").mkString(", ")
+        s"  SELECT doc, $b AS band, md5(array_to_string([$cols], '|')) AS bucket FROM sig"
+      }.mkString(" UNION ALL\n")
+      Draw("e3_bands", s"bands=$nb,rowsPerBand=$rp",
+        (s, d) => graft.operators.Dedup.minhashLsh(
+          Tables.documents(s, d), "doc_id", "text", 3, n, rp),
+        s"""WITH t AS (${SparkEntry.tokCte("documents", lower = true)}),
+           |s AS (SELECT doc_id, list_distinct(${SparkEntry.shingle3}) AS shs FROM t),
+           |hs AS (SELECT doc_id, list_transform(shs, x -> md5(x)) AS h FROM s),
+           |sig AS (SELECT doc_id AS doc,
+           |$sigCols
+           |  FROM hs),
+           |banded AS (
+           |$bands)
+           |SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_bands
+           |FROM banded a JOIN banded b
+           |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+           |GROUP BY 1, 2""".stripMargin)
+    },
     "k4_budget" -> { r =>
       val b = 500 + r.nextInt(19501) // token budget [500, 20000]
       Draw("k4_budget", s"budget=$b",
@@ -250,7 +295,7 @@ object Fuzz {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val seed = sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEED", "20260815").toLong
-    val draws = sys.env.getOrElse("SPARK_GRAFT_FUZZ_DRAWS", "30").toInt
+    val draws = sys.env.getOrElse("SPARK_GRAFT_FUZZ_DRAWS", "34").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

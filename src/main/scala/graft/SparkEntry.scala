@@ -3098,7 +3098,7 @@ object SparkEntry {
     s"SELECT *, list_filter(string_split_regex(trim($t), '\\s+'), x -> len(x) > 0) AS tok FROM $src"
   }
 
-  private val shingle3 =
+  private[graft] val shingle3 =
     """CASE WHEN len(tok) < 3 THEN [array_to_string(tok, ' ')]
       |ELSE list_transform(generate_series(1, len(tok) - 2), i -> array_to_string(tok[i:i+2], ' ')) END""".stripMargin
 
