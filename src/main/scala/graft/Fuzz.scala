@@ -32,7 +32,7 @@ import scala.util.Random
   * `python3 tools/check_oracle.py SF_DIR OUT_DIR`. Knobs:
   * `SPARK_GRAFT_FUZZ_SEED` (default 20260815 — logged in the stdout
   * JSON line and in `fuzz_params.json`), `SPARK_GRAFT_FUZZ_DRAWS`
-  * (default 34, round-robin over the 17 families so every family gets
+  * (default 44, round-robin over the 22 families so every family gets
   * 2 draws at the default). */
 object Fuzz {
 
@@ -230,6 +230,96 @@ object Fuzz {
         sub(canonical("b21_moving_avg"),
           "6 PRECEDING", s"${win - 1} PRECEDING"))
     },
+    "b34_span" -> { r =>
+      val span = Seq(4, 6, 8, 12, 16)(r.nextInt(5)) // EWMA span (2^j weights)
+      Draw("b34_span", s"span=$span",
+        (s, d) => {
+          val daily = Tables.events(s, d)
+            .groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+            .agg(sum(Portable.toFixed(col("value"), 4)).as("fs"))
+          TimeAgg.ewma(daily, "user_id", "day", "fs", span = span, scale = 4)
+            .select(col("user_id"), col("day"),
+              (col("fs").cast("double") / lit(1e4)).as("value_sum"),
+              col("ewma"))
+        },
+        // rebuilt from the drawn span with the same weight scheme the
+        // canonical b34 oracle generator uses (2^(span-1-j), term and
+        // weight dropping together on absent lags)
+        {
+          val top = 1L << (span - 1)
+          val lags = (1 until span).map(j => s"lag(fs, $j) OVER w AS f$j")
+            .mkString(",\n    ")
+          val num = s"CASE WHEN fs IS NOT NULL THEN $top * fs ELSE 0 END" +
+            (1 until span).map(j =>
+              s" + CASE WHEN f$j IS NOT NULL THEN ${1L << (span - 1 - j)} * f$j ELSE 0 END").mkString
+          val den = s"CASE WHEN fs IS NOT NULL THEN $top ELSE 0 END" +
+            (1 until span).map(j =>
+              s" + CASE WHEN f$j IS NOT NULL THEN ${1L << (span - 1 - j)} ELSE 0 END").mkString
+          s"""WITH dly AS (
+             |  SELECT user_id, strftime(ts, '%Y%m%d') AS day,
+             |    sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS fs
+             |  FROM events GROUP BY 1, 2),
+             |l AS (
+             |  SELECT user_id, day, fs,
+             |    $lags
+             |  FROM dly WINDOW w AS (PARTITION BY user_id ORDER BY day))
+             |SELECT user_id, day, CAST(fs AS DOUBLE) / 10000.0 AS value_sum,
+             |  ${sqlPround(s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE) / 10000.0", 4)} AS ewma
+             |FROM l""".stripMargin
+        })
+    },
+    "b35_lag" -> { r =>
+      val k = 1 + r.nextInt(5) // autocorrelation lag
+      Draw("b35_lag", s"lag=$k",
+        (s, d) => {
+          val daily = Tables.events(s, d)
+            .groupBy(col("user_id"), TimeAgg.dayKey(col("ts")).as("day"))
+            .agg(sum(Portable.toFixed(col("value"), 4)).as("fs"))
+          TimeAgg.autocorr(daily, "user_id", "day", "fs", k = k)
+        },
+        sub(sub(canonical("b35_autocorr"),
+          "lag(fs, 1)", s"lag(fs, $k)"), "AS autocorr_1", s"AS autocorr_$k"))
+    },
+    "d9_band" -> { r =>
+      val div = Seq(1000, 5000, 10000, 20000, 50000)(r.nextInt(5))
+      val k = 3 + r.nextInt(13)
+      Draw("d9_band", s"band=$div,k=$k",
+        (s, d) => graft.plans.TopKPerKey(
+          Tables.orders(s, d)
+            .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+            .select(col("c_mktsegment"), col("o_orderkey"),
+              floor(col("o_totalprice") / div).as("price_band")),
+          keys = Seq(col("c_mktsegment")),
+          order = Seq(col("price_band").desc),
+          k = k, rankName = "rnk", mode = graft.plans.TopKMode.Ranked),
+        sub(sub(canonical("d9_topk_rank_ties"),
+          "/ 10000", s"/ $div"), "rnk <= 10", s"rnk <= $k"))
+    },
+    "h16_topn" -> { r =>
+      val n = 2 + r.nextInt(14) // salient terms per doc
+      Draw("h16_topn", s"topn=$n",
+        (s, d) => Curation.topTfidfTerms(Tables.documents(s, d),
+          "doc_id", "text", n),
+        sub(canonical("h16_tfidf_terms"), "rnk <= 5", s"rnk <= $n"))
+    },
+    "b41_win" -> { r =>
+      val w = 2 + r.nextInt(13) // rolling-percentile window, days
+      Draw("b41_win", s"window=${w}d",
+        (s, d) => {
+          val bins = graft.operators.Sketches.histBinCounts(
+            Tables.events(s, d).withColumn("day", TimeAgg.dayKey(col("ts"))),
+            Seq("event_type", "day"), col("value"),
+            lo = 0.0, hi = 600.0, nBins = 600)
+          graft.operators.Sketches.histPercentilesFromBins(
+            graft.operators.Sketches.histRollingBins(
+              bins, Seq("event_type"), "day", window = w),
+            Seq("event_type", "day"),
+            Seq(("p50", 0.5), ("p90", 0.9)),
+            lo = 0.0, hi = 600.0, nBins = 600)
+        },
+        sub(canonical("b41_rolling_pctl"),
+          "BETWEEN 0 AND 6", s"BETWEEN 0 AND ${w - 1}"))
+    },
     "e2_thr" -> { r =>
       val thr = (2 + r.nextInt(11)) * 5 / 100.0 // jaccard threshold [0.10, 0.60]
       val ts = "%.2f".format(thr)
@@ -295,7 +385,7 @@ object Fuzz {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val seed = sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEED", "20260815").toLong
-    val draws = sys.env.getOrElse("SPARK_GRAFT_FUZZ_DRAWS", "34").toInt
+    val draws = sys.env.getOrElse("SPARK_GRAFT_FUZZ_DRAWS", "44").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
