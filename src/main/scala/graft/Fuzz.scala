@@ -49,8 +49,10 @@ object Fuzz {
                         fn: (SparkSession, String) => DataFrame,
                         oracle: String)
 
-  /** One draw per family per call — all randomness flows through `r`. */
-  private def families: Seq[(String, Random => Draw)] = Seq(
+  /** One draw per family per call — all randomness flows through `r`.
+    * private[graft] so FuzzSpec can construct every family's draws
+    * (building a Draw runs the oracle-anchor checks eagerly). */
+  private[graft] def families: Seq[(String, Random => Draw)] = Seq(
     "b5_bucket" -> { r =>
       val w = 1 + r.nextInt(12) // bucket width, hours
       Draw("b5_bucket", s"w=${w}h",
