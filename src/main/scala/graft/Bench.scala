@@ -115,11 +115,18 @@ object Bench {
     // front-truncates, which made per-query regression diffing across
     // rounds impossible from committed artifacts alone (r11 verdict
     // lead item). The file is the durable, machine-readable copy.
-    val queriesOut =
-      sys.env.getOrElse("SPARK_GRAFT_QUERIES_OUT", "bench_queries.json")
+    // A PARTIAL run (SPARK_GRAFT_ONLY set) defaults to /tmp so local
+    // iteration can never silently clobber the committed per-round
+    // artifact at the repo root (ADVICE r12); a full run keeps the
+    // cwd default so the round driver updates the artifact. Either
+    // way the destination is logged prominently.
+    val queriesOut = sys.env.getOrElse("SPARK_GRAFT_QUERIES_OUT",
+      if (only.isDefined) "/tmp/bench_queries.json" else "bench_queries.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(queriesOut))
       try w.println(fullJson) finally w.close()
+      System.err.println(s"[bench] per-query map written to: " +
+        new java.io.File(queriesOut).getAbsolutePath)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $queriesOut: ${e.getMessage}")
     }

@@ -37,10 +37,21 @@ import scala.util.Random
 object Fuzz {
 
   /** Parameter-substituted copy of a canonical oracle: loud when the
-    * anchor text is gone (the canonical SQL changed shape). */
-  private def sub(sql: String, from: String, to: String): String = {
-    require(sql.contains(from),
+    * anchor text is gone (the canonical SQL changed shape) AND when its
+    * occurrence count drifts from the declared expectation — a future
+    * canonical-oracle edit that introduces a second occurrence of a
+    * 1-expected anchor would otherwise silently mutate an unintended
+    * literal while a bare contains() check still passed (ADVICE r12).
+    * Families whose anchor legitimately appears twice (d29's two CASE
+    * arms, d9's two identical band expressions) declare `expected = 2`. */
+  private def sub(sql: String, from: String, to: String,
+                  expected: Int = 1): String = {
+    val found = sql.sliding(from.length).count(_ == from)
+    require(found > 0,
       s"fuzz oracle anchor '$from' not found in canonical SQL — retie it")
+    require(found == expected,
+      s"fuzz oracle anchor '$from' occurs $found times (expected $expected)" +
+        " — the canonical SQL changed shape; retie the substitution")
     sql.replace(from, to)
   }
   private def canonical(name: String): String = SparkEntry.oracleSql(name)
@@ -63,6 +74,13 @@ object Fuzz {
           "INTERVAL '4 hours'", s"INTERVAL '$w hours'"))
     },
     "b8_pctl" -> { r =>
+      // Gate caveat (ADVICE r12): Spark percentile() and DuckDB
+      // quantile_cont both interpolate linearly but may differ in the
+      // last double ulp; a draw whose interpolated value lands within
+      // an ulp of a .00005 boundary can flip the 4th rounded decimal
+      // and FAIL spuriously. A b8 fuzz FAIL must be re-verified with a
+      // tolerance check (|spark-duckdb| <= 1e-4) before being treated
+      // as a real divergence — see the verify skill's fuzz section.
       val pct = 5 + r.nextInt(91) // percentile in [5, 95]
       val p = "0.%02d".format(pct)
       Draw("b8_pctl", s"p=$p",
@@ -194,7 +212,7 @@ object Fuzz {
                 .as("last_totalprice"))
         },
         sub(canonical("d29_asof_tolerance"),
-          "INTERVAL 7 DAY", s"INTERVAL $t DAY")) // both CASE arms
+          "INTERVAL 7 DAY", s"INTERVAL $t DAY", expected = 2)) // both CASE arms
     },
     "b30_bins" -> { r =>
       // bin count restricted to divisors of the 500-wide domain so the
@@ -295,7 +313,7 @@ object Fuzz {
           order = Seq(col("price_band").desc),
           k = k, rankName = "rnk", mode = graft.plans.TopKMode.Ranked),
         sub(sub(canonical("d9_topk_rank_ties"),
-          "/ 10000", s"/ $div"), "rnk <= 10", s"rnk <= $k"))
+          "/ 10000", s"/ $div", expected = 2), "rnk <= 10", s"rnk <= $k"))
     },
     "h16_topn" -> { r =>
       val n = 2 + r.nextInt(14) // salient terms per doc

@@ -3900,6 +3900,12 @@ object SparkEntry {
 
     "b36_twa_interpolated" -> {
       val w = 6L * 3600 * 1000000L
+      // bucket origin 2000-01-03 UTC in µs, matching TimeAgg.timeBucket
+      // (r13 fix — this oracle floored from the Unix epoch before);
+      // ((x) - ((x % w + w) % w)) // w is the exact floor-div-toward-−inf
+      // in DuckDB's C-style % for any sign of x
+      val o = 946857600000000L
+      def fd(x: String) = s"(($x) - ((($x) % $w + $w) % $w)) // $w"
       s"""WITH o AS (
          |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu,
          |    lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
@@ -3909,12 +3915,12 @@ object SparkEntry {
          |seg AS (SELECT * FROM o WHERE nxt IS NOT NULL AND nxt > tu),
          |x AS (
          |  SELECT user_id, v, tu, nxt, u.b AS b
-         |  FROM seg, LATERAL unnest(range(tu // $w, (nxt - 1) // $w + 1)) AS u(b)),
+         |  FROM seg, LATERAL unnest(range(${fd(s"tu - $o")}, ${fd(s"nxt - 1 - $o")} + 1)) AS u(b)),
          |c AS (
          |  SELECT user_id, b,
-         |    least(nxt, (b + 1) * $w) - greatest(tu, b * $w) AS dur, v
+         |    least(nxt, (b + 1) * $w + $o) - greatest(tu, b * $w + $o) AS dur, v
          |  FROM x)
-         |SELECT user_id, make_timestamp(b * $w) AS bucket,
+         |SELECT user_id, make_timestamp(b * $w + $o) AS bucket,
          |  ${sqlPround("CAST(sum(v * dur) AS DOUBLE) / 10000.0 / CAST(sum(dur) AS DOUBLE)", 4)} AS tw_avg,
          |  CAST(sum(dur) AS BIGINT) AS covered_us,
          |  count(*) AS n_segments

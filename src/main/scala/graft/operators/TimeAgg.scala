@@ -454,11 +454,21 @@ object TimeAgg {
     * scope.
     *
     * Exact by construction: clipped durations are integer µs
-    * (`div`-floor bucket indices — no float division near bucket
-    * boundaries), v·dur products sum in decimal(38) (the oracle's
-    * HUGEINT), one IEEE division at the end. The covered duration
-    * (`covered_us`) is reported — interpolated_average divides by the
-    * covered span, NOT the bucket width, so sparse buckets stay honest.
+    * (floor-div bucket indices via `pmod` — exact long arithmetic, no
+    * float division near bucket boundaries; µs magnitudes overflow
+    * double's 53-bit mantissa, so [[timeBucket]]'s double-floor trick
+    * is NOT reused here), v·dur products sum in decimal(38) (the
+    * oracle's HUGEINT), one IEEE division at the end. The covered
+    * duration (`covered_us`) is reported — interpolated_average
+    * divides by the covered span, NOT the bucket width, so sparse
+    * buckets stay honest.
+    *
+    * Bucket ORIGIN is 2000-01-03 UTC like [[timeBucket]] (r13: this
+    * path floored from the Unix epoch until the b36 width-fuzz family
+    * was built — same disease the r12 fuzzer caught in timeBucket, at
+    * the only other bucketing site; the canonical 6 h width divides
+    * the 946857600 s offset, so fixtures never saw it). pmod-floorDiv
+    * keeps pre-origin instants flooring toward −inf (spec-pinned).
     *
     * Shape: ONE entity-partitioned lead window, a per-segment explode
     * over the buckets it spans (output-spine-sized, the gapfill
@@ -485,17 +495,22 @@ object TimeAgg {
       // zero-length holds (same-µs readings) integrate to nothing and
       // would make the bucket sequence DESCEND — drop them here
       .filter(col("__n").isNotNull && col("__n") > col("__t"))
+    // origin-shifted exact floorDiv: (x - pmod(x, w)) / w floors toward
+    // −inf for any sign of x (w > 0) in pure long arithmetic
+    val originUs = 946857600000000L // 2000-01-03 UTC, timeBucket's origin
+    def floorDivW(x: String): String =
+      s"(($x) - pmod($x, ${wUs}L)) div ${wUs}L"
     val perBucket = seg
       .select(col(entity), col("__t"), col("__n"), col("__v"),
         explode(sequence(
-          expr(s"__t div ${wUs}L"),
-          expr(s"(__n - 1) div ${wUs}L"))).as("__b"))
+          expr(floorDivW(s"__t - ${originUs}L")),
+          expr(floorDivW(s"__n - 1 - ${originUs}L")))).as("__b"))
       .withColumn("__dur",
-        least(col("__n"), (col("__b") + 1) * lit(wUs)) -
-          greatest(col("__t"), col("__b") * lit(wUs)))
+        least(col("__n"), (col("__b") + 1) * lit(wUs) + lit(originUs)) -
+          greatest(col("__t"), col("__b") * lit(wUs) + lit(originUs)))
     perBucket
       .groupBy(col(entity),
-        timestamp_micros(col("__b") * lit(wUs)).as("bucket"))
+        timestamp_micros(col("__b") * lit(wUs) + lit(originUs)).as("bucket"))
       .agg(
         sum((col("__v").cast(dec) * col("__dur")).cast(dec)).as("__num"),
         sum(col("__dur")).as("covered_us"),

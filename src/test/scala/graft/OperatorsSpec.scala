@@ -831,6 +831,30 @@ class TwaInterpolatedSpec extends SparkSpec {
     assert(got(2L) == (9.0, 6000000L, 1L))
   }
 
+  test("twaInterpolated buckets align to the 2000-01-03 origin, not the epoch") {
+    // r13: width 7 s does NOT divide the 946857600 s origin offset
+    // (946857600 % 7 = 6), so epoch-aligned and origin-aligned buckets
+    // DIFFER — the same disease the r12 fuzzer caught in timeBucket,
+    // at the only other bucketing site. A hold over [origin+1s,
+    // origin+8s) must split at origin+7s (origin-aligned boundary),
+    // not at the epoch-aligned 7s grid.
+    val originUs = 946857600000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+    val df = Seq(
+      (1L, ts(originUs + 1000000L), 1L, 2.0),
+      (1L, ts(originUs + 8000000L), 2L, 4.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = TimeAgg.twaInterpolated(df, "user_id", "ts", Seq("event_id"),
+        "value", bucketSeconds = 7, scale = 4)
+      .select((unix_micros(col("bucket")) - originUs).as("rel"),
+        col("tw_avg"), col("covered_us"))
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // bucket [origin, origin+7s): 6 s of 2.0; bucket [origin+7s, ...): 1 s
+    assert(got == Map(0L -> ((2.0, 6000000L)), 7000000L -> ((2.0, 1000000L))),
+      s"got $got")
+  }
+
   test("twaInterpolated == b19 when no hold crosses a bucket boundary") {
     def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
     // all activity inside one 1h bucket: the interpolated TWA must
