@@ -32,8 +32,17 @@ import scala.util.Random
   * `python3 tools/check_oracle.py SF_DIR OUT_DIR`. Knobs:
   * `SPARK_GRAFT_FUZZ_SEED` (default 20260815 — logged in the stdout
   * JSON line and in `fuzz_params.json`), `SPARK_GRAFT_FUZZ_DRAWS`
-  * (default 44, round-robin over the 22 families so every family gets
-  * 2 draws at the default). */
+  * (default 2x the family count, round-robin so every family gets 2
+  * draws at the default).
+  *
+  * r13 adds DATA-SHAPE fuzzing beside parameter fuzzing
+  * ([[dataFamilies]]): both real bugs of the r12 cycle were data-shape
+  * bugs the parameter fuzzer could never catch because it holds the
+  * fixture constant. A data-shape draw REDRAWS THE INPUT parquet from
+  * the logged seed (NULL densities, empty groups, single-event
+  * entities, all-tied orderings, pre-2000 timestamps) into a temp dir,
+  * runs the UNCHANGED canonical query and oracle over it, and checks
+  * the same way — the oracle text is constant, the data varies. */
 object Fuzz {
 
   /** Parameter-substituted copy of a canonical oracle: loud when the
@@ -400,12 +409,386 @@ object Fuzz {
           Seq("lang"), col("n_tokens"), col("quality_score"), col("doc_id"),
           budget = b.toLong),
         sub(canonical("k4_token_budget"), "<= 3000", s"<= $b"))
+    },
+    // ---- r13 families (verdict next-round #3): gapfill geometry,
+    // twa bucket widths (the site of this round's origin fix), funnel
+    // windows, LTTB buckets, cusum thresholds, temperature totals,
+    // interval-band geometry
+    "b6_width" -> { r =>
+      val w = 1 + r.nextInt(6) // gapfill bucket width, hours — widths
+      // not dividing the 946857600 s origin offset (5h) exercise the
+      // r12 time_bucket origin fix through the whole gapfill spine
+      Draw("b6_width", s"w=${w}h",
+        (s, d) => {
+          val hourly = Tables.events(s, d)
+            .groupBy(col("user_id"),
+              TimeAgg.timeBucket(col("ts"), w * 3600L).as("bucket"))
+            .agg(count(lit(1)).as("n_events"),
+              Portable.fixedAvg(col("value"), 4).as("avg_value"))
+          TimeAgg.gapfillLocf(hourly, "user_id", "bucket", w * 3600L,
+              fillZero = Seq("n_events"), locf = Seq("avg_value"))
+            .withColumn("bucket", col("bucket").cast("string"))
+        },
+        sub(sub(canonical("b6_gapfill_locf"),
+          "INTERVAL '1 hour'", s"INTERVAL '$w hours'"),
+          "INTERVAL 1 HOUR", s"INTERVAL $w HOUR"))
+    },
+    "b11_bounds" -> { r =>
+      val startDay = 8 + r.nextInt(7) // Jan 8–14
+      val startHour = Seq(0, 6, 12)(r.nextInt(3))
+      val spanDays = 1 + r.nextInt(3)
+      val startLit = f"2024-01-$startDay%02d $startHour%02d:00:00"
+      val endLit = f"2024-01-${startDay + spanDays}%02d $startHour%02d:00:00"
+      Draw("b11_bounds", s"start=$startLit,span=${spanDays}d",
+        (s, d) => {
+          val hourly = Tables.events(s, d)
+            .groupBy(col("user_id"),
+              TimeAgg.timeBucket(col("ts"), 3600).as("bucket"))
+            .agg(count(lit(1)).as("n_events"),
+              Portable.fixedAvg(col("value"), 4).as("avg_value"))
+          TimeAgg.gapfillLocf(hourly, "user_id", "bucket", 3600,
+              fillZero = Seq("n_events"), locf = Seq("avg_value"),
+              bounds = Some((lit(startLit).cast("timestamp"),
+                lit(endLit).cast("timestamp"))))
+            .withColumn("bucket", col("bucket").cast("string"))
+        },
+        // two-phase: a drawn literal can EQUAL the other bound's anchor
+        // (e.g. start drawn as Jan 13) — placeholders keep the two
+        // substitutions from colliding
+        sub(sub(sub(sub(canonical("b11_gapfill_bounded"),
+          "2024-01-10 00:00:00", "START", expected = 2),
+          "2024-01-13 00:00:00", "END", expected = 2),
+          "START", startLit, expected = 2),
+          "END", endLit, expected = 2))
+    },
+    "b36_width" -> { r =>
+      // widths 5h/7h/10h/11h do NOT divide the origin offset — this
+      // family is the regression pin for the r13 twaInterpolated
+      // origin fix (epoch-floor diverges at exactly these widths)
+      val w = 1 + r.nextInt(12) // hours
+      Draw("b36_width", s"w=${w}h",
+        (s, d) => TimeAgg.twaInterpolated(Tables.events(s, d), "user_id",
+          "ts", Seq("event_id"), "value",
+          bucketSeconds = w * 3600L, scale = 4),
+        sub(canonical("b36_twa_interpolated"),
+          "21600000000", (w * 3600L * 1000000L).toString, expected = 11))
+    },
+    "c9_window" -> { r =>
+      val w = 300 + r.nextInt(6901) // funnel window seconds
+      Draw("c9_window", s"window=${w}s",
+        (s, d) => Sessionize.funnel(Tables.events(s, d), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          windowSeconds = w.toLong),
+        sub(canonical("c9_funnel"),
+          "INTERVAL 3600 SECOND", s"INTERVAL $w SECOND", expected = 2))
+    },
+    "c16_window" -> { r =>
+      val w = 300 + r.nextInt(6901)
+      Draw("c16_window", s"window=${w}s",
+        (s, d) => Sessionize.funnelTimes(Tables.events(s, d), "user_id",
+          "ts", "event_type", Seq("view", "click", "purchase"), w.toLong),
+        sub(canonical("c16_funnel_times"),
+          "INTERVAL 3600 SECOND", s"INTERVAL $w SECOND", expected = 2))
+    },
+    "b24_buckets" -> { r =>
+      val n = 4 + r.nextInt(27) // LTTB output buckets per series
+      Draw("b24_buckets", s"buckets=$n",
+        (s, d) => TimeAgg.downsampleLttb(
+          Tables.events(s, d).select("user_id", "ts", "value", "event_id"),
+          "user_id", "ts", "value", "event_id", nBuckets = n, scale = 2),
+        sub(canonical("b24_downsample_lttb"),
+          "* 10 // (mx - mn + 1)", s"* $n // (mx - mn + 1)"))
+    },
+    "dq9_thr" -> { r =>
+      val t = 5 + r.nextInt(96) // CUSUM alarm threshold (per-day units)
+      Draw("dq9_thr", s"threshold=$t",
+        (s, d) => DataQuality.cusumChangepoints(Tables.events(s, d),
+          Seq("event_type"), "ts", slack = 0, threshold = t),
+        sub(canonical("dq9_cusum"), "nd * 30", s"nd * $t", expected = 2))
+    },
+    "k10_total" -> { r =>
+      val t = Seq(50, 100, 150, 300, 400)(r.nextInt(5))
+      Draw("k10_total", s"total=$t",
+        (s, d) => Curation.temperatureSample(Tables.documents(s, d),
+          "source", col("doc_id"), total = t.toLong, salt = "|temp1"),
+        sub(sub(canonical("k10_temperature_sample"),
+          "(200 * u)", s"($t * u)", expected = 2),
+          "200 - sum(b)", s"$t - sum(b)"))
+    },
+    "d33_bands" -> { r =>
+      // band geometry: the silver/gold boundary moves (semantic), and
+      // the bucketWidth moves INDEPENDENTLY (a pure plan knob — the
+      // result must be identical at any width; the oracle only ever
+      // sees the boundary)
+      val m = Seq(100, 150, 200, 250, 300)(r.nextInt(5))
+      val bw = Seq(10.0, 25.0, 50.0)(r.nextInt(3))
+      Draw("d33_bands", s"mid=$m,bucketWidth=$bw",
+        (s, d) => {
+          import s.implicits._
+          val bands = Seq(
+            ("bronze", 0.0, 50.0), ("silver", 50.0, m.toDouble),
+            ("gold", m.toDouble, 1000.0))
+            .toDF("tier", "lo", "hi")
+          graft.operators.TemporalJoin.intervalLookup(
+              Tables.events(s, d).select("event_id", "user_id", "value"),
+              bands, "value", "lo", "hi", bucketWidth = bw)
+            .select(col("event_id"), col("user_id"),
+              Portable.pround(col("value"), 4).as("value"), col("tier"))
+        },
+        sub(canonical("d33_interval_lookup"),
+          "200.0", s"$m.0", expected = 2))
+    })
+
+  // =================== data-shape fuzzing (r13) ===================
+  // Both real bugs of the r12 cycle (t-closeness NULL mass, the DQ16
+  // fixture before it) were DATA-shape bugs — the parameter fuzzer
+  // holds the fixture constant, so it can never catch the next one.
+  // A data draw redraws the INPUT table from the logged seed into a
+  // per-draw dir, runs the UNCHANGED canonical query (straight from
+  // SparkEntry.queries) over it, and records the UNCHANGED canonical
+  // oracle; check_oracle.py re-points its DuckDB views at the draw's
+  // dir via the data_dirs.json sidecar. Redrawn shapes: NULL densities
+  // in sensitive/value columns, empty/singleton groups, single-event
+  // entities, all-tied orderings, window/session boundary hits, and
+  // pre-2000 timestamps (the origin floor-toward−inf edge at scale).
+
+  final case class DataDraw(family: String, params: String,
+                            queryName: String,
+                            write: (SparkSession, String) => Unit)
+
+  private def ldt(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L),
+      (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+
+  // writers mirror the driver testdata schemas exactly (events.ts is
+  // TIMESTAMP_NTZ micros — LocalDateTime encodes to precisely that)
+  private type EvRow =
+    (Long, java.time.LocalDateTime, Long, String, Option[Double], String)
+  private def writeEvents(rows: Seq[EvRow])(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+  private type CustRow =
+    (Long, String, Option[Int], Option[Double], Option[String])
+  private def writeCustomer(rows: Seq[CustRow])(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+  }
+  private type DocRow = (Long, Option[String], String, String, Long)
+  private def writeDocs(rows: Seq[DocRow])(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  private val SEGS =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD")
+  private val ETYPES = Seq("view", "click", "purchase", "error")
+  private val ORIGIN_US = 946857600000000L // 2000-01-03 UTC
+  private val JAN10_US = 1704844800000000L // 2024-01-10 UTC
+
+  /** One DataDraw per family per call — all randomness at draw time so
+    * the written parquet is a pure function of the seed. */
+  private[graft] def dataFamilies: Seq[(String, Random => DataDraw)] = Seq(
+    "dqd17_nulls" -> { r =>
+      // the r12 t-closeness bug's habitat: NULL-dense sensitive column,
+      // NULL bands, classes that are entirely NULL-sensitive
+      val n = 300 + r.nextInt(900)
+      val nNation = 2 + r.nextInt(5)
+      val pNullSeg = 0.05 + r.nextDouble() * 0.55
+      val pNullBal = r.nextDouble() * 0.3
+      val rows = (1L to n).map { i =>
+        (i, s"c$i", Some(r.nextInt(nNation)),
+          if (r.nextDouble() < pNullBal) None
+          else Some(-2000.0 + r.nextDouble() * 8000.0),
+          if (r.nextDouble() < pNullSeg) None
+          else Some(SEGS(r.nextInt(SEGS.size))))
+      }
+      DataDraw("dqd17_nulls",
+        f"n=$n,nations=$nNation,pNullSeg=$pNullSeg%.2f,pNullBal=$pNullBal%.2f",
+        "dq17_t_closeness", writeCustomer(rows))
+    },
+    "dqd10_classes" -> { r =>
+      // heavy-tail class sizes: singletons by the hundred next to a few
+      // huge classes, plus NULL quasi-identifiers
+      val n = 200 + r.nextInt(1000)
+      val pNullNat = r.nextDouble() * 0.2
+      val pSingleton = 0.3 + r.nextDouble() * 0.5
+      val rows = (1L to n).map { i =>
+        val nat =
+          if (r.nextDouble() < pNullNat) None
+          else if (r.nextDouble() < pSingleton) Some(1000 + i.toInt) // unique
+          else Some(r.nextInt(3))
+        (i, s"c$i", nat, Some(-2000.0 + r.nextDouble() * 8000.0),
+          Some(SEGS(r.nextInt(SEGS.size))))
+      }
+      DataDraw("dqd10_classes",
+        f"n=$n,pNullNat=$pNullNat%.2f,pSingleton=$pSingleton%.2f",
+        "dq10_k_anonymity", writeCustomer(rows))
+    },
+    "bd5_pre2000" -> { r =>
+      // timestamps STRADDLING the 2000-01-03 bucket origin: pre-origin
+      // instants must floor toward −inf on both engines, at data scale
+      val n = 1000 + r.nextInt(2000)
+      val users = 5 + r.nextInt(40)
+      val lo = 942624000000000L // 1999-11-15
+      val hi = 947894400000000L // 2000-01-15
+      val rows = (1L to n).map { i =>
+        (i, ldt(lo + (r.nextDouble() * (hi - lo)).toLong),
+          1L + r.nextInt(users), ETYPES(r.nextInt(ETYPES.size)),
+          Some(r.nextDouble() * 500.0), "")
+      }
+      DataDraw("bd5_pre2000", s"n=$n,users=$users,span=1999-11-15..2000-01-15",
+        "b5_agg_hourly_bucket", writeEvents(rows))
+    },
+    "bd36_edges" -> { r =>
+      // twa edge soup: same-µs readings (zero-length holds), readings
+      // within ±2 µs of 6 h bucket boundaries, single-event entities,
+      // pre-origin clusters — the r13 origin fix's habitat
+      val users = 10 + r.nextInt(15)
+      var eid = 0L
+      val rows = (1L to users).flatMap { u =>
+        val k = 1 + r.nextInt(30)
+        var t = ORIGIN_US + (r.nextInt(400) - 200).toLong * 21600000000L +
+          r.nextInt(5) - 2L
+        (1 to k).map { _ =>
+          eid += 1
+          // 30%: exact same µs as previous; else jump near a boundary
+          if (r.nextDouble() >= 0.3)
+            t += r.nextInt(3) * 21600000000L + (r.nextInt(5) - 2).toLong + 1L
+          (eid, ldt(t), u, "view", Some(r.nextDouble() * 100.0), "")
+        }
+      }
+      DataDraw("bd36_edges", s"users=$users,rows=${rows.size}",
+        "b36_twa_interpolated", writeEvents(rows))
+    },
+    "dd5_ties" -> { r =>
+      // sessionize boundary pressure: gaps of exactly 1799/1800/1801 s
+      // (the canonical splits strictly > 1800), zero-gap ties, and
+      // single-event entities
+      val users = 30 + r.nextInt(50)
+      val gaps = Seq(0L, 1L, 1799L, 1800L, 1801L, 3600L)
+      var eid = 0L
+      val rows = (1L to users).flatMap { u =>
+        val k = 1 + r.nextInt(6)
+        var t = JAN10_US + u * 86400000000L
+        (1 to k).map { j =>
+          eid += 1
+          if (j > 1) t += gaps(r.nextInt(gaps.size)) * 1000000L
+          (eid, ldt(t), u, ETYPES(r.nextInt(ETYPES.size)),
+            Some(r.nextDouble() * 100.0), "")
+        }
+      }
+      DataDraw("dd5_ties", s"users=$users,rows=${rows.size}",
+        "d5_sessionize", writeEvents(rows))
+    },
+    "cd9_boundaries" -> { r =>
+      // funnel step-boundary pressure: clicks at EXACTLY the anchor ts
+      // (>= includes equality), conversions at exactly window seconds
+      // (<= includes the edge), steps out of order, steps missing
+      val users = 40 + r.nextInt(60)
+      val deltas = Seq(-10L, 0L, 1L, 3599L, 3600L, 3601L)
+      var eid = 0L
+      val rows = (1L to users).flatMap { u =>
+        val t0 = JAN10_US + u * 7200000000L
+        val b = scala.collection.mutable.ArrayBuffer[EvRow]()
+        def emit(tp: String, atUs: Long): Unit = {
+          eid += 1
+          b += ((eid, ldt(atUs), u, tp, Some(r.nextDouble() * 10.0), ""))
+        }
+        if (r.nextDouble() >= 0.2) emit("view", t0)
+        if (r.nextDouble() >= 0.3) {
+          val d1 = deltas(r.nextInt(deltas.size))
+          emit("click", t0 + d1 * 1000000L)
+          if (r.nextDouble() >= 0.4) {
+            val d2 = deltas(r.nextInt(deltas.size))
+            emit("purchase", t0 + (d1 + d2) * 1000000L)
+          }
+        }
+        if (r.nextDouble() < 0.3) emit("error", t0 + r.nextInt(7200) * 1000000L)
+        b.toSeq
+      }
+      DataDraw("cd9_boundaries", s"users=$users,rows=${rows.size}",
+        "c9_funnel", writeEvents(rows))
+    },
+    "bd6_sparse" -> { r =>
+      // gapfill stress: single-observation entities (1-bucket spine),
+      // two observations up to ~5 days apart (long spine explode), and
+      // NULL-valued readings (an observed NULL must NOT update LOCF on
+      // either engine — ignore-nulls parity)
+      val users = 20 + r.nextInt(30)
+      val pNull = r.nextDouble() * 0.5
+      var eid = 0L
+      val rows = (1L to users).flatMap { u =>
+        val k = 1 + r.nextInt(3)
+        var t = JAN10_US + u * 3600000000L
+        (1 to k).map { j =>
+          eid += 1
+          if (j > 1) t += (1L + r.nextInt(120)) * 3600000000L
+          (eid, ldt(t + r.nextInt(3600) * 1000000L), u, "view",
+            if (r.nextDouble() < pNull) None else Some(r.nextDouble() * 100.0),
+            "")
+        }
+      }
+      DataDraw("bd6_sparse", f"users=$users,rows=${rows.size},pNull=$pNull%.2f",
+        "b6_gapfill_locf", writeEvents(rows))
+    },
+    "ed1_dups" -> { r =>
+      // exact-dedup shape: duplicate clusters of drawn size, empty and
+      // whitespace-only texts, unicode, NULL texts, shuffled ids (the
+      // keeper is min(doc_id), so id order must not leak into grouping)
+      val nClusters = 20 + r.nextInt(60)
+      val specials =
+        Seq(Some(""), Some(" "), Some("\t\n"), Some("héllo wörld ✓"), None)
+      val texts = (1 to nClusters).flatMap { c =>
+        val size = 1 + r.nextInt(6)
+        val t =
+          if (r.nextDouble() < 0.15) specials(r.nextInt(specials.size))
+          else Some(s"doc body $c " + r.alphanumeric.take(20).mkString)
+        Seq.fill(size)(t)
+      }
+      val ids = r.shuffle((1L to texts.size.toLong).toList)
+      val rows = texts.zip(ids).map { case (t, id) =>
+        (id, t, Seq("en", "fr", "de")(r.nextInt(3)),
+          s"src${r.nextInt(4)}", t.map(_.length.toLong).getOrElse(0L))
+      }
+      DataDraw("ed1_dups", s"clusters=$nClusters,rows=${rows.size}",
+        "e1_dedup_exact", writeDocs(rows))
+    },
+    "bd20_ties" -> { r =>
+      // first/last under ALL-TIED orderings: whole (user, day) groups
+      // at one identical µs (tie-break falls entirely to event_id) and
+      // NULL values sitting AT the first/last positions
+      val users = 10 + r.nextInt(20)
+      val pNull = 0.1 + r.nextDouble() * 0.3
+      var eid = 0L
+      val rows = (1L to users).flatMap { u =>
+        (0 until 3).flatMap { day =>
+          val k = 1 + r.nextInt(8)
+          val base = JAN10_US + day * 86400000000L + r.nextInt(3600) * 1000000L
+          val allTied = r.nextDouble() < 0.5
+          (1 to k).map { j =>
+            eid += 1
+            val t = if (allTied) base else base + r.nextInt(2) * 1000000L
+            (eid, ldt(t), u, "view",
+              if (r.nextDouble() < pNull) None
+              else Some(r.nextDouble() * 100.0), "")
+          }
+        }
+      }
+      DataDraw("bd20_ties", f"users=$users,rows=${rows.size},pNull=$pNull%.2f",
+        "b20_first_last", writeEvents(rows))
     })
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val seed = sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEED", "20260815").toLong
-    val draws = sys.env.getOrElse("SPARK_GRAFT_FUZZ_DRAWS", "44").toInt
+    val draws = sys.env.get("SPARK_GRAFT_FUZZ_DRAWS").map(_.toInt)
+      .getOrElse(2 * (families.size + dataFamilies.size))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -420,19 +803,39 @@ object Fuzz {
 
     val rng = new Random(seed)
     val fams = families
-    // round-robin so every family is hit; each draw gets fresh randomness
-    val cases = (0 until draws).map { i =>
-      val (fam, gen) = fams(i % fams.size)
-      val d = gen(rng)
-      (f"fz$i%02d_$fam", d)
+    val dfams = dataFamilies
+    val total = fams.size + dfams.size
+    // round-robin over param + data families so every family is hit;
+    // each draw gets fresh randomness. Param draws are fzNN_, data
+    // draws fzdNN_ (the verify skill's triage section keys off this).
+    val cases: Seq[(String, Either[Draw, DataDraw])] = (0 until draws).map { i =>
+      val j = i % total
+      if (j < fams.size) {
+        val (fam, gen) = fams(j)
+        (f"fz$i%02d_$fam", Left(gen(rng)))
+      } else {
+        val (fam, gen) = dfams(j - fams.size)
+        (f"fzd$i%02d_$fam", Right(gen(rng)))
+      }
     }
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    cases.foreach { case (name, d) =>
-      try d.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val dataDirs = scala.collection.mutable.LinkedHashMap[String, String]()
+    cases.foreach { case (name, c) =>
+      try c match {
+        case Left(d) =>
+          d.fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        case Right(dd) =>
+          val dataDir = s"$outDir/${name}__data"
+          dd.write(spark, dataDir)
+          dataDirs(name) = dataDir
+          // the CANONICAL query, untouched, pointed at the drawn data
+          SparkEntry.queries(dd.queryName)(spark, dataDir)
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         failed += name
-        System.err.println(s"[fuzz] $name (${d.params}) failed: ${e.getMessage}")
+        val p = c.fold(_.params, _.params)
+        System.err.println(s"[fuzz] $name ($p) failed: ${e.getMessage}")
       }
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
@@ -449,14 +852,21 @@ object Fuzz {
       case c => c.toString
     } + "\""
     val oracleJson = cases
-      .map { case (n, d) => s"${q(n)}: ${q(d.oracle)}" }
+      .map { case (n, c) =>
+        s"${q(n)}: ${q(c.fold(_.oracle, dd => canonical(dd.queryName)))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
     val paramsJson = cases
-      .map { case (n, d) => s"${q(n)}: ${q(d.params)}" }
+      .map { case (n, c) => s"${q(n)}: ${q(c.fold(_.params, _.params))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/fuzz_params.json"),
       s"""{"seed": $seed, "draws": $draws, "params": $paramsJson}""")
+    // data-shape draws: which dir each query's DuckDB views must read
+    // from (check_oracle.py re-points its views per entry)
+    val dataDirsJson = dataDirs
+      .map { case (n, dir) => s"${q(n)}: ${q(dir)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/data_dirs.json"), dataDirsJson)
     val errs = failed.map(q).mkString("[", ",", "]")
     println(s"""{"metric":"fuzz","seed":$seed,"draws":$draws,"failed":$errs,"params":$paramsJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -4341,11 +4341,18 @@ object SparkEntry {
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
 
     "c16_funnel_times" -> {
-      def agg(src: String, t: String, anchor: String) =
+      // seconds via exact BIGINT µs diff then ONE division — epoch()
+      // returns ~1.7e9-scale DOUBLE seconds whose sub-µs rounding can
+      // nudge an exactly-half-way value across pround's .00005 boundary
+      // (found by the r13 c16_window fuzz family); the engine computes
+      // (unix_micros - unix_micros) / 1e6, and now so does the oracle
+      def agg(src: String, t: String, anchor: String) = {
+        val secs = s"CAST(epoch_us($t) - epoch_us($anchor) AS DOUBLE) / 1000000.0"
         s"""SELECT count(*) AS n_entities,
-           |  ${sqlPround(s"quantile_cont(epoch($t) - epoch($anchor), 0.5)", 4)} AS median_s,
-           |  ${sqlPround(s"quantile_cont(epoch($t) - epoch($anchor), 0.9)", 4)} AS p90_s
+           |  ${sqlPround(s"quantile_cont($secs, 0.5)", 4)} AS median_s,
+           |  ${sqlPround(s"quantile_cont($secs, 0.9)", 4)} AS p90_s
            |FROM $src""".stripMargin
+      }
       s"""WITH s1 AS (
          |  SELECT user_id, min(ts) AS t1 FROM events
          |  WHERE event_type = 'view' GROUP BY 1),

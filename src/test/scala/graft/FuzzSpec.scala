@@ -17,7 +17,7 @@ class FuzzSpec extends AnyFunSuite {
 
   test("every family constructs valid draws across 25 seeds (anchors hold)") {
     val fams = Fuzz.families
-    assert(fams.size >= 22, s"family count shrank to ${fams.size}")
+    assert(fams.size >= 31, s"family count shrank to ${fams.size}")
     assert(fams.map(_._1).distinct.size == fams.size, "duplicate family names")
     for (seed <- 0 until 25) {
       val r = new Random(seed)
@@ -47,6 +47,44 @@ class FuzzSpec extends AnyFunSuite {
     def all(seed: Long) = {
       val r = new Random(seed)
       Fuzz.families.map { case (_, gen) => val d = gen(r); (d.params, d.oracle) }
+    }
+    assert(all(42L) == all(42L))
+    assert(all(42L) != all(43L))
+  }
+
+  test("data-shape families: canonical ties hold, params move with the seed") {
+    val dfams = Fuzz.dataFamilies
+    assert(dfams.size >= 9, s"data-family count shrank to ${dfams.size}")
+    assert(dfams.map(_._1).distinct.size == dfams.size, "duplicate family names")
+    for (seed <- 0 until 10) {
+      val r = new Random(seed)
+      dfams.foreach { case (name, gen) =>
+        val d = gen(r)
+        assert(d.family == name)
+        assert(d.params.nonEmpty, s"$name: empty params at seed $seed")
+        // the tie IS the canonical inventory: the query fn and oracle
+        // both come straight from SparkEntry — a renamed query key
+        // fails here, at spec time, not at the next fuzz run
+        assert(SparkEntry.queries.contains(d.queryName),
+          s"$name: queryName '${d.queryName}' not in SparkEntry.queries")
+        assert(SparkEntry.oracleSql.contains(d.queryName),
+          s"$name: queryName '${d.queryName}' has no canonical oracle")
+      }
+    }
+    // decorative-draw guard (data edition): the seed must actually move
+    // the drawn data shape — params strings differ across 10 seeds
+    dfams.foreach { case (name, gen) =>
+      val r = new Random(11)
+      val distinctParams = (0 until 10).map(_ => gen(r).params).distinct
+      assert(distinctParams.size >= 2,
+        s"$name: seed never moved the data shape across 10 draws")
+    }
+  }
+
+  test("data-shape draws are deterministic in the seed") {
+    def all(seed: Long) = {
+      val r = new Random(seed)
+      Fuzz.dataFamilies.map { case (_, gen) => gen(r).params }
     }
     assert(all(42L) == all(42L))
     assert(all(42L) != all(43L))

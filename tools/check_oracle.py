@@ -13,12 +13,34 @@ import numpy as np
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
 
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
+for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# data-shape fuzz draws (r13): per-query table-dir overrides — the
+# oracle SQL is canonical, the DATA varies; views re-point per entry
+try:
+    data_dirs = json.load(open(f"{out_dir}/data_dirs.json"))
+except FileNotFoundError:
+    data_dirs = {}
+
+def connect_for(name):
+    ddir = data_dirs.get(name)
+    if ddir is None:
+        return con
+    c = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(ddir, f"{t}.parquet")
+        if os.path.isdir(p):  # Spark writes a directory of part files
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        else:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return c
 try:
     no_oracle_reasons = json.load(open(f"{out_dir}/no_oracle_reasons.json"))
 except FileNotFoundError:
@@ -42,6 +64,8 @@ for name in sorted(os.listdir(out_dir)):
     path = os.path.join(out_dir, name)
     if not os.path.isdir(path):
         continue
+    if name.endswith("__data"):  # a data-shape draw's input tables
+        continue
     if only and name not in only:
         continue
     got = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{path}/*.parquet")],
@@ -50,7 +74,7 @@ for name in sorted(os.listdir(out_dir)):
         skips.append((name, len(got)))
         continue
     try:
-        want = con.execute(oracle[name]).df()
+        want = connect_for(name).execute(oracle[name]).df()
     except Exception as e:
         fails.append((name, f"oracle SQL error: {e}"))
         continue
