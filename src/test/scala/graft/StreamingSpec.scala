@@ -14,21 +14,55 @@ class StreamingSpec extends SparkSpec {
   }
 
   /** Shared arrival fixture for streaming==batch maintenance specs:
-    * land `df` into `dir` split at its median event time into two
-    * sequential micro-batches (the cursor-order delivery contract a
-    * change-stream source provides), calling `afterEach` — in practice
-    * `q.processAllAvailable()` — after each split lands. */
+    * land `df` into `dir` split into sequential micro-batches (the
+    * cursor-order delivery contract a change-stream source provides),
+    * calling `afterEach` — in practice `q.processAllAvailable()` —
+    * after each split lands.
+    *
+    * r12 verdict next-round #5: the split COUNT (2–4) and split POINTS
+    * (random quantiles of the split column) are drawn from a logged
+    * seed (`SPARK_GRAFT_STREAM_FUZZ_SEED`, annotated into every
+    * failure message by `withFixture`) instead of the old fixed
+    * median — a state bug that only shows at an unlucky arrival
+    * boundary (a split exactly at a session gap or SCD2 flip instant)
+    * now has fresh chances every seed, while any one run stays fully
+    * reproducible (per-call RNG = seed + call index, and tests run
+    * sequentially in declaration order). Quantile cuts can coincide —
+    * an empty micro-batch is a legal (and useful) arrival. */
   private def landTimeSplit(df: org.apache.spark.sql.DataFrame, dir: String,
                             tsCol: String = "ts")(afterEach: () => Unit): Unit = {
-    val cut = df.agg(expr(s"percentile_approx(cast($tsCol as double), 0.5)"))
-      .head().getDouble(0)
-    df.filter(col(tsCol).cast("double") <= cut).coalesce(1)
-      .write.mode("overwrite").parquet(dir)
-    afterEach()
-    df.filter(col(tsCol).cast("double") > cut).coalesce(1)
-      .write.mode("append").parquet(dir)
-    afterEach()
+    val r = StreamFuzz.nextRng()
+    val nBatches = 2 + r.nextInt(3)
+    val qs = Seq.fill(nBatches - 1)(0.1 + r.nextDouble() * 0.8).sorted
+    val cuts = df
+      .agg(expr(s"percentile_approx(cast($tsCol as double), " +
+        s"array(${qs.mkString(", ")}), 10000)"))
+      .head().getSeq[Double](0)
+    val v = col(tsCol).cast("double")
+    val batches = (Option.empty[Double] +: cuts.map(Option(_)))
+      .zip(cuts.map(Option(_)) :+ Option.empty[Double])
+      .map { case (lo, hi) =>
+        (lo.map(v > _).getOrElse(lit(true))
+          && hi.map(v <= _).getOrElse(lit(true)))
+      }
+    batches.zipWithIndex.foreach { case (pred, i) =>
+      df.filter(pred).coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(dir)
+      afterEach()
+    }
   }
+
+  /** Every failure carries the stream-fuzz seed so an unlucky-boundary
+    * repro is one env var away. */
+  override def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    super.withFixture(test) match {
+      case org.scalatest.Failed(ex) =>
+        org.scalatest.Failed(new Exception(
+          s"[stream-fuzz seed=${StreamFuzz.seed} — rerun with " +
+            s"SPARK_GRAFT_STREAM_FUZZ_SEED=${StreamFuzz.seed}] " +
+            ex.getMessage, ex))
+      case o => o
+    }
 
   /** Run an update-mode maintained-table stream, upserting each emitted
     * row into a keyed map (the idempotent keyed-sink contract of
@@ -1479,4 +1513,18 @@ class StreamingSpec extends SparkSpec {
     assert(gotS.exceptAll(wantS).count() == 0 &&
       wantS.exceptAll(gotS).count() == 0)
   }
+}
+
+/** Seed plumbing for the randomized arrival splits (r12 verdict
+  * next-round #5). One RNG per landTimeSplit CALL, derived as
+  * `seed + callIndex` — reproducible for a whole `sbt test` run
+  * because ScalaTest executes these suites' tests sequentially in
+  * declaration order, and robust to a test being run in isolation
+  * only in WHICH draws it sees, never in whether a draw is valid. */
+object StreamFuzz {
+  val seed: Long = sys.env.get("SPARK_GRAFT_STREAM_FUZZ_SEED")
+    .map(_.toLong).getOrElse(20260815L)
+  private val calls = new java.util.concurrent.atomic.AtomicLong
+  def nextRng(): scala.util.Random =
+    new scala.util.Random(seed + calls.getAndIncrement())
 }
