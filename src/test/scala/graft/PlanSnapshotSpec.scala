@@ -1,0 +1,82 @@
+package graft
+
+/** Golden plan-shape snapshot gate (r12 verdict next-round #6).
+  *
+  * Compares live executed-plan fingerprints of [[PlanSnap.snapQueries]]
+  * against the LAST COMMITTED `PLANS_r*.json` at the repo root. A
+  * Spark upgrade or refactor that silently adds an exchange / flips a
+  * join strategy / breaks a codegen span in an already-shipped query
+  * fails HERE with the operator-count diff.
+  *
+  * Intentional-change workflow (also in README): add the query name to
+  * [[allowedChanges]] with a one-line reason, regenerate the snapshot
+  * (`SPARK_GRAFT_WRITE_PLANS=PLANS_r{N}.json sbt "testOnly
+  * graft.PlanSnapshotSpec"`), commit both, then EMPTY the allowlist in
+  * the same commit — the allowlist is a one-commit turnstile, never a
+  * standing exemption. */
+class PlanSnapshotSpec extends SparkSpec {
+
+  /** One-commit turnstile for intentional plan changes: query name →
+    * reason. MUST be emptied in the same commit that lands the
+    * regenerated snapshot. */
+  private val allowedChanges: Map[String, String] = Map.empty
+
+  /** Counters allowed a ±3 band (see the tolerance note below). */
+  private val exchangeKeys =
+    Set("exchanges_hash", "reused_exchanges", "exchanges_single")
+
+  private def latestSnapshot(): Option[java.io.File] = {
+    val root = new java.io.File(".")
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("PLANS_r\\d+\\.json"))
+      .sortBy(_.getName).lastOption
+  }
+
+  test("executed-plan fingerprints match the committed snapshot") {
+    val live = PlanSnap.snapQueries.map(q =>
+      q -> PlanSnap.fingerprintOf(spark, q, sf))
+    // regenerate-the-artifact hook (round workflow): write BEFORE the
+    // comparison can fail so a deliberate refresh is one command
+    sys.env.get("SPARK_GRAFT_WRITE_PLANS").foreach { out =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(out), PlanSnap.toJson(live))
+      info(s"wrote ${live.size} fingerprints to $out")
+    }
+    latestSnapshot() match {
+      case None =>
+        cancel("no committed PLANS_r*.json yet — write one with " +
+          "SPARK_GRAFT_WRITE_PLANS=PLANS_r13.json")
+      case Some(f) =>
+        val prev = PlanSnap.parseJson(
+          java.nio.file.Files.readString(f.toPath))
+        for ((q, fp) <- live) {
+          if (allowedChanges.contains(q))
+            info(s"$q: allowlisted this round — ${allowedChanges(q)}")
+          else prev.get(q).foreach { want =>
+            val diff = (fp.keySet ++ want.keySet).toSeq.sorted
+              .filter { k =>
+                val d = math.abs(fp.getOrElse(k, 0) - want.getOrElse(k, 0))
+                // AQE's cross-segment exchange reuse lands nondeterministically
+                // (measured ±2 on l5 across identical runs), so the exchange
+                // counters get a ±3 band; a real regression — one added
+                // exchange PER ITERATION — shifts by the iteration count
+                // (6-18 here) and still trips. Everything structural (join
+                // strategies, scans, sorts, windows, codegen spans, execution
+                // count, cartesian/BNLJ) is exact.
+                if (exchangeKeys(k)) d > 3 else d != 0
+              }
+              .map(k => s"$k: ${want.getOrElse(k, 0)} -> ${fp.getOrElse(k, 0)}")
+            assert(diff.isEmpty,
+              s"$q plan shape drifted vs ${f.getName}: ${diff.mkString(", ")}" +
+                "\n(intentional? add to allowedChanges + regenerate via " +
+                "SPARK_GRAFT_WRITE_PLANS, commit both, empty the allowlist)")
+          }
+        }
+        // snapshot must not silently shrink: every previously-tracked
+        // query stays tracked
+        val missing = prev.keySet -- live.map(_._1).toSet
+        assert(missing.isEmpty,
+          s"queries dropped from the snapshot set: $missing")
+    }
+  }
+}
