@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
 import graft.functions.Portable.{fixedSum, pround, sqlPround}
-import graft.operators.{Curation, DataQuality, Sessionize, TimeAgg}
+import graft.operators.{Curation, DataQuality, Graphs, Sessionize, Similarity, Sketches, TimeAgg}
 import graft.sources.Tables
 
 import java.nio.file.{Files, Paths}
@@ -537,7 +537,142 @@ object Fuzz {
         },
         sub(canonical("d33_interval_lookup"),
           "200.0", s"$m.0", expected = 2))
+    },
+    // ---- r13 close-out families (verdict #3 done-bar: >= 35) ----
+    "b25_width" -> { r =>
+      // gapfill-interp bucket geometry: rollup bucket and spine step
+      // move TOGETHER (the operator contract); every width re-tests
+      // the 2000-01-03 origin flooring, and the interpolation fraction
+      // is an epoch ratio so it stays exact at any width
+      val w = 1 + r.nextInt(12) // hours
+      Draw("b25_width", s"w=${w}h",
+        (s, d) => {
+          val hourly = Tables.events(s, d)
+            .groupBy(col("user_id"),
+              TimeAgg.timeBucket(col("ts"), w * 3600L).as("bucket"))
+            .agg(Portable.fixedAvg(col("value"), 4).as("avg_value"))
+          TimeAgg.gapfillInterpolate(hourly, "user_id", "bucket",
+              "avg_value", w * 3600L, scale = 4)
+            .withColumn("bucket", col("bucket").cast("string"))
+        },
+        sub(sub(canonical("b25_gapfill_interp"),
+          "INTERVAL '1 hour'", s"INTERVAL '$w hour'"),
+          "INTERVAL 1 HOUR", s"INTERVAL $w HOUR", expected = 2))
+    },
+    "b23_cms" -> { r =>
+      // count-min geometry: depth x width reshape the sketch (the
+      // estimate stays an upper bound at any geometry) and the report
+      // threshold moves the HAVING; engine and oracle derive cells
+      // from the same md5-prefix hash at any (depth, width)
+      val depth = 2 + r.nextInt(5)             // 2..6
+      val width = Seq(256, 512, 1024, 2048)(r.nextInt(4))
+      val thr = 20 + 10 * r.nextInt(9)         // 20..100
+      Draw("b23_cms", s"depth=$depth,width=$width,thr=$thr",
+        (s, d) => {
+          val terms = Tables.documents(s, d).select(
+            explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+              t => length(t) > 0)).as("term"))
+          val cms = Sketches.countMinTable(terms, "term", depth, width)
+          Sketches.countMinEstimate(cms, terms.distinct(), "term",
+              depth, width)
+            .filter(col("est_count") >= thr)
+        },
+        sub(sub(sub(canonical("b23_heavy_hitters"),
+          "[0, 1, 2, 3]", (0 until depth).mkString("[", ", ", "]"),
+          expected = 2),
+          "% 1024", s"% $width", expected = 2),
+          ">= 50", s">= $thr"))
+    },
+    "b37_k" -> { r =>
+      val k = 1 + r.nextInt(8)
+      Draw("b37_k", s"k=$k",
+        (s, d) => TimeAgg.topGaps(Tables.events(s, d), "user_id", "ts",
+            "event_id", k = k)
+          .select(col("user_id"), col("gap_start"), col("gap_end"),
+            col("gap_us"), col("rnk")),
+        sub(canonical("b37_top_gaps"), "<= 3", s"<= $k"))
+    },
+    "f1_k" -> { r =>
+      // ANN brute-force geometry: top-k depth and the query stride
+      // (which corpus vectors become queries) move independently
+      val k = 3 + r.nextInt(8)                 // 3..10
+      val stride = Seq(50, 100, 200)(r.nextInt(3))
+      Draw("f1_k", s"k=$k,stride=$stride",
+        (s, d) => {
+          val e = Tables.embeddings(s, d)
+            .withColumn("embedding", col("embedding").cast("array<double>"))
+          Similarity.bruteForceTopK(e,
+            e.filter(col("vec_id") % stride === 0), "vec_id", "embedding", k)
+        },
+        sub(sub(canonical("f1_ann_bruteforce"),
+          "% 100 = 0", s"% $stride = 0"),
+          "<= 5", s"<= $k"))
+    },
+    "l4_rank" -> { r =>
+      // PageRank rounds + damping. The canonical oracle is GENERATED
+      // (an unrolled CTE chain has no single literal to substitute),
+      // so the tie is a generator-equality require: l4Oracle at the
+      // canonical point (iters=6, damp=85) must reproduce the canonical
+      // text byte-for-byte — the same loud-drift guarantee sub() gives
+      // the literal families, checked on every draw (and so at spec
+      // time by FuzzSpec's 25-seed construction sweep).
+      val iters = 2 + r.nextInt(7)             // 2..8
+      val damp = Seq(70, 75, 80, 85, 90)(r.nextInt(5))
+      require(l4Oracle(6, 85) == canonical("l4_personalized_rank"),
+        "l4 fuzz generator drifted from the canonical oracle — retie it")
+      Draw("l4_rank", s"iters=$iters,damp=$damp",
+        (s, d) => {
+          val li = Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_suppkey"))
+          val ord = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey"))
+          val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+            .select((col("o_custkey") * 2).as("src"),
+              (col("l_suppkey") * 2 + 1).as("dst"))
+          val edges = pairs.unionByName(
+            pairs.select(col("dst").as("src"), col("src").as("dst")))
+          val seedNodes = Tables.supplier(s, d)
+            .filter(col("s_nationkey") === 1)
+            .select((col("s_suppkey") * 2 + 1).as("node"))
+          Graphs.pageRank(edges, "src", "dst", iters = iters,
+            dampNum = damp.toLong, seeds = Some(seedNodes))
+        },
+        l4Oracle(iters, damp.toLong))
     })
+
+  /** The l4 canonical-oracle generator, parameterized on rounds and
+    * damping — MUST stay a byte-for-byte copy of the SparkEntry
+    * `l4_personalized_rank` oracle at (6, 85); the l4_rank family
+    * requires that equality on every draw. baseShare mirrors
+    * [[Graphs.pageRank]]'s `(dampDen - dampNum) * scale / dampDen`. */
+  private def l4Oracle(iters: Int, dampNum: Long): String = {
+    val base = (100L - dampNum) * 1000000L / 100L
+    val rounds = (1 to iters).map { k =>
+      s"""pr$k AS (SELECT n.node, n.is_seed,
+         |    (CASE WHEN n.is_seed THEN $base ELSE 0 END)
+         |      + ($dampNum * COALESCE(m.mass, 0)) // 100 AS pr
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(p.pr // d.od) AS mass
+         |    FROM e JOIN pr${k - 1} p ON p.node = e.src
+         |      JOIN d ON d.src = e.src
+         |    GROUP BY e.dst) m ON m.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s1
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT c * 2 AS src, s1 * 2 + 1 AS dst FROM p0
+       |      UNION ALL SELECT s1 * 2 + 1, c * 2 FROM p0),
+       |d AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+       |n0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |sd AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier
+       |       WHERE s_nationkey = 1),
+       |n AS (SELECT n0.node, sd.node IS NOT NULL AS is_seed
+       |      FROM n0 LEFT JOIN sd ON sd.node = n0.node),
+       |pr0 AS (SELECT node, is_seed,
+       |        CASE WHEN is_seed THEN CAST(1000000 AS BIGINT)
+       |             ELSE CAST(0 AS BIGINT) END AS pr FROM n),
+       |$rounds
+       |SELECT node, CAST(pr AS BIGINT) AS rank FROM pr$iters""".stripMargin
+  }
 
   // =================== data-shape fuzzing (r13) ===================
   // Both real bugs of the r12 cycle (t-closeness NULL mass, the DQ16
