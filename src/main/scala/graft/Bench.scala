@@ -59,16 +59,28 @@ object Bench {
     // opts out (measured overhead is tens of ms per query at an 8g
     // heap — noise next to the queries it un-poisons).
     val gcEvery = sys.env.getOrElse("SPARK_GRAFT_GC", "1") == "1"
-    // GC cost floor: a full System.gc() per run was ~40% of r11 suite
-    // wall-clock (1176 s vs 975 s) while most of the ~300 queries are
-    // sub-250 ms and leak only a handful of broadcast blocks each. The
-    // hygiene goal is BOUNDED block-manager backlog, not zero backlog:
-    // GC after any run above the floor (heavy queries both shed the
-    // most blocks and are the ones starved by backlog) and every 16
-    // runs regardless, so cheap-query litter can never accumulate
-    // across hundreds of executions (the r10 disease needed ~800).
-    val gcFloorSec =
-      sys.env.getOrElse("SPARK_GRAFT_GC_FLOOR_SEC", "0.5").toDouble
+    // GC cost floor — default chosen by a 7-run full-suite sweep (r13):
+    //   floor    sum-of-medians   suite wall
+    //   0        213.3 / 229.7 s  1179 / 1228 s   (two runs)
+    //   0.25     212.4 s          1113 s
+    //   0.5      202.4 / 203.4 s   986 /  999 s   (two runs)
+    //   1.0      193.3 s           917 s
+    //   2.0      197.4 s           929 s
+    //   inf      186.9 s           888 s          (cadence-only)
+    // Run-cost-triggered GC is PURE COST on both axes: medians and
+    // wall improve monotonically as the floor rises (run-to-run
+    // repeatability ±1% at 0.5, so the trend is real, not ordering),
+    // and the r10 starvation signature (d6/dq3 inflation, wide
+    // spreads) does NOT reappear at cadence-only — spread outliers
+    // actually drop 16 -> 6 vs per-query GC. The every-16-runs cadence
+    // alone (~73 GCs per suite) keeps block-manager backlog bounded
+    // (the r10 disease needed ~800 GC-free executions), so the
+    // default disables the cost trigger entirely; the env knob stays
+    // for re-sweeps. Do not change without re-running the sweep
+    // (tools/gc_sweep_report.py over per-floor SPARK_GRAFT_QUERIES_OUT
+    // maps; numbers above from GCSWEEP_r13.json).
+    val gcFloorSec = sys.env.get("SPARK_GRAFT_GC_FLOOR_SEC")
+      .map(_.toDouble).getOrElse(Double.PositiveInfinity)
     var runsSinceGc = 0
     def releasePins(lastRunSec: Double): Unit = {
       spark.sharedState.cacheManager.clearCache()
