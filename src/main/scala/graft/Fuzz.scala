@@ -713,6 +713,26 @@ object Fuzz {
     rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       .repartition(2).write.mode("overwrite").parquet(s"$dir/customer.parquet")
   }
+  private type EmbRow = (Long, Array[Float], Int)
+  private def writeEmbeddings(rows: Seq[EmbRow])(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+  // minimal TPC-H trio for the graph queries: only the columns the
+  // canonical l4 query + oracle touch (check_oracle falls back to the
+  // sf dir per-table, but the Spark side reads every table from the
+  // draw dir, so all three must exist here)
+  private def writeGraphTpch(li: Seq[(Long, Long)], ord: Seq[(Long, Long)],
+                             sup: Seq[(Long, Int)])(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    li.toDF("l_orderkey", "l_suppkey").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    ord.toDF("o_orderkey", "o_custkey").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    sup.toDF("s_suppkey", "s_nationkey").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+  }
   private type DocRow = (Long, Option[String], String, String, Long)
   private def writeDocs(rows: Seq[DocRow])(s: SparkSession, dir: String): Unit = {
     import s.implicits._
@@ -917,6 +937,58 @@ object Fuzz {
       }
       DataDraw("bd20_ties", f"users=$users,rows=${rows.size},pNull=$pNull%.2f",
         "b20_first_last", writeEvents(rows))
+    },
+    // ---- r13 close-out data families: ANN + graph input shapes ----
+    "fd1_vectors" -> { r =>
+      // ANN corpus shapes: duplicate vectors (exact cosine ties,
+      // resolved by the nn_id tie-break in both engines), integer-grid
+      // components (k/8 — every dot product a dyadic rational, so the
+      // 6-dp cross-engine round can never sit on a boundary), negative
+      // components; query ids (vec_id % 100 = 0) exist by construction
+      val n = 200 + r.nextInt(400)
+      val dim = 4 + r.nextInt(5)
+      val pDup = 0.2 + r.nextDouble() * 0.3
+      val rows = scala.collection.mutable.ArrayBuffer[EmbRow]()
+      (0 until n).foreach { i =>
+        val v: Array[Float] =
+          if (i > 0 && r.nextDouble() < pDup) rows(r.nextInt(i))._2
+          else {
+            val a = Array.fill(dim)((r.nextInt(17) - 8) / 8.0f)
+            if (a.forall(_ == 0.0f)) a(0) = 1.0f // no zero-norm vectors
+            a
+          }
+        rows += ((i.toLong, v, r.nextInt(3)))
+      }
+      DataDraw("fd1_vectors", f"n=$n,dim=$dim,pDup=$pDup%.2f",
+        "f1_ann_bruteforce", writeEmbeddings(rows.toSeq))
+    },
+    "ld4_graph" -> { r =>
+      // PageRank graph shapes: hub skew (one supplier on most orders),
+      // duplicate (cust, supp) pairs (the DISTINCT-edge contract), and
+      // a drawn seed regime including ZERO seeds (every rank must be
+      // exactly 0 through all rounds) and ALL seeds
+      val nCust = 5 + r.nextInt(20)
+      val nSupp = 5 + r.nextInt(15)
+      val nOrd = 50 + r.nextInt(150)
+      val seedMode = r.nextInt(3) // 0 none, 1 all, 2 nation-1 subset
+      val hub = r.nextInt(nSupp).toLong + 1L
+      val pHub = 0.3 + r.nextDouble() * 0.4
+      val ord = (1L to nOrd.toLong).map(o => (o, r.nextInt(nCust).toLong + 1L))
+      val li = ord.flatMap { case (o, _) =>
+        (0 until 1 + r.nextInt(3)).map { _ =>
+          (o, if (r.nextDouble() < pHub) hub else r.nextInt(nSupp).toLong + 1L)
+        }
+      }
+      val sup = (1L to nSupp.toLong).map { sK =>
+        (sK, seedMode match {
+          case 0 => 2
+          case 1 => 1
+          case _ => if (r.nextBoolean()) 1 else 2
+        })
+      }
+      DataDraw("ld4_graph",
+        f"cust=$nCust,supp=$nSupp,orders=$nOrd,seedMode=$seedMode,pHub=$pHub%.2f",
+        "l4_personalized_rank", writeGraphTpch(li, ord, sup))
     })
 
   def main(args: Array[String]): Unit = {
