@@ -733,6 +733,12 @@ object Fuzz {
     sup.toDF("s_suppkey", "s_nationkey").repartition(2)
       .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
   }
+  private type OrdRow = (Long, Long, Double, java.time.LocalDateTime)
+  private def writeOrders(rows: Seq[OrdRow])(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+  }
   private type DocRow = (Long, Option[String], String, String, Long)
   private def writeDocs(rows: Seq[DocRow])(s: SparkSession, dir: String): Unit = {
     import s.implicits._
@@ -989,6 +995,59 @@ object Fuzz {
       DataDraw("ld4_graph",
         f"cust=$nCust,supp=$nSupp,orders=$nOrd,seedMode=$seedMode,pHub=$pHub%.2f",
         "l4_personalized_rank", writeGraphTpch(li, ord, sup))
+    },
+    "dd32_asof_ties" -> { r =>
+      // as-of-forward edge shapes: duplicate (custkey, orderdate) keys
+      // (the upsert tie — max orderkey must win), events exactly AT
+      // order instants (the <= boundary is inclusive), users with no
+      // orders, orders with no events, stacked future orders (nearest
+      // wins); prices on a cent grid so pround(.,4) is exact
+      val users = 8 + r.nextInt(16)
+      val pTie = 0.3 + r.nextDouble() * 0.4
+      val pAt = 0.3 + r.nextDouble() * 0.3
+      var oid = 0L; var eid = 0L
+      val ords = scala.collection.mutable.ArrayBuffer[OrdRow]()
+      val evs = scala.collection.mutable.ArrayBuffer[EvRow]()
+      (1L to users).foreach { u =>
+        val oTimes = if (r.nextDouble() >= 0.85) Seq.empty else
+          (0 until 1 + r.nextInt(4)).map(_ =>
+            JAN10_US + r.nextInt(10 * 86400) * 1000000L)
+        oTimes.foreach { t =>
+          oid += 1
+          ords += ((oid, u, (100 + r.nextInt(900000)) / 100.0, ldt(t)))
+          if (r.nextDouble() < pTie) { // duplicate (custkey, orderdate)
+            oid += 1
+            ords += ((oid, u, (100 + r.nextInt(900000)) / 100.0, ldt(t)))
+          }
+        }
+        (0 until 2 + r.nextInt(6)).foreach { _ =>
+          eid += 1
+          val t = if (oTimes.nonEmpty && r.nextDouble() < pAt)
+            oTimes(r.nextInt(oTimes.size)) // exactly at an order instant
+          else JAN10_US + r.nextInt(12 * 86400) * 1000000L
+          evs += ((eid, ldt(t), u, "view", Some(1.0), ""))
+        }
+      }
+      DataDraw("dd32_asof_ties",
+        f"users=$users,orders=${ords.size},events=${evs.size},pTie=$pTie%.2f,pAt=$pAt%.2f",
+        "d32_asof_forward",
+        (s, dir) => { writeEvents(evs.toSeq)(s, dir); writeOrders(ords.toSeq)(s, dir) })
+    },
+    "kd10_skew" -> { r =>
+      // temperature-sampling corpus shapes: singleton sources, cubic
+      // source skew, and corpora SMALLER than the fixed total=200
+      // budget — the floored-share + residual-bonus + least(n, ...)
+      // cap arithmetic at its edges
+      val nSrc = 1 + r.nextInt(6)
+      val n = 20 + r.nextInt(80)
+      val rows = (1L to n.toLong).map { i =>
+        val srcIdx = math.min(nSrc - 1,
+          (math.pow(r.nextDouble(), 3) * nSrc).toInt)
+        (i, Option(s"doc text $i"), "en", s"src$srcIdx",
+          (10 + r.nextInt(90)).toLong)
+      }
+      DataDraw("kd10_skew", s"n=$n,sources=$nSrc",
+        "k10_temperature_sample", writeDocs(rows))
     })
 
   def main(args: Array[String]): Unit = {

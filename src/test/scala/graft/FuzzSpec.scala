@@ -54,7 +54,7 @@ class FuzzSpec extends AnyFunSuite {
 
   test("data-shape families: canonical ties hold, params move with the seed") {
     val dfams = Fuzz.dataFamilies
-    assert(dfams.size >= 11, s"data-family count shrank to ${dfams.size}")
+    assert(dfams.size >= 13, s"data-family count shrank to ${dfams.size}")
     assert(dfams.map(_._1).distinct.size == dfams.size, "duplicate family names")
     for (seed <- 0 until 10) {
       val r = new Random(seed)
