@@ -105,7 +105,11 @@ object Graphs {
           (when(col("is_seed"), lit(baseShare)).otherwise(lit(0L)) +
             expr(s"(${dampNum}L * coalesce(mass, 0L)) div ${dampDen}L"))
             .as("pr"))
-      // re-pin every other round: constant-depth lineage, node-sized
+      // re-pin every other round: constant-depth lineage, node-sized.
+      // Cadence MEASURED (r13, isolated 5-run medians at sf0.1 over
+      // l4/l5/h28/l11/l12): every-3rd-round pinning was 8% slower in
+      // total and 65% slower on weighted pageRank (the deeper unpinned
+      // segment re-evaluates the weight-joined edge frame) — keep 2.
       if (i % 2 == 0 || i == iters) pr = pr.localCheckpoint()
     }
     pr.select(col("node"), col("pr").as("rank"))
