@@ -638,6 +638,45 @@ object Fuzz {
             dampNum = damp.toLong, seeds = Some(seedNodes))
         },
         l4Oracle(iters, damp.toLong))
+    },
+    "b28_gap" -> { r =>
+      // heartbeat liveness window: every event proves the device live
+      // for gap seconds; the oracle's µs literal appears in the
+      // live-time clamp, its last-beat COALESCE fallback, and the
+      // lapse predicate
+      val gap = Seq(300, 900, 1800, 3600, 7200)(r.nextInt(5))
+      Draw("b28_gap", s"gap=${gap}s",
+        (s, d) => TimeAgg.heartbeatUptime(Tables.events(s, d),
+          entity = "user_id", ts = "ts", tieBreak = "event_id",
+          gapSeconds = gap),
+        sub(canonical("b28_uptime"), "1800000000",
+          (gap * 1000000L).toString, expected = 3))
+    },
+    "c13_shape" -> { r =>
+      // top-paths geometry: session gap, truncation depth (two literal
+      // spellings — the count guard and the rank filter move together),
+      // and the report k
+      val gap = 600 + 60 * r.nextInt(51)   // 600..3600 s
+      val steps = 2 + r.nextInt(7)         // 2..8
+      val k = 5 + 5 * r.nextInt(8)         // 5..40
+      Draw("c13_shape", s"gap=${gap}s,steps=$steps,k=$k",
+        (s, d) => Sessionize.topPaths(Tables.events(s, d), "user_id",
+          "ts", "event_id", "event_type", gapSeconds = gap,
+          maxSteps = steps, k = k),
+        sub(sub(sub(sub(canonical("c13_top_paths"),
+          "> 1800.0", s"> $gap.0"),
+          "count(*) > 5", s"count(*) > $steps"),
+          "rn <= 5", s"rn <= $steps"),
+          "<= 20", s"<= $k"))
+    },
+    "c12_window" -> { r =>
+      val days = 1 + r.nextInt(14)
+      Draw("c12_window", s"window=${days}d",
+        (s, d) => Sessionize.lastTouchAttribution(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type",
+          Seq("click", "view"), "purchase", days.toLong * 24 * 3600),
+        sub(canonical("c12_attribution"), "604800.0",
+          s"${days.toLong * 24 * 3600}.0"))
     })
 
   /** The l4 canonical-oracle generator, parameterized on rounds and
