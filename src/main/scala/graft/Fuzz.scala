@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Portable
 import graft.functions.Portable.{fixedSum, pround, sqlPround}
-import graft.operators.{Curation, DataQuality, Graphs, Sessionize, Similarity, Sketches, TimeAgg}
+import graft.operators.{Curation, DataQuality, Dedup, Graphs, Sessionize, Similarity, Sketches, TimeAgg}
 import graft.sources.Tables
 
 import java.nio.file.{Files, Paths}
@@ -677,6 +677,66 @@ object Fuzz {
           Seq("click", "view"), "purchase", days.toLong * 24 * 3600),
         sub(canonical("c12_attribution"), "604800.0",
           s"${days.toLong * 24 * 3600}.0"))
+    },
+    "k6_len" -> { r =>
+      // concat-and-split packing sequence length: the cut boundary and
+      // the offset modulus are the same literal in two spellings
+      val len = Seq(256L, 512L, 1024L, 2048L, 4096L)(r.nextInt(5))
+      Draw("k6_len", s"seqLen=$len",
+        (s, d) => Curation.packSequences(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          stratum = Seq("lang"), tokens = col("n_tokens"),
+          order = col("n_tokens"), tieBreak = col("doc_id"), seqLen = len),
+        sub(sub(canonical("k6_pack_sequences"),
+          "2048.0", s"$len.0"),
+          "% 2048", s"% $len"))
+    },
+    "k6b_len" -> { r =>
+      // no-split packing: sequence length drives the harmonic bin
+      // capacity (floor(len/n) docs per bin) — small lengths force the
+      // single-doc-class edge, large ones the many-docs-per-bin edge
+      val len = Seq(128L, 256L, 512L, 1024L, 2048L)(r.nextInt(5))
+      Draw("k6b_len", s"seqLen=$len",
+        (s, d) => Curation.packSequencesNoSplit(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          stratum = Seq("lang"), tokens = col("n_tokens"),
+          order = col("n_tokens"), tieBreak = col("doc_id"), seqLen = len),
+        sub(sub(canonical("k6b_pack_nosplit"),
+          "CAST(512 AS BIGINT)", s"CAST($len AS BIGINT)"),
+          "512.0", s"$len.0"))
+    },
+    "k5_fracs" -> { r =>
+      // leakage-safe split fractions: train moves the first hash band,
+      // train+val the second; the dedup-cluster group key is fixed
+      val t = Seq(70, 75, 80, 85, 90)(r.nextInt(5))
+      val v = Seq(5, 10)(r.nextInt(2))
+      Draw("k5_fracs", s"train=$t,val=$v",
+        (s, d) => {
+          val dd = Tables.documents(s, d)
+          val cl = Dedup.clusters(
+            Dedup.ngramJaccard(dd, "doc_id", "text", 3, 0.25, 100),
+            "doc_a", "doc_b")
+          Curation.leakageSafeSplit(dd, "doc_id", cl, "doc_id",
+              "cluster_id", t, v)
+            .groupBy("split")
+            .agg(count(lit(1)).as("n_docs"),
+              countDistinct(col("split_key")).as("n_groups"))
+        },
+        sub(sub(canonical("k5_split_leakage_safe"),
+          "b < 90", s"b < $t"),
+          "b < 95", s"b < ${t + v}"))
+    },
+    "dq15_event" -> { r =>
+      // A/B metric event: which event type counts as the conversion —
+      // the same literal in the converted flag and the value sum
+      val evt = Seq("view", "click", "purchase", "error")(r.nextInt(4))
+      Draw("dq15_event", s"conversion=$evt",
+        (s, d) => DataQuality.abTest(Tables.events(s, d), "user_id",
+          "event_type", evt, "value"),
+        sub(canonical("dq15_ab_test"),
+          "= 'purchase'", s"= '$evt'", expected = 2))
     })
 
   /** The l4 canonical-oracle generator, parameterized on rounds and
