@@ -737,6 +737,32 @@ object Fuzz {
           "event_type", evt, "value"),
         sub(canonical("dq15_ab_test"),
           "= 'purchase'", s"= '$evt'", expected = 2))
+    },
+    "e5_thr" -> { r =>
+      // embedding near-dup threshold: both engine and oracle compare
+      // the ROUNDED cosine against the literal, so any 1-dp draw is
+      // boundary-safe by construction
+      val thr = s"0.${1 + r.nextInt(8)}" // 0.1..0.8
+      Draw("e5_thr", s"thr=$thr",
+        (s, d) => Dedup.embeddingNearDup(
+          Tables.embeddings(s, d)
+            .withColumn("embedding", col("embedding").cast("array<double>")),
+          "vec_id", "embedding", "label", thr.toDouble),
+        sub(canonical("e5_dedup_embedding_cosine"),
+          ">= 0.3", s">= $thr"))
+    },
+    "h9_n" -> { r =>
+      // repetition shingle size: the window length moves through the
+      // short-doc guard, the denominator, and the slice bound together
+      val k = 2 + r.nextInt(5) // 2..6
+      Draw("h9_n", s"k=$k",
+        (s, d) => Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.TextFunctions.repetitionRatio(col("text"), k)
+            .as("repetition_ratio")),
+        sub(sub(sub(canonical("h9_repetition"),
+          "len(tok) < 3", s"len(tok) < $k", expected = 2),
+          "len(tok) - 2", s"len(tok) - ${k - 1}", expected = 2),
+          "tok[i:i+2]", s"tok[i:i+${k - 1}]"))
     })
 
   /** The l4 canonical-oracle generator, parameterized on rounds and
