@@ -763,6 +763,56 @@ object Fuzz {
           "len(tok) < 3", s"len(tok) < $k", expected = 2),
           "len(tok) - 2", s"len(tok) - ${k - 1}", expected = 2),
           "tok[i:i+2]", s"tok[i:i+${k - 1}]"))
+    },
+    "dq2_k" -> { r =>
+      // z-score flag threshold: the oracle's division-cleared predicate
+      // carries k SQUARED (z² > k² without ever dividing)
+      val k = 2 + r.nextInt(4) // 2..5
+      Draw("dq2_k", s"k=$k",
+        (s, d) => DataQuality.outliers(
+          Tables.events(s, d).select("user_id", "event_id", "value"),
+          Seq("user_id"), "value", k = k, scale = 2),
+        sub(canonical("dq2_outliers"), "> 9 *", s"> ${k * k} *"))
+    },
+    "dq3_k" -> { r =>
+      // MAD flag multiplier: ad > k·mad with both med and mad already
+      // pround-pinned at 2 dp, so the same double literal lands on
+      // both engines
+      val k = Seq("2.0", "2.5", "3.0", "3.5", "5.0")(r.nextInt(5))
+      Draw("dq3_k", s"k=$k",
+        (s, d) => DataQuality.outliersMad(
+          Tables.events(s, d).select("user_id", "event_id", "value"),
+          Seq("user_id"), "value", k = k.toDouble, scale = 2),
+        sub(canonical("dq3_mad_outliers"), "3.0 * mad", s"$k * mad"))
+    },
+    "h14_n" -> { r =>
+      // char-n-gram LM order: the gram slice, the tail guard, and the
+      // two prefix substrings (model build + join) move together
+      val n = 2 + r.nextInt(4) // 2..5
+      Draw("h14_n", s"n=$n",
+        (s, d) => Curation.ngramLmScore(Tables.documents(s, d),
+          "doc_id", "text", n),
+        sub(sub(sub(sub(canonical("h14_ngram_lm"),
+          "substring(text, i, 3)", s"substring(text, i, $n)"),
+          "length(text) - 2", s"length(text) - ${n - 1}"),
+          "substring(g, 1, 2)", s"substring(g, 1, ${n - 1})"),
+          "substring(c3.g, 1, 2)", s"substring(c3.g, 1, ${n - 1})"))
+    },
+    "h22_terms" -> { r =>
+      // keyword search: WHICH three all-required terms (drawn from
+      // corpus-frequent words) and the report k move; the hits = 3
+      // all-terms guard stays literal because the list size is fixed
+      val pool = Seq("hash", "join", "scan", "filter", "batch", "table",
+        "vector", "merge", "stream", "window", "query", "spark")
+      val terms = r.shuffle(pool).take(3).sorted
+      val k = 5 + 5 * r.nextInt(8) // 5..40
+      Draw("h22_terms", s"terms=${terms.mkString("+")},k=$k",
+        (s, d) => Curation.keywordSearch(Tables.documents(s, d),
+          "doc_id", "text", terms, k),
+        sub(sub(canonical("h22_keyword_search"),
+          "'spark', 'window', 'merge'",
+          terms.map("'" + _ + "'").mkString(", ")),
+          "<= 20", s"<= $k"))
     })
 
   /** The l4 canonical-oracle generator, parameterized on rounds and

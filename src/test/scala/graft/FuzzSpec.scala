@@ -17,7 +17,7 @@ class FuzzSpec extends AnyFunSuite {
 
   test("every family constructs valid draws across 25 seeds (anchors hold)") {
     val fams = Fuzz.families
-    assert(fams.size >= 45, s"family count shrank to ${fams.size}")
+    assert(fams.size >= 49, s"family count shrank to ${fams.size}")
     assert(fams.map(_._1).distinct.size == fams.size, "duplicate family names")
     for (seed <- 0 until 25) {
       val r = new Random(seed)
