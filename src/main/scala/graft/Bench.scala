@@ -59,28 +59,21 @@ object Bench {
     // opts out (measured overhead is tens of ms per query at an 8g
     // heap — noise next to the queries it un-poisons).
     val gcEvery = sys.env.getOrElse("SPARK_GRAFT_GC", "1") == "1"
-    // GC cost floor — default chosen by a 7-run full-suite sweep (r13):
-    //   floor    sum-of-medians   suite wall
-    //   0        213.3 / 229.7 s  1179 / 1228 s   (two runs)
-    //   0.25     212.4 s          1113 s
-    //   0.5      202.4 / 203.4 s   986 /  999 s   (two runs)
-    //   1.0      193.3 s           917 s
-    //   2.0      197.4 s           929 s
-    //   inf      186.9 s           888 s          (cadence-only)
-    // Run-cost-triggered GC is PURE COST on both axes: medians and
-    // wall improve monotonically as the floor rises (run-to-run
-    // repeatability ±1% at 0.5, so the trend is real, not ordering),
-    // and the r10 starvation signature (d6/dq3 inflation, wide
-    // spreads) does NOT reappear at cadence-only — spread outliers
-    // actually drop 16 -> 6 vs per-query GC. The every-16-runs cadence
-    // alone (~73 GCs per suite) keeps block-manager backlog bounded
-    // (the r10 disease needed ~800 GC-free executions), so the
-    // default disables the cost trigger entirely; the env knob stays
-    // for re-sweeps. Do not change without re-running the sweep
-    // (tools/gc_sweep_report.py over per-floor SPARK_GRAFT_QUERIES_OUT
-    // maps; numbers above from GCSWEEP_r13.json).
+    // GC cost floor — r13's builder-box sweep (GCSWEEP_r13.json) showed
+    // cadence-only winning on the BUILDER box (186.9 s vs 193.3 s at
+    // floor 1.0, within 3.5%), but the r13 DRIVER artifact under
+    // cadence-only regressed +19% with 8 queries >=2x — all of them the
+    // allocation-heaviest iterative family (pageRank/BFS/k-core/
+    // soft-dedup) that the run-cost trigger had been protecting. GC
+    // sensitivity depends on ambient memory pressure, and the driver's
+    // environment is the one that grades — so the DEFAULT is the
+    // cost-triggered floor at 1.0 s (cheap insurance: within 3.5% of
+    // cadence-only on the builder's own sweep, medians AND wall) plus
+    // the every-16-runs cadence backstop. SPARK_GRAFT_GC_FLOOR_SEC
+    // re-sweeps; "inf" restores cadence-only.
     val gcFloorSec = sys.env.get("SPARK_GRAFT_GC_FLOOR_SEC")
-      .map(_.toDouble).getOrElse(Double.PositiveInfinity)
+      .map(s => if (s == "inf") Double.PositiveInfinity else s.toDouble)
+      .getOrElse(1.0)
     var runsSinceGc = 0
     def releasePins(lastRunSec: Double): Unit = {
       spark.sharedState.cacheManager.clearCache()
@@ -91,8 +84,27 @@ object Bench {
         System.gc(); runsSinceGc = 0
       }
     }
+    // Self-diagnosing artifact (r13 verdict #1b): per timed run, record
+    // the GC time/count deltas accumulated DURING the run plus the heap
+    // in use when the run started — a divergent driver run then
+    // attributes itself (GC-starved vs plan change) instead of needing
+    // forensic guesswork across environments.
+    val gcBeans = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala.toSeq
+    }
+    def gcSnapshot(): (Long, Long) =
+      (gcBeans.map(b => math.max(0L, b.getCollectionTime)).sum,
+       gcBeans.map(b => math.max(0L, b.getCollectionCount)).sum)
+    def heapUsedMb(): Long = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)
+    }
+    final case class RunStat(sec: Double, gcMs: Long, gcN: Long, heapMb: Long)
     val results = selected.map { case (name, fn) =>
-      val times = (0 to runs).map { _ =>
+      val stats = (0 to runs).map { _ =>
+        val heap0 = heapUsedMb()
+        val (gcT0, gcC0) = gcSnapshot()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -101,39 +113,56 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        val (gcT1, gcC1) = gcSnapshot()
         releasePins(dt)
-        dt
-      }.drop(1).sorted // drop the warm-up
-      name -> times
+        RunStat(dt, gcT1 - gcT0, gcC1 - gcC0, heap0)
+      }.drop(1).sortBy(_.sec) // drop the warm-up
+      name -> stats
     }
-    def median(ts: Seq[Double]): Double = ts(ts.size / 2)
+    def median(ts: Seq[RunStat]): Double = ts(ts.size / 2).sec
     val qs = results.map { case (k, ts) => s"\"" + k + "\":" + median(ts) }
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, ts) => s"\"" + k + "\":" + ts.min }
+    val mins = results.map { case (k, ts) => s"\"" + k + "\":" + ts.map(_.sec).min }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, ts) => s"\"" + k + "\":" + (ts.max - ts.min) }
+    val spreads = results.map { case (k, ts) =>
+      s"\"" + k + "\":" + (ts.map(_.sec).max - ts.map(_.sec).min) }
+      .mkString("{", ",", "}")
+    // per-run GC/heap telemetry, run-ordered by run time (same order the
+    // median indexes into) — lists, not scalars, so a single GC-poisoned
+    // run is distinguishable from uniformly-slow plans
+    val gcMsMap = results.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(_.gcMs).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val gcNMap = results.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(_.gcN).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val heapMap = results.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(_.heapMb).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(r => median(r._2)).sum
-    val totalMin = results.map(_._2.min).sum
+    val totalMin = results.map(_._2.map(_.sec).min).sum
+    val gcTotalSec = results.map(_._2.map(_.gcMs).sum).sum / 1000.0
     // FULL per-query diagnostics go to STDERR: the contract is ONE JSON
     // line on stdout, and a second (huge, front-truncating) stdout line
     // both breaks machine parsing of the artifact and invites the r4
     // "spread map read as query times" misread. Local iteration still
     // sees everything on stderr.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"queries_min":$mins,"queries_spread":$spreads,"total_min":$totalMin,"failed":$errs,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"gc_floor_sec":${if (gcFloorSec.isPosInfinity) "\"inf\"" else gcFloorSec},"queries":$qs,"queries_min":$mins,"queries_spread":$spreads,"queries_gc_ms":$gcMsMap,"queries_gc_count":$gcNMap,"queries_heap_mb":$heapMap,"gc_total_sec":$gcTotalSec,"total_min":$totalMin,"failed":$errs,"sf":"$sfDir"}"""
     System.err.println(fullJson)
     // ...and to a FILE: the stderr tail the round driver captures
     // front-truncates, which made per-query regression diffing across
     // rounds impossible from committed artifacts alone (r11 verdict
     // lead item). The file is the durable, machine-readable copy.
-    // A PARTIAL run (SPARK_GRAFT_ONLY set) defaults to /tmp so local
-    // iteration can never silently clobber the committed per-round
-    // artifact at the repo root (ADVICE r12); a full run keeps the
-    // cwd default so the round driver updates the artifact. Either
-    // way the destination is logged prominently.
+    // ALL runs default to a NON-TRACKED path (r13 verdict #4: the r13
+    // driver's full-suite run clobbered the builder's committed
+    // bench_queries.json in the working tree — exactly the confusion
+    // the r12 partial-run fix half-closed). Writing into the repo root
+    // is now strictly opt-in via SPARK_GRAFT_QUERIES_OUT; a bare
+    // `sbt "runMain graft.Bench"` leaves git status clean. The
+    // destination is logged prominently either way.
     val queriesOut = sys.env.getOrElse("SPARK_GRAFT_QUERIES_OUT",
-      if (only.isDefined) "/tmp/bench_queries.json" else "bench_queries.json")
+      "/tmp/bench_queries.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(queriesOut))
       try w.println(fullJson) finally w.close()
@@ -154,14 +183,14 @@ object Bench {
     // artifact number is never mistaken for an operator cost. Floor at
     // 0.25 s so micro-query jitter doesn't register.
     val inflated = results
-      .map { case (k, ts) => (k, median(ts), math.max(ts.min, 0.25)) }
+      .map { case (k, ts) => (k, median(ts), math.max(ts.map(_.sec).min, 0.25)) }
       .filter { case (_, med, base) => med > 2.0 * base }
       .sortBy { case (_, med, base) => -(med / base) }
     val inflStr = inflated.take(5)
       .map { case (k, med, base) =>
         s"\"" + k + "\":" + (math.round(med / base * 100.0) / 100.0) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"n_queries":${results.size},"top5_med":$top5,"n_inflated":${inflated.size},"top_inflated_med_over_min":$inflStr,"failed":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"n_queries":${results.size},"gc_floor_sec":${if (gcFloorSec.isPosInfinity) "\"inf\"" else gcFloorSec},"gc_total_sec":$gcTotalSec,"top5_med":$top5,"n_inflated":${inflated.size},"top_inflated_med_over_min":$inflStr,"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

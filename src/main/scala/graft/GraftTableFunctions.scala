@@ -832,6 +832,16 @@ object GraftTableFunctions {
         k = num(args, 3, fn).toLong))
     },
 
+    // graft_scc(edges, src, dst) — L13; the FB-coloring rounds run
+    // their convergence probes eagerly at plan time (the graft_kcore
+    // contract)
+    "graft_scc" -> { args =>
+      val fn = "graft_scc"
+      arity(args, fn, Set(3), "edges, src, dst")
+      plan(graft.operators.Graphs.scc(
+        table(str(args, 0, fn)), str(args, 1, fn), str(args, 2, fn)))
+    },
+
     // graft_golden_record(table, key, ts, tieCol, fieldsCsv) — C20
     "graft_golden_record" -> { args =>
       val fn = "graft_golden_record"

@@ -131,6 +131,7 @@ object ScaleProbe {
           (col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
           (col("l_partkey") + lit(i * 1000000L)).as("l_partkey"),
           (col("l_suppkey") + lit(i * 1000000L)).as("l_suppkey"),
+          col("l_linenumber"),
           col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
       }.reduce(_ unionByName _))
@@ -1154,6 +1155,20 @@ object ScaleProbe {
             Graphs.cooccurrence(li.select(col("l_orderkey"), col("l_partkey")),
               "l_orderkey", "l_partkey", minSupport = 2L),
             "item_a", "item_b", k = 2L)),
+        // scc: FB-coloring — trim semi-joins + node-keyed min-label
+        // rounds with pointer jump; rounds data-bounded (probes), never
+        // the O(n²) closure the oracle materializes
+        "l13_scc" -> (() => {
+          import org.apache.spark.sql.expressions.Window
+          val f = li.filter(col("l_partkey") % 7 === 0 && col("l_quantity") <= 20)
+            .select("l_orderkey", "l_linenumber", "l_partkey").distinct()
+          val w = Window.partitionBy("l_orderkey")
+            .orderBy("l_linenumber", "l_partkey")
+          val e = f.withColumn("nxt", lead("l_partkey", 1).over(w))
+            .filter(col("nxt").isNotNull && col("nxt") =!= col("l_partkey"))
+            .select(col("l_partkey").as("src"), col("nxt").as("dst")).distinct()
+          Graphs.scc(e, "src", "dst")
+        }),
         // golden record: one grouped max_by agg — combiner output on
         // the wire, one candidate per (key, field) per mapper
         "c20_golden_record" -> (() =>

@@ -26,6 +26,22 @@ object SparkEntry {
   private def embD(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).withColumn("embedding", col("embedding").cast("array<double>"))
 
+  /** L13's directed purchase-sequence graph: within each order, the
+    * filtered parts in (l_linenumber, l_partkey) order, consecutive
+    * pairs as edges. The l_partkey tie-break is load-bearing — the
+    * testdata carries duplicate l_linenumber per order, so lead() over
+    * linenumber alone is nondeterministic in BOTH engines. */
+  private def sccEdges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % 7 === 0 && col("l_quantity") <= 20)
+      .select("l_orderkey", "l_linenumber", "l_partkey").distinct()
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    f.withColumn("nxt", lead("l_partkey", 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("l_partkey"))
+      .select(col("l_partkey").as("src"), col("nxt").as("dst")).distinct()
+  }
+
 
   // ---- query inventory (SURVEY.md §2) --------------------------------
 
@@ -2146,6 +2162,19 @@ object SparkEntry {
       Graphs.hits(edges, "src", "dst", iters = 4)
     }),
 
+    // strongly connected components over the DIRECTED purchase-sequence
+    // graph (part_i -> part_{i+1} by (linenumber, partkey) within an
+    // order, on the partkey%7 / qty<=20 slice — tuned to a mixed SCC
+    // census: one dense mutual-sequence core plus small cycles plus a
+    // DAG fringe at every SF). FB-coloring + trim in the engine; the
+    // oracle verifies the OUTPUT CONTRACT (scc_id = min mutually-
+    // reachable id) from first principles via bounded-doubling closure
+    // — the result is algorithm-independent, so the oracle never has
+    // to replay the rounds. The lead() ordering includes l_partkey as
+    // tie-break: the testdata has duplicate l_linenumber per order, and
+    // a partial order would make the edge list engine-nondeterministic
+    "l13_scc" -> ((s, d) => Graphs.scc(sccEdges(s, d), "src", "dst")),
+
     // asymmetric shingle containment (Broder): a short doc embedded in
     // a long one scores ~0 on Jaccard but ~1 on containment — the
     // fuzzy-subset complement of E7/E11's exact repeated spans; the
@@ -2858,6 +2887,12 @@ object SparkEntry {
         .createOrReplaceTempView("graft_sql_copair_edges")
       s.sql("""SELECT * FROM graft_kcore('graft_sql_copair_edges',
         'item_a', 'item_b', 2)""")
+    }),
+
+    "l13s_scc_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      sccEdges(s, d).createOrReplaceTempView("graft_sql_seq_edges")
+      s.sql("SELECT * FROM graft_scc('graft_sql_seq_edges', 'src', 'dst')")
     }),
 
     "l7s_neighbor_jaccard_sql" -> ((s, d) => {
@@ -4945,6 +4980,35 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin
     },
 
+    // l13: the oracle verifies the OUTPUT CONTRACT, not the algorithm —
+    // scc_id(v) = min{u : u →* v AND v →* u} is a pure function of the
+    // graph, so the oracle computes bounded-doubling transitive closure
+    // (8 squaring rounds = 256-hop reach; measured fixpoint at 5/6/7
+    // rounds across the three SFs, extras are no-ops) and takes the
+    // min over mutual pairs. The closure is O(core²) pairs — fine for
+    // the oracle at the gate SF, and exactly the blow-up the ENGINE's
+    // FB-coloring avoids (node/edge-keyed labels only)
+    "l13_scc" -> {
+      val rounds = (1 to 8).map { r =>
+        s"""r$r AS MATERIALIZED (SELECT DISTINCT x.a, y.b
+           |  FROM r${r - 1} x JOIN r${r - 1} y ON x.b = y.a)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH f AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey
+         |  FROM lineitem WHERE l_partkey % 7 = 0 AND l_quantity <= 20),
+         |sq AS (SELECT l_orderkey, l_partkey,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+         |      ORDER BY l_linenumber, l_partkey) AS nxt FROM f),
+         |e AS (SELECT DISTINCT l_partkey AS src, nxt AS dst FROM sq
+         |      WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS MATERIALIZED (SELECT node AS a, node AS b FROM n
+         |      UNION SELECT src, dst FROM e),
+         |$rounds
+         |SELECT fwd.b AS node, MIN(fwd.a) AS scc_id
+         |FROM r8 fwd JOIN r8 bwd ON fwd.a = bwd.b AND fwd.b = bwd.a
+         |GROUP BY 1""".stripMargin
+    },
+
     // h28: the 6 damped-update rounds UNROLLED as chained CTEs (the
     // h18 discipline) — every share is an integer floor division and
     // every sum an integer sum, so the ranks match digit for digit
@@ -7023,6 +7087,7 @@ object SparkEntry {
       "l4s_personalized_rank_sql" -> "l4_personalized_rank",
       "l5s_weighted_rank_sql" -> "l5_weighted_rank",
       "l6s_kcore_sql" -> "l6_kcore",
+      "l13s_scc_sql" -> "l13_scc",
       "c20s_golden_record_sql" -> "c20_golden_record",
       "dq12s_benford_sql" -> "dq12_benford",
       "dq13s_fd_sql" -> "dq13_fd_check",

@@ -1002,7 +1002,12 @@ object Curation {
       sorted.schema.fields :+
         org.apache.spark.sql.types.StructField(rankName, org.apache.spark.sql.types.LongType))
     // persist: the counts pass and the offset pass both read the sorted
-    // RDD — unpinned, the range-partition + sort would run twice
+    // RDD — unpinned, the range-partition + sort would run twice. This
+    // pin is LOAD-BEARING for the returned frame (the ranked RDD maps
+    // over it), so it must outlive the call — unlike the iterative
+    // operators' superseded pins ([[Pins]]) there is nothing to release
+    // here; lineage is intact, so if the caller's janitor unpersists it
+    // the frame recomputes instead of failing.
     val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = rdd.mapPartitionsWithIndex { (i, it) =>
       Iterator((i, it.size.toLong))

@@ -387,17 +387,16 @@ object Dedup {
     // materialize the (small) edge list once — every iteration joins it,
     // and without the cut each join would re-derive the full upstream
     // pair-generation pipeline
-    val edges = pairs.select(col(a).as("x"), col(b).as("y"))
-      .union(pairs.select(col(b).as("x"), col(a).as("y")))
-      .localCheckpoint()
+    val edges = Pins.pin(pairs.select(col(a).as("x"), col(b).as("y"))
+      .union(pairs.select(col(b).as("x"), col(a).as("y"))))
     // seed label = min(id, min direct neighbor): the edge list is
     // symmetric so every id appears as x, and pair/star clusters are
     // already converged at the seed — one grouped min replaces a whole
     // propagate iteration
-    var labels = edges.groupBy(col("x").as("id"))
+    var labels = Pins.pin(edges.groupBy(col("x").as("id"))
       .agg(min(col("y")).as("mn"))
-      .select(col("id"), least(col("id"), col("mn")).as("label"))
-      .localCheckpoint()
+      .select(col("id"), least(col("id"), col("mn")).as("label")))
+    var labelsPin = labels
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -421,14 +420,19 @@ object Dedup {
       // labels only ever decrease, so "changed" is just cand < label —
       // carried as a flag on the checkpointed result, the convergence
       // probe is a filter over materialized partitions (no second join)
-      val next = stepped
+      val next = Pins.pin(stepped
         .select(col("id"), col("cand").as("label"),
-          (col("cand") < col("label")).as("changed"))
-        .localCheckpoint()
+          (col("cand") < col("label")).as("changed")))
       converged = next.filter(col("changed")).limit(1).count() == 0
+      Pins.release(labelsPin) // superseded label pin
+      labelsPin = next
       labels = next.drop("changed")
       it += 1
     }
+    // the returned frame reads only the final label pin; the edge pin
+    // is dead once the loop exits (or, with maxIter rounds exhausted,
+    // once its last propagate join materialized in the final pin)
+    Pins.release(edges)
     (labels.select(col("id").as("doc_id"), col("label").as("cluster_id")), it)
   }
 

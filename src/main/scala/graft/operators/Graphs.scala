@@ -70,30 +70,31 @@ object Graphs {
           col(w).cast("long").as("w"))
         .groupBy("src", "dst").agg(sum("w").as("w"))
     }
-    val ep = e0.repartition(col("src")).localCheckpoint()
+    val ep = Pins.pin(e0.repartition(col("src")))
     require(weight.isEmpty || ep.filter(col("w") <= 0).isEmpty,
       s"edge weights must be positive (column ${weight.orNull})")
     // total outgoing weight rides ON the edge row (one setup join,
     // amortized over every iteration — re-joining it per round costs
     // iters extra edge-sized joins for a value that never changes)
-    val e = ep.join(
-        ep.groupBy("src").agg(sum("w").as("total_w")), "src")
-      .localCheckpoint()
+    val e = Pins.pin(ep.join(
+        ep.groupBy("src").agg(sum("w").as("total_w")), "src"))
     val nodes0 = ep.select(col("src").as("node"))
       .union(ep.select(col("dst").as("node"))).distinct()
     val nodes = seeds match {
-      case None => nodes0.withColumn("is_seed", lit(true)).localCheckpoint()
-      case Some(s) => nodes0.join(
+      case None => Pins.pin(nodes0.withColumn("is_seed", lit(true)))
+      case Some(s) => Pins.pin(nodes0.join(
           broadcast(s.select(s.columns.head).toDF("node")
             .select(col("node").cast("long").as("node")).distinct()
             .withColumn("__s", lit(true))),
           Seq("node"), "left")
-        .select(col("node"), coalesce(col("__s"), lit(false)).as("is_seed"))
-        .localCheckpoint()
+        .select(col("node"), coalesce(col("__s"), lit(false)).as("is_seed")))
     }
+    // ep's consumers (e, nodes) are now pinned — its blocks are dead
+    Pins.release(ep)
     val baseShare = (dampDen - dampNum) * scale / dampDen
     var pr = nodes.withColumn("pr",
       when(col("is_seed"), lit(scale)).otherwise(lit(0L)))
+    var prPin: DataFrame = null
     for (i <- 1 to iters) {
       val contribs = e
         .join(pr.select(col("node").as("src"), col("pr").as("src_pr")), "src")
@@ -110,8 +111,16 @@ object Graphs {
       // l4/l5/h28/l11/l12): every-3rd-round pinning was 8% slower in
       // total and 65% slower on weighted pageRank (the deeper unpinned
       // segment re-evaluates the weight-joined edge frame) — keep 2.
-      if (i % 2 == 0 || i == iters) pr = pr.localCheckpoint()
+      if (i % 2 == 0 || i == iters) {
+        val next = Pins.pin(pr)
+        Pins.release(prPin) // superseded rank pin, successor materialized
+        prPin = next
+        pr = next
+      }
     }
+    // the loop always pins at i == iters, so the returned frame reads
+    // ONLY the final rank pin — the setup pins are dead on exit
+    Pins.release(e, nodes)
     pr.select(col("node"), col("pr").as("rank"))
   }
 
@@ -148,11 +157,12 @@ object Graphs {
     val und = edges
       .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-    val e = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val e = Pins.pin(und.union(und.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .repartition(col("a")).localCheckpoint()
-    var lab = e.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .repartition(col("a")))
+    var lab = Pins.pin(e.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")))
+    var labPin = lab
     for (i <- 1 to iters) {
       val counts = e
         .join(lab.select(col("node").as("b"), col("label")), "b")
@@ -161,8 +171,15 @@ object Graphs {
       lab = counts.groupBy(col("a"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("a").as("node"), (-col("m.nl")).as("label"))
-      if (i % 2 == 0 || i == iters) lab = lab.localCheckpoint()
+      if (i % 2 == 0 || i == iters) {
+        val next = Pins.pin(lab)
+        Pins.release(labPin) // superseded label pin
+        labPin = next
+        lab = next
+      }
     }
+    // i == iters always pins, so the result reads only the final pin
+    Pins.release(e)
     lab.select(col("node"), col("label").as("community"))
   }
 
@@ -299,7 +316,9 @@ object Graphs {
                          maxBasket: Int = 1000): DataFrame = {
     require(thresholdNum >= 0 && thresholdDen > 0 && thresholdNum <= thresholdDen,
       s"need 0 <= num <= den, got $thresholdNum/$thresholdDen")
-    val arrays = basketArrays(pairs, basket, item, maxBasket).localCheckpoint()
+    // load-bearing pin: BOTH consumers (deg, pair explode) live in the
+    // returned frame, so this pin must outlive the call (see [[Pins]])
+    val arrays = Pins.pin(basketArrays(pairs, basket, item, maxBasket))
     val deg = arrays.select(explode(col("its")).as("it"))
       .groupBy("it").agg(count(lit(1)).as("nb"))
     val sup = pairCounts(arrays).filter(col("support") >= minSupport)
@@ -315,6 +334,168 @@ object Graphs {
           col("support").cast("double") /
             sqrt(col("na").cast("double") * col("nbb").cast("double")),
           4).as("cosine"))
+  }
+
+  /** Strongly connected components (L13) — each node labelled with the
+    * smallest node id in its SCC (the set of nodes mutually reachable
+    * from it in a DIRECTED graph). The directed complement of L1's
+    * undirected components: cycle detection in purchase/navigation/link
+    * graphs — bot-ring and citation-loop analysis, collapse-before-DAG
+    * preprocessing (condense SCCs, then every DAG algorithm applies).
+    *
+    * Algorithm: forward-backward coloring (FW-BW / ColorSCC — Fleischer
+    * et al. IPDPS 2000 divide-and-conquer; Orzan's coloring 2004;
+    * Hong et al. PPoPP 2013 for the trim phase), spelled with the
+    * repo's frontier/min-label disciplines:
+    *
+    *  1. TRIM to fixpoint: a node with no in-edges or no out-edges in
+    *     the remaining graph is a singleton SCC — peel, repeat (the
+    *     kcore peeling shape; removes the DAG bulk cheaply).
+    *  2. COLOR: forward min-label fixpoint — `color(v) = min{u : u →* v
+    *     or u = v}` via per-round edge relaxation PLUS a pointer jump
+    *     (`color(v) := min(color(v), color(color(v)))` — any label is a
+    *     node that reaches v, and ITS label reaches it, so the jump is
+    *     sound and cuts rounds to O(log), the [[Dedup.clusters]]
+    *     path-halving trick). Every color-class root r (color(r) = r —
+    *     provably every class root) is a pivot, and r is the MINIMUM id
+    *     of its class.
+    *  3. EXTRACT: SCC(r) = nodes of class r that reach r WITHIN the
+    *     class (the coloring theorem: the connecting paths cannot leave
+    *     the class). Spelled as the SAME min-label fixpoint on the
+    *     class-filtered REVERSED edges: `blabel(v) = min class node
+    *     reachable from v`; member ⟺ `blabel(v) == color(v)` (r is the
+    *     class minimum). One SCC extracted per color class per round.
+    *  4. Remove extracted nodes, repeat; nodes never extracted by
+    *     coloring are singletons (trim only ever removes singletons —
+    *     a node inside a ≥2-cycle keeps in+out edges while its SCC is
+    *     intact), emitted as `scc_id = node` via one left join at the
+    *     end.
+    *
+    * The output — `(node, scc_id = min member id)` — is a pure function
+    * of the graph, independent of extraction order and round counts, so
+    * the oracle can verify it from first principles (bounded-doubling
+    * transitive closure: mutual-reachability pairs, min per node)
+    * without replaying this algorithm.
+    *
+    * Scale shape: every phase is edge- or node-keyed — degree semi-joins
+    * (trim), one edge⋈label join + grouped min + label-sized self-join
+    * (color/extract rounds), two label joins to class-filter edges;
+    * never all-pairs (the closure the oracle materializes is exactly
+    * what the ENGINE must avoid: it is O(n²) on a dense core). Loop
+    * counts are data-bounded with limit(1) probes and loud `require`s
+    * on exhaustion; per-round frames pin and release through [[Pins]]
+    * (constant-depth lineage, no storage leak). Outer rounds ≤ number
+    * of distinct pivot "layers" (≤ 2 on the gated graphs; a long
+    * increasing-id path is the adversarial worst case — cap and raise
+    * `maxOuter` if a real graph trips the require). */
+  def scc(edges: DataFrame, src: String, dst: String,
+          maxOuter: Int = 8, maxIter: Int = 60): DataFrame = {
+    require(maxOuter >= 1, s"maxOuter must be >= 1, got $maxOuter")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val e0 = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .distinct()
+    val allNodes = Pins.pin(e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct())
+    // self-loops don't affect SCC membership — drop before iterating
+    var rem = Pins.pin(e0.filter(col("src") =!= col("dst")))
+    var extracted: DataFrame = null
+    var outer = 0
+    var remEmpty = rem.isEmpty
+    while (!remEmpty && outer < maxOuter) {
+      outer += 1
+      // ---- trim to fixpoint ----
+      var trimmed = false
+      var tIt = 0
+      while (!trimmed && tIt < maxIter) {
+        tIt += 1
+        val haveOut = rem.select(col("src").as("n")).distinct()
+        val haveIn = rem.select(col("dst").as("n")).distinct()
+        trimmed = haveOut.join(haveIn, Seq("n"), "left_anti").limit(1).isEmpty &&
+          haveIn.join(haveOut, Seq("n"), "left_anti").limit(1).isEmpty
+        if (!trimmed) {
+          val keep = haveOut.join(haveIn, Seq("n"), "left_semi")
+          val pruned = Pins.pin(rem
+            .join(keep.withColumnRenamed("n", "src"), Seq("src"), "left_semi")
+            .join(keep.withColumnRenamed("n", "dst"), Seq("dst"), "left_semi"))
+          Pins.release(rem)
+          rem = pruned
+        }
+      }
+      require(trimmed, s"scc trim did not converge within $maxIter rounds")
+      remEmpty = rem.isEmpty
+      if (!remEmpty) {
+        val ns = Pins.pin(rem.select(col("src").as("node"))
+          .union(rem.select(col("dst").as("node"))).distinct())
+        // ---- forward coloring ----
+        val color = minLabelFixpoint(rem, ns, maxIter, "forward-color")
+        // ---- class-filtered reversed edges + backward labels ----
+        val ce = Pins.pin(rem
+          .join(color.select(col("node").as("src"), col("label").as("__cs")), "src")
+          .join(color.select(col("node").as("dst"), col("label").as("__cd")), "dst")
+          .filter(col("__cs") === col("__cd"))
+          .select(col("dst").as("src"), col("src").as("dst")))
+        val blab = minLabelFixpoint(ce, ns, maxIter, "backward-reach")
+        val members = Pins.pin(color
+          .join(blab.withColumnRenamed("label", "__bl"), Seq("node"))
+          .filter(col("__bl") === col("label"))
+          .select(col("node"), col("label").as("scc_id")))
+        val acc = Pins.pin(
+          if (extracted == null) members else extracted.unionByName(members))
+        val newRem = Pins.pin(rem
+          .join(members.select(col("node").as("src")), Seq("src"), "left_anti")
+          .join(members.select(col("node").as("dst")), Seq("dst"), "left_anti"))
+        Pins.release(rem, ns, color, ce, blab, members, extracted)
+        extracted = acc
+        rem = newRem
+        remEmpty = rem.isEmpty
+      }
+    }
+    require(remEmpty,
+      s"scc did not converge within $maxOuter outer rounds — raise maxOuter")
+    Pins.release(rem)
+    // the returned frame reads the allNodes pin and the extracted pin
+    if (extracted == null)
+      allNodes.select(col("node"), col("node").as("scc_id"))
+    else
+      allNodes.join(extracted, Seq("node"), "left")
+        .select(col("node"), coalesce(col("scc_id"), col("node")).as("scc_id"))
+  }
+
+  /** Min-label propagation to fixpoint over a directed edge frame —
+    * `label(dst) := min(label(dst), label(src))` per round plus the
+    * pointer jump, seeded `label(v) = v`; the shared inner loop of
+    * [[scc]]'s color and extract phases. Returns a pinned
+    * `(node, label)` frame the CALLER releases. */
+  private def minLabelFixpoint(e: DataFrame, nodes: DataFrame,
+                               maxIter: Int, what: String): DataFrame = {
+    var lab = Pins.pin(nodes.withColumn("label", col("node")))
+    var labPin = lab
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      it += 1
+      val prop = e
+        .join(lab.select(col("node").as("src"), col("label").as("__sl")), "src")
+        .groupBy(col("dst").as("node")).agg(min(col("__sl")).as("__pl"))
+      val stepped = lab.join(prop, Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("__pl"), col("label"))).as("cand"))
+      // pointer jump: cand is a node id — its own cand also qualifies
+      val jumpSrc = stepped.select(col("node").as("__jn"), col("cand").as("__jl"))
+      val jumped = stepped
+        .join(jumpSrc, col("cand") === col("__jn"), "left")
+        .select(col("node"), col("label"),
+          least(col("cand"), coalesce(col("__jl"), col("cand"))).as("cand"))
+      val next = Pins.pin(jumped.select(col("node"), col("cand").as("label"),
+        (col("cand") < col("label")).as("changed")))
+      converged = next.filter(col("changed")).limit(1).count() == 0
+      Pins.release(labPin)
+      labPin = next
+      lab = next.drop("changed")
+    }
+    require(converged, s"scc $what did not converge within $maxIter rounds")
+    lab
   }
 
   /** Multi-source BFS hop distance (L8) — each reachable node's
@@ -344,36 +525,44 @@ object Graphs {
     val e0 = edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-    val e = (if (directed) e0
+    val e = Pins.pin((if (directed) e0
              else e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
       .distinct()
-      .repartition(col("src"))
-      .localCheckpoint()
+      .repartition(col("src")))
     val s0 = seeds.select(seeds.columns.head).toDF("node")
       .select(col("node").cast("long").as("node")).distinct()
     val inGraph = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    var dist = inGraph.join(s0, Seq("node"), "left_semi")
-      .withColumn("depth", lit(0L))
-      .localCheckpoint()
+    var dist = Pins.pin(inGraph.join(s0, Seq("node"), "left_semi")
+      .withColumn("depth", lit(0L)))
+    var distPin = dist
     var frontier = dist.select("node")
+    var frontierPin: DataFrame = null
     var d = 0
     var done = frontier.isEmpty
     while (!done && d < maxDepth) {
       d += 1
-      val fresh = e
+      val fresh = Pins.pin(e
         .join(frontier.select(col("node").as("src")), Seq("src"))
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
-        .withColumn("depth", lit(d.toLong))
-        .localCheckpoint() // pinned: the probe, the union and the next
-                           // round's join all read it
+        .withColumn("depth", lit(d.toLong)))
+        // pinned: the probe, the union and the next round's join read it
       done = fresh.limit(1).isEmpty
+      Pins.release(frontierPin) // last round's frontier — superseded
+      frontierPin = fresh
       if (!done) {
-        dist = dist.unionByName(fresh).localCheckpoint()
+        val nd = Pins.pin(dist.unionByName(fresh))
+        Pins.release(distPin) // superseded settled-set pin
+        distPin = nd
+        dist = nd
         frontier = fresh.select("node")
       }
     }
+    // the final frontier pin's rows already live in the dist pin (or it
+    // was the empty convergence round); the edge pin has no consumer in
+    // the returned frame — only the final dist pin must outlive the call
+    Pins.release(e, frontierPin)
     dist
   }
 
@@ -430,13 +619,12 @@ object Graphs {
             maxIter: Int = 30): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    var e = edges
+    var e = Pins.pin(edges
       .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var it = 0
     var done = e.isEmpty
     while (!done && it < maxIter) {
@@ -444,13 +632,14 @@ object Graphs {
       val deg = e.select(col("lo").as("n")).union(e.select(col("hi").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("n"))
-      val pruned = e
+      val pruned = Pins.pin(e
         .join(keep.withColumnRenamed("n", "lo"), Seq("lo"), "left_semi")
         .join(keep.withColumnRenamed("n", "hi"), Seq("hi"), "left_semi")
-        .select(col("lo"), col("hi"))
-        .localCheckpoint()
-      // convergence probe: any node below k this round? (aggregate-sized)
+        .select(col("lo"), col("hi")))
+      // convergence probe: any node below k this round? (aggregate-sized;
+      // reads deg off the OLD edge pin, so release it only after)
       done = deg.filter(col("deg") < k).limit(1).isEmpty
+      Pins.release(e) // superseded edge set — pruned is materialized
       e = pruned
     }
     require(done || e.select(col("lo").as("n")).union(e.select(col("hi").as("n")))
@@ -480,27 +669,27 @@ object Graphs {
     * agree exactly. Nodes in no triangle report 0 via the left join
     * back to the node set. */
   def triangles(edges: DataFrame, src: String, dst: String): DataFrame = {
-    val e = edges
+    val e = Pins.pin(edges
       .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))
-      .distinct()
-      .localCheckpoint()
-    val deg = e.select(col("lo").as("n")).union(e.select(col("hi").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .distinct())
+    val deg = Pins.pin(e.select(col("lo").as("n")).union(e.select(col("hi").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg")))
     val loFirst = e
       .join(deg.select(col("n").as("lo"), col("deg").as("dlo")), Seq("lo"))
       .join(deg.select(col("n").as("hi"), col("deg").as("dhi")), Seq("hi"))
       .select(col("lo"), col("hi"),
         (col("dlo") < col("dhi") ||
           (col("dlo") === col("dhi") && col("lo") < col("hi"))).as("loFirst"))
-    val oriented = loFirst.select(
+    val oriented = Pins.pin(loFirst.select(
         when(col("loFirst"), col("lo")).otherwise(col("hi")).as("u"),
         when(col("loFirst"), col("hi")).otherwise(col("lo")).as("v"))
-      .repartition(col("u"))
-      .localCheckpoint()
+      .repartition(col("u")))
+    // e's consumers (deg, oriented) are both pinned now; the returned
+    // frame reads the deg and oriented pins — those outlive the call
+    Pins.release(e)
     val wedges = oriented.select(col("u"), col("v").as("w1"))
       .join(oriented.select(col("u"), col("v").as("w2")), Seq("u"))
       .filter(col("w1") < col("w2"))
@@ -548,13 +737,11 @@ object Graphs {
   def hits(edges: DataFrame, src: String, dst: String,
            iters: Int = 4, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
-    val e = edges
+    val e = Pins.pin(edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-      .distinct()
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .distinct())
+    val nodes = Pins.pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     // Pin the MASS frame (node-sized, pre-normalization) and derive
     // both the normalizer total and the normalized score from that one
     // pinned copy. The r11 shape pinned the POST-renorm frame, which
@@ -578,18 +765,28 @@ object Graphs {
             s" div CAST(__t AS DECIMAL(38,0)) AS BIGINT)").as(c))
     var hub = nodes.withColumn("hub", lit(scale))
     var auth: DataFrame = null
+    var prevAMass: DataFrame = null
+    var prevHMass: DataFrame = null
     for (i <- 1 to iters) {
-      val aMass = e
+      val aMass = Pins.pin(e
         .join(hub.select(col("node").as("src"), col("hub").as("h")), "src")
-        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("m"))
-        .localCheckpoint()
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("m")))
+      // last round's auth mass backed auth_{i-1}, whose only onward
+      // consumer (this aMass via hub) has just materialized
+      Pins.release(prevAMass)
+      prevAMass = aMass
       auth = normalized(aMass, "auth")
-      val hMass = e
+      val hMass = Pins.pin(e
         .join(auth.select(col("node").as("dst"), col("auth").as("a")), "dst")
-        .groupBy(col("src").as("node")).agg(sum(col("a")).as("m"))
-        .localCheckpoint()
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("m")))
+      Pins.release(prevHMass)
+      prevHMass = hMass
       hub = normalized(hMass, "hub")
     }
+    // the returned frame reads the nodes pin and the FINAL aMass/hMass
+    // pins (hub/auth are unpinned normalized views over them) — only
+    // the edge pin is dead on exit
+    Pins.release(e)
     hub.join(auth, Seq("node"))
       .select(col("node"), col("hub"), col("auth"))
   }

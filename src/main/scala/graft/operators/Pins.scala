@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Lineage-pin discipline for the iterative operators (pageRank, HITS,
+  * k-core, BFS, label propagation, dedup clusters): every loop cuts
+  * lineage with an eager checkpoint so plans stay constant-depth, and
+  * every SUPERSEDED pin is released once its successor materializes —
+  * without the release, a library user composing several iterative
+  * operators in one long session accumulates dead pinned blocks until
+  * driver GC happens to reap them (a slow storage-memory leak at
+  * exactly the long-session 100 TB deployments this engine targets;
+  * the bench harness masked it by clearing all persistent RDDs between
+  * queries, which a library caller has no reason to do).
+  *
+  * Two pin modes, selected by session conf `spark.graft.checkpointMode`:
+  *
+  *  - `local` (default): `Dataset.localCheckpoint()` — executor-local
+  *    blocks, no HDFS round-trip, right for local[] and short jobs.
+  *    Blocks die with their executor, so on a real cluster a lost
+  *    executor RESTARTS the whole query (lineage is truncated — there
+  *    is nothing to recompute from).
+  *  - `reliable`: `Dataset.checkpoint()` — files under
+  *    `sparkContext.setCheckpointDir(...)` (HDFS/object store),
+  *    surviving executor loss: the right dial for long iterative
+  *    chains on a 1000-executor run, at the cost of one write+read of
+  *    the pinned frame per pin. Checkpoint FILES are reclaimed by
+  *    Spark only with `spark.cleaner.referenceTracking.cleanCheckpoints`
+  *    — point the dir at job-scoped scratch storage.
+  *
+  * Both modes return a frame whose plan is a leaf over the
+  * materialized data, so results are bit-identical across modes
+  * (spec-asserted on the L-family fixtures — every operator result
+  * here is deterministic integers).
+  *
+  * [[release]] is for pins that are provably DEAD: a localCheckpoint
+  * leaf has no lineage to recompute from, so releasing a pin that the
+  * returned frame still reads would make downstream actions fail with
+  * missing-block errors. Operators therefore release (a) superseded
+  * loop pins once the successor pin has materialized (pins are eager)
+  * and (b) setup pins whose last consumer has materialized, and they
+  * DOCUMENT the pins the returned frame reads (those must outlive the
+  * call; the caller releases them by unpersisting the returned frame's
+  * blocks or letting the session end). */
+object Pins {
+  val ModeKey = "spark.graft.checkpointMode"
+
+  /** Eager constant-depth lineage pin in the session-selected mode. */
+  def pin(df: DataFrame): DataFrame = {
+    val pinned =
+      df.sparkSession.conf.getOption(ModeKey).getOrElse("local") match {
+        case "local" => df.localCheckpoint()
+        case "reliable" =>
+          require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+            s"$ModeKey=reliable requires sparkContext.setCheckpointDir(...)")
+          df.checkpoint()
+        case other => throw new IllegalArgumentException(
+          s"$ModeKey must be 'local' or 'reliable', got '$other'")
+      }
+    capStats(pinned)
+  }
+
+  /** Checkpointing copies the ORIGIN plan's size estimate onto the new
+    * [[LogicalRDD]] leaf (`LogicalRDD.fromDataset` → `rewriteStatistics`),
+    * and Catalyst's size-only estimator multiplies join children — so in
+    * an iterative operator each pin round re-multiplies the previous
+    * pin's already-multiplied estimate and the leaf's `sizeInBytes`
+    * BigInt DOUBLES IN DIGITS per round (measured: 6 → 1310 digits in 8
+    * rounds of a pinned self-join). Past ~20 rounds the driver melts
+    * doing million-digit Toom-Cook multiplications inside stats
+    * estimation — a pure planning pathology; the data itself is tiny.
+    * Fix: cap the pinned leaf's estimate at Long.MaxValue (Spark's own
+    * `defaultSizeInBytes` saturation value). Every size-based planner
+    * decision is unchanged — estimates below the cap keep their exact
+    * origin value, and values above it are all equally "far too big to
+    * broadcast" — but products of capped leaves stay small-digit, so
+    * stats stay O(1) per round. Constraints are preserved verbatim. */
+  private val StatsCap = BigInt(Long.MaxValue)
+
+  private def capStats(pinned: DataFrame): DataFrame =
+    pinned.queryExecution.analyzed match {
+      case lr: LogicalRDD if lr.computeStats().sizeInBytes > StatsCap =>
+        val capped = LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+          lr.outputOrdering, lr.isStreaming, lr.stream)(
+          pinned.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          Some(org.apache.spark.sql.catalyst.plans.logical.Statistics(
+            sizeInBytes = StatsCap)),
+          Some(lr.constraints))
+        org.apache.spark.sql.graft.ColumnBridge.ofRows(pinned.sparkSession, capped)
+      case _ => pinned
+    }
+
+  /** Release a DEAD pin's storage blocks (blocking=false; null-safe so
+    * loop-carried "previous pin" slots start at null). A pinned frame's
+    * plan is a [[LogicalRDD]] leaf over the persisted RDD — unpersist
+    * that RDD directly (the Dataset-level unpersist only consults the
+    * cache manager, which knows nothing about checkpoint pins). For
+    * reliable-mode pins the RDD is file-backed and not persisted, so
+    * this is a harmless no-op. */
+  def release(dfs: DataFrame*): Unit =
+    dfs.foreach { df =>
+      if (df != null) df.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
+}

@@ -353,4 +353,43 @@ class GraphsSpec extends SparkSpec {
     // deg(1) = 2, deg(10) = 3 → D_c = 5, L_c = 0 → q_num = −25
     assert(qx == Set((1L, 2L, 0L, 5L, -25L, 196L)), s"got $qx")
   }
+
+  test("scc: 2-cycle + dangling tail + bridged 3-cycle (hand-checked)") {
+    // 1<->2 (2-cycle), tail 2->3->4, bridge 4->5, cycle 5->6->7->5:
+    // SCCs {1,2}, {3}, {4}, {5,6,7} with min-member ids 1/3/4/5
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 5L)).toDF("s", "t")
+    val got = Graphs.scc(edges, "s", "t").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L), s"got $got")
+  }
+
+  test("scc: self-loops and duplicate edges stay singletons; a pure DAG is all singletons") {
+    // 8's only edge is a self-loop (still a node, still singleton);
+    // the 1->2 duplicate collapses; 1->2->3 + 1->3 is acyclic
+    val edges = Seq((8L, 8L), (1L, 2L), (1L, 2L), (2L, 3L), (1L, 3L))
+      .toDF("s", "t")
+    val got = Graphs.scc(edges, "s", "t").as[(Long, Long)].collect().toMap
+    assert(got == Map(8L -> 8L, 1L -> 1L, 2L -> 2L, 3L -> 3L), s"got $got")
+  }
+
+  test("scc: chained cycles force multiple extraction rounds") {
+    // (1<->2) -> (3<->4) -> (5<->6): round 1 colors everything 1 and
+    // extracts only {1,2}; {3,4} and {5,6} surface in later rounds —
+    // exercises the outer loop, the re-trim, and the removal joins
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L),
+      (4L, 5L), (5L, 6L), (6L, 5L)).toDF("s", "t")
+    val got = Graphs.scc(edges, "s", "t").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 5L), s"got $got")
+  }
+
+  test("scc: maxOuter exhaustion fails loudly instead of returning a partial census") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("s", "t")
+    val e = intercept[IllegalArgumentException] {
+      Graphs.scc(edges, "s", "t", maxOuter = 1).collect()
+    }
+    assert(e.getMessage.contains("maxOuter"))
+  }
 }

@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{Dedup, Graphs, Pins}
+import org.apache.spark.sql.DataFrame
+
+/** Pin hygiene (r13 verdict #2) and the checkpoint-mode dial (#3).
+  *
+  * Hygiene contract: an iterative operator may retain ONLY the pins the
+  * returned frame reads — every superseded loop pin and every consumed
+  * setup pin is released inside the call. A library user composing
+  * several iterative operators in one long session must not accumulate
+  * dead storage blocks (the bench harness's between-query janitor
+  * masked this; a real caller has no janitor).
+  *
+  * Mode contract: `spark.graft.checkpointMode=reliable` routes every
+  * pin through `Dataset.checkpoint()` (checkpoint-dir files, surviving
+  * executor loss) and produces row-for-row identical results — all
+  * these operators are deterministic integer arithmetic. */
+class PinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pinnedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Runs `op`, consumes its result, and returns (result frame, ids of
+    * persistent RDDs the call left behind). */
+  private def retained(op: => DataFrame): (DataFrame, Set[Int]) = {
+    val before = pinnedIds
+    val out = op
+    out.collect()
+    (out, pinnedIds -- before)
+  }
+
+  private val edges =
+    Seq((1L, 2L), (2L, 1L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 3L))
+      .toDF("s", "t")
+
+  test("pageRank + clusters back-to-back retain only the returned frames' pins") {
+    val before = pinnedIds
+    val (pr, prNew) = retained(Graphs.pageRank(edges, "s", "t", iters = 5))
+    assert(prNew.size == 1,
+      s"pageRank must retain exactly its final rank pin, got ${prNew.size}")
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("a", "b")
+    val (cl, clNew) = retained(Dedup.clusters(pairs, "a", "b"))
+    assert(clNew.size == 1,
+      s"clusters must retain exactly its final label pin, got ${clNew.size}")
+    // the retained pins are exactly the returned frames' backing blocks:
+    // releasing them restores the pre-call block-manager state
+    Pins.release(pr, cl)
+    assert(pinnedIds == before, "releasing the returned frames restores baseline")
+  }
+
+  test("hits retains the nodes pin plus the final mass pins, nothing else") {
+    val (out, fresh) = retained(Graphs.hits(edges, "s", "t", iters = 3))
+    // nodes + final auth mass + final hub mass back the returned frame
+    assert(fresh.size == 3, s"hits should retain 3 pins, got ${fresh.size}")
+    Pins.release(out)
+    assert((pinnedIds intersect fresh).isEmpty)
+  }
+
+  test("bfsDepth, kcore, labelPropagation each retain exactly one pin") {
+    val seeds = Seq(1L).toDF("n")
+    val (bfs, bNew) = retained(Graphs.bfsDepth(edges, "s", "t", seeds))
+    assert(bNew.size == 1, s"bfsDepth: ${bNew.size}")
+    val (kc, kNew) = retained(Graphs.kcore(edges, "s", "t", k = 2))
+    assert(kNew.size == 1, s"kcore: ${kNew.size}")
+    val (lp, lNew) = retained(Graphs.labelPropagation(edges, "s", "t"))
+    assert(lNew.size == 1, s"labelPropagation: ${lNew.size}")
+    Pins.release(bfs, kc, lp)
+    assert((pinnedIds intersect (bNew ++ kNew ++ lNew)).isEmpty)
+  }
+
+  test("scc retains only the node and extracted-assignment pins") {
+    val directed = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("s", "t")
+    val (out, fresh) = retained(Graphs.scc(directed, "s", "t"))
+    assert(fresh.size == 2, s"scc should retain 2 pins, got ${fresh.size}")
+    Pins.release(out)
+    assert((pinnedIds intersect fresh).isEmpty)
+  }
+
+  test("triangles retains its two result-backing pins (degrees + oriented edges)") {
+    val (tri, fresh) = retained(Graphs.triangles(edges, "s", "t"))
+    assert(fresh.size == 2, s"triangles: ${fresh.size}")
+    Pins.release(tri)
+    assert((pinnedIds intersect fresh).isEmpty)
+  }
+
+  test("released returned frames were the ONLY retained state across a composed session") {
+    // the library-user scenario the r13 verdict names: several
+    // iterative operators composed in one session must leave the block
+    // manager exactly as found once their results are released
+    val before = pinnedIds
+    val frames = Seq(
+      Graphs.pageRank(edges, "s", "t", iters = 4),
+      Graphs.hits(edges, "s", "t", iters = 2),
+      Graphs.bfsDepth(edges, "s", "t", Seq(1L).toDF("n")),
+      Dedup.clusters(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b"))
+    frames.foreach(_.collect())
+    Pins.release(frames: _*)
+    assert(pinnedIds == before)
+  }
+
+  test("checkpointMode=reliable produces row-identical results on the L-family fixtures") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    def all(): Map[String, Set[Seq[Any]]] = Map[String, DataFrame](
+      "pageRank" -> Graphs.pageRank(edges, "s", "t", iters = 5),
+      "hits" -> Graphs.hits(edges, "s", "t", iters = 3),
+      "bfs" -> Graphs.bfsDepth(edges, "s", "t", Seq(1L).toDF("n")),
+      "kcore" -> Graphs.kcore(edges, "s", "t", k = 2),
+      "labelProp" -> Graphs.labelPropagation(edges, "s", "t"),
+      "clusters" -> Dedup.clusters(Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b"), "a", "b")
+    ).map { case (k, df) => k -> df.collect().map(_.toSeq).toSet }
+    val local = all()
+    spark.conf.set(Pins.ModeKey, "reliable")
+    try {
+      val reliable = all()
+      local.keys.foreach { k =>
+        assert(reliable(k) == local(k), s"$k diverged between checkpoint modes")
+      }
+    } finally {
+      spark.conf.unset(Pins.ModeKey)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  test("checkpointMode validation: a bogus mode fails loudly, naming the conf key") {
+    val df = Seq(1L).toDF("x")
+    spark.conf.set(Pins.ModeKey, "bogus")
+    try {
+      val e = intercept[IllegalArgumentException] { Pins.pin(df) }
+      assert(e.getMessage.contains(Pins.ModeKey))
+    } finally spark.conf.unset(Pins.ModeKey)
+  }
+}

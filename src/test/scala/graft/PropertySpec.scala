@@ -912,4 +912,36 @@ class PropertySpec extends SparkSpec {
       assert(extract(z2, 0, 2, 8) == a && extract(z2, 1, 2, 8) == b)
     }
   }
+
+  test("scc == min mutual-reachability id on arbitrary digraphs (sequential reference)") {
+    // the reference computes the DEFINITION directly — Warshall boolean
+    // closure, then scc_id(v) = min{u : u →* v ∧ v →* u} — so any
+    // divergence is an engine bug, not a reference-algorithm subtlety.
+    // Gapped non-contiguous ids guard against accidental index-vs-id
+    // confusion in the engine's label arithmetic.
+    val gen = for {
+      n <- Gen.choose(2, 14)
+      density <- Gen.choose(1, 3)
+      edges <- Gen.listOfN(math.max(2, n * density), for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a, b))
+    } yield (n, edges.distinct)
+    samples(gen, 18).foreach { case (n, es) =>
+      val ids = (0 until n).map(i => i.toLong * 7 + 3)
+      val reach = Array.fill(n, n)(false)
+      (0 until n).foreach(i => reach(i)(i) = true)
+      es.foreach { case (a, b) => reach(a)(b) = true }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      val present = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val want = present.map { v =>
+        ids(v) -> present.filter(u => reach(u)(v) && reach(v)(u)).map(ids).min
+      }.toMap
+      val got = graft.operators.Graphs
+        .scc(es.map { case (a, b) => (ids(a), ids(b)) }.toDF("s", "t"),
+          "s", "t", maxOuter = 20)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"edges=$es")
+    }
+  }
 }
