@@ -65,6 +65,28 @@ object Fuzz {
   }
   private def canonical(name: String): String = SparkEntry.oracleSql(name)
 
+  /** TVF arg-surface probe (r13 verdict #7): the malformed call MUST
+    * fail loudly with a message — anywhere in the cause chain — naming
+    * `mustName` (the function, or the violated constraint). Silent
+    * acceptance, or an anonymous downstream error, fails the draw. */
+  private def probeFail(s: SparkSession, sql: String,
+                        mustName: String): Unit = {
+    val thrown =
+      try { s.sql(sql).collect(); None }
+      catch { case e: Throwable => Some(e) }
+    thrown match {
+      case None => throw new IllegalStateException(
+        s"TVF arg probe silently ACCEPTED (expected loud failure naming " +
+          s"'$mustName'): $sql")
+      case Some(e) =>
+        val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+          .takeWhile(_ != null).take(8)
+          .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+        require(msgs.contains(mustName),
+          s"TVF failure for [$sql] does not name '$mustName': $msgs")
+    }
+  }
+
   final case class Draw(family: String, params: String,
                         fn: (SparkSession, String) => DataFrame,
                         oracle: String)
@@ -711,7 +733,10 @@ object Fuzz {
       // leakage-safe split fractions: train moves the first hash band,
       // train+val the second; the dedup-cluster group key is fixed
       val t = Seq(70, 75, 80, 85, 90)(r.nextInt(5))
-      val v = Seq(5, 10)(r.nextInt(2))
+      // the operator (rightly) requires a non-empty test band
+      // (train + val < 100) — draw val from the options that leave one
+      val vOpts = Seq(5, 10).filter(_ + t < 100)
+      val v = vOpts(r.nextInt(vOpts.size))
       Draw("k5_fracs", s"train=$t,val=$v",
         (s, d) => {
           val dd = Tables.documents(s, d)
@@ -813,7 +838,190 @@ object Fuzz {
           "'spark', 'window', 'merge'",
           terms.map("'" + _ + "'").mkString(", ")),
           "<= 20", s"<= $k"))
+    },
+
+    // ============ TVF argument-surface fuzzing (r13 verdict #7) ======
+    // 78 SQL mirrors prove the TVF happy path == Scala; these families
+    // drive the hand-rolled literal-arg parsers (arity, numeric/string
+    // typing, 'k:v' CSV specs, order specs, timestamp strings) at
+    // DRAWN boundary values and MALFORMED spellings. Contract per
+    // draw: the valid call must hash-match the canonical oracle at the
+    // drawn params (TVF == Scala == DuckDB, transitively), and every
+    // malformed probe must fail LOUDLY with a message naming the
+    // function (or the violated constraint) — never a silent wrong
+    // default. A silently-accepted probe fails the draw.
+
+    "tvf_topk_args" -> { r =>
+      val k = 1 + r.nextInt(10)
+      // equivalent order-spec spellings: case-insensitivity and the
+      // implicit-asc default are part of the parser contract
+      val order = Seq("o_totalprice desc, o_orderkey",
+        "o_totalprice DESC, o_orderkey asc",
+        "o_totalprice Desc,o_orderkey ASC")(r.nextInt(3))
+      val tail = Seq("", ", 'rnk'", ", 'rnk', 'rownum'")(r.nextInt(3))
+      Draw("tvf_topk_args", s"k=$k,order='$order',tail='$tail'",
+        (s, d) => {
+          SparkEntry.sqlSurface(s, d)
+          Tables.orders(s, d)
+            .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+            .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+            .createOrReplaceTempView("graft_fuzz_seg_orders")
+          probeFail(s, "SELECT * FROM graft_topk('graft_fuzz_seg_orders')",
+            "graft_topk")
+          probeFail(s, "SELECT * FROM graft_topk('graft_fuzz_seg_orders', " +
+            "'c_mktsegment', 'o_totalprice sideways down', 3)", "graft_topk")
+          probeFail(s, "SELECT * FROM graft_topk('graft_fuzz_seg_orders', " +
+            "'c_mktsegment', 'o_totalprice', 3, 'rnk', 'banana')", "graft_topk")
+          probeFail(s, "SELECT * FROM graft_topk('graft_fuzz_seg_orders', " +
+            "' , ', 'o_totalprice', 3)", "graft_topk")
+          probeFail(s, "SELECT * FROM graft_topk('graft_fuzz_seg_orders', " +
+            "'c_mktsegment', 'o_totalprice', 'three')", "graft_topk")
+          s.sql("SELECT * FROM graft_topk('graft_fuzz_seg_orders', " +
+            s"'c_mktsegment', '$order', $k$tail)")
+        },
+        sub(canonical("d8_topk_native"), "rnk <= 3", s"rnk <= $k"))
+    },
+
+    "tvf_funnel_args" -> { r =>
+      val w = 600 + 60 * r.nextInt(111) // window seconds in [600, 7200]
+      Draw("tvf_funnel_args", s"window=${w}s",
+        (s, d) => {
+          SparkEntry.sqlSurface(s, d)
+          probeFail(s, "SELECT * FROM graft_funnel('graft_sql_events', " +
+            "'user_id', 'ts')", "graft_funnel")
+          probeFail(s, "SELECT * FROM graft_funnel('graft_sql_events', " +
+            "'user_id', 'ts', 'event_type', ' ,, ', 3600)", "stepsCsv")
+          probeFail(s, "SELECT * FROM graft_funnel('graft_sql_events', " +
+            "'user_id', 'ts', 'event_type', 'view,click', 'soon')",
+            "graft_funnel")
+          s.sql("SELECT * FROM graft_funnel('graft_sql_events', 'user_id', " +
+            s"'ts', 'event_type', 'view,click,purchase', $w)")
+        },
+        sub(canonical("c9_funnel"),
+          "INTERVAL 3600 SECOND", s"INTERVAL $w SECOND", expected = 2))
+    },
+
+    "tvf_rebalance_args" -> { r =>
+      val (we, wd, wf) = (1 + r.nextInt(4), 1 + r.nextInt(4), 1 + r.nextInt(4))
+      Draw("tvf_rebalance_args", s"weights=en:$we,de:$wd,fr:$wf",
+        (s, d) => {
+          SparkEntry.sqlSurface(s, d)
+          Tables.documents(s, d).select(col("doc_id"), col("lang"))
+            .createOrReplaceTempView("graft_fuzz_doc_langs")
+          for (bad <- Seq("en:", "en:2:3", "en:-1", "en:1.5", ":2", " , "))
+            probeFail(s, "SELECT * FROM graft_rebalance(" +
+              s"'graft_fuzz_doc_langs', 'lang', '$bad', 'doc_id', '|mix1')",
+              "graft_rebalance")
+          s.sql("SELECT * FROM graft_rebalance('graft_fuzz_doc_langs', " +
+            s"'lang', 'en:$we,de:$wd,fr:$wf', 'doc_id', '|mix1')")
+        },
+        sub(canonical("k9_rebalance"),
+          "VALUES ('en', 2), ('de', 1), ('fr', 1)",
+          s"VALUES ('en', $we), ('de', $wd), ('fr', $wf)"))
+    },
+
+    "tvf_profile_args" -> { r =>
+      val cut = Seq("1995-03-01", "1995-05-01", "1995-07-01",
+        "1995-09-01", "1995-11-01")(r.nextInt(5))
+      Draw("tvf_profile_args", s"cut=$cut",
+        (s, d) => {
+          SparkEntry.sqlSurface(s, d)
+          val li = Tables.lineitem(s, d)
+          val c = lit(cut).cast("timestamp")
+          li.filter(col("l_shipdate") < c)
+            .createOrReplaceTempView("graft_fuzz_li_ref")
+          li.filter(col("l_shipdate") >= c)
+            .createOrReplaceTempView("graft_fuzz_li_cur")
+          for (bad <- Seq("l_quantity", "l_quantity:4:5", ":4",
+              "l_quantity:x", " ,, "))
+            probeFail(s, "SELECT * FROM graft_profile('graft_fuzz_li_ref', " +
+              s"'graft_fuzz_li_cur', '$bad')", "graft_profile")
+          s.sql("SELECT * FROM graft_profile('graft_fuzz_li_ref', " +
+            "'graft_fuzz_li_cur', " +
+            "'l_quantity:4,l_extendedprice:4,l_discount:6,l_tax:6')")
+        },
+        sub(canonical("dq5_profile"),
+          "TIMESTAMP '1995-07-01'", s"TIMESTAMP '$cut'", expected = 2))
+    },
+
+    "tvf_freshness_args" -> { r =>
+      val warnD = 1 + r.nextInt(5)
+      val errD = warnD + 1 + r.nextInt(10)
+      // equivalent timestamp spellings of the SAME instant — the
+      // DuckDB side keeps the canonical spelling, so acceptance AND
+      // value-equivalence are both under test
+      val asOf = Seq("2024-02-01 00:00:00", "2024-02-01",
+        "2024-02-01T00:00:00")(r.nextInt(3))
+      Draw("tvf_freshness_args",
+        s"warn=${warnD}d,err=${errD}d,asOf='$asOf'",
+        (s, d) => {
+          SparkEntry.sqlSurface(s, d)
+          probeFail(s, "SELECT * FROM graft_freshness('graft_sql_events', " +
+            "'event_type', 'ts', 'around lunchtime', 259200, 864000)",
+            "graft_freshness")
+          probeFail(s, "SELECT * FROM graft_freshness('graft_sql_events', " +
+            "' ', 'ts', '2024-02-01 00:00:00', 259200, 864000)", "keysCsv")
+          probeFail(s, "SELECT * FROM graft_freshness('graft_sql_events', " +
+            "'event_type', 'ts', '2024-02-01 00:00:00', 864000, 259200)",
+            "error_after")
+          s.sql("SELECT * FROM graft_freshness('graft_sql_events', " +
+            s"'event_type', 'ts', '$asOf', ${warnD * 86400}, ${errD * 86400})")
+        },
+        sub(sub(canonical("dq6_freshness"),
+          "864000", s"${errD * 86400}"),
+          "259200", s"${warnD * 86400}"))
+    },
+
+    "tvf_curriculum_args" -> { r =>
+      val phases = 2 + r.nextInt(15)
+      val order = Seq("quality_score desc, doc_id asc",
+        "quality_score DESC,doc_id", "quality_score desc, doc_id")(r.nextInt(3))
+      Draw("tvf_curriculum_args", s"phases=$phases,order='$order'",
+        (s, d) => {
+          SparkEntry.sqlSurface(s, d)
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("text"),
+              graft.functions.TextFunctions.textProfile(lower(col("text"))).as("p"))
+            .select(col("doc_id"),
+              graft.functions.TextFunctions
+                .qualityScoreFromProfile(col("text"), col("p"))
+                .as("quality_score"))
+            .createOrReplaceTempView("graft_fuzz_scored_docs")
+          probeFail(s, "SELECT * FROM graft_curriculum(" +
+            "'graft_fuzz_scored_docs', 'quality_score descending', 10)",
+            "graft_curriculum")
+          probeFail(s, "SELECT * FROM graft_curriculum(" +
+            "'graft_fuzz_scored_docs', ' , ', 10)", "orderCsv")
+          probeFail(s, "SELECT * FROM graft_curriculum(" +
+            "'graft_fuzz_scored_docs', 'quality_score desc', 0)", "phases")
+          s.sql("SELECT doc_id, quality_score, rank, phase FROM " +
+            s"graft_curriculum('graft_fuzz_scored_docs', '$order', $phases)")
+        },
+        sub(canonical("k8_curriculum"), "ntile(10)", s"ntile($phases)"))
+    },
+
+    "tvf_scc_args" -> { r =>
+      // the newest TVF: arity + typing probes, plus the graph itself
+      // moves with the draw — the quantity cut redraws the
+      // purchase-sequence edge set, so the FB-coloring engine and the
+      // closure oracle are exercised on fresh SCC structure each seed
+      val qty = 17 + r.nextInt(7) // quantity cut in [17, 23]
+      val srcSpelling = Seq("src", "SRC")(r.nextInt(2))
+      Draw("tvf_scc_args", s"qty<=$qty,src='$srcSpelling'",
+        (s, d) => {
+          SparkEntry.sqlSurface(s, d)
+          SparkEntry.sccEdges(s, d, qtyCut = qty)
+            .createOrReplaceTempView("graft_fuzz_seq_edges")
+          probeFail(s, "SELECT * FROM graft_scc('graft_fuzz_seq_edges')",
+            "graft_scc")
+          probeFail(s, "SELECT * FROM graft_scc('graft_fuzz_seq_edges', " +
+            "'src', 'dst', 4)", "graft_scc")
+          s.sql("SELECT * FROM graft_scc('graft_fuzz_seq_edges', " +
+            s"'$srcSpelling', 'dst')")
+        },
+        sub(canonical("l13_scc"), "l_quantity <= 20", s"l_quantity <= $qty"))
     })
+
 
   /** The l4 canonical-oracle generator, parameterized on rounds and
     * damping — MUST stay a byte-for-byte copy of the SparkEntry
@@ -1243,8 +1451,12 @@ object Fuzz {
     new java.io.File(outDir).mkdirs()
 
     val rng = new Random(seed)
-    val fams = families
-    val dfams = dataFamilies
+    // local-iteration family filter (driver never sets it): run only
+    // the named families, e.g. SPARK_GRAFT_FUZZ_FAMILIES=tvf_topk_args
+    val famOnly = sys.env.get("SPARK_GRAFT_FUZZ_FAMILIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val fams = families.filter(f => famOnly.forall(_.contains(f._1)))
+    val dfams = dataFamilies.filter(f => famOnly.forall(_.contains(f._1)))
     val total = fams.size + dfams.size
     // round-robin over param + data families so every family is hit;
     // each draw gets fresh randomness. Param draws are fzNN_, data

@@ -69,6 +69,37 @@ object GraftTableFunctions {
   private def csv(args: Seq[Expression], i: Int, fn: String): Seq[String] =
     str(args, i, fn).split(',').iterator.map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** As [[csv]] but refuses an EMPTY result — for specs where "no
+    * entries" would otherwise produce a degenerate operator silently
+    * (empty funnel steps crash in an anonymous `empty.reduce`; an
+    * empty key list turns a per-key report into one global row)
+    * instead of the usage error the caller needs (r13 verdict #7:
+    * never a silent wrong default). */
+  private def csv1(args: Seq[Expression], i: Int, fn: String,
+                   what: String): Seq[String] = {
+    val out = csv(args, i, fn)
+    if (out.isEmpty) throw new IllegalArgumentException(
+      s"$fn: $what must name at least one entry, got '${str(args, i, fn)}'")
+    out
+  }
+
+  /** Timestamp literal with EAGER parse validation — a bare
+    * `lit(s).cast("timestamp")` turns a malformed string into a silent
+    * NULL, and a NULL as-of nulls every downstream lag: the exact
+    * silent-wrong-default the TVF arg surface must never produce. */
+  private def tsLit(args: Seq[Expression], i: Int,
+                    fn: String): org.apache.spark.sql.Column = {
+    val raw = str(args, i, fn)
+    val parsed = org.apache.spark.sql.catalyst.expressions.Cast(
+      Literal(org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+        StringType),
+      org.apache.spark.sql.types.TimestampType, Option("UTC")).eval(null)
+    if (parsed == null) throw new IllegalArgumentException(
+      s"$fn: argument ${i + 1} must be a timestamp literal " +
+        s"(e.g. '2024-02-01 00:00:00'), got '$raw'")
+    org.apache.spark.sql.functions.lit(raw).cast("timestamp")
+  }
+
   private def table(name: String): DataFrame = SparkSession.active.table(name)
 
   private def plan(df: DataFrame): LogicalPlan =
@@ -88,7 +119,7 @@ object GraftTableFunctions {
       val fn = "graft_funnel"
       arity(args, fn, Set(6), "table, entity, ts, typeCol, stepsCsv, windowSeconds")
       plan(Sessionize.funnel(table(str(args, 0, fn)), str(args, 1, fn),
-        str(args, 2, fn), str(args, 3, fn), csv(args, 4, fn),
+        str(args, 2, fn), str(args, 3, fn), csv1(args, 4, fn, "stepsCsv"),
         num(args, 5, fn).toLong))
     },
 
@@ -99,7 +130,7 @@ object GraftTableFunctions {
       arity(args, fn, Set(6),
         "table, entity, ts, typeCol, stepsCsv, windowSeconds")
       plan(Sessionize.funnelTimes(table(str(args, 0, fn)), str(args, 1, fn),
-        str(args, 2, fn), str(args, 3, fn), csv(args, 4, fn),
+        str(args, 2, fn), str(args, 3, fn), csv1(args, 4, fn, "stepsCsv"),
         num(args, 5, fn).toLong))
     },
 
@@ -213,8 +244,8 @@ object GraftTableFunctions {
           s"$fn: mode must be 'rownum' or 'rank', got '$other'")
       } else graft.plans.TopKMode.RowNum
       plan(graft.plans.TopKPerKey(table(str(args, 0, fn)),
-        keys = csv(args, 1, fn).map(col),
-        order = csv(args, 2, fn).map(orderCol(_, fn)),
+        keys = csv1(args, 1, fn, "keysCsv").map(col),
+        order = csv1(args, 2, fn, "orderCsv").map(orderCol(_, fn)),
         k = num(args, 3, fn).toInt,
         rankName = if (args.length >= 5) str(args, 4, fn) else "rnk",
         mode = mode))
@@ -435,9 +466,10 @@ object GraftTableFunctions {
     "graft_rebalance" -> { args =>
       val fn = "graft_rebalance"
       arity(args, fn, Set(5), "table, stratum, weightsCsv('s:w'), keyCol, salt")
-      val weights = csv(args, 2, fn).map { kv =>
+      val weights = csv1(args, 2, fn, "weightsCsv").map { kv =>
         kv.split(":") match {
-          case Array(k, v) if v.forall(_.isDigit) && v.nonEmpty => k -> v.toLong
+          case Array(k, v) if k.trim.nonEmpty && v.nonEmpty &&
+              v.forall(_.isDigit) => k.trim -> v.toLong
           case _ => throw new IllegalArgumentException(
             s"$fn: weightsCsv entries must be 'stratum:weight', got '$kv'")
         }
@@ -450,9 +482,10 @@ object GraftTableFunctions {
     "graft_profile" -> { args =>
       val fn = "graft_profile"
       arity(args, fn, Set(3), "refTable, curTable, colsCsv('col:scale')")
-      val cols = csv(args, 2, fn).map { kv =>
+      val cols = csv1(args, 2, fn, "colsCsv").map { kv =>
         kv.split(":") match {
-          case Array(k, v) if v.forall(_.isDigit) && v.nonEmpty => k -> v.toInt
+          case Array(k, v) if k.trim.nonEmpty && v.nonEmpty &&
+              v.forall(_.isDigit) => k.trim -> v.toInt
           case _ => throw new IllegalArgumentException(
             s"$fn: colsCsv entries must be 'col:scale', got '$kv'")
         }
@@ -477,8 +510,8 @@ object GraftTableFunctions {
       arity(args, fn, Set(6),
         "table, keysCsv, ts, asOfTimestamp, warnSeconds, errorSeconds")
       plan(graft.operators.DataQuality.freshness(table(str(args, 0, fn)),
-        csv(args, 1, fn), str(args, 2, fn),
-        org.apache.spark.sql.functions.lit(str(args, 3, fn)).cast("timestamp"),
+        csv1(args, 1, fn, "keysCsv"), str(args, 2, fn),
+        tsLit(args, 3, fn),
         warnAfterSeconds = num(args, 4, fn).toLong,
         errorAfterSeconds = num(args, 5, fn).toLong))
     },
@@ -490,7 +523,7 @@ object GraftTableFunctions {
       val fn = "graft_curriculum"
       arity(args, fn, Set(3), "table, orderCsv, phases")
       plan(Curation.curriculumPhases(table(str(args, 0, fn)),
-        csv(args, 1, fn).map(orderCol(_, fn)),
+        csv1(args, 1, fn, "orderCsv").map(orderCol(_, fn)),
         phases = num(args, 2, fn).toInt))
     },
 

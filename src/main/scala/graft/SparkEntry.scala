@@ -31,10 +31,11 @@ object SparkEntry {
     * pairs as edges. The l_partkey tie-break is load-bearing — the
     * testdata carries duplicate l_linenumber per order, so lead() over
     * linenumber alone is nondeterministic in BOTH engines. */
-  private def sccEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def sccEdges(s: SparkSession, d: String,
+                              qtyCut: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val f = Tables.lineitem(s, d)
-      .filter(col("l_partkey") % 7 === 0 && col("l_quantity") <= 20)
+      .filter(col("l_partkey") % 7 === 0 && col("l_quantity") <= qtyCut)
       .select("l_orderkey", "l_linenumber", "l_partkey").distinct()
     val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
     f.withColumn("nxt", lead("l_partkey", 1).over(w))
@@ -3119,7 +3120,7 @@ object SparkEntry {
 
   /** SQL-TVF mirror support: install the graft SQL surface (idempotent)
     * and expose the events table to SQL by name. */
-  private def sqlSurface(s: SparkSession, d: String): Unit = {
+  private[graft] def sqlSurface(s: SparkSession, d: String): Unit = {
     GraftExtensions.register(s)
     ev(s, d).createOrReplaceTempView("graft_sql_events")
   }

@@ -512,7 +512,9 @@ object Curation {
                        docCol: String, clusterCol: String,
                        trainPct: Int, valPct: Int,
                        broadcastClusters: Boolean = true): DataFrame = {
-    require(trainPct + valPct < 100)
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"need positive train/val and a non-empty test band " +
+        s"(train + val < 100), got train=$trainPct val=$valPct")
     val key = coalesce(col(clusterCol), col(id)).cast("string")
     val b = hashBucket(key, 100)
     val cl0 = clusters.select(col(docCol).as(id), col(clusterCol))
