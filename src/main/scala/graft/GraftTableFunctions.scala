@@ -875,6 +875,16 @@ object GraftTableFunctions {
         table(str(args, 0, fn)), str(args, 1, fn), str(args, 2, fn)))
     },
 
+    // graft_condense(edges, src, dst) — L14; the SCC + relaxation
+    // rounds run their convergence probes eagerly at plan time (the
+    // graft_scc contract)
+    "graft_condense" -> { args =>
+      val fn = "graft_condense"
+      arity(args, fn, Set(3), "edges, src, dst")
+      plan(graft.operators.Graphs.condense(
+        table(str(args, 0, fn)), str(args, 1, fn), str(args, 2, fn)))
+    },
+
     // graft_golden_record(table, key, ts, tieCol, fieldsCsv) — C20
     "graft_golden_record" -> { args =>
       val fn = "graft_golden_record"

@@ -60,7 +60,7 @@ object PlanSnap {
     "d29_asof_tolerance", "d30_bloom_pruned_join", "d32_asof_forward",
     "d33_interval_lookup",
     // new this round
-    "l13_scc")
+    "l13_scc", "l14_condense")
 
   /** Operator-class counters. Sort excludes SortMergeJoin/SortAggregate
     * mentions; Window catches both the window exec and group-limit. */

@@ -1167,7 +1167,23 @@ object ScaleProbe {
           val e = f.withColumn("nxt", lead("l_partkey", 1).over(w))
             .filter(col("nxt").isNotNull && col("nxt") =!= col("l_partkey"))
             .select(col("l_partkey").as("src"), col("nxt").as("dst")).distinct()
-          Graphs.scc(e, "src", "dst")
+          // localThreshold=1 pins the probe to the DISTRIBUTED
+          // FB-coloring path — the 100 TB story this probe measures;
+          // the gated bench sizes ride the single-task fast path
+          Graphs.scc(e, "src", "dst", localThreshold = 1L)
+        }),
+        // condense: scc + relabel + longest-path relaxation rounds —
+        // condensation-sized frames, rounds = DAG depth
+        "l14_condense" -> (() => {
+          import org.apache.spark.sql.expressions.Window
+          val f = li.filter(col("l_partkey") % 7 === 0 && col("l_quantity") <= 20)
+            .select("l_orderkey", "l_linenumber", "l_partkey").distinct()
+          val w = Window.partitionBy("l_orderkey")
+            .orderBy("l_linenumber", "l_partkey")
+          val e = f.withColumn("nxt", lead("l_partkey", 1).over(w))
+            .filter(col("nxt").isNotNull && col("nxt") =!= col("l_partkey"))
+            .select(col("l_partkey").as("src"), col("nxt").as("dst")).distinct()
+          Graphs.condense(e, "src", "dst", localThreshold = 1L)
         }),
         // golden record: one grouped max_by agg — combiner output on
         // the wire, one candidate per (key, field) per mapper

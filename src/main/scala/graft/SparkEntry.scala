@@ -2176,6 +2176,13 @@ object SparkEntry {
     // a partial order would make the edge list engine-nondeterministic
     "l13_scc" -> ((s, d) => Graphs.scc(sccEdges(s, d), "src", "dst")),
 
+    // SCC condensation report over the same purchase-sequence graph:
+    // each component as one DAG node with its member count and its
+    // dependency tier (longest condensed-hop path from a source —
+    // measured DAG depth 7/11/25 at the three SFs; the oracle unrolls
+    // 30 monotone relaxation rounds, extras no-ops)
+    "l14_condense" -> ((s, d) => Graphs.condense(sccEdges(s, d), "src", "dst")),
+
     // asymmetric shingle containment (Broder): a short doc embedded in
     // a long one scores ~0 on Jaccard but ~1 on containment — the
     // fuzzy-subset complement of E7/E11's exact repeated spans; the
@@ -2894,6 +2901,12 @@ object SparkEntry {
       sqlSurface(s, d)
       sccEdges(s, d).createOrReplaceTempView("graft_sql_seq_edges")
       s.sql("SELECT * FROM graft_scc('graft_sql_seq_edges', 'src', 'dst')")
+    }),
+
+    "l14s_condense_sql" -> ((s, d) => {
+      sqlSurface(s, d)
+      sccEdges(s, d).createOrReplaceTempView("graft_sql_seq_edges")
+      s.sql("SELECT * FROM graft_condense('graft_sql_seq_edges', 'src', 'dst')")
     }),
 
     "l7s_neighbor_jaccard_sql" -> ((s, d) => {
@@ -5010,6 +5023,51 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin
     },
 
+    // l14: the l13 closure oracle extended — scc map, condensed
+    // distinct cross-component edges, then 30 unrolled monotone
+    // longest-path relaxation rounds (measured DAG depth 7/11/25 at
+    // the three SFs; extras are no-ops, the h18/l8 discipline)
+    "l14_condense" -> {
+      val sqRounds = (1 to 8).map { r =>
+        s"""r$r AS MATERIALIZED (SELECT DISTINCT x.a, y.b
+           |  FROM r${r - 1} x JOIN r${r - 1} y ON x.b = y.a)""".stripMargin
+      }.mkString(",\n")
+      val relaxRounds = (1 to 30).map { k =>
+        s"""d$k AS MATERIALIZED (
+           |  SELECT c.cnode, GREATEST(c.level, COALESCE(m.d, c.level)) AS level
+           |  FROM d${k - 1} c LEFT JOIN (
+           |    SELECT ce.dst AS cnode, MAX(p.level) + 1 AS d
+           |    FROM ce JOIN d${k - 1} p ON p.cnode = ce.src GROUP BY 1) m
+           |  USING (cnode))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH f AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey
+         |  FROM lineitem WHERE l_partkey % 7 = 0 AND l_quantity <= 20),
+         |sq AS (SELECT l_orderkey, l_partkey,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+         |      ORDER BY l_linenumber, l_partkey) AS nxt FROM f),
+         |e AS (SELECT DISTINCT l_partkey AS src, nxt AS dst FROM sq
+         |      WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS MATERIALIZED (SELECT node AS a, node AS b FROM n
+         |      UNION SELECT src, dst FROM e),
+         |$sqRounds,
+         |sccm AS MATERIALIZED (SELECT fwd.b AS node, MIN(fwd.a) AS scc_id
+         |  FROM r8 fwd JOIN r8 bwd ON fwd.a = bwd.b AND fwd.b = bwd.a
+         |  GROUP BY 1),
+         |ce AS MATERIALIZED (SELECT DISTINCT sa.scc_id AS src,
+         |    sb.scc_id AS dst
+         |  FROM e JOIN sccm sa ON e.src = sa.node
+         |    JOIN sccm sb ON e.dst = sb.node
+         |  WHERE sa.scc_id <> sb.scc_id),
+         |cn AS (SELECT DISTINCT scc_id AS cnode FROM sccm),
+         |d0 AS (SELECT cnode, CAST(0 AS BIGINT) AS level FROM cn),
+         |$relaxRounds,
+         |members AS (SELECT scc_id, count(*) AS n_members FROM sccm
+         |  GROUP BY 1)
+         |SELECT m2.scc_id, m2.n_members, d30.level
+         |FROM members m2 JOIN d30 ON d30.cnode = m2.scc_id""".stripMargin
+    },
+
     // h28: the 6 damped-update rounds UNROLLED as chained CTEs (the
     // h18 discipline) — every share is an integer floor division and
     // every sum an integer sum, so the ranks match digit for digit
@@ -7089,6 +7147,7 @@ object SparkEntry {
       "l5s_weighted_rank_sql" -> "l5_weighted_rank",
       "l6s_kcore_sql" -> "l6_kcore",
       "l13s_scc_sql" -> "l13_scc",
+      "l14s_condense_sql" -> "l14_condense",
       "c20s_golden_record_sql" -> "c20_golden_record",
       "dq12s_benford_sql" -> "dq12_benford",
       "dq13s_fd_sql" -> "dq13_fd_check",

@@ -382,45 +382,76 @@ object Graphs {
     * (color/extract rounds), two label joins to class-filter edges;
     * never all-pairs (the closure the oracle materializes is exactly
     * what the ENGINE must avoid: it is O(n²) on a dense core). Loop
-    * counts are data-bounded with limit(1) probes and loud `require`s
-    * on exhaustion; per-round frames pin and release through [[Pins]]
-    * (constant-depth lineage, no storage leak). Outer rounds ≤ number
-    * of distinct pivot "layers" (≤ 2 on the gated graphs; a long
-    * increasing-id path is the adversarial worst case — cap and raise
-    * `maxOuter` if a real graph trips the require). */
+    * counts are data-bounded with monotone sum/count probes and loud
+    * `require`s on exhaustion; per-round frames pin and release through
+    * [[Pins]] (constant-depth lineage, no storage leak). Outer rounds
+    * ≤ number of distinct pivot "layers" (≤ 2 on the gated graphs; a
+    * long increasing-id path is the adversarial worst case — cap and
+    * raise `maxOuter` if a real graph trips the require).
+    *
+    * Below `localThreshold` edges (default 100k) the SMALL-GRAPH FAST
+    * PATH runs instead: a single-task sequential Kosaraju inside one
+    * `mapPartitions` — the distributed rounds at small sizes are pure
+    * stage-scheduling overhead, and one in-task pass is the same
+    * engineering call as a broadcast join below the size threshold.
+    * Still executor-side (never a driver collect), still the exact
+    * `(node, scc_id = min member)` contract — both paths are
+    * spec-pinned row-identical; `localThreshold = 0` forces the
+    * distributed path (the scale probes pin it so the 100 TB story
+    * stays measured). */
   def scc(edges: DataFrame, src: String, dst: String,
-          maxOuter: Int = 8, maxIter: Int = 60): DataFrame = {
+          maxOuter: Int = 8, maxIter: Int = 60,
+          localThreshold: Long = 100000L): DataFrame = {
     require(maxOuter >= 1, s"maxOuter must be >= 1, got $maxOuter")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    val e0 = edges
+    val e0p = Pins.pin(edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-      .distinct()
+      .distinct())
+    // SMALL-GRAPH FAST PATH: below `localThreshold` edges the graph
+    // fits comfortably in one task, and the distributed rounds' cost
+    // is pure scheduling (~120 tiny stages at the gated sizes) — run a
+    // single-partition sequential Kosaraju inside ONE mapPartitions
+    // task instead (same (node, scc_id = min member) contract, still
+    // executor-side, never a driver collect; the broadcast-threshold
+    // philosophy applied to graph shape). `localThreshold = 0` forces
+    // the distributed path — the specs pin both paths row-identical.
+    if (localThreshold > 0 && e0p.count() <= localThreshold)
+      return sccLocal(e0p) // reads the e0 pin — it outlives the call
+    val e0 = e0p
     val allNodes = Pins.pin(e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct())
     // self-loops don't affect SCC membership — drop before iterating
     var rem = Pins.pin(e0.filter(col("src") =!= col("dst")))
+    Pins.release(e0p) // its consumers (allNodes, rem) are pinned
     var extracted: DataFrame = null
     var outer = 0
     var remEmpty = rem.isEmpty
     while (!remEmpty && outer < maxOuter) {
       outer += 1
       // ---- trim to fixpoint ----
+      // one peel: drop edges touching a node lacking in- or out-edges.
+      // Peeling only REMOVES edges, so "the edge count stopped moving"
+      // is the fixpoint test — two peels per pin+count halves the
+      // driver job count (tiny frames, fixed per-job scheduling cost)
+      // at the price of at most one no-op extra peel
+      def peel(cur: DataFrame): DataFrame = {
+        val keep = cur.select(col("src").as("n")).distinct()
+          .join(cur.select(col("dst").as("n")).distinct(), Seq("n"), "left_semi")
+        cur
+          .join(keep.withColumnRenamed("n", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("n", "dst"), Seq("dst"), "left_semi")
+      }
+      var remCount = rem.count()
       var trimmed = false
       var tIt = 0
       while (!trimmed && tIt < maxIter) {
-        tIt += 1
-        val haveOut = rem.select(col("src").as("n")).distinct()
-        val haveIn = rem.select(col("dst").as("n")).distinct()
-        trimmed = haveOut.join(haveIn, Seq("n"), "left_anti").limit(1).isEmpty &&
-          haveIn.join(haveOut, Seq("n"), "left_anti").limit(1).isEmpty
-        if (!trimmed) {
-          val keep = haveOut.join(haveIn, Seq("n"), "left_semi")
-          val pruned = Pins.pin(rem
-            .join(keep.withColumnRenamed("n", "src"), Seq("src"), "left_semi")
-            .join(keep.withColumnRenamed("n", "dst"), Seq("dst"), "left_semi"))
-          Pins.release(rem)
-          rem = pruned
-        }
+        tIt += 2
+        val pruned = Pins.pin(peel(peel(rem)))
+        val c = pruned.count()
+        trimmed = c == remCount
+        remCount = c
+        Pins.release(rem)
+        rem = pruned
       }
       require(trimmed, s"scc trim did not converge within $maxIter rounds")
       remEmpty = rem.isEmpty
@@ -462,6 +493,215 @@ object Graphs {
         .select(col("node"), coalesce(col("scc_id"), col("node")).as("scc_id"))
   }
 
+  /** SCC condensation report (L14) — the "collapse-before-DAG" step
+    * [[scc]] enables: each strongly connected component becomes one
+    * node of a DAG (the condensation — every directed graph's SCC
+    * quotient is acyclic, Harary 1969), reported as
+    * `(scc_id, n_members, level)` where `level` is the LONGEST path
+    * (in condensed hops) from any source component — the dependency
+    * tier: tier 0 components depend on nothing, tier k only on tiers
+    * < k. The read that turns a cyclic purchase/link/navigation graph
+    * into a schedulable pipeline (process tiers in order), a funnel
+    * depth (how far into the flow a mutually-reinforcing cluster
+    * sits), or a bot-ring blast radius (what the ring can reach).
+    *
+    * Exactness: levels are the longest-path relaxation
+    * `level(v) = max(level(v), max_{u→v} level(u) + 1)` run to
+    * fixpoint — monotone non-decreasing integers bounded by the DAG
+    * depth, so an oracle can unroll MORE rounds than convergence needs
+    * (extras are no-ops, the h18/l8 discipline) and match digit for
+    * digit. Convergence is also an acyclicity CANARY: on a cycle the
+    * relaxation never converges, so the loud `require` doubles as a
+    * cross-check that [[scc]] really extracted every cycle.
+    *
+    * Scale shape: one [[scc]] call, two node-keyed label joins to
+    * relabel edges, a distinct, then per relaxation round one
+    * co-partitioned edge⋈level join + one dst-keyed map-combined max —
+    * condensation-sized (≤ nodes), rounds = DAG depth, every pin
+    * released on supersession ([[Pins]]). */
+  def condense(edges: DataFrame, src: String, dst: String,
+               maxOuter: Int = 8, maxIter: Int = 60,
+               localThreshold: Long = 100000L): DataFrame = {
+    val e0 = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .distinct()
+    // one materialized copy of the SCC map feeds three consumers
+    // (two edge relabels + the member counts); its internal pins are
+    // dead once the copy exists
+    val sccFrame = scc(edges, src, dst, maxOuter, maxIter, localThreshold)
+    val m = Pins.pin(sccFrame)
+    Pins.release(sccFrame)
+    val ce = Pins.pin(e0
+      .join(m.select(col("node").as("src"), col("scc_id").as("__ca")), "src")
+      .join(m.select(col("node").as("dst"), col("scc_id").as("__cb")), "dst")
+      .filter(col("__ca") =!= col("__cb"))
+      .select(col("__ca").as("src"), col("__cb").as("dst"))
+      .distinct())
+    // SMALL-CONDENSATION FAST PATH (the scc localThreshold contract):
+    // the relaxation's cost at small sizes is per-round scheduling, so
+    // run the longest-path levels in ONE task — still executor-side,
+    // deterministic, and spec-pinned equal to the distributed rounds
+    if (localThreshold > 0 && ce.count() <= localThreshold) {
+      val spark = ce.sparkSession
+      import spark.implicits._
+      val local = ce.select(col("src"), col("dst")).as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val edges0 = it.toArray
+          val indeg = new scala.collection.mutable.HashMap[Long, Int]()
+          val adj = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+          val nodes = scala.collection.mutable.SortedSet[Long]()
+          edges0.foreach { case (a, b) =>
+            nodes += a; nodes += b
+            adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer[Long]()) += b
+            indeg(b) = indeg.getOrElse(b, 0) + 1
+          }
+          // source peeling: level = longest path from any source
+          val level = new scala.collection.mutable.HashMap[Long, Long]()
+          var frontier = nodes.iterator.filter(v => indeg.getOrElse(v, 0) == 0).toList
+          var lv = 0L
+          var seen = 0
+          val empty = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (frontier.nonEmpty) {
+            val next = scala.collection.mutable.ArrayBuffer[Long]()
+            frontier.foreach { v =>
+              level(v) = lv; seen += 1
+              adj.getOrElse(v, empty).foreach { w =>
+                indeg(w) -= 1
+                if (indeg(w) == 0) next += w
+              }
+            }
+            frontier = next.toList
+            lv += 1
+          }
+          if (seen != nodes.size)
+            throw new IllegalStateException(
+              "condense: condensation contains a cycle — SCC extraction bug")
+          level.iterator.map { case (n, l) => (n, l) }
+        }
+        .toDF("cnode", "level")
+      // isolated components (no condensed edges) sit at tier 0
+      return m.groupBy(col("scc_id")).agg(count(lit(1)).as("n_members"))
+        .join(local.withColumnRenamed("cnode", "scc_id"), Seq("scc_id"), "left")
+        .select(col("scc_id"), col("n_members"),
+          coalesce(col("level"), lit(0L)).as("level"))
+    }
+    val cnodes = m.select(col("scc_id").as("cnode")).distinct()
+    // levels only INCREASE (monotone longest-path relaxation), so the
+    // level sum is the convergence witness — same two-rounds-per-
+    // pin+probe job-count discipline as the scc label loops
+    def relax(cur: DataFrame): DataFrame = {
+      val prop = ce
+        .join(cur.select(col("cnode").as("src"), col("level").as("__sl")), "src")
+        .groupBy(col("dst").as("cnode"))
+        .agg((max(col("__sl")) + lit(1L)).as("__pl"))
+      cur.join(prop, Seq("cnode"), "left")
+        .select(col("cnode"),
+          greatest(col("level"), coalesce(col("__pl"), col("level"))).as("level"))
+    }
+    def levelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("level").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    var lev = Pins.pin(cnodes.withColumn("level", lit(0L)))
+    var levPin = lev
+    var prevSum = levelSum(lev)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      it += 2
+      val next = Pins.pin(relax(relax(lev)))
+      val s = levelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      Pins.release(levPin)
+      levPin = next
+      lev = next
+    }
+    require(converged,
+      s"condense level relaxation did not converge within $maxIter rounds — " +
+        "either raise maxIter or (if rounds exceed the graph's DAG depth) " +
+        "the SCC extraction left a cycle")
+    // the returned frame reads the scc-map pin and the final level pin;
+    // the condensed-edge pin is dead once levels converge
+    Pins.release(ce)
+    m.groupBy(col("scc_id")).agg(count(lit(1)).as("n_members"))
+      .join(lev.withColumnRenamed("cnode", "scc_id"), Seq("scc_id"))
+      .select(col("scc_id"), col("n_members"), col("level"))
+  }
+
+  /** Single-task sequential SCC over a small pinned edge frame — the
+    * [[scc]] fast path. Iterative Kosaraju (two DFS passes over the
+    * in-task adjacency), `scc_id = min member id` so the output is
+    * bit-identical to the distributed FB-coloring path (spec-pinned on
+    * the property fixtures). Runs INSIDE one executor task via
+    * `mapPartitions` on a single partition — the data never visits the
+    * driver; adjacency is sorted so traversal order (and therefore
+    * nothing — the output is order-independent anyway) is
+    * deterministic. */
+  private def sccLocal(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    e0.select(col("src"), col("dst")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        val adj = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        val radj = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        val nodes = scala.collection.mutable.SortedSet[Long]()
+        edges.foreach { case (a, b) =>
+          nodes += a; nodes += b
+          if (a != b) {
+            adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer[Long]()) += b
+            radj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer[Long]()) += a
+          }
+        }
+        adj.values.foreach(v => v.sortInPlace())
+        radj.values.foreach(v => v.sortInPlace())
+        val empty = scala.collection.mutable.ArrayBuffer.empty[Long]
+        // pass 1: iterative DFS finish order
+        val visited = new scala.collection.mutable.HashSet[Long]()
+        val order = new scala.collection.mutable.ArrayBuffer[Long](nodes.size)
+        nodes.foreach { s0 =>
+          if (!visited.contains(s0)) {
+            val stack = scala.collection.mutable.Stack[(Long, Int)]((s0, 0))
+            visited += s0
+            while (stack.nonEmpty) {
+              val (v, i) = stack.pop()
+              val nb = adj.getOrElse(v, empty)
+              var j = i
+              while (j < nb.length && visited.contains(nb(j))) j += 1
+              if (j < nb.length) {
+                stack.push((v, j + 1))
+                visited += nb(j)
+                stack.push((nb(j), 0))
+              } else order += v
+            }
+          }
+        }
+        // pass 2: reverse-graph sweeps in reverse finish order; each
+        // sweep is one SCC — label it with its min member id
+        val comp = new scala.collection.mutable.HashMap[Long, Long]()
+        order.reverseIterator.foreach { s0 =>
+          if (!comp.contains(s0)) {
+            val memb = new scala.collection.mutable.ArrayBuffer[Long]()
+            val stack = scala.collection.mutable.Stack[Long](s0)
+            comp(s0) = s0
+            while (stack.nonEmpty) {
+              val v = stack.pop()
+              memb += v
+              radj.getOrElse(v, empty).foreach { w =>
+                if (!comp.contains(w)) { comp(w) = s0; stack.push(w) }
+              }
+            }
+            val minId = memb.min
+            memb.foreach(v => comp(v) = minId)
+          }
+        }
+        comp.iterator.map { case (n, c) => (n, c) }
+      }
+      .toDF("node", "scc_id")
+  }
+
   /** Min-label propagation to fixpoint over a directed edge frame —
     * `label(dst) := min(label(dst), label(src))` per round plus the
     * pointer jump, seeded `label(v) = v`; the shared inner loop of
@@ -469,30 +709,44 @@ object Graphs {
     * `(node, label)` frame the CALLER releases. */
   private def minLabelFixpoint(e: DataFrame, nodes: DataFrame,
                                maxIter: Int, what: String): DataFrame = {
-    var lab = Pins.pin(nodes.withColumn("label", col("node")))
-    var labPin = lab
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIter) {
-      it += 1
+    // one propagation round: edge relaxation + pointer jump
+    def step(cur: DataFrame): DataFrame = {
       val prop = e
-        .join(lab.select(col("node").as("src"), col("label").as("__sl")), "src")
+        .join(cur.select(col("node").as("src"), col("label").as("__sl")), "src")
         .groupBy(col("dst").as("node")).agg(min(col("__sl")).as("__pl"))
-      val stepped = lab.join(prop, Seq("node"), "left")
-        .select(col("node"), col("label"),
+      val stepped = cur.join(prop, Seq("node"), "left")
+        .select(col("node"),
           least(col("label"), coalesce(col("__pl"), col("label"))).as("cand"))
       // pointer jump: cand is a node id — its own cand also qualifies
       val jumpSrc = stepped.select(col("node").as("__jn"), col("cand").as("__jl"))
-      val jumped = stepped
+      stepped
         .join(jumpSrc, col("cand") === col("__jn"), "left")
-        .select(col("node"), col("label"),
-          least(col("cand"), coalesce(col("__jl"), col("cand"))).as("cand"))
-      val next = Pins.pin(jumped.select(col("node"), col("cand").as("label"),
-        (col("cand") < col("label")).as("changed")))
-      converged = next.filter(col("changed")).limit(1).count() == 0
+        .select(col("node"),
+          least(col("cand"), coalesce(col("__jl"), col("cand"))).as("label"))
+    }
+    // labels only DECREASE, so convergence is "the label sum stopped
+    // moving" — a one-row aggregate per check instead of a changed-flag
+    // column + filter probe; TWO rounds per pin+check halves the
+    // driver-side job count (the dominant cost at small graph sizes —
+    // each round's frames are tiny but every job pays fixed scheduling)
+    // at the price of at most one no-op extra round
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    var lab = Pins.pin(nodes.withColumn("label", col("node")))
+    var labPin = lab
+    var prevSum = labelSum(lab)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      it += 2
+      val next = Pins.pin(step(step(lab)))
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       Pins.release(labPin)
       labPin = next
-      lab = next.drop("changed")
+      lab = next
     }
     require(converged, s"scc $what did not converge within $maxIter rounds")
     lab

@@ -359,9 +359,15 @@ class GraphsSpec extends SparkSpec {
     // SCCs {1,2}, {3}, {4}, {5,6,7} with min-member ids 1/3/4/5
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
       (5L, 6L), (6L, 7L), (7L, 5L)).toDF("s", "t")
-    val got = Graphs.scc(edges, "s", "t").as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
-      5L -> 5L, 6L -> 5L, 7L -> 5L), s"got $got")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L)
+    // both physical paths: the single-task fast path (default — this
+    // graph is tiny) and the distributed FB-coloring rounds
+    val local = Graphs.scc(edges, "s", "t").as[(Long, Long)].collect().toMap
+    assert(local == want, s"local path: $local")
+    val dist = Graphs.scc(edges, "s", "t", localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == want, s"distributed path: $dist")
   }
 
   test("scc: self-loops and duplicate edges stay singletons; a pure DAG is all singletons") {
@@ -384,11 +390,39 @@ class GraphsSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L), s"got $got")
   }
 
+  test("condense: member counts and longest-path tiers on the scc fixture") {
+    // SCCs {1,2} -> {3} -> {4} -> {5,6,7}: a 4-node condensation chain
+    // with tiers 0..3 and member counts 2/1/1/3
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 5L)).toDF("s", "t")
+    val want = Set((1L, 2L, 0L), (3L, 1L, 1L), (4L, 1L, 2L), (5L, 3L, 3L))
+    val local = Graphs.condense(edges, "s", "t")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(local == want, s"local path: $local")
+    val dist = Graphs.condense(edges, "s", "t", localThreshold = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(dist == want, s"distributed path: $dist")
+  }
+
+  test("condense: LONGEST path wins over shortest; isolated components sit at tier 0") {
+    // diamond with a long arm: 1->2->3->9 and 1->9 — 9's tier is 3
+    // (via the long arm), not 1 (the short edge); 50<->51 is a
+    // detached 2-cycle at tier 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 9L), (1L, 9L),
+      (50L, 51L), (51L, 50L)).toDF("s", "t")
+    val got = Graphs.condense(edges, "s", "t")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 2L),
+      (9L, 1L, 3L), (50L, 2L, 0L)), s"got $got")
+  }
+
   test("scc: maxOuter exhaustion fails loudly instead of returning a partial census") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
       .toDF("s", "t")
     val e = intercept[IllegalArgumentException] {
-      Graphs.scc(edges, "s", "t", maxOuter = 1).collect()
+      // localThreshold = 0 forces the distributed FB-coloring path —
+      // the small-graph fast path has no outer rounds to exhaust
+      Graphs.scc(edges, "s", "t", maxOuter = 1, localThreshold = 0L).collect()
     }
     assert(e.getMessage.contains("maxOuter"))
   }

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{Dedup, Graphs, Pins}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Pin hygiene (r13 verdict #2) and the checkpoint-mode dial (#3).
   *
@@ -70,13 +71,22 @@ class PinsSpec extends SparkSpec {
     assert((pinnedIds intersect (bNew ++ kNew ++ lNew)).isEmpty)
   }
 
-  test("scc retains only the node and extracted-assignment pins") {
+  test("scc retains only its result-backing pins on both physical paths") {
     val directed = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
       .toDF("s", "t")
+    // fast path: one pin (the normalized edge frame the single-task
+    // Kosaraju reads)
     val (out, fresh) = retained(Graphs.scc(directed, "s", "t"))
-    assert(fresh.size == 2, s"scc should retain 2 pins, got ${fresh.size}")
+    assert(fresh.size == 1, s"scc local path should retain 1 pin, got ${fresh.size}")
     Pins.release(out)
     assert((pinnedIds intersect fresh).isEmpty)
+    // distributed path: the node pin + the extracted-assignment pin
+    val (out2, fresh2) =
+      retained(Graphs.scc(directed, "s", "t", localThreshold = 0L))
+    assert(fresh2.size == 2,
+      s"scc distributed path should retain 2 pins, got ${fresh2.size}")
+    Pins.release(out2)
+    assert((pinnedIds intersect fresh2).isEmpty)
   }
 
   test("triangles retains its two result-backing pins (degrees + oriented edges)") {
@@ -123,6 +133,27 @@ class PinsSpec extends SparkSpec {
       spark.conf.unset(Pins.ModeKey)
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
+  }
+
+  test("pin stats stay capped across iterative re-pinning (no BigInt digit explosion)") {
+    // checkpoint copies the origin plan's size estimate onto the new
+    // leaf; the size-only estimator multiplies join children, so
+    // un-capped iterative pins DOUBLE their sizeInBytes digit count
+    // per round (measured 6 -> 1310 digits in 8 rounds) and melt the
+    // driver in million-digit stats multiplications past ~20 rounds —
+    // the L13 probe hang that motivated the cap
+    val cap = BigInt(Long.MaxValue)
+    var a = Pins.pin(Seq.tabulate(64)(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    for (_ <- 1 to 6) {
+      val joined = a.join(a.select(col("k"), col("v").as("v2")), "k")
+        .select(col("k"), col("v"))
+      val next = Pins.pin(joined)
+      Pins.release(a)
+      a = next
+      val size = a.queryExecution.analyzed.stats.sizeInBytes
+      assert(size <= cap, s"pin stats exceeded the cap: $size")
+    }
+    Pins.release(a)
   }
 
   test("checkpointMode validation: a bogus mode fails loudly, naming the conf key") {

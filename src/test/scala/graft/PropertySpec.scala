@@ -937,11 +937,61 @@ class PropertySpec extends SparkSpec {
       val want = present.map { v =>
         ids(v) -> present.filter(u => reach(u)(v) && reach(v)(u)).map(ids).min
       }.toMap
-      val got = graft.operators.Graphs
-        .scc(es.map { case (a, b) => (ids(a), ids(b)) }.toDF("s", "t"),
-          "s", "t", maxOuter = 20)
+      val df = es.map { case (a, b) => (ids(a), ids(b)) }.toDF("s", "t")
+      // both physical paths must equal the reference: the single-task
+      // fast path (default at these sizes) and the distributed
+      // FB-coloring rounds (localThreshold = 0)
+      val local = graft.operators.Graphs.scc(df, "s", "t", maxOuter = 20)
         .as[(Long, Long)].collect().toMap
-      assert(got == want, s"edges=$es")
+      assert(local == want, s"local path, edges=$es")
+      val dist = graft.operators.Graphs
+        .scc(df, "s", "t", maxOuter = 20, localThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(dist == want, s"distributed path, edges=$es")
+    }
+  }
+
+  test("condense == reference condensation + longest-path tiers on arbitrary digraphs") {
+    // same Warshall-closure reference as the scc property, extended:
+    // condensed edges are the distinct cross-component relabels, and
+    // tiers come from n rounds of the monotone longest-path relaxation
+    // (n rounds always suffice on <= n condensation nodes)
+    val gen = for {
+      n <- Gen.choose(2, 12)
+      density <- Gen.choose(1, 3)
+      edges <- Gen.listOfN(math.max(2, n * density), for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a, b))
+    } yield (n, edges.distinct)
+    samples(gen, 12).foreach { case (n, es) =>
+      val ids = (0 until n).map(i => i.toLong * 5 + 2)
+      val reach = Array.fill(n, n)(false)
+      (0 until n).foreach(i => reach(i)(i) = true)
+      es.foreach { case (a, b) => reach(a)(b) = true }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      val present = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val sccOf = present.map { v =>
+        v -> present.filter(u => reach(u)(v) && reach(v)(u)).map(ids).min
+      }.toMap
+      val members = sccOf.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+      val ce = es.map { case (a, b) => (sccOf(a), sccOf(b)) }
+        .filter { case (x, y) => x != y }.distinct
+      var lev = members.keys.map(_ -> 0L).toMap
+      for (_ <- 1 to n)
+        lev = lev.map { case (v, d) =>
+          val preds = ce.collect { case (u, w) if w == v => lev(u) + 1 }
+          v -> (d +: preds).max
+        }
+      val want = members.keys.map(c => (c, members(c), lev(c))).toSet
+      val df = es.map { case (a, b) => (ids(a), ids(b)) }.toDF("s", "t")
+      val local = graft.operators.Graphs.condense(df, "s", "t", maxOuter = 20)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(local == want, s"local path, edges=$es")
+      val dist = graft.operators.Graphs
+        .condense(df, "s", "t", maxOuter = 20, localThreshold = 0L)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(dist == want, s"distributed path, edges=$es")
     }
   }
 }
