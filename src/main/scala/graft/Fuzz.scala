@@ -1116,6 +1116,12 @@ object Fuzz {
     sup.toDF("s_suppkey", "s_nationkey").repartition(2)
       .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
   }
+  private def writeSccLineitem(rows: Seq[(Long, Long, Long, Double)])(
+      s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    rows.toDF("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
   private type OrdRow = (Long, Long, Double, java.time.LocalDateTime)
   private def writeOrders(rows: Seq[OrdRow])(s: SparkSession, dir: String): Unit = {
     import s.implicits._
@@ -1378,6 +1384,37 @@ object Fuzz {
       DataDraw("ld4_graph",
         f"cust=$nCust,supp=$nSupp,orders=$nOrd,seedMode=$seedMode,pHub=$pHub%.2f",
         "l4_personalized_rank", writeGraphTpch(li, ord, sup))
+    },
+    "ld13_digraph" -> { r =>
+      // SCC graph shapes through the UNCHANGED canonical l13 query +
+      // closure oracle (algorithm-independent, so it verifies on ANY
+      // digraph): duplicate (orderkey, linenumber) rows — the window
+      // tie the l_partkey tie-break exists for; duplicate full triples
+      // (the DISTINCT contract); quantities straddling the <= 20
+      // boundary; off-grid partkeys the % 7 filter drops; repeated
+      // parts within an order (self-loop candidates); densities
+      // crossing the giant-SCC threshold both ways
+      val nPart = 4 + r.nextInt(12)
+      val nOrd = 20 + r.nextInt(80)
+      val pDupLine = 0.1 + r.nextDouble() * 0.5
+      val pOff = r.nextDouble() * 0.3
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+      (1L to nOrd.toLong).foreach { o =>
+        val len = 1 + r.nextInt(6)
+        var ln = 0L
+        (0 until len).foreach { _ =>
+          if (ln == 0L || r.nextDouble() >= pDupLine) ln += 1L
+          val pk =
+            if (r.nextDouble() < pOff) 7L * (1 + r.nextInt(nPart)) + 1 + r.nextInt(6)
+            else 7L * (1 + r.nextInt(nPart))
+          val qty = (10 + r.nextInt(20)).toDouble // straddles the <= 20 cut
+          rows += ((o, ln, pk, qty))
+          if (r.nextDouble() < 0.1) rows += ((o, ln, pk, qty)) // exact dup row
+        }
+      }
+      DataDraw("ld13_digraph",
+        f"parts=$nPart,orders=$nOrd,pDup=$pDupLine%.2f,pOff=$pOff%.2f,rows=${rows.size}",
+        "l13_scc", writeSccLineitem(rows.toSeq))
     },
     "dd32_asof_ties" -> { r =>
       // as-of-forward edge shapes: duplicate (custkey, orderdate) keys

@@ -478,6 +478,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("streaming SCC + condensation by composition: maintained edges feed L13/L14 (I52)") {
+    // the I39 discipline for the directed-graph surface: the maintained
+    // DISTINCT edge table (streaming dropDuplicates, exactly-once
+    // append) feeds the SAME batch scc/condense stages — both physical
+    // paths (single-task fast path and distributed FB-coloring) must
+    // equal the batch run over all arrivals
+    val in = Files.createTempDirectory("graft-scc-in").toString
+    val edges0 = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 5L), (8L, 8L), (9L, 3L))
+      .toDF("src", "dst")
+    val maintained = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = spark.readStream.schema(edges0.schema).parquet(in)
+      .dropDuplicates("src", "dst")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          maintained += ((r.getLong(0), r.getLong(1))))
+        ()
+      }.start()
+    try landTimeSplit(edges0, in, tsCol = "src")(() => q.processAllAvailable())
+    finally q.stop()
+    val me = maintained.toSeq.toDF("src", "dst")
+    for (thr <- Seq(100000L, 0L)) { // fast path AND distributed path
+      val gotScc = graft.operators.Graphs.scc(me, "src", "dst",
+        localThreshold = thr)
+      val wantScc = graft.operators.Graphs.scc(edges0, "src", "dst")
+      assert(gotScc.count() == wantScc.count() && wantScc.count() > 0)
+      assert(gotScc.exceptAll(wantScc).count() == 0 &&
+        wantScc.exceptAll(gotScc).count() == 0, s"scc thr=$thr")
+      val gotC = graft.operators.Graphs.condense(me, "src", "dst",
+        localThreshold = thr)
+      val wantC = graft.operators.Graphs.condense(edges0, "src", "dst")
+      assert(gotC.exceptAll(wantC).count() == 0 &&
+        wantC.exceptAll(gotC).count() == 0, s"condense thr=$thr")
+    }
+  }
+
   test("streaming graph analytics by composition: maintained edges feed L6/L7 (I44)") {
     // the I39 discipline extended to the rest of the graph surface:
     // ONE maintained distinct edge table (streaming dropDuplicates,
