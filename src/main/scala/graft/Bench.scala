@@ -101,8 +101,8 @@ object Bench {
       (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)
     }
     final case class RunStat(sec: Double, gcMs: Long, gcN: Long, heapMb: Long)
-    val results = selected.map { case (name, fn) =>
-      val stats = (0 to runs).map { _ =>
+    def timedRuns(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[RunStat] =
+      (0 to runs).map { _ =>
         val heap0 = heapUsedMb()
         val (gcT0, gcC0) = gcSnapshot()
         val t0 = System.nanoTime()
@@ -116,20 +116,78 @@ object Bench {
         val (gcT1, gcC1) = gcSnapshot()
         releasePins(dt)
         RunStat(dt, gcT1 - gcT0, gcC1 - gcC0, heap0)
-      }.drop(1).sortBy(_.sec) // drop the warm-up
-      name -> stats
+      }.drop(1) // drop the warm-up; KEEP EXECUTION ORDER (r14 advice: the
+                // sorted-by-time lists lost the temporal trend — heap growth
+                // or a first-run GC spike was unrecoverable from the artifact)
+    val results = selected.map { case (name, fn) => name -> timedRuns(name, fn) }
+    def median(ts: Seq[RunStat]): Double = ts.map(_.sec).sorted.apply(ts.size / 2)
+    // Automated REGR isolation re-runs (r14 verdict lead item): any query
+    // whose suite median is >= SPARK_GRAFT_ISO_THRESH (default 1.5x) the
+    // committed bench_queries.json median — and above the jitter floor —
+    // is re-run in ISOLATION at suite end (forced GC + cold pins first),
+    // and BOTH numbers land in the artifact. A REGR line in the round
+    // diff then carries machine-recorded triage evidence: isolated ~= old
+    // map => suite-state/host noise; isolated ~= suite median => a real
+    // plan/operator regression. Manual forensics (the r14 b35 episode)
+    // become recorded data.
+    val isoThresh = sys.env.getOrElse("SPARK_GRAFT_ISO_THRESH", "1.5").toDouble
+    val isoFloor = sys.env.getOrElse("SPARK_GRAFT_ISO_FLOOR_SEC", "0.3").toDouble
+    val isoCap = sys.env.getOrElse("SPARK_GRAFT_ISO_CAP", "16").toInt
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE_MAP", "bench_queries.json")
+    val baseline: Map[String, Double] = try {
+      val f = new java.io.File(baselinePath)
+      if (!f.exists) Map.empty
+      else {
+        val src = scala.io.Source.fromFile(f)
+        val txt = try src.mkString finally src.close()
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(txt) \ "queries" match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v))    => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty[String, Double]
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] baseline map unreadable ($baselinePath): ${e.getMessage}")
+      Map.empty
     }
-    def median(ts: Seq[RunStat]): Double = ts(ts.size / 2).sec
+    val fnByName = selected.toMap
+    val regressed = results
+      .collect { case (k, ts) if !failed.contains(k) && baseline.contains(k) =>
+        (k, median(ts), baseline(k)) }
+      .filter { case (_, med, base) => med >= isoFloor && med >= isoThresh * base }
+      .sortBy { case (_, med, base) => -(med / base) }
+      .take(isoCap)
+    val isolatedStats: Seq[(String, Seq[RunStat])] = regressed.map { case (k, _, _) =>
+      // cold-pin, freshly-collected state — the same state a one-off
+      // isolated run sees, regardless of where the suite's GC floor left us
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc(); runsSinceGc = 0
+      k -> timedRuns(k, fnByName(k))
+    }
+    if (regressed.nonEmpty)
+      System.err.println(s"[bench] isolation re-ran ${regressed.size} suite-regressed " +
+        s"queries (>=${isoThresh}x committed map): " + regressed.map(_._1).mkString(", "))
+    val isolatedJson = isolatedStats.map { case (k, ts) =>
+      s"\"" + k + "\":" + median(ts) }.mkString("{", ",", "}")
     val qs = results.map { case (k, ts) => s"\"" + k + "\":" + median(ts) }
+      .mkString("{", ",", "}")
+    val runSecs = results.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(_.sec).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val mins = results.map { case (k, ts) => s"\"" + k + "\":" + ts.map(_.sec).min }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, ts) =>
       s"\"" + k + "\":" + (ts.map(_.sec).max - ts.map(_.sec).min) }
       .mkString("{", ",", "}")
-    // per-run GC/heap telemetry, run-ordered by run time (same order the
-    // median indexes into) — lists, not scalars, so a single GC-poisoned
-    // run is distinguishable from uniformly-slow plans
+    // per-run GC/heap telemetry in EXECUTION order (aligned with
+    // queries_runs_sec, so run i's seconds, GC ms, GC count and starting
+    // heap all line up) — lists, not scalars, so a single GC-poisoned run
+    // is distinguishable from uniformly-slow plans AND the temporal trend
+    // (heap growth, first-run spike) is recoverable from the artifact
     val gcMsMap = results.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.map(_.gcMs).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
@@ -148,7 +206,7 @@ object Bench {
     // both breaks machine parsing of the artifact and invites the r4
     // "spread map read as query times" misread. Local iteration still
     // sees everything on stderr.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"gc_floor_sec":${if (gcFloorSec.isPosInfinity) "\"inf\"" else gcFloorSec},"queries":$qs,"queries_min":$mins,"queries_spread":$spreads,"queries_gc_ms":$gcMsMap,"queries_gc_count":$gcNMap,"queries_heap_mb":$heapMap,"gc_total_sec":$gcTotalSec,"total_min":$totalMin,"failed":$errs,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"gc_floor_sec":${if (gcFloorSec.isPosInfinity) "\"inf\"" else gcFloorSec},"queries":$qs,"queries_min":$mins,"queries_spread":$spreads,"queries_runs_sec":$runSecs,"queries_gc_ms":$gcMsMap,"queries_gc_count":$gcNMap,"queries_heap_mb":$heapMap,"queries_isolated":$isolatedJson,"iso_thresh":$isoThresh,"gc_total_sec":$gcTotalSec,"total_min":$totalMin,"failed":$errs,"sf":"$sfDir"}"""
     System.err.println(fullJson)
     // ...and to a FILE: the stderr tail the round driver captures
     // front-truncates, which made per-query regression diffing across
@@ -190,7 +248,7 @@ object Bench {
       .map { case (k, med, base) =>
         s"\"" + k + "\":" + (math.round(med / base * 100.0) / 100.0) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"n_queries":${results.size},"gc_floor_sec":${if (gcFloorSec.isPosInfinity) "\"inf\"" else gcFloorSec},"gc_total_sec":$gcTotalSec,"top5_med":$top5,"n_inflated":${inflated.size},"top_inflated_med_over_min":$inflStr,"failed":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"n_queries":${results.size},"gc_floor_sec":${if (gcFloorSec.isPosInfinity) "\"inf\"" else gcFloorSec},"gc_total_sec":$gcTotalSec,"top5_med":$top5,"n_inflated":${inflated.size},"top_inflated_med_over_min":$inflStr,"n_isolated":${isolatedStats.size},"queries_isolated":$isolatedJson,"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
