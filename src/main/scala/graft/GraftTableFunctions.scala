@@ -707,6 +707,15 @@ object GraftTableFunctions {
         csv(args, 1, fn), bits = num(args, 2, fn).toInt))
     },
 
+    // graft_hll(table, groupCsv, key, p) — B9b: portable HLL distinct
+    // estimate per group (md5 registers, oracle-reproducible)
+    "graft_hll" -> { args =>
+      val fn = "graft_hll"
+      arity(args, fn, Set(4), "table, groupCsv, key, p")
+      plan(graft.operators.Sketches.hllDistinct(table(str(args, 0, fn)),
+        csv(args, 1, fn), col(str(args, 2, fn)), num(args, 3, fn).toInt))
+    },
+
     // graft_kmv_setops(tableA, tableB, keyA, keyB, k) — B42
     "graft_kmv_setops" -> { args =>
       val fn = "graft_kmv_setops"

@@ -386,6 +386,20 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("n_users_approx"),
           count(lit(1)).as("n_events"))),
 
+    // Portable HLL (B9's closable successor): same sketch family as
+    // TimescaleDB hyperloglog()/rollup() but md5-derived, so registers,
+    // rollup AND estimate are oracle-reproducible digit-for-digit —
+    // per-(type, day) registers union losslessly to per-type (max is
+    // idempotent/associative) and the gated row carries the scaled
+    // harmonic sum itself, not just the estimate
+    "b9b_hll_portable" -> ((s, d) => {
+      val daily = Sketches.hllRegisters(
+        ev(s, d).withColumn("day", TimeAgg.dayKey(col("ts"))),
+        Seq("event_type", "day"), col("user_id"), 8)
+      Sketches.hllEstimate(Sketches.hllMerge(daily, Seq("event_type")),
+        Seq("event_type"), 8)
+    }),
+
     // COUNT DISTINCT rollup — the non-additive aggregate B31's bins
     // cannot cover: per-(type, day) KMV sketches (k smallest distinct
     // user-id hashes) UNION losslessly to months and re-estimate, raw
@@ -2461,6 +2475,15 @@ object SparkEntry {
         'graft_sql_cand', 5)""")
     }),
 
+    "b9bs_hll_portable_sql" -> ((s, d) => {
+      // one-level TVF spelling of b9b: registers straight to event_type
+      // — equal to the merged two-level path by max-associativity, so
+      // the SAME oracle gates both (that equality IS the rollup check)
+      sqlSurface(s, d)
+      s.sql("""SELECT * FROM graft_hll('graft_sql_events',
+        'event_type', 'user_id', 8)""")
+    }),
+
     "b42s_kmv_setops_sql" -> ((s, d) => {
       sqlSurface(s, d)
       ev(s, d).filter(col("event_type") === "click")
@@ -3638,8 +3661,9 @@ object SparkEntry {
       ("no_oracle_by_design: HLL sketch registers are engine-private " +
         "(Spark HLL++ vs DuckDB HLL hash differently), so no cross-engine " +
         "hash can exist; bounded instead by ScalaTest — <5% relative " +
-        "error vs exact countDistinct, plus the portable KMV twin " +
-        "b10_distinct_kmv IS hash-matched"))
+        "error vs exact countDistinct, plus the portable twins " +
+        "b9b_hll_portable (md5-register HLL, estimate AND rollup) and " +
+        "b10_distinct_kmv ARE hash-matched"))
 
   private lazy val baseOracleSql: Map[String, String] = Map(
 
@@ -4285,6 +4309,35 @@ object SparkEntry {
         |    AS n_dead,
         |  count(*) AS n_heartbeats
         |FROM x GROUP BY 1""".stripMargin,
+
+    "b9b_hll_portable" -> {
+      // p=8: m=256 registers over the 60-bit md5 hash (q=52 suffix
+      // bits); the harmonic sum is the exact integer Σ 2^(53−rho) with
+      // absent registers contributing 2^53, so the one float step each
+      // side takes is the final division/ln — identical literals,
+      // identical op order (Sketches.hllEstimate mirrored 1:1)
+      val numer = (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 *
+        math.pow(2.0, 53)
+      val rawSql = s"$numer / CAST(s_scaled AS DOUBLE)"
+      s"""WITH h AS (SELECT event_type,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h >> 52 AS reg,
+         |    CASE WHEN (h & 4503599627370495) = 0 THEN 53
+         |         ELSE 53 - length(bin(h & 4503599627370495)) END AS rho
+         |  FROM h),
+         |regs AS (SELECT event_type, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
+         |agg AS (SELECT event_type, count(*) AS n_regs_used,
+         |    CAST(sum(1::BIGINT << (53 - rho))
+         |         + (256 - count(*)) * (1::BIGINT << 53) AS BIGINT) AS s_scaled
+         |  FROM regs GROUP BY 1)
+         |SELECT event_type, n_regs_used, s_scaled,
+         |  ${sqlPround(
+              s"CASE WHEN $rawSql <= 640.0 AND 256 - n_regs_used > 0 " +
+              s"THEN 256.0 * ln(256.0 / CAST(256 - n_regs_used AS DOUBLE)) " +
+              s"ELSE $rawSql END", 2)} AS est_distinct
+         |FROM agg""".stripMargin
+    },
 
     "b32_distinct_rollup" ->
       s"""WITH h AS (SELECT DISTINCT event_type, strftime(ts, '%Y%m%d') AS day,
@@ -7163,6 +7216,7 @@ object SparkEntry {
       "f21s_semdedup_sql" -> "f21_semdedup",
       "f22s_rank_eval_sql" -> "f22_ann_rank_eval",
       "b42s_kmv_setops_sql" -> "b42_distinct_setops",
+      "b9bs_hll_portable_sql" -> "b9b_hll_portable",
       "l11s_communities_sql" -> "l11_communities",
       "l12s_modularity_sql" -> "l12_modularity",
       "e13s_soft_dedup_sql" -> "e13_soft_dedup",

@@ -143,6 +143,90 @@ object Sketches {
           .otherwise(lit(0.0)).as("est_intersection"))
   }
 
+  /** Portable HyperLogLog register rows `(groups…, reg, rho)` — the
+    * md5-derived answer to Spark's engine-private HLL++ (B9), applying
+    * the [[kmvBottomK]] discipline to HLL registers so estimate AND
+    * merge are oracle-reproducible digit-for-digit (the TimescaleDB
+    * `hyperloglog()`/`rollup()` contract, reference
+    * dags/dbt_project/models/agg — its DWH rolls distincts exactly
+    * this way).
+    *
+    * Layout: the top `p` bits of the 60-bit [[portableHash]] pick the
+    * register; `rho` = leading-zero count of the remaining `q = 60-p`
+    * bits + 1 (Flajolet et al. 2007), computed exactly via integer
+    * `bin()` string length — both engines agree on every bit, no
+    * float anywhere. Registers max-merge (idempotent, associative,
+    * commutative), so sketches UNION losslessly at any grouping.
+    *
+    * Scale shape: the groupBy max partial-aggregates map-side to at
+    * most groups × 2^p rows — sketch-sized however many raw rows flow
+    * in; no distinct pass is needed (max is idempotent). */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], key: Column,
+                   p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll p must be in [4,16], got $p")
+    val q = 60 - p
+    val h = portableHash(key)
+    val rest = h.bitwiseAND(lit((1L << q) - 1))
+    val rho = when(rest === lit(0L), lit(q + 1))
+      .otherwise(lit(q + 1) - length(bin(rest)))
+    df.select(groupCols.map(col) :+ shiftright(h, q).as("reg")
+        :+ rho.cast("int").as("rho"): _*)
+      .groupBy((groupCols :+ "reg").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** HLL union to a coarser grouping: element-wise register max over
+    * sketch-sized input — the lossless rollup plain counts cannot give
+    * you (merged-estimate == direct-estimate, spec- AND oracle-pinned). */
+  def hllMerge(sk: DataFrame, coarseCols: Seq[String]): DataFrame =
+    sk.groupBy((coarseCols :+ "reg").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+
+  /** Per-group estimates off [[hllRegisters]] rows. The harmonic sum is
+    * kept INTEGER-exact: S = Σ 2^(q+1−M[j]) over present registers plus
+    * 2^(q+1) per absent register (M = 0), so the only float steps are
+    * one double division by a folded constant and the standard
+    * small-range linear-counting branch — both spelled identically in
+    * the DuckDB oracle. Emits the scaled sum and used-register count so
+    * the sketch content itself is hash-gated, not just the estimate. */
+  def hllEstimate(sk: DataFrame, groupCols: Seq[String],
+                  p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll p must be in [4,16], got $p")
+    val m = 1 << p
+    val q = 60 - p
+    val alpha = m match { // Flajolet et al. 2007 bias constants
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val mD = m.toDouble
+    // alpha·m²·2^(q+1), folded in Scala so both engines see ONE literal
+    val numer = alpha * mD * mD * math.pow(2.0, q + 1)
+    val unit = 1L << (q + 1) // an absent register's (M=0) scaled term
+    val grouped = sk.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_regs_used"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${q + 1} - rho)"))
+          .as("__sp"))
+      .select(groupCols.map(col) :+ col("n_regs_used") :+
+        (col("__sp") + (lit(m.toLong) - col("n_regs_used")) * lit(unit))
+          .cast("long").as("s_scaled"): _*)
+    val raw = lit(numer) / col("s_scaled").cast("double")
+    val zeros = lit(m.toLong) - col("n_regs_used")
+    grouped.select(groupCols.map(col) :+ col("n_regs_used") :+
+      col("s_scaled") :+
+      graft.functions.Portable.pround(
+        when(raw <= lit(2.5 * mD) && zeros > lit(0L),
+          lit(mD) * log(lit(mD) / zeros.cast("double")))
+          .otherwise(raw), 2).as("est_distinct"): _*)
+  }
+
+  /** One-shot portable HLL distinct estimate per group —
+    * [[hllRegisters]] composed with [[hllEstimate]]. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], key: Column,
+                  p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, key, p), groupCols, p)
+
   /** COUNT-MIN sketch over a key column: a `depth × width` counter
     * matrix where row i counts keys by `hash_i(key) mod width`. Like
     * [[kmvDistinct]] (and unlike HLL/t-digest), the layout is fully

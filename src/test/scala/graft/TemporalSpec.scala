@@ -1,7 +1,7 @@
 package graft
 
 import java.sql.Timestamp
-import graft.operators.{TemporalJoin, TimeAgg}
+import graft.operators.{Sketches, TemporalJoin, TimeAgg}
 import org.apache.spark.sql.functions._
 
 class TemporalJoinSpec extends SparkSpec {
@@ -100,6 +100,37 @@ class TemporalJoinSpec extends SparkSpec {
     exact.foreach { case (k, n) =>
       assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"$k: ${approx(k)} vs $n")
     }
+  }
+
+  test("portable HLL estimate stays within 15% of exact at sf0.001 (m=256 → ~6.5% rse)") {
+    val e = graft.sources.Tables.events(spark, sf)
+    val est = Sketches.hllDistinct(e, Seq("event_type"), col("user_id"), 8)
+      .select("event_type", "est_distinct").as[(String, Double)].collect().toMap
+    val exact = e.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .select("event_type", "n").as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n) / n < 0.15, s"$k: ${est(k)} vs $n")
+    }
+  }
+
+  test("portable HLL merge is lossless: day-rollup registers == direct registers") {
+    val e = graft.sources.Tables.events(spark, sf)
+      .withColumn("day", TimeAgg.dayKey(col("ts")))
+    val rolled = Sketches.hllMerge(
+      Sketches.hllRegisters(e, Seq("event_type", "day"), col("user_id"), 8),
+      Seq("event_type"))
+    val direct = Sketches.hllRegisters(e, Seq("event_type"), col("user_id"), 8)
+    assert(rolled.exceptAll(direct).isEmpty && direct.exceptAll(rolled).isEmpty)
+    val regs = direct.agg(min("reg"), max("reg"), min("rho"), max("rho"))
+      .as[(Long, Long, Int, Int)].head()
+    assert(regs._1 >= 0L && regs._2 <= 255L && regs._3 >= 1 && regs._4 <= 53)
+  }
+
+  test("portable HLL small-range branch: linear counting lands near tiny exact counts") {
+    val tiny = (1 to 10).map(i => (s"u$i", "x")).toDF("uid", "g")
+    val est = Sketches.hllDistinct(tiny, Seq("g"), col("uid"), 8)
+      .select("est_distinct").as[Double].head()
+    assert(math.abs(est - 10.0) / 10.0 < 0.15, s"est $est vs 10")
   }
 
   test("rollup emits per-group, per-entity-subtotal and grand-total rows") {
