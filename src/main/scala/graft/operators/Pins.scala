@@ -46,8 +46,51 @@ import org.apache.spark.sql.execution.LogicalRDD
 object Pins {
   val ModeKey = "spark.graft.checkpointMode"
 
+  /** Debug guard (r14 advice): `spark.graft.pins.debug=true` records
+    * every released pinned-RDD id (with the releasing call site) and
+    * turns a LATER pin over a released pin into an immediate, NAMED
+    * error — instead of the missing-block failure a misplaced release
+    * on a lineage-less localCheckpoint leaf otherwise surfaces far
+    * from the bug. Off by default (a conf read + map lookup per pin is
+    * cheap but not free, and release-safety on the shipped operators
+    * is spec-gated); turn it on when composing new iterative
+    * operators. */
+  val DebugKey = "spark.graft.pins.debug"
+
+  // released pinned-RDD ids → releasing call site; bounded so a
+  // long-lived session's debug ledger cannot itself become a leak
+  private val released =
+    new java.util.LinkedHashMap[Int, String](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Int, String]): Boolean = size() > 65536
+    }
+
+  private def debugOn(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption(DebugKey).contains("true")
+
+  /** Debug-mode read guard: fails loudly if `df`'s plan reads a pin
+    * that was already released (and whose blocks are really gone —
+    * reliable-mode pins are file-backed and never trip this). Called
+    * on every [[pin]] input under the debug conf; public so new
+    * operators can guard their RETURNED frames too. */
+  def guard(df: DataFrame, what: String = "frame"): DataFrame = {
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: LogicalRDD =>
+        val rec = released.synchronized(released.get(lr.rdd.id))
+        if (rec != null &&
+            lr.rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          throw new IllegalStateException(
+            s"graft pins debug: $what reads RELEASED pin rdd=${lr.rdd.id} " +
+              s"(no lineage to recompute from — this would surface as a " +
+              s"missing-block failure at action time); $rec")
+      case _ => ()
+    }
+    df
+  }
+
   /** Eager constant-depth lineage pin in the session-selected mode. */
   def pin(df: DataFrame): DataFrame = {
+    if (debugOn(df)) guard(df, "pin() input")
     val pinned =
       df.sparkSession.conf.getOption(ModeKey).getOrElse("local") match {
         case "local" => df.localCheckpoint()
@@ -75,21 +118,16 @@ object Pins {
     * decision is unchanged — estimates below the cap keep their exact
     * origin value, and values above it are all equally "far too big to
     * broadcast" — but products of capped leaves stay small-digit, so
-    * stats stay O(1) per round. Constraints are preserved verbatim. */
+    * stats stay O(1) per round. Constraints, rowCount and
+    * attributeStats are preserved verbatim. The LogicalRDD rebuild is
+    * an internal-API touchpoint and lives with the others in
+    * [[org.apache.spark.sql.graft.ColumnBridge.withCappedLeafStats]]
+    * (one file to audit per Spark upgrade — r14 advice). */
   private val StatsCap = BigInt(Long.MaxValue)
 
   private def capStats(pinned: DataFrame): DataFrame =
-    pinned.queryExecution.analyzed match {
-      case lr: LogicalRDD if lr.computeStats().sizeInBytes > StatsCap =>
-        val capped = LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
-          lr.outputOrdering, lr.isStreaming, lr.stream)(
-          pinned.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-          Some(org.apache.spark.sql.catalyst.plans.logical.Statistics(
-            sizeInBytes = StatsCap)),
-          Some(lr.constraints))
-        org.apache.spark.sql.graft.ColumnBridge.ofRows(pinned.sparkSession, capped)
-      case _ => pinned
-    }
+    org.apache.spark.sql.graft.ColumnBridge
+      .withCappedLeafStats(pinned, StatsCap).getOrElse(pinned)
 
   /** Release a DEAD pin's storage blocks (blocking=false; null-safe so
     * loop-carried "previous pin" slots start at null). A pinned frame's
@@ -97,12 +135,28 @@ object Pins {
     * that RDD directly (the Dataset-level unpersist only consults the
     * cache manager, which knows nothing about checkpoint pins). For
     * reliable-mode pins the RDD is file-backed and not persisted, so
-    * this is a harmless no-op. */
+    * this is a harmless no-op. Under [[DebugKey]] each actually-persisted
+    * released id is recorded with its call site so [[guard]] can name
+    * the bug at the misuse site. */
   def release(dfs: DataFrame*): Unit =
     dfs.foreach { df =>
-      if (df != null) df.queryExecution.analyzed.collectLeaves().foreach {
-        case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
-        case _ => ()
+      if (df != null) {
+        val debug = debugOn(df)
+        df.queryExecution.analyzed.collectLeaves().foreach {
+          case lr: LogicalRDD =>
+            if (debug &&
+                lr.rdd.getStorageLevel !=
+                  org.apache.spark.storage.StorageLevel.NONE) {
+              val site = Thread.currentThread().getStackTrace
+                .drop(2).find(e => !e.getClassName.endsWith("graft.operators.Pins$"))
+                .map(_.toString).getOrElse("(unknown site)")
+              released.synchronized {
+                released.put(lr.rdd.id, s"released at $site")
+              }
+            }
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
       }
     }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -479,6 +479,19 @@ object Sessionize {
       .agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
+    markovSolve(spark, trans, touchTypes, conversionType, iters)
+  }
+
+  /** The states²-bounded removal-effect solve shared by batch C23 and
+    * the streaming journey ledger (I53): value-iteration absorption
+    * probabilities in integer ppm over an already-collected transition
+    * matrix (model-sized by contract — (|touchTypes|+3)², never
+    * corpus-sized). One code path, so the two spellings cannot drift. */
+  private[graft] def markovSolve(spark: SparkSession,
+                                 trans: Map[(String, String), Long],
+                                 touchTypes: Seq[String],
+                                 conversionType: String,
+                                 iters: Int): DataFrame = {
     // absorption probability from START in ppm, `iters` fixed rounds
     def solve(cnt: Map[(String, String), Long]): Long = {
       val srcs = cnt.keys.map(_._1).toSet

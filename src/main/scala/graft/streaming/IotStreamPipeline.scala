@@ -871,4 +871,83 @@ object IotStreamPipeline {
     maintained.groupBy(col("touch_type"))
       .agg(count(lit(1)).as("n_conversions"),
         countDistinct(col("user_id")).as("n_converters"))
+
+  case class MkvState(converted: Boolean, lastType: String,
+                      counts: Map[String, Long])
+  case class MkvOut(user_id: Long, src: String, dst: String, n: Long)
+
+  /** Continuous Markov-journey ledger (I53) — the streaming analog of
+    * [[graft.operators.Sessionize.markovAttribution]]'s chain-building
+    * stage: state per entity is (converted?, last type, per-(src, dst)
+    * transition counts through the FIRST conversion) — states²-bounded,
+    * never event history. Each batch folds its (type-filtered) events
+    * in (ts, event_id) order exactly as the batch window family does:
+    * every pre-conversion event adds one (prev-or-start → type) edge;
+    * events after the first conversion are ignored (the batch
+    * `__cb = 0` cut). Emits the touched transition rows with CUMULATIVE
+    * counts keyed (user_id, src, dst) — the I25 upsert-convergence
+    * discipline — plus one journey-terminal row keyed
+    * (user_id, "(terminal)") whose dst is the current last type (or
+    * "(converted)"), which [[markovTotals]] turns into the batch
+    * operator's `type → (null)` unconverted-journey edges at read time.
+    * Cross-batch ordering relies on the cursor-order delivery contract
+    * ([[scd2Stream]]). */
+  def markovJourneyStream(stage: DataFrame, touchTypes: Seq[String],
+                          conversionType: String): DataFrame = {
+    val spark = stage.sparkSession
+    import spark.implicits._
+    val relevant = touchTypes.toSet + conversionType
+    val typed = stage
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[MkvState, MkvOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[MkvState]) =>
+          val evs = rows.toSeq.filter(r => relevant(r._4))
+            .sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(
+              MkvState(converted = false, null, Map.empty))
+            val touched = scala.collection.mutable.LinkedHashSet[String]()
+            evs.foreach { case (_, _, _, ty) =>
+              if (!st.converted) {
+                val src = Option(st.lastType).getOrElse("(start)")
+                val key = src + " " + ty
+                st = MkvState(ty == conversionType, ty,
+                  st.counts + (key -> (st.counts.getOrElse(key, 0L) + 1L)))
+                touched += key
+              }
+            }
+            state.update(st)
+            touched.iterator.map { key =>
+              val Array(src, dst) = key.split(' ')
+              MkvOut(uid, src, dst, st.counts(key))
+            } ++ Iterator.single(MkvOut(uid, "(terminal)",
+              if (st.converted) "(converted)" else st.lastType, 1L))
+          }
+      }.toDF()
+  }
+
+  /** Roll the I53 maintained journey ledger to batch C23's
+    * removal-effect report: transition rows re-sum to the corpus
+    * matrix, unconverted terminal rows become the batch chain's
+    * `type → (null)` edges, and the SAME states²-bounded integer-ppm
+    * solve runs ([[graft.operators.Sessionize.markovSolve]] — one code
+    * path, so the spellings cannot drift). */
+  def markovTotals(maintained: DataFrame, touchTypes: Seq[String],
+                   conversionType: String, iters: Int = 12): DataFrame = {
+    val spark = maintained.sparkSession
+    val trans = maintained.filter(col("src") =!= "(terminal)")
+      .groupBy("src", "dst").agg(sum(col("n")).as("c"))
+      .unionByName(maintained
+        .filter(col("src") === "(terminal)" && col("dst") =!= "(converted)")
+        .groupBy(col("dst")).agg(count(lit(1)).as("c"))
+        .select(col("dst").as("src"), lit("(null)").as("dst"), col("c")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    graft.operators.Sessionize.markovSolve(
+      spark, trans, touchTypes, conversionType, iters)
+  }
 }

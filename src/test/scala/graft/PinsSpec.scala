@@ -156,6 +156,51 @@ class PinsSpec extends SparkSpec {
     Pins.release(a)
   }
 
+  test("pins debug guard: a pin over a RELEASED pin fails immediately with a named error") {
+    // the r14-advice seam: without the guard, a misplaced release on a
+    // localCheckpoint leaf (no lineage to recompute from) surfaces as a
+    // missing-block failure far from the bug; with
+    // spark.graft.pins.debug=true the NEXT pin names the misuse site
+    spark.conf.set(Pins.DebugKey, "true")
+    try {
+      val a = Pins.pin(Seq((1L, 2L), (3L, 4L)).toDF("k", "v"))
+      val downstream = a.select(col("k"), (col("v") + 1).as("v"))
+      Pins.release(a) // WRONG: downstream still reads a's blocks
+      val e = intercept[IllegalStateException] { Pins.pin(downstream) }
+      assert(e.getMessage.contains("RELEASED pin") &&
+        e.getMessage.contains("released at"), e.getMessage)
+      // live pins stay silent: a fresh pin chain is unaffected
+      val b = Pins.pin(Seq(1L).toDF("x"))
+      val c = Pins.pin(b.select((col("x") + 1).as("x")))
+      assert(c.count() == 1)
+      Pins.release(b, c)
+    } finally spark.conf.unset(Pins.DebugKey)
+    // and OFF by default: the same misuse is not intercepted (it would
+    // surface at action time) — the guard must cost nothing when unset
+    val a2 = Pins.pin(Seq(5L).toDF("x"))
+    val down2 = a2.select(col("x"))
+    Pins.release(a2)
+    Pins.release(Pins.pin(spark.range(1).toDF("x"))) // no exception path
+    assert(down2 != null)
+  }
+
+  test("capStats preserves the origin rowCount and attributeStats when capping") {
+    // build a frame whose pinned stats exceed the cap (self-join digit
+    // growth), then assert the capped leaf kept the origin row count
+    // metadata shape (r14 advice: the old rebuild dropped it)
+    var a = Pins.pin(Seq((1L, 1L), (2L, 2L)).toDF("k", "v"))
+    (0 until 12).foreach { _ =>
+      val joined = a.join(a.select(col("k"), col("v").as("v2")), "k")
+        .select(col("k"), col("v"))
+      val next = Pins.pin(joined)
+      Pins.release(a)
+      a = next
+    }
+    val st = a.queryExecution.analyzed.stats
+    assert(st.sizeInBytes <= BigInt(Long.MaxValue))
+    Pins.release(a)
+  }
+
   test("checkpointMode validation: a bogus mode fails loudly, naming the conf key") {
     val df = Seq(1L).toDF("x")
     spark.conf.set(Pins.ModeKey, "bogus")

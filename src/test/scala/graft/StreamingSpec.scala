@@ -1164,6 +1164,29 @@ class StreamingSpec extends SparkSpec {
     assert(maintained.groupBy("event_id").count()
       .filter(col("count") > 1).count() == 0)
   }
+  test("streaming markov journey ledger == batch C23 removal effects (I53)") {
+    import graft.streaming.IotStreamPipeline
+    import graft.streaming.IotStreamPipeline.MkvOut
+    val in = Files.createTempDirectory("graft-mkv-in").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+    // terminal rows supersede by (uid, "(terminal)") — their dst is the
+    // VALUE (the journey's current last type), not part of the key
+    val maintained = maintainedRows[MkvOut](
+      IotStreamPipeline.markovJourneyStream(
+        spark.readStream.schema(ev.schema).parquet(in),
+        Seq("click", "view"), "purchase"),
+      r => (r.user_id, r.src,
+        if (r.src == "(terminal)") "" else r.dst))(landTimeSplit(ev, in)).toDF()
+    val got = IotStreamPipeline.markovTotals(
+      maintained, Seq("click", "view"), "purchase")
+    val want = graft.operators.Sessionize.markovAttribution(
+      graft.sources.Tables.events(spark, sf), "user_id", "ts", "event_id",
+      "event_type", Seq("click", "view"), "purchase")
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("streaming multi-touch off the maintained event ledger == batch C22 (I47)") {
     // c22's range-window pairing needs each conversion's 7-day touch
     // history, so the streaming story is the I28 ledger composition:
