@@ -63,7 +63,8 @@ object Fuzz {
         " — the canonical SQL changed shape; retie the substitution")
     sql.replace(from, to)
   }
-  private def canonical(name: String): String = SparkEntry.oracleSql(name)
+  private def canonical(name: String): String =
+    (SparkEntry.oracleSql ++ SparkEntry.fuzzOracleSql)(name)
 
   /** TVF arg-surface probe (r13 verdict #7): the malformed call MUST
     * fail loudly with a message — anywhere in the cause chain — naming
@@ -1570,7 +1571,7 @@ object Fuzz {
           dd.write(spark, dataDir)
           dataDirs(name) = dataDir
           // the CANONICAL query, untouched, pointed at the drawn data
-          SparkEntry.queries(dd.queryName)(spark, dataDir)
+          (SparkEntry.queries ++ SparkEntry.fuzzQueries)(dd.queryName)(spark, dataDir)
             .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         failed += name

@@ -180,6 +180,9 @@ object ScaleProbe {
         "h10_interdup_hashed" -> (() =>
           Dedup.sharedShingleRatio(docs, "doc_id", "text", 3,
             hashShingleKeys = true)),
+        // RETIRED as a recommendation (r15): strictly slower than plain
+        // at the 256p/64x cluster profile with no shuffle-byte win —
+        // kept measurable as the exhibit behind SCALEPROBE_64x note_r15
         "e7_dedup_spans_hashed" -> (() =>
           Dedup.removeRepeatedSpans(docs, "doc_id", "text", 3,
             hashSpanKeys = true)),

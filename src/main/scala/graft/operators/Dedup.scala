@@ -582,12 +582,16 @@ object Dedup {
     * (it would delete an innocent span corpus-wide), so the key is wide
     * enough that the birthday bound stays vanishing at 100 TB span
     * counts (S²/2^121 ≈ 4e-13 at S = 10^12). One md5 per span feeds
-    * both halves. MEASURED (ScaleProbe 16×): hashed keys shuffle MORE
-    * here (309 → 332 MB — random digest structs defeat the lz4
-    * compression that overlapping span text invites) and pay md5 CPU,
-    * so the default stays off on both axes; the knob exists for
-    * corpora whose spans are long enough (large k) to flip the
-    * comparison. Mode equality is spec-asserted. */
+    * both halves. MEASURED (ScaleProbe 16×, re-confirmed r15 at the
+    * 256-partition/64× cluster profile): hashed keys shuffle MORE here
+    * (309 → 332 MB at 16×; 1.70 → 1.75 GB at 64× — random digest
+    * structs defeat the lz4 compression that overlapping span text
+    * invites), pay md5 CPU, and are strictly SLOWER at the cluster
+    * profile (28.6 vs 20.1 s at 256p/64×, reproduced twice) — the
+    * 32-partition sort-pressure win that once justified the knob does
+    * not transfer, so plain keys are THE recommendation and the hashed
+    * mode is retired to a measured exhibit (SCALEPROBE_64x note_r15).
+    * Mode equality is spec-asserted. */
   def removeRepeatedSpans(docs: DataFrame, id: String, text: String,
                           k: Int, hashSpanKeys: Boolean = false,
                           keepFirst: Boolean = false): DataFrame = {

@@ -481,7 +481,8 @@ object Graphs {
           .union(rem.select(col("dst").as("node"))).distinct()
           .withColumn("pr", xxhash64(col("node"))))
         // ---- forward coloring ----
-        val color = minLabelFixpoint(rem, ns, maxIter, "forward-color")
+        val color = minLabelFixpoint(rem, ns, maxIter, "forward-color",
+          hashPivots = outer > 4)
         // ---- class-filtered reversed edges + backward labels ----
         val ce = Pins.pin(rem
           .join(color.select(col("node").as("src"),
@@ -490,7 +491,8 @@ object Graphs {
             col("lab_p").as("__cdp"), col("lab_n").as("__cdn")), "dst")
           .filter(col("__csp") === col("__cdp") && col("__csn") === col("__cdn"))
           .select(col("dst").as("src"), col("src").as("dst")))
-        val blab = minLabelFixpoint(ce, ns, maxIter, "backward-reach")
+        val blab = minLabelFixpoint(ce, ns, maxIter, "backward-reach",
+          hashPivots = outer > 4)
         // member ⟺ backward label == class label (v reaches the class
         // root); scc_id = MIN MEMBER ID per class — the output contract
         // is id-based even though pivots are priority-based, so the
@@ -751,9 +753,19 @@ object Graphs {
     * UNIQUE, so hash collisions can never merge two color classes
     * (correctness never rides on hash quality, only round counts do).
     * Returns a pinned `(node, pr, lab_p, lab_n)` frame the CALLER
-    * releases. */
+    * releases.
+    *
+    * `hashPivots = false` (the first outer rounds) runs the SAME
+    * fixpoint over single-long id labels instead — `pr == node` makes
+    * `(lab_p, lab_n)` fully redundant, and the label column is the
+    * dominant shuffle payload (measured 1.64× total scc bytes with
+    * struct labels riding every round) — and widens to the shared
+    * `(node, pr, lab_p, lab_n)` shape only in the final projection, so
+    * the caller sees ONE contract. */
   private def minLabelFixpoint(e: DataFrame, nodes: DataFrame,
-                               maxIter: Int, what: String): DataFrame = {
+                               maxIter: Int, what: String,
+                               hashPivots: Boolean): DataFrame = {
+    if (!hashPivots) return minIdLabelFixpoint(e, nodes, maxIter, what)
     def lab2(p: Column, n: Column): Column =
       struct(p.as("lab_p"), n.as("lab_n"))
     // one propagation round: edge relaxation + pointer jump (structs
@@ -815,6 +827,54 @@ object Graphs {
     }
     require(converged, s"scc $what did not converge within $maxIter rounds")
     lab
+  }
+
+  /** The id-pivot spelling of [[minLabelFixpoint]]: single-long labels
+    * (`label(v) = min node id reaching v`), exactly the pre-r15 loop —
+    * kept as its own body because the label column rides every
+    * fixpoint shuffle and the struct spelling measured 1.64× the
+    * bytes. Widens to the shared `(node, pr, lab_p, lab_n)` contract
+    * (lab_p == lab_n == label when pr == node) in the final
+    * projection only. */
+  private def minIdLabelFixpoint(e: DataFrame, nodes: DataFrame,
+                                 maxIter: Int, what: String): DataFrame = {
+    def step(cur: DataFrame): DataFrame = {
+      val prop = e
+        .join(cur.select(col("node").as("src"), col("label").as("__sl")), "src")
+        .groupBy(col("dst").as("node")).agg(min(col("__sl")).as("__pl"))
+      val stepped = cur.join(prop, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("__pl"), col("label"))).as("cand"))
+      // pointer jump: cand is a node id — its own cand also qualifies
+      val jumpSrc = stepped.select(col("node").as("__jn"), col("cand").as("__jl"))
+      stepped
+        .join(jumpSrc, col("cand") === col("__jn"), "left")
+        .select(col("node"),
+          least(col("cand"), coalesce(col("__jl"), col("cand"))).as("label"))
+    }
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    var lab = Pins.pin(nodes.select(col("node"), col("node").as("label")))
+    var labPin = lab
+    var prevSum = labelSum(lab)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      it += 2
+      val next = Pins.pin(step(step(lab)))
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      Pins.release(labPin)
+      labPin = next
+      lab = next
+    }
+    require(converged, s"scc $what did not converge within $maxIter rounds")
+    // widen to the shared contract; the result frame READS the final
+    // label pin (a projection over it), which the caller releases
+    lab.select(col("node"), col("node").as("pr"),
+      col("label").as("lab_p"), col("label").as("lab_n"))
   }
 
   /** Multi-source BFS hop distance (L8) — each reachable node's
