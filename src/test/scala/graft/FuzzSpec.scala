@@ -63,11 +63,15 @@ class FuzzSpec extends AnyFunSuite {
         assert(d.family == name)
         assert(d.params.nonEmpty, s"$name: empty params at seed $seed")
         // the tie IS the canonical inventory: the query fn and oracle
-        // both come straight from SparkEntry — a renamed query key
-        // fails here, at spec time, not at the next fuzz run
-        assert(SparkEntry.queries.contains(d.queryName),
-          s"$name: queryName '${d.queryName}' not in SparkEntry.queries")
-        assert(SparkEntry.oracleSql.contains(d.queryName),
+        // both come straight from SparkEntry (incl. the fuzz-only
+        // registry, r15) — a renamed query key fails here, at spec
+        // time, not at the next fuzz run
+        assert((SparkEntry.queries ++ SparkEntry.fuzzQueries)
+            .contains(d.queryName),
+          s"$name: queryName '${d.queryName}' not in SparkEntry.queries" +
+            " ++ fuzzQueries")
+        assert((SparkEntry.oracleSql ++ SparkEntry.fuzzOracleSql)
+            .contains(d.queryName),
           s"$name: queryName '${d.queryName}' has no canonical oracle")
       }
     }
