@@ -1021,7 +1021,71 @@ object Fuzz {
             s"'$srcSpelling', 'dst')")
         },
         sub(canonical("l13_scc"), "l_quantity <= 20", s"l_quantity <= $qty"))
+    },
+
+    "tvf_hll_args" -> { r =>
+      // the r15 portable-HLL TVF: arity/typing/range probes (the p
+      // bounds must fail loudly at PLAN time — the builder runs the
+      // operator eagerly), then a valid call at a DRAWN precision p
+      // and key column, hash-matched against the p-parameterized
+      // oracle — every register width from m=16 to m=4096 exercises
+      // fresh rho/index geometry and both estimate branches
+      val p = 4 + r.nextInt(9) // [4, 12]
+      val key = Seq("user_id", "event_id")(r.nextInt(2))
+      Draw("tvf_hll_args", s"p=$p,key=$key",
+        (s, d) => {
+          SparkEntry.sqlSurface(s, d)
+          probeFail(s, "SELECT * FROM graft_hll('graft_sql_events', " +
+            "'event_type', 'user_id')", "graft_hll")
+          probeFail(s, "SELECT * FROM graft_hll('graft_sql_events', " +
+            "'event_type', 'user_id', 3)", "hll p")
+          probeFail(s, "SELECT * FROM graft_hll('graft_sql_events', " +
+            "'event_type', 'user_id', 17)", "hll p")
+          probeFail(s, "SELECT * FROM graft_hll('graft_sql_events', " +
+            "'event_type', 'user_id', 'wide')", "graft_hll")
+          s.sql("SELECT * FROM graft_hll('graft_sql_events', " +
+            s"'event_type', '$key', $p)")
+        },
+        hllOracle(p, key))
     })
+
+  /** The b9b portable-HLL oracle, parameterized on precision and key —
+    * MUST mirror `Sketches.hllRegisters`/`hllEstimate` constant for
+    * constant (the SparkEntry b9b oracle at p=8/user_id is this at
+    * those params): same folded numerator double, same 2.5·m branch
+    * cut, same op order on the one division and the linear-count ln. */
+  private def hllOracle(p: Int, key: String): String = {
+    val q = 60 - p
+    val m = 1 << p
+    val mD = m.toDouble
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val numer = alpha * mD * mD * math.pow(2.0, q + 1)
+    val mask = (1L << q) - 1
+    val rawSql = s"$numer / CAST(s_scaled AS DOUBLE)"
+    s"""WITH h AS (SELECT event_type,
+       |    CAST(concat('0x', substr(md5(CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM events),
+       |r AS (SELECT event_type, h >> $q AS reg,
+       |    CASE WHEN (h & $mask) = 0 THEN ${q + 1}
+       |         ELSE ${q + 1} - length(bin(h & $mask)) END AS rho
+       |  FROM h),
+       |regs AS (SELECT event_type, reg, max(rho) AS rho FROM r GROUP BY 1, 2),
+       |agg AS (SELECT event_type, count(*) AS n_regs_used,
+       |    CAST(sum(1::BIGINT << (${q + 1} - rho))
+       |         + ($m - count(*)) * (1::BIGINT << ${q + 1}) AS BIGINT) AS s_scaled
+       |  FROM regs GROUP BY 1)
+       |SELECT event_type, n_regs_used, s_scaled,
+       |  ${graft.functions.Portable.sqlPround(
+            s"CASE WHEN $rawSql <= ${2.5 * mD} AND $m - n_regs_used > 0 " +
+            s"THEN $mD * ln($mD / CAST($m - n_regs_used AS DOUBLE)) " +
+            s"ELSE $rawSql END", 2)} AS est_distinct
+       |FROM agg""".stripMargin
+  }
 
 
   /** The l4 canonical-oracle generator, parameterized on rounds and
