@@ -101,6 +101,55 @@ object Bench {
       (rt.totalMemory() - rt.freeMemory()) / (1024L * 1024L)
     }
     final case class RunStat(sec: Double, gcMs: Long, gcN: Long, heapMb: Long)
+    // ---- ambient canary (r15 verdict lead item) ----
+    // The grading instrument mis-read r15 by +16%: the official run was
+    // broadly inflated (median per-query 1.14x, GC doubled) vs the SAME
+    // code on the SAME box an hour earlier, and adjudicating it took
+    // manual cross-run forensics. Every run now carries its own noise
+    // index: a fixed trio of reference micro-measurements — pure-CPU
+    // xorshift loop (no Spark: scheduler/CPU contention only), a small
+    // parquet scan, a small fixed shuffle — timed at suite START / MID /
+    // END. In-run drift >= the threshold, or a broad shift vs the
+    // committed map's own canary (same-box cross-run — the r15 episode
+    // shape, uniformly inflated so in-run drift alone would miss it),
+    // stamps the artifact episode_suspect; diff_bench.py annotates REGR
+    // lines with it. Cross-BOX comparisons inflate the committed signal
+    // (absolute times don't transfer) — the artifact records both
+    // numbers so a reader sees which signal fired.
+    def canaryCpu(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    def canarySpark(fn: () => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // raw read on purpose: lineitem's schema is stable across rounds
+    // (events' ts precision is not — the Tables adapter exists for it)
+    val canaryScanFn = () => spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy().sum("l_quantity")
+    val canaryShuffleFn = () => spark.range(0L, 4000000L, 1L, 32)
+      .selectExpr("id % 997 AS k").groupBy("k").count()
+    def canaryTrio(): Map[String, Double] = {
+      // forced GC first: the canary measures the BOX, not the suite's
+      // heap state (suite-state contamination is the isolation
+      // machinery's job, ambient contention is the canary's)
+      System.gc()
+      def med(n: Int)(f: () => Double) =
+        Seq.fill(n)(f()).sorted.apply(n / 2)
+      // median-of-5 everywhere: single readings jitter ±40% at this
+      // 0.2-0.4 s scale; a sustained episode (the detection target)
+      // shifts all 5 samples, while median-of-5 shrugs off two
+      // transient spikes
+      Map("cpu" -> med(5)(() => canaryCpu()),
+        "scan" -> med(5)(() => canarySpark(canaryScanFn)),
+        "shuffle" -> med(5)(() => canarySpark(canaryShuffleFn)))
+    }
     def timedRuns(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[RunStat] =
       (0 to runs).map { _ =>
         val heap0 = heapUsedMb()
@@ -119,7 +168,20 @@ object Bench {
       }.drop(1) // drop the warm-up; KEEP EXECUTION ORDER (r14 advice: the
                 // sorted-by-time lists lost the temporal trend — heap growth
                 // or a first-run GC spike was unrecoverable from the artifact)
-    val results = selected.map { case (name, fn) => name -> timedRuns(name, fn) }
+    // one full UNTIMED trio as warm-up (codegen, parquet footer cache,
+    // JIT tiering of the generated code) so every phase's reading is
+    // warm-vs-warm comparable — a single bare warm-up run left the
+    // start-phase scan ~1.9x its mid/end readings (measured), which
+    // would stamp every artifact episode_suspect on JIT slope alone
+    canaryTrio()
+    val canaryStart = canaryTrio()
+    val midAt = math.max(1, selected.size / 2)
+    var canaryMid: Map[String, Double] = canaryStart
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == midAt) canaryMid = canaryTrio()
+      name -> timedRuns(name, fn)
+    }
+    val canaryEnd = canaryTrio()
     def median(ts: Seq[RunStat]): Double = ts.map(_.sec).sorted.apply(ts.size / 2)
     // Automated REGR isolation re-runs (r14 verdict lead item): any query
     // whose suite median is >= SPARK_GRAFT_ISO_THRESH (default 1.5x) the
@@ -134,24 +196,33 @@ object Bench {
     val isoFloor = sys.env.getOrElse("SPARK_GRAFT_ISO_FLOOR_SEC", "0.3").toDouble
     val isoCap = sys.env.getOrElse("SPARK_GRAFT_ISO_CAP", "16").toInt
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE_MAP", "bench_queries.json")
-    val baseline: Map[String, Double] = try {
+    val (baseline: Map[String, Double],
+         baselineCanary: Map[String, Map[String, Double]]) = try {
       val f = new java.io.File(baselinePath)
-      if (!f.exists) Map.empty
+      if (!f.exists) (Map.empty[String, Double], Map.empty[String, Map[String, Double]])
       else {
         val src = scala.io.Source.fromFile(f)
         val txt = try src.mkString finally src.close()
         import org.json4s._
-        org.json4s.jackson.JsonMethods.parse(txt) \ "queries" match {
+        val root = org.json4s.jackson.JsonMethods.parse(txt)
+        def numMap(v: JValue): Map[String, Double] = v match {
           case JObject(fields) => fields.collect {
-            case (k, JDouble(v)) => k -> v
-            case (k, JInt(v))    => k -> v.toDouble
+            case (k, JDouble(x)) => k -> x
+            case (k, JInt(x))    => k -> x.toDouble
           }.toMap
           case _ => Map.empty[String, Double]
         }
+        val qs = numMap(root \ "queries")
+        val can = root \ "canary" match {
+          case JObject(phases) => phases.map { case (ph, v) => ph -> numMap(v) }
+            .toMap.filter(_._2.nonEmpty)
+          case _ => Map.empty[String, Map[String, Double]]
+        }
+        (qs, can)
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] baseline map unreadable ($baselinePath): ${e.getMessage}")
-      Map.empty
+      (Map.empty[String, Double], Map.empty[String, Map[String, Double]])
     }
     val fnByName = selected.toMap
     val regressed = results
@@ -160,19 +231,79 @@ object Bench {
       .filter { case (_, med, base) => med >= isoFloor && med >= isoThresh * base }
       .sortBy { case (_, med, base) => -(med / base) }
       .take(isoCap)
-    val isolatedStats: Seq[(String, Seq[RunStat])] = regressed.map { case (k, _, _) =>
-      // cold-pin, freshly-collected state — the same state a one-off
-      // isolated run sees, regardless of where the suite's GC floor left us
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      System.gc(); runsSinceGc = 0
-      k -> timedRuns(k, fnByName(k))
-    }
+    // every isolation re-run is PAIRED with a CONTROL re-run of a
+    // stable committed-map query measured at the same instant (r15
+    // verdict lead item: the r15 episode contaminated some isolation
+    // re-runs themselves — l1_components isolated 6.39 s vs its 3.2 s
+    // hour-earlier reading — and nothing in the artifact said so). A
+    // clean control at its committed level certifies the isolation
+    // evidence; an inflated control attributes it to ambient state,
+    // machine-readably.
+    val isoControl = sys.env.getOrElse("SPARK_GRAFT_ISO_CONTROL", "b1_agg_daily")
+    val isolatedStats: Seq[(String, Seq[RunStat], Option[Double])] =
+      regressed.map { case (k, _, _) =>
+        // cold-pin, freshly-collected state — the same state a one-off
+        // isolated run sees, regardless of where the suite's GC floor left us
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        System.gc(); runsSinceGc = 0
+        val ctl = fnByName.get(isoControl)
+          .map(f => median(timedRuns(isoControl, f)))
+        (k, timedRuns(k, fnByName(k)), ctl)
+      }
     if (regressed.nonEmpty)
       System.err.println(s"[bench] isolation re-ran ${regressed.size} suite-regressed " +
         s"queries (>=${isoThresh}x committed map): " + regressed.map(_._1).mkString(", "))
-    val isolatedJson = isolatedStats.map { case (k, ts) =>
+    val isolatedJson = isolatedStats.map { case (k, ts, _) =>
       s"\"" + k + "\":" + median(ts) }.mkString("{", ",", "}")
+    val isolatedControlJson = isolatedStats.collect { case (k, _, Some(c)) =>
+      s"\"" + k + "\":" + c }.mkString("{", ",", "}")
+    // ---- canary drift + episode stamp ----
+    val canaryPhases = Seq("start" -> canaryStart, "mid" -> canaryMid,
+      "end" -> canaryEnd)
+    def medOf(vs: Seq[Double]): Double = vs.sorted.apply(vs.size / 2)
+    // DIRECTIONAL in-run drift: how much slower mid/end read than the
+    // fastest phase. JIT/page-cache warm-up makes the START phase the
+    // slow one (measured ~1.36x residual slope even after an untimed
+    // warm-up trio — undirected max/min stamped every clean run), while
+    // an ambient episode inflates LATER readings; an episode already
+    // present at start and throughout is invisible to any in-run
+    // comparison and is exactly what canary_vs_committed exists for.
+    val canaryDrift = canaryStart.keys.map { comp =>
+      val vs = canaryPhases.map(_._2(comp))
+      math.max(canaryMid(comp), canaryEnd(comp)) / math.max(vs.min, 1e-9)
+    }.max
+    // vs the committed map's own canary: per component the ratio of
+    // phase-medians, then the MEDIAN over components — broad-based
+    // inflation (the episode signature) moves all three together,
+    // while a single-component blip (one slow disk read) does not
+    // stamp the run
+    val canaryVsCommitted: Option[Double] =
+      if (baselineCanary.isEmpty) None
+      else {
+        val ratios = canaryStart.keys.toSeq.flatMap { comp =>
+          val committed = baselineCanary.values.flatMap(_.get(comp)).toSeq
+          if (committed.isEmpty) None
+          else Some(medOf(canaryPhases.map(_._2(comp))) /
+            math.max(medOf(committed), 1e-9))
+        }
+        if (ratios.isEmpty) None else Some(medOf(ratios))
+      }
+    val canaryThresh = sys.env.getOrElse("SPARK_GRAFT_CANARY_THRESH", "1.3").toDouble
+    val episodeSuspect = canaryDrift >= canaryThresh ||
+      canaryVsCommitted.exists(_ >= canaryThresh)
+    val canaryJson = canaryPhases.map { case (ph, m) =>
+      s"\"" + ph + "\":" + m.toSeq.sortBy(_._1).map { case (c, v) =>
+        s"\"" + c + "\":" + (math.round(v * 10000.0) / 10000.0)
+      }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val canaryVsCommittedJson =
+      canaryVsCommitted.map(v => (math.round(v * 1000.0) / 1000.0).toString)
+        .getOrElse("null")
+    if (episodeSuspect)
+      System.err.println(f"[bench] EPISODE SUSPECT: canary drift $canaryDrift%.2fx" +
+        s" in-run, vs committed ${canaryVsCommitted.map(v => f"$v%.2fx").getOrElse("n/a")}" +
+        s" (threshold $canaryThresh) -- treat broad REGR lines as ambient")
     val qs = results.map { case (k, ts) => s"\"" + k + "\":" + median(ts) }
       .mkString("{", ",", "}")
     val runSecs = results.map { case (k, ts) =>
@@ -206,7 +337,7 @@ object Bench {
     // both breaks machine parsing of the artifact and invites the r4
     // "spread map read as query times" misread. Local iteration still
     // sees everything on stderr.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"gc_floor_sec":${if (gcFloorSec.isPosInfinity) "\"inf\"" else gcFloorSec},"queries":$qs,"queries_min":$mins,"queries_spread":$spreads,"queries_runs_sec":$runSecs,"queries_gc_ms":$gcMsMap,"queries_gc_count":$gcNMap,"queries_heap_mb":$heapMap,"queries_isolated":$isolatedJson,"iso_thresh":$isoThresh,"gc_total_sec":$gcTotalSec,"total_min":$totalMin,"failed":$errs,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"gc_floor_sec":${if (gcFloorSec.isPosInfinity) "\"inf\"" else gcFloorSec},"queries":$qs,"queries_min":$mins,"queries_spread":$spreads,"queries_runs_sec":$runSecs,"queries_gc_ms":$gcMsMap,"queries_gc_count":$gcNMap,"queries_heap_mb":$heapMap,"queries_isolated":$isolatedJson,"queries_isolated_control":$isolatedControlJson,"iso_control":"$isoControl","iso_thresh":$isoThresh,"canary":$canaryJson,"canary_drift":${math.round(canaryDrift * 1000.0) / 1000.0},"canary_vs_committed":$canaryVsCommittedJson,"canary_thresh":$canaryThresh,"episode_suspect":$episodeSuspect,"gc_total_sec":$gcTotalSec,"total_min":$totalMin,"failed":$errs,"sf":"$sfDir"}"""
     System.err.println(fullJson)
     // ...and to a FILE: the stderr tail the round driver captures
     // front-truncates, which made per-query regression diffing across
@@ -248,7 +379,7 @@ object Bench {
       .map { case (k, med, base) =>
         s"\"" + k + "\":" + (math.round(med / base * 100.0) / 100.0) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"n_queries":${results.size},"gc_floor_sec":${if (gcFloorSec.isPosInfinity) "\"inf\"" else gcFloorSec},"gc_total_sec":$gcTotalSec,"top5_med":$top5,"n_inflated":${inflated.size},"top_inflated_med_over_min":$inflStr,"n_isolated":${isolatedStats.size},"queries_isolated":$isolatedJson,"failed":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"n_queries":${results.size},"gc_floor_sec":${if (gcFloorSec.isPosInfinity) "\"inf\"" else gcFloorSec},"gc_total_sec":$gcTotalSec,"top5_med":$top5,"n_inflated":${inflated.size},"top_inflated_med_over_min":$inflStr,"n_isolated":${isolatedStats.size},"queries_isolated":$isolatedJson,"queries_isolated_control":$isolatedControlJson,"iso_control":"$isoControl","canary":$canaryJson,"canary_drift":${math.round(canaryDrift * 1000.0) / 1000.0},"canary_vs_committed":$canaryVsCommittedJson,"episode_suspect":$episodeSuspect,"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1047,6 +1047,120 @@ object Fuzz {
             s"'event_type', '$key', $p)")
         },
         hllOracle(p, key))
+    },
+    "call_upsert_args" -> { r =>
+      // S2 CALL-procedure argument surface (r15 verdict #3 — the same
+      // treatment S1's TVF args got in r14, where the fuzz found a real
+      // silent-NULL bug): malformed calls must fail LOUDLY naming the
+      // procedure or the violated constraint — unknown procedure,
+      // namespaced lookup, missing required parameter, reserved-view
+      // collision — then a VALID merge_upsert runs through the full
+      // CALL path (first-load branch + merge branch) and the table
+      // READ-BACK is hash-gated against a DuckDB latest-wins oracle,
+      // so the argument decode is verified by the write it produced.
+      val bm = 4 + r.nextInt(2) // base keeps keys where key % bm != 0
+      val um = 2 + r.nextInt(2) // updates touch keys where key % um == 0
+      val pc = Seq("o_orderpriority", "o_orderstatus")(r.nextInt(2))
+      Draw("call_upsert_args", s"bm=$bm,um=$um,part=$pc",
+        (s, d) => {
+          s.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+          probeFail(s, "CALL graft.no_such_proc('x')",
+            "unknown graft procedure")
+          probeFail(s, "CALL graft.ns.merge_upsert('a','b','c','d','e')",
+            "catalog root")
+          probeFail(s, "CALL graft.merge_upsert('v','p','c')",
+            "merge_upsert")
+          // a caller-owned __raw must fail loudly, never be clobbered
+          s.range(1).toDF("id").createOrReplaceTempView("__raw")
+          probeFail(s, "CALL graft.refresh_aggregate('__raw', " +
+            "'/tmp/fz_nope', 'id', 'id', 'wm', 'SELECT 1 AS id')",
+            "reserved")
+          s.catalog.dropTempView("__raw")
+          val path =
+            Files.createTempDirectory("graft-fz-call-up").toString + "/t"
+          val ords = Tables.orders(s, d)
+          ords.filter(col("o_orderkey") % bm =!= 0)
+            .select(col("o_orderkey"), col(pc), col("o_totalprice"),
+              lit(1L).as("v"))
+            .createOrReplaceTempView("fz_call_base")
+          ords.filter(col("o_orderkey") % um === 0)
+            .select(col("o_orderkey"), col(pc),
+              (col("o_totalprice") * 2).as("o_totalprice"),
+              lit(2L).as("v"))
+            .createOrReplaceTempView("fz_call_upd")
+          s.sql(s"CALL graft.merge_upsert('fz_call_base', '$path', " +
+            s"'$pc', 'o_orderkey', 'v')")
+          s.sql(s"CALL graft.merge_upsert('fz_call_upd', '$path', " +
+            s"'$pc', 'o_orderkey', 'v')")
+          s.read.parquet(path)
+            .select(col("o_orderkey"), col("o_totalprice").as("tp"),
+              col("v"))
+        },
+        s"""WITH base AS (SELECT o_orderkey, o_totalprice,
+           |    CAST(1 AS BIGINT) AS v
+           |  FROM orders WHERE o_orderkey % $bm <> 0),
+           |upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+           |    CAST(2 AS BIGINT) AS v
+           |  FROM orders WHERE o_orderkey % $um = 0)
+           |SELECT o_orderkey, o_totalprice AS tp, v FROM upd
+           |UNION ALL
+           |SELECT b.o_orderkey, b.o_totalprice AS tp, b.v FROM base b
+           |LEFT JOIN upd u ON u.o_orderkey = b.o_orderkey
+           |WHERE u.o_orderkey IS NULL""".stripMargin)
+    },
+    "call_retention_args" -> { r =>
+      // retention argument surface: arity overflow must fail naming the
+      // procedure; a valid call at a DRAWN keep_from cut returns the
+      // dropped first-level day partitions, hash-gated against the
+      // events calendar (the TimescaleDB drop_chunks contract)
+      val dd = 3 + r.nextInt(27) // keep_from day-of-month in [03, 29]
+      val keepFrom = f"202401$dd%02d"
+      Draw("call_retention_args", s"keepFrom=$keepFrom",
+        (s, d) => {
+          s.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+          probeFail(s,
+            "CALL graft.retention('p','day','2024-01-01','extra')",
+            "retention")
+          val path =
+            Files.createTempDirectory("graft-fz-call-ret").toString + "/t"
+          Tables.events(s, d)
+            .withColumn("day", TimeAgg.dayKey(col("ts")))
+            .write.partitionBy("day").parquet(path)
+          s.sql(s"CALL graft.retention('$path', 'day', '$keepFrom')")
+        },
+        s"""SELECT DISTINCT strftime(ts, '%Y%m%d') AS dropped_partition
+           |FROM events WHERE strftime(ts, '%Y%m%d') < '$keepFrom'""".stripMargin)
+    },
+    "call_zorder_args" -> { r =>
+      // write_zordered argument surface: an unknown NAMED argument and
+      // string-for-int typing must fail loudly; a valid call at drawn
+      // cols/files/bits returns the (col, lo, hi) calibration rows,
+      // hash-gated against DuckDB min/max over the same table
+      val pool = Seq("l_partkey", "l_suppkey", "l_orderkey", "l_quantity")
+      val i = r.nextInt(pool.size)
+      val j = (i + 1 + r.nextInt(pool.size - 1)) % pool.size
+      val (c1, c2) = (pool(i), pool(j))
+      val nf = 2 + r.nextInt(7)
+      val bits = 4 + r.nextInt(9)
+      Draw("call_zorder_args", s"cols=$c1+$c2,files=$nf,bits=$bits",
+        (s, d) => {
+          s.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+          probeFail(s, "CALL graft.compact(path => 'p', nope => 'day')",
+            "compact")
+          Tables.lineitem(s, d).createOrReplaceTempView("fz_call_li")
+          probeFail(s, "CALL graft.write_zordered('fz_call_li', " +
+            "'/tmp/fz_nope', 'l_partkey', 'wide')",
+            "cannot be cast")
+          val path =
+            Files.createTempDirectory("graft-fz-call-z").toString + "/t"
+          s.sql(s"CALL graft.write_zordered('fz_call_li', '$path', " +
+            s"'$c1,$c2', $nf, $bits)")
+        },
+        s"""SELECT '$c1' AS col, CAST(min($c1) AS DOUBLE) AS lo,
+           |  CAST(max($c1) AS DOUBLE) AS hi FROM lineitem
+           |UNION ALL
+           |SELECT '$c2', CAST(min($c2) AS DOUBLE), CAST(max($c2) AS DOUBLE)
+           |FROM lineitem""".stripMargin)
     })
 
   /** The b9b portable-HLL oracle, parameterized on precision and key —
@@ -1489,12 +1603,17 @@ object Fuzz {
       // under the retired min-id pivots; O(log) under hash pivots).
       // Ids pass through a drawn permutation so increasing, decreasing
       // and shuffled id/topology correlations all occur. Diameters stay
-      // <= ~150 hops — inside the oracle's 256-hop closure bound, whose
-      // new canary would otherwise (correctly) flag the ORACLE.
+      // <= 128 hops: the oracle's fixpoint CANARY witnesses convergence
+      // as count(r8)==count(r7), and r7 reaches 2^7 = 128 hops — a draw
+      // with diameter 129..255 would still close by r8 but trip the
+      // canary spuriously (the r15 ADVICE boundary bug: n=60+nextInt(90)
+      // allowed 148-hop paths, and the recorded worst draw sat at
+      // exactly n=129). Mode-0 path length is therefore capped at 129
+      // NODES (128 hops), the largest diameter the canary can witness.
       val mode = r.nextInt(3) // 0 path, 1 chain of 2-cycles, 2 chain + chords
       val perm = r.nextInt(3) // 0 increasing ids, 1 decreasing, 2 shuffled
       val n = mode match {
-        case 0 => 60 + r.nextInt(90) // path nodes
+        case 0 => 60 + r.nextInt(70) // path nodes, max 129 (diameter 128)
         case _ => 2 * (8 + r.nextInt(16)) // chain nodes (2 per SCC)
       }
       val ids: Seq[Long] = {

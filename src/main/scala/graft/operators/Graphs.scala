@@ -397,8 +397,11 @@ object Graphs {
     * with HASHED pivots are O(log n) in expectation on EVERY graph
     * (≈1.6·log₂ n measured on the adversarial chain-of-SCCs shape that
     * took one round per layer under min-ID pivots — the r14 verdict's
-    * manual `maxOuter` dial, retired); the default cap 64 covers ~10¹²
-    * nodes of pure adversarial chain, and the `require` stays loud.
+    * manual `maxOuter` dial, retired). Hash pivots only engage after
+    * the 4 id-priority warm-up rounds (each extracts one layer on a
+    * pure chain), so the default cap 64 budgets 4 + 1.6·log₂ n ≤ 64,
+    * i.e. ~10¹¹ nodes of pure adversarial chain — and the `require`
+    * stays loud.
     *
     * Below `localThreshold` edges (default 100k) the SMALL-GRAPH FAST
     * PATH runs instead: a single-task sequential Kosaraju inside one

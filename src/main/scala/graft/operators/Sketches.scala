@@ -213,6 +213,18 @@ object Sketches {
           .cast("long").as("s_scaled"): _*)
     val raw = lit(numer) / col("s_scaled").cast("double")
     val zeros = lit(m.toLong) - col("n_regs_used")
+    // Portability of the linear-counting `log()` (the dq12 ppm-literal
+    // discipline, argued instead of replaced): Spark's java.lang.Math.log
+    // and DuckDB's libm ln may differ in the LAST ULP for the same
+    // double argument. The branch CONDITION is log-free (raw <= 2.5m and
+    // an exact integer zero-count), so both engines always take the SAME
+    // branch; inside it the argument m/zeros is a quotient of exact
+    // small integers (identical double on both sides), and a 1-ULP
+    // disagreement in ln is ~1e-16 relative — the pround(..., 2)
+    // two-decimal guard would need the true value within ~1e-14 of a
+    // *.xx5 rounding boundary to flip, which the fuzzed p∈[4,12] × key
+    // draws and the tri-scale gate make astronomically unlikely and
+    // would surface as a loud hash mismatch, never a silent drift.
     grouped.select(groupCols.map(col) :+ col("n_regs_used") :+
       col("s_scaled") :+
       graft.functions.Portable.pround(

@@ -801,6 +801,11 @@ object IotStreamPipeline {
           else {
             state.update(st)
             touched.iterator.map { key =>
+              // limit-2 split on the regex-escaped delimiter: src is
+              // "(start)" or a validated type (the entry require keeps
+              // the delimiter out of every component), and the limit
+              // means a pathological key still yields exactly two parts
+              // instead of a MatchError mid-batch (r15 ADVICE)
               val Array(prev, curr) = key.split('\u0000')
               TransOut(uid, prev, curr, st.counts(key))
             }
@@ -896,6 +901,18 @@ object IotStreamPipeline {
                           conversionType: String): DataFrame = {
     val spark = stage.sparkSession
     import spark.implicits._
+    // State transition counts are keyed "src<U+0000>dst" (one string
+    // keeps the MkvState encoder a plain Map[String, Long]); the join
+    // is only reversible when no type name contains the delimiter —
+    // enforce that HERE, loudly, instead of a MatchError deep in a
+    // microbatch (r15 ADVICE). Only declared types enter the state
+    // (the `relevant` filter), so this check covers every key ever
+    // encoded; the decode below also splits with limit 2 so a bad key
+    // could never crash the query even if this gate were bypassed.
+    (touchTypes :+ conversionType).foreach(t =>
+      require(!t.contains('\u0000'),
+        s"markovJourneyStream type names must not contain U+0000 " +
+          s"(it delimits the state ledger key): '${t.replace("\u0000", "\\u0000")}'"))
     val relevant = touchTypes.toSet + conversionType
     val typed = stage
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -914,7 +931,7 @@ object IotStreamPipeline {
             evs.foreach { case (_, _, _, ty) =>
               if (!st.converted) {
                 val src = Option(st.lastType).getOrElse("(start)")
-                val key = src + " " + ty
+                val key = src + "\u0000" + ty
                 st = MkvState(ty == conversionType, ty,
                   st.counts + (key -> (st.counts.getOrElse(key, 0L) + 1L)))
                 touched += key
@@ -922,7 +939,12 @@ object IotStreamPipeline {
             }
             state.update(st)
             touched.iterator.map { key =>
-              val Array(src, dst) = key.split(' ')
+              // limit-2 split on the regex-escaped delimiter: src is
+              // "(start)" or a validated type (the entry require keeps
+              // the delimiter out of every component), and the limit
+              // means a pathological key still yields exactly two parts
+              // instead of a MatchError mid-batch (r15 ADVICE)
+              val Array(src, dst) = key.split("\\u0000", 2)
               MkvOut(uid, src, dst, st.counts(key))
             } ++ Iterator.single(MkvOut(uid, "(terminal)",
               if (st.converted) "(converted)" else st.lastType, 1L))

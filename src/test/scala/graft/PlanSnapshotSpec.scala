@@ -25,13 +25,15 @@ class PlanSnapshotSpec extends SparkSpec {
   private val exchangeKeys =
     Set("exchanges_hash", "reused_exchanges", "exchanges_single")
 
-  /** Codegen span count gets a ±1 band: AQE's runtime stage
-    * coalescing merges/splits one whole-stage boundary
-    * nondeterministically (observed 4↔5 on c2 across identical
-    * binaries and sessions). A real codegen regression — an
-    * interpreted expression landing mid-pipeline — splits spans at
-    * every use site and still trips the band. */
+  /** Codegen span count gets a ±1 band ONLY for the queries observed
+    * flapping under AQE stage coalescing (4↔5 on c2 across identical
+    * binaries and sessions); everywhere else spans compare EXACTLY, so
+    * a real regression that splits one whole-stage span in one query
+    * still trips the gate (r15 ADVICE — the registry-wide band made
+    * that class invisible). A query that starts flapping earns its
+    * place here via the allowedChanges turnstile + a listed reason. */
   private val spanKeys = Set("codegen_spans")
+  private val spanFlappers = Set("c2_containment_join")
 
   private def latestSnapshot(): Option[java.io.File] = {
     val root = new java.io.File(".")
@@ -72,7 +74,7 @@ class PlanSnapshotSpec extends SparkSpec {
                 // strategies, scans, sorts, windows, codegen spans, execution
                 // count, cartesian/BNLJ) is exact.
                 if (exchangeKeys(k)) d > 3
-                else if (spanKeys(k)) d > 1
+                else if (spanKeys(k) && spanFlappers(q)) d > 1
                 else d != 0
               }
               .map(k => s"$k: ${want.getOrElse(k, 0)} -> ${fp.getOrElse(k, 0)}")
