@@ -560,6 +560,43 @@ class StreamingSpec extends SparkSpec {
       && wantQ.exceptAll(gotQ).count() == 0)
   }
 
+  test("streaming co-purchase + triangles by composition: maintained pairs feed L2/L3 (I54)") {
+    // the I44 discipline for the remaining graph pair (r15 verdict #6):
+    // L2 consumes (basket, item) PAIRS, so the maintained table is the
+    // DISTINCT pair set (streaming dropDuplicates, exactly-once
+    // append); cooccurrence's minSupport count then re-derives exactly
+    // (each distinct pair contributes once, whatever batch it arrived
+    // in), and L3 rides L2's edges — both through the UNCHANGED batch
+    // stages, no per-operator streaming state
+    val in = Files.createTempDirectory("graft-cop-in").toString
+    val pairs0 = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val maintained = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = spark.readStream.schema(pairs0.schema).parquet(in)
+      .dropDuplicates("l_orderkey", "l_partkey")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          maintained += ((r.getLong(0), r.getLong(1))))
+        ()
+      }.start()
+    try landTimeSplit(pairs0, in, tsCol = "l_orderkey")(() => q.processAllAvailable())
+    finally q.stop()
+    val mp = maintained.toSeq.toDF("l_orderkey", "l_partkey")
+    val gotCo = graft.operators.Graphs.cooccurrence(
+      mp, "l_orderkey", "l_partkey", minSupport = 2L).localCheckpoint()
+    val wantCo = graft.operators.Graphs.cooccurrence(
+      pairs0, "l_orderkey", "l_partkey", minSupport = 2L).localCheckpoint()
+    assert(gotCo.count() == wantCo.count() && wantCo.count() > 0)
+    assert(gotCo.exceptAll(wantCo).count() == 0 &&
+      wantCo.exceptAll(gotCo).count() == 0)
+    val gotTri = graft.operators.Graphs.triangles(gotCo, "item_a", "item_b")
+    val wantTri = graft.operators.Graphs.triangles(wantCo, "item_a", "item_b")
+    assert(gotTri.count() == wantTri.count() && wantTri.count() > 0)
+    assert(gotTri.exceptAll(wantTri).count() == 0 &&
+      wantTri.exceptAll(gotTri).count() == 0)
+  }
+
   test("streaming k-anonymity by composition: maintained class counts feed DQ10 (I40)") {
     // quasi-class counts are additive — a plain update-mode agg keeps
     // them exactly-once; the audit re-derives through the SAME
