@@ -1161,6 +1161,73 @@ object Fuzz {
            |UNION ALL
            |SELECT '$c2', CAST(min($c2) AS DOUBLE), CAST(max($c2) AS DOUBLE)
            |FROM lineitem""".stripMargin)
+    },
+    "call_versioned_args" -> { r =>
+      // versioned-table lifecycle through the CALL + TVF composition:
+      // arity/typing probes fail loudly; then n drawn snapshot commits,
+      // a rollback to a drawn target, and the read side re-enters
+      // through the S1 TVF (`graft_read_latest`) — the final frame must
+      // equal the rolled-back version's filter, hash-gated vs DuckDB.
+      // Each CALL's returned version id is require'd in sequence, so
+      // the argument decode of commit/rollback is pinned, not just the
+      // final contents.
+      val n = 2 + r.nextInt(3)      // commits [2, 4]
+      val v = 1 + r.nextInt(n)      // rollback target [1, n]
+      Draw("call_versioned_args", s"commits=$n,rollbackTo=$v",
+        (s, d) => {
+          s.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+          probeFail(s, "CALL graft.versioned_rollback('/tmp/fz_nope')",
+            "versioned_rollback")
+          probeFail(s, "CALL graft.versioned_expire('/tmp/fz_nope', 'wide')",
+            "cannot be cast")
+          val path =
+            Files.createTempDirectory("graft-fz-call-ver").toString + "/t"
+          val ords = Tables.orders(s, d)
+          (1 to n).foreach { i =>
+            ords.filter(col("o_orderkey") % (i + 1) === 0)
+              .select(col("o_orderkey"), col("o_totalprice"))
+              .createOrReplaceTempView("fz_call_snap")
+            val got = s.sql(s"CALL graft.versioned_commit('fz_call_snap', " +
+              s"'$path')").collect().head.getLong(0)
+            require(got == i, s"commit returned version $got, expected $i")
+          }
+          val rb = s.sql(s"CALL graft.versioned_rollback('$path', $v)")
+            .collect().head.getLong(0)
+          require(rb == n + 1, s"rollback returned version $rb, expected ${n + 1}")
+          SparkEntry.sqlSurface(s, d)
+          s.sql(s"SELECT o_orderkey, o_totalprice AS tp " +
+            s"FROM graft_read_latest('$path')")
+        },
+        s"""SELECT o_orderkey, o_totalprice AS tp FROM orders
+           |WHERE o_orderkey % ${v + 1} = 0""".stripMargin)
+    },
+    "call_delete_keys_args" -> { r =>
+      // GDPR keyed-erase argument surface: missing-parameter probe fails
+      // naming the procedure; a valid call with a DRAWN doomed-key set
+      // erases through the real locate/anti-join/overwrite path and the
+      // table READ-BACK is hash-gated against the survivor filter
+      val m = Seq(3, 5, 7)(r.nextInt(3)) // doomed: keys % m == 0
+      Draw("call_delete_keys_args", s"doomedMod=$m",
+        (s, d) => {
+          s.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+          probeFail(s, "CALL graft.delete_keys('v','p','c')",
+            "delete_keys")
+          val path =
+            Files.createTempDirectory("graft-fz-call-del").toString + "/t"
+          val ords = Tables.orders(s, d)
+          ords.select(col("o_orderkey"), col("o_orderpriority"),
+              col("o_totalprice"))
+            .write.partitionBy("o_orderpriority").parquet(path)
+          ords.filter(col("o_orderkey") % m === 0)
+            .select(col("o_orderkey"))
+            .createOrReplaceTempView("fz_call_doomed")
+          s.sql(s"CALL graft.delete_keys('fz_call_doomed', '$path', " +
+            s"'o_orderpriority', 'o_orderkey')").collect()
+          s.read.parquet(path)
+            .select(col("o_orderkey"), col("o_totalprice").as("tp"))
+        },
+        s"""SELECT o_orderkey, o_totalprice AS tp FROM orders
+           |WHERE o_orderkey % $m <> 0""".stripMargin)
     })
 
   /** The b9b portable-HLL oracle, parameterized on precision and key —
