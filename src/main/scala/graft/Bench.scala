@@ -1,6 +1,47 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Median (upper at even sizes — the suite's convention). */
+  private[graft] def medOf(vs: Seq[Double]): Double =
+    vs.sorted.apply(vs.size / 2)
+
+  /** DIRECTIONAL in-run canary drift: how much slower the MID/END
+    * phases read than the fastest phase. JIT/page-cache warm-up makes
+    * the START phase the slow one on a clean run (measured ~1.36x
+    * residual slope even after an untimed warm-up trio — an undirected
+    * max/min stamped every clean run), while an ambient episode
+    * inflates LATER readings; an episode already present at start and
+    * sustained throughout is invisible to ANY in-run comparison and is
+    * exactly what [[canaryVsCommitted]] exists for. */
+  private[graft] def directionalDrift(start: Map[String, Double],
+                                      mid: Map[String, Double],
+                                      end: Map[String, Double]): Double =
+    start.keys.map { c =>
+      val lo = math.max(Seq(start(c), mid(c), end(c)).min, 1e-9)
+      math.max(mid(c), end(c)) / lo
+    }.max
+
+  /** Broad-shift signal vs the committed map's own canary: per
+    * component the ratio of phase-medians, then the MEDIAN over
+    * components — broad-based inflation (the episode signature) moves
+    * all three together, while a single-component blip (one slow disk
+    * read) does not stamp the run. None when the committed map carries
+    * no canary (pre-r16 maps) or shares no component. */
+  private[graft] def canaryVsCommitted(
+      phases: Seq[Map[String, Double]],
+      committed: Map[String, Map[String, Double]]): Option[Double] = {
+    if (committed.isEmpty || phases.isEmpty) return None
+    val comps = phases.head.keys.toSeq
+    val ratios = comps.flatMap { c =>
+      val cur = phases.flatMap(_.get(c))
+      val base = committed.values.flatMap(_.get(c)).toSeq
+      if (cur.isEmpty || base.isEmpty) None
+      else Some(medOf(cur) / math.max(medOf(base), 1e-9))
+    }
+    if (ratios.isEmpty) None else Some(medOf(ratios))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -168,20 +209,24 @@ object Bench {
       }.drop(1) // drop the warm-up; KEEP EXECUTION ORDER (r14 advice: the
                 // sorted-by-time lists lost the temporal trend — heap growth
                 // or a first-run GC spike was unrecoverable from the artifact)
+    // canary opt-out for local iteration (SPARK_GRAFT_ONLY subsets pay
+    // ~15 s of canary for a seconds-long run otherwise); the official
+    // full-suite artifact always runs with it on (driver sets nothing)
+    val canaryOn = sys.env.getOrElse("SPARK_GRAFT_CANARY", "1") == "1"
     // one full UNTIMED trio as warm-up (codegen, parquet footer cache,
     // JIT tiering of the generated code) so every phase's reading is
     // warm-vs-warm comparable — a single bare warm-up run left the
     // start-phase scan ~1.9x its mid/end readings (measured), which
     // would stamp every artifact episode_suspect on JIT slope alone
-    canaryTrio()
-    val canaryStart = canaryTrio()
+    if (canaryOn) canaryTrio()
+    val canaryStart = if (canaryOn) canaryTrio() else Map.empty[String, Double]
     val midAt = math.max(1, selected.size / 2)
     var canaryMid: Map[String, Double] = canaryStart
     val results = selected.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == midAt) canaryMid = canaryTrio()
+      if (canaryOn && i == midAt) canaryMid = canaryTrio()
       name -> timedRuns(name, fn)
     }
-    val canaryEnd = canaryTrio()
+    val canaryEnd = if (canaryOn) canaryTrio() else Map.empty[String, Double]
     def median(ts: Seq[RunStat]): Double = ts.map(_.sec).sorted.apply(ts.size / 2)
     // Automated REGR isolation re-runs (r14 verdict lead item): any query
     // whose suite median is >= SPARK_GRAFT_ISO_THRESH (default 1.5x) the
@@ -258,51 +303,30 @@ object Bench {
       s"\"" + k + "\":" + median(ts) }.mkString("{", ",", "}")
     val isolatedControlJson = isolatedStats.collect { case (k, _, Some(c)) =>
       s"\"" + k + "\":" + c }.mkString("{", ",", "}")
-    // ---- canary drift + episode stamp ----
+    // ---- canary drift + episode stamp (math: the private[graft]
+    // helpers above, pinned by BenchCanarySpec) ----
     val canaryPhases = Seq("start" -> canaryStart, "mid" -> canaryMid,
       "end" -> canaryEnd)
-    def medOf(vs: Seq[Double]): Double = vs.sorted.apply(vs.size / 2)
-    // DIRECTIONAL in-run drift: how much slower mid/end read than the
-    // fastest phase. JIT/page-cache warm-up makes the START phase the
-    // slow one (measured ~1.36x residual slope even after an untimed
-    // warm-up trio — undirected max/min stamped every clean run), while
-    // an ambient episode inflates LATER readings; an episode already
-    // present at start and throughout is invisible to any in-run
-    // comparison and is exactly what canary_vs_committed exists for.
-    val canaryDrift = canaryStart.keys.map { comp =>
-      val vs = canaryPhases.map(_._2(comp))
-      math.max(canaryMid(comp), canaryEnd(comp)) / math.max(vs.min, 1e-9)
-    }.max
-    // vs the committed map's own canary: per component the ratio of
-    // phase-medians, then the MEDIAN over components — broad-based
-    // inflation (the episode signature) moves all three together,
-    // while a single-component blip (one slow disk read) does not
-    // stamp the run
-    val canaryVsCommitted: Option[Double] =
-      if (baselineCanary.isEmpty) None
-      else {
-        val ratios = canaryStart.keys.toSeq.flatMap { comp =>
-          val committed = baselineCanary.values.flatMap(_.get(comp)).toSeq
-          if (committed.isEmpty) None
-          else Some(medOf(canaryPhases.map(_._2(comp))) /
-            math.max(medOf(committed), 1e-9))
-        }
-        if (ratios.isEmpty) None else Some(medOf(ratios))
-      }
+    val canaryDrift =
+      if (canaryOn) directionalDrift(canaryStart, canaryMid, canaryEnd)
+      else 1.0
+    val vsCommitted: Option[Double] =
+      if (canaryOn) canaryVsCommitted(canaryPhases.map(_._2), baselineCanary)
+      else None
     val canaryThresh = sys.env.getOrElse("SPARK_GRAFT_CANARY_THRESH", "1.3").toDouble
     val episodeSuspect = canaryDrift >= canaryThresh ||
-      canaryVsCommitted.exists(_ >= canaryThresh)
+      vsCommitted.exists(_ >= canaryThresh)
     val canaryJson = canaryPhases.map { case (ph, m) =>
       s"\"" + ph + "\":" + m.toSeq.sortBy(_._1).map { case (c, v) =>
         s"\"" + c + "\":" + (math.round(v * 10000.0) / 10000.0)
       }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val canaryVsCommittedJson =
-      canaryVsCommitted.map(v => (math.round(v * 1000.0) / 1000.0).toString)
+      vsCommitted.map(v => (math.round(v * 1000.0) / 1000.0).toString)
         .getOrElse("null")
     if (episodeSuspect)
       System.err.println(f"[bench] EPISODE SUSPECT: canary drift $canaryDrift%.2fx" +
-        s" in-run, vs committed ${canaryVsCommitted.map(v => f"$v%.2fx").getOrElse("n/a")}" +
+        s" in-run, vs committed ${vsCommitted.map(v => f"$v%.2fx").getOrElse("n/a")}" +
         s" (threshold $canaryThresh) -- treat broad REGR lines as ambient")
     val qs = results.map { case (k, ts) => s"\"" + k + "\":" + median(ts) }
       .mkString("{", ",", "}")
