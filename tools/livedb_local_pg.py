@@ -142,6 +142,34 @@ def main():
         checks.append({"check": "10-row land + full replay idempotent",
                        "pass": ok, "got": [first, second] if not ok else None})
         assert ok, (first, second)
+
+        # the other two generated statement shapes: unversioned
+        # DO UPDATE (last-write-wins, no guard) and key-only DO NOTHING
+        psql('CREATE TABLE "graft_it_live3" '
+             '("k" BIGINT PRIMARY KEY, "v" TEXT, "version" BIGINT)')
+        unv, _ = jdbc_to_prepare(
+            stmts_replace_table(stmts["unversioned"], "graft_it_live3"))
+        prep3 = f"PREPARE up3(BIGINT, TEXT, BIGINT) AS {unv}"
+        psql(f"{prep3}; EXECUTE up3(1, 'first', 9); EXECUTE up3(1, 'second', 1)")
+        got = psql('SELECT "v", "version" FROM "graft_it_live3" WHERE "k" = 1')
+        ok = got == "second|1"
+        checks.append({"check": "unversioned DO UPDATE is last-write-wins "
+                                "(no version guard)",
+                       "pass": ok, "got": got if not ok else None})
+        assert ok, got
+
+        psql('CREATE TABLE "graft_it_live4" ("k" BIGINT PRIMARY KEY)')
+        keyonly, n1 = jdbc_to_prepare(
+            stmts_replace_table(stmts["key_only"], "graft_it_live4"))
+        assert n1 == 1, stmts["key_only"]
+        prep4 = f"PREPARE up4(BIGINT) AS {keyonly}"
+        psql(f"{prep4}; EXECUTE up4(7); EXECUTE up4(7); EXECUTE up4(8)")
+        got = psql('SELECT count(*) FROM "graft_it_live4"')
+        ok = got == "2"
+        checks.append({"check": "key-only degrades to DO NOTHING "
+                                "(replay leaves 2 rows)",
+                       "pass": ok, "got": got if not ok else None})
+        assert ok, got
     finally:
         stop = ["pg_ctl", "-D", data, "-m", "immediate", "stop"]
         if os.geteuid() == 0:
