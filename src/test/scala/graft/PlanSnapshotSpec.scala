@@ -33,7 +33,13 @@ class PlanSnapshotSpec extends SparkSpec {
     * that class invisible). A query that starts flapping earns its
     * place here via the allowedChanges turnstile + a listed reason. */
   private val spanKeys = Set("codegen_spans")
-  private val spanFlappers = Set("c2_containment_join")
+  private val spanFlappers = Set(
+    "c2_containment_join",
+    // observed 41<->42 on an identical binary vs BOTH committed
+    // snapshots (r15/r16 say 41, a clean r16 full-suite run read 42) —
+    // the same AQE stage-coalescing nondeterminism as c2; scans/joins/
+    // exchanges stayed exact-equal on the flapping run
+    "l5s_weighted_rank_sql")
 
   private def latestSnapshot(): Option[java.io.File] = {
     val root = new java.io.File(".")
