@@ -38,21 +38,55 @@ object ExplainDump {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     selected.foreach { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
-        val formatted = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
-        df.write.format("noop").mode("overwrite").save()
-        // post-execution tree: AQE final plan (re-planned joins,
-        // coalesced stages) — the plan that actually ran
-        val executed = df.queryExecution.executedPlan.toString
+        // The iterative operators (pageRank, HITS, LPA, clusters,
+        // k-core, BFS) materialize their per-round work through
+        // localCheckpoint pins DURING query construction — the final
+        // frame's plan is a stub over pinned RDDs. Capture EVERY SQL
+        // execution the query triggers (the PlanSnap discipline), so
+        // per-iteration Exchange/join shapes are in the evidence file.
+        val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 durationNs: Long): Unit =
+            plans.add(qe.executedPlan.toString)
+          override def onFailure(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 exception: Exception): Unit = ()
+        }
+        spark.listenerManager.register(listener)
+        val (formatted, executed) = try {
+          val df = fn(spark, sfDir)
+          val fmt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          df.write.format("noop").mode("overwrite").save()
+          org.apache.spark.graft.ListenerBridge
+            .waitUntilListenersProcessed(spark.sparkContext)
+          (fmt, df.queryExecution.executedPlan.toString)
+        } finally spark.listenerManager.unregister(listener)
+        val all = scala.jdk.CollectionConverters.CollectionHasAsScala(plans)
+          .asScala.toSeq
+        val census = all.map(PlanSnap.fingerprint)
+          .foldLeft(Map.empty[String, Int]) { (acc, fp) =>
+            (acc.keySet ++ fp.keySet).map(k =>
+              k -> (acc.getOrElse(k, 0) + fp.getOrElse(k, 0))).toMap
+          } + ("executions" -> all.size)
         val w = new java.io.PrintWriter(new java.io.File(dir, s"${name}_$suffix.txt"))
         try {
           w.println(s"== $name (sf=$sfDir, cpus=$cpus) ==")
           w.println()
-          w.println("---- explain(formatted), initial plan ----")
+          w.println("---- lifecycle operator census (summed over all executions) ----")
+          w.println(census.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(", "))
+          w.println()
+          w.println("---- explain(formatted), final frame, initial plan ----")
           w.println(formatted)
-          w.println("---- executed plan after noop run (AQE final) ----")
+          w.println("---- executed plan, final frame, after noop run (AQE final) ----")
           w.println(executed)
+          all.zipWithIndex.foreach { case (p, i) =>
+            w.println(s"---- execution ${i + 1}/${all.size} (AQE final) ----")
+            w.println(p)
+          }
         } finally w.close()
         // bench-equivalent hygiene between queries so one query's pins
         // don't shape the next query's plan-time stats

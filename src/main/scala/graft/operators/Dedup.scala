@@ -386,9 +386,13 @@ object Dedup {
                                   twoHop: Boolean = true): (DataFrame, Int) = {
     // materialize the (small) edge list once — every iteration joins it,
     // and without the cut each join would re-derive the full upstream
-    // pair-generation pipeline
-    val edges = Pins.pin(pairs.select(col(a).as("x"), col(b).as("y"))
-      .union(pairs.select(col(b).as("x"), col(a).as("y"))))
+    // pair-generation pipeline. Laid out by "y", the per-round join key
+    // (r16): the pin carries the layout, so propagate joins never
+    // re-exchange the edge side; the label side is a measured pinned
+    // leaf every round (broadcast-hash when small, co-partitioned at
+    // scale).
+    val edges = Pins.pinBy(pairs.select(col(a).as("x"), col(b).as("y"))
+      .union(pairs.select(col(b).as("x"), col(a).as("y"))), "y")
     // seed label = min(id, min direct neighbor): the edge list is
     // symmetric so every id appears as x, and pair/star clusters are
     // already converged at the seed — one grouped min replaces a whole

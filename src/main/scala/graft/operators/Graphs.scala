@@ -60,6 +60,12 @@ object Graphs {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    // loop-invariant layout (r16): dedup/weight-sum with its natural
+    // map-combined exchange, then lay the edge frame out ONCE by the
+    // iteration join key at a measured-size-derived partition count
+    // (Pins.pinBy); the pinned leaf carries hash partitioning AND sort
+    // order, so every iteration's edge⋈rank join neither exchanges nor
+    // sorts the edge side again.
     val e0 = weight match {
       case None => edges
         .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
@@ -70,24 +76,25 @@ object Graphs {
           col(w).cast("long").as("w"))
         .groupBy("src", "dst").agg(sum("w").as("w"))
     }
-    val ep = Pins.pin(e0.repartition(col("src")))
+    val ep = Pins.pinBy(e0, "src")
     require(weight.isEmpty || ep.filter(col("w") <= 0).isEmpty,
       s"edge weights must be positive (column ${weight.orNull})")
     // total outgoing weight rides ON the edge row (one setup join,
     // amortized over every iteration — re-joining it per round costs
-    // iters extra edge-sized joins for a value that never changes)
+    // iters extra edge-sized joins for a value that never changes);
+    // groupBy + join both run on ep's carried layout, exchange-free
     val e = Pins.pin(ep.join(
         ep.groupBy("src").agg(sum("w").as("total_w")), "src"))
     val nodes0 = ep.select(col("src").as("node"))
       .union(ep.select(col("dst").as("node"))).distinct()
     val nodes = seeds match {
-      case None => Pins.pin(nodes0.withColumn("is_seed", lit(true)))
-      case Some(s) => Pins.pin(nodes0.join(
+      case None => Pins.pinBy(nodes0.withColumn("is_seed", lit(true)), "node")
+      case Some(s) => Pins.pinBy(nodes0.join(
           broadcast(s.select(s.columns.head).toDF("node")
             .select(col("node").cast("long").as("node")).distinct()
             .withColumn("__s", lit(true))),
           Seq("node"), "left")
-        .select(col("node"), coalesce(col("__s"), lit(false)).as("is_seed")))
+        .select(col("node"), coalesce(col("__s"), lit(false)).as("is_seed")), "node")
     }
     // ep's consumers (e, nodes) are now pinned — its blocks are dead
     Pins.release(ep)
@@ -106,17 +113,19 @@ object Graphs {
           (when(col("is_seed"), lit(baseShare)).otherwise(lit(0L)) +
             expr(s"(${dampNum}L * coalesce(mass, 0L)) div ${dampDen}L"))
             .as("pr"))
-      // re-pin every other round: constant-depth lineage, node-sized.
-      // Cadence MEASURED (r13, isolated 5-run medians at sf0.1 over
-      // l4/l5/h28/l11/l12): every-3rd-round pinning was 8% slower in
-      // total and 65% slower on weighted pageRank (the deeper unpinned
-      // segment re-evaluates the weight-joined edge frame) — keep 2.
-      if (i % 2 == 0 || i == iters) {
-        val next = Pins.pin(pr)
-        Pins.release(prPin) // superseded rank pin, successor materialized
-        prPin = next
-        pr = next
-      }
+      // re-pin EVERY round (r16; supersedes the r13 every-2 cadence):
+      // the pin is node-sized, and a pinned rank frame is a MEASURED
+      // leaf — the planner then sizes the next round's edge⋈rank join
+      // truthfully (broadcast/hash when the rank frame is genuinely
+      // small, co-partitioned zip at scale), where an unpinned segment's
+      // rank side carries a multiplied size-only estimate that forces
+      // SortMergeJoin with a per-round sort. Measured at sf0.1/32c:
+      // every-2 cadence + layout-preserving pins ran the 6-round loop
+      // at ~4x the task CPU of this shape (the SMJ rounds).
+      val next = Pins.pin(pr)
+      Pins.release(prPin) // superseded rank pin, successor materialized
+      prPin = next
+      pr = next
     }
     // the loop always pins at i == iters, so the returned frame reads
     // ONLY the final rank pin — the setup pins are dead on exit
@@ -157,9 +166,13 @@ object Graphs {
     val und = edges
       .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-    val e = Pins.pin(und.union(und.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .repartition(col("a")))
+    // laid out by "b" — the per-round join key (r16: the old layout was
+    // keyed on "a", which the join never uses, so every round
+    // re-exchanged the full edge table); label pins land every round so
+    // the join's label side is always a MEASURED leaf (broadcast-hash
+    // when genuinely small, co-partitioned at scale)
+    val e = Pins.pinBy(und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .distinct(), "b")
     var lab = Pins.pin(e.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")))
     var labPin = lab
@@ -171,6 +184,10 @@ object Graphs {
       lab = counts.groupBy(col("a"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("a").as("node"), (-col("m.nl")).as("label"))
+      // every-2 cadence (re-measured r16: every-round pinning cost l11
+      // +24% — the extra node-sized pin jobs outweigh the unpinned
+      // round's derived-estimate join, which the laid-out edge side
+      // absorbs exchange-free either way)
       if (i % 2 == 0 || i == iters) {
         val next = Pins.pin(lab)
         Pins.release(labPin) // superseded label pin
@@ -178,7 +195,6 @@ object Graphs {
         lab = next
       }
     }
-    // i == iters always pins, so the result reads only the final pin
     Pins.release(e)
     lab.select(col("node"), col("label").as("community"))
   }
@@ -907,10 +923,9 @@ object Graphs {
     val e0 = edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-    val e = Pins.pin((if (directed) e0
+    val e = Pins.pinBy((if (directed) e0
              else e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))))
-      .distinct()
-      .repartition(col("src")))
+      .distinct(), "src")
     val s0 = seeds.select(seeds.columns.head).toDF("node")
       .select(col("node").cast("long").as("node")).distinct()
     val inGraph = e.select(col("src").as("node"))
@@ -1001,27 +1016,32 @@ object Graphs {
             maxIter: Int = 30): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    var e = Pins.pin(edges
+    // laid out by "lo" once (r16): the first per-round semi-join is
+    // then co-partitioned; the survivor set pins each round so BOTH
+    // semi-joins see a MEASURED node-sized build side (broadcast-hash
+    // locally — zero edge exchanges per peel; explicit layout at scale)
+    var e = Pins.pinBy(edges
       .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))
-      .distinct())
+      .distinct(), "lo")
     var it = 0
     var done = e.isEmpty
     while (!done && it < maxIter) {
       it += 1
       val deg = e.select(col("lo").as("n")).union(e.select(col("hi").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select(col("n"))
+      val degPin = Pins.pin(deg)
+      val keep = degPin.filter(col("deg") >= k).select(col("n"))
       val pruned = Pins.pin(e
         .join(keep.withColumnRenamed("n", "lo"), Seq("lo"), "left_semi")
         .join(keep.withColumnRenamed("n", "hi"), Seq("hi"), "left_semi")
         .select(col("lo"), col("hi")))
-      // convergence probe: any node below k this round? (aggregate-sized;
-      // reads deg off the OLD edge pin, so release it only after)
-      done = deg.filter(col("deg") < k).limit(1).isEmpty
-      Pins.release(e) // superseded edge set — pruned is materialized
+      // convergence probe: any node below k this round? (reads the
+      // round's own degree pin — the old edge pin is already dead)
+      done = degPin.filter(col("deg") < k).limit(1).isEmpty
+      Pins.release(e, degPin) // superseded — pruned is materialized
       e = pruned
     }
     require(done || e.select(col("lo").as("n")).union(e.select(col("hi").as("n")))
@@ -1065,10 +1085,9 @@ object Graphs {
       .select(col("lo"), col("hi"),
         (col("dlo") < col("dhi") ||
           (col("dlo") === col("dhi") && col("lo") < col("hi"))).as("loFirst"))
-    val oriented = Pins.pin(loFirst.select(
+    val oriented = Pins.pinBy(loFirst.select(
         when(col("loFirst"), col("lo")).otherwise(col("hi")).as("u"),
-        when(col("loFirst"), col("hi")).otherwise(col("lo")).as("v"))
-      .repartition(col("u")))
+        when(col("loFirst"), col("hi")).otherwise(col("lo")).as("v")), "u")
     // e's consumers (deg, oriented) are both pinned now; the returned
     // frame reads the deg and oriented pins — those outlive the call
     Pins.release(e)
@@ -1119,11 +1138,19 @@ object Graphs {
   def hits(edges: DataFrame, src: String, dst: String,
            iters: Int = 4, scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
-    val e = Pins.pin(edges
+    // TWO laid-out copies of the edge list (r16): the a-half joins on
+    // src, the h-half on dst — one copy partitioned by (src,dst)
+    // dedup-hash satisfied NEITHER, so every half-round re-exchanged
+    // the full edge table (2 edge shuffles x iters). Laying each copy
+    // out by its half's join key once (measured-size partition count,
+    // carried by the pin) makes both per-round joins exchange-free at
+    // any scale; setup pays one extra edge exchange + materialization.
+    val eSrc = Pins.pinBy(edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-      .distinct())
-    val nodes = Pins.pin(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
+      .distinct(), "src")
+    val eDst = Pins.pinBy(eSrc, "dst")
+    val nodes = Pins.pinBy(eSrc.select(col("src").as("node"))
+      .union(eSrc.select(col("dst").as("node"))).distinct(), "node")
     // Pin the MASS frame (node-sized, pre-normalization) and derive
     // both the normalizer total and the normalized score from that one
     // pinned copy. The r11 shape pinned the POST-renorm frame, which
@@ -1150,7 +1177,7 @@ object Graphs {
     var prevAMass: DataFrame = null
     var prevHMass: DataFrame = null
     for (i <- 1 to iters) {
-      val aMass = Pins.pin(e
+      val aMass = Pins.pin(eSrc
         .join(hub.select(col("node").as("src"), col("hub").as("h")), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("m")))
       // last round's auth mass backed auth_{i-1}, whose only onward
@@ -1158,7 +1185,7 @@ object Graphs {
       Pins.release(prevAMass)
       prevAMass = aMass
       auth = normalized(aMass, "auth")
-      val hMass = Pins.pin(e
+      val hMass = Pins.pin(eDst
         .join(auth.select(col("node").as("dst"), col("auth").as("a")), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("m")))
       Pins.release(prevHMass)
@@ -1167,8 +1194,8 @@ object Graphs {
     }
     // the returned frame reads the nodes pin and the FINAL aMass/hMass
     // pins (hub/auth are unpinned normalized views over them) — only
-    // the edge pin is dead on exit
-    Pins.release(e)
+    // the edge pins are dead on exit
+    Pins.release(eSrc, eDst)
     hub.join(auth, Seq("node"))
       .select(col("node"), col("hub"), col("auth"))
   }

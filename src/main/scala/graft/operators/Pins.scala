@@ -88,12 +88,99 @@ object Pins {
     df
   }
 
+  /** `spark.graft.pins.preserveLayout` (default true): carry the
+    * executed plan's output partitioning + per-partition ordering onto
+    * the checkpoint leaf. The DATA layout always survives a checkpoint
+    * (1:1 partition copy); under AQE the METADATA did not
+    * (`AdaptiveSparkPlanExec` reports `UnknownPartitioning`, so
+    * `LogicalRDD.fromDataset` dropped it), which made every iterative
+    * operator re-Exchange (and re-sort) its pinned edge/label frames
+    * once per pin segment — pure waste at any scale, and edge-table-
+    * sized at 100 TB. Declaring the layout the checkpoint actually has
+    * removes those exchanges; results are bit-identical (oracle-gated
+    * registry-wide) because the declaration is read from the executed
+    * plan, never assumed. Conf is the kill-switch for triage. */
+  val PreserveLayoutKey = "spark.graft.pins.preserveLayout"
+
+  /** The partition count the iterative operators lay their
+    * loop-invariant frames out with: the session's shuffle-partition
+    * setting — scale-adaptive by conf (local[n] benches run n, a
+    * cluster runs its own 2-3x-cores value), never a constant. An
+    * EXPLICIT count matters: `repartition(col)` without one is an AQE
+    * coalesce candidate, and a coalesced layout (merged hash buckets)
+    * no longer co-partitions against a fresh ENSURE_REQUIREMENTS
+    * exchange — the per-iteration join would re-shuffle the big frame
+    * every round, which is the exact waste [[pin]]'s layout
+    * preservation exists to remove. */
+  def layoutPartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+  /** Measured-size basis for [[pinBy]]'s partition count: bytes of
+    * pinned storage per layout partition. 16 MB of deserialized rows
+    * per partition reproduces the stage sizing AQE's coalescing picks
+    * for the same frames locally (measured: the l4 edge frame runs its
+    * per-iteration join at the same ~6-task width AQE chose for the
+    * exchange-per-round plan), while a 100 TB edge table divides to
+    * far more than any shuffle.partitions setting and takes the cap.
+    * Why it matters: laying a ~50 MB frame out at local[32]'s 32
+    * partitions ran every iteration stage 32-wide and CPU time TRIPLED
+    * (memory-bandwidth contention on concurrent hash probes/aggs —
+    * measured 213 s vs 66 s task-CPU on the same query), while 6 fat
+    * partitions beat every other configuration. Conf-tunable; the cap
+    * keeps the count cluster-shaped, the divisor keeps it data-shaped. */
+  val TargetPartitionBytesKey = "spark.graft.pins.targetPartitionBytes"
+
+  /** Lay `df` out for a loop: materialize once to MEASURE it, then
+    * hash-partition by `cols` at a data-derived count (measured bytes /
+    * [[TargetPartitionBytesKey]], capped at [[layoutPartitions]] — the
+    * scale-adaptive rule, never a local constant), sort within
+    * partitions by the same keys, and [[pin]]. The pinned leaf carries
+    * partitioning + ordering, so every iteration's equi-join on `cols`
+    * neither exchanges nor sorts this side again (sort once, join
+    * many). Costs one extra setup materialization of `df`; buys
+    * zero-exchange zero-sort joins for every round that follows. When
+    * the size cannot be measured (reliable-mode pins), falls back to
+    * the [[layoutPartitions]] cap. */
+  def pinBy(df: DataFrame, cols: String*): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val first = pin(df)
+    val target = df.sparkSession.conf
+      .getOption(TargetPartitionBytesKey).map(_.toLong)
+      .getOrElse(16L * 1024 * 1024)
+    val cap = layoutPartitions(df)
+    val n = measuredSize(first)
+      .map(b => ((b + target - 1) / target).min(BigInt(cap)).max(BigInt(1)).toInt)
+      .getOrElse(cap)
+    // a frame that fits ONE layout partition gains nothing from a
+    // dedicated layout pass: its measured-leaf stats already make every
+    // join against it a broadcast/hash build, so the second exchange +
+    // materialization would be pure overhead (measured: the small-edge
+    // clusters/LPA consumers regressed 3-24% with an unconditional
+    // second phase)
+    if (n <= 1) first
+    else {
+      val laid = pin(first.repartition(n, cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*))
+      release(first)
+      laid
+    }
+  }
+
   /** Eager constant-depth lineage pin in the session-selected mode. */
   def pin(df: DataFrame): DataFrame = {
     if (debugOn(df)) guard(df, "pin() input")
     val pinned =
       df.sparkSession.conf.getOption(ModeKey).getOrElse("local") match {
-        case "local" => df.localCheckpoint()
+        case "local" =>
+          // storage level is a probe knob while measuring (r16):
+          // MEMORY_AND_DISK (deserialized object arrays, the Spark
+          // default) vs MEMORY_AND_DISK_SER (compact bytes,
+          // shuffle-read-like streaming iteration)
+          df.sparkSession.conf.getOption("spark.graft.pins.storageLevel") match {
+            case Some(lvl) => df.localCheckpoint(true,
+              org.apache.spark.storage.StorageLevel.fromString(lvl))
+            case None => df.localCheckpoint()
+          }
         case "reliable" =>
           require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
             s"$ModeKey=reliable requires sparkContext.setCheckpointDir(...)")
@@ -101,8 +188,29 @@ object Pins {
         case other => throw new IllegalArgumentException(
           s"$ModeKey must be 'local' or 'reliable', got '$other'")
       }
-    capStats(pinned)
+    val preserve =
+      !df.sparkSession.conf.getOption(PreserveLayoutKey).contains("false")
+    if (preserve)
+      org.apache.spark.sql.graft.ColumnBridge
+        .withPreservedLayout(pinned, df, StatsCap, measuredSize(pinned))
+        .getOrElse(capStats(pinned))
+    else capStats(pinned)
   }
+
+  /** The MEASURED byte size of an eagerly-pinned frame's storage
+    * blocks (mem + disk), straight from the block manager — the truth
+    * the planner should size broadcast/hash-join decisions with,
+    * instead of the origin plan's multiplied estimate. None for
+    * reliable-mode pins (file-backed, not persisted) and anything not
+    * found in the storage registry. */
+  private def measuredSize(pinned: DataFrame): Option[BigInt] =
+    pinned.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        pinned.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .map(i => BigInt(i.memSize + i.diskSize)).filter(_ > 0)
+      case _ => None
+    }
 
   /** Checkpointing copies the ORIGIN plan's size estimate onto the new
     * [[LogicalRDD]] leaf (`LogicalRDD.fromDataset` → `rewriteStatistics`),
